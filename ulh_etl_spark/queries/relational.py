@@ -1,0 +1,513 @@
+"""Relational operator catalog (SURVEY §2.3-2.7) over the synthetic
+star schema, each with a DuckDB oracle.
+
+Scale notes are attached per query: which side broadcasts, where the
+shuffle lands, and why the plan survives 100 TB. Floating-point
+aggregates are rounded IN BOTH engines so the driver's value-hash is
+stable across summation orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ulh_etl_spark.functions.mapping import ColumnMapping, apply_mappings
+from ulh_etl_spark.functions.predicates import FilterClause, apply_source_filter
+from ulh_etl_spark.functions.transforms import (
+    RegexRule,
+    column_regex_replace,
+    column_strip,
+    concat_mapping,
+    dummy_key,
+    split_reorder,
+    value_map,
+)
+from ulh_etl_spark.session import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- A1/A3/A4 + arithmetic: flagship pricing summary (TPC-H Q1 shape) ---
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupBy-agg with computed measures. Scale: partial (map-side)
+    aggregation then a 2-key shuffle — the canonical hash-agg plan;
+    cardinality of the group key is tiny so AQE coalesces post-shuffle
+    partitions. Reference analog: A3/A4 conditional+grouped counts."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --- P1/P4/P5/P6/P7: projection + compiled config predicate ---
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-declared predicate compiled to Column exprs (reference P7,
+    REFINED...CURATED.py:1267-1299) + renamed projection (P1). Scale:
+    filter + pruned column list both push into the parquet scan."""
+    orders = _t(spark, sf_dir, "orders")
+    filtered = apply_source_filter(
+        orders,
+        [
+            FilterClause("o_orderstatus", "=", "F"),
+            FilterClause("o_orderpriority", "IN", "1-URGENT,2-HIGH"),
+            FilterClause("o_totalprice", ">", 50000.0),
+        ],
+    )
+    return filtered.select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_custkey").alias("cust_key"),
+        F.col("o_totalprice").alias("total_price"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+
+
+# --- J1 + F7: broadcast lookup left join -> NEW/UPDATE classification ---
+def q03_record_type_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curated-stage create-vs-update classifier (reference
+    REFINED...CURATED.py:1397-1405): LEFT JOIN a key lookup, CASE on
+    null-ness. Scale: the lookup (distinct curated keys) is small
+    relative to facts -> explicit broadcast, so the fact table never
+    shuffles."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lookup = (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("lk_custkey"))
+        .distinct()
+    )
+    return orders.join(
+        F.broadcast(lookup), orders.o_custkey == lookup.lk_custkey, "left"
+    ).select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_custkey").alias("cust_key"),
+        F.when(F.col("lk_custkey").isNotNull(), F.lit("UPDATE"))
+        .otherwise(F.lit("NEW"))
+        .alias("record_type"),
+    )
+
+
+# --- A4: distribution over the derived key ---
+def q04_record_type_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY over a derived CASE key (reference :1462-1474)."""
+    return (
+        q03_record_type_classify(spark, sf_dir)
+        .groupBy("record_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# --- J3: inner self equi-join (config source-query shape) ---
+def q05_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self join on the order key picking fields from two line numbers
+    (reference config practice_ingest_config.json:280 joins a staging
+    table to itself on encounterid). Scale: same-key self join -> one
+    shuffle, co-partitioned probe; AQE may convert to SMJ/SHJ."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linenumber") == 1).alias("a")
+    b = li.filter(F.col("l_linenumber") == 2).alias("b")
+    return a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"), "inner").select(
+        F.col("a.l_orderkey").alias("order_key"),
+        F.col("a.l_partkey").alias("part1"),
+        F.col("b.l_partkey").alias("part2"),
+        F.round(F.col("a.l_extendedprice") + F.col("b.l_extendedprice"), 2).alias(
+            "combined_price"
+        ),
+    )
+
+
+# --- J4: composite-key lookup join ---
+def q06_composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join on a composite (user_id, event_type) key — the reference
+    probes python dicts keyed by tuples (REFINED...CURATED.py:1648-1665);
+    here it's a real equi-join on two columns, which Spark hashes as a
+    compound key (no struct packing needed)."""
+    events = _t(spark, sf_dir, "events")
+    lkp = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("type_cnt"),
+        F.round(F.sum("value"), 2).alias("type_value"),
+    )
+    return events.join(lkp, ["user_id", "event_type"], "inner").select(
+        "event_id", "user_id", "event_type", "type_cnt", "type_value"
+    )
+
+
+# --- A3: multi-conditional aggregate in one pass ---
+def q07_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(CASE WHEN ...) three ways in one scan (reference
+    REFINED...CURATED.py:1508-1519 counts rows with/without MBI)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count("*").alias("total_cnt"),
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("urgent_cnt"),
+        F.count(
+            F.when(
+                (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 150000), 1
+            )
+        ).alias("open_high_value_cnt"),
+    )
+
+
+# --- P10: DISTINCT ---
+def q08_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+# --- O2: deterministic top-k ---
+def q09_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 10 by price with a key tiebreak. Scale: Spark plans
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+# --- F2: conditional regex-replace chain ---
+def q10_regex_replace_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    rules = [
+        RegexRule(search="widget", replace="gadget", match_substring="cold"),
+        RegexRule(search="^small", replace="tiny", match_substring="small"),
+    ]
+    return part.select(
+        "p_partkey",
+        column_regex_replace(F.col("p_name"), rules).alias("name_fixed"),
+    )
+
+
+# --- F3: split / reorder / rejoin ---
+def q11_split_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        split_reorder(F.col("c_name"), "#", [1, 0], join_with=" ").alias("name_flipped"),
+    )
+
+
+# --- F4: strip a character set ---
+def q12_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        column_strip(F.col("o_orderpriority"), "0123456789-").alias("priority_word"),
+    )
+
+
+# --- F5/F6: null-filling concat + coalesce ---
+def q13_concat_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    seg = F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("FURNITURE")), F.lit("(none)"))
+    return cust.select(
+        "c_custkey",
+        concat_mapping([F.col("c_name"), seg], "|", null_fill=True).alias("name_seg"),
+    )
+
+
+# --- F16: value-map remap + prefix ---
+def q14_value_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    mapped = value_map(
+        F.col("o_orderpriority"),
+        {"1-URGENT": "urgent", "2-HIGH": "high"},
+        prefix="prio:",
+    )
+    return orders.select("o_orderkey", mapped.alias("priority_mapped"))
+
+
+# --- F17: dummy-key synthesis ---
+def q15_dummy_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    raw_key = F.when(F.col("c_acctbal") < 500, F.lit("")).otherwise(F.col("c_name"))
+    return cust.select(
+        "c_custkey",
+        dummy_key(raw_key, F.col("c_custkey")).alias("synthetic_key"),
+    )
+
+
+# --- F12: date -> string formatting ---
+def q16_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "MM-dd-yyyy").alias("order_date_str"),
+    )
+
+
+# --- S6 analog: JSON path extraction ---
+def q17_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: the reference parses JSON in-engine with
+    ':' paths + '::' casts (RAW_ADLS...py:580-609). Spark equivalent:
+    get_json_object + cast."""
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+    )
+
+
+# --- P9/F13: lenient timestamp parse + future-only filter ---
+def q18_future_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_TO_TIMESTAMP(CONCAT(date,' ',time)) > <now> (reference
+    REFINED...CURATED.py:1539-1557). 'now' fixed for determinism; the
+    date round-trips through a string as the reference's stringly
+    pipeline does."""
+    orders = _t(spark, sf_dir, "orders")
+    date_str = F.date_format("o_orderdate", "yyyy-MM-dd")
+    ts = F.try_to_timestamp(F.concat_ws(" ", date_str, F.lit("08:00:00")))
+    return orders.filter(ts > F.lit("1997-06-01").cast("timestamp")).select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+
+
+# --- incremental state: watermark anti-join (idiomatic IS_NEW/IS_VALID) ---
+def q19_incremental_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §7's replacement for the mutable IS_NEW/IS_VALID flags:
+    left-anti join against the processed-keys watermark. Scale: anti
+    join broadcasts when the watermark side is small; no wide shuffle
+    of the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    processed = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    return li.join(
+        processed, li.l_orderkey == processed.o_orderkey, "left_anti"
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+# --- K4: MERGE-upsert semantics as keep-latest dedup ---
+def q20_merge_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert (reference Rater8 MERGE on (SURVEY_ID, QUESTION_ID))
+    expressed as window dedup keep-latest — the parquet-mode fallback
+    for MERGE named in SURVEY §2.2 K4. Scale: one shuffle on the merge
+    key; row_number avoids a full sort."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "value")
+    )
+
+
+# --- K3: curated column-mapping compiler end-to-end ---
+def q21_curated_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curated-stage SELECT builder (K3/F5/F6/F15): literal,
+    source, concat and coalesce mappings compiled into one projection.
+    Column names are deliberately given in punctuation/case-variant
+    form to exercise the normalized resolver (SURVEY §1.3)."""
+    cust = _t(spark, sf_dir, "customer")
+    return apply_mappings(
+        cust,
+        [
+            ColumnMapping(target="cust_key", kind="source", source="C_CustKey"),
+            ColumnMapping(
+                target="display_name",
+                kind="concat",
+                sources=["c_name", "c-mktsegment"],
+                separator=" / ",
+                null_fill=True,
+            ),
+            ColumnMapping(target="source_system", kind="literal", literal="tpch"),
+            ColumnMapping(
+                target="balance", kind="source", source="C_ACCTBAL"
+            ),
+        ],
+    )
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_filter_project": q02_filter_project,
+    "q03_record_type_classify": q03_record_type_classify,
+    "q04_record_type_distribution": q04_record_type_distribution,
+    "q05_self_join": q05_self_join,
+    "q06_composite_key_join": q06_composite_key_join,
+    "q07_conditional_agg": q07_conditional_agg,
+    "q08_distinct": q08_distinct,
+    "q09_topk_orders": q09_topk_orders,
+    "q10_regex_replace_chain": q10_regex_replace_chain,
+    "q11_split_reorder": q11_split_reorder,
+    "q12_strip": q12_strip,
+    "q13_concat_coalesce": q13_concat_coalesce,
+    "q14_value_map": q14_value_map,
+    "q15_dummy_key": q15_dummy_key,
+    "q16_date_format": q16_date_format,
+    "q17_json_extract": q17_json_extract,
+    "q18_future_filter": q18_future_filter,
+    "q19_incremental_antijoin": q19_incremental_antijoin,
+    "q20_merge_keep_latest": q20_merge_keep_latest,
+    "q21_curated_mapping": q21_curated_mapping,
+}
+
+ORACLES = {
+    "q01_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_discount), 4) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q02_filter_project": """
+        SELECT o_orderkey AS order_key, o_custkey AS cust_key,
+               o_totalprice AS total_price, o_orderpriority AS priority
+        FROM orders
+        WHERE o_orderstatus = 'F'
+          AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+          AND o_totalprice > 50000.0
+    """,
+    "q03_record_type_classify": """
+        SELECT o_orderkey AS order_key, o_custkey AS cust_key,
+               CASE WHEN lk.lk_custkey IS NOT NULL THEN 'UPDATE' ELSE 'NEW' END AS record_type
+        FROM orders
+        LEFT JOIN (SELECT DISTINCT c_custkey AS lk_custkey FROM customer
+                   WHERE c_mktsegment = 'BUILDING') lk
+          ON o_custkey = lk.lk_custkey
+    """,
+    "q04_record_type_distribution": """
+        SELECT CASE WHEN lk.lk_custkey IS NOT NULL THEN 'UPDATE' ELSE 'NEW' END AS record_type,
+               COUNT(*) AS cnt
+        FROM orders
+        LEFT JOIN (SELECT DISTINCT c_custkey AS lk_custkey FROM customer
+                   WHERE c_mktsegment = 'BUILDING') lk
+          ON o_custkey = lk.lk_custkey
+        GROUP BY 1
+    """,
+    "q05_self_join": """
+        SELECT a.l_orderkey AS order_key, a.l_partkey AS part1, b.l_partkey AS part2,
+               ROUND(a.l_extendedprice + b.l_extendedprice, 2) AS combined_price
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_linenumber = 1 AND b.l_linenumber = 2
+    """,
+    "q06_composite_key_join": """
+        SELECT e.event_id, e.user_id, e.event_type, l.type_cnt, l.type_value
+        FROM events e
+        JOIN (SELECT user_id, event_type, COUNT(*) AS type_cnt,
+                     ROUND(SUM(value), 2) AS type_value
+              FROM events GROUP BY user_id, event_type) l
+          ON e.user_id = l.user_id AND e.event_type = l.event_type
+    """,
+    "q07_conditional_agg": """
+        SELECT COUNT(*) AS total_cnt,
+               COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent_cnt,
+               COUNT(CASE WHEN o_orderstatus = 'O' AND o_totalprice > 150000 THEN 1 END)
+                   AS open_high_value_cnt
+        FROM orders
+    """,
+    "q08_distinct": """
+        SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+    "q09_topk_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "q10_regex_replace_chain": """
+        SELECT p_partkey,
+               CASE WHEN p_name LIKE '%cold%' THEN regexp_replace(p_name, 'widget', 'gadget', 'g')
+                    WHEN p_name LIKE '%small%' THEN regexp_replace(p_name, '^small', 'tiny', 'g')
+                    ELSE p_name END AS name_fixed
+        FROM part
+    """,
+    "q11_split_reorder": """
+        SELECT c_custkey,
+               concat_ws(' ', trim(split_part(c_name, '#', 2)),
+                              trim(split_part(c_name, '#', 1))) AS name_flipped
+        FROM customer
+    """,
+    "q12_strip": """
+        SELECT o_orderkey,
+               regexp_replace(o_orderpriority, '[0123456789-]', '', 'g') AS priority_word
+        FROM orders
+    """,
+    "q13_concat_coalesce": """
+        SELECT c_custkey,
+               concat(coalesce(c_name, ''), '|',
+                      coalesce(coalesce(nullif(c_mktsegment, 'FURNITURE'), '(none)'), ''))
+                   AS name_seg
+        FROM customer
+    """,
+    "q14_value_map": """
+        SELECT o_orderkey,
+               'prio:' || (CASE
+                   WHEN o_orderpriority = '1-URGENT' OR lower(o_orderpriority) = '1-urgent'
+                       THEN 'urgent'
+                   WHEN o_orderpriority = '2-HIGH' OR lower(o_orderpriority) = '2-high'
+                       THEN 'high'
+                   ELSE o_orderpriority END) AS priority_mapped
+        FROM orders
+    """,
+    "q15_dummy_key": """
+        SELECT c_custkey,
+               CASE WHEN trim(CASE WHEN c_acctbal < 500 THEN '' ELSE c_name END) = ''
+                    THEN 'NOMBI_' || CAST(c_custkey AS VARCHAR)
+                    ELSE c_name END AS synthetic_key
+        FROM customer
+    """,
+    "q16_date_format": """
+        SELECT o_orderkey, strftime(o_orderdate, '%m-%d-%Y') AS order_date_str
+        FROM orders
+    """,
+    "q17_json_extract": """
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+        FROM events
+    """,
+    "q18_future_filter": """
+        SELECT o_orderkey, o_orderdate, o_orderstatus
+        FROM orders
+        WHERE try_cast(concat_ws(' ', strftime(o_orderdate, '%Y-%m-%d'), '08:00:00')
+                       AS TIMESTAMP) > TIMESTAMP '1997-06-01'
+    """,
+    "q19_incremental_antijoin": """
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F')
+    """,
+    "q20_merge_keep_latest": """
+        SELECT user_id, event_type, event_id, value
+        FROM (SELECT user_id, event_type, event_id, value,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1
+    """,
+    "q21_curated_mapping": """
+        SELECT c_custkey AS cust_key,
+               concat(coalesce(c_name, ''), ' / ', coalesce(c_mktsegment, '')) AS display_name,
+               'tpch' AS source_system,
+               c_acctbal AS balance
+        FROM customer
+    """,
+}

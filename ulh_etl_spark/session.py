@@ -1,0 +1,95 @@
+"""SparkSession construction + test-table registration.
+
+Scale posture: the defaults below are tuned so the same code runs on
+local[N] for tests and on a multi-executor cluster unchanged — AQE
+re-plans shuffle partition counts at runtime, broadcast thresholds stay
+at Spark defaults, and parquet scans keep pushdown/pruning enabled.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The canonical synthetic star-schema tables the driver generates
+# (TESTDATA.md). `documents`/`embeddings` serve the training-data ops.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def get_spark(app_name: str = "ulh_etl_spark", cpus: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    - AQE on: runtime shuffle-partition coalescing, broadcast-join
+      conversion, and skew-join splitting — the knobs that matter at
+      100 TB are the same ones that keep local runs fast.
+    - Arrow on: any pandas interchange (createDataFrame, pandas UDFs)
+      goes through columnar batches instead of pickled rows.
+    - UTC session timezone: deterministic timestamp semantics vs the
+      DuckDB oracle.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # testdata events.parquet carries TIMESTAMP(NANOS) which the
+        # vectorized reader rejects; read as long and convert on load.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(table_path(sf_dir, name))
+    # Nanosecond-precision parquet timestamps arrive as long (see
+    # nanosAsLong config above); normalize to TimestampType at
+    # microsecond precision so downstream event-time logic is typed.
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every test table under ``sf_dir`` and register each as a
+    temp view so both the DataFrame API and ``spark.sql`` can address
+    them (reference analog: Snowflake schema-qualified tables,
+    SURVEY §1.1)."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        p = table_path(sf_dir, name)
+        if os.path.exists(p):
+            df = spark.read.parquet(p)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
