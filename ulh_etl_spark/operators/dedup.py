@@ -1,0 +1,164 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard.
+
+Scale design (the point of each algorithm):
+
+- **Exact** — hash-groupBy on a content fingerprint: one shuffle keyed
+  by a 128-bit hash; perfectly parallel, no skew (hash keys are
+  uniform).
+- **MinHash + LSH** — the 100 TB near-dup path. Per-doc signature is
+  a narrow map stage; banding turns O(n²) pair comparison into
+  equality joins on (band_idx, band_key) buckets. Bucket sizes are
+  the only skew source — a degenerate band key (e.g. empty docs)
+  should be filtered or salted before the join.
+- **SimHash** — 1 fingerprint per doc; near-dup = small Hamming
+  distance. Bit-split blocking gives the same join-not-crossjoin
+  property.
+- **n-gram Jaccard** — exact verifier for candidate pairs produced by
+  the approximate methods (never run it all-pairs at scale).
+
+All hashes are md5-derived (ulh_etl_spark.operators.text.md5_hash32)
+so DuckDB computes identical values for the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ulh_etl_spark.operators.text import (
+    MERSENNE31,
+    char_ngrams,
+    fingerprint,
+    md5_hash32,
+    whitespace_tokens,
+)
+
+# Fixed affine-permutation constants for MinHash: h_j(x) = (A_j*x + B_j) % P.
+# A_j small enough that A*x+B < 2^44 — no int64 overflow in either engine.
+MINHASH_A = (769, 1231, 1573, 1999, 2341, 2707, 3083, 3449)
+MINHASH_B = (12345, 23456, 34567, 45678, 56789, 67890, 78901, 89012)
+DEFAULT_SHINGLE = 4
+
+
+def exact_dedup_keys(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact (normalized) dedup: group by content fingerprint, keep
+    the minimum id as the canonical representative."""
+    return (
+        df.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def minhash_columns(text: Column, num_hashes: int = 8, shingle_n: int = DEFAULT_SHINGLE) -> list[Column]:
+    """MinHash signature as ``num_hashes`` long columns (mh_0..mh_k).
+
+    signature_j = min over shingles s of (A_j * h(s) + B_j) mod P,
+    h = 32-bit md5 prefix. Column-per-hash (not an array) keeps each
+    value independently usable as a join/band key.
+    """
+    grams = char_ngrams(text, shingle_n)
+    hashes = F.transform(grams, md5_hash32)
+
+    def _perm(a: int, b: int):
+        # closure capture, not lambda defaults (PySpark counts params)
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE31)
+
+    out = []
+    for j in range(num_hashes):
+        perm = F.transform(hashes, _perm(MINHASH_A[j], MINHASH_B[j]))
+        out.append(F.array_min(perm).alias(f"mh_{j}"))
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 8, shingle_n: int = DEFAULT_SHINGLE
+) -> DataFrame:
+    return df.select(F.col(id_col), *minhash_columns(F.col(text_col), num_hashes, shingle_n))
+
+
+def lsh_bands(
+    sig_df: DataFrame, id_col: str, num_hashes: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """Unpivot the signature into (id, band_idx, band_key) — one row
+    per band; band_key concatenates the band's minhash values. Docs
+    sharing any band_key are candidate near-dups."""
+    num_bands = num_hashes // rows_per_band
+    bands = []
+    for b in range(num_bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws("_", *[c.cast("string") for c in cols]).alias("band_key"),
+            )
+        )
+    return sig_df.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("band")
+    ).select(id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key"))
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """LSH candidate pairs: equality self-join on (band_idx, band_key),
+    id1 < id2, distinct. Scale: the join shuffles on the band key —
+    O(sum bucket²) work instead of O(n²); no driver collect."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    bands = lsh_bands(sigs, id_col, num_hashes, rows_per_band)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard(text1: Column, text2: Column, n: int = 3) -> Column:
+    """Exact Jaccard similarity of distinct character n-gram sets."""
+    g1 = F.array_distinct(char_ngrams(text1, n))
+    g2 = F.array_distinct(char_ngrams(text2, n))
+    inter = F.size(F.array_intersect(g1, g2)).cast("double")
+    union = F.size(g1) + F.size(g2) - F.size(F.array_intersect(g1, g2))
+    return F.round(inter / union.cast("double"), 6)
+
+
+def simhash(text: Column, bits: int = 16) -> Column:
+    """SimHash fingerprint over whitespace tokens.
+
+    For each bit b: sum +1/-1 over tokens by the token-hash's bit b;
+    fingerprint bit b is set iff the sum is strictly positive. 16 bits
+    keeps the closed-form oracle tractable; the library accepts up to
+    32 (md5_hash32 width).
+    """
+    toks = whitespace_tokens(text)
+    hashes = F.transform(toks, md5_hash32)
+
+    def _bit_merge(b: int):
+        return lambda s, h: s + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        contrib = F.aggregate(hashes, F.lit(0).cast("long"), _bit_merge(b))
+        acc = acc + F.when(contrib > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return acc

@@ -1,0 +1,196 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk`` — brute-force baseline: broadcast the (small) query
+  set against the corpus, JVM-side dot products via zip_with/aggregate,
+  per-query top-k with a window. Exact; O(|corpus| * |queries|).
+- ``ivf_assign`` / ``ivf_topk`` — the scale path: partition the corpus
+  into C centroid cells (inverted file); a query probes only the
+  nearest cells. At 100 TB the corpus is written partitioned by
+  ``cell`` so a probe is a partition-pruned scan, not a full pass.
+
+All arithmetic is element-wise double (floats upcast before multiply)
+— the same closed form the DuckDB oracle runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(vec: Column) -> Column:
+    sq = F.aggregate(
+        vec, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    return F.sqrt(sq)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (self-matches excluded).
+
+    Scale: queries broadcast (they're the small side by construction);
+    the corpus never shuffles for the join — the only shuffle is the
+    per-query top-k window, keyed by query_id. For huge query sets use
+    ivf_topk instead.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (l2_norm(F.col("q_vec")) * l2_norm(F.col("c_vec")))
+            ).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (squared-L2,
+    deterministic centroid-id tie-break) — the IVF build step.
+
+    Scale: centroids broadcast (C is small); assignment is a narrow
+    map + a row_number window keyed by vector id. The output is what
+    you'd ``write.partitionBy("cell")`` so probes prune partitions.
+    """
+    cent = centroids.select(
+        F.col(centroid_id).alias("cell"), F.col(centroid_vec).alias("cell_vec")
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("cell_vec"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = corpus.crossJoin(F.broadcast(cent)).select(
+        F.col(id_col), F.col(vec_col), F.col("cell"), dist.alias("dist")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("dist"), F.col("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "cell")
+    )
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """ANN search: per query, rank centroids by distance, keep the
+    ``nprobe`` nearest cells, then exact cosine top-k within those
+    cells only. Recall trades off with nprobe; the scan cost drops by
+    ~C/nprobe versus brute force."""
+    q_cells = ivf_assign_queries(queries, centroids, id_col, vec_col, nprobe)
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (l2_norm(F.col("q_vec")) * l2_norm(F.col("c_vec")))
+            ).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rank")
+    )
+
+
+def ivf_assign_queries(
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nprobe: int,
+) -> DataFrame:
+    cent = centroids.select(
+        F.col("cell"), F.col("cell_vec")
+    ) if "cell" in centroids.columns else centroids.select(
+        F.col("centroid_id").alias("cell"), F.col("centroid_vec").alias("cell_vec")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("q_vec"),
+            F.col("cell_vec"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = q.crossJoin(F.broadcast(cent)).select(
+        "query_id", "q_vec", "cell", dist.alias("dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "q_vec", "cell")
+    )

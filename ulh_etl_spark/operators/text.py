@@ -1,0 +1,145 @@
+"""Text-analysis expression builders for document pipelines.
+
+Engine additions beyond the reference surface (BASELINE.json
+north-star): language-ID, quality scoring, token counting, document
+fingerprinting. Everything compiles to built-in JVM expressions
+(split/transform/aggregate/regexp) so the hot path is codegen'd and
+Arrow/Pandas never enters — at 100 TB these run as narrow map stages
+with full parquet pushdown of any preceding filter.
+
+Cross-engine determinism: all hashing is md5-based (identical output
+in Spark and DuckDB), so every operator here is oracle-testable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 32-bit integer space for md5-derived hashes; fits products with
+# small multipliers far inside int64 (no overflow divergence between
+# engines — DuckDB errors on BIGINT overflow, Spark wraps).
+MERSENNE31 = 2_147_483_647
+
+# Deterministic stopword list for quality scoring / language ID.
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def md5_hash32(col: Column) -> Column:
+    """Deterministic 32-bit hash: first 8 hex chars of md5 as a long.
+
+    Chosen over xxhash64/murmur because md5 is bit-identical across
+    Spark, DuckDB, and Python — the property the correctness oracle
+    needs. One md5 per token is amortized noise next to the shuffle
+    it feeds.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def whitespace_tokens(col: Column) -> Column:
+    """Split on whitespace runs, dropping empties (leading blanks)."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(whitespace_tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-flavored token count: alpha runs, digit runs, and single
+    punctuation marks each count as one token (a cheap, deterministic
+    stand-in for a real BPE vocabulary)."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def char_ngrams(col: Column, n: int) -> Column:
+    """Character n-gram list (positions 1..len-n+1; short texts yield
+    their whole prefix as a single gram)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.substring(col, i, n))
+
+
+def stopword_count(col: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    toks = whitespace_tokens(F.lower(col))
+    return F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+
+
+def punct_count(col: Column) -> Column:
+    """Count of sentence-punctuation characters."""
+    return F.length(F.regexp_replace(col, r"[^.,;:!?]", ""))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite document-quality heuristic in [0, 1]:
+    0.5 * min(len,500)/500  (length credit)
+    + 0.3 * stopword_ratio   (natural-language-ness)
+    + 0.2 * (1 - punct_ratio) (not punctuation soup).
+    Deterministic, closed-form — the same formula is the oracle."""
+    length = F.length(col).cast("double")
+    n_toks = F.greatest(token_count(col), F.lit(1)).cast("double")
+    stop_ratio = stopword_count(col).cast("double") / n_toks
+    punct_ratio = punct_count(col).cast("double") / F.greatest(length, F.lit(1.0))
+    score = (
+        F.least(length, F.lit(500.0)) / F.lit(500.0) * 0.5
+        + stop_ratio * 0.3
+        + (F.lit(1.0) - punct_ratio) * 0.2
+    )
+    return F.round(score, 6)
+
+
+# Marker vocabularies for the n-gram/stopword language heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+
+def _isin_pred(markers: tuple[str, ...]):
+    # NB: capture via closure, NOT lambda default args — PySpark infers
+    # unary/binary lambda from the parameter count.
+    return lambda t: t.isin(*markers)
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    toks = whitespace_tokens(F.lower(col))
+    return {
+        lang: F.size(F.filter(toks, _isin_pred(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """Marker-word language ID with a fixed priority tie-break
+    (en > es > de > fr > unknown). A real system would use character
+    n-gram profiles; the *shape* — per-language score columns + argmax
+    — is identical, and this version is closed-form for the oracle."""
+    s = lang_scores(col)
+    expr = (
+        F.when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] > 0),
+            F.lit("en"),
+        )
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]) & (s["es"] > 0), F.lit("es"))
+        .when((s["de"] >= s["fr"]) & (s["de"] > 0), F.lit("de"))
+        .when(s["fr"] > 0, F.lit("fr"))
+        .otherwise(F.lit("unknown"))
+    )
+    return expr
+
+
+def normalized_text(col: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip everything
+    but [a-z0-9 ], collapse whitespace runs, trim."""
+    lowered = F.lower(col)
+    stripped = F.regexp_replace(lowered, r"[^a-z0-9 ]", "")
+    collapsed = F.regexp_replace(stripped, r" +", " ")
+    return F.trim(collapsed)
+
+
+def fingerprint(col: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text. Two documents
+    differing only in case/punctuation/whitespace collide — the exact
+    near-dup class exact-hash dedup should catch."""
+    return F.md5(normalized_text(col))

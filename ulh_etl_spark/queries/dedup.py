@@ -1,2 +1,180 @@
-QUERIES = {}
-ORACLES = {}
+"""Deduplication catalog queries over ``documents``: exact, MinHash
+signature, MinHash+LSH candidate pairs, SimHash, n-gram Jaccard."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ulh_etl_spark.operators import dedup as D
+from ulh_etl_spark.queries import _oracle_fragments as O
+from ulh_etl_spark.session import load_table
+
+_NUM_HASHES = 8
+# 2 bands x 4 rows: stricter buckets (P[candidate] = 1-(1-s^4)^2) —
+# at 2-row bands the synthetic corpus's shared vocabulary put ~20% of
+# all pairs in shared buckets, which defeats the point of LSH.
+_ROWS_PER_BAND = 4
+_SHINGLE_N = 4
+_SIMHASH_BITS = 16
+
+
+def q34_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (normalized-fingerprint) dedup: hash-groupBy, keep min
+    id. One uniform-key shuffle — the 100 TB-safe exact method."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup_keys(docs, "text", "doc_id")
+
+
+def q35_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 8-hash MinHash signature over char 4-gram
+    shingles. Narrow map stage, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_signatures(docs, "text", "doc_id", _NUM_HASHES, _SHINGLE_N)
+
+
+def q36_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: 4 bands x 2 rows, equality self-join on
+    band buckets — O(sum bucket^2), not O(n^2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_candidate_pairs(
+        docs, "text", "doc_id", _NUM_HASHES, _ROWS_PER_BAND, _SHINGLE_N
+    )
+
+
+def q37_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", D.simhash(F.col("text"), _SIMHASH_BITS).alias("simhash16")
+    )
+
+
+def q38_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over blocked candidate pairs (same lang,
+    close length). The blocking keys stand in for LSH buckets — at
+    scale the exact measure only ever runs on candidates, never
+    all-pairs."""
+    from ulh_etl_spark.operators.text import char_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Precompute each doc's distinct gram set ONCE before the join —
+    # recomputing n-grams per candidate pair multiplies the dominant
+    # cost by the average bucket size.
+    g = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.array_distinct(char_ngrams(F.col("text"), 3)).alias("g3"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 20),
+    ).select(
+        F.col("a.doc_id").alias("id1"),
+        F.col("b.doc_id").alias("id2"),
+        F.size(F.array_intersect(F.col("a.g3"), F.col("b.g3"))).alias("i"),
+        F.size(F.col("a.g3")).alias("la"),
+        F.size(F.col("b.g3")).alias("lb"),
+    )
+    return (
+        pairs.select(
+            "id1",
+            "id2",
+            F.round(
+                F.col("i").cast("double")
+                / (F.col("la") + F.col("lb") - F.col("i")).cast("double"),
+                6,
+            ).alias("jaccard3"),
+        )
+        .filter(F.col("jaccard3") >= 0.5)
+    )
+
+
+_HS = f"list_transform({O.grams('text', _SHINGLE_N)}, g -> {O.md5h('g')})"
+_TOK_HS = f"list_transform({O.ws_tokens('text')}, t -> {O.md5h('t')})"
+
+_SIG_COLS = ",\n               ".join(
+    f"{O.minhash_expr('hs', j)} AS mh_{j}" for j in range(_NUM_HASHES)
+)
+
+def _band_key_sql(b: int) -> str:
+    parts = [
+        f"CAST(mh_{b * _ROWS_PER_BAND + r} AS VARCHAR)" for r in range(_ROWS_PER_BAND)
+    ]
+    return " || '_' || ".join(parts)
+
+
+_BAND_SELECTS = "\n        UNION ALL\n".join(
+    f"        SELECT doc_id, {b} AS band_idx, {_band_key_sql(b)} AS band_key FROM sigs"
+    for b in range(_NUM_HASHES // _ROWS_PER_BAND)
+)
+
+QUERIES = {
+    "q34_dedup_exact": q34_dedup_exact,
+    "q35_minhash_signature": q35_minhash_signature,
+    "q36_minhash_pairs": q36_minhash_pairs,
+    "q37_simhash": q37_simhash,
+    "q38_ngram_jaccard_pairs": q38_ngram_jaccard_pairs,
+}
+
+ORACLES = {
+    "q34_dedup_exact": f"""
+        SELECT md5({O.norm_text('text')}) AS fp,
+               MIN(doc_id) AS keep_id,
+               COUNT(*) AS dup_count
+        FROM documents
+        GROUP BY 1
+    """,
+    "q35_minhash_signature": f"""
+        WITH hashed AS (
+            SELECT doc_id, {_HS} AS hs FROM documents
+        )
+        SELECT doc_id,
+               {_SIG_COLS}
+        FROM hashed
+    """,
+    "q36_minhash_pairs": f"""
+        WITH hashed AS (
+            SELECT doc_id, {_HS} AS hs FROM documents
+        ), sigs AS (
+            SELECT doc_id,
+               {_SIG_COLS}
+            FROM hashed
+        ), bands AS (
+{_BAND_SELECTS}
+        )
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    """,
+    "q37_simhash": f"""
+        WITH hashed AS (
+            SELECT doc_id, {_TOK_HS} AS hs FROM documents
+        )
+        SELECT doc_id, {O.simhash_expr('hs', _SIMHASH_BITS)} AS simhash16
+        FROM hashed
+    """,
+    "q38_ngram_jaccard_pairs": f"""
+        WITH g AS MATERIALIZED (
+            SELECT doc_id, lang, n_chars,
+                   list_distinct({O.grams('text', 3)}) AS g3
+            FROM documents
+        ), p AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   len(list_intersect(a.g3, b.g3)) AS i,
+                   len(a.g3) AS la, len(b.g3) AS lb
+            FROM g a JOIN g b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+             AND abs(a.n_chars - b.n_chars) <= 20
+        )
+        SELECT id1, id2,
+               ROUND(CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE), 6) AS jaccard3
+        FROM p
+        WHERE ROUND(CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE), 6) >= 0.5
+    """,
+}

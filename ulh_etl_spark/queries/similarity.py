@@ -1,2 +1,129 @@
-QUERIES = {}
-ORACLES = {}
+"""Similarity-search catalog queries over ``embeddings``:
+brute-force cosine top-k (baseline), L2 norms, and the IVF scale
+path (cluster assignment oracle-checked; probe search rows-only)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ulh_etl_spark.operators import similarity as S
+from ulh_etl_spark.session import load_table
+
+_N_QUERIES = 5
+_K = 10
+_N_CENTROIDS = 8
+_NPROBE = 2
+
+
+def q39_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for the first 5 vectors as
+    queries. Queries broadcast; corpus never shuffles for the join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return S.cosine_topk(emb, queries, k=_K)
+
+
+def q40_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm — the normalize step of any ANN build."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(S.l2_norm(F.col("embedding")), 6).alias("l2_norm"),
+    )
+
+
+def _centroids(emb: DataFrame) -> DataFrame:
+    """Deterministic centroid seed: the first _N_CENTROIDS vectors
+    (stand-in for k-means — the IVF mechanics are identical)."""
+    return emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+
+
+def q41_ivf_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF build: nearest-centroid assignment (squared L2,
+    deterministic tie-break) then cell histogram. At scale the
+    assigned table is written partitionBy(cell) so probes prune."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = S.ivf_assign(emb, _centroids(emb))
+    return assigned.groupBy("cell").agg(F.count("*").alias("cell_size"))
+
+
+def q42_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN probe search: nprobe=2 of 8 cells per query, exact cosine
+    within probed cells. Approximate by design -> rows-only check (no
+    closed-form SQL oracle for the recall trade-off path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids(emb)
+    assigned = S.ivf_assign(emb, cents)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return S.ivf_topk(assigned, cents, queries, k=_K, nprobe=_NPROBE)
+
+
+_DOT = (
+    "list_sum(list_transform(generate_series(1, len(q.q_vec)), "
+    "i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))"
+)
+_NORM_Q = "sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+_NORM_E = "sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+_SQDIST = (
+    "list_sum(list_transform(generate_series(1, len(e.embedding)), "
+    "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.centroid_vec[i] AS DOUBLE))"
+    " * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.centroid_vec[i] AS DOUBLE))))"
+)
+
+QUERIES = {
+    "q39_cosine_topk": q39_cosine_topk,
+    "q40_embedding_norms": q40_embedding_norms,
+    "q41_ivf_cluster_sizes": q41_ivf_cluster_sizes,
+    "q42_ivf_topk": q42_ivf_topk,
+}
+
+ORACLES = {
+    "q39_cosine_topk": f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS q_vec
+            FROM embeddings WHERE vec_id < {_N_QUERIES}
+        ), scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   {_DOT} / ({_NORM_Q} * {_NORM_E}) AS cos_raw
+            FROM q, embeddings e
+            WHERE e.vec_id <> q.query_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id, cos_raw,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_raw DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
+               CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {_K}
+    """,
+    "q40_embedding_norms": """
+        SELECT vec_id, label,
+               ROUND(sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+        FROM embeddings
+    """,
+    "q41_ivf_cluster_sizes": f"""
+        WITH c AS (
+            SELECT vec_id AS centroid_id, embedding AS centroid_vec
+            FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+        ), d AS (
+            SELECT e.vec_id, c.centroid_id AS cell, {_SQDIST} AS dist
+            FROM embeddings e, c
+        ), assigned AS (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cell) AS rn
+            FROM d
+        )
+        SELECT cell, COUNT(*) AS cell_size
+        FROM assigned WHERE rn = 1
+        GROUP BY cell
+    """,
+}

@@ -1,2 +1,114 @@
-QUERIES = {}
-ORACLES = {}
+"""Text-analysis catalog queries over the ``documents`` table
+(engine additions per BASELINE.json: language-ID, quality scoring,
+token counting, fingerprinting)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ulh_etl_spark.operators import text as T
+from ulh_etl_spark.queries import _oracle_fragments as O
+from ulh_etl_spark.session import load_table
+
+
+def q30_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting. Narrow map stage; the
+    regexp work is JVM-side codegen — no Python row path."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        T.bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
+def q31_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite length/stopword/punctuation quality heuristic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q32_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID + per-language scores."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = T.lang_scores(F.col("text"))
+    return docs.select(
+        "doc_id",
+        T.lang_id(F.col("text")).alias("predicted_lang"),
+        *[scores[lang].cast("long").alias(f"score_{lang}") for lang in ("en", "es", "de", "fr")],
+    )
+
+
+def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content md5 fingerprint per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+_TOKS = O.ws_tokens("text")
+_LOW_TOKS = O.ws_tokens("lower(text)")
+
+
+def _score(markers: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({_LOW_TOKS}, t -> t IN ({inlist})))"
+
+
+_S = {lang: _score(m) for lang, m in T.LANG_MARKERS.items()}
+
+QUERIES = {
+    "q30_token_counts": q30_token_counts,
+    "q31_quality_score": q31_quality_score,
+    "q32_lang_id": q32_lang_id,
+    "q33_fingerprint": q33_fingerprint,
+}
+
+ORACLES = {
+    "q30_token_counts": f"""
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                    AS BIGINT) AS bpe_tokens
+        FROM documents
+    """,
+    "q31_quality_score": f"""
+        SELECT doc_id,
+               ROUND(
+                 least(CAST(length(text) AS DOUBLE), 500.0) / 500.0 * 0.5
+                 + (CAST(len(list_filter({_LOW_TOKS},
+                        t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                    / CAST(greatest(len({_TOKS}), 1) AS DOUBLE)) * 0.3
+                 + (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                        / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.2
+               , 6) AS quality
+        FROM documents
+    """,
+    "q32_lang_id": f"""
+        SELECT doc_id,
+               CASE
+                 WHEN {_S['en']} >= {_S['es']} AND {_S['en']} >= {_S['de']}
+                      AND {_S['en']} >= {_S['fr']} AND {_S['en']} > 0 THEN 'en'
+                 WHEN {_S['es']} >= {_S['de']} AND {_S['es']} >= {_S['fr']}
+                      AND {_S['es']} > 0 THEN 'es'
+                 WHEN {_S['de']} >= {_S['fr']} AND {_S['de']} > 0 THEN 'de'
+                 WHEN {_S['fr']} > 0 THEN 'fr'
+                 ELSE 'unknown'
+               END AS predicted_lang,
+               CAST({_S['en']} AS BIGINT) AS score_en,
+               CAST({_S['es']} AS BIGINT) AS score_es,
+               CAST({_S['de']} AS BIGINT) AS score_de,
+               CAST({_S['fr']} AS BIGINT) AS score_fr
+        FROM documents
+    """,
+    "q33_fingerprint": f"""
+        SELECT doc_id, md5({O.norm_text('text')}) AS fp
+        FROM documents
+    """,
+}
