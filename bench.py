@@ -1,0 +1,73 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is forced end-to-end with a noop sink (full materialization
+— count() would let Catalyst prune the measured work away).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ulh_etl_spark.queries import all_queries
+from ulh_etl_spark.session import get_spark
+
+# Headline set: one per operator family — scan+agg, joins (self,
+# composite, anti), merge, dedup (exact/minhash/LSH/jaccard),
+# similarity, text scoring.
+HEADLINE = (
+    "q01_pricing_summary",
+    "q03_record_type_classify",
+    "q05_self_join",
+    "q06_composite_key_join",
+    "q19_incremental_antijoin",
+    "q20_merge_keep_latest",
+    "q31_quality_score",
+    "q34_dedup_exact",
+    "q36_minhash_pairs",
+    "q38_ngram_jaccard_pairs",
+    "q39_cosine_topk",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    qs = all_queries()
+
+    # Warm the JVM/codegen path once so timings measure the engine,
+    # not first-query initialization.
+    qs["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

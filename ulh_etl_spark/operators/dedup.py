@@ -78,7 +78,25 @@ def minhash_columns(text: Column, num_hashes: int = 8, shingle_n: int = DEFAULT_
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 8, shingle_n: int = DEFAULT_SHINGLE
 ) -> DataFrame:
-    return df.select(F.col(id_col), *minhash_columns(F.col(text_col), num_hashes, shingle_n))
+    """MinHash signatures via explode -> hash-once -> partial-agg min.
+
+    The column-expression form (minhash_columns) re-evaluates the
+    md5-per-shingle array once per signature column — 8x the dominant
+    cost. Exploding shingles to rows hashes each shingle exactly once;
+    the groupBy computes all 8 mins in one pass with map-side partial
+    aggregation, so the shuffle carries ~|docs| rows, not |shingles|.
+    This is the formulation that holds at 100 TB.
+    """
+    grams = char_ngrams(F.col(text_col), shingle_n)
+    exploded = df.select(F.col(id_col), F.explode(grams).alias("_gram"))
+    hashed = exploded.select(F.col(id_col), md5_hash32(F.col("_gram")).alias("_h"))
+    aggs = [
+        F.min(
+            (F.lit(MINHASH_A[j]) * F.col("_h") + F.lit(MINHASH_B[j])) % F.lit(MERSENNE31)
+        ).alias(f"mh_{j}")
+        for j in range(num_hashes)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_bands(
@@ -132,6 +150,80 @@ def minhash_candidate_pairs(
     )
 
 
+def ngram_jaccard_pairs_blocked(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    length_col: str,
+    max_length_diff: int = 20,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over length-blocked candidate pairs.
+
+    Join strategy (the scale-critical part): a raw same-``block_col``
+    self-join shuffles on a handful of keys (e.g. 5 languages) — 5
+    tasks do all the work. Instead each doc gets a length bucket of
+    width ``max_length_diff``; a qualifying pair is always in the same
+    or adjacent bucket, so the join becomes TWO equi-joins on
+    (block, bucket) and (block, bucket -> bucket+1). Bucket ordering /
+    id ordering make each pair appear exactly once — no distinct
+    needed. Key cardinality goes from |blocks| to |blocks x buckets|,
+    and non-candidate pairs are never materialized. Gram sets are
+    computed once per doc, before the join.
+    """
+    # Gram sets as md5-int arrays, not strings: integer set-intersection
+    # is several times cheaper than string comparison, and the hash is
+    # engine-portable so the oracle computes the identical sets
+    # (collisions included) — exactness of the *measure* becomes
+    # hash-set Jaccard, which is the standard trade at scale.
+    g = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("_blk"),
+        F.col(length_col).alias("_len"),
+        (F.col(length_col) / max_length_diff).cast("long").alias("_bkt"),
+        F.array_distinct(
+            F.transform(char_ngrams(F.col(text_col), n), md5_hash32)
+        ).alias("_g"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    ia, ib = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+
+    same = a.join(
+        b,
+        (F.col("a._blk") == F.col("b._blk"))
+        & (F.col("a._bkt") == F.col("b._bkt"))
+        & (ia < ib),
+    )
+    adj = a.join(
+        b,
+        (F.col("a._blk") == F.col("b._blk"))
+        & (F.col("a._bkt") + 1 == F.col("b._bkt")),
+    )
+
+    def _project(joined: DataFrame) -> DataFrame:
+        return joined.filter(
+            F.abs(F.col("a._len") - F.col("b._len")) <= max_length_diff
+        ).select(
+            F.least(ia, ib).alias("id1"),
+            F.greatest(ia, ib).alias("id2"),
+            F.size(F.array_intersect(F.col("a._g"), F.col("b._g"))).alias("_i"),
+            F.size(F.col("a._g")).alias("_la"),
+            F.size(F.col("b._g")).alias("_lb"),
+        )
+
+    pairs = _project(same).unionByName(_project(adj))
+    jac = F.round(
+        F.col("_i").cast("double")
+        / (F.col("_la") + F.col("_lb") - F.col("_i")).cast("double"),
+        6,
+    )
+    return pairs.select("id1", "id2", jac.alias(f"jaccard{n}")).filter(
+        F.col(f"jaccard{n}") >= threshold
+    )
+
+
 def ngram_jaccard(text1: Column, text2: Column, n: int = 3) -> Column:
     """Exact Jaccard similarity of distinct character n-gram sets."""
     g1 = F.array_distinct(char_ngrams(text1, n))
@@ -162,3 +254,29 @@ def simhash(text: Column, bits: int = 16) -> Column:
         contrib = F.aggregate(hashes, F.lit(0).cast("long"), _bit_merge(b))
         acc = acc + F.when(contrib > 0, F.lit(1 << b)).otherwise(F.lit(0))
     return acc
+
+
+def simhash_table(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """SimHash via explode -> hash-once -> one aggregation.
+
+    Same rationale as minhash_signatures: the expression form
+    (simhash) re-hashes the token array once per bit. Exploding
+    tokens hashes each token once; all ``bits`` signed sums compute in
+    a single partial-aggregated groupBy, then one projection packs the
+    fingerprint. Output column: ``simhash{bits}``.
+    """
+    toks = whitespace_tokens(F.col(text_col))
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("_tok"))
+    hashed = exploded.select(F.col(id_col), md5_hash32(F.col("_tok")).alias("_h"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+        ).alias(f"_s{b}")
+        for b in range(bits)
+    ]
+    agged = hashed.groupBy(id_col).agg(*sums)
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        acc = acc + F.when(F.col(f"_s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return agged.select(F.col(id_col), acc.alias(f"simhash{bits}"))

@@ -45,9 +45,7 @@ def q36_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q37_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprint per document."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", D.simhash(F.col("text"), _SIMHASH_BITS).alias("simhash16")
-    )
+    return D.simhash_table(docs, "text", "doc_id", _SIMHASH_BITS)
 
 
 def q38_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,42 +53,16 @@ def q38_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     close length). The blocking keys stand in for LSH buckets — at
     scale the exact measure only ever runs on candidates, never
     all-pairs."""
-    from ulh_etl_spark.operators.text import char_ngrams
-
     docs = load_table(spark, sf_dir, "documents")
-    # Precompute each doc's distinct gram set ONCE before the join —
-    # recomputing n-grams per candidate pair multiplies the dominant
-    # cost by the average bucket size.
-    g = docs.select(
-        "doc_id",
-        "lang",
-        "n_chars",
-        F.array_distinct(char_ngrams(F.col("text"), 3)).alias("g3"),
-    )
-    a, b = g.alias("a"), g.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 20),
-    ).select(
-        F.col("a.doc_id").alias("id1"),
-        F.col("b.doc_id").alias("id2"),
-        F.size(F.array_intersect(F.col("a.g3"), F.col("b.g3"))).alias("i"),
-        F.size(F.col("a.g3")).alias("la"),
-        F.size(F.col("b.g3")).alias("lb"),
-    )
-    return (
-        pairs.select(
-            "id1",
-            "id2",
-            F.round(
-                F.col("i").cast("double")
-                / (F.col("la") + F.col("lb") - F.col("i")).cast("double"),
-                6,
-            ).alias("jaccard3"),
-        )
-        .filter(F.col("jaccard3") >= 0.5)
+    return D.ngram_jaccard_pairs_blocked(
+        docs,
+        text_col="text",
+        id_col="doc_id",
+        block_col="lang",
+        length_col="n_chars",
+        max_length_diff=20,
+        n=3,
+        threshold=0.5,
     )
 
 
@@ -162,7 +134,8 @@ ORACLES = {
     "q38_ngram_jaccard_pairs": f"""
         WITH g AS MATERIALIZED (
             SELECT doc_id, lang, n_chars,
-                   list_distinct({O.grams('text', 3)}) AS g3
+                   list_distinct(list_transform({O.grams('text', 3)},
+                                 gg -> {O.md5h('gg')})) AS g3
             FROM documents
         ), p AS (
             SELECT a.doc_id AS id1, b.doc_id AS id2,
