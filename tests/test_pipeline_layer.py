@@ -1,0 +1,217 @@
+"""Tests for the config model, precheck validator, file sources,
+table sinks, and watermark state — the pipeline layer (SURVEY §7.1)."""
+
+import os
+
+import pytest
+
+from ulh_etl_spark.config import load_config
+from ulh_etl_spark.sinks.logs import append_log, log_table_name
+from ulh_etl_spark.sinks.tables import (
+    insert_select,
+    merge_upsert,
+    table_exists,
+    truncate_table,
+    update_flag,
+    write_table,
+)
+from ulh_etl_spark.sources.files import csv_scan, list_stage_files, move_file
+from ulh_etl_spark.state import mark_consumed, new_run_id, unconsumed
+from ulh_etl_spark.validate import PrecheckContract, precheck_file, strip_bom
+
+
+SAMPLE_CONFIG = {
+    "Practices": [
+        {
+            "practice_name": "adcs",
+            "active": True,
+            "ingest": [
+                {
+                    "name": "appointments",
+                    "source": {
+                        "kind": "file",
+                        "directory": "/data/adcs/appointments",
+                        "pattern": r".*\.csv$",
+                        "delimiter": "|",
+                    },
+                    "precheck": {
+                        "expected_columns": ["id", "date", "patient"],
+                        "require_all_columns": True,
+                        "min_row_count": 1,
+                    },
+                    "raw_table": "raw_adcs_appointments",
+                    "transforms": [
+                        {"kind": "strip", "column": "id", "chars": "{}"}
+                    ],
+                }
+            ],
+        },
+        {"practice_name": "inactive_one", "active": False, "ingest": []},
+    ]
+}
+
+
+def test_config_model_roundtrip():
+    cfg = load_config(SAMPLE_CONFIG)
+    assert len(cfg.practices) == 2
+    p = cfg.practice("ADCS")  # case-insensitive
+    assert p.active
+    entries = cfg.entries("adcs", "Appointments")
+    assert len(entries) == 1
+    e = entries[0]
+    assert e.source.delimiter == "|"
+    assert e.precheck.expected_columns == ["id", "date", "patient"]
+    assert e.transforms[0]["kind"] == "strip"
+    with pytest.raises(KeyError):
+        cfg.practice("nope")
+
+
+@pytest.fixture()
+def stage_dir(tmp_path):
+    d = tmp_path / "inbound"
+    d.mkdir()
+    (d / "feed_20260813.csv").write_text("id,date,patient\n1,2026-01-01,alice\n2,2026-01-02,bob\n")
+    (d / "other.txt").write_text("x\n")
+    return str(d)
+
+
+def test_list_stage_files_pattern(spark, stage_dir):
+    files = list_stage_files(spark, stage_dir, r"FEED_.*\.csv$")
+    assert [f.name for f in files] == ["feed_20260813.csv"]
+    assert files[0].size > 0
+    assert list_stage_files(spark, stage_dir + "/missing") == []
+
+
+def test_csv_scan_provenance(spark, stage_dir):
+    files = list_stage_files(spark, stage_dir, r".*\.csv$")
+    df = csv_scan(spark, [f.path for f in files])
+    rows = df.collect()
+    assert len(rows) == 2
+    assert df.columns == ["id", "date", "patient", "file_name"]
+    assert all(r.file_name.endswith("feed_20260813.csv") for r in rows)
+
+
+def test_precheck_pass(spark, stage_dir):
+    contract = PrecheckContract(
+        expected_columns=["id", "date", "patient"], min_row_count=1
+    )
+    f = list_stage_files(spark, stage_dir, r".*\.csv$")[0]
+    rpt = precheck_file(spark, f, contract)
+    assert rpt.passed
+    by_check = {r.check: r.status for r in rpt.results}
+    assert by_check["COLUMN_COUNT"] == "PASS"
+    assert by_check["DELIMITER_CONSISTENCY"] == "PASS"
+
+
+def test_precheck_failures(spark, tmp_path):
+    d = tmp_path / "bad"
+    d.mkdir()
+    # missing column + short rows + BOM
+    p = d / "bad.csv"
+    p.write_bytes(b"\xef\xbb\xbfid,date\n1\n")
+    f = list_stage_files(spark, str(d), r".*\.csv$")[0]
+    contract = PrecheckContract(
+        expected_columns=["id", "date", "patient"], min_row_count=2
+    )
+    rpt = precheck_file(spark, f, contract)
+    assert not rpt.passed
+    by_check = {r.check: r.status for r in rpt.results}
+    assert by_check["BOM_CHECK"] == "WARN"
+    assert by_check["MISSING_COLUMNS"] == "FAIL"
+    assert by_check["MIN_ROW_COUNT"] == "FAIL"
+    assert by_check["DELIMITER_CONSISTENCY"] == "FAIL"
+
+
+def test_strip_bom():
+    assert strip_bom("﻿id,date") == ("id,date", "UTF-8")
+    assert strip_bom("id,date") == ("id,date", None)
+
+
+def test_precheck_empty_file(spark, tmp_path):
+    d = tmp_path / "empty"
+    d.mkdir()
+    (d / "e.csv").write_text("")
+    f = list_stage_files(spark, str(d))[0]
+    rpt = precheck_file(spark, f, PrecheckContract())
+    assert not rpt.passed
+    assert rpt.results[0].check == "FILE_SIZE"
+
+
+def test_move_file(spark, tmp_path):
+    src = tmp_path / "in" / "a.csv"
+    src.parent.mkdir()
+    src.write_text("x\n")
+    dst = tmp_path / "archive" / "a.csv"
+    assert move_file(spark, str(src), str(dst))
+    assert not src.exists() and dst.exists()
+
+
+@pytest.fixture()
+def warehouse(spark, tmp_path_factory):
+    # session-scoped spark already has a warehouse dir; just namespace tables
+    yield spark
+    for t in spark.catalog.listTables():
+        spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+def test_write_insert_truncate(warehouse):
+    spark = warehouse
+    df = spark.range(5).toDF("n")
+    write_table(df, "t_base", mode="overwrite")
+    assert spark.table("t_base").count() == 5
+    assert insert_select(spark, "t_base", spark.range(3).toDF("n")) == 3
+    assert spark.table("t_base").count() == 8
+    truncate_table(spark, "t_base")
+    assert spark.table("t_base").count() == 0
+    assert table_exists(spark, "t_base")
+
+
+def test_merge_upsert(warehouse):
+    spark = warehouse
+    tgt = spark.createDataFrame(
+        [(1, "a", "old"), (2, "b", "old")], "k1 int, k2 string, v string"
+    )
+    write_table(tgt, "t_merge", mode="overwrite")
+    src = spark.createDataFrame(
+        [(2, "b", "new"), (3, "c", "new")], "k1 int, k2 string, v string"
+    )
+    stats = merge_upsert(spark, "t_merge", src, keys=["k1", "k2"])
+    assert stats == {"updated": 1, "inserted": 1}
+    out = {(r.k1, r.k2): r.v for r in spark.table("t_merge").collect()}
+    assert out == {(1, "a"): "old", (2, "b"): "new", (3, "c"): "new"}
+
+
+def test_update_flag(warehouse):
+    spark = warehouse
+    df = spark.createDataFrame([(1, 1), (2, 1), (3, 0)], "id int, IS_NEW int")
+    write_table(df, "t_flags", mode="overwrite")
+    assert update_flag(spark, "t_flags", "IS_NEW", 1, 0) == 2
+    assert spark.table("t_flags").filter("IS_NEW = 1").count() == 0
+    assert update_flag(spark, "t_flags", "IS_NEW", 1, 0) == 0
+
+
+def test_watermark_anti_join(warehouse):
+    spark = warehouse
+    r1, r2 = new_run_id(), new_run_id()
+    df = spark.createDataFrame(
+        [(1, r1), (2, r1), (3, r2)], "id int, PARENT_RUN_ID string"
+    )
+    # nothing consumed yet -> all rows
+    assert unconsumed(spark, df, "REFINED", table="t_marks").count() == 3
+    mark_consumed(spark, [r1], "REFINED", table="t_marks")
+    remaining = unconsumed(spark, df, "REFINED", table="t_marks")
+    assert [r.id for r in remaining.collect()] == [3]
+    # other stage unaffected
+    assert unconsumed(spark, df, "CURATED", table="t_marks").count() == 3
+
+
+def test_append_log(warehouse):
+    spark = warehouse
+    append_log(
+        spark, "RAW", "run1", "parent1", "adcs", "appointments", "SUCCESS",
+        rows_read=10, rows_written=10,
+    )
+    t = spark.table(log_table_name("RAW"))
+    assert t.count() == 1
+    row = t.collect()[0]
+    assert row.status == "SUCCESS" and row.parent_run_id == "parent1"
