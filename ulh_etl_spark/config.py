@@ -88,7 +88,7 @@ class IngestEntry:
     curated_mapping: list[dict] = field(default_factory=list)
     # curated-stage source filter: [{column, operator, value}]
     source_filter: list[dict] = field(default_factory=list)
-    future_only_filter: dict | None = None  # {date_column, time_column?}
+    future_only_filter: dict | None = None  # {date_col, time_col?}
     lookups: list[LookupSpec] = field(default_factory=list)
     sync: dict[str, Any] = field(default_factory=dict)  # entity-sink options
 
