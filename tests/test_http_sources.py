@@ -1,0 +1,280 @@
+"""Tests for the HTTP source adapters (S7-S12) and the entity-store
+sink (K7) — all through fake transports, no network."""
+
+import json
+
+import pytest
+
+from ulh_etl_spark.sinks.entity import (
+    BatchResult,
+    batch_upsert_http,
+    classify_create_update,
+    entity_mirror_merge,
+    parse_batch_response,
+)
+from ulh_etl_spark.sinks.tables import write_table
+from ulh_etl_spark.sources.http import (
+    HttpResponse,
+    OAuth2ClientCredentials,
+    dotted_path,
+    entity_fanout_source,
+    extract_records,
+    hierarchy_walk_source,
+    odata_paged_source,
+    records_to_df,
+    refresh_handshake_source,
+    retry_call,
+    token_paginated_source,
+)
+
+
+class FakeTransport:
+    """Programmable transport: maps (method, url) -> list of responses
+    consumed in order (last one repeats)."""
+
+    def __init__(self):
+        self.routes = {}
+        self.calls = []
+
+    def route(self, method, url, *responses):
+        self.routes[(method, url)] = list(responses)
+
+    def __call__(self, method, url, headers=None, json_body=None, timeout=60.0,
+                 data=None, auth=None):
+        self.calls.append((method, url, json_body, data))
+        queue = self.routes[(method, url)]
+        return queue.pop(0) if len(queue) > 1 else queue[0]
+
+
+def ok(payload) -> HttpResponse:
+    return HttpResponse(status=200, body=json.dumps(payload))
+
+
+NOSLEEP = lambda s: None
+
+
+def test_retry_backoff_and_429():
+    t = FakeTransport()
+    t.route("GET", "u", HttpResponse(500), HttpResponse(429), ok({"a": 1}))
+    waits = []
+    resp = retry_call(t, "GET", "u", retries=3, sleeper=waits.append)
+    assert resp.status == 200
+    assert waits == [5.0, 30.0]  # linear backoff then rate-limit wait
+
+
+def test_retry_exhausted_returns_last():
+    t = FakeTransport()
+    t.route("GET", "u", HttpResponse(503))
+    assert retry_call(t, "GET", "u", sleeper=NOSLEEP).status == 503
+
+
+def test_oauth_headers():
+    t = FakeTransport()
+    t.route("POST", "https://auth/token", ok({"access_token": "tok123"}))
+    auth = OAuth2ClientCredentials(
+        "https://auth/token", "cid", "secret", extra_headers={"SiteServiceKey": "ssk"}
+    )
+    h = auth.headers(t)
+    assert h == {"Authorization": "Bearer tok123", "SiteServiceKey": "ssk"}
+    auth.headers(t)  # cached — no second token call
+    assert len(t.calls) == 1
+
+
+def test_extract_records_shapes():
+    assert extract_records([{"a": 1}, {"b": 2}]) == [{"a": 1}, {"b": 2}]
+    assert extract_records({"items": [{"a": 1}], "n": 1}) == [{"a": 1}]
+    assert extract_records({"a": 1}) == [{"a": 1}]
+    assert extract_records("junk") == []
+
+
+def test_dotted_path():
+    assert dotted_path({"a": {"b": {"c": 7}}}, "a.b.c") == 7
+
+
+def test_records_to_df_stringifies_nested(spark):
+    df = records_to_df(
+        spark, [{"id": 1, "meta": {"x": 1}}, {"id": 2, "tags": ["a"]}]
+    )
+    rows = {r.id: r for r in df.collect()}
+    assert df.columns == ["id", "meta", "tags"]
+    assert json.loads(rows["1"].meta) == {"x": 1}
+    assert rows["1"].tags is None
+    assert json.loads(rows["2"].tags) == ["a"]
+
+
+def test_refresh_handshake(spark):
+    t = FakeTransport()
+    t.route("POST", "https://hj/refresh", ok({}))
+    t.route("GET", "https://hj/results.json",
+            ok({"query_result": {"data": {"rows": [{"id": "1"}, {"id": "2"}]}}}))
+    waits = []
+    df = refresh_handshake_source(
+        spark, t, "https://hj/refresh", "https://hj/results.json",
+        wait_s=120, sleeper=waits.append,
+    )
+    assert df.count() == 2
+    assert 120 in waits  # the fixed refresh wait
+
+
+def test_token_pagination(spark):
+    t = FakeTransport()
+    t.route("POST", "https://lk/begin", ok({"records": [{"i": 1}], "nextToken": "t1"}))
+    t.route("POST", "https://lk/next",
+            ok({"records": [{"i": 2}], "nextToken": "t2"}),
+            ok({"records": [{"i": 3}]}))
+    df = token_paginated_source(spark, t, "https://lk/begin", "https://lk/next",
+                                sleeper=NOSLEEP)
+    assert sorted(r.i for r in df.collect()) == ["1", "2", "3"]
+    # token propagated into the Next body
+    assert t.calls[1][2] == {"nextToken": "t1"}
+    assert t.calls[2][2] == {"nextToken": "t2"}
+
+
+def test_entity_fanout_driver_mode(spark):
+    t = FakeTransport()
+    t.route("POST", "https://lk/patient/p1", ok([{"v": "a"}]))
+    t.route("POST", "https://lk/patient/p2", HttpResponse(404))  # skipped
+    t.route("POST", "https://lk/patient/p3", ok([{"v": "b"}, {"v": "c"}]))
+    ids_df = spark.createDataFrame([("p1",), ("p2",), ("p3",), ("p1",)], "pid string")
+    df = entity_fanout_source(
+        spark, lambda: t, ids_df, lambda i: f"https://lk/patient/{i}",
+        api_delay_ms=0, sleeper=NOSLEEP,
+    )
+    rows = df.collect()
+    assert {(r.v, r._source_patient_id) for r in rows} == {
+        ("a", "p1"), ("b", "p3"), ("c", "p3")
+    }
+
+
+def test_odata_paging(spark):
+    t = FakeTransport()
+    t.route("GET", "https://dv/appts",
+            ok({"value": [{"g": "1"}], "@odata.nextLink": "https://dv/appts?p=2"}))
+    t.route("GET", "https://dv/appts?p=2", ok({"value": [{"g": "2"}]}))
+    df = odata_paged_source(spark, t, "https://dv/appts", sleeper=NOSLEEP)
+    assert sorted(r.g for r in df.collect()) == ["1", "2"]
+
+
+def test_hierarchy_walk(spark):
+    t = FakeTransport()
+    t.route("GET", "https://r8/permissions", ok({
+        "practices": [
+            {"name": "pr1", "employees": [{"id": "e1"}, {"id": "e2"}]},
+        ]
+    }))
+    t.route("GET", "https://r8/reviews/pr1/e1", ok([{"rating": "5"}]))
+    t.route("GET", "https://r8/reviews/pr1/e2", HttpResponse(200, "NULL"))
+    df = hierarchy_walk_source(
+        spark, t, "https://r8/permissions",
+        lambda p, e: f"https://r8/reviews/{p['name']}/{e['id']}",
+        sleeper=NOSLEEP,
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0].rating == "5" and rows[0]._practice == "pr1"
+
+
+# ---------------------------------------------------------------- K7 sink
+
+
+@pytest.fixture()
+def mirror_cleanup(spark):
+    yield
+    spark.sql("DROP TABLE IF EXISTS entity_mirror")
+
+
+def test_entity_mirror_merge(spark, mirror_cleanup):
+    base = spark.createDataFrame(
+        [("MBI1", "old"), ("MBI2", "old")], "mbi string, v string"
+    )
+    write_table(base, "entity_mirror", mode="overwrite")
+    stats = entity_mirror_merge(
+        spark, "entity_mirror",
+        spark.createDataFrame([("MBI2", "new"), ("MBI3", "new")], "mbi string, v string"),
+        alternate_key=["mbi"],
+    )
+    assert stats == {"updated": 1, "inserted": 1}
+    out = {r.mbi: r.v for r in spark.table("entity_mirror").collect()}
+    assert out == {"MBI1": "old", "MBI2": "new", "MBI3": "new"}
+
+
+def test_classify_create_update(spark):
+    rows = spark.createDataFrame([("k1", "x"), ("k2", "y")], "k string, v string")
+    key_map = spark.createDataFrame([("k1", "G-1")], "k string, guid string")
+    out = {r.k: (r._op, r._guid)
+           for r in classify_create_update(rows, key_map, ["k"]).collect()}
+    assert out == {"k1": ("update", "G-1"), "k2": ("create", None)}
+
+
+def test_parse_batch_response():
+    body = '{"status": 204}\n{"status": 400}\n{"status": 201}\nnot-json\n'
+    assert parse_batch_response(body) == (2, 1)
+
+
+def make_spool_transport(spool_dir):
+    """Batch transport that spools requests to disk — foreachPartition
+    runs in a separate Python worker, so in-memory capture won't do.
+    A closure (pickled by value) rather than a test-module class
+    (pickled by reference, unimportable on the worker)."""
+    spool_dir = str(spool_dir)
+
+    def _call(method, url, headers=None, json_body=None,
+              timeout=60.0, data=None, auth=None):
+        import json as _json
+        import os
+        import uuid
+
+        ops = [_json.loads(l) for l in data.splitlines()]
+        with open(os.path.join(spool_dir, f"{uuid.uuid4()}.json"), "w") as f:
+            _json.dump(ops, f)
+        return HttpResponse(
+            status=200,
+            body="\n".join(_json.dumps({"status": 204}) for _ in ops),
+        )
+
+    return _call
+
+
+def read_spool(spool_dir):
+    import os
+
+    batches = []
+    for name in sorted(os.listdir(spool_dir)):
+        with open(os.path.join(spool_dir, name)) as f:
+            batches.append(json.load(f))
+    return batches
+
+
+def test_batch_upsert_http(spark, tmp_path):
+    rows = spark.createDataFrame(
+        [(f"MBI{i}", f"v{i}") for i in range(7)], "mbi string, val string"
+    ).coalesce(1)
+    transport = make_spool_transport(tmp_path)
+    res = batch_upsert_http(
+        rows, "https://dv/$batch", "contacts", ["mbi"],
+        transport_factory=lambda: transport, batch_size=3,
+    )
+    assert isinstance(res, BatchResult)
+    assert res.succeeded == 7 and res.failed == 0 and res.batches == 3
+    batches = read_spool(tmp_path)
+    assert sorted(len(b) for b in batches) == [1, 3, 3]  # chunked at 3
+    flat = [op for batch in batches for op in batch]
+    assert all(op["method"] == "PATCH" for op in flat)
+    urls = {op["url"] for op in flat}
+    assert "contacts(mbi='MBI0')" in urls  # alternate-key addressing
+
+
+def test_batch_upsert_http_create_update_split(spark, tmp_path):
+    rows = spark.createDataFrame([("k1", "x"), ("k2", "y")], "k string, v string")
+    key_map = spark.createDataFrame([("k1", "G-1")], "k string, guid string")
+    marked = classify_create_update(rows, key_map, ["k"]).coalesce(1)
+    transport = make_spool_transport(tmp_path)
+    res = batch_upsert_http(
+        marked, "https://dv/$batch", "contacts", ["k"],
+        transport_factory=lambda: transport, batch_size=10,
+    )
+    assert res.succeeded == 2
+    ops = {op["method"]: op for batch in read_spool(tmp_path) for op in batch}
+    assert ops["PATCH"]["url"] == "contacts(G-1)"
+    assert ops["PATCH"]["headers"] == {"If-Match": "*"}
+    assert ops["POST"]["url"] == "contacts"
