@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ulh_etl_spark.operators.text import (
     MERSENNE31,
@@ -87,6 +88,9 @@ def minhash_signatures(
     aggregation, so the shuffle carries ~|docs| rows, not |shingles|.
     This is the formulation that holds at 100 TB.
     """
+    # Spread the per-shingle hashing across all cores even when the
+    # source arrives as a single parquet split.
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     grams = char_ngrams(F.col(text_col), shingle_n)
     exploded = df.select(F.col(id_col), F.explode(grams).alias("_gram"))
     hashed = exploded.select(F.col(id_col), md5_hash32(F.col("_gram")).alias("_h"))
@@ -132,7 +136,13 @@ def minhash_candidate_pairs(
     id1 < id2, distinct. Scale: the join shuffles on the band key —
     O(sum bucket²) work instead of O(n²); no driver collect."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    bands = lsh_bands(sigs, id_col, num_hashes, rows_per_band)
+    # Persist the band table: the self-join would otherwise recompute
+    # the whole shingle-hash pipeline for BOTH sides. The band table is
+    # 2 short rows per doc — far cheaper to materialize than recompute
+    # (spills to disk at scale; this is the canonical LSH shape).
+    bands = lsh_bands(sigs, id_col, num_hashes, rows_per_band).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -178,6 +188,14 @@ def ngram_jaccard_pairs_blocked(
     # engine-portable so the oracle computes the identical sets
     # (collisions included) — exactness of the *measure* becomes
     # hash-set Jaccard, which is the standard trade at scale.
+    # Persist the gram-set relation: computing the md5 gram sets is the
+    # dominant cost (one md5 per character), and the two self-joins
+    # would recompute it up to 4x (once per join side). Materializing
+    # once is the canonical candidate-verification shape — at scale the
+    # gram sets are ~3x the text size and spill to disk cleanly.
+    # Repartition first: a small input may arrive as 1-2 parquet splits
+    # and the per-char md5 work would run on as many cores.
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     g = df.select(
         F.col(id_col),
         F.col(block_col).alias("_blk"),
@@ -186,7 +204,7 @@ def ngram_jaccard_pairs_blocked(
         F.array_distinct(
             F.transform(char_ngrams(F.col(text_col), n), md5_hash32)
         ).alias("_g"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = g.alias("a"), g.alias("b")
     ia, ib = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
 
