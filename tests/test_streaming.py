@@ -1,0 +1,162 @@
+"""Structured-Streaming tests: AvailableNow file ingest (the
+reference's event-driven batch model), exactly-once incremental
+pickup, and watermarked streaming aggregation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ulh_etl_spark.streaming.file_stream import stream_ingest_available_now
+from ulh_etl_spark.streaming.windows import (
+    sessionize,
+    streaming_session_counts,
+    windowed_counts,
+)
+
+SCHEMA = "id INT, name STRING, val DOUBLE"
+
+
+@pytest.fixture()
+def stream_env(spark, tmp_path):
+    inbound = tmp_path / "inbound"
+    inbound.mkdir()
+    ckpt = tmp_path / "ckpt"
+    yield str(inbound), str(ckpt)
+    spark.sql("DROP TABLE IF EXISTS stream_target")
+
+
+def test_available_now_ingest_and_incremental(spark, stream_env):
+    inbound, ckpt = stream_env
+    import os
+
+    with open(os.path.join(inbound, "f1.csv"), "w") as f:
+        f.write("id,name,val\n1,a,1.5\n2,b,2.5\n")
+
+    n = stream_ingest_available_now(
+        spark, inbound, SCHEMA, "stream_target", ckpt
+    )
+    assert n == 2
+    t = spark.table("stream_target")
+    assert "file_name" in t.columns and "file_load_time" in t.columns
+    assert t.filter(F.col("file_name").endswith("f1.csv")).count() == 2
+
+    # second file lands -> rerun processes ONLY the new file
+    with open(os.path.join(inbound, "f2.csv"), "w") as f:
+        f.write("id,name,val\n3,c,3.5\n")
+    n = stream_ingest_available_now(
+        spark, inbound, SCHEMA, "stream_target", ckpt
+    )
+    assert n == 3  # not 5: f1 was checkpointed, exactly-once
+
+    # third run with nothing new is a no-op
+    n = stream_ingest_available_now(
+        spark, inbound, SCHEMA, "stream_target", ckpt
+    )
+    assert n == 3
+
+
+def test_available_now_with_transform(spark, stream_env):
+    inbound, ckpt = stream_env
+    import os
+
+    with open(os.path.join(inbound, "f1.csv"), "w") as f:
+        f.write("id,name,val\n1,{x},9.0\n")
+
+    n = stream_ingest_available_now(
+        spark, inbound, SCHEMA, "stream_target", ckpt,
+        transform=lambda df: df.withColumn(
+            "name", F.regexp_replace("name", r"[{}]", "")
+        ),
+    )
+    assert n == 1
+    assert spark.table("stream_target").collect()[0].name == "x"
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    """Watermarked tumbling-window agg over a rate-free file stream,
+    drained with AvailableNow into a memory sink."""
+    import os
+
+    src = tmp_path / "events"
+    src.mkdir()
+    with open(os.path.join(str(src), "e.csv"), "w") as f:
+        f.write(
+            "ts,event_type,value\n"
+            "2024-01-01 00:10:00,click,1.0\n"
+            "2024-01-01 00:20:00,click,2.0\n"
+            "2024-01-01 01:05:00,view,3.0\n"
+        )
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+        .option("header", True)
+        .csv(str(src))
+    )
+    agg = windowed_counts(
+        stream, "ts", "1 hour", ("event_type",), "value", watermark="2 hours"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (str(r.window_start), r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert rows == {
+        ("2024-01-01 00:00:00", "click"): (2, 3.0),
+        ("2024-01-01 01:00:00", "view"): (1, 3.0),
+    }
+
+
+def test_batch_sessionize_gap(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:10:00"),   # same session
+            (1, "2024-01-01 01:00:00"),   # 50-min gap -> new session
+            (2, "2024-01-01 00:00:00"),
+        ],
+        "user_id int, ts_s string",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"))
+    out = sessionize(df, gap_minutes=30).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(by_user[1]) == 2
+    assert sorted(r.n_events for r in by_user[1]) == [1, 2]
+    assert len(by_user[2]) == 1
+
+
+def test_streaming_session_counts_plan(spark, tmp_path):
+    """The streaming sessionize builds a valid session_window plan and
+    drains under AvailableNow."""
+    import os
+
+    src = tmp_path / "sess"
+    src.mkdir()
+    with open(os.path.join(str(src), "e.csv"), "w") as f:
+        f.write(
+            "ts,user_id\n"
+            "2024-01-01 00:00:00,1\n"
+            "2024-01-01 00:10:00,1\n"
+            "2024-01-01 02:00:00,1\n"
+        )
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP, user_id INT")
+        .option("header", True)
+        .csv(str(src))
+    )
+    q = (
+        streaming_session_counts(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sess_counts").collect()
+    assert sorted(r.n_events for r in rows) == [1, 2]

@@ -1,2 +1,72 @@
-QUERIES = {}
-ORACLES = {}
+"""Event-analytics catalog queries over ``events`` — the batch twins
+of the streaming operators (ulh_etl_spark.streaming.windows). The
+exact same functions run on streaming DataFrames with watermarks; the
+batch form is what the DuckDB oracle can check."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ulh_etl_spark.session import load_table
+from ulh_etl_spark.streaming.windows import sessionize, windowed_counts
+
+
+def q50_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window counts + value sums per event type.
+    One hash aggregate with map-side partials; the streaming variant
+    adds only a watermark."""
+    events = load_table(spark, sf_dir, "events")
+    return windowed_counts(events, "ts", "1 hour", ("event_type",), "value")
+
+
+def q51_event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) per user: lag ->
+    boundary -> running-sum session index, one shuffle on user_id."""
+    events = load_table(spark, sf_dir, "events")
+    s = sessionize(events, "user_id", "ts", gap_minutes=30)
+    return s.select(
+        "user_id", "session_idx",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
+
+
+QUERIES = {
+    "q50_event_window_counts": q50_event_window_counts,
+    "q51_event_sessionize": q51_event_sessionize,
+}
+
+ORACLES = {
+    # time_bucket == Spark's tumbling window for aligned fixed widths
+    "q50_event_window_counts": """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "q51_event_sessionize": """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch(ts) - epoch(
+                            lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                        > 1800 THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), idx AS (
+            SELECT user_id, ts,
+                   CAST(SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+            FROM flagged
+        )
+        SELECT user_id, session_idx,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+               COUNT(*) AS n_events
+        FROM idx
+        GROUP BY user_id, session_idx
+    """,
+}
