@@ -1,0 +1,99 @@
+"""Multimodal operator tests: binary columns, format sniffing,
+mapInPandas decode/resize/frame-sample/embed plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ulh_etl_spark.operators.multimodal import (
+    decode_media,
+    embed_media,
+    fake_decode_audio,
+    fake_decode_image,
+    fake_decode_video,
+    media_metadata,
+    real_decode_image,
+    resize_images,
+    sample_frames,
+    sniff_format,
+)
+
+PNG = bytes([0x89]) + b"PNG\r\n" + b"x" * 100
+JPEG = bytes([0xFF, 0xD8, 0xFF, 0xE0]) + b"y" * 50
+WAV = b"RIFF" + b"z" * 200
+JUNK = b"not-a-known-format"
+
+
+@pytest.fixture()
+def media(spark):
+    return spark.createDataFrame(
+        [(1, PNG), (2, JPEG), (3, WAV), (4, JUNK)],
+        "media_id long, content binary",
+    )
+
+
+def test_sniff_format(spark, media):
+    out = {r.media_id: r.fmt
+           for r in media.select("media_id", sniff_format(F.col("content")).alias("fmt")).collect()}
+    assert out == {1: "png", 2: "jpeg", 3: "riff", 4: "unknown"}
+
+
+def test_media_metadata(spark, media):
+    out = {r.media_id: r for r in media_metadata(media).collect()}
+    assert out[1].size_bytes == len(PNG)
+    assert out[1].format == "png"
+    import hashlib
+    assert out[4].content_md5 == hashlib.md5(JUNK).hexdigest()
+
+
+def test_decode_media_batched(spark, media):
+    out = {r.media_id: r for r in decode_media(
+        media, fake_decode_image, "width int, height int, channels int"
+    ).collect()}
+    assert len(out) == 4
+    expected = fake_decode_image(PNG)
+    assert (out[1].width, out[1].height, out[1].channels) == (
+        expected["width"], expected["height"], expected["channels"]
+    )
+    assert all(64 <= r.width <= 64 + 255 * 8 for r in out.values())
+    assert all(1 <= r.channels <= 4 for r in out.values())
+
+
+def test_fake_decoders_deterministic():
+    assert fake_decode_image(PNG) == fake_decode_image(PNG)
+    assert fake_decode_audio(WAV) == fake_decode_audio(WAV)
+    v = fake_decode_video(JUNK)
+    assert v["fps"] in (24.0, 25.0, 30.0, 60.0)
+
+
+def test_real_decoder_gated():
+    with pytest.raises(NotImplementedError):
+        real_decode_image(PNG)
+
+
+def test_resize_images(spark, media):
+    out = {r.media_id: r for r in resize_images(media, 224, 224).collect()}
+    assert all((r.width, r.height) == (224, 224) for r in out.values())
+    assert bytes(out[1].content).startswith(b"RSZ:224x224:")
+    # deterministic: same input -> same bytes
+    again = {r.media_id: bytes(r.content)
+             for r in resize_images(media, 224, 224).collect()}
+    assert again[1] == bytes(out[1].content)
+
+
+def test_sample_frames_rowcount(spark, media):
+    frames = sample_frames(media, every_nth=30, max_frames=8)
+    counts = {r.media_id: r["count"]
+              for r in frames.groupBy("media_id").count().collect()}
+    for mid, blob in [(1, PNG), (2, JPEG), (3, WAV), (4, JUNK)]:
+        assert counts[mid] == min(8, max(1, len(blob) // 30))
+    # frame bytes are 16-byte md5 digests, keyed by (content, idx)
+    row = frames.filter("media_id = 3 AND frame_idx = 0").collect()[0]
+    assert len(bytes(row.frame)) == 16
+
+
+def test_embed_media_unit_norm(spark, media):
+    out = embed_media(media, dim=8).collect()
+    for r in out:
+        assert len(r.embedding) == 8
+        norm = sum(v * v for v in r.embedding) ** 0.5
+        assert abs(norm - 1.0) < 1e-3

@@ -30,6 +30,13 @@ def all_oracles() -> dict[str, str]:
 
 
 def _modules():
-    from ulh_etl_spark.queries import dedup, relational, similarity, streaming, textops
+    from ulh_etl_spark.queries import (
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        streaming,
+        textops,
+    )
 
-    return [relational, textops, dedup, similarity, streaming]
+    return [relational, textops, dedup, similarity, streaming, multimodal]

@@ -1,0 +1,139 @@
+"""Multimodal catalog queries: binary media columns synthesized
+deterministically from ``documents`` (this container ships no real
+image/audio corpora or codecs — SURVEY-scope), exercising the real
+Spark plumbing: binary columns, JVM-side metadata, Arrow-batched
+mapInPandas decode / frame-sample stages.
+
+Media synthesis: ``content = magic_header(doc_id % 3) || utf8(text)``
+— a PNG/JPEG/RIFF-tagged blob per document, expressible identically
+in DuckDB (``'\\x..'::BLOB || encode(text)``) so every stage that can
+be SQL-mirrored is oracle-checked.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ulh_etl_spark.operators.multimodal import (
+    decode_media,
+    media_metadata,
+    sample_frames,
+)
+from ulh_etl_spark.session import load_table
+
+_HEADERS = [
+    bytes([0x89]) + b"PNG",        # png
+    bytes([0xFF, 0xD8, 0xFF, 0xE0]),  # jpeg
+    b"RIFF",                        # riff (wav/avi)
+]
+_DUCK_HEADERS = [r"\x89PNG", r"\xFF\xD8\xFF\xE0", "RIFF"]
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (media_id, content binary) with per-doc format."""
+    docs = load_table(spark, sf_dir, "documents")
+    header = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_HEADERS[0]))
+        .when(F.col("doc_id") % 3 == 1, F.lit(_HEADERS[1]))
+        .otherwise(F.lit(_HEADERS[2]))
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(header, F.encode("text", "UTF-8")).alias("content"),
+    )
+
+
+_DUCK_MEDIA = f"""
+        SELECT doc_id AS media_id,
+               (CASE doc_id % 3
+                    WHEN 0 THEN '{_DUCK_HEADERS[0]}'::BLOB
+                    WHEN 1 THEN '{_DUCK_HEADERS[1]}'::BLOB
+                    ELSE '{_DUCK_HEADERS[2]}'::BLOB
+                END) || encode(text) AS content
+        FROM documents
+"""
+
+
+def _portable_decoder(content: bytes) -> dict:
+    """Image-decoder stand-in whose outputs are reproducible in SQL:
+    features derive from md5 of the UPPERCASE HEX of the bytes
+    (DuckDB's md5 only accepts VARCHAR, not BLOB)."""
+    h = hashlib.md5(content.hex().upper().encode()).digest()
+    return {
+        "width": 64 + h[0] * 8,
+        "height": 64 + h[1] * 8,
+        "channels": 1 + (h[2] % 4),
+    }
+
+
+def q43_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level media metadata — size + magic-byte format sniff,
+    all JVM-side expressions over the binary column."""
+    m = media_metadata(_media(spark, sf_dir), "content")
+    return m.select("media_id", "size_bytes", "format")
+
+
+def q44_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode: (id, bytes) -> typed
+    width/height/channels. The portable fake kernel stands in for a
+    codec; the Spark stage (batching, schema, pruned binary) is real."""
+    return decode_media(
+        _media(spark, sf_dir),
+        decoder=_portable_decoder,
+        out_fields="width int, height int, channels int",
+    )
+
+
+def q45_frame_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (video-shaped explode via mapInPandas): one row
+    per sampled frame, aggregated back to per-media frame counts —
+    checks the fan-out row arithmetic end-to-end."""
+    frames = sample_frames(_media(spark, sf_dir), every_nth=30, max_frames=8)
+    return frames.groupBy("media_id").agg(
+        F.count("*").alias("n_frames"),
+        F.max("frame_idx").cast("int").alias("max_frame_idx"),
+    )
+
+
+QUERIES = {
+    "q43_media_metadata": q43_media_metadata,
+    "q44_media_decode": q44_media_decode,
+    "q45_frame_sample_counts": q45_frame_sample_counts,
+}
+
+ORACLES = {
+    "q43_media_metadata": f"""
+        WITH media AS ({_DUCK_MEDIA})
+        SELECT media_id,
+               octet_length(content) AS size_bytes,
+               CASE
+                   WHEN substr(upper(hex(content)), 1, 8) = '89504E47' THEN 'png'
+                   WHEN substr(upper(hex(content)), 1, 8) = '52494646' THEN 'riff'
+                   WHEN substr(upper(hex(content)), 1, 6) = 'FFD8FF' THEN 'jpeg'
+                   ELSE 'unknown'
+               END AS format
+        FROM media
+    """,
+    "q44_media_decode": f"""
+        WITH media AS ({_DUCK_MEDIA}),
+        hashed AS (
+            SELECT media_id, md5(upper(hex(content))) AS mh FROM media
+        )
+        SELECT media_id,
+               64 + CAST('0x' || substr(mh, 1, 2) AS INT) * 8 AS width,
+               64 + CAST('0x' || substr(mh, 3, 2) AS INT) * 8 AS height,
+               1 + CAST('0x' || substr(mh, 5, 2) AS INT) % 4 AS channels
+        FROM hashed
+    """,
+    "q45_frame_sample_counts": f"""
+        WITH media AS ({_DUCK_MEDIA})
+        SELECT media_id,
+               LEAST(8, GREATEST(1, octet_length(content) // 30)) AS n_frames,
+               CAST((LEAST(8, GREATEST(1, octet_length(content) // 30)) - 1) * 30
+                    AS INT) AS max_frame_idx
+        FROM media
+    """,
+}
