@@ -1,0 +1,100 @@
+"""Plan-shape tests: prove pushdown, pruning, broadcast, and shuffle
+counts on the real catalog queries — the `.explain` loop as CI."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ulh_etl_spark.operators.skew import salted_join, with_salt
+from ulh_etl_spark.plans import (
+    broadcast_join_count,
+    exchange_count,
+    plan_facts,
+    pushed_filters,
+    scan_columns,
+)
+from ulh_etl_spark.queries.relational import (
+    q01_pricing_summary,
+    q02_filter_project,
+    q03_record_type_classify,
+    q19_incremental_antijoin,
+)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """q02's status/priority/price predicates must appear in
+    PushedFilters (reaching the parquet scan), not only as a
+    post-scan Filter."""
+    df = q02_filter_project(spark, sf_dir)
+    pushed = pushed_filters(df)
+    assert any("o_orderstatus" in f for f in pushed), pushed
+    assert any("o_totalprice" in f for f in pushed), pushed
+
+
+def test_column_pruning(spark, sf_dir):
+    """q02 projects a handful of columns — the parquet scan must not
+    read the full 16-column lineitem schema."""
+    df = q02_filter_project(spark, sf_dir)
+    for cols in scan_columns(df):
+        assert len(cols) <= 8, cols
+
+
+def test_lookup_join_broadcasts(spark, sf_dir):
+    """q03's record-type classification joins a small lookup — must
+    plan as a broadcast join, zero shuffle for the join itself."""
+    df = q03_record_type_classify(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+
+
+def test_antijoin_broadcasts(spark, sf_dir):
+    """q19's watermark anti-join: the consumed-runs side is tiny and
+    must broadcast."""
+    df = q19_incremental_antijoin(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+
+
+def test_agg_single_shuffle(spark, sf_dir):
+    """q01 is one groupBy -> exactly one hash-partition exchange
+    (plus AQE-inserted coalesces which don't add exchanges)."""
+    df = q01_pricing_summary(spark, sf_dir)
+    assert exchange_count(df) == 1
+
+
+def test_plan_facts_summary(spark, sf_dir):
+    facts = plan_facts(q02_filter_project(spark, sf_dir))
+    s = facts.summary()
+    # whole-stage codegen must cover the scan->filter->project chain
+    # (a Python UDF in the hot path would break the span)
+    assert s["scans"] >= 1 and s["codegen_spans"] >= 1
+
+
+# ---------------------------------------------------------------- skew
+
+
+def test_with_salt_uniform_bounds(spark):
+    df = spark.range(1000).toDF("k")
+    salted = with_salt(df, 8)
+    vals = [r._salt for r in salted.select("_salt").distinct().collect()]
+    assert set(vals) <= set(range(8)) and len(vals) >= 6
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salted join returns exactly the same rows as the plain join,
+    including under a pathologically hot key."""
+    fact = spark.createDataFrame(
+        [(1, f"v{i}") for i in range(500)] + [(2, "x"), (3, "y")],
+        "k int, payload string",
+    )
+    dim = spark.createDataFrame(
+        [(1, "dim1"), (2, "dim2"), (4, "dim4")], "k int, label string"
+    )
+    plain = fact.join(dim, ["k"]).select("k", "payload", "label")
+    salted = salted_join(fact, dim, ["k"], num_salts=4).select("k", "payload", "label")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    assert salted.count() == 501  # 500 hot-key matches + k=2; k=3 unmatched
+
+
+def test_salted_left_join(spark):
+    fact = spark.createDataFrame([(1, "a"), (9, "b")], "k int, p string")
+    dim = spark.createDataFrame([(1, "d1")], "k int, label string")
+    out = {r.k: r.label for r in salted_join(fact, dim, ["k"], 4, "left").collect()}
+    assert out == {1: "d1", 9: None}

