@@ -21,7 +21,8 @@ from ulh_etl_spark.session import get_spark
 
 # Headline set: one per operator family — scan+agg, joins (self,
 # composite, anti), merge, dedup (exact/minhash/LSH/jaccard),
-# similarity, text scoring.
+# similarity, text scoring, event windows/sessionization, multimodal
+# decode (Arrow mapInPandas path).
 HEADLINE = (
     "q01_pricing_summary",
     "q03_record_type_classify",
@@ -34,6 +35,9 @@ HEADLINE = (
     "q36_minhash_pairs",
     "q38_ngram_jaccard_pairs",
     "q39_cosine_topk",
+    "q44_media_decode",
+    "q50_event_window_counts",
+    "q51_event_sessionize",
 )
 
 
@@ -45,9 +49,11 @@ def main() -> None:
     spark = get_spark("bench")
     qs = all_queries()
 
-    # Warm the JVM/codegen path once so timings measure the engine,
-    # not first-query initialization.
+    # Warm the JVM/codegen path AND the Python-worker pool once so
+    # timings measure the engine, not first-query initialization
+    # (the Arrow mapInPandas path spawns its worker processes lazily).
     qs["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    qs["q44_media_decode"](spark, sf_dir).limit(64).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -32,6 +32,16 @@ from typing import Callable, Iterator
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure Python-kernel stages get cluster-wide parallelism: a
+    small media table can arrive as one parquet split, which would
+    run every decode on a single core."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 # magic-byte prefixes -> format tag (sniffed JVM-side via substring)
 _MAGIC = {
     "89504E47": "png",
@@ -147,7 +157,7 @@ def decode_media(
                 out[n] = [d[n] for d in decoded]
             yield pd.DataFrame(out)
 
-    return df.select(id_col, content_col).mapInPandas(
+    return _spread(df.select(id_col, content_col)).mapInPandas(
         _run, schema=f"{id_col} long, {out_fields}"
     )
 
@@ -184,7 +194,7 @@ def resize_images(
                 }
             )
 
-    return df.select(id_col, content_col).mapInPandas(
+    return _spread(df.select(id_col, content_col)).mapInPandas(
         _run, schema=f"{id_col} long, content binary, width int, height int"
     )
 
@@ -218,7 +228,7 @@ def sample_frames(
                     frames.append(frame_extractor(content, k * every_nth))
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
 
-    return df.select(id_col, content_col).mapInPandas(
+    return _spread(df.select(id_col, content_col)).mapInPandas(
         _run, schema=f"{id_col} long, frame_idx int, frame binary"
     )
 
@@ -253,6 +263,6 @@ def embed_media(
                 }
             )
 
-    return df.select(id_col, content_col).mapInPandas(
+    return _spread(df.select(id_col, content_col)).mapInPandas(
         _run, schema=f"{id_col} long, embedding array<float>"
     )
