@@ -1,0 +1,157 @@
+"""Property-based tests (hypothesis): the transform compilers obey
+their declared semantics for arbitrary inputs — a python-side model is
+the oracle, one Spark round-trip per example batch.
+
+Strategy note: each property collects a BATCH of generated examples
+and runs them through Spark in one createDataFrame/collect cycle, so
+hypothesis shrinks on the pure-python model while Spark checks run on
+whole batches (per-example Spark jobs would be minutes per property).
+"""
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ulh_etl_spark.functions.transforms import (
+    column_strip,
+    dummy_key,
+    split_reorder,
+    value_map,
+)
+from ulh_etl_spark.resolve import ColumnResolver, norm_name
+from ulh_etl_spark.sinks.logs import clean_error_message
+from ulh_etl_spark.warehouse import apply_zone_naming, ensure_zones, zone_table
+
+# keep examples printable-ASCII: the semantics under test are
+# structural, and exotic unicode mostly tests the JVM's regex engine
+TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=40
+)
+
+
+def run_column(spark, values, col_expr):
+    """Evaluate a Column expression over one string column, batched."""
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    return [r.out for r in df.select(col_expr(F.col("v")).alias("out")).collect()]
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(TEXT, min_size=1, max_size=30),
+       st.sampled_from(["{}", "-.", "()#", "ABC"]))
+def test_strip_removes_exactly_those_chars(spark, values, chars):
+    out = run_column(spark, values, lambda c: column_strip(c, chars))
+    for v, o in zip(values, out):
+        assert o == "".join(ch for ch in v if ch not in chars)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.lists(TEXT.map(lambda s: s.replace(",", " ")),
+                      min_size=1, max_size=4),
+             min_size=1, max_size=20),
+    st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=4),
+)
+def test_split_reorder_model(spark, rows, part_order):
+    """split_reorder == python model: split, pick (None past end),
+    trim, concat_ws skipping Nones."""
+    values = [",".join(parts) for parts in rows]
+    out = run_column(
+        spark, values,
+        lambda c: split_reorder(c, ",", part_order, join_with="|"),
+    )
+    for parts_in, o in zip(rows, out):
+        parts = ",".join(parts_in).split(",")
+        picked = [parts[i].strip() if i < len(parts) else None for i in part_order]
+        assert o == "|".join(p for p in picked if p is not None)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.sampled_from(["Y", "y", "N", "n", "maybe", ""]),
+                min_size=1, max_size=25))
+def test_value_map_case_insensitive_fallback(spark, values):
+    mapping = {"Y": "yes", "N": "no"}
+    out = run_column(spark, values, lambda c: value_map(c, mapping))
+    for v, o in zip(values, out):
+        expected = mapping.get(v, mapping.get(v.upper() if v else v, v))
+        assert o == expected
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.one_of(st.none(), TEXT), st.integers(0, 10**6)),
+                min_size=1, max_size=25))
+def test_dummy_key_blank_fallback(spark, pairs):
+    df = spark.createDataFrame(pairs, "k string, fb long")
+    out = df.select(
+        dummy_key(F.col("k"), F.col("fb")).alias("out"), "k", "fb"
+    ).collect()
+    for r in out:
+        if r.k is None or r.k.strip() == "":
+            assert r.out == f"NOMBI_{r.fb}"
+        else:
+            assert r.out == r.k
+
+
+@given(st.text(max_size=60))
+def test_norm_name_idempotent_and_clean(name):
+    n = norm_name(name)
+    assert norm_name(n) == n
+    assert re.fullmatch(r"[a-z0-9]*", n)
+
+
+@given(st.lists(st.sampled_from(
+    ["Patient ID", "patient_id", "PATIENT-ID", "Appt Date", "x1"]),
+    min_size=1, max_size=5))
+def test_resolver_finds_normalized_aliases(cols):
+    r = ColumnResolver(cols)
+    for c in cols:
+        # any punctuation/case variant of a present column resolves
+        assert r.resolve(c.upper().replace(" ", "_")) is not None
+        assert r.resolve(c) is not None
+
+
+# ------------------------------------------------- plain unit additions
+
+
+def test_clean_error_message():
+    raw = "(1304): 01b2e3f4-aaaa-bbbb: 100038 (22018): Numeric value 'x' bad"
+    assert clean_error_message(raw) == "Numeric value 'x' bad"
+    assert clean_error_message("plain message") == "plain message"
+    assert clean_error_message("") == ""
+    assert len(clean_error_message("x" * 1000)) == 500
+
+
+def test_zone_table_naming():
+    assert zone_table("raw", "ADCS", "Appointments") == "raw_zone.adcs_appointments"
+    assert zone_table("curated", "fast-pace", "el fe") == "curated_zone.fast_pace_el_fe"
+    with pytest.raises(ValueError):
+        zone_table("gold", "p", "e")
+
+
+def test_apply_zone_naming_fills_unset():
+    from ulh_etl_spark.config import IngestEntry
+
+    e = IngestEntry(name="appts", transforms=[{"kind": "strip"}],
+                    curated_mapping=[{"target": "X"}])
+    apply_zone_naming(e, "adcs")
+    assert e.raw_table == "raw_zone.adcs_appts"
+    assert e.refined_table == "refined_zone.adcs_appts"
+    assert e.curated_table == "curated_zone.adcs_appts"
+    # explicit names are kept
+    e2 = IngestEntry(name="x", raw_table="custom")
+    apply_zone_naming(e2, "p")
+    assert e2.raw_table == "custom"
+    assert e2.refined_table is None
+
+
+def test_ensure_zones_idempotent(spark):
+    ensure_zones(spark)
+    ensure_zones(spark)
+    dbs = {d.name for d in spark.catalog.listDatabases()}
+    assert {"raw_zone", "refined_zone", "curated_zone"} <= dbs

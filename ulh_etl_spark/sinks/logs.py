@@ -8,6 +8,7 @@ INSERT VALUES; SURVEY §7.1 calls out fixing that)."""
 
 from __future__ import annotations
 
+import re
 from datetime import datetime, timezone
 
 from pyspark.sql import SparkSession
@@ -20,6 +21,19 @@ LOG_SCHEMA = (
 )
 
 STAGES = ("PRECHECK", "RAW", "REFINED", "CURATED")
+
+# Engine-noise prefix in surfaced error messages (reference F19 strips
+# the same `(\d+): uuid: ... (CODE):` prefix before logging/notifying,
+# RAW_ADLS_TO_RAW_SNOWFLAKE.py:760-766).
+_ERROR_PREFIX = re.compile(
+    r"^\(\d+\):\s*(?:[0-9a-fA-F-]{8,}:\s*)?(?:\d+\s*)?(?:\([A-Z0-9]+\):\s*)?"
+)
+
+
+def clean_error_message(msg: str, max_len: int = 500) -> str:
+    """Strip engine-internal error prefixes so logs/notifications
+    carry the human-relevant message."""
+    return _ERROR_PREFIX.sub("", (msg or "").strip())[:max_len]
 
 
 def log_table_name(stage: str) -> str:
