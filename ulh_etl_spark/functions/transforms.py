@@ -103,8 +103,8 @@ def value_map(
     Exact-match lookup first; optionally a lowercased fallback (the
     reference probes the dict with the raw value then value.lower()).
     Unmapped values pass through unchanged (still prefixed/suffixed).
-    Compiled as a chained CASE — for very large maps prefer a broadcast
-    map-join instead (operators.lookup).
+    Compiled as a chained CASE — for very large maps prefer the
+    broadcast map-join (functions.mapping.broadcast_value_map).
     """
     expr: Column | None = None
     for k, v in mapping.items():

@@ -354,14 +354,27 @@ def run_practice(
     entry_name: str | None = None,
     archive: bool = False,
     notify: Notifier | None = None,
+    use_zones: bool = False,
 ) -> list[RunReport]:
     """Run every (or one named) ingest entry for a practice,
     continue-on-error per entry (the reference's daily-orchestrator
-    policy, ELLKAY_DAILY_INGEST_TO_RAW_SNOWFLAKE.py:628-655)."""
+    policy, ELLKAY_DAILY_INGEST_TO_RAW_SNOWFLAKE.py:628-655).
+
+    ``use_zones=True`` applies the medallion-zone naming convention
+    (raw_zone/refined_zone/curated_zone databases) to entries whose
+    table names the config leaves unset — the reference's three-
+    database layout (SURVEY §1.1)."""
     practice = config.practice(practice_name)
     if not practice.active:
         return []
+    entries = config.entries(practice_name, entry_name)
+    if use_zones:
+        from ulh_etl_spark.warehouse import apply_zone_naming, ensure_zones
+
+        ensure_zones(spark)
+        for e in entries:
+            apply_zone_naming(e, practice_name)
     return [
         run_entry(spark, practice, e, archive=archive, notify=notify)
-        for e in config.entries(practice_name, entry_name)
+        for e in entries
     ]
