@@ -342,6 +342,54 @@ def q21_curated_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# --- P6: disjunctive filter (isin | isin) ---
+def q22_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-IN-lists filter (reference P6: file_type IN (...) OR
+    directory_leaf IN (...), RAW_ADLS_TO_RAW_SNOWFLAKE.py:620-624).
+    Disjunctions of in-lists still push to the parquet scan."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+        | F.col("c_nationkey").isin(1, 2, 3)
+    ).select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation_key"),
+    )
+
+
+# --- F8: LIKE / NOT LIKE guards ---
+def q23_like_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE containment + NOT LIKE exclusion (reference F8 rule guards
+    and config predicates, RAW_SNOWFLAKE_TO_REFINED...py:457)."""
+    part = _t(spark, sf_dir, "part")
+    return part.filter(
+        F.col("p_type").like("%BRASS%") & ~F.col("p_name").like("a%")
+    ).select(
+        F.col("p_partkey").alias("part_key"),
+        F.col("p_type").alias("part_type"),
+        F.col("p_name").alias("part_name"),
+    )
+
+
+# --- F11: leaf-dir extraction (RTRIM + REGEXP_SUBSTR) ---
+def q24_leaf_dir_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaf directory name from a path: REGEXP_SUBSTR(RTRIM(dir,'/'),
+    '[^/]+$') (reference F11, RAW_ADLS_TO_RAW_SNOWFLAKE.py:585) over a
+    synthesized inbound path per part row."""
+    part = _t(spark, sf_dir, "part")
+    path = F.concat(
+        F.lit("/inbound/"), F.col("p_brand"), F.lit("/"), F.col("p_type"),
+        F.lit("/"),
+    )
+    return part.select(
+        F.col("p_partkey").alias("part_key"),
+        path.alias("dir_path"),
+        F.regexp_extract(F.rtrim(path, F.lit("/")), "[^/]+$", 0).alias("leaf_dir"),
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -364,6 +412,9 @@ QUERIES = {
     "q19_incremental_antijoin": q19_incremental_antijoin,
     "q20_merge_keep_latest": q20_merge_keep_latest,
     "q21_curated_mapping": q21_curated_mapping,
+    "q22_disjunctive_filter": q22_disjunctive_filter,
+    "q23_like_filters": q23_like_filters,
+    "q24_leaf_dir_extract": q24_leaf_dir_extract,
 }
 
 ORACLES = {
@@ -509,5 +560,25 @@ ORACLES = {
                'tpch' AS source_system,
                c_acctbal AS balance
         FROM customer
+    """,
+    "q22_disjunctive_filter": """
+        SELECT c_custkey AS cust_key, c_mktsegment AS segment,
+               c_nationkey AS nation_key
+        FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+           OR c_nationkey IN (1, 2, 3)
+    """,
+    "q23_like_filters": """
+        SELECT p_partkey AS part_key, p_type AS part_type,
+               p_name AS part_name
+        FROM part
+        WHERE p_type LIKE '%BRASS%' AND p_name NOT LIKE 'a%'
+    """,
+    "q24_leaf_dir_extract": """
+        SELECT p_partkey AS part_key,
+               '/inbound/' || p_brand || '/' || p_type || '/' AS dir_path,
+               regexp_extract(rtrim('/inbound/' || p_brand || '/' || p_type || '/', '/'),
+                              '[^/]+$') AS leaf_dir
+        FROM part
     """,
 }
