@@ -390,6 +390,24 @@ def q24_leaf_dir_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# --- §2.10: survey flatten (unpivot wide -> long) ---
+def q25_unpivot_survey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot — the reference's only custom row logic is
+    flattening survey JSON into (Survey_ID, Question_ID, Rating) rows
+    (Rater8_Reviews.ipynb flatten_internal_surveys); as Spark it's a
+    single generator expression (stack), no Python in the path.
+    Here: each order row unpivots three measures into (metric, value)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey").alias("order_key"),
+        F.expr(
+            "stack(2, 'totalprice', o_totalprice, "
+            "'custkey', CAST(o_custkey AS DOUBLE)) AS (metric, metric_value)"
+        ),
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -413,6 +431,7 @@ QUERIES = {
     "q20_merge_keep_latest": q20_merge_keep_latest,
     "q21_curated_mapping": q21_curated_mapping,
     "q22_disjunctive_filter": q22_disjunctive_filter,
+    "q25_unpivot_survey": q25_unpivot_survey,
     "q23_like_filters": q23_like_filters,
     "q24_leaf_dir_extract": q24_leaf_dir_extract,
 }
@@ -560,6 +579,14 @@ ORACLES = {
                'tpch' AS source_system,
                c_acctbal AS balance
         FROM customer
+    """,
+    "q25_unpivot_survey": """
+        SELECT o_orderkey AS order_key, metric, metric_value
+        FROM (
+            SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS metric_value FROM orders
+            UNION ALL
+            SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders
+        )
     """,
     "q22_disjunctive_filter": """
         SELECT c_custkey AS cust_key, c_mktsegment AS segment,

@@ -14,6 +14,10 @@ from ulh_etl_spark.streaming.file_stream import (  # noqa: F401
     start_csv_ingest_stream,
     stream_ingest_available_now,
 )
+from ulh_etl_spark.streaming.stateful import (  # noqa: F401
+    running_totals_stream,
+    seen_keys_dedup_stream,
+)
 from ulh_etl_spark.streaming.windows import (  # noqa: F401
     sessionize,
     windowed_counts,

@@ -1,0 +1,86 @@
+"""Custom stateful streaming operator: per-key running aggregation
+via ``applyInPandasWithState`` — the escape hatch for semantics the
+built-in windowed aggregates can't express (running totals that
+survive across micro-batches and restarts via checkpointed state).
+
+Engine addition (the reference has no stateful operators, SURVEY
+§2.9); the shape a streaming training-data pipeline needs for e.g.
+per-source document counters or seen-key dedup.
+
+Scale: state is partitioned by key across the cluster (same hash
+shuffle as a groupBy); each micro-batch touches only the keys present
+in that batch; state size is O(distinct keys), bounded by timeouts
+for expiring idle keys.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def running_totals_stream(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key running (count, sum) maintained in GroupState: each
+    micro-batch emits the UPDATED totals for keys seen in that batch.
+    Output: (key, total_events, total_value)."""
+    import pandas as pd
+
+    def update(
+        key: Tuple[Any, ...],
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        (cnt, tot) = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            cnt += len(pdf)
+            tot += float(pdf[value_col].sum())
+        state.update((cnt, round(tot, 6)))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "total_events": [cnt], "total_value": [round(tot, 6)]}
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} long, total_events long, total_value double",
+        stateStructType="cnt long, tot double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def seen_keys_dedup_stream(
+    df: DataFrame,
+    key_col: str = "event_id",
+) -> DataFrame:
+    """Streaming exactly-once-by-key dedup: the first occurrence of a
+    key passes through; replays/duplicates in later batches are
+    dropped (state remembers seen keys). The streaming twin of
+    dropDuplicates for unbounded inputs with checkpointed memory."""
+    import pandas as pd
+
+    def update(
+        key: Tuple[Any, ...],
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        already = state.exists
+        n = 0
+        for pdf in batches:
+            n += len(pdf)
+        if not already and n > 0:
+            state.update((True,))
+            yield pd.DataFrame({key_col: [key[0]], "occurrences": [n]})
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} long, occurrences long",
+        stateStructType="seen boolean",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
