@@ -20,8 +20,13 @@ def _write(path, name, rows):
 
 
 def _drain(spark, src, ckpt, sink_name, op):
-    """Drain via foreachBatch into a fresh table (memory sinks cannot
-    recover from a checkpoint; foreachBatch can)."""
+    """Drain via foreachBatch into a fresh uniquely-named table
+    (memory sinks cannot recover from a checkpoint; foreachBatch can).
+    A unique name per drain avoids LOCATION_ALREADY_EXISTS collisions
+    with orphaned warehouse dirs from interrupted runs."""
+    import uuid
+
+    sink_name = f"{sink_name}_{uuid.uuid4().hex[:8]}"
     spark.sql(f"DROP TABLE IF EXISTS {sink_name}")
     stream = (
         spark.readStream.schema(SCHEMA).option("header", True).csv(src)
@@ -39,9 +44,11 @@ def _drain(spark, src, ckpt, sink_name, op):
         .start()
     )
     q.awaitTermination(120)
+    rows = []
     if spark.catalog.tableExists(sink_name):
-        return spark.table(sink_name).collect()
-    return []
+        rows = spark.table(sink_name).collect()
+        spark.sql(f"DROP TABLE {sink_name}")
+    return rows
 
 
 def test_running_totals_accumulate_across_restarts(spark, tmp_path):
