@@ -89,9 +89,11 @@ def minhash_signatures(
     This is the formulation that holds at 100 TB.
     """
     # Spread the per-shingle hashing across all cores even when the
-    # source arrives as a single parquet split.
+    # source arrives as a single parquet split. Distinct before
+    # explode: min over duplicates is unchanged, so never hash (or
+    # shuffle) a duplicate shingle.
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    grams = char_ngrams(F.col(text_col), shingle_n)
+    grams = F.array_distinct(char_ngrams(F.col(text_col), shingle_n))
     exploded = df.select(F.col(id_col), F.explode(grams).alias("_gram"))
     hashed = exploded.select(F.col(id_col), md5_hash32(F.col("_gram")).alias("_h"))
     aggs = [
@@ -201,8 +203,10 @@ def ngram_jaccard_pairs_blocked(
         F.col(block_col).alias("_blk"),
         F.col(length_col).alias("_len"),
         (F.col(length_col) / max_length_diff).cast("long").alias("_bkt"),
-        F.array_distinct(
-            F.transform(char_ngrams(F.col(text_col), n), md5_hash32)
+        # distinct BEFORE hashing: md5 is the dominant per-row cost,
+        # so never hash a duplicate gram (same resulting hash set)
+        F.transform(
+            F.array_distinct(char_ngrams(F.col(text_col), n)), md5_hash32
         ).alias("_g"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = g.alias("a"), g.alias("b")
