@@ -60,6 +60,9 @@ def char_ngrams(col: Column, n: int) -> Column:
 
 
 def stopword_count(col: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    # NB: measured against array_contains(lit(list), t) — the isin
+    # chain wins (Catalyst compiles IN over literals to an optimized
+    # set lookup; the array literal forces a linear scan per token).
     toks = whitespace_tokens(F.lower(col))
     return F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
 

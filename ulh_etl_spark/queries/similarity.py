@@ -1,6 +1,8 @@
 """Similarity-search catalog queries over ``embeddings``:
 brute-force cosine top-k (baseline), L2 norms, and the IVF scale
-path (cluster assignment oracle-checked; probe search rows-only)."""
+path — build, cluster histogram, and probe search, all
+oracle-checked (the probe algorithm is deterministic, so the same
+IVF written in SQL is an exact oracle)."""
 
 from __future__ import annotations
 
@@ -54,8 +56,9 @@ def q41_ivf_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q42_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN probe search: nprobe=2 of 8 cells per query, exact cosine
-    within probed cells. Approximate by design -> rows-only check (no
-    closed-form SQL oracle for the recall trade-off path)."""
+    within probed cells. Approximate relative to brute force, but
+    fully deterministic (fixed centroid seed + tie-breaks), so the
+    same probe algorithm written in SQL is an exact oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _centroids(emb)
     assigned = S.ivf_assign(emb, cents)
@@ -125,5 +128,48 @@ ORACLES = {
         SELECT cell, COUNT(*) AS cell_size
         FROM assigned WHERE rn = 1
         GROUP BY cell
+    """,
+    "q42_ivf_topk": f"""
+        WITH c AS (
+            SELECT vec_id AS centroid_id, embedding AS centroid_vec
+            FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+        ), assigned AS (
+            SELECT vec_id, embedding, cell FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {_SQDIST}, c.centroid_id) AS rn
+                FROM embeddings e, c
+            ) WHERE rn = 1
+        ), q AS (
+            SELECT vec_id AS query_id, embedding AS q_vec
+            FROM embeddings WHERE vec_id < {_N_QUERIES}
+        ), q_cells AS (
+            SELECT query_id, q_vec, cell FROM (
+                SELECT q.query_id, q.q_vec, c.centroid_id AS cell,
+                       row_number() OVER (PARTITION BY q.query_id ORDER BY
+                           list_sum(list_transform(generate_series(1, len(q.q_vec)),
+                               i -> (CAST(q.q_vec[i] AS DOUBLE) - CAST(c.centroid_vec[i] AS DOUBLE))
+                                  * (CAST(q.q_vec[i] AS DOUBLE) - CAST(c.centroid_vec[i] AS DOUBLE)))),
+                           c.centroid_id) AS rn
+                FROM q, c
+            ) WHERE rn <= {_NPROBE}
+        ), scored AS (
+            SELECT qc.query_id, e.vec_id AS neighbor_id,
+                   list_sum(list_transform(generate_series(1, len(qc.q_vec)),
+                       i -> CAST(qc.q_vec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(qc.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                   AS cos_raw
+            FROM assigned e JOIN q_cells qc ON e.cell = qc.cell
+            WHERE e.vec_id <> qc.query_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id, cos_raw,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_raw DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
+               CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {_K}
     """,
 }
