@@ -171,3 +171,47 @@ def test_rerun_is_incremental(spark, env):
     # and record type flips to UPDATE now that curated keys exist
     assert second.record_type_distribution == {"UPDATE": 2}
     assert spark.table("e2e_curated_appts").count() == 4
+
+
+def test_query_source_ingest(spark):
+    """kind='query' entries run SQL over registered views as the RAW
+    source (reference S5)."""
+    from ulh_etl_spark.config import IngestEntry, Practice, SourceSpec
+    from ulh_etl_spark.pipeline import run_entry
+
+    spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 0)], "id int, v string, flag int"
+    ).createOrReplaceTempView("staging_src")
+    entry = IngestEntry(
+        name="qsrc",
+        source=SourceSpec(kind="query",
+                          query="SELECT id, v FROM staging_src WHERE flag = 1"),
+        raw_table="e2e_qsrc_raw",
+    )
+    try:
+        rpt = run_entry(spark, Practice("p"), entry)
+        assert rpt.status == "SUCCESS", rpt.error
+        assert rpt.rows_raw == 1
+        t = spark.table("e2e_qsrc_raw")
+        assert {"PARENT_RUN_ID", "IS_NEW", "file_name"} <= set(t.columns)
+        assert t.collect()[0].v == "a"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS e2e_qsrc_raw")
+
+
+def test_zone_mode_end_to_end(spark, env):
+    """use_zones=True routes unset table names into the medallion
+    zone databases."""
+    cfg_dict = make_config(env)
+    e = cfg_dict["Practices"][0]["ingest"][0]
+    del e["raw_table"], e["refined_table"], e["curated_table"]
+    cfg = load_config(cfg_dict)
+    try:
+        rpt = run_practice(spark, cfg, "testprac", use_zones=True)[0]
+        assert rpt.status == "SUCCESS", rpt.error
+        assert spark.table("raw_zone.testprac_appointments").count() == 4
+        assert spark.table("refined_zone.testprac_appointments").count() == 4
+        assert spark.table("curated_zone.testprac_appointments").count() == 2
+    finally:
+        for z in ("raw", "refined", "curated"):
+            spark.sql(f"DROP TABLE IF EXISTS {z}_zone.testprac_appointments")

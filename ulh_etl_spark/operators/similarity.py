@@ -162,6 +162,41 @@ def ivf_topk(
     )
 
 
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, IVF-cell blocked: the
+    corpus is assigned to centroid cells, candidate pairs are
+    same-cell only (an equality self-join on ``cell``), and the exact
+    cosine filter runs on candidates alone — never the O(n²) cross
+    product. Same recall trade as any single-probe IVF: near-dups
+    split across a cell boundary are missed; raise the centroid count
+    or probe adjacent cells to tighten.
+
+    Scale: one shuffle on ``cell`` for the self-join; cells are the
+    skew knob (more centroids = smaller buckets). Emits each pair
+    once (id1 < id2)."""
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"), "cell"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"), "cell"
+    )
+    pairs = a.join(b, "cell").filter(F.col("id1") < F.col("id2"))
+    cos = _dot(F.col("v1"), F.col("v2")) / (
+        l2_norm(F.col("v1")) * l2_norm(F.col("v2"))
+    )
+    return (
+        pairs.select("id1", "id2", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ivf_assign_queries(
     queries: DataFrame,
     centroids: DataFrame,

@@ -37,7 +37,7 @@ from ulh_etl_spark.functions.mapping import apply_mappings
 from ulh_etl_spark.functions.predicates import apply_source_filter, future_only_filter
 from ulh_etl_spark.functions.transforms import TransformSpec
 from ulh_etl_spark.resolve import ColumnResolver
-from ulh_etl_spark.sinks.logs import append_log
+from ulh_etl_spark.sinks.logs import append_log, clean_error_message
 from ulh_etl_spark.sinks.tables import insert_select, table_exists, write_table
 from ulh_etl_spark.sources.files import FileInfo, csv_scan, list_stage_files, move_file
 from ulh_etl_spark.sources.query import query_source
@@ -338,7 +338,7 @@ def run_entry(
             })
     except Exception as e:  # continue-on-error policy (reference per-entry)
         rpt.status = "FAILED"
-        rpt.error = str(e)[:500]
+        rpt.error = clean_error_message(str(e))
         if notify:
             notify("run_failed", {
                 "practice": practice.practice_name, "entry": entry.name,

@@ -79,11 +79,20 @@ _SQDIST = (
     " * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.centroid_vec[i] AS DOUBLE))))"
 )
 
+def q46_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, IVF-cell blocked (same-cell
+    candidates only, exact cosine >= 0.9 on candidates) — the
+    embedding leg of the dedup suite."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_neardup_pairs(emb, _centroids(emb), threshold=0.9)
+
+
 QUERIES = {
     "q39_cosine_topk": q39_cosine_topk,
     "q40_embedding_norms": q40_embedding_norms,
     "q41_ivf_cluster_sizes": q41_ivf_cluster_sizes,
     "q42_ivf_topk": q42_ivf_topk,
+    "q46_embedding_neardup": q46_embedding_neardup,
 }
 
 ORACLES = {
@@ -171,5 +180,29 @@ ORACLES = {
         SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
                CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= {_K}
+    """,
+    "q46_embedding_neardup": f"""
+        WITH c AS (
+            SELECT vec_id AS centroid_id, embedding AS centroid_vec
+            FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+        ), assigned AS (
+            SELECT vec_id, embedding, cell FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {_SQDIST}, c.centroid_id) AS rn
+                FROM embeddings e, c
+            ) WHERE rn = 1
+        ), pairs AS (
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   ROUND(
+                       list_sum(list_transform(generate_series(1, len(a.embedding)),
+                           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                   6) AS cosine
+            FROM assigned a JOIN assigned b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+        )
+        SELECT id1, id2, cosine FROM pairs WHERE cosine >= 0.9
     """,
 }
