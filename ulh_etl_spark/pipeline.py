@@ -276,14 +276,29 @@ def archive_files(
     loaded: list[FileInfo],
     rejected: list[FileInfo],
     run_id: str,
+    parallelism: int = 10,
 ) -> None:
     """K8: move processed files to archive/, failed to error/, with
     the run id embedded in the archived name (the reference's ADF
-    rename expression, archive_inbound_files.json:91)."""
+    rename expression, archive_inbound_files.json:91). Moves run on a
+    driver thread pool — the ADF ForEach ``batchCount: 10`` analog
+    (:15-16); renames are metadata ops, so threads, not tasks."""
+    from concurrent.futures import ThreadPoolExecutor
+
     base = entry.source.directory.rstrip("/")
-    for f, sub in [(x, "archive") for x in loaded] + [(x, "error") for x in rejected]:
+    jobs = [(x, "archive") for x in loaded] + [(x, "error") for x in rejected]
+
+    def _move(job) -> bool:
+        f, sub = job
         stem, dot, ext = f.name.partition(".")
-        move_file(spark, f.path, posixpath.join(base, sub, f"{stem}_{run_id}{dot}{ext}"))
+        return move_file(
+            spark, f.path, posixpath.join(base, sub, f"{stem}_{run_id}{dot}{ext}")
+        )
+
+    if not jobs:
+        return
+    with ThreadPoolExecutor(max_workers=min(parallelism, len(jobs))) as pool:
+        list(pool.map(_move, jobs))
 
 
 # ------------------------------------------------------------- entrypoints

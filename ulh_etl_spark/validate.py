@@ -152,12 +152,15 @@ def precheck_file(
             actual_cmp = [h.lower() for h in headers]
             expected_cmp = [c.lower() for c in expected]
 
-        # COLUMN_COUNT (:964-984)
+        # COLUMN_COUNT (:964-984) — FAIL only when columns are MISSING
+        # under require_all_columns; surplus columns are EXTRA_COLUMNS'
+        # concern (allow_extra_columns may admit them).
         if len(headers) == len(expected):
             rpt.add("COLUMN_COUNT", "PASS", str(len(expected)), str(len(headers)))
+        elif len(headers) < len(expected) and contract.require_all_columns:
+            rpt.add("COLUMN_COUNT", "FAIL", str(len(expected)), str(len(headers)))
         else:
-            status = "FAIL" if contract.require_all_columns else "WARN"
-            rpt.add("COLUMN_COUNT", status, str(len(expected)), str(len(headers)))
+            rpt.add("COLUMN_COUNT", "WARN", str(len(expected)), str(len(headers)))
 
         # MISSING_COLUMNS (:987-1005)
         missing = [e for e in expected_cmp if e not in actual_cmp]
