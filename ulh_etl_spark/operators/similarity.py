@@ -180,7 +180,13 @@ def embedding_neardup_pairs(
     Scale: one shuffle on ``cell`` for the self-join; cells are the
     skew knob (more centroids = smaller buckets). Emits each pair
     once (id1 < id2)."""
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    from pyspark.storagelevel import StorageLevel
+
+    # persist: the self-join would otherwise run the centroid-distance
+    # window once per side
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a = assigned.select(
         F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"), "cell"
     )
