@@ -1,0 +1,36 @@
+"""Catalog meta-tests: the driver contract stays coherent — every
+query has an oracle, names match, and the entry point exposes the
+catalog unchanged."""
+
+import __spark_entry__ as entry
+
+from ulh_etl_spark.queries import all_oracles, all_queries
+
+
+def test_every_query_has_an_oracle():
+    """The correctness gate hash-compares each query against its
+    oracle; a missing oracle silently downgrades to a rows-only check
+    — keep the catalog fully checked."""
+    queries = all_queries()
+    oracles = all_oracles()
+    missing = sorted(set(queries) - set(oracles))
+    assert missing == [], f"queries without oracle SQL: {missing}"
+
+
+def test_no_orphan_oracles():
+    orphans = sorted(set(all_oracles()) - set(all_queries()))
+    assert orphans == [], f"oracles without queries: {orphans}"
+
+
+def test_entry_contract_shape():
+    qs = entry.queries()
+    os_ = entry.oracle_sql()
+    assert qs == all_queries()
+    assert os_ == all_oracles()
+    assert all(callable(fn) for fn in qs.values())
+    assert all(isinstance(sql, str) and sql.strip() for sql in os_.values())
+
+
+def test_catalog_naming_convention():
+    for name in all_queries():
+        assert name[0] == "q" and name[1:3].isdigit() and name[3] == "_", name
