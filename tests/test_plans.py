@@ -98,3 +98,45 @@ def test_salted_left_join(spark):
     dim = spark.createDataFrame([(1, "d1")], "k int, label string")
     out = {r.k: r.label for r in salted_join(fact, dim, ["k"], 4, "left").collect()}
     assert out == {1: "d1", 9: None}
+
+
+def test_bucketed_join_skips_shuffle(spark):
+    """Two tables bucketed on the join key join WITHOUT any shuffle
+    exchange — the write-time co-location pays off at read time."""
+    from ulh_etl_spark.sinks.tables import write_bucketed
+
+    a = spark.range(0, 10000).withColumn("va", F.col("id") * 2)
+    b = spark.range(0, 10000).withColumn("vb", F.col("id") * 3)
+    try:
+        write_bucketed(a, "bkt_a", ["id"], num_buckets=8)
+        write_bucketed(b, "bkt_b", ["id"], num_buckets=8)
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "id")
+        assert exchange_count(joined) == 0, plan_facts(joined).summary()
+        assert joined.count() == 10000
+        # same tables, aggregation on the bucket key: also shuffle-free
+        agg = spark.table("bkt_a").groupBy("id").count()
+        assert exchange_count(agg) == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_partitioned_scan_prunes(spark):
+    """A filter on the partition column appears as a partition filter
+    (directory pruning), not a data filter."""
+    from ulh_etl_spark.plans.inspect import formatted_plan
+    from ulh_etl_spark.sinks.tables import write_partitioned
+
+    df = spark.range(0, 1000).withColumn(
+        "zone", F.when(F.col("id") % 2 == 0, "a").otherwise("b")
+    )
+    try:
+        write_partitioned(df, "part_t", ["zone"])
+        q = spark.table("part_t").filter(F.col("zone") == "a")
+        plan = formatted_plan(q)
+        assert "PartitionFilters" in plan and "zone" in plan.split(
+            "PartitionFilters"
+        )[1].split("]")[0]
+        assert q.count() == 500
+    finally:
+        spark.sql("DROP TABLE IF EXISTS part_t")

@@ -55,6 +55,40 @@ def insert_select(
     return n
 
 
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table write: co-locates rows by hash(bucket
+    cols) at WRITE time, so later equi-joins/aggregations on those
+    columns skip their shuffle entirely (Catalyst sees the bucketing
+    and drops the Exchange). The 100 TB play: bucket the big fact
+    tables on their join key once, join shuffle-free forever after.
+    Sorted within buckets for sort-merge-friendly probes."""
+    (
+        df.write.mode(mode)
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .saveAsTable(name)
+    )
+
+
+def write_partitioned(
+    df: DataFrame,
+    name: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned write: one directory per partition value, so
+    filters on partition columns prune entire directories at plan
+    time (PartitionFilters in the scan) — the layout for zone tables
+    keyed by practice/ingest-date."""
+    df.write.mode(mode).partitionBy(*partition_cols).saveAsTable(name)
+
+
 def _swap_staging(spark: SparkSession, target: str, staging: str) -> None:
     """Replace ``target`` with ``staging`` (metadata-only swap)."""
     spark.sql(f"DROP TABLE IF EXISTS {target}")
