@@ -1,0 +1,100 @@
+"""Model-based tests for the dedup/text hashing primitives: a pure
+python re-implementation (the semantics spec) checked against the
+Spark expressions on hypothesis-generated corpora — correctness
+independent of the DuckDB oracle."""
+
+import hashlib
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ulh_etl_spark.operators.dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    minhash_signatures,
+    simhash_table,
+)
+from ulh_etl_spark.operators.text import MERSENNE31, char_ngrams, md5_hash32
+
+TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=0, max_size=60,
+)
+
+
+# ------------------------------------------------------ python models
+
+
+def py_md5_hash32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def py_char_ngrams(s: str, n: int) -> list:
+    return [s[i:i + n] for i in range(max(len(s) - n + 1, 1))]
+
+
+def py_minhash(s: str, j: int, n: int = 4) -> int:
+    hs = {py_md5_hash32(g) for g in py_char_ngrams(s, n)}
+    return min((MINHASH_A[j] * h + MINHASH_B[j]) % MERSENNE31 for h in hs)
+
+
+def py_simhash(s: str, bits: int = 16) -> int:
+    toks = [t for t in re.split(r"\s+", s) if t != ""]
+    if not toks:
+        return None
+    acc = 0
+    for b in range(bits):
+        contrib = sum(
+            1 if (py_md5_hash32(t) >> b) & 1 else -1 for t in toks
+        )
+        if contrib > 0:
+            acc |= 1 << b
+    return acc
+
+
+# ----------------------------------------------------------- checks
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(TEXT.filter(lambda s: s != ""), min_size=1, max_size=15))
+def test_md5_hash32_matches_model(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r.h for r in df.select(md5_hash32(F.col("t")).alias("h")).collect()]
+    assert got == [py_md5_hash32(t) for t in texts]
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(TEXT, min_size=1, max_size=15), st.integers(2, 5))
+def test_char_ngrams_matches_model(spark, texts, n):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r.g for r in df.select(char_ngrams(F.col("t"), n).alias("g")).collect()]
+    assert got == [py_char_ngrams(t, n) for t in texts]
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(TEXT.filter(lambda s: len(s) >= 1), min_size=1, max_size=10,
+                unique=True))
+def test_minhash_signatures_match_model(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           minhash_signatures(df, "text", "doc_id", num_hashes=4).collect()}
+    for i, t in enumerate(texts):
+        for j in range(4):
+            assert out[i][f"mh_{j}"] == py_minhash(t, j), (t, j)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(TEXT.filter(lambda s: s.strip() != ""), min_size=1, max_size=10,
+                unique=True))
+def test_simhash_matches_model(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = {r.doc_id: r.simhash16 for r in
+           simhash_table(df, "text", "doc_id", bits=16).collect()}
+    for i, t in enumerate(texts):
+        assert out[i] == py_simhash(t), t
