@@ -53,7 +53,7 @@ def main() -> None:
     # timings measure the engine, not first-query initialization
     # (the Arrow mapInPandas path spawns its worker processes lazily).
     qs["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    qs["q44_media_decode"](spark, sf_dir).limit(64).write.format("noop").mode("overwrite").save()
+    qs["q44_media_decode"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
