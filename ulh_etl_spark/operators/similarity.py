@@ -203,6 +203,46 @@ def embedding_neardup_pairs(
     )
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means refinement of IVF centroids: assign -> per-cell
+    mean -> repeat. The per-cell mean is a grouped ``applyInPandas``
+    stage (numpy column-mean over the cell's vectors) — the genuinely
+    non-SQL piece is the *iteration*, a driver loop re-broadcasting
+    refreshed centroids each round (the standard Spark k-means shape;
+    MLlib does the same with aggregators).
+
+    Scale: each iteration is one broadcast-assign (narrow) plus one
+    shuffle on ``cell``; centroid count stays driver-small. Returns
+    the refined centroids as (centroid_id, centroid_vec).
+    """
+    import pandas as pd
+
+    def cell_mean(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        vecs = np.stack(pdf[vec_col].values)
+        mean = np.round(vecs.astype("float64").mean(axis=0), 6)
+        return pd.DataFrame(
+            {"centroid_id": [int(pdf["cell"].iloc[0])],
+             "centroid_vec": [mean.tolist()]}
+        )
+
+    cents = centroids
+    for _ in range(iterations):
+        assigned = ivf_assign(corpus, cents, id_col, vec_col)
+        cents = assigned.groupBy("cell").applyInPandas(
+            cell_mean,
+            schema="centroid_id int, centroid_vec array<double>",
+        )
+    return cents
+
+
 def ivf_assign_queries(
     queries: DataFrame,
     centroids: DataFrame,

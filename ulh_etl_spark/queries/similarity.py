@@ -87,12 +87,29 @@ def q46_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_neardup_pairs(emb, _centroids(emb), threshold=0.9)
 
 
+def q47_kmeans_refined_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration over the IVF cells: grouped applyInPandas
+    (numpy per-cell mean). One iteration is SQL-expressible, so the
+    Python path is oracle-checked exactly; further iterations reuse
+    the same verified step."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    refined = S.kmeans_refine(emb, _centroids(emb), iterations=1)
+    return refined.select(
+        "centroid_id",
+        F.round(S.l2_norm(F.col("centroid_vec")), 6).alias("centroid_norm"),
+        F.round(
+            F.aggregate(F.col("centroid_vec"), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("centroid_sum"),
+    )
+
+
 QUERIES = {
     "q39_cosine_topk": q39_cosine_topk,
     "q40_embedding_norms": q40_embedding_norms,
     "q41_ivf_cluster_sizes": q41_ivf_cluster_sizes,
     "q42_ivf_topk": q42_ivf_topk,
     "q46_embedding_neardup": q46_embedding_neardup,
+    "q47_kmeans_refined_centroids": q47_kmeans_refined_centroids,
 }
 
 ORACLES = {
@@ -204,5 +221,29 @@ ORACLES = {
               ON a.cell = b.cell AND a.vec_id < b.vec_id
         )
         SELECT id1, id2, cosine FROM pairs WHERE cosine >= 0.9
+    """,
+    "q47_kmeans_refined_centroids": f"""
+        WITH c AS (
+            SELECT vec_id AS centroid_id, embedding AS centroid_vec
+            FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+        ), assigned AS (
+            SELECT vec_id, embedding, cell FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {_SQDIST}, c.centroid_id) AS rn
+                FROM embeddings e, c
+            ) WHERE rn = 1
+        ), expl AS (
+            SELECT cell, unnest(generate_series(1, len(embedding))) AS i, embedding
+            FROM assigned
+        ), means AS (
+            SELECT cell AS centroid_id, i,
+                   ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS m
+            FROM expl GROUP BY cell, i
+        )
+        SELECT centroid_id,
+               ROUND(sqrt(SUM(m * m)), 6) AS centroid_norm,
+               ROUND(SUM(m), 6) AS centroid_sum
+        FROM means GROUP BY centroid_id
     """,
 }
