@@ -185,3 +185,24 @@ def test_broadcast_value_map_no_double_mapping(spark):
         .orderBy(F.monotonically_increasing_id()).collect(),
     )}
     assert out == {"A": "x", "X": "z"}
+
+
+def test_resolve_secret():
+    from ulh_etl_spark.secrets import SecretNotFound, resolve_secret
+
+    assert resolve_secret("K", {"K": "v"}) == "v"
+    assert resolve_secret("K", lambda a: {"K": "v"}.get(a)) == "v"
+    with pytest.raises(SecretNotFound) as exc:
+        resolve_secret("MISSING", {})
+    assert "MISSING" in str(exc.value)
+    with pytest.raises(SecretNotFound):
+        resolve_secret("EMPTY", {"EMPTY": ""})
+
+
+def test_resolve_practice_secrets_skips_notes():
+    from ulh_etl_spark.secrets import resolve_practice_secrets
+
+    got = resolve_practice_secrets(
+        {"note": "docs only", "dv": "DV_ALIAS"}, {"DV_ALIAS": "tok"}
+    )
+    assert got == {"dv": "tok"}
