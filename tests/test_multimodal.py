@@ -97,3 +97,27 @@ def test_embed_media_unit_norm(spark, media):
         assert len(r.embedding) == 8
         norm = sum(v * v for v in r.embedding) ** 0.5
         assert abs(norm - 1.0) < 1e-3
+
+
+def test_kmeans_refine_iterates(spark):
+    """Multi-iteration Lloyd refinement: centroids stay well-formed
+    and assignments stabilize on an obviously separable corpus."""
+    from ulh_etl_spark.operators.similarity import ivf_assign, kmeans_refine
+
+    rows = [(i, [10.0 + (i % 3), 0.0]) for i in range(30)] + [
+        (100 + i, [-10.0 - (i % 3), 1.0]) for i in range(30)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seed = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [-1.0, 0.0])],
+        "centroid_id int, centroid_vec array<double>",
+    )
+    refined = kmeans_refine(corpus, seed, iterations=3)
+    cents = {r.centroid_id: r.centroid_vec for r in refined.collect()}
+    assert len(cents) == 2
+    xs = sorted(v[0] for v in cents.values())
+    assert xs[0] < -9 and xs[1] > 9  # converged to the two blobs
+    # all vectors assign cleanly to their blob's centroid
+    assigned = ivf_assign(corpus, refined)
+    clusters = {r.cell for r in assigned.filter("vec_id < 100").collect()}
+    assert len(clusters) == 1
