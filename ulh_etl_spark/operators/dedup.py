@@ -209,33 +209,38 @@ def ngram_jaccard_pairs_blocked(
             F.array_distinct(char_ngrams(F.col(text_col), n)), md5_hash32
         ).alias("_g"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    a, b = g.alias("a"), g.alias("b")
+    # Single join via probe replication: side a probes its own bucket
+    # AND the next one (explode to 2 rows), so same-bucket and
+    # adjacent-bucket candidates come out of ONE equi-join — half the
+    # join scheduling and one scan of g per side instead of two.
+    # Dedup rules keep each pair exactly once: same-bucket needs
+    # id_a < id_b; adjacent pairs (a below b) are unique already.
+    a = g.select(
+        F.col(id_col), "_blk", "_len", "_bkt", "_g",
+        F.explode(F.array(F.col("_bkt"), F.col("_bkt") + 1)).alias("_probe"),
+    ).alias("a")
+    b = g.alias("b")
     ia, ib = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
 
-    same = a.join(
+    joined = a.join(
         b,
         (F.col("a._blk") == F.col("b._blk"))
-        & (F.col("a._bkt") == F.col("b._bkt"))
-        & (ia < ib),
-    )
-    adj = a.join(
-        b,
-        (F.col("a._blk") == F.col("b._blk"))
-        & (F.col("a._bkt") + 1 == F.col("b._bkt")),
-    )
-
-    def _project(joined: DataFrame) -> DataFrame:
-        return joined.filter(
-            F.abs(F.col("a._len") - F.col("b._len")) <= max_length_diff
-        ).select(
-            F.least(ia, ib).alias("id1"),
-            F.greatest(ia, ib).alias("id2"),
-            F.size(F.array_intersect(F.col("a._g"), F.col("b._g"))).alias("_i"),
-            F.size(F.col("a._g")).alias("_la"),
-            F.size(F.col("b._g")).alias("_lb"),
+        & (F.col("a._probe") == F.col("b._bkt")),
+    ).filter(
+        (
+            ((F.col("a._bkt") == F.col("b._bkt")) & (ia < ib))
+            | (F.col("a._bkt") + 1 == F.col("b._bkt"))
         )
+        & (F.abs(F.col("a._len") - F.col("b._len")) <= max_length_diff)
+    )
 
-    pairs = _project(same).unionByName(_project(adj))
+    pairs = joined.select(
+        F.least(ia, ib).alias("id1"),
+        F.greatest(ia, ib).alias("id2"),
+        F.size(F.array_intersect(F.col("a._g"), F.col("b._g"))).alias("_i"),
+        F.size(F.col("a._g")).alias("_la"),
+        F.size(F.col("b._g")).alias("_lb"),
+    )
     jac = F.round(
         F.col("_i").cast("double")
         / (F.col("_la") + F.col("_lb") - F.col("_i")).cast("double"),
