@@ -67,6 +67,24 @@ def test_plan_facts_summary(spark, sf_dir):
     assert s["scans"] >= 1 and s["codegen_spans"] >= 1
 
 
+def test_dedup_fanout_is_conditional(spark):
+    """minhash_signatures only inserts a round-robin repartition when
+    the input is under-parallel; a well-split input (the 100 TB case)
+    must NOT pay a full-corpus shuffle before the work starts."""
+    from ulh_etl_spark.operators.dedup import minhash_signatures
+    from ulh_etl_spark.plans.inspect import formatted_plan
+
+    docs = spark.range(0, 256).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("some document text "), F.col("id").cast("string")).alias("text"),
+    )
+    well_split = formatted_plan(minhash_signatures(docs, "text", "doc_id"))
+    assert "RoundRobinPartitioning" not in well_split, well_split
+
+    single = formatted_plan(minhash_signatures(docs.coalesce(1), "text", "doc_id"))
+    assert "RoundRobinPartitioning" in single, single
+
+
 # ---------------------------------------------------------------- skew
 
 

@@ -42,6 +42,18 @@ MINHASH_B = (12345, 23456, 34567, 45678, 56789, 67890, 78901, 89012)
 DEFAULT_SHINGLE = 4
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Repartition ONLY when the input arrives under-parallel (e.g. a
+    small table read as 1-2 parquet splits). At scale the input already
+    has thousands of splits and a blanket repartition would force a
+    full shuffle of the raw corpus before any work happens — skip it.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
 def exact_dedup_keys(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact (normalized) dedup: group by content fingerprint, keep
     the minimum id as the canonical representative."""
@@ -89,10 +101,10 @@ def minhash_signatures(
     This is the formulation that holds at 100 TB.
     """
     # Spread the per-shingle hashing across all cores even when the
-    # source arrives as a single parquet split. Distinct before
-    # explode: min over duplicates is unchanged, so never hash (or
-    # shuffle) a duplicate shingle.
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # source arrives as a single parquet split (no-op on well-split
+    # inputs). Distinct before explode: min over duplicates is
+    # unchanged, so never hash (or shuffle) a duplicate shingle.
+    df = _fan_out(df)
     grams = F.array_distinct(char_ngrams(F.col(text_col), shingle_n))
     exploded = df.select(F.col(id_col), F.explode(grams).alias("_gram"))
     hashed = exploded.select(F.col(id_col), md5_hash32(F.col("_gram")).alias("_h"))
@@ -195,18 +207,24 @@ def ngram_jaccard_pairs_blocked(
     # would recompute it up to 4x (once per join side). Materializing
     # once is the canonical candidate-verification shape — at scale the
     # gram sets are ~3x the text size and spill to disk cleanly.
-    # Repartition first: a small input may arrive as 1-2 parquet splits
-    # and the per-char md5 work would run on as many cores.
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # Repartition first (only if under-parallel): a small input may
+    # arrive as 1-2 parquet splits and the per-char md5 work would run
+    # on as many cores.
+    df = _fan_out(df)
     g = df.select(
         F.col(id_col),
         F.col(block_col).alias("_blk"),
         F.col(length_col).alias("_len"),
         (F.col(length_col) / max_length_diff).cast("long").alias("_bkt"),
-        # distinct BEFORE hashing: md5 is the dominant per-row cost,
-        # so never hash a duplicate gram (same resulting hash set)
-        F.transform(
-            F.array_distinct(char_ngrams(F.col(text_col), n)), md5_hash32
+        # distinct BEFORE hashing (md5 is the dominant per-row cost, so
+        # never hash a duplicate gram) AND after: two distinct grams
+        # that collide in the 32-bit prefix must still yield a
+        # deduplicated hash set, or |A|+|B| counts a hash that
+        # array_intersect dedupes.
+        F.array_distinct(
+            F.transform(
+                F.array_distinct(char_ngrams(F.col(text_col), n)), md5_hash32
+            )
         ).alias("_g"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # Single join via probe replication: side a probes its own bucket
@@ -293,7 +311,13 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> 
     fingerprint. Output column: ``simhash{bits}``.
     """
     toks = whitespace_tokens(F.col(text_col))
-    exploded = df.select(F.col(id_col), F.explode(toks).alias("_tok"))
+    # explode_outer, not explode: a token-less document (empty or
+    # whitespace-only text) must survive as a null-token row so its
+    # per-bit sums come out negative and it lands at simhash=0 —
+    # matching both the expression form (aggregate over empty array
+    # -> 0 -> bit unset) and the SQL oracle (NULL sum -> bit unset).
+    # Plain explode would silently drop such documents.
+    exploded = df.select(F.col(id_col), F.explode_outer(toks).alias("_tok"))
     hashed = exploded.select(F.col(id_col), md5_hash32(F.col("_tok")).alias("_h"))
     sums = [
         F.sum(

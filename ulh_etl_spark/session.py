@@ -66,6 +66,10 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The conf is runtime-settable, and the correctness driver owns its
+    # own SparkSession built without our builder defaults — set it here
+    # so ANY session can read the TIMESTAMP(NANOS) events.parquet.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     # Nanosecond-precision parquet timestamps arrive as long (see
     # nanosAsLong config above); normalize to TimestampType at
@@ -89,7 +93,10 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name in TABLES:
         p = table_path(sf_dir, name)
         if os.path.exists(p):
-            df = spark.read.parquet(p)
+            # Route through load_table so the nanos conf + the events
+            # ts long→timestamp normalization apply to the temp views
+            # too — otherwise SQL-path consumers see a diverging type.
+            df = load_table(spark, sf_dir, name)
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
