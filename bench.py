@@ -40,6 +40,27 @@ HEADLINE = (
     "q51_event_sessionize",
 )
 
+# Round-1 anchor (BENCH_r01 @ sf0.1, local[32]) — the official
+# regression baseline recorded in BASELINE.md. Ratios vs this table go
+# to stderr so the stdout contract (one JSON line) is untouched.
+ANCHOR_SF = 0.1
+ANCHOR = {
+    "q01_pricing_summary": 0.517,
+    "q03_record_type_classify": 0.902,
+    "q05_self_join": 0.879,
+    "q06_composite_key_join": 0.634,
+    "q19_incremental_antijoin": 0.643,
+    "q20_merge_keep_latest": 0.683,
+    "q31_quality_score": 1.581,
+    "q34_dedup_exact": 0.505,
+    "q36_minhash_pairs": 1.836,
+    "q38_ngram_jaccard_pairs": 4.126,
+    "q39_cosine_topk": 0.795,
+    "q44_media_decode": 0.558,
+    "q50_event_window_counts": 0.417,
+    "q51_event_sessionize": 0.828,
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -62,6 +83,17 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    if sf == ANCHOR_SF:
+        for name, secs in timings.items():
+            base = ANCHOR.get(name)
+            if base:
+                ratio = secs / base
+                flag = " REGRESSION" if ratio > 1.5 else (
+                    " improved" if ratio < 0.7 else "")
+                print(f"  {name}: {secs:.3f}s vs r01 {base:.3f}s "
+                      f"({ratio:.2f}x){flag}", file=sys.stderr)
+        print(f"  total: {total:.3f}s vs r01 {sum(ANCHOR.values()):.3f}s",
+              file=sys.stderr)
     print(
         json.dumps(
             {

@@ -193,7 +193,27 @@ def test_entity_mirror_merge(spark, mirror_cleanup):
         spark.createDataFrame([("MBI2", "new"), ("MBI3", "new")], "mbi string, v string"),
         alternate_key=["mbi"],
     )
-    assert stats == {"updated": 1, "inserted": 1}
+    assert stats == {"updated": 1, "inserted": 1, "deleted": 0}
+    out = {r.mbi: r.v for r in spark.table("entity_mirror").collect()}
+    assert out == {"MBI1": "old", "MBI2": "new", "MBI3": "new"}
+
+
+def test_entity_mirror_merge_delete(spark, mirror_cleanup):
+    """Reference cancel semantics: a canceled (delete-flagged) row
+    must disappear from the mirror, and the tallies count it."""
+    base = spark.createDataFrame(
+        [("MBI1", "old"), ("MBI2", "old"), ("MBI4", "old")],
+        "mbi string, v string",
+    )
+    write_table(base, "entity_mirror", mode="overwrite")
+    rows = spark.createDataFrame(
+        [("MBI2", "new", None), ("MBI3", "new", None), ("MBI4", "x", "delete")],
+        "mbi string, v string, _op string",
+    )
+    stats = entity_mirror_merge(
+        spark, "entity_mirror", rows, alternate_key=["mbi"], op_col="_op"
+    )
+    assert stats == {"updated": 1, "inserted": 1, "deleted": 1}
     out = {r.mbi: r.v for r in spark.table("entity_mirror").collect()}
     assert out == {"MBI1": "old", "MBI2": "new", "MBI3": "new"}
 
@@ -204,6 +224,24 @@ def test_classify_create_update(spark):
     out = {r.k: (r._op, r._guid)
            for r in classify_create_update(rows, key_map, ["k"]).collect()}
     assert out == {"k1": ("update", "G-1"), "k2": ("create", None)}
+
+
+def test_classify_delete_when(spark):
+    """Canceled rows become 'delete' when the snapshot knows the GUID,
+    'skip' when nothing exists to delete."""
+    from pyspark.sql import functions as F
+
+    rows = spark.createDataFrame(
+        [("k1", "active"), ("k2", "canceled"), ("k3", "canceled")],
+        "k string, status string",
+    )
+    key_map = spark.createDataFrame(
+        [("k1", "G-1"), ("k2", "G-2")], "k string, guid string"
+    )
+    out = {r.k: r._op for r in classify_create_update(
+        rows, key_map, ["k"], delete_when=F.col("status") == "canceled"
+    ).collect()}
+    assert out == {"k1": "update", "k2": "delete", "k3": "skip"}
 
 
 def test_parse_batch_response():
@@ -278,3 +316,34 @@ def test_batch_upsert_http_create_update_split(spark, tmp_path):
     assert ops["PATCH"]["url"] == "contacts(G-1)"
     assert ops["PATCH"]["headers"] == {"If-Match": "*"}
     assert ops["POST"]["url"] == "contacts"
+
+
+def test_batch_upsert_http_delete_and_skip(spark, tmp_path):
+    """_op='delete' rows become DELETE ops in the batch payload;
+    _op='skip' rows emit nothing; the response parse counts the
+    DELETE's 204 like any other success."""
+    from pyspark.sql import functions as F
+
+    rows = spark.createDataFrame(
+        [("k1", "active"), ("k2", "canceled"), ("k3", "canceled")],
+        "k string, status string",
+    )
+    key_map = spark.createDataFrame(
+        [("k1", "G-1"), ("k2", "G-2")], "k string, guid string"
+    )
+    marked = classify_create_update(
+        rows, key_map, ["k"], delete_when=F.col("status") == "canceled"
+    ).coalesce(1)
+    transport = make_spool_transport(tmp_path)
+    res = batch_upsert_http(
+        marked, "https://dv/$batch", "contacts", ["k"],
+        transport_factory=lambda: transport, batch_size=10,
+    )
+    flat = [op for batch in read_spool(tmp_path) for op in batch]
+    assert res.succeeded == 2 and res.failed == 0  # k3 skipped entirely
+    by_method = {op["method"]: op for op in flat}
+    assert by_method["DELETE"]["url"] == "contacts(G-2)"
+    assert by_method["DELETE"]["headers"] == {"If-Match": "*"}
+    assert "body" not in by_method["DELETE"]
+    assert by_method["PATCH"]["url"] == "contacts(G-1)"
+    assert len(flat) == 2

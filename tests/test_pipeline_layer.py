@@ -181,6 +181,70 @@ def test_merge_upsert(warehouse):
     assert out == {(1, "a"): "old", (2, "b"): "new", (3, "c"): "new"}
 
 
+def test_insert_select_single_job(warehouse):
+    """The rows-written count must ride the write job (observe), not a
+    second evaluation of the source plan."""
+    spark = warehouse
+    write_table(spark.range(5).toDF("n"), "t_onejob", mode="overwrite")
+    sc = spark.sparkContext
+    sc.setJobGroup("ins_one", "insert_select")
+    assert insert_select(spark, "t_onejob", spark.range(7).toDF("n")) == 7
+    sc.setJobGroup("ins_other", "")
+    assert len(sc.statusTracker().getJobIdsForGroup("ins_one")) == 1
+
+
+def test_merge_upsert_tiebreak_deterministic(warehouse):
+    """Duplicate-key source rows: the highest tiebreak value wins and
+    the updated/inserted tallies count key groups, not source rows."""
+    spark = warehouse
+    tgt = spark.createDataFrame(
+        [(1, "a", "old", 0), (2, "b", "old", 0)],
+        "k1 int, k2 string, v string, ts int",
+    )
+    write_table(tgt, "t_merge_tb", mode="overwrite")
+    src = spark.createDataFrame(
+        [(2, "b", "v1", 1), (2, "b", "v2", 2), (3, "c", "x", 1)],
+        "k1 int, k2 string, v string, ts int",
+    )
+    stats = merge_upsert(spark, "t_merge_tb", src, keys=["k1", "k2"],
+                         tiebreak_cols=["ts"])
+    assert stats == {"updated": 1, "inserted": 1}
+    out = {(r.k1, r.k2): r.v for r in spark.table("t_merge_tb").collect()}
+    assert out == {(1, "a"): "old", (2, "b"): "v2", (3, "c"): "x"}
+
+
+def test_merge_upsert_dynamic_partition_overwrite(warehouse):
+    """Partitioned merge only rewrites partitions the source touches;
+    untouched partitions keep their original files."""
+    import glob
+    import os
+
+    from ulh_etl_spark.sinks.tables import write_partitioned
+
+    spark = warehouse
+    df = spark.createDataFrame(
+        [(1, "p1", "old"), (2, "p1", "old"), (3, "p2", "keep")],
+        "id int, part string, v string",
+    )
+    write_partitioned(df, "t_merge_dpo", ["part"])
+    tbl_dir = spark.sql("DESCRIBE FORMATTED t_merge_dpo").filter(
+        "col_name = 'Location'"
+    ).collect()[0].data_type.replace("file:", "")
+    before_p2 = sorted(glob.glob(os.path.join(tbl_dir, "part=p2", "*.parquet")))
+
+    src = spark.createDataFrame(
+        [(2, "p1", "new"), (4, "p1", "ins")], "id int, part string, v string"
+    )
+    stats = merge_upsert(spark, "t_merge_dpo", src, keys=["id"],
+                         partition_cols=["part"])
+    assert stats == {"updated": 1, "inserted": 1}
+    out = {r.id: (r.part, r.v) for r in spark.table("t_merge_dpo").collect()}
+    assert out == {1: ("p1", "old"), 2: ("p1", "new"),
+                   3: ("p2", "keep"), 4: ("p1", "ins")}
+    after_p2 = sorted(glob.glob(os.path.join(tbl_dir, "part=p2", "*.parquet")))
+    assert before_p2 == after_p2  # untouched partition: same files
+
+
 def test_update_flag(warehouse):
     spark = warehouse
     df = spark.createDataFrame([(1, 1), (2, 1), (3, 0)], "id int, IS_NEW int")

@@ -64,9 +64,12 @@ def sniff_format(content: Column) -> Column:
     (hex prefix compare), no UDF."""
     hex8 = F.upper(F.hex(F.substring(content, 1, 4)))
     expr = F.lit("unknown")
-    # build when-chain longest-prefix-first so 3-byte jpeg doesn't
-    # shadow 4-byte matches
-    for magic, fmt in sorted(_MAGIC.items(), key=lambda kv: -len(kv[0])):
+    # Each wrap puts the new condition OUTERMOST (evaluated first), so
+    # iterate shortest-prefix-first: the longest prefixes end up on the
+    # outside and a 3-byte jpeg magic can't shadow a 4-byte FFD8FFE0
+    # variant added later. (Ties break on the hex string for
+    # determinism.)
+    for magic, fmt in sorted(_MAGIC.items(), key=lambda kv: (len(kv[0]), kv[0])):
         expr = F.when(F.substring(hex8, 1, len(magic)) == magic, F.lit(fmt)).otherwise(
             expr
         )

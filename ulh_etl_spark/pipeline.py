@@ -29,7 +29,7 @@ from dataclasses import dataclass, field
 from datetime import datetime, timezone
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ulh_etl_spark.config import IngestConfig, IngestEntry, Practice
@@ -149,10 +149,13 @@ def stage_raw(
     )
     if df.isEmpty():  # zero-row short-circuit (reference :1013-1019)
         return 0
+    # rows-written verification rides the write job via observe() — a
+    # post-write re-read of the target can't prune on PARENT_RUN_ID
+    # and pays a full-table scan per run at scale.
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
     write_table(df, entry.raw_table, mode="append")
-    n = spark.table(entry.raw_table).filter(
-        F.col("PARENT_RUN_ID") == parent_run_id
-    ).count()
+    n = int(obs.get["rows"])
     append_log(
         spark, "RAW", new_run_id(), parent_run_id, practice, entry.name, "SUCCESS",
         rows_read=n, rows_written=n, started_at=started, finished_at=_utcnow(),
@@ -190,13 +193,19 @@ def stage_refined(
         fresh.withColumn("IS_VALID", F.lit(1))
         .withColumn("REFINED_PARENT_RUN_ID", F.lit(parent_run_id))
     )
+    # one job: the write also carries the row count AND the distinct
+    # consumed run ids (collect_set), replacing a pre-write distinct
+    # collect and a post-write full-table re-scan.
+    obs = Observation()
+    fresh = fresh.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.collect_set("PARENT_RUN_ID").alias("run_ids"),
+    )
     write_table(fresh, entry.refined_table, mode="append")
-    run_ids = [r.PARENT_RUN_ID for r in
-               fresh.select("PARENT_RUN_ID").distinct().collect()]
-    mark_consumed(spark, run_ids, stage=f"REFINED:{entry.raw_table}")
-    n = spark.table(entry.refined_table).filter(
-        F.col("REFINED_PARENT_RUN_ID") == parent_run_id
-    ).count()
+    metrics = obs.get
+    mark_consumed(spark, list(metrics["run_ids"]), stage=f"REFINED:{entry.raw_table}")
+    n = int(metrics["rows"])
     append_log(
         spark, "REFINED", new_run_id(), parent_run_id, practice, entry.name,
         "SUCCESS", rows_read=n, rows_written=n,
@@ -225,6 +234,12 @@ def stage_curated(
         src = apply_source_filter(src, entry.source_filter)
     if entry.future_only_filter:
         src = future_only_filter(src, **entry.future_only_filter)
+    # consumed run ids ride whichever downstream action runs first
+    # (the RECORD_TYPE distribution) instead of a dedicated scan
+    obs_runs = Observation()
+    src = src.observe(
+        obs_runs, F.collect_set("REFINED_PARENT_RUN_ID").alias("run_ids")
+    )
 
     # lookup enrichment joins — small dimensions, broadcast by construction
     for lk in entry.lookups:
@@ -259,9 +274,8 @@ def stage_curated(
     }
 
     n = insert_select(spark, entry.curated_table, marked)
-    run_ids = [r.REFINED_PARENT_RUN_ID for r in
-               src.select("REFINED_PARENT_RUN_ID").distinct().collect()]
-    mark_consumed(spark, run_ids, stage=f"CURATED:{entry.refined_table}")
+    mark_consumed(spark, list(obs_runs.get["run_ids"]),
+                  stage=f"CURATED:{entry.refined_table}")
     append_log(
         spark, "CURATED", new_run_id(), parent_run_id, practice, entry.name,
         "SUCCESS", rows_read=n, rows_written=n,

@@ -362,10 +362,14 @@ def q22_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- F8: LIKE / NOT LIKE guards ---
 def q23_like_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIKE containment + NOT LIKE exclusion (reference F8 rule guards
-    and config predicates, RAW_SNOWFLAKE_TO_REFINED...py:457)."""
+    and config predicates, RAW_SNOWFLAKE_TO_REFINED...py:457).
+    Predicates chosen so BOTH arms are non-vacuous on the synthetic
+    data: ECONOMY matches ~10% of p_type; 'blue %' names exist and
+    are excluded — the check compares non-empty, genuinely filtered
+    result sets."""
     part = _t(spark, sf_dir, "part")
     return part.filter(
-        F.col("p_type").like("%BRASS%") & ~F.col("p_name").like("a%")
+        F.col("p_type").like("%ECONOMY%") & ~F.col("p_name").like("blue%")
     ).select(
         F.col("p_partkey").alias("part_key"),
         F.col("p_type").alias("part_type"),
@@ -599,7 +603,7 @@ ORACLES = {
         SELECT p_partkey AS part_key, p_type AS part_type,
                p_name AS part_name
         FROM part
-        WHERE p_type LIKE '%BRASS%' AND p_name NOT LIKE 'a%'
+        WHERE p_type LIKE '%ECONOMY%' AND p_name NOT LIKE 'blue%'
     """,
     "q24_leaf_dir_extract": """
         SELECT p_partkey AS part_key,

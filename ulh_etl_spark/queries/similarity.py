@@ -79,12 +79,20 @@ _SQDIST = (
     " * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.centroid_vec[i] AS DOUBLE))))"
 )
 
+_NEARDUP_THRESHOLD = 0.3  # synthetic embeddings are near-orthogonal
+# (max same-cell cosine ~0.49 at sf0.01); 0.3 keeps the top ~1% of
+# candidate pairs so the pair-emission + threshold logic is checked
+# against non-empty results. Real corpora would use 0.9+.
+
+
 def q46_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, IVF-cell blocked (same-cell
-    candidates only, exact cosine >= 0.9 on candidates) — the
+    candidates only, exact cosine >= threshold on candidates) — the
     embedding leg of the dedup suite."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.embedding_neardup_pairs(emb, _centroids(emb), threshold=0.9)
+    return S.embedding_neardup_pairs(
+        emb, _centroids(emb), threshold=_NEARDUP_THRESHOLD
+    )
 
 
 def q47_kmeans_refined_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,7 +228,7 @@ ORACLES = {
             FROM assigned a JOIN assigned b
               ON a.cell = b.cell AND a.vec_id < b.vec_id
         )
-        SELECT id1, id2, cosine FROM pairs WHERE cosine >= 0.9
+        SELECT id1, id2, cosine FROM pairs WHERE cosine >= {_NEARDUP_THRESHOLD}
     """,
     "q47_kmeans_refined_centroids": f"""
         WITH c AS (

@@ -24,12 +24,12 @@ def q30_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q31_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite length/stopword/punctuation quality heuristic."""
+    """Composite length/stopword/punctuation quality heuristic —
+    frame form: the token array is split once per document (the
+    expression form re-splits per aggregate; see
+    text.with_quality_score)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        T.quality_score(F.col("text")).alias("quality"),
-    )
+    return T.with_quality_score(docs, "text").select("doc_id", "quality")
 
 
 def q32_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:

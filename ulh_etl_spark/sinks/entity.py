@@ -29,9 +29,9 @@ import json
 from dataclasses import dataclass
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 
-from ulh_etl_spark.sinks.tables import merge_upsert
+from ulh_etl_spark.sinks.tables import _swap_staging, merge_upsert, table_exists
 
 
 @dataclass
@@ -48,12 +48,50 @@ def entity_mirror_merge(
     mirror_table: str,
     rows: DataFrame,
     alternate_key: list[str],
+    op_col: str | None = None,
 ) -> dict[str, int]:
     """Alternate-key upsert into the mirror table: the PATCH-by-
     alternate-key create-or-update, as a key-based MERGE. Returns
-    {"updated": n, "inserted": n} — the reference's create/update
-    tallies (:1051-1055)."""
-    return merge_upsert(spark, mirror_table, rows, keys=alternate_key)
+    {"updated": n, "inserted": n, "deleted": n} — the reference's
+    create/update tallies (:1051-1055) plus the delete-on-canceled
+    path (SURVEY §7.1 sink semantics: canceled appointments carry a
+    delete flag and must leave the entity store).
+
+    When ``op_col`` is given, rows with ``op_col == 'delete'`` are
+    removed from the mirror by alternate key; all other rows upsert.
+    The delete applies AFTER the upsert (a key present in both sets
+    ends up deleted — matching the entity store, where the DELETE op
+    in the same $batch wins over an earlier PATCH)."""
+    from pyspark.sql import functions as F
+
+    if op_col is None or op_col not in rows.columns:
+        stats = merge_upsert(spark, mirror_table, rows, keys=alternate_key)
+        stats["deleted"] = 0
+        return stats
+
+    deletes = rows.filter(F.col(op_col) == "delete")
+    upserts = rows.filter(
+        F.col(op_col).isNull() | (F.col(op_col) != "delete")
+    ).drop(op_col)
+    stats = merge_upsert(spark, mirror_table, upserts, keys=alternate_key)
+    stats["deleted"] = 0
+
+    if not deletes.isEmpty() and table_exists(spark, mirror_table):
+        del_keys = deletes.select(*alternate_key).distinct().withColumn(
+            "_del", F.lit(1)
+        )
+        tgt = spark.table(mirror_table)
+        marked = tgt.join(F.broadcast(del_keys), alternate_key, "left")
+        obs = Observation()
+        marked = marked.observe(
+            obs, F.count(F.when(F.col("_del") == 1, 1)).alias("deleted")
+        )
+        remaining = marked.filter(F.col("_del").isNull()).drop("_del")
+        staging = f"{mirror_table}__staging"
+        remaining.write.mode("overwrite").saveAsTable(staging)
+        _swap_staging(spark, mirror_table, staging)
+        stats["deleted"] = int(obs.get["deleted"])
+    return stats
 
 
 def classify_create_update(
@@ -61,17 +99,31 @@ def classify_create_update(
     key_map: DataFrame,
     keys: list[str],
     guid_col: str = "guid",
+    delete_when: Column | None = None,
 ) -> DataFrame:
     """Key-map update-vs-create split (J4 as a broadcast join): rows
     gaining a ``_op`` column ('update' with the snapshot GUID, else
     'create'). The reference probes a collected dict per row
-    (:767-801); a broadcast left join is the distributed equivalent."""
+    (:767-801); a broadcast left join is the distributed equivalent.
+
+    ``delete_when`` (e.g. ``F.col("status") == "canceled"``) marks
+    matching rows 'delete' when the snapshot knows their GUID, and
+    'skip' when it doesn't (nothing exists to delete — the reference
+    silently drops canceled rows never synced)."""
     from pyspark.sql import functions as F
 
     km = key_map.select(*keys, F.col(guid_col).alias("_guid")).distinct()
-    return rows.join(F.broadcast(km), keys, "left").withColumn(
-        "_op", F.when(F.col("_guid").isNotNull(), F.lit("update")).otherwise(F.lit("create"))
+    joined = rows.join(F.broadcast(km), keys, "left")
+    op = F.when(F.col("_guid").isNotNull(), F.lit("update")).otherwise(
+        F.lit("create")
     )
+    if delete_when is not None:
+        op = (
+            F.when(delete_when & F.col("_guid").isNotNull(), F.lit("delete"))
+            .when(delete_when, F.lit("skip"))
+            .otherwise(op)
+        )
+    return joined.withColumn("_op", op)
 
 
 def build_batch_payload(ops: list[dict]) -> str:
@@ -150,7 +202,13 @@ def batch_upsert_http(
             d = row.asDict()
             guid = d.pop(guid_col, None) if has_op else None
             op = d.pop(op_col, None) if has_op else None
-            if op == "update" and guid:
+            if op == "skip":  # canceled + never synced: nothing to do
+                continue
+            if op == "delete" and guid:
+                ops.append({"method": "DELETE",
+                            "url": f"{entity_set}({guid})",
+                            "headers": {"If-Match": "*"}})
+            elif op == "update" and guid:
                 ops.append({"method": "PATCH",
                             "url": f"{entity_set}({guid})",
                             "headers": {"If-Match": "*"}, "body": d})

@@ -15,7 +15,7 @@ preferred incremental mechanism.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -44,15 +44,19 @@ def insert_select(
 ) -> int:
     """K3: INSERT INTO target SELECT ... — column-aligned append (the
     curated load, REFINED_SNOWFLAKE_TO_CURATED_SNOWFLAKE.py:1413-1430).
-    Returns rows written."""
-    n = source_df.count()
+    Returns rows written.
+
+    The row count rides the write job via ``observe()`` — a separate
+    ``count()`` would evaluate the full source plan (projection +
+    joins) twice per load."""
+    obs = Observation()
+    observed = source_df.observe(obs, F.count(F.lit(1)).alias("rows"))
     if table_exists(spark, target):
         cols = [f.name for f in spark.table(target).schema.fields]
-        source_df = source_df.select(*cols)
-        source_df.write.mode("append").insertInto(target)
+        observed.select(*cols).write.mode("append").insertInto(target)
     else:
-        source_df.write.saveAsTable(target)
-    return n
+        observed.write.saveAsTable(target)
+    return int(obs.get["rows"])
 
 
 def write_bucketed(
@@ -100,38 +104,93 @@ def merge_upsert(
     target: str,
     source_df: DataFrame,
     keys: list[str],
+    tiebreak_cols: list[str] | None = None,
+    partition_cols: list[str] | None = None,
 ) -> dict[str, int]:
     """K4: MERGE upsert — WHEN MATCHED UPDATE all columns, WHEN NOT
     MATCHED INSERT (reference Rater8_Reviews.ipynb ``run_merge`` on
     (SURVEY_ID, QUESTION_ID)).
 
     Parquet-mode implementation: union target+source with a priority
-    column, keep-latest per key via row_number (source wins), write to
-    a staging table, metadata-swap. One shuffle on the merge keys.
-    Returns {"updated": ..., "inserted": ...} (the reference reports
-    the same split from MERGE output).
+    column, keep-latest per key via row_number (source wins). One
+    shuffle on the merge keys; the updated/inserted tallies ride the
+    SAME job via ``observe()`` on the merged frame (no pre-counts, no
+    extra scans). Returns {"updated": ..., "inserted": ...} counted
+    per key group — exactly what a native MERGE reports.
+
+    Precondition: at most one source row per key, OR pass
+    ``tiebreak_cols`` (descending; highest wins — mirror of q20's
+    ts/event_id tiebreak). Without a tiebreak, duplicate-key source
+    rows leave the survivor nondeterministic.
+
+    ``partition_cols``: when the target is partitioned on these
+    columns, the merge only reads + rewrites the partitions the source
+    touches (dynamic partition overwrite) instead of the whole table —
+    the rewrite is bounded by the source's partition footprint, which
+    is what keeps parquet-mode MERGE viable at 100 TB. On Delta you'd
+    swap this body for ``MERGE INTO`` and keep the signature.
     """
     if not table_exists(spark, target):
-        write_table(source_df, target, mode="overwrite")
-        return {"updated": 0, "inserted": source_df.count()}
+        obs = Observation()
+        observed = source_df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        writer = observed.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.saveAsTable(target)
+        return {"updated": 0, "inserted": int(obs.get["rows"])}
 
     tgt = spark.table(target)
-    matched = source_df.join(tgt.select(*keys).distinct(), keys, "left_semi").count()
-    inserted = source_df.count() - matched
+    if partition_cols:
+        # restrict the target side to partitions the source touches;
+        # the broadcast semi-join prunes untouched directories
+        touched = source_df.select(*partition_cols).distinct()
+        tgt_side = tgt.join(F.broadcast(touched), partition_cols, "left_semi")
+    else:
+        tgt_side = tgt
 
-    combined = tgt.withColumn("_prio", F.lit(0)).unionByName(
+    combined = tgt_side.withColumn("_prio", F.lit(0)).unionByName(
         source_df.withColumn("_prio", F.lit(1))
     )
-    w = Window.partitionBy(*keys).orderBy(F.col("_prio").desc())
+    order = [F.col("_prio").desc()] + [
+        F.col(c).desc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    wk = Window.partitionBy(*keys)
     merged = (
         combined.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_had_tgt",
+            F.max(F.when(F.col("_prio") == 0, 1).otherwise(0)).over(wk),
+        )
         .filter(F.col("_rn") == 1)
-        .drop("_prio", "_rn")
     )
-    staging = f"{target}__staging"
-    merged.write.mode("overwrite").saveAsTable(staging)
-    _swap_staging(spark, target, staging)
-    return {"updated": matched, "inserted": inserted}
+    obs = Observation()
+    merged = merged.observe(
+        obs,
+        F.count(
+            F.when((F.col("_prio") == 1) & (F.col("_had_tgt") == 1), 1)
+        ).alias("updated"),
+        F.count(
+            F.when((F.col("_prio") == 1) & (F.col("_had_tgt") == 0), 1)
+        ).alias("inserted"),
+    ).drop("_prio", "_rn", "_had_tgt")
+
+    if partition_cols:
+        # dynamic mode: only partitions present in `merged` (= the
+        # touched ones) are replaced; everything else is untouched
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            cols = [f.name for f in tgt.schema.fields]
+            merged.select(*cols).write.mode("overwrite").insertInto(target)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    else:
+        staging = f"{target}__staging"
+        merged.write.mode("overwrite").saveAsTable(staging)
+        _swap_staging(spark, target, staging)
+    m = obs.get
+    return {"updated": int(m["updated"]), "inserted": int(m["inserted"])}
 
 
 def update_flag(
