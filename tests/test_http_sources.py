@@ -109,11 +109,35 @@ def test_refresh_handshake(spark):
             ok({"query_result": {"data": {"rows": [{"id": "1"}, {"id": "2"}]}}}))
     waits = []
     df = refresh_handshake_source(
-        spark, t, "https://hj/refresh", "https://hj/results.json",
+        spark, t, "https://hj/results.json", refresh_url="https://hj/refresh",
         wait_s=120, sleeper=waits.append,
     )
     assert df.count() == 2
     assert 120 in waits  # the fixed refresh wait
+
+
+def test_refresh_handshake_derives_refresh_url(spark):
+    """Config stores only the results URL; the refresh endpoint is
+    composed from it (reference API_TO_RAW_SNOWFLAKE.py:290-311)."""
+    t = FakeTransport()
+    t.route("POST", "https://dbx.example.com/api/queries/3977/refresh", ok({}))
+    t.route("GET", "https://dbx.example.com/api/queries/3977/results.json",
+            ok({"query_result": {"data": {"rows": [{"id": "1"}]}}}))
+    df = refresh_handshake_source(
+        spark, t, "https://dbx.example.com/api/queries/3977/results.json",
+        wait_s=0, sleeper=lambda s: None,
+    )
+    assert df.count() == 1
+
+
+def test_query_id_and_refresh_url_helpers():
+    from ulh_etl_spark.sources.http import build_refresh_url, extract_query_id
+
+    u = "https://dbx.example.com/api/queries/3977/results.json"
+    assert extract_query_id(u) == "3977"
+    assert build_refresh_url(u) == "https://dbx.example.com/api/queries/3977/refresh"
+    assert extract_query_id("https://x/other") is None
+    assert build_refresh_url("https://x/other") is None
 
 
 def test_token_pagination(spark):

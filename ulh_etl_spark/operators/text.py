@@ -91,37 +91,17 @@ def quality_score(col: Column) -> Column:
 
 
 def with_quality_score(df, text_col: str, out_col: str = "quality"):
-    """quality_score as a two-stage projection: the whitespace token
-    array is materialized ONCE in a first Project, then referenced (as
-    a plain attribute) by both the token count and the stopword count.
+    """quality_score as a frame transform (DataFrame in, DataFrame out).
 
-    The single-expression form (quality_score) embeds the split twice
-    and higher-order functions are interpreted, not codegen'd, so
-    Catalyst performs no common-subexpression elimination across them
-    — the split ran twice per row. CollapseProject keeps the two
-    Projects separate because the array expression is non-cheap, so
-    this shape is guaranteed one-split-per-document. Same closed-form
-    result as quality_score (and the same SQL oracle).
+    Measured note: a staged two-Project variant that materialized the
+    token array once (withColumn("_toks", split) then two size()
+    references) was benchmarked against the single-expression form at
+    sf0.1 and LOST both cold (2.4 s vs 1.6 s, extra codegen) and warm
+    (0.6 s vs 0.4 s, array materialization between projections) —
+    runtime subexpression elimination already dedupes the split inside
+    one projection, so the closed-form expression is the fast shape.
     """
-    c = F.col(text_col)
-    # lowered tokens serve both counts: lowering never changes where
-    # whitespace falls, so the token COUNT is identical to the
-    # original-case split, and the stopword match needs lowercase.
-    staged = df.withColumn("_qs_toks", whitespace_tokens(F.lower(c)))
-    toks = F.col("_qs_toks")
-    length = F.length(c).cast("double")
-    n_toks = F.greatest(F.size(toks), F.lit(1)).cast("double")
-    stop_ratio = (
-        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN))).cast("double")
-        / n_toks
-    )
-    punct_ratio = punct_count(c).cast("double") / F.greatest(length, F.lit(1.0))
-    score = (
-        F.least(length, F.lit(500.0)) / F.lit(500.0) * 0.5
-        + stop_ratio * 0.3
-        + (F.lit(1.0) - punct_ratio) * 0.2
-    )
-    return staged.withColumn(out_col, F.round(score, 6)).drop("_qs_toks")
+    return df.withColumn(out_col, quality_score(F.col(text_col)))
 
 
 # Marker vocabularies for the n-gram/stopword language heuristic.

@@ -412,6 +412,65 @@ def q25_unpivot_survey(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- K5 parity: IS_NEW flag semantics == watermark anti-join ---
+def q26_flag_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked proof of the documented IS_NEW/IS_VALID parity
+    claim (state.py module doc; SURVEY §7.4): the production watermark
+    anti-join (``state.unconsumed``) and the reference's flag
+    semantics — materialize IS_NEW=0 for consumed runs, read WHERE
+    IS_NEW=1 (RAW_SNOWFLAKE_TO_REFINED_SNOWFLAKE.py:379,717) — must
+    select the SAME rows.
+
+    Consumed "runs" are users with a purchase event over value 150
+    (~half the users at every shipped SF — both the consumed and the
+    surviving set stay non-empty, so the check is non-vacuous),
+    registered in a session-scoped temp view shaped like the watermark
+    table so the REAL ``unconsumed()`` code path runs (existence
+    probe, stage filter, broadcast anti-join). Both paths are returned
+    union'd with a path label; the oracle emits the SQL anti-join once
+    per label — a hash match means pathA == pathB == SQL semantics.
+    """
+    from ulh_etl_spark.state import unconsumed
+
+    events = _t(spark, sf_dir, "events")
+    consumed = (
+        events.filter(
+            (F.col("event_type") == "purchase") & (F.col("value") > 150)
+        )
+        .select(F.col("user_id").alias("run_id"))
+        .distinct()
+        .select(
+            F.lit("PARITY").alias("stage"),
+            "run_id",
+            F.lit(None).cast("timestamp").alias("processed_at"),
+        )
+    )
+    consumed.createOrReplaceTempView("_parity_marks")
+
+    cols = [
+        F.col("event_id").alias("event_id"),
+        F.col("user_id").alias("run_key"),
+        F.col("event_type").alias("event_type"),
+    ]
+    # path A: production watermark anti-join (the real function)
+    path_a = unconsumed(
+        spark, events, stage="PARITY", run_col="user_id", table="_parity_marks"
+    ).select(*cols, F.lit("watermark").alias("path"))
+
+    # path B: reference flag semantics — flag state AFTER the flip
+    # (consumed rows flipped to 0), then the reader's IS_NEW=1 filter
+    marks = consumed.select(F.col("run_id").alias("_mk"))
+    flagged = events.join(
+        F.broadcast(marks), events["user_id"] == F.col("_mk"), "left"
+    ).withColumn(
+        "IS_NEW", F.when(F.col("_mk").isNotNull(), F.lit(0)).otherwise(F.lit(1))
+    )
+    path_b = flagged.filter(F.col("IS_NEW") == 1).select(
+        *cols, F.lit("flag").alias("path")
+    )
+    return path_a.unionByName(path_b)
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -438,6 +497,7 @@ QUERIES = {
     "q25_unpivot_survey": q25_unpivot_survey,
     "q23_like_filters": q23_like_filters,
     "q24_leaf_dir_extract": q24_leaf_dir_extract,
+    "q26_flag_parity": q26_flag_parity,
 }
 
 ORACLES = {
@@ -611,5 +671,21 @@ ORACLES = {
                regexp_extract(rtrim('/inbound/' || p_brand || '/' || p_type || '/', '/'),
                               '[^/]+$') AS leaf_dir
         FROM part
+    """,
+    "q26_flag_parity": """
+        WITH consumed AS (
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase' AND value > 150
+        ),
+        base AS (
+            SELECT e.event_id, e.user_id AS run_key, e.event_type
+            FROM events e
+            WHERE NOT EXISTS (
+                SELECT 1 FROM consumed c WHERE c.user_id = e.user_id
+            )
+        )
+        SELECT event_id, run_key, event_type, 'watermark' AS path FROM base
+        UNION ALL
+        SELECT event_id, run_key, event_type, 'flag' AS path FROM base
     """,
 }

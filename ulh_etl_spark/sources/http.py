@@ -27,6 +27,7 @@ aliases (SURVEY §0 — never inline credentials in config).
 from __future__ import annotations
 
 import json
+import re
 import time
 from dataclasses import dataclass, field
 from functools import reduce
@@ -187,11 +188,33 @@ def records_to_df(spark: SparkSession, records: list[dict]) -> DataFrame:
 # ---------------------------------------------------------------- sources
 
 
+def extract_query_id(api_url: str) -> str | None:
+    """Parse the hosted-query id out of a configured results URL
+    (``.../api/queries/3977/results.json`` -> ``"3977"``) — the
+    reference's config model stores only the results URL and derives
+    the rest (API_TO_RAW_SNOWFLAKE.py:290-298). None when the URL
+    doesn't follow the hosted-query shape."""
+    m = re.search(r"/api/queries/(\d+)/", api_url)
+    return m.group(1) if m else None
+
+
+def build_refresh_url(api_url: str) -> str | None:
+    """Derive the refresh endpoint from a results URL
+    (``https://host/api/queries/3977/results.json`` ->
+    ``https://host/api/queries/3977/refresh``), mirroring the
+    reference's scheme+host re-composition
+    (API_TO_RAW_SNOWFLAKE.py:300-311)."""
+    m = re.match(r"(https?://[^/]+)/api/queries/(\d+)/", api_url)
+    if not m:
+        return None
+    return f"{m.group(1)}/api/queries/{m.group(2)}/refresh"
+
+
 def refresh_handshake_source(
     spark: SparkSession,
     transport: Transport,
-    refresh_url: str,
     results_url: str,
+    refresh_url: str | None = None,
     rows_path: str = "query_result.data.rows",
     headers: dict | None = None,
     wait_s: float = 120.0,
@@ -199,7 +222,16 @@ def refresh_handshake_source(
 ) -> DataFrame:
     """S7 (HealthJump): POST a refresh, wait a fixed interval for the
     remote query to rerun, GET results.json, extract rows by dotted
-    path (API_TO_RAW_SNOWFLAKE.py:344-424)."""
+    path (API_TO_RAW_SNOWFLAKE.py:344-424). ``refresh_url`` defaults
+    to the one derived from ``results_url`` (the reference stores only
+    the results URL in config and composes the refresh endpoint)."""
+    if refresh_url is None:
+        refresh_url = build_refresh_url(results_url)
+        if refresh_url is None:
+            raise ValueError(
+                f"cannot derive refresh URL from {results_url!r}; "
+                "pass refresh_url explicitly"
+            )
     resp = retry_call(transport, "POST", refresh_url, headers=headers, sleeper=sleeper)
     if resp.status >= 400:
         raise RuntimeError(f"refresh failed: HTTP {resp.status}")
