@@ -7,13 +7,21 @@ import __spark_entry__ as entry
 from ulh_etl_spark.queries import all_oracles, all_queries
 
 
+# Queries that are DELIBERATELY rows-only (the result is an
+# engine-specific estimate no SQL oracle can reproduce); each must
+# carry a pytest pinning its accuracy instead.
+ROWS_ONLY_OK = {
+    "q62_approx_user_counts",  # HLL++ sketch — bound in test_analytics
+}
+
+
 def test_every_query_has_an_oracle():
     """The correctness gate hash-compares each query against its
     oracle; a missing oracle silently downgrades to a rows-only check
-    — keep the catalog fully checked."""
+    — keep the catalog fully checked except the declared sketch ops."""
     queries = all_queries()
     oracles = all_oracles()
-    missing = sorted(set(queries) - set(oracles))
+    missing = sorted(set(queries) - set(oracles) - ROWS_ONLY_OK)
     assert missing == [], f"queries without oracle SQL: {missing}"
 
 

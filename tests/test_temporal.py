@@ -1,0 +1,136 @@
+"""As-of join and bucketed range join: model-based correctness on
+hand-built frames plus plan-shape proofs (no nested-loop joins, one
+shuffle for the as-of union-window)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from ulh_etl_spark.operators.temporal import asof_join, range_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _left(spark):
+    return spark.createDataFrame(
+        [
+            (1, "k1", _ts("2024-01-01 10:00:00")),
+            (2, "k1", _ts("2024-01-01 12:00:00")),
+            (3, "k2", _ts("2024-01-01 09:00:00")),
+            (4, "k3", _ts("2024-01-01 09:00:00")),  # no right rows at all
+        ],
+        "lid long, k string, ts timestamp",
+    )
+
+
+def _right(spark):
+    return spark.createDataFrame(
+        [
+            ("k1", _ts("2024-01-01 10:00:00"), 100, 1.0),  # equal-ts: inclusive
+            ("k1", _ts("2024-01-01 11:00:00"), 101, 2.0),
+            ("k1", _ts("2024-01-01 11:00:00"), 102, 3.0),  # tie -> max rid wins
+            ("k1", _ts("2024-01-01 13:00:00"), 103, 4.0),  # future: never matches
+            ("k2", _ts("2024-01-01 09:30:00"), 200, 5.0),  # after left: no match
+        ],
+        "k string, rts timestamp, rid long, val double",
+    )
+
+
+def test_asof_join_semantics(spark):
+    out = asof_join(
+        _left(spark),
+        _right(spark),
+        on="k",
+        left_ts="ts",
+        right_ts="rts",
+        right_payload=("rid", "val"),
+        tiebreak="rid",
+    )
+    rows = {r["lid"]: r for r in out.collect()}
+    assert len(rows) == 4
+    # equal timestamp is inclusive (backward as-of)
+    assert rows[1]["matched_rid"] == 100 and rows[1]["matched_val"] == 1.0
+    # two right rows at 11:00 — deterministic max-tiebreak winner
+    assert rows[2]["matched_rid"] == 102 and rows[2]["matched_val"] == 3.0
+    # right row strictly after the left ts does not match
+    assert rows[3]["matched_rid"] is None
+    # key with no right rows survives with nulls (left outer)
+    assert rows[4]["matched_rid"] is None and rows[4]["matched_val"] is None
+
+
+def test_asof_join_payload_atomicity(spark):
+    """All payload columns come from the SAME right row (struct pack),
+    never a column-wise mix of different rows."""
+    out = asof_join(
+        _left(spark),
+        _right(spark),
+        on="k",
+        left_ts="ts",
+        right_ts="rts",
+        right_payload=("rid", "val"),
+        tiebreak="rid",
+    ).filter(F.col("matched_rid").isNotNull())
+    pairs = {(r["matched_rid"], r["matched_val"]) for r in out.collect()}
+    legal = {(100, 1.0), (101, 2.0), (102, 3.0), (103, 4.0), (200, 5.0)}
+    assert pairs <= legal
+
+
+def test_asof_join_single_shuffle(spark):
+    out = asof_join(
+        _left(spark),
+        _right(spark),
+        on="k",
+        left_ts="ts",
+        right_ts="rts",
+        right_payload=("rid",),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # union-window formulation: exactly one exchange (hash on the key),
+    # and no join operator at all
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_range_join_matches_naive(spark):
+    import random
+
+    rng = random.Random(7)
+    base = _ts("2024-01-01 00:00:00")
+    rows = [
+        (i, f"k{rng.randint(0, 3)}", base + dt.timedelta(seconds=rng.randint(0, 20000)))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "eid long, k string, ts timestamp")
+    a = df.select("k", "ts", F.col("eid").alias("a_id"))
+    b = df.select("k", "ts", F.col("eid").alias("b_id"))
+    out = range_join(
+        a, b, on="k", left_ts="ts", right_ts="ts", window_seconds=600,
+        left_cols=("a_id",), right_cols=("b_id",),
+    )
+    got = {(r["a_id"], r["b_id"], r["gap_us"]) for r in out.collect()}
+    naive = set()
+    for i1, k1, t1 in rows:
+        for i2, k2, t2 in rows:
+            gap = (t2 - t1).total_seconds()
+            if k1 == k2 and 0 < gap <= 600:
+                naive.add((i1, i2, int(gap * 1_000_000)))
+    assert got == naive
+
+
+def test_range_join_no_nested_loop(spark):
+    df = _left(spark).select("k", "ts", F.col("lid").alias("a_id"))
+    out = range_join(
+        df,
+        df.withColumnRenamed("a_id", "b_id"),
+        on="k",
+        left_ts="ts",
+        right_ts="ts",
+        window_seconds=3600,
+        left_cols=("a_id",),
+        right_cols=("b_id",),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

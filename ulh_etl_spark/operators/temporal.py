@@ -1,0 +1,142 @@
+"""Temporal join operators: as-of join and bucketed range join.
+
+Spark has no native ASOF JOIN (kdb/Pandas/DuckDB do) and naive
+formulations — a theta-join on ``r.ts <= l.ts`` plus a keep-latest
+window, or a per-key sort-merge in Python — either explode to
+O(|L| x |R|/key) intermediates or leave the JVM. These are the two
+scale-safe shapes:
+
+- **as-of join**: union both sides, one window over (key) ordered by
+  (ts, side): ``last(right_payload, ignorenulls=True)`` backfills each
+  left row with the most recent right row at or before it. Exactly ONE
+  shuffle (on the key) + one sort — the same cost as a regular
+  sort-merge join, regardless of how many right rows precede each left
+  row. No per-key explosion, no Python.
+- **range join**: join pairs within a time window via interval
+  bucketing: floor both sides to ``window``-sized epoch buckets; a
+  qualifying pair is always in the same or adjacent bucket, so the
+  probe side explodes to 2 rows (bucket, bucket+1) and ONE equi-join
+  on (key, bucket) finds every candidate; an exact residual filter
+  keeps true pairs. Join-key cardinality is |keys| x |buckets| — no
+  skew collapse onto a handful of keys, never a cartesian product.
+
+Reference parity: the reference engine has no temporal joins at all
+(SURVEY §2.4 — equi-joins only); these are engine additions for the
+event/training-data workloads (BASELINE.json north-star ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: tuple[str, ...],
+    tiebreak: str | None = None,
+    prefix: str = "matched_",
+) -> DataFrame:
+    """Backward as-of join: every ``left`` row gains the payload of the
+    latest ``right`` row with the same ``on`` key and
+    ``right_ts <= left_ts`` (inclusive); unmatched rows keep nulls.
+
+    ``tiebreak`` orders right rows that share (key, ts) — the row with
+    the greatest tiebreak value wins, deterministically. Payload
+    columns are packed into ONE struct so the window backfills them
+    atomically (all from the same right row).
+    """
+    payload_cols = [right_ts, *[c for c in right_payload if c != right_ts]]
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_r"),
+    )
+    l = left.withColumn("_t", F.col(left_ts)).withColumn("_side", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    order = [F.col("_t").asc(), F.col("_side").asc()]
+    if tiebreak is not None:
+        # right rows with equal (key, ts): greatest tiebreak sorts last,
+        # so last(_r) picks it. Left rows carry null _r and a higher
+        # _side, so they never shadow a right row.
+        order.append(F.col("_r").getField(tiebreak).asc_nulls_first())
+    w = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.withColumn("_match", F.last("_r", ignorenulls=True).over(w))
+    out = filled.filter(F.col("_side") == 1).select(
+        *[F.col(c) for c in left.columns],
+        *[
+            F.col("_match").getField(c).alias(f"{prefix}{c}")
+            for c in payload_cols
+        ],
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+    left_cols: tuple[str, ...],
+    right_cols: tuple[str, ...],
+    strict_after: bool = True,
+) -> DataFrame:
+    """Pairs (l, r) with equal ``on`` key and ``r.ts`` in
+    ``(l.ts, l.ts + window]`` (or ``[l.ts, ...]`` when
+    ``strict_after=False``).
+
+    Implementation: epoch-microsecond bucketing at ``window_seconds``
+    width. The right row lands in exactly one bucket; the left row
+    probes its own bucket and the next (explode to 2 rows), so one
+    equi-join on (key, bucket) covers every candidate and each true
+    pair is produced exactly once (no distinct needed).
+    """
+    win_us = int(window_seconds) * 1_000_000
+    l_us = F.unix_micros(F.col(left_ts))
+    r_us = F.unix_micros(F.col(right_ts))
+
+    a = left.select(
+        F.col(on).alias("_k"),
+        l_us.alias("_lus"),
+        *[F.col(c) for c in left_cols],
+    ).select(
+        "*",
+        F.explode(
+            F.array(
+                (F.col("_lus") / win_us).cast("long"),
+                (F.col("_lus") / win_us).cast("long") + 1,
+            )
+        ).alias("_probe"),
+    )
+    b = right.select(
+        F.col(on).alias("_k2"),
+        r_us.alias("_rus"),
+        *[F.col(c) for c in right_cols],
+    ).withColumn("_bkt", (F.col("_rus") / win_us).cast("long"))
+
+    lower = (
+        (F.col("_rus") > F.col("_lus"))
+        if strict_after
+        else (F.col("_rus") >= F.col("_lus"))
+    )
+    joined = a.join(
+        b, (F.col("_k") == F.col("_k2")) & (F.col("_probe") == F.col("_bkt"))
+    ).filter(lower & (F.col("_rus") <= F.col("_lus") + win_us))
+    return joined.select(
+        F.col("_k").alias(on),
+        *[F.col(c) for c in left_cols],
+        *[F.col(c) for c in right_cols],
+        (F.col("_rus") - F.col("_lus")).alias("gap_us"),
+    )

@@ -31,12 +31,23 @@ def all_oracles() -> dict[str, str]:
 
 def _modules():
     from ulh_etl_spark.queries import (
+        analytic,
         dedup,
         multimodal,
         relational,
         similarity,
         streaming,
+        temporal,
         textops,
     )
 
-    return [relational, textops, dedup, similarity, streaming, multimodal]
+    return [
+        relational,
+        textops,
+        dedup,
+        similarity,
+        streaming,
+        multimodal,
+        temporal,
+        analytic,
+    ]

@@ -1,0 +1,148 @@
+"""OLAP analytics catalog: multi-level aggregation (ROLLUP), pivot,
+sliding-window aggregates, exact percentiles, and sketch-based
+distinct counts.
+
+Scale notes per operator:
+
+- **ROLLUP** — Spark expands grouping sets inside ONE hash aggregate
+  (Expand + partial agg), so the rollup costs one shuffle, same as a
+  flat groupBy.
+- **pivot** — the pivot values are passed EXPLICITLY, which skips the
+  distinct-collect Spark otherwise runs on the driver to discover
+  them (an extra job + a collect — the thing to avoid at scale).
+- **rolling window** — one shuffle on the partition key, then a sort;
+  ROWS frames stream in O(1) memory per row. The deterministic
+  (date, key) ordering makes the result reproducible AND
+  oracle-checkable.
+- **percentiles** — ``percentile()`` is Spark's exact implementation
+  (sort-based per group). Quartiles of integer-valued data are exact
+  binary fractions, so both engines agree bit-for-bit with no
+  rounding. At 100 TB you'd swap in ``approx_percentile`` (t-digest,
+  mergeable, one pass) — same call shape.
+- **approx distinct** — HyperLogLog++: mergeable partial sketches,
+  map-side combine, constant memory. No SQL oracle (DuckDB's HLL
+  differs); the error bound vs exact is pinned in
+  tests/test_analytics.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ulh_etl_spark.session import load_table
+
+
+def q54_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity totals at (flag, status), (flag), and grand-total
+    levels in one pass — reference analog: the per-practice AND
+    overall tallies its notebooks compute in separate queries
+    (SURVEY §2.5)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+PIVOT_STATUSES = ("F", "O", "P")
+
+
+def q55_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total price by priority x status, statuses as columns. Explicit
+    value list => no driver-side distinct scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(PIVOT_STATUSES))
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+
+
+def q56_rolling_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer 3-order sliding total, deterministically ordered
+    by (orderdate, orderkey)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rolling3_total"),
+    )
+
+
+def q59_quantity_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quartiles of l_quantity per return flag. Integer-valued
+    data + quarter fractions -> exact binary arithmetic in both
+    engines (no rounding tolerance needed)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+        F.expr("percentile(l_quantity, 0.50)").alias("q50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+    )
+
+
+def q62_approx_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type (rsd 5%). Sketches
+    merge associatively, so this is one map-combined shuffle at any
+    scale. No SQL oracle — sketch estimates are engine-specific; the
+    rows-only driver check applies, and the exact-vs-approx error
+    bound is pinned in tests."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.05).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+QUERIES = {
+    "q54_rollup_agg": q54_rollup_agg,
+    "q55_pivot_status": q55_pivot_status,
+    "q56_rolling_order_total": q56_rolling_order_total,
+    "q59_quantity_quartiles": q59_quantity_quartiles,
+    "q62_approx_user_counts": q62_approx_user_counts,
+}
+
+ORACLES = {
+    "q54_rollup_agg": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 4) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "q55_pivot_status": """
+        SELECT o_orderpriority,
+               ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+               ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+               ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    "q56_rolling_order_total": """
+        SELECT o_orderkey, o_custkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+               ROUND(SUM(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+                   AS rolling3_total
+        FROM orders
+    """,
+    "q59_quantity_quartiles": """
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.25) AS q25,
+               quantile_cont(l_quantity, 0.50) AS q50,
+               quantile_cont(l_quantity, 0.75) AS q75
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    # q62_approx_user_counts: intentionally no oracle (HLL estimates
+    # are engine-specific); rows-only check + pytest error bound.
+}

@@ -1,0 +1,111 @@
+"""Temporal-join catalog queries over ``events`` x ``orders``:
+as-of join (latest order at or before each event) and windowed range
+self-join (event pairs within an hour). Oracle SQL uses plain ANSI
+inequality joins + windows — correct but quadratic-per-key, which is
+exactly why the engine side uses the union-window / bucketed shapes
+(ulh_etl_spark.operators.temporal)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ulh_etl_spark.operators.temporal import asof_join, range_join
+from ulh_etl_spark.session import load_table
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def q52_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every event: the latest order of the same customer placed at
+    or before the event (backward as-of, o_orderkey tiebreak). One
+    shuffle on the key via the union-window formulation."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderdate",
+        "o_orderkey",
+        "o_totalprice",
+    )
+    joined = asof_join(
+        events,
+        orders,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_payload=("o_orderkey", "o_totalprice"),
+        tiebreak="o_orderkey",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("event_ts"),
+        F.date_format("matched_o_orderdate", _TS_FMT).alias("matched_orderdate"),
+        F.col("matched_o_orderkey").alias("matched_orderkey"),
+        F.col("matched_o_totalprice").alias("matched_totalprice"),
+    )
+
+
+def q53_event_pairs_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-user event pairs with the second event within (0, 1h] of
+    the first — bucketed interval join (one equi-join on
+    (user, hour-bucket), probe side exploded x2, exact residual
+    filter)."""
+    events = load_table(spark, sf_dir, "events")
+    a = events.select("user_id", "ts", F.col("event_id").alias("a_event"))
+    b = events.select("user_id", "ts", F.col("event_id").alias("b_event"))
+    return range_join(
+        a,
+        b,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        window_seconds=3600,
+        left_cols=("a_event",),
+        right_cols=("b_event",),
+        strict_after=True,
+    )
+
+
+QUERIES = {
+    "q52_asof_join": q52_asof_join,
+    "q53_event_pairs_within_hour": q53_event_pairs_within_hour,
+}
+
+ORACLES = {
+    # ANSI formulation: rank every order at-or-before the event and keep
+    # the newest (orderdate desc, orderkey desc) — the textbook O(n*m)
+    # shape the engine's union-window form replaces.
+    "q52_asof_join": """
+        WITH ranked AS (
+            SELECT e.event_id, e.user_id, e.ts,
+                   o.o_orderdate, o.o_orderkey, o.o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC NULLS LAST,
+                                o.o_orderkey DESC NULLS LAST
+                   ) AS rn
+            FROM events e
+            LEFT JOIN orders o
+              ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        )
+        SELECT event_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS matched_orderdate,
+               o_orderkey AS matched_orderkey,
+               o_totalprice AS matched_totalprice
+        FROM ranked WHERE rn = 1
+    """,
+    "q53_event_pairs_within_hour": """
+        SELECT a.user_id,
+               a.event_id AS a_event,
+               b.event_id AS b_event,
+               epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts > a.ts
+         AND b.ts <= a.ts + INTERVAL 60 MINUTE
+    """,
+}

@@ -78,8 +78,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql.types import LongType
 
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # Integer division, NOT `/`: ts is epoch-nanos ~1.7e18, and
+        # double division (what `/` compiles to) only carries 52
+        # mantissa bits — the truncated micros would be off by up to
+        # ~250ns vs the parquet-native nanos->micros truncation.
         df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     return df
 
