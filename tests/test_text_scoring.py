@@ -1,0 +1,129 @@
+"""TF-IDF / BM25 / hyperplane-LSH: pure-Python model checks on tiny
+inputs plus plan-shape proofs (signature is a narrow map — zero
+shuffles)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from ulh_etl_spark.operators.similarity import (
+    hyperplane_signature,
+    hyperplane_weights,
+)
+from ulh_etl_spark.operators.text import bm25_scores, tfidf
+
+DOCS = [
+    (0, "cat dog cat"),
+    (1, "dog fish"),
+    (2, "cat cat cat bird"),
+    (3, ""),  # token-less doc must still appear with bm25=0
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_tfidf_matches_model(spark):
+    out = {
+        (r["doc_id"], r["term"]): (r["tf"], r["tfidf"])
+        for r in tfidf(_docs_df(spark), "text", "doc_id").collect()
+    }
+    # model: N=4 docs; smooth idf = ln((N+1)/(df+1))
+    tf = {}
+    for did, text in DOCS:
+        for t in text.split():
+            tf[(did, t)] = tf.get((did, t), 0) + 1
+    df = {}
+    for (did, t) in tf:
+        df[t] = df.get(t, 0) + 1
+    model = {
+        k: (n, round(n * math.log(5.0 / (df[k[1]] + 1)), 6))
+        for k, n in tf.items()
+    }
+    assert out == model
+
+
+def test_bm25_model_and_empty_doc(spark):
+    out = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(
+            _docs_df(spark), "text", "doc_id", ("cat", "fish")
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    assert out[3] == 0.0  # empty doc scores zero, still present
+    assert out[1] > 0.0  # fish hit
+    # 'cat' df=2, 'fish' df=1 — doc 1's single rare-term hit vs doc
+    # 0's double common-term hit: idf(fish) > idf(cat)
+    n, k1, b = 4, 1.2, 0.75
+    avgdl = (3 + 2 + 4 + 0) / 4.0
+
+    def w(tf, dfreq, dl):
+        idf = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert abs(out[0] - round(w(2, 2, 3), 6)) < 1e-6
+    assert abs(out[1] - round(w(1, 1, 2), 6)) < 1e-6
+    assert abs(out[2] - round(w(3, 2, 4), 6)) < 1e-6
+
+
+def test_hyperplane_signature_matches_model(spark):
+    vecs = [
+        (0, [1.0, 0.0, -1.0, 0.5]),
+        (1, [-1.0, 2.0, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector -> all dots 0 -> sig 0
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r["hsig"]
+        for r in hyperplane_signature(df, dim=4, num_planes=8).collect()
+    }
+    planes = hyperplane_weights(8, 4)
+    for vid, v in vecs:
+        sig = 0
+        for p, plane in enumerate(planes):
+            dot = sum(x * w for x, w in zip(v, plane))
+            if dot > 0:
+                sig |= 1 << p
+        assert out[vid] == sig, (vid, out[vid], sig)
+    assert out[2] == 0
+
+
+def test_hyperplane_signature_no_shuffle(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    plan = (
+        hyperplane_signature(df, dim=8, num_planes=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # pure narrow map
+
+
+def test_lsh_pairs_similar_vectors_collide(spark):
+    """Two nearly-identical vectors share all hyperplane bits, so the
+    banded join must emit them as a candidate pair."""
+    import random
+
+    rng = random.Random(3)
+    base = [rng.uniform(-1, 1) for _ in range(16)]
+    near = [x + 1e-6 for x in base]
+    far = [-x for x in base]
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)],
+        "vec_id long, embedding array<float>",
+    )
+    from ulh_etl_spark.operators.similarity import hyperplane_candidate_pairs
+
+    pairs = {
+        (r["id1"], r["id2"])
+        for r in hyperplane_candidate_pairs(
+            df, dim=16, num_planes=16, rows_per_band=8
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    # the antipodal vector flips every bit — no band can match
+    assert (0, 2) not in pairs and (1, 2) not in pairs

@@ -243,6 +243,100 @@ def kmeans_refine(
     return cents
 
 
+def hyperplane_weights(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic random-hyperplane matrix: w[p][d] derived from
+    md5('hp_{p}_{d}'), uniform on the 0.001 grid in [-1, 1]. md5 makes
+    the planes reproducible across Spark, DuckDB, and Python — no RNG
+    state to ship."""
+    import hashlib
+
+    def w(p: int, d: int) -> float:
+        h = int(hashlib.md5(f"hp_{p}_{d}".encode()).hexdigest()[:8], 16)
+        return (h % 2001 - 1000) / 1000.0
+
+    return [[w(p, d) for d in range(dim)] for p in range(num_planes)]
+
+
+def hyperplane_signature(
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+) -> DataFrame:
+    """Cosine-LSH bit signature: bit p = [w_p . v > 0] for
+    ``num_planes`` fixed random hyperplanes.
+
+    Scale: the plane matrix is a driver-side constant folded into the
+    expression — the signature is a pure narrow map over the corpus
+    (NO shuffle, NO join, unlike an exploded (vec, dim, plane)
+    formulation which would shuffle |corpus| x dim rows). Two vectors
+    agree on a bit with probability 1 - theta/pi — banding the bits
+    gives candidate pairs for near-neighbor search at any scale.
+    """
+    planes = hyperplane_weights(num_planes, dim)
+    sig = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        w_arr = F.array(*[F.lit(w) for w in plane])
+        dot = _dot(F.col(vec_col), w_arr)
+        sig = sig + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return corpus.select(F.col(id_col), sig.alias("hsig"))
+
+
+def hyperplane_candidate_pairs(
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    rows_per_band: int = 8,
+) -> DataFrame:
+    """LSH candidate pairs over the hyperplane signature: band the
+    bits, equality self-join on (band_idx, band_val), id1 < id2,
+    distinct. Identical join shape to MinHash LSH
+    (operators/dedup.py) — O(sum bucket²), never all-pairs."""
+    from pyspark.storagelevel import StorageLevel
+
+    num_bands = num_planes // rows_per_band
+    mask = (1 << rows_per_band) - 1
+    sigs = hyperplane_signature(corpus, dim, id_col, vec_col, num_planes)
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("hsig"), b * rows_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(
+        id_col,
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_val").alias("band_val"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+        )
+        .distinct()
+    )
+
+
 def ivf_assign_queries(
     queries: DataFrame,
     centroids: DataFrame,

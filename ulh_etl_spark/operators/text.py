@@ -160,3 +160,103 @@ def fingerprint(col: Column) -> Column:
     differing only in case/punctuation/whitespace collide — the exact
     near-dup class exact-hash dedup should catch."""
     return F.md5(normalized_text(col))
+
+
+# --- corpus-level term statistics (TF-IDF / BM25) -------------------
+#
+# Scale shape: the exploded (doc, term) relation is the big
+# intermediate — |corpus tokens| rows — but it's produced by a narrow
+# map + explode (no pre-shuffle) and immediately partial-aggregated,
+# so the shuffle carries |doc x distinct-term| rows. The vocabulary
+# table (term -> df) is the agg of that relation: small enough to
+# broadcast for most corpora; left unhinted so AQE decides (a 100 TB
+# web corpus vocabulary can exceed broadcast limits, and then the
+# shuffle join on `term` is the right plan anyway).
+
+
+def term_frequencies(df, text_col: str, id_col: str):
+    """(id, term, tf) over lowercased whitespace tokens."""
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    return (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def tfidf(df, text_col: str, id_col: str):
+    """Smoothed TF-IDF per (doc, term):
+    ``tf * ln((N + 1) / (df + 1))``, rounded to 6 — the rounding is
+    the cross-engine float tolerance, not semantics."""
+    tf = term_frequencies(df, text_col, id_col)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    return (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
+def bm25_scores(
+    df,
+    text_col: str,
+    id_col: str,
+    query_terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 score of every document against a fixed bag of query
+    terms (Robertson/Sparck-Jones idf; docs matching no term score 0).
+
+    The query-term filter happens INSIDE the token array, before the
+    explode — the exploded relation carries only query-term hits
+    (|docs| x |query| worst case), not the whole corpus."""
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    qhits = df.select(
+        F.col(id_col),
+        F.explode(F.filter(toks, lambda t: t.isin(*query_terms))).alias("term"),
+    )
+    qtf = qhits.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    qdf = qtf.groupBy("term").agg(F.count("*").alias("df"))
+
+    doclen = df.select(F.col(id_col), F.size(toks).alias("dl"))
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    w = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    ) * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    per_term = (
+        qtf.join(F.broadcast(qdf), "term")
+        .join(doclen, id_col)
+        .join(F.broadcast(stats))
+        .select(F.col(id_col), w.alias("w"))
+    )
+    scores = per_term.groupBy(id_col).agg(F.sum("w").alias("_score"))
+    return (
+        df.select(id_col)
+        .join(scores, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.round(F.coalesce(F.col("_score"), F.lit(0.0)), 6).alias("bm25"),
+        )
+    )

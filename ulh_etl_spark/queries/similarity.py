@@ -111,6 +111,33 @@ def q47_kmeans_refined_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Cosine-LSH (random hyperplane) parameters. Dim is pinned by the
+# synthetic embeddings contract (TESTDATA.md); the md5-derived plane
+# matrix is identical in Spark (driver-side literals) and the oracle
+# (inlined VALUES rows), so signatures hash-match exactly.
+_EMB_DIM = 64
+_N_PLANES = 16
+_ROWS_PER_BAND = 8
+
+
+def q60_hyperplane_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit random-hyperplane cosine-LSH signature per vector — a
+    pure narrow map (plane matrix folded into the expression; no
+    shuffle, no join)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.hyperplane_signature(emb, _EMB_DIM, num_planes=_N_PLANES)
+
+
+def q61_hyperplane_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-LSH candidate pairs: 2 bands x 8 bits, equality
+    self-join on (band_idx, band_val) — the cosine analog of the
+    MinHash LSH join (never all-pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.hyperplane_candidate_pairs(
+        emb, _EMB_DIM, num_planes=_N_PLANES, rows_per_band=_ROWS_PER_BAND
+    )
+
+
 QUERIES = {
     "q39_cosine_topk": q39_cosine_topk,
     "q40_embedding_norms": q40_embedding_norms,
@@ -118,7 +145,39 @@ QUERIES = {
     "q42_ivf_topk": q42_ivf_topk,
     "q46_embedding_neardup": q46_embedding_neardup,
     "q47_kmeans_refined_centroids": q47_kmeans_refined_centroids,
+    "q60_hyperplane_signature": q60_hyperplane_signature,
+    "q61_hyperplane_pairs": q61_hyperplane_pairs,
 }
+
+
+def _planes_values_sql() -> str:
+    """The hyperplane matrix as SQL VALUES rows (p, wl DOUBLE[]) —
+    generated from the same constants the Spark expression folds in."""
+    from ulh_etl_spark.operators.similarity import hyperplane_weights
+
+    rows = []
+    for p, plane in enumerate(hyperplane_weights(_N_PLANES, _EMB_DIM)):
+        wl = ", ".join(repr(w) for w in plane)
+        rows.append(f"({p}, [{wl}]::DOUBLE[])")
+    return ",\n                ".join(rows)
+
+
+_PLANE_DOT = (
+    "list_sum(list_transform(generate_series(1, len(e.embedding)), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * pl.wl[i]))"
+)
+
+_HSIG_CTE = f"""
+        planes(p, wl) AS (
+            VALUES {_planes_values_sql()}
+        ), sig AS (
+            SELECT e.vec_id,
+                   CAST(SUM(CASE WHEN {_PLANE_DOT} > 0
+                                 THEN (1::BIGINT << pl.p) ELSE 0 END)
+                        AS BIGINT) AS hsig
+            FROM embeddings e CROSS JOIN planes pl
+            GROUP BY e.vec_id
+        )"""
 
 ORACLES = {
     "q39_cosine_topk": f"""
@@ -253,5 +312,22 @@ ORACLES = {
                ROUND(sqrt(SUM(m * m)), 6) AS centroid_norm,
                ROUND(SUM(m), 6) AS centroid_sum
         FROM means GROUP BY centroid_id
+    """,
+    "q60_hyperplane_signature": f"""
+        WITH {_HSIG_CTE}
+        SELECT vec_id, hsig FROM sig
+    """,
+    "q61_hyperplane_pairs": f"""
+        WITH {_HSIG_CTE}, bands AS (
+            SELECT vec_id, b.b AS band_idx,
+                   (hsig >> (b.b * {_ROWS_PER_BAND}))
+                       & {(1 << _ROWS_PER_BAND) - 1} AS band_val
+            FROM sig, (VALUES (0), (1)) AS b(b)
+        )
+        SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx
+         AND a.band_val = b.band_val
+         AND a.vec_id < b.vec_id
     """,
 }

@@ -51,8 +51,29 @@ def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q57_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed TF-IDF per (doc, term). The vocabulary join is left
+    to AQE (broadcasts here; stays a shuffle join when the vocab
+    outgrows the threshold at corpus scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.tfidf(docs, "text", "doc_id")
+
+
+# Fixed BM25 query bag: two common terms + one rare term ('dup',
+# df ~5% of docs) so the idf spread actually exercises the formula.
+BM25_QUERY = ("hash", "join", "dup")
+
+
+def q58_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against BM25_QUERY; docs with
+    no query-term hits score 0 (left join + coalesce)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bm25_scores(docs, "text", "doc_id", BM25_QUERY)
+
+
 _TOKS = O.ws_tokens("text")
 _LOW_TOKS = O.ws_tokens("lower(text)")
+_BM25_IN = ", ".join(f"'{t}'" for t in BM25_QUERY)
 
 
 def _score(markers: tuple[str, ...]) -> str:
@@ -67,6 +88,8 @@ QUERIES = {
     "q31_quality_score": q31_quality_score,
     "q32_lang_id": q32_lang_id,
     "q33_fingerprint": q33_fingerprint,
+    "q57_tfidf": q57_tfidf,
+    "q58_bm25": q58_bm25,
 }
 
 ORACLES = {
@@ -109,5 +132,49 @@ ORACLES = {
     "q33_fingerprint": f"""
         SELECT doc_id, md5({O.norm_text('text')}) AS fp
         FROM documents
+    """,
+    "q57_tfidf": f"""
+        WITH toks AS (
+            SELECT doc_id, t AS term
+            FROM documents, unnest({_LOW_TOKS}) AS u(t)
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        ), dfreq AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT tf.doc_id, tf.term, tf.tf,
+               ROUND(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6)
+                   AS tfidf
+        FROM tf JOIN dfreq USING (term), n
+    """,
+    # Float-parity note: constants are written exactly as the engine's
+    # Python expression tree folds them ((1.2 + 1.0), (0.25 + 0.75*x))
+    # so both engines evaluate identical double operations.
+    "q58_bm25": f"""
+        WITH toks AS (
+            SELECT doc_id, t AS term
+            FROM documents, unnest({_LOW_TOKS}) AS u(t)
+        ), qtf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM toks
+            WHERE term IN ({_BM25_IN}) GROUP BY 1, 2
+        ), qdf AS (
+            SELECT term, COUNT(*) AS df FROM qtf GROUP BY 1
+        ), dl AS (
+            SELECT doc_id, len({_LOW_TOKS}) AS dl FROM documents
+        ), stats AS (
+            SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+        )
+        SELECT d.doc_id,
+               ROUND(COALESCE(SUM(
+                   ln(1.0 + (stats.n_docs - qdf.df + 0.5) / (qdf.df + 0.5))
+                   * ((qtf.tf * (1.2 + 1.0))
+                      / (qtf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / stats.avgdl)))
+               ), 0.0), 6) AS bm25
+        FROM documents d
+        LEFT JOIN qtf ON qtf.doc_id = d.doc_id
+        LEFT JOIN qdf ON qdf.term = qtf.term
+        LEFT JOIN dl ON dl.doc_id = d.doc_id
+        CROSS JOIN stats
+        GROUP BY d.doc_id
     """,
 }
