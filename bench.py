@@ -70,11 +70,14 @@ def main() -> None:
     spark = get_spark("bench")
     qs = all_queries()
 
-    # Warm the JVM/codegen path AND the Python-worker pool once so
-    # timings measure the engine, not first-query initialization
-    # (the Arrow mapInPandas path spawns its worker processes lazily).
-    qs["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    qs["q44_media_decode"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warmup pass: run EVERY headline query once unmeasured (JMH
+    # style). First execution pays one-time costs that are not the
+    # engine — JIT/codegen compilation of the big md5/regex expression
+    # trees, cold parquet page-cache reads, Python/Arrow worker spawn.
+    # Measured on this host: q31 cold 8.0s vs warm 0.73s with an
+    # identical plan — the cold number is disk+JIT, not the query.
+    for name in HEADLINE:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -102,6 +105,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "warmup": "full-pass",
             }
         )
     )
