@@ -68,6 +68,41 @@ def test_bm25_model_and_empty_doc(spark):
     assert abs(out[2] - round(w(3, 2, 4), 6)) < 1e-6
 
 
+def test_hash_split_deterministic_and_complete(spark):
+    """Same key -> same split on every evaluation; ratios roughly
+    80/10/10; all three splits non-empty at n=2000."""
+    from ulh_etl_spark.operators.text import hash_split
+
+    df = spark.range(2000).select(F.col("id"))
+    a = {r["id"]: r["s"] for r in df.select("id", hash_split(F.col("id")).alias("s")).collect()}
+    b = {r["id"]: r["s"] for r in df.select("id", hash_split(F.col("id")).alias("s")).collect()}
+    assert a == b
+    counts = {s: list(a.values()).count(s) for s in ("train", "val", "test")}
+    assert 0.7 < counts["train"] / 2000 < 0.9
+    assert counts["val"] > 0 and counts["test"] > 0
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing guarantee: two docs sharing a substring of length
+    >= k + window - 1 (= 8 here) share at least one fingerprint."""
+    from ulh_etl_spark.operators.text import winnow_fingerprints
+
+    shared = "zqxwvuty"  # 8 chars, distinctive
+    docs = [
+        (0, f"aaaa {shared} bbbb"),
+        (1, f"cccc dddd {shared}"),
+        (2, "totally different content here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = winnow_fingerprints(df, "text", "doc_id", k=5, window=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    assert by_doc[0] & by_doc[1], "shared substring must share a fingerprint"
+    # sanity: winnowing selects far fewer fingerprints than k-grams
+    assert len(by_doc[0]) < len(docs[0][1]) - 4
+
+
 def test_hyperplane_signature_matches_model(spark):
     vecs = [
         (0, [1.0, 0.0, -1.0, 0.5]),

@@ -162,6 +162,51 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalized_text(col))
 
 
+def hash_split(
+    col: Column,
+    salt: str = "split",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> Column:
+    """Deterministic train/val/test assignment by md5(salt || key) mod
+    100 — the scalable alternative to randomSplit for training-data
+    pipelines: stable across runs/engines (no RNG state, no
+    repartition sensitivity), joinable (the same key always lands in
+    the same split), and a pure narrow map at any corpus size.
+    """
+    bucket = md5_hash32(F.concat(F.lit(salt), F.lit("_"), col.cast("string"))) % 100
+    return (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def winnow_fingerprints(df, text_col: str, id_col: str, k: int = 5, window: int = 4):
+    """Winnowing (Schleimer et al., SIGMOD 2003): k-gram hashes, then
+    the minimum hash in every sliding window of ``window`` positions —
+    the standard local-fingerprint scheme for plagiarism/overlap
+    detection. Guarantees any shared substring of length
+    >= k + window - 1 contributes a shared fingerprint.
+
+    Shape: pure array expressions (transform/slice/array_min) inside
+    one projection — a narrow map; the distinct explode shuffles only
+    the selected fingerprints (~|text|/window per doc, not |text|).
+    Ties inside a window pick the same hash value either way, and
+    fingerprints are emitted as a distinct set, so the result is
+    order-insensitive and engine-portable.
+    """
+    hashes = F.transform(char_ngrams(F.col(text_col), k), md5_hash32)
+    n_windows = F.greatest(F.size(hashes) - (window - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp_hash")
+    )
+
+
 # --- corpus-level term statistics (TF-IDF / BM25) -------------------
 #
 # Scale shape: the exploded (doc, term) relation is the big

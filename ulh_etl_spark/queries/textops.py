@@ -71,6 +71,24 @@ def q58_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bm25_scores(docs, "text", "doc_id", BM25_QUERY)
 
 
+def q63_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by salted
+    md5 of the key — stable across runs and engines, no RNG, pure
+    narrow map (the scalable replacement for randomSplit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.hash_split(F.col("doc_id")).alias("split")
+    )
+
+
+def q64_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (k=5, window=4): the standard
+    overlap-detection sketch; shared substrings >= 8 chars guarantee a
+    shared fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.winnow_fingerprints(docs, "text", "doc_id", k=5, window=4)
+
+
 _TOKS = O.ws_tokens("text")
 _LOW_TOKS = O.ws_tokens("lower(text)")
 _BM25_IN = ", ".join(f"'{t}'" for t in BM25_QUERY)
@@ -90,6 +108,8 @@ QUERIES = {
     "q33_fingerprint": q33_fingerprint,
     "q57_tfidf": q57_tfidf,
     "q58_bm25": q58_bm25,
+    "q63_hash_split": q63_hash_split,
+    "q64_winnow_fingerprints": q64_winnow_fingerprints,
 }
 
 ORACLES = {
@@ -176,5 +196,28 @@ ORACLES = {
         LEFT JOIN dl ON dl.doc_id = d.doc_id
         CROSS JOIN stats
         GROUP BY d.doc_id
+    """,
+    "q63_hash_split": f"""
+        SELECT doc_id,
+               CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id,
+                   {O.md5h("'split_' || CAST(doc_id AS VARCHAR)")} % 100 AS b
+            FROM documents
+        )
+    """,
+    "q64_winnow_fingerprints": f"""
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(h) - 3, 1)),
+                   i -> list_min(h[i:i+3])))) AS fp_hash
+        FROM (
+            SELECT doc_id,
+                   list_transform({O.grams('text', 5)},
+                                  g -> {O.md5h('g')}) AS h
+            FROM documents
+        )
     """,
 }
