@@ -252,6 +252,12 @@ def tfidf(df, text_col: str, id_col: str):
     )
 
 
+def _eq_pred(term: str):
+    # closure capture, not lambda defaults (PySpark infers lambda
+    # arity from the parameter count)
+    return lambda t: t == term
+
+
 def bm25_scores(
     df,
     text_col: str,
@@ -261,47 +267,46 @@ def bm25_scores(
     b: float = 0.75,
 ):
     """BM25 score of every document against a fixed bag of query
-    terms (Robertson/Sparck-Jones idf; docs matching no term score 0).
+    terms (Robertson/Sparck-Jones idf; docs matching no term score 0
+    — tf=0 zeroes the term weight naturally, no outer join needed).
 
-    The query-term filter happens INSIDE the token array, before the
-    explode — the exploded relation carries only query-term hits
-    (|docs| x |query| worst case), not the whole corpus."""
+    Shape (the fixed-query-bag advantage): per-term tf is an array
+    expression per document — a pure narrow map, no explode, no
+    (doc, term) shuffle. The ONLY shuffle is the one global stats
+    aggregate (n_docs, avgdl, per-term df — all partial-aggregated),
+    whose 1-row result broadcasts back over the corpus. Two passes
+    over the data, one shuffle of one row, at any corpus size.
+    An earlier explode/groupBy/join formulation ran 6 shuffles
+    (PLAN_AUDIT MANY_SHUFFLES) for identical results.
+    """
     toks = whitespace_tokens(F.lower(F.col(text_col)))
-    qhits = df.select(
+    base = df.select(
         F.col(id_col),
-        F.explode(F.filter(toks, lambda t: t.isin(*query_terms))).alias("term"),
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq_pred(t))).alias(f"_tf_{i}")
+            for i, t in enumerate(query_terms)
+        ],
     )
-    qtf = qhits.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    qdf = qtf.groupBy("term").agg(F.count("*").alias("df"))
-
-    doclen = df.select(F.col(id_col), F.size(toks).alias("dl"))
-    stats = doclen.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"_tf_{i}") > 0).cast("long")).alias(f"_df_{i}")
+            for i in range(len(query_terms))
+        ],
     )
-
-    w = F.log(
-        1.0
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    ) * (
-        F.col("tf")
-        * (k1 + 1.0)
-        / (
-            F.col("tf")
-            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    joined = base.join(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        tf = F.col(f"_tf_{i}").cast("double")
+        dfc = F.col(f"_df_{i}")
+        idf = F.log(
+            1.0 + (F.col("n_docs") - dfc + 0.5) / (dfc + 0.5)
         )
-    )
-    per_term = (
-        qtf.join(F.broadcast(qdf), "term")
-        .join(doclen, id_col)
-        .join(F.broadcast(stats))
-        .select(F.col(id_col), w.alias("w"))
-    )
-    scores = per_term.groupBy(id_col).agg(F.sum("w").alias("_score"))
-    return (
-        df.select(id_col)
-        .join(scores, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.round(F.coalesce(F.col("_score"), F.lit(0.0)), 6).alias("bm25"),
+        score = score + idf * (
+            tf
+            * (k1 + 1.0)
+            / (tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
         )
-    )
+    return joined.select(F.col(id_col), F.round(score, 6).alias("bm25"))

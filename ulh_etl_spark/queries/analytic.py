@@ -88,6 +88,17 @@ def q59_quantity_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q68_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four grouping sets of (priority, status) in one pass —
+    cube is the same Expand + single-shuffle plan as rollup, with 4
+    grouping sets instead of 3."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
 def q62_approx_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct users per event type (rsd 5%). Sketches
     merge associatively, so this is one map-combined shuffle at any
@@ -107,6 +118,7 @@ QUERIES = {
     "q56_rolling_order_total": q56_rolling_order_total,
     "q59_quantity_quartiles": q59_quantity_quartiles,
     "q62_approx_user_counts": q62_approx_user_counts,
+    "q68_cube_agg": q68_cube_agg,
 }
 
 ORACLES = {
@@ -145,4 +157,11 @@ ORACLES = {
     """,
     # q62_approx_user_counts: intentionally no oracle (HLL estimates
     # are engine-specific); rows-only check + pytest error bound.
+    "q68_cube_agg": """
+        SELECT o_orderpriority, o_orderstatus,
+               ROUND(SUM(o_totalprice), 2) AS total_price,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
 }

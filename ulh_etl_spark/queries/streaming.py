@@ -33,9 +33,20 @@ def q51_event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q67_event_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping 1-hour/15-minute window counts per event type: each
+    event lands in exactly 4 overlapping windows (explode before the
+    partial agg — the replication factor IS window/slide)."""
+    events = load_table(spark, sf_dir, "events")
+    return windowed_counts(
+        events, "ts", "1 hour", ("event_type",), "value", slide="15 minutes"
+    )
+
+
 QUERIES = {
     "q50_event_window_counts": q50_event_window_counts,
     "q51_event_sessionize": q51_event_sessionize,
+    "q67_event_sliding_counts": q67_event_sliding_counts,
 }
 
 ORACLES = {
@@ -68,5 +79,16 @@ ORACLES = {
                COUNT(*) AS n_events
         FROM idx
         GROUP BY user_id, session_idx
+    """,
+    # every event belongs to exactly windowDuration/slide = 4 hopping
+    # windows: starts at time_bucket(15min) - k*15min, k in 0..3
+    "q67_event_sliding_counts": """
+        SELECT time_bucket(INTERVAL '15 minutes', ts)
+                   - (k.k * INTERVAL '15 minutes') AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events, (VALUES (0), (1), (2), (3)) AS k(k)
+        GROUP BY 1, 2
     """,
 }

@@ -71,6 +71,51 @@ def q58_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bm25_scores(docs, "text", "doc_id", BM25_QUERY)
 
 
+STRATA_PCT = 20
+
+
+def q65_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum 20% sample: salted md5 of
+    (lang, doc_id) mod 100 — every stratum is sampled at the same
+    rate regardless of its size, reproducibly, with no RNG and no
+    extra pass to size strata (contrast sampleBy, which needs
+    per-key fractions collected up front)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        T.md5_hash32(
+            F.concat(
+                F.lit("sample_"),
+                F.col("lang"),
+                F.lit("_"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+        % 100
+    )
+    return docs.filter(bucket < STRATA_PCT).select("doc_id", "lang")
+
+
+TOPK_PER_LANG = 3
+
+
+def q66_top_quality_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-3 documents by quality score (argmax-per-group
+    pattern: rank window with a deterministic doc_id tiebreak). One
+    shuffle on the group key."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = T.with_quality_score(docs, "text")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK_PER_LANG)
+        .select("lang", F.col("rnk").cast("int").alias("rnk"), "doc_id", "quality")
+    )
+
+
 def q63_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test assignment by salted
     md5 of the key — stable across runs and engines, no RNG, pure
@@ -110,7 +155,20 @@ QUERIES = {
     "q58_bm25": q58_bm25,
     "q63_hash_split": q63_hash_split,
     "q64_winnow_fingerprints": q64_winnow_fingerprints,
+    "q65_stratified_sample": q65_stratified_sample,
+    "q66_top_quality_per_lang": q66_top_quality_per_lang,
 }
+
+# Shared quality-score SQL expression (identical to operators.text
+# .quality_score) so q31 and q66 oracles stay in lockstep.
+_QUALITY_SQL = """ROUND(
+                 least(CAST(length(text) AS DOUBLE), 500.0) / 500.0 * 0.5
+                 + (CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''),
+                        t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                    / CAST(greatest(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')), 1) AS DOUBLE)) * 0.3
+                 + (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                        / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.2
+               , 6)"""
 
 ORACLES = {
     "q30_token_counts": f"""
@@ -219,5 +277,24 @@ ORACLES = {
                                   g -> {O.md5h('g')}) AS h
             FROM documents
         )
+    """,
+    "q65_stratified_sample": f"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE {O.md5h("'sample_' || lang || '_' || CAST(doc_id AS VARCHAR)")}
+              % 100 < {STRATA_PCT}
+    """,
+    "q66_top_quality_per_lang": f"""
+        WITH scored AS (
+            SELECT lang, doc_id, {_QUALITY_SQL} AS quality
+            FROM documents
+        ), ranked AS (
+            SELECT lang, doc_id, quality,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY quality DESC, doc_id) AS rnk
+            FROM scored
+        )
+        SELECT lang, CAST(rnk AS INT) AS rnk, doc_id, quality
+        FROM ranked WHERE rnk <= {TOPK_PER_LANG}
     """,
 }

@@ -29,8 +29,13 @@ def windowed_counts(
     group_cols: tuple[str, ...] = ("event_type",),
     value_col: str | None = "value",
     watermark: str | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window counts (+ sum of ``value_col``) per group.
+    """Tumbling (or, with ``slide``, hopping) window counts (+ sum of
+    ``value_col``) per group. A sliding window replicates each event
+    into window/slide overlapping windows BEFORE the partial
+    aggregate — state and shuffle grow by that factor, which is why
+    the slide should never be tiny relative to the window at scale.
     Pass ``watermark`` when ``df`` is streaming to bound state and
     admit late data up to that delay."""
     if watermark:
@@ -38,8 +43,13 @@ def windowed_counts(
     agg = [F.count("*").alias("n_events")]
     if value_col:
         agg.append(F.round(F.sum(value_col), 4).alias("sum_value"))
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
     return (
-        df.groupBy(F.window(F.col(ts_col), window).alias("w"), *group_cols)
+        df.groupBy(win.alias("w"), *group_cols)
         .agg(*agg)
         .select(
             F.col("w.start").alias("window_start"),
