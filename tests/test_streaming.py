@@ -111,6 +111,44 @@ def test_streaming_windowed_counts(spark, tmp_path):
     }
 
 
+def test_streaming_sliding_windows(spark, tmp_path):
+    """The SAME windowed_counts call with slide= runs as a watermarked
+    hopping-window stream: each event lands in window/slide = 2
+    overlapping windows."""
+    import os
+
+    src = tmp_path / "events_slide"
+    src.mkdir()
+    with open(os.path.join(str(src), "e.csv"), "w") as f:
+        f.write("ts,event_type,value\n2024-01-01 00:40:00,click,1.0\n")
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+        .option("header", True)
+        .csv(str(src))
+    )
+    agg = windowed_counts(
+        stream, "ts", "1 hour", ("event_type",), "value",
+        watermark="2 hours", slide="30 minutes",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("slide_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        str(r.window_start): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM slide_counts").collect()
+    }
+    # 00:40 falls in [00:00,01:00) and [00:30,01:30)
+    assert rows == {
+        "2024-01-01 00:00:00": (1, 1.0),
+        "2024-01-01 00:30:00": (1, 1.0),
+    }
+
+
 def test_batch_sessionize_gap(spark):
     df = spark.createDataFrame(
         [

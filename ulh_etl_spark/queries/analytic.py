@@ -112,6 +112,106 @@ def q62_approx_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q69_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT as first-class operators: customers with
+    both F- and O-status orders, minus those with any P-status order.
+    Compiles to semi/anti joins on hashed keys — one shuffle each, no
+    distinct-collect."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def custs(status: str) -> DataFrame:
+        return orders.filter(F.col("o_orderstatus") == status).select(
+            "o_custkey"
+        )
+
+    return (
+        custs("F").intersect(custs("O")).subtract(custs("P"))
+    ).select(F.col("o_custkey").alias("custkey"))
+
+
+def q70_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-style left-semi join: customers having at least one
+    urgent open order. Semi joins never duplicate the probe side, so
+    no post-join distinct is needed."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderstatus") == "O")
+    )
+    return customer.join(
+        urgent, customer["c_custkey"] == urgent["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def q71_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery pattern: orders priced above 1.5x the global
+    average. The scalar aggregate is one map-combined job whose 1-row
+    result broadcasts — never a driver collect in the plan."""
+    orders = load_table(spark, sf_dir, "orders")
+    avg_price = orders.agg(F.avg("o_totalprice").alias("avg_price"))
+    return (
+        orders.join(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q72_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic grouped string aggregation: the 5 highest-value
+    order keys per priority, concatenated in (price desc, key)
+    order. collect_list has no deterministic order by itself — the
+    sort must be explicit (struct sort -> slice -> join), exactly the
+    pitfall this entry pins."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.reverse(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct(
+                                        F.col("o_totalprice").alias("p"),
+                                        F.col("o_orderkey").alias("k"),
+                                    )
+                                )
+                            )
+                        ),
+                        lambda s: s.getField("k").cast("string"),
+                    ),
+                    1,
+                    5,
+                ),
+                ",",
+            ).alias("top5_keys")
+        )
+    )
+
+
+def q73_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(10) decile assignment of orders by price (deterministic
+    orderkey tiebreak), aggregated to per-decile bounds — the
+    histogram/quantile-bucket pattern. One global sort; at scale
+    ntile over a single unpartitioned window is the known bottleneck
+    and the documented swap-in is approx_percentile bucketing."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        orders.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .select(F.col("decile").cast("int").alias("decile"),
+                "n_orders", "min_price", "max_price")
+    )
+
+
 QUERIES = {
     "q54_rollup_agg": q54_rollup_agg,
     "q55_pivot_status": q55_pivot_status,
@@ -119,6 +219,11 @@ QUERIES = {
     "q59_quantity_quartiles": q59_quantity_quartiles,
     "q62_approx_user_counts": q62_approx_user_counts,
     "q68_cube_agg": q68_cube_agg,
+    "q69_set_ops": q69_set_ops,
+    "q70_semi_join": q70_semi_join,
+    "q71_above_avg_orders": q71_above_avg_orders,
+    "q72_ordered_string_agg": q72_ordered_string_agg,
+    "q73_price_deciles": q73_price_deciles,
 }
 
 ORACLES = {
@@ -163,5 +268,55 @@ ORACLES = {
                COUNT(*) AS n_orders
         FROM orders
         GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    # INTERSECT binds tighter than EXCEPT (SQL standard), matching the
+    # engine's (F ∩ O) \ P
+    "q69_set_ops": """
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+    "q70_semi_join": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+              AND o.o_orderstatus = 'O'
+        )
+    """,
+    "q71_above_avg_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+    "q72_ordered_string_agg": """
+        WITH ranked AS (
+            SELECT o_orderpriority, o_orderkey,
+                   row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY rn)
+                   AS top5_keys
+        FROM ranked WHERE rn <= 5
+        GROUP BY o_orderpriority
+    """,
+    "q73_price_deciles": """
+        WITH tiled AS (
+            SELECT o_totalprice,
+                   ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                       AS decile
+            FROM orders
+        )
+        SELECT CAST(decile AS INT) AS decile,
+               COUNT(*) AS n_orders,
+               ROUND(MIN(o_totalprice), 2) AS min_price,
+               ROUND(MAX(o_totalprice), 2) AS max_price
+        FROM tiled
+        GROUP BY decile
     """,
 }
