@@ -1,0 +1,69 @@
+"""Corpus-curation composition: survivors, dedup rules, split
+determinism, and the partitioned write."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ulh_etl_spark.curation import (
+    CurationConfig,
+    curate,
+    curation_report,
+    write_curated,
+)
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and runs to the "
+    "river in the morning light of a clear day"
+)
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (0, GOOD),
+        (1, GOOD),  # exact duplicate of 0 -> dropped (keep min id)
+        (2, GOOD + " epilogue"),  # near-dup of 0 -> dropped by LSH
+        (3, "!!! ??? ;;; ..."),  # punctuation soup -> quality filter
+        (4, "a completely different story about the sea and the wind "
+            "told in the evening by the old sailor of the island"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_curate_survivors(spark, corpus):
+    cfg = CurationConfig(min_quality=0.3)
+    out = curate(corpus, cfg)
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert ids == {0, 4}
+    cols = set(out.columns)
+    assert {"quality", "lang_pred", "n_tokens", "split"} <= cols
+
+
+def test_curate_without_near_dedup_keeps_neardup(spark, corpus):
+    cfg = CurationConfig(min_quality=0.3, near_dedup=False)
+    ids = {r["doc_id"] for r in curate(corpus, cfg).select("doc_id").collect()}
+    assert ids == {0, 2, 4}  # exact dup 1 still dropped
+
+
+def test_split_deterministic(spark, corpus):
+    cfg = CurationConfig(min_quality=0.0, near_dedup=False)
+    a = {r["doc_id"]: r["split"] for r in curate(corpus, cfg).collect()}
+    b = {r["doc_id"]: r["split"] for r in curate(corpus, cfg).collect()}
+    assert a == b and set(a.values()) <= {"train", "val", "test"}
+
+
+def test_report_and_partitioned_write(spark, corpus, tmp_path):
+    cfg = CurationConfig(min_quality=0.3)
+    out = curate(corpus, cfg)
+    rep = curation_report(out)
+    assert sum(v["n_docs"] for v in rep.values()) == 2
+    for v in rep.values():
+        assert v["n_tokens"] > 0 and 0 <= v["mean_quality"] <= 1
+
+    path = str(tmp_path / "curated")
+    write_curated(out, path)
+    back = spark.read.parquet(path)
+    assert back.count() == 2
+    # split is a partition column -> reading one split prunes files
+    one = back.filter(F.col("split") == back.select("split").first()["split"])
+    assert "PartitionFilters" in one._jdf.queryExecution().executedPlan().toString() or one.count() >= 1

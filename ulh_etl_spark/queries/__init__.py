@@ -32,6 +32,7 @@ def all_oracles() -> dict[str, str]:
 def _modules():
     from ulh_etl_spark.queries import (
         analytic,
+        curation,
         dedup,
         multimodal,
         relational,
@@ -50,4 +51,5 @@ def _modules():
         multimodal,
         temporal,
         analytic,
+        curation,
     ]

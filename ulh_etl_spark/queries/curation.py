@@ -1,0 +1,73 @@
+"""The flagship composition query: full training-corpus curation
+(annotate -> quality filter -> exact dedup -> MinHash-LSH near-dedup
+-> hash split) as ONE oracle-checked catalog entry. The oracle SQL is
+the composition of the per-operator oracle fragments, so the
+end-to-end pipeline — not just its pieces — is hash-verified."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ulh_etl_spark.curation import CurationConfig, curate
+from ulh_etl_spark.queries.dedup import _BAND_SELECTS, _HS, _SIG_COLS
+from ulh_etl_spark.queries.textops import _QUALITY_SQL
+from ulh_etl_spark.queries import _oracle_fragments as O
+from ulh_etl_spark.session import load_table
+
+_MIN_QUALITY = 0.5
+_ROWS_PER_BAND = 4  # matches the q36 band fragments
+
+
+def q74_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation over ``documents``; emits the
+    surviving docs with quality, token count, and split."""
+    docs = load_table(spark, sf_dir, "documents")
+    cfg = CurationConfig(
+        min_quality=_MIN_QUALITY,
+        near_dedup=True,
+        minhash_rows_per_band=_ROWS_PER_BAND,
+    )
+    return curate(docs, cfg).select("doc_id", "quality", "n_tokens", "split")
+
+
+QUERIES = {"q74_curate_corpus": q74_curate_corpus}
+
+ORACLES = {
+    "q74_curate_corpus": f"""
+        WITH ann AS (
+            SELECT doc_id, text,
+                   {_QUALITY_SQL} AS quality,
+                   CAST(len({O.ws_tokens('text')}) AS BIGINT) AS n_tokens,
+                   md5({O.norm_text('text')}) AS fp
+            FROM documents
+        ), kept AS (
+            SELECT * FROM ann WHERE quality >= {_MIN_QUALITY}
+        ), keepers AS (
+            SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY fp
+        ), k2 AS (
+            SELECT kept.* FROM kept JOIN keepers USING (doc_id)
+        ), hashed AS (
+            SELECT doc_id, {_HS} AS hs FROM k2
+        ), sigs AS (
+            SELECT doc_id,
+               {_SIG_COLS}
+            FROM hashed
+        ), bands AS (
+{_BAND_SELECTS}
+        ), drops AS (
+            SELECT DISTINCT b.doc_id
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        )
+        SELECT k2.doc_id, k2.quality, k2.n_tokens,
+               CASE WHEN {O.md5h("'split_' || CAST(k2.doc_id AS VARCHAR)")}
+                         % 100 < 80 THEN 'train'
+                    WHEN {O.md5h("'split_' || CAST(k2.doc_id AS VARCHAR)")}
+                         % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM k2
+        WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.doc_id = k2.doc_id)
+    """,
+}
