@@ -28,10 +28,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ulh_etl_spark.operators.dedup import (
-    exact_dedup_keys,
-    minhash_candidate_pairs,
-)
+from ulh_etl_spark.operators.dedup import minhash_candidate_pairs
 from ulh_etl_spark.operators.text import (
     fingerprint,
     hash_split,
@@ -83,11 +80,17 @@ def curate(df: DataFrame, cfg: CurationConfig = CurationConfig()) -> DataFrame:
     if cfg.langs is not None:
         kept = kept.filter(F.col("lang_pred").isin(*cfg.langs))
 
-    # exact dedup: keep the minimum id per fingerprint
-    keepers = exact_dedup_keys(kept, cfg.text_col, cfg.id_col).select(
-        F.col("keep_id").alias(cfg.id_col)
+    # exact dedup: keep the minimum id per fingerprint. Window form,
+    # not groupBy + semi-join back: ONE shuffle on fp instead of two
+    # (same uniform hash key, strictly fewer exchanges).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp").orderBy(cfg.id_col)
+    kept = (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
-    kept = kept.join(keepers, cfg.id_col, "left_semi")
 
     if cfg.near_dedup:
         pairs = minhash_candidate_pairs(
