@@ -64,6 +64,15 @@ def test_report_and_partitioned_write(spark, corpus, tmp_path):
     write_curated(out, path)
     back = spark.read.parquet(path)
     assert back.count() == 2
-    # split is a partition column -> reading one split prunes files
-    one = back.filter(F.col("split") == back.select("split").first()["split"])
-    assert "PartitionFilters" in one._jdf.queryExecution().executedPlan().toString() or one.count() >= 1
+    # split must be a real partition column: directory layout + a
+    # split-filter plan that prunes at the partition level
+    import os
+
+    subdirs = {d for d in os.listdir(path) if d.startswith("split=")}
+    assert subdirs, f"expected split= partition dirs, got {os.listdir(path)}"
+    a_split = sorted(subdirs)[0].split("=", 1)[1]
+    one = back.filter(F.col("split") == a_split)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "split" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]

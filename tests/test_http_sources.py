@@ -242,6 +242,23 @@ def test_entity_mirror_merge_delete(spark, mirror_cleanup):
     assert out == {"MBI1": "old", "MBI2": "new", "MBI3": "new"}
 
 
+def test_entity_mirror_merge_skip_not_upserted(spark, mirror_cleanup):
+    """'skip' rows (canceled, never synced — the HTTP sink issues no
+    request) must not be upserted into the mirror either."""
+    base = spark.createDataFrame([("MBI1", "old")], "mbi string, v string")
+    write_table(base, "entity_mirror", mode="overwrite")
+    rows = spark.createDataFrame(
+        [("MBI2", "new", None), ("MBI9", "canceled-unsynced", "skip")],
+        "mbi string, v string, _op string",
+    )
+    stats = entity_mirror_merge(
+        spark, "entity_mirror", rows, alternate_key=["mbi"], op_col="_op"
+    )
+    assert stats == {"updated": 0, "inserted": 1, "deleted": 0}
+    out = {r.mbi: r.v for r in spark.table("entity_mirror").collect()}
+    assert out == {"MBI1": "old", "MBI2": "new"}  # no MBI9
+
+
 def test_classify_create_update(spark):
     rows = spark.createDataFrame([("k1", "x"), ("k2", "y")], "k string, v string")
     key_map = spark.createDataFrame([("k1", "G-1")], "k string, guid string")

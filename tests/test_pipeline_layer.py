@@ -245,6 +245,38 @@ def test_merge_upsert_dynamic_partition_overwrite(warehouse):
     assert before_p2 == after_p2  # untouched partition: same files
 
 
+def test_merge_upsert_partition_mover_guard(warehouse):
+    """A source row that moves a key to a different partition would
+    strand the old row (dynamic-partition-overwrite caveat); the
+    opt-in stability check fails fast instead of corrupting."""
+    import pytest
+
+    from ulh_etl_spark.sinks.tables import write_partitioned
+
+    spark = warehouse
+    df = spark.createDataFrame(
+        [(1, "p1", "old"), (2, "p2", "old")], "id int, part string, v string"
+    )
+    write_partitioned(df, "t_merge_mover", ["part"])
+    src = spark.createDataFrame(
+        [(1, "p2", "moved")], "id int, part string, v string"
+    )
+    with pytest.raises(ValueError, match="change partition"):
+        merge_upsert(
+            spark, "t_merge_mover", src, keys=["id"],
+            partition_cols=["part"], check_partition_stability=True,
+        )
+    # stable-partition source passes the check
+    ok = spark.createDataFrame(
+        [(2, "p2", "new")], "id int, part string, v string"
+    )
+    stats = merge_upsert(
+        spark, "t_merge_mover", ok, keys=["id"],
+        partition_cols=["part"], check_partition_stability=True,
+    )
+    assert stats == {"updated": 1, "inserted": 0}
+
+
 def test_update_flag(warehouse):
     spark = warehouse
     df = spark.createDataFrame([(1, 1), (2, 1), (3, 0)], "id int, IS_NEW int")

@@ -67,10 +67,12 @@ def test_plan_facts_summary(spark, sf_dir):
     assert s["scans"] >= 1 and s["codegen_spans"] >= 1
 
 
-def test_dedup_fanout_is_conditional(spark):
+def test_dedup_fanout_is_conditional(spark, tmp_path):
     """minhash_signatures only inserts a round-robin repartition when
-    the input is under-parallel; a well-split input (the 100 TB case)
-    must NOT pay a full-corpus shuffle before the work starts."""
+    the input arrives as fewer file splits than cores; a well-split
+    input (the 100 TB case) must NOT pay a full-corpus shuffle before
+    the work starts, and a frame already spread by an upstream
+    Exchange must be left alone."""
     from ulh_etl_spark.operators.dedup import minhash_signatures
     from ulh_etl_spark.plans.inspect import formatted_plan
 
@@ -78,11 +80,53 @@ def test_dedup_fanout_is_conditional(spark):
         F.col("id").alias("doc_id"),
         F.concat(F.lit("some document text "), F.col("id").cast("string")).alias("text"),
     )
-    well_split = formatted_plan(minhash_signatures(docs, "text", "doc_id"))
+    par = spark.sparkContext.defaultParallelism
+    many, one = str(tmp_path / "many"), str(tmp_path / "one")
+    docs.repartition(par).write.parquet(many)
+    docs.coalesce(1).write.parquet(one)
+
+    well_split = formatted_plan(
+        minhash_signatures(spark.read.parquet(many), "text", "doc_id")
+    )
     assert "RoundRobinPartitioning" not in well_split, well_split
 
-    single = formatted_plan(minhash_signatures(docs.coalesce(1), "text", "doc_id"))
+    single = formatted_plan(
+        minhash_signatures(spark.read.parquet(one), "text", "doc_id")
+    )
     assert "RoundRobinPartitioning" in single, single
+
+    # frame already spread by an upstream shuffle (an aggregation —
+    # a window would be pruned away by the optimizer): no extra fan-out
+    shuffled = (
+        spark.read.parquet(one)
+        .groupBy("doc_id")
+        .agg(F.first("text").alias("text"))
+    )
+    post_shuffle = formatted_plan(minhash_signatures(shuffled, "text", "doc_id"))
+    assert "RoundRobinPartitioning" not in post_shuffle, post_shuffle
+
+
+def test_dedup_fanout_probe_runs_no_job(spark, tmp_path):
+    """Constructing a dedup frame must not execute upstream stages:
+    the old df.rdd partition probe eagerly ran every upstream shuffle
+    under AQE (a full corpus scan per construction)."""
+    from ulh_etl_spark.operators.dedup import minhash_signatures
+
+    path = str(tmp_path / "probe")
+    spark.range(0, 64).select(
+        F.col("id").alias("doc_id"), F.col("id").cast("string").alias("text")
+    ).write.parquet(path)
+    upstream = (
+        spark.read.parquet(path)
+        .groupBy("doc_id")
+        .agg(F.first("text").alias("text"))
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("fanout_probe", "constructing dedup frame")
+    _ = minhash_signatures(upstream, "text", "doc_id")  # construct only
+    sc.setJobGroup("fanout_other", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("fanout_probe")
+    assert len(jobs) == 0, f"construction ran {len(jobs)} job(s)"
 
 
 # ---------------------------------------------------------------- skew

@@ -77,6 +77,34 @@ def test_asof_join_payload_atomicity(spark):
     assert pairs <= legal
 
 
+def test_asof_join_ansi_null_semantics(spark):
+    """NULL right timestamps / keys never match (ANSI comparison
+    semantics); NULL-ts left rows come through unmatched."""
+    left = spark.createDataFrame(
+        [
+            (1, "k1", _ts("2024-01-01 08:00:00")),
+            (2, None, _ts("2024-01-01 08:00:00")),  # null key
+            (3, "k1", None),  # null left ts
+        ],
+        "lid long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("k1", None, 9, 9.0),  # null ts: must never backfill
+            (None, _ts("2024-01-01 07:00:00"), 8, 8.0),  # null key
+        ],
+        "k string, rts timestamp, rid long, val double",
+    )
+    out = {
+        r["lid"]: r["matched_rid"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            right_payload=("rid", "val"), tiebreak="rid",
+        ).collect()
+    }
+    assert out == {1: None, 2: None, 3: None}
+
+
 def test_asof_join_single_shuffle(spark):
     out = asof_join(
         _left(spark),

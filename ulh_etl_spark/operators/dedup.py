@@ -47,9 +47,21 @@ def _fan_out(df: DataFrame) -> DataFrame:
     small table read as 1-2 parquet splits). At scale the input already
     has thousands of splits and a blanket repartition would force a
     full shuffle of the raw corpus before any work happens — skip it.
+
+    Decided from PLAN METADATA only — never ``df.rdd``: under AQE the
+    rdd probe eagerly executes every upstream stage (a full corpus
+    scan+shuffle just to read a partition count) and then reports the
+    AQE-coalesced count, judging any small post-shuffle frame
+    "under-parallel". Instead: a frame whose plan already contains an
+    Exchange is spread by that shuffle — leave it; otherwise a bare
+    scan of fewer files than cores gets the spread-out repartition.
     """
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan:
+        return df
+    files = df.inputFiles()
+    if files and len(files) < parallelism:
         return df.repartition(parallelism)
     return df
 

@@ -51,6 +51,16 @@ def asof_join(
     atomically (all from the same right row).
     """
     payload_cols = [right_ts, *[c for c in right_payload if c != right_ts]]
+    # ANSI semantics: a NULL timestamp or NULL key never matches
+    # (comparison yields false/unknown). Without this filter, NULL
+    # right timestamps sort to the head of the partition (asc =
+    # nulls-first) and would backfill otherwise-unmatched left rows;
+    # NULL keys would pair null-key left rows with null-key right
+    # rows. Left rows with NULL ts/key still come through unmatched
+    # (left-outer), which is also the ANSI result.
+    right = right.filter(
+        F.col(right_ts).isNotNull() & F.col(on).isNotNull()
+    )
     r = right.select(
         F.col(on),
         F.col(right_ts).alias("_t"),

@@ -70,8 +70,12 @@ def entity_mirror_merge(
         return stats
 
     deletes = rows.filter(F.col(op_col) == "delete")
+    # 'skip' = canceled rows with no synced GUID: the HTTP sink issues
+    # no request for them, so the mirror must not upsert them either —
+    # otherwise the mirror gains canceled entities the entity store
+    # never created.
     upserts = rows.filter(
-        F.col(op_col).isNull() | (F.col(op_col) != "delete")
+        F.col(op_col).isNull() | ~F.col(op_col).isin("delete", "skip")
     ).drop(op_col)
     stats = merge_upsert(spark, mirror_table, upserts, keys=alternate_key)
     stats["deleted"] = 0

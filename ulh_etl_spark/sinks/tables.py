@@ -106,6 +106,7 @@ def merge_upsert(
     keys: list[str],
     tiebreak_cols: list[str] | None = None,
     partition_cols: list[str] | None = None,
+    check_partition_stability: bool = False,
 ) -> dict[str, int]:
     """K4: MERGE upsert — WHEN MATCHED UPDATE all columns, WHEN NOT
     MATCHED INSERT (reference Rater8_Reviews.ipynb ``run_merge`` on
@@ -129,6 +130,15 @@ def merge_upsert(
     the rewrite is bounded by the source's partition footprint, which
     is what keeps parquet-mode MERGE viable at 100 TB. On Delta you'd
     swap this body for ``MERGE INTO`` and keep the signature.
+
+    PRECONDITION (partitioned mode): a key's partition value must be
+    STABLE — if a source row moves a key to a different partition, the
+    old row survives in its untouched partition (duplicate key) and
+    the tally counts the key as inserted. This is the standard dynamic
+    -partition-overwrite caveat (Hive behaves identically; Delta MERGE
+    detects it). Set ``check_partition_stability=True`` to pay one
+    anti-join scan of the out-of-footprint target partitions and fail
+    fast instead.
     """
     if not table_exists(spark, target):
         obs = Observation()
@@ -145,6 +155,27 @@ def merge_upsert(
         # the broadcast semi-join prunes untouched directories
         touched = source_df.select(*partition_cols).distinct()
         tgt_side = tgt.join(F.broadcast(touched), partition_cols, "left_semi")
+        if check_partition_stability:
+            # a source key living in an UNtouched target partition
+            # means the key is moving partitions — the overwrite would
+            # leave the stale row behind. One extra scan, opt-in.
+            outside = tgt.join(
+                F.broadcast(touched), partition_cols, "left_anti"
+            )
+            movers = outside.join(
+                F.broadcast(source_df.select(*keys).distinct()),
+                keys,
+                "left_semi",
+            )
+            n_movers = movers.count()
+            if n_movers:
+                raise ValueError(
+                    f"merge_upsert: {n_movers} key(s) change partition "
+                    f"value(s) {partition_cols}; dynamic partition "
+                    "overwrite would strand their old rows. Merge "
+                    "without partition_cols or delete the old rows "
+                    "first."
+                )
     else:
         tgt_side = tgt
 
