@@ -102,6 +102,47 @@ def test_simhash_matches_model(spark, texts):
         assert out[i] == py_simhash(t), t
 
 
+def test_connected_components_model(spark):
+    """Chain, triangle, and 2-cycle: every node gets the min id of
+    its component; transitive chains collapse (the thing the
+    single-pass keep-lowest rule cannot do)."""
+    from ulh_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),  # chain: all -> 1
+            (10, 11), (11, 12), (10, 12),  # triangle: all -> 10
+            (20, 21),  # pair
+        ],
+        "id1 long, id2 long",
+    )
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert out == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-edge chain needs diameter-many min-propagation rounds;
+    the fixpoint loop must get there without lineage blowup."""
+    from ulh_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 112)], "id1 long, id2 long"
+    )
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert set(out.values()) == {100}
+    assert len(out) == 13
+
+
 def test_simhash_keeps_tokenless_docs(spark):
     """Empty / whitespace-only / null texts must not vanish from the
     signature table, and must land at simhash 0."""

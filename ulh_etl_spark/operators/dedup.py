@@ -290,6 +290,83 @@ def ngram_jaccard(text1: Column, text2: Column, n: int = 3) -> Column:
     return F.round(inter / union.cast("double"), 6)
 
 
+def connected_components(
+    pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair relation via
+    min-label propagation — the exact grouping for near-duplicate
+    clusters (the single-pass keep-lowest rule in curation only
+    approximates this; transitive chains A~B~C need the fixpoint).
+
+    Algorithm: every node starts labeled with itself; each round a
+    node takes the min of its own and its neighbors' labels; stop
+    when a round changes nothing. Rounds = O(component diameter)
+    (near-dup clusters are shallow — a handful of rounds); each round
+    is one join + one partial-aggregated groupBy, both on uniformly
+    hashed node ids. The driver loop holds only a changed-count per
+    round (same shape as kmeans_refine's iteration). GraphFrames'
+    large-star/small-star does the same with fewer rounds on deep
+    graphs; min-propagation keeps this dependency-free.
+
+    Output: (node, component) — component = min node id reachable.
+    """
+    edges = pairs.select(
+        F.col(id1).alias("src"), F.col(id2).alias("dst")
+    )
+    # undirected: propagate both ways
+    edges = (
+        edges.union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # localCheckpoint per round, NOT just persist: the labels frame
+    # feeds the next round twice (neighbor join + carry-over), so the
+    # un-truncated lineage doubles every iteration and the analyzer
+    # OOMs around round 15. Checkpointing materializes the round and
+    # cuts the plan — the standard iterative-Spark shape (at cluster
+    # scale swap in reliable checkpoint() on a fault-tolerant dir).
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+                (
+                    F.col("nbr_min").isNotNull()
+                    & (F.col("nbr_min") < F.col("component"))
+                ).cast("long").alias("_changed"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.agg(F.sum("_changed")).collect()[0][0] or 0
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash(text: Column, bits: int = 16) -> Column:
     """SimHash fingerprint over whitespace tokens.
 

@@ -85,12 +85,25 @@ _BAND_SELECTS = "\n        UNION ALL\n".join(
     for b in range(_NUM_HASHES // _ROWS_PER_BAND)
 )
 
+def q75_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH candidate pairs —
+    the exact near-dup cluster assignment (transitive closure), via
+    iterative min-label propagation. The oracle computes the same
+    fixpoint with a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_candidate_pairs(
+        docs, "text", "doc_id", _NUM_HASHES, _ROWS_PER_BAND, _SHINGLE_N
+    )
+    return D.connected_components(pairs)
+
+
 QUERIES = {
     "q34_dedup_exact": q34_dedup_exact,
     "q35_minhash_signature": q35_minhash_signature,
     "q36_minhash_pairs": q36_minhash_pairs,
     "q37_simhash": q37_simhash,
     "q38_ngram_jaccard_pairs": q38_ngram_jaccard_pairs,
+    "q75_neardup_components": q75_neardup_components,
 }
 
 ORACLES = {
@@ -149,5 +162,33 @@ ORACLES = {
                ROUND(CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE), 6) AS jaccard3
         FROM p
         WHERE ROUND(CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE), 6) >= 0.5
+    """,
+    # exact transitive closure of the LSH pair graph: component =
+    # min reachable node id (recursive CTE fixpoint)
+    "q75_neardup_components": f"""
+        WITH RECURSIVE hashed AS (
+            SELECT doc_id, {_HS} AS hs FROM documents
+        ), sigs AS (
+            SELECT doc_id,
+               {_SIG_COLS}
+            FROM hashed
+        ), bands AS (
+{_BAND_SELECTS}
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ), edges AS (
+            SELECT id1 AS a, id2 AS b FROM pairs
+            UNION
+            SELECT id2, id1 FROM pairs
+        ), reach(src, dst) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        )
+        SELECT src AS node, MIN(dst) AS component
+        FROM reach GROUP BY src
     """,
 }
