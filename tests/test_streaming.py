@@ -149,6 +149,60 @@ def test_streaming_sliding_windows(spark, tmp_path):
     }
 
 
+def test_dedup_within_watermark_stream(spark, tmp_path):
+    """Duplicate keys within the watermark horizon are dropped;
+    state is watermark-bounded (the production streaming dedup)."""
+    import os
+
+    from ulh_etl_spark.streaming.stateful import dedup_within_watermark
+
+    src = tmp_path / "dups"
+    src.mkdir()
+    with open(os.path.join(str(src), "e.csv"), "w") as f:
+        f.write(
+            "ts,event_id,value\n"
+            "2024-01-01 00:10:00,1,1.0\n"
+            "2024-01-01 00:11:00,1,1.0\n"  # duplicate within horizon
+            "2024-01-01 00:12:00,2,2.0\n"
+        )
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP, event_id LONG, value DOUBLE")
+        .option("header", True)
+        .csv(str(src))
+    )
+    out = dedup_within_watermark(stream, ("event_id",), "ts", "1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT event_id FROM dedup_wm").collect()
+    assert sorted(r.event_id for r in rows) == [1, 2]
+
+
+def test_lsh_bucket_cap_drops_degenerate_bucket(spark):
+    """max_bucket_size: a boilerplate bucket (many identical docs)
+    stops emitting B² pairs; normal buckets are untouched."""
+    from ulh_etl_spark.operators.dedup import minhash_candidate_pairs
+
+    boiler = [(i, "identical boilerplate header text") for i in range(10)]
+    near_text = "a genuinely unique document about rivers and mountains"
+    pair = [(100, near_text), (101, near_text + " x")]
+    df = spark.createDataFrame(boiler + pair, "doc_id long, text string")
+
+    uncapped = minhash_candidate_pairs(df, "text", "doc_id")
+    capped = minhash_candidate_pairs(df, "text", "doc_id", max_bucket_size=5)
+    unc = {(r.id1, r.id2) for r in uncapped.collect()}
+    cap = {(r.id1, r.id2) for r in capped.collect()}
+    # boilerplate pairs (45 of them) dominate uncapped, vanish capped
+    assert sum(1 for a, b in unc if a < 10 and b < 10) == 45
+    assert not any(a < 10 and b < 10 for a, b in cap)
+    assert (100, 101) in unc and (100, 101) in cap
+
+
 def test_batch_sessionize_gap(spark):
     df = spark.createDataFrame(
         [

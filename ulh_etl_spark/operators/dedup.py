@@ -157,10 +157,22 @@ def minhash_candidate_pairs(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     shingle_n: int = DEFAULT_SHINGLE,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: equality self-join on (band_idx, band_key),
     id1 < id2, distinct. Scale: the join shuffles on the band key —
-    O(sum bucket²) work instead of O(n²); no driver collect."""
+    O(sum bucket²) work instead of O(n²); no driver collect.
+
+    ``max_bucket_size`` is the degenerate-bucket guard for corpora
+    with boilerplate: a bucket of B docs emits B² pairs, so one
+    pathological band key (empty docs, shared headers) can dominate
+    the whole join. Capping drops buckets above the limit BEFORE the
+    self-join (one extra partial-agg count, no skewed shuffle ever
+    materializes). The trade is recall on exactly those documents —
+    which near-dup dedup would mostly collapse to one survivor
+    anyway; exact dedup upstream catches the fully-identical ones.
+    Default None = exact parity with the SQL oracle.
+    """
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     # Persist the band table: the self-join would otherwise recompute
     # the whole shingle-hash pipeline for BOTH sides. The band table is
@@ -169,6 +181,14 @@ def minhash_candidate_pairs(
     bands = lsh_bands(sigs, id_col, num_hashes, rows_per_band).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if max_bucket_size is not None:
+        counts = bands.groupBy("band_idx", "band_key").agg(
+            F.count("*").alias("_bsz")
+        )
+        bands = bands.join(
+            counts.filter(F.col("_bsz") <= max_bucket_size),
+            ["band_idx", "band_key"],
+        ).drop("_bsz")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
