@@ -40,6 +40,15 @@ def get_spark(app_name: str = "ulh_etl_spark", cpus: str | None = None) -> Spark
       DuckDB oracle.
     """
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    # Shuffle/spill files on tmpfs when available: this box's local
+    # disk has sporadic multi-second I/O stalls (BASELINE.md host
+    # note) that land on shuffle-heavy queries; RAM-backed local dirs
+    # take the disk out of the measurement. On a real cluster this is
+    # the NVMe-local-dir/YARN-local-dirs setting instead.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+        os.makedirs(local_dir, exist_ok=True)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -52,6 +61,7 @@ def get_spark(app_name: str = "ulh_etl_spark", cpus: str | None = None) -> Spark
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.local.dir", local_dir or "/tmp")
         # testdata events.parquet carries TIMESTAMP(NANOS) which the
         # vectorized reader rejects; read as long and convert on load.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
