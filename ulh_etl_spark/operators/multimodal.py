@@ -242,10 +242,14 @@ def embed_media(
     embedder: Callable[[bytes], list] | None = None,
     id_col: str = "media_id",
     content_col: str = "content",
+    vec_type: str = "float",
 ) -> DataFrame:
-    """Media -> embedding vector (array<float>): the feature-extract
-    stage feeding similarity search. Fake embedder: md5-expanded
-    pseudo-embedding, unit-length floats."""
+    """Media -> embedding vector (array<``vec_type``>): the
+    feature-extract stage feeding similarity search. Fake embedder:
+    md5-expanded pseudo-embedding, unit-length floats. Use
+    ``vec_type='double'`` when downstream math must be bit-identical
+    to a double-precision oracle (float32 truncation would shift
+    distance comparisons)."""
     import pandas as pd
 
     if embedder is None:
@@ -267,5 +271,5 @@ def embed_media(
             )
 
     return _spread(df.select(id_col, content_col)).mapInPandas(
-        _run, schema=f"{id_col} long, embedding array<float>"
+        _run, schema=f"{id_col} long, embedding array<{vec_type}>"
     )

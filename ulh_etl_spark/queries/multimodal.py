@@ -98,10 +98,47 @@ def q45_frame_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _portable_embedder(content: bytes) -> list:
+    """8-dim pseudo-embedding reproducible in SQL: bytes of
+    md5(upper-hex(content)) scaled to [0,1], unit-normalized. All
+    arithmetic in doubles, NO rounding — the oracle runs the exact
+    same double ops, so values (and downstream distance comparisons)
+    are bit-identical."""
+    h = hashlib.md5(content.hex().upper().encode()).hexdigest()
+    vals = [int(h[2 * i: 2 * i + 2], 16) / 255.0 for i in range(8)]
+    norm = sum(v * v for v in vals) ** 0.5 or 1.0
+    return [v / norm for v in vals]
+
+
+def q76_media_embed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal composition: media bytes -> Arrow-batched
+    embedding stage (mapInPandas) -> IVF nearest-cell assignment
+    (first 8 media as centroid seeds) — decode-to-ANN end to end,
+    mirroring what a real image-embedding ingest does at scale
+    (embed narrow-map, centroids broadcast, output written
+    partitionBy(cell))."""
+    from ulh_etl_spark.operators.multimodal import embed_media
+    from ulh_etl_spark.operators.similarity import ivf_assign
+
+    emb = embed_media(
+        _media(spark, sf_dir),
+        dim=8,
+        embedder=_portable_embedder,
+        vec_type="double",
+    )
+    cents = emb.filter(F.col("media_id") < 8).select(
+        F.col("media_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    assigned = ivf_assign(emb, cents, id_col="media_id")
+    return assigned.select("media_id", "cell")
+
+
 QUERIES = {
     "q43_media_metadata": q43_media_metadata,
     "q44_media_decode": q44_media_decode,
     "q45_frame_sample_counts": q45_frame_sample_counts,
+    "q76_media_embed_cells": q76_media_embed_cells,
 }
 
 ORACLES = {
@@ -135,5 +172,38 @@ ORACLES = {
                CAST((LEAST(8, GREATEST(1, octet_length(content) // 30)) - 1) * 30
                     AS INT) AS max_frame_idx
         FROM media
+    """,
+    # bytes -> md5-derived unit vector (identical double ops to the
+    # Python embedder) -> squared-L2 nearest of the first 8 vectors
+    "q76_media_embed_cells": f"""
+        WITH media AS ({_DUCK_MEDIA}),
+        hexed AS (
+            SELECT media_id, md5(upper(hex(content))) AS h FROM media
+        ), raw AS (
+            SELECT media_id,
+                   list_transform(generate_series(0, 7),
+                       i -> CAST('0x' || substr(h, 2*i + 1, 2) AS BIGINT)
+                            / 255.0) AS r
+            FROM hexed
+        ), emb AS (
+            SELECT media_id,
+                   list_transform(r, v -> v / sqrt(list_sum(
+                       list_transform(r, x -> x * x)))) AS e
+            FROM raw
+        ), c AS (
+            SELECT media_id AS cell, e AS cv FROM emb WHERE media_id < 8
+        ), d AS (
+            SELECT emb.media_id, c.cell,
+                   list_sum(list_transform(generate_series(1, 8),
+                       i -> (emb.e[i] - c.cv[i]) * (emb.e[i] - c.cv[i])))
+                       AS dist
+            FROM emb, c
+        )
+        SELECT media_id, cell FROM (
+            SELECT media_id, cell,
+                   row_number() OVER (PARTITION BY media_id
+                                      ORDER BY dist, cell) AS rn
+            FROM d
+        ) WHERE rn = 1
     """,
 }
