@@ -77,6 +77,40 @@ def test_asof_join_payload_atomicity(spark):
     assert pairs <= legal
 
 
+def test_asof_join_tolerance(spark):
+    """Matches farther than the tolerance horizon are nulled out in
+    the same window pass (no extra join)."""
+    out = {
+        r["lid"]: r["matched_rid"]
+        for r in asof_join(
+            _left(spark), _right(spark), on="k", left_ts="ts",
+            right_ts="rts", right_payload=("rid",), tiebreak="rid",
+            tolerance_seconds=1800,
+        ).collect()
+    }
+    # lid=1 matches at 0s gap (keeps); lid=2 (12:00) best match is
+    # 11:00 -> 3600s gap > 1800 -> nulled
+    assert out[1] == 100 and out[2] is None
+
+
+def test_asof_join_forward(spark):
+    """direction='forward': earliest right row at-or-after each left
+    row, inclusive at equal ts, greatest tiebreak on ties."""
+    out = {
+        r["lid"]: r["matched_rid"]
+        for r in asof_join(
+            _left(spark), _right(spark), on="k", left_ts="ts",
+            right_ts="rts", right_payload=("rid",), tiebreak="rid",
+            direction="forward",
+        ).collect()
+    }
+    # lid=1 at 10:00: equal-ts row 100 (inclusive)
+    # lid=2 at 12:00: next is 13:00 -> 103
+    # lid=3 at 09:00: k2's 09:30 row -> 200
+    # lid=4: no right rows -> None
+    assert out == {1: 100, 2: 103, 3: 200, 4: None}
+
+
 def test_asof_join_ansi_null_semantics(spark):
     """NULL right timestamps / keys never match (ANSI comparison
     semantics); NULL-ts left rows come through unmatched."""

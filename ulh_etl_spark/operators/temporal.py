@@ -40,16 +40,27 @@ def asof_join(
     right_payload: tuple[str, ...],
     tiebreak: str | None = None,
     prefix: str = "matched_",
+    tolerance_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: every ``left`` row gains the payload of the
-    latest ``right`` row with the same ``on`` key and
-    ``right_ts <= left_ts`` (inclusive); unmatched rows keep nulls.
+    """As-of join: every ``left`` row gains the payload of the nearest
+    ``right`` row with the same ``on`` key — the latest at-or-before
+    (``direction='backward'``, default) or the earliest at-or-after
+    (``direction='forward'``); unmatched rows keep nulls. The pandas
+    ``merge_asof`` surface, distributed.
+
+    ``tolerance_seconds`` nulls out matches farther than the horizon
+    (|left_ts - matched_ts| > tolerance): the match is computed in the
+    same single window pass and masked afterwards — no extra join.
 
     ``tiebreak`` orders right rows that share (key, ts) — the row with
     the greatest tiebreak value wins, deterministically. Payload
     columns are packed into ONE struct so the window backfills them
-    atomically (all from the same right row).
+    atomically (all from the same right row). Forward direction is
+    the same one-shuffle plan with the sort reversed.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     payload_cols = [right_ts, *[c for c in right_payload if c != right_ts]]
     # ANSI semantics: a NULL timestamp or NULL key never matches
     # (comparison yields false/unknown). Without this filter, NULL
@@ -70,11 +81,19 @@ def asof_join(
     l = left.withColumn("_t", F.col(left_ts)).withColumn("_side", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
 
-    order = [F.col("_t").asc(), F.col("_side").asc()]
+    backward = direction == "backward"
+    # backward: right rows before left at equal ts (inclusive <=),
+    # scan ascending, take the LAST right row seen so far.
+    # forward: scan descending (later rows first), right still before
+    # left at equal ts (inclusive >=), take the last right row seen —
+    # which is the EARLIEST at-or-after. Same plan, reversed sort.
+    t_order = F.col("_t").asc() if backward else F.col("_t").desc()
+    order = [t_order, F.col("_side").asc()]
     if tiebreak is not None:
-        # right rows with equal (key, ts): greatest tiebreak sorts last,
-        # so last(_r) picks it. Left rows carry null _r and a higher
-        # _side, so they never shadow a right row.
+        # right rows with equal (key, ts): greatest tiebreak sorts last
+        # (ascending within either ts direction), so last(_r) picks it
+        # in both modes. Left rows carry null _r and a higher _side,
+        # so they never shadow a right row.
         order.append(F.col("_r").getField(tiebreak).asc_nulls_first())
     w = (
         Window.partitionBy(on)
@@ -82,6 +101,15 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.withColumn("_match", F.last("_r", ignorenulls=True).over(w))
+    match = F.col("_match")
+    if tolerance_seconds is not None:
+        horizon = int(tolerance_seconds) * 1_000_000
+        gap = F.unix_micros(F.col("_t")) - F.unix_micros(
+            match.getField(right_ts)
+        )
+        gap = gap if backward else -gap
+        match = F.when(gap <= horizon, match)  # else NULL: out of horizon
+    filled = filled.withColumn("_match", match)
     out = filled.filter(F.col("_side") == 1).select(
         *[F.col(c) for c in left.columns],
         *[
