@@ -91,3 +91,26 @@ def test_rolling_window_single_shuffle(spark, sf_dir):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" in plan
+
+
+def test_approx_quartiles_near_exact(spark, sf_dir):
+    """approx_percentile(accuracy=1000) must land within 1 quantity
+    unit of the exact per-group quartiles (integer-valued data)."""
+    from ulh_etl_spark.queries.analytic import (
+        q59_quantity_quartiles,
+        q77_approx_quartiles,
+    )
+
+    exact = {
+        r["l_returnflag"]: (r["q25"], r["q50"], r["q75"])
+        for r in q59_quantity_quartiles(spark, sf_dir).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r["approx_quartiles"]
+        for r in q77_approx_quartiles(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for flag, (e25, e50, e75) in exact.items():
+        a25, a50, a75 = approx[flag]
+        for e, a in ((e25, a25), (e50, a50), (e75, a75)):
+            assert abs(e - a) <= 1.0, (flag, e, a)

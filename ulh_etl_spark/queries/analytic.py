@@ -99,6 +99,20 @@ def q68_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q77_approx_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: approx_percentile (t-digest-style
+    mergeable sketch, one map-combined pass, no per-group sort) over
+    the same quartiles as exact q59. No SQL oracle — sketch internals
+    are engine-specific; the rows-only check applies and the error
+    bound vs the exact answer is pinned in tests."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 1000)")
+        .alias("approx_quartiles"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 def q62_approx_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct users per event type (rsd 5%). Sketches
     merge associatively, so this is one map-combined shuffle at any
@@ -219,6 +233,7 @@ QUERIES = {
     "q59_quantity_quartiles": q59_quantity_quartiles,
     "q62_approx_user_counts": q62_approx_user_counts,
     "q68_cube_agg": q68_cube_agg,
+    "q77_approx_quartiles": q77_approx_quartiles,
     "q69_set_ops": q69_set_ops,
     "q70_semi_join": q70_semi_join,
     "q71_above_avg_orders": q71_above_avg_orders,
