@@ -62,6 +62,12 @@ def get_spark(app_name: str = "ulh_etl_spark", cpus: str | None = None) -> Spark
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.local.dir", local_dir or "/tmp")
+        # The whole-stage-codegen class cache defaults to 100 entries;
+        # a catalog of 70+ queries (some compiling to very large
+        # classes — the md5/array dedup pipelines) thrashes it, and an
+        # evicted entry costs seconds of Janino recompilation on next
+        # use. Static conf — must be set at session build.
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
         # testdata events.parquet carries TIMESTAMP(NANOS) which the
         # vectorized reader rejects; read as long and convert on load.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
