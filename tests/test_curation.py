@@ -45,6 +45,16 @@ def test_curate_without_near_dedup_keeps_neardup(spark, corpus):
     assert ids == {0, 2, 4}  # exact dup 1 still dropped
 
 
+def test_curate_lang_filter(spark, corpus):
+    """langs=... keeps only docs whose predicted language is in the
+    allowlist (corpus docs with English stopwords classify 'en')."""
+    keep_en = CurationConfig(min_quality=0.0, near_dedup=False, langs=("en",))
+    ids_en = {r["doc_id"] for r in curate(corpus, keep_en).select("doc_id").collect()}
+    assert ids_en  # the GOOD docs are stopword-heavy English
+    drop_all = CurationConfig(min_quality=0.0, near_dedup=False, langs=("fr",))
+    assert curate(corpus, drop_all).count() == 0
+
+
 def test_split_deterministic(spark, corpus):
     cfg = CurationConfig(min_quality=0.0, near_dedup=False)
     a = {r["doc_id"]: r["split"] for r in curate(corpus, cfg).collect()}

@@ -206,3 +206,77 @@ def test_resolve_practice_secrets_skips_notes():
         {"note": "docs only", "dv": "DV_ALIAS"}, {"DV_ALIAS": "tok"}
     )
     assert got == {"dv": "tok"}
+
+
+# ------------------------------------------------------------ temporal
+
+_TS0 = 1_700_000_000  # epoch seconds base for generated timestamps
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 5000)),
+        min_size=1, max_size=25,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 5000), st.integers(0, 999)),
+        min_size=1, max_size=25, unique_by=lambda r: (r[0], r[1]),
+    ),
+    direction=st.sampled_from(["backward", "forward"]),
+    tolerance=st.one_of(st.none(), st.integers(1, 2000)),
+)
+def test_asof_join_matches_pandas_merge_asof(
+    spark, left, right, direction, tolerance
+):
+    """asof_join must agree with pandas.merge_asof (the canonical
+    single-node reference) on random keyed time series — both
+    directions, with and without tolerance. Right side unique per
+    (key, ts) so tie semantics can't differ."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from ulh_etl_spark.operators.temporal import asof_join
+
+    def ts(sec):
+        return dt.datetime.utcfromtimestamp(_TS0 + sec)
+
+    ldf = spark.createDataFrame(
+        [(i, f"k{k}", ts(s)) for i, (k, s) in enumerate(left)],
+        "lid long, k string, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(f"k{k}", ts(s), v) for (k, s, v) in right],
+        "k string, rts timestamp, val long",
+    )
+    got = {
+        r["lid"]: r["matched_val"]
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="rts",
+            right_payload=("val",), direction=direction,
+            tolerance_seconds=tolerance,
+        ).collect()
+    }
+
+    lp = pd.DataFrame(
+        {"lid": range(len(left)),
+         "k": [f"k{k}" for k, _ in left],
+         "ts": [ts(s) for _, s in left]}
+    ).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(
+        {"k": [f"k{k}" for k, _, _ in right],
+         "rts": [ts(s) for _, s, _ in right],
+         "val": [v for _, _, v in right]}
+    ).sort_values("rts", kind="stable")
+    merged = pd.merge_asof(
+        lp, rp, left_on="ts", right_on="rts", by="k",
+        direction=direction, allow_exact_matches=True,
+        tolerance=None if tolerance is None else pd.Timedelta(seconds=tolerance),
+    )
+    want = {
+        int(row.lid): (None if pd.isna(row.val) else int(row.val))
+        for row in merged.itertuples()
+    }
+    assert got == want
