@@ -162,3 +162,67 @@ def test_lsh_pairs_similar_vectors_collide(spark):
     assert (0, 1) in pairs
     # the antipodal vector flips every bit — no band can match
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_unigram_logprob_model(spark):
+    import math
+
+    from ulh_etl_spark.operators.text import unigram_logprob_scores
+
+    docs = [(0, "a a b"), (1, "b c"), (2, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["mean_logprob"]
+        for r in unigram_logprob_scores(df, "text", "doc_id").collect()
+    }
+    # corpus counts: a=2, b=2, c=1, total=5
+    p = {"a": 2 / 5, "b": 2 / 5, "c": 1 / 5}
+    want0 = round((2 * math.log(p["a"]) + math.log(p["b"])) / 3, 6)
+    want1 = round((math.log(p["b"]) + math.log(p["c"])) / 2, 6)
+    assert abs(out[0] - want0) < 1e-6
+    assert abs(out[1] - want1) < 1e-6
+    assert out[2] is None  # token-less doc survives with NULL
+
+
+def test_contamination_counts_model(spark):
+    from ulh_etl_spark.operators.text import contamination_counts
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "xxx quick brown fox yyy"),   # shares long substring
+            (2, "zzzz completely unrelated"),  # no shared 8-grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_shared"]
+        for r in contamination_counts(
+            corpus, bench, "text", "doc_id", n=8, min_shared=3
+        ).collect()
+    }
+    assert 1 in out and out[1] >= 3
+    assert 2 not in out
+
+
+def test_repetition_signals_model(spark):
+    from ulh_etl_spark.operators.text import repetition_signals
+
+    docs = [
+        (0, "spam spam spam spam spam"),       # degenerate repetition
+        (1, "one two three four five"),        # fully diverse
+        (2, ""),                               # token-less
+        (3, "single"),                         # one token: ttr only
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["ttr"], r["top_bigram_frac"])
+        for r in repetition_signals(df, "text", "doc_id").collect()
+    }
+    assert out[0] == (0.2, 1.0)       # 1 distinct token; 'spam spam' = all bigrams
+    assert out[1] == (1.0, 0.25)      # all distinct; every bigram unique (1/4)
+    assert out[2] == (None, None)
+    assert out[3] == (1.0, None)

@@ -207,6 +207,109 @@ def winnow_fingerprints(df, text_col: str, id_col: str, k: int = 5, window: int 
     )
 
 
+def unigram_logprob_scores(df, text_col: str, id_col: str):
+    """CCNet-style language-model quality proxy: per-doc mean
+    ln p(token) under the corpus unigram distribution. Low scores =
+    rare-token soup (boilerplate, garbled text); high = common fluent
+    vocabulary. The full method uses a pretrained KenLM; the corpus
+    unigram model is the same pipeline shape (token explode ->
+    vocabulary join -> per-doc mean) with a self-computed model.
+
+    Scale: vocabulary = one partial-agged groupBy of the exploded
+    corpus; the score join is on `term` (AQE broadcasts small vocabs);
+    per-doc mean partial-aggregates. Token-less docs survive with
+    NULL score (left join)."""
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    totals = exploded.groupBy("term").agg(F.count("*").alias("n"))
+    grand = totals.agg(F.sum("n").alias("n_total"))
+    vocab = totals.join(F.broadcast(grand)).select(
+        "term",
+        F.log(F.col("n") / F.col("n_total")).alias("logp"),
+    )
+    per_doc = (
+        exploded.join(vocab, "term")
+        .groupBy(id_col)
+        .agg(F.round(F.avg("logp"), 6).alias("mean_logprob"))
+    )
+    return df.select(id_col).join(per_doc, id_col, "left")
+
+
+def contamination_counts(
+    corpus,
+    benchmark,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    min_shared: int = 3,
+):
+    """Benchmark decontamination: corpus docs sharing >= ``min_shared``
+    distinct character ``n``-gram hashes with the benchmark set.
+    Output: (id, n_shared) for flagged docs.
+
+    Scale shape (how real decontamination runs): the benchmark gram
+    set is tiny relative to the corpus — ONE distinct relation that
+    broadcasts; the corpus side is a narrow explode joined against it
+    (AQE broadcast), then a per-doc count. The corpus never
+    self-joins and never shuffles its gram sets."""
+    def gramset(frame):
+        return frame.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(
+                    F.transform(char_ngrams(F.col(text_col), n), md5_hash32)
+                )
+            ).alias("_g"),
+        )
+
+    bench_grams = gramset(benchmark).select("_g").distinct()
+    shared = (
+        gramset(corpus)
+        .join(F.broadcast(bench_grams), "_g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return shared
+
+
+def repetition_signals(df, text_col: str, id_col: str):
+    """Gopher-style within-document repetition signals, all as array
+    expressions in ONE projection (narrow map, no shuffle):
+
+    - ``ttr`` — type-token ratio (distinct/total tokens); low = loops.
+    - ``top_bigram_frac`` — share of the most frequent word bigram;
+      high = stuck phrase repetition.
+
+    Token-less docs emit NULLs. The per-doc bigram frequency scan is
+    O(tokens²) in the expression — fine for documents (10²-10³
+    tokens); book-length inputs would switch to the explode+groupBy
+    shape."""
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    nt = F.size(toks)
+    ttr = F.round(
+        F.size(F.array_distinct(toks)).cast("double") / nt.cast("double"), 6
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), nt - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda g: F.size(F.filter(bigrams, lambda x: x == g)),
+        )
+    )
+    top_frac = F.round(
+        top_count.cast("double") / F.size(bigrams).cast("double"), 6
+    )
+    return df.select(
+        F.col(id_col),
+        F.when(nt > 0, ttr).alias("ttr"),
+        F.when(nt > 1, top_frac).alias("top_bigram_frac"),
+    )
+
+
 # --- corpus-level term statistics (TF-IDF / BM25) -------------------
 #
 # Scale shape: the exploded (doc, term) relation is the big

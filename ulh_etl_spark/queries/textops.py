@@ -134,6 +134,40 @@ def q64_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.winnow_fingerprints(docs, "text", "doc_id", k=5, window=4)
 
 
+def q78_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality proxy: per-doc mean ln p(token) under
+    the corpus unigram distribution (rare-token soup scores low)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.unigram_logprob_scores(docs, "text", "doc_id")
+
+
+# Deterministic stand-in benchmark set for decontamination: every
+# 97th doc. Real use: the held-out eval suites.
+DECON_MOD = 97
+DECON_N = 8
+DECON_MIN_SHARED = 3
+
+
+def q79_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing >= 3 distinct
+    8-gram hashes with the benchmark set (broadcast bench grams,
+    narrow corpus explode — the shape real decontamination runs at)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % DECON_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % DECON_MOD != 0)
+    return T.contamination_counts(
+        corpus, bench, "text", "doc_id",
+        n=DECON_N, min_shared=DECON_MIN_SHARED,
+    )
+
+
+def q80_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (type-token ratio, top-bigram
+    share) as pure array expressions — narrow map, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.repetition_signals(docs, "text", "doc_id")
+
+
 _TOKS = O.ws_tokens("text")
 _LOW_TOKS = O.ws_tokens("lower(text)")
 _BM25_IN = ", ".join(f"'{t}'" for t in BM25_QUERY)
@@ -157,6 +191,9 @@ QUERIES = {
     "q64_winnow_fingerprints": q64_winnow_fingerprints,
     "q65_stratified_sample": q65_stratified_sample,
     "q66_top_quality_per_lang": q66_top_quality_per_lang,
+    "q78_unigram_logprob": q78_unigram_logprob,
+    "q79_decontamination": q79_decontamination,
+    "q80_repetition_signals": q80_repetition_signals,
 }
 
 # Shared quality-score SQL expression (identical to operators.text
@@ -296,5 +333,58 @@ ORACLES = {
         )
         SELECT lang, CAST(rnk AS INT) AS rnk, doc_id, quality
         FROM ranked WHERE rnk <= {TOPK_PER_LANG}
+    """,
+    "q78_unigram_logprob": f"""
+        WITH toks AS (
+            SELECT doc_id, t AS term
+            FROM documents, unnest({_LOW_TOKS}) AS u(t)
+        ), tot AS (
+            SELECT term, COUNT(*) AS n FROM toks GROUP BY 1
+        ), g AS (
+            SELECT SUM(n) AS n_total FROM tot
+        ), vocab AS (
+            SELECT term, ln(n / n_total) AS logp FROM tot, g
+        ), per AS (
+            SELECT toks.doc_id, ROUND(AVG(vocab.logp), 6) AS mean_logprob
+            FROM toks JOIN vocab USING (term)
+            GROUP BY toks.doc_id
+        )
+        SELECT d.doc_id, per.mean_logprob
+        FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+    """,
+    "q79_decontamination": f"""
+        WITH g AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       {O.grams('text', DECON_N)}, gg -> {O.md5h('gg')}))) AS h
+            FROM documents
+        ), b AS (
+            SELECT DISTINCT h FROM g WHERE doc_id % {DECON_MOD} = 0
+        ), c AS (
+            SELECT doc_id, h FROM g WHERE doc_id % {DECON_MOD} <> 0
+        )
+        SELECT c.doc_id, COUNT(*) AS n_shared
+        FROM c JOIN b USING (h)
+        GROUP BY c.doc_id
+        HAVING COUNT(*) >= {DECON_MIN_SHARED}
+    """,
+    "q80_repetition_signals": f"""
+        SELECT doc_id,
+               CASE WHEN len(toks) > 0 THEN
+                   ROUND(CAST(len(list_distinct(toks)) AS DOUBLE)
+                         / CAST(len(toks) AS DOUBLE), 6) END AS ttr,
+               CASE WHEN len(toks) > 1 THEN
+                   ROUND(CAST(list_max(list_transform(list_distinct(bgs),
+                             g -> len(list_filter(bgs, x -> x = g))))
+                             AS DOUBLE)
+                         / CAST(len(bgs) AS DOUBLE), 6) END
+                   AS top_bigram_frac
+        FROM (
+            SELECT doc_id, {_LOW_TOKS} AS toks,
+                   list_transform(
+                       generate_series(1, len({_LOW_TOKS}) - 1),
+                       i -> {_LOW_TOKS}[i] || ' ' || {_LOW_TOKS}[i+1]) AS bgs
+            FROM documents
+        )
     """,
 }
