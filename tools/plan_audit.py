@@ -29,6 +29,12 @@ SHUFFLE_BUDGET = {
     # (5), near-dup anti-join (6). Each is a distinct, necessary
     # stage boundary; none is a redundant re-shuffle of the same key.
     "q74_curate_corpus": 7,
+    # q78 needs corpus-global statistics AND a per-doc aggregate:
+    # token explode -> term totals (1), grand total (2), score join
+    # (3; AQE converts to broadcast at runtime — the audit counts the
+    # pre-AQE plan), per-doc mean (4), NULL-preserving outer join back
+    # to documents (5). Inherent to the mean-logprob semantics.
+    "q78_unigram_logprob": 5,
 }
 
 
