@@ -172,6 +172,7 @@ def q07_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- P10: DISTINCT ---
 def q08_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT over a two-column projection (P10) — hash aggregate, map-side partial dedup."""
     li = _t(spark, sf_dir, "lineitem")
     return li.select("l_returnflag", "l_linestatus").distinct()
 
@@ -190,6 +191,7 @@ def q09_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- F2: conditional regex-replace chain ---
 def q10_regex_replace_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional regex-replace chain (F1/F2): each rule fires only when its match_substring guard hits (reference transform config)."""
     part = _t(spark, sf_dir, "part")
     rules = [
         RegexRule(search="widget", replace="gadget", match_substring="cold"),
@@ -203,6 +205,7 @@ def q10_regex_replace_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- F3: split / reorder / rejoin ---
 def q11_split_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split on a delimiter, reorder the parts, rejoin (F3) — the reference's name-flipping transform."""
     cust = _t(spark, sf_dir, "customer")
     return cust.select(
         "c_custkey",
@@ -212,6 +215,7 @@ def q11_split_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- F4: strip a character set ---
 def q12_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip a configured character set from a column (F4)."""
     orders = _t(spark, sf_dir, "orders")
     return orders.select(
         "o_orderkey",
@@ -221,6 +225,7 @@ def q12_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- F5/F6: null-filling concat + coalesce ---
 def q13_concat_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-filling concat + coalesce fallback (F5/F6) — multi-column key assembly."""
     cust = _t(spark, sf_dir, "customer")
     seg = F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("FURNITURE")), F.lit("(none)"))
     return cust.select(
@@ -231,6 +236,7 @@ def q13_concat_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- F16: value-map remap + prefix ---
 def q14_value_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal value-map remap with prefix/suffix and pass-through fallback (F16)."""
     orders = _t(spark, sf_dir, "orders")
     mapped = value_map(
         F.col("o_orderpriority"),
@@ -242,6 +248,7 @@ def q14_value_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- F17: dummy-key synthesis ---
 def q15_dummy_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dummy-key synthesis for blank business keys (F17) — deterministic surrogate from the row id."""
     cust = _t(spark, sf_dir, "customer")
     raw_key = F.when(F.col("c_acctbal") < 500, F.lit("")).otherwise(F.col("c_name"))
     return cust.select(
@@ -252,6 +259,7 @@ def q15_dummy_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- F12: date -> string formatting ---
 def q16_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date -> string formatting (F12, reference MM-dd-yyyy convention)."""
     orders = _t(spark, sf_dir, "orders")
     return orders.select(
         "o_orderkey",
