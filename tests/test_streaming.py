@@ -252,3 +252,74 @@ def test_streaming_session_counts_plan(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT * FROM sess_counts").collect()
     assert sorted(r.n_events for r in rows) == [1, 2]
+
+
+def test_stream_merge_available_now(spark, tmp_path):
+    """Streaming MERGE sink: overlapping keys across micro-batch
+    drains upsert instead of duplicating; checkpoint makes re-drains
+    no-ops."""
+    import os
+
+    from ulh_etl_spark.streaming.file_stream import stream_merge_available_now
+
+    inbound = tmp_path / "merge_in"
+    inbound.mkdir()
+    ckpt = str(tmp_path / "merge_ckpt")
+    schema = "id INT, v STRING"
+    try:
+        with open(os.path.join(str(inbound), "b1.csv"), "w") as f:
+            f.write("id,v\n1,a\n2,b\n")
+        s1 = stream_merge_available_now(
+            spark, str(inbound), schema, "stream_merge_tgt", ckpt, keys=["id"]
+        )
+        assert s1 == {"updated": 0, "inserted": 2}
+
+        with open(os.path.join(str(inbound), "b2.csv"), "w") as f:
+            f.write("id,v\n2,B2\n3,c\n")
+        s2 = stream_merge_available_now(
+            spark, str(inbound), schema, "stream_merge_tgt", ckpt, keys=["id"]
+        )
+        assert s2 == {"updated": 1, "inserted": 1}
+
+        out = {r.id: r.v for r in spark.table("stream_merge_tgt").collect()}
+        assert out == {1: "a", 2: "B2", 3: "c"}
+
+        # nothing new -> no-op drain
+        s3 = stream_merge_available_now(
+            spark, str(inbound), schema, "stream_merge_tgt", ckpt, keys=["id"]
+        )
+        assert s3 == {"updated": 0, "inserted": 0}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stream_merge_tgt")
+
+
+def test_compact_table(spark, tmp_path):
+    """Compaction rewrites many small files into few, preserving rows
+    and (when asked) the partition layout."""
+    from ulh_etl_spark.sinks.tables import compact_table, write_partitioned
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("part")
+    )
+    try:
+        df.repartition(40).write.mode("overwrite").saveAsTable("t_compact")
+        before = len(spark.table("t_compact").inputFiles())
+        assert before >= 30
+        after = compact_table(spark, "t_compact", target_partitions=4)
+        assert after <= 8
+        assert spark.table("t_compact").count() == 1000
+
+        write_partitioned(df.repartition(20), "t_compact_p", ["part"])
+        n = compact_table(
+            spark, "t_compact_p", target_partitions=3, partition_cols=["part"]
+        )
+        assert spark.table("t_compact_p").count() == 1000
+        plan = (
+            spark.table("t_compact_p").filter(F.col("part") == "1")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "PartitionFilters" in plan
+        assert n <= 12
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_compact")
+        spark.sql("DROP TABLE IF EXISTS t_compact_p")

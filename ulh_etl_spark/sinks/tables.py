@@ -246,3 +246,44 @@ def update_flag(
     flipped.write.mode("overwrite").saveAsTable(staging)
     _swap_staging(spark, target, staging)
     return n
+
+
+def compact_table(
+    spark: SparkSession,
+    table: str,
+    target_partitions: int | None = None,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite ``table`` into
+    ``target_partitions`` files (default: sized by
+    spark.sql.files.maxPartitionBytes worth of input splits).
+
+    Streaming/micro-batch sinks accrete one-file-per-trigger; at scale
+    the file count — not the byte count — dominates scan planning and
+    open() overhead. Compaction is a full rewrite, so run it on cold
+    partitions; with ``partition_cols`` the layout is preserved and
+    the rewrite can be limited to recent partitions by the caller.
+    Returns the number of files after compaction.
+    """
+    df = spark.table(table)
+    # file-count metadata, not df.rdd (which can execute the plan
+    # under AQE — see operators/dedup._fan_out)
+    n = target_partitions or max(1, len(df.inputFiles()) // 8)
+    compacted = (
+        df.repartition(n, *partition_cols) if partition_cols
+        else df.repartition(n)
+    )
+    staging = f"{table}__compact_staging"
+    writer = compacted.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.saveAsTable(staging)
+    _swap_staging(spark, table, staging)
+    if partition_cols:
+        # ALTER TABLE RENAME moves the data directory but the
+        # metastore's per-partition locations still reference the old
+        # staging path (absolute locations — classic Hive semantics);
+        # re-sync them from the filesystem.
+        spark.sql(f"MSCK REPAIR TABLE {table}")
+        spark.catalog.refreshTable(table)
+    return len(spark.table(table).inputFiles())

@@ -110,3 +110,52 @@ def stream_ingest_available_now(
     if q.isActive:
         q.stop()
     return spark.table(target_table).count()
+
+
+def stream_merge_available_now(
+    spark,
+    inbound_dir: str,
+    schema: str,
+    target_table: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    tiebreak_cols: list[str] | None = None,
+) -> dict:
+    """Streaming MERGE sink: drain the inbound directory exactly-once
+    (AvailableNow + checkpoint) and upsert each micro-batch into the
+    target by key — the streaming twin of sinks.tables.merge_upsert
+    (K4) via ``foreachBatch``. Late re-deliveries of a key overwrite
+    the stored row instead of appending a duplicate, which is the CDC
+    / at-least-once-source contract an append sink can't give.
+
+    Scale: each micro-batch pays one merge-key shuffle over
+    batch + matched-target rows; checkpointing makes re-runs no-ops.
+    Returns the accumulated {"updated": n, "inserted": n} across the
+    drained batches.
+    """
+    from ulh_etl_spark.sinks.tables import merge_upsert
+
+    stats = {"updated": 0, "inserted": 0}
+
+    def _merge(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = merge_upsert(
+            batch_df.sparkSession,
+            target_table,
+            batch_df,
+            keys=keys,
+            tiebreak_cols=tiebreak_cols,
+        )
+        stats["updated"] += out["updated"]
+        stats["inserted"] += out["inserted"]
+
+    q = (
+        _csv_stream(spark, inbound_dir, schema)
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stats
