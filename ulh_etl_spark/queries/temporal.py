@@ -69,9 +69,61 @@ def q53_event_pairs_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCD_CUTOFF = "1997-01-01"
+
+
+def q81_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 versioning: build the priority history from each
+    customer's latest pre-1997 order, then apply the all-time latest
+    orders as a snapshot — customers whose latest priority changed get
+    a closed version + a new open version; unchanged keep their
+    original valid_from. One union + one window per the operator."""
+    from pyspark.sql import Window
+
+    from ulh_etl_spark.operators.scd import scd2_apply
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def latest(df):
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                F.col("o_custkey").alias("custkey"),
+                F.col("o_orderpriority").alias("priority"),
+                F.col("o_orderdate"),
+            )
+        )
+
+    hist = latest(orders.filter(F.col("o_orderdate") < _SCD_CUTOFF)).select(
+        "custkey",
+        "priority",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    snap = latest(orders).select(
+        "custkey", "priority", F.col("o_orderdate").alias("eff")
+    )
+    out = scd2_apply(
+        hist, snap, keys=["custkey"], attr_cols=["priority"], eff_col="eff"
+    )
+    return out.select(
+        "custkey",
+        "priority",
+        F.date_format("valid_from", _TS_FMT).alias("valid_from"),
+        F.date_format("valid_to", _TS_FMT).alias("valid_to"),
+        "is_current",
+    )
+
+
 QUERIES = {
     "q52_asof_join": q52_asof_join,
     "q53_event_pairs_within_hour": q53_event_pairs_within_hour,
+    "q81_scd2_priority_history": q81_scd2_priority_history,
 }
 
 ORACLES = {
@@ -107,5 +159,45 @@ ORACLES = {
           ON a.user_id = b.user_id
          AND b.ts > a.ts
          AND b.ts <= a.ts + INTERVAL 60 MINUTE
+    """,
+    "q81_scd2_priority_history": f"""
+        WITH hist AS (
+            SELECT o_custkey AS custkey, o_orderpriority AS priority,
+                   o_orderdate AS valid_from
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                FROM orders WHERE o_orderdate < TIMESTAMP '{_SCD_CUTOFF}'
+            ) WHERE rn = 1
+        ), snap AS (
+            SELECT o_custkey AS custkey, o_orderpriority AS priority,
+                   o_orderdate AS eff
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                FROM orders
+            ) WHERE rn = 1
+        ), j AS (
+            SELECT COALESCE(h.custkey, s.custkey) AS custkey,
+                   h.priority AS hp, h.valid_from AS hvf,
+                   s.priority AS sp, s.eff AS eff
+            FROM hist h FULL OUTER JOIN snap s ON h.custkey = s.custkey
+        ), rows_out AS (
+            SELECT custkey, hp AS priority, hvf AS valid_from,
+                   CASE WHEN sp IS NOT NULL AND sp <> hp
+                        THEN eff END AS valid_to,
+                   NOT (sp IS NOT NULL AND sp <> hp) AS is_current
+            FROM j WHERE hp IS NOT NULL
+            UNION ALL
+            SELECT custkey, sp, eff, NULL, TRUE
+            FROM j WHERE sp IS NOT NULL AND (hp IS NULL OR sp <> hp)
+        )
+        SELECT custkey, priority,
+               strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+               strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to,
+               is_current
+        FROM rows_out
     """,
 }
