@@ -311,3 +311,24 @@ def test_append_log(warehouse):
     assert t.count() == 1
     row = t.collect()[0]
     assert row.status == "SUCCESS" and row.parent_run_id == "parent1"
+
+
+def test_jsonl_scan_quarantine(spark, tmp_path):
+    """Typed JSONL scan: well-formed typed lines pass; malformed JSON
+    AND type-mismatched lines are quarantined with the raw line."""
+    from ulh_etl_spark.sources.files import jsonl_scan
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello"}\n'
+        "THIS IS NOT JSON\n"
+        '{"doc_id": 2, "text": "world"}\n'
+        '{"doc_id": "not_an_int", "text": "typed"}\n'
+    )
+    good, quar = jsonl_scan(spark, str(tmp_path), "doc_id BIGINT, text STRING")
+    rows = sorted((r.doc_id, r.text) for r in good.collect())
+    assert rows == [(1, "hello"), (2, "world")]
+    assert "file_name" in good.columns
+    bad = sorted(r.raw_line for r in quar.collect())
+    assert bad == ["THIS IS NOT JSON",
+                   '{"doc_id": "not_an_int", "text": "typed"}']

@@ -102,6 +102,51 @@ def csv_scan(
     return df
 
 
+def jsonl_scan(
+    spark: SparkSession,
+    paths: list[str] | str,
+    schema: str,
+    corrupt_col: str = "_corrupt_record",
+    with_file_name: bool = True,
+) -> "tuple[DataFrame, DataFrame]":
+    """Typed JSON-lines scan with corrupt-record quarantine — the
+    standard entry point for web-scrape training corpora (one JSON
+    doc per line, schema declared up front, garbage lines preserved
+    rather than silently dropped).
+
+    Returns (good, quarantine): ``good`` has the declared schema
+    (+provenance); ``quarantine`` carries the raw unparseable line and
+    file for triage — mirroring the precheck suite's reject-don't-drop
+    stance on CSV (SURVEY §2.8). Schema-on-read: no inference job over
+    100 TB.
+
+    Implementation: text scan + ``from_json`` carrying an in-schema
+    corrupt-record column, rather than the native JSON reader's
+    _corrupt_record — which Spark forbids querying on its own without
+    caching the whole scan (SPARK-21610), a non-starter at corpus
+    scale. Malformed JSON AND lines whose fields fail the declared
+    types both land in the corrupt column (quarantined with the raw
+    line preserved).
+    """
+    raw = spark.read.text(paths if isinstance(paths, list) else [paths])
+    parsed = raw.select(
+        F.from_json(
+            F.col("value"),
+            f"{schema}, {corrupt_col} STRING",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
+        ).alias("_j"),
+        F.col("value"),
+        *([F.input_file_name().alias("file_name")] if with_file_name else []),
+    )
+    prov = ["file_name"] if with_file_name else []
+    bad = F.col("_j").isNull() | F.col(f"_j.{corrupt_col}").isNotNull()
+    good = parsed.filter(~bad).select("_j.*", *prov).drop(corrupt_col)
+    quarantine = parsed.filter(bad).select(
+        F.col("value").alias("raw_line"), *prov
+    )
+    return good, quarantine
+
+
 def raw_line_scan(spark: SparkSession, path: str) -> DataFrame:
     """Raw-line scan, no field parsing (S3: FIELD_DELIMITER=NONE +
     ``SELECT $1 ... LIMIT n``) — the precheck suite's substrate.
