@@ -63,6 +63,14 @@ ANCHOR = {
 
 
 def main() -> None:
+    # Bench-scoped (NOT a library default): shuffle/spill on tmpfs to
+    # shed this host's sporadic multi-second disk stalls (BASELINE.md
+    # host note). sf0.1 shuffle volumes are far below /dev/shm
+    # capacity; arbitrary workloads keep the disk default.
+    if "SPARK_GRAFT_LOCAL_DIR" not in os.environ and os.path.isdir("/dev/shm"):
+        os.makedirs("/dev/shm/spark-local", exist_ok=True)
+        os.environ["SPARK_GRAFT_LOCAL_DIR"] = "/dev/shm/spark-local"
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None

@@ -155,3 +155,17 @@ def test_simhash_keeps_tokenless_docs(spark):
     assert set(out) == {0, 1, 2, 3}
     assert out[1] == 0 and out[2] == 0 and out[3] == 0
     assert out[0] == py_simhash("real tokens here")
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    """Exhausting max_iter before the fixpoint must raise, never
+    silently return split clusters."""
+    import pytest
+
+    from ulh_etl_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200, 210)], "id1 long, id2 long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=3)

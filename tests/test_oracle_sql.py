@@ -17,6 +17,8 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def duck():
+    if not os.path.isdir(SF_DIR):
+        pytest.skip(f"testdata not present: {SF_DIR}")
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(SF_DIR, f"{t}.parquet")

@@ -84,3 +84,24 @@ def test_scd2_single_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_scd2_null_attr_transitions_detected(spark):
+    """NULL-involved attribute changes must register: (NULL,'x') ->
+    ('x',NULL) and NULL -> '' are CHANGES (the naive concat_ws
+    fingerprint collides on both)."""
+    hist = spark.createDataFrame(
+        [(1, None, "x", T1, None, True), (2, None, None, T1, None, True)],
+        "k long, a string, b string, valid_from timestamp, "
+        "valid_to timestamp, is_current boolean",
+    )
+    snap = spark.createDataFrame(
+        [(1, "x", None, T2), (2, "", None, T2)],
+        "k long, a string, b string, eff timestamp",
+    )
+    out = scd2_apply(hist, snap, keys=["k"], attr_cols=["a", "b"],
+                     eff_col="eff")
+    rows = {(r["k"], r["a"], r["b"]): r["is_current"] for r in out.collect()}
+    # both keys: old version closed, new version open
+    assert rows[(1, None, "x")] is False and rows[(1, "x", None)] is True
+    assert rows[(2, None, None)] is False and rows[(2, "", None)] is True

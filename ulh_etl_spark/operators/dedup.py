@@ -359,6 +359,8 @@ def connected_components(
         .localCheckpoint()
     )
 
+    converged = False
+    prev = None
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
@@ -381,9 +383,22 @@ def connected_components(
             .localCheckpoint()
         )
         changed = new_labels.agg(F.sum("_changed")).collect()[0][0] or 0
-        labels = new_labels.drop("_changed")
+        # release the previous round's checkpoint blocks — they'd
+        # otherwise accumulate O(rounds x nodes) dead storage across
+        # a long-lived session
+        if prev is not None:
+            prev.unpersist()
+        prev, labels = new_labels, new_labels.drop("_changed")
         if changed == 0:
+            converged = True
             break
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(a component's diameter exceeds max_iter); raise max_iter — "
+            "returning partial labels would silently split clusters."
+        )
     return labels
 
 

@@ -45,7 +45,16 @@ def scd2_apply(
     open_rows = history.filter(F.col(current_col))
     closed_rows = history.filter(~F.col(current_col))
 
-    fp = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in attr_cols]))
+    # Fingerprint via JSON of a struct with nulls KEPT — concat_ws
+    # silently skips NULL columns, so (NULL,'x') and ('x',NULL) (or a
+    # NULL -> '' transition) would collide and version changes would
+    # be missed.
+    fp = F.md5(
+        F.to_json(
+            F.struct(*[F.col(c) for c in attr_cols]),
+            {"ignoreNullFields": "false"},
+        )
+    )
     o = open_rows.select(
         *keys,
         *attr_cols,

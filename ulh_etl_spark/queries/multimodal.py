@@ -120,12 +120,17 @@ def q76_media_embed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ulh_etl_spark.operators.multimodal import embed_media
     from ulh_etl_spark.operators.similarity import ivf_assign
 
+    from pyspark.storagelevel import StorageLevel
+
+    # persist: the embedding stage feeds BOTH the centroid seeds and
+    # the assignment corpus — unpersisted, the mapInPandas decode+embed
+    # (the expensive stage) would run twice
     emb = embed_media(
         _media(spark, sf_dir),
         dim=8,
         embedder=_portable_embedder,
         vec_type="double",
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cents = emb.filter(F.col("media_id") < 8).select(
         F.col("media_id").alias("centroid_id"),
         F.col("embedding").alias("centroid_vec"),

@@ -40,15 +40,12 @@ def get_spark(app_name: str = "ulh_etl_spark", cpus: str | None = None) -> Spark
       DuckDB oracle.
     """
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
-    # Shuffle/spill files on tmpfs when available: this box's local
-    # disk has sporadic multi-second I/O stalls (BASELINE.md host
-    # note) that land on shuffle-heavy queries; RAM-backed local dirs
-    # take the disk out of the measurement. On a real cluster this is
-    # the NVMe-local-dir/YARN-local-dirs setting instead.
+    # SPARK_GRAFT_LOCAL_DIR redirects shuffle/spill files (bench.py
+    # points it at tmpfs to shed this box's disk stalls — see
+    # BASELINE.md host note). The LIBRARY default stays on disk:
+    # RAM-backed local dirs cap shuffle capacity at free memory, the
+    # wrong trade for arbitrary workloads.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-    if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/spark-local"
-        os.makedirs(local_dir, exist_ok=True)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
