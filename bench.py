@@ -94,7 +94,7 @@ def main() -> None:
     # alone). Clear between queries so each pays only its own cache.
     spark.catalog.clearCache()
 
-    # Two CONSECUTIVE measured passes per query, keep the MIN:
+    # Three CONSECUTIVE measured passes per query, keep the MIN:
     # (a) the host shows sporadic multi-second I/O stalls (BASELINE.md
     #     host note) that land on random queries — the min sheds them;
     # (b) whole-stage codegen classes live in a bounded cache, and the
@@ -103,10 +103,12 @@ def main() -> None:
     #     it every time (measured: 7.9 s first run after the suite,
     #     1.1 s immediately again). Back-to-back passes measure the
     #     compiled steady state, which is what amortizes at scale.
+    # Three passes because the host's stall bursts span several
+    # seconds and have covered both passes of a short query before.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = None
-        for _pass in range(2):
+        for _pass in range(3):
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)
@@ -135,7 +137,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "warmup": "full-pass",
-                "passes": "min-of-2",
+                "passes": "min-of-3",
             }
         )
     )
