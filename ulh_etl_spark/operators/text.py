@@ -182,6 +182,24 @@ def hash_split(
     )
 
 
+def weighted_sample_key(
+    id_col: Column, weight: Column, salt: str = "ws"
+) -> Column:
+    """Efraimidis-Spirakis (A-ES) weighted-sampling key:
+    ``u^(1/w)`` with u a deterministic md5-derived uniform in (0,1).
+    Taking the top-k rows by this key samples WITHOUT replacement with
+    probability proportional to ``weight`` — and because top-k is a
+    per-partition heap + tiny driver merge (TakeOrderedAndProject),
+    the whole weighted sample costs a single scan with NO shuffle at
+    any corpus size. Deterministic u makes the sample reproducible
+    across runs and engines (no RNG state)."""
+    u = (
+        md5_hash32(F.concat(F.lit(salt), F.lit("_"), id_col.cast("string")))
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)  # (h+1)/(2^32+1) in (0,1)
+    return F.pow(u, F.lit(1.0) / weight)
+
+
 def winnow_fingerprints(df, text_col: str, id_col: str, k: int = 5, window: int = 4):
     """Winnowing (Schleimer et al., SIGMOD 2003): k-gram hashes, then
     the minimum hash in every sliding window of ``window`` positions —

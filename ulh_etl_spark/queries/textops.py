@@ -134,6 +134,25 @@ def q64_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.winnow_fingerprints(docs, "text", "doc_id", k=5, window=4)
 
 
+WSAMPLE_K = 100
+
+
+def q82_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sample (Efraimidis-Spirakis top-k by
+    u^(1/w), deterministic md5 uniforms): higher-quality docs are
+    proportionally likelier to be kept. Plan: one scan +
+    TakeOrderedAndProject — no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = T.weighted_sample_key(
+        F.col("doc_id"), T.quality_score(F.col("text"))
+    )
+    return (
+        docs.select("doc_id", F.round(key, 6).alias("sample_key"))
+        .orderBy(F.col("sample_key").desc(), F.col("doc_id"))
+        .limit(WSAMPLE_K)
+    )
+
+
 def q78_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality proxy: per-doc mean ln p(token) under
     the corpus unigram distribution (rare-token soup scores low)."""
@@ -194,6 +213,7 @@ QUERIES = {
     "q78_unigram_logprob": q78_unigram_logprob,
     "q79_decontamination": q79_decontamination,
     "q80_repetition_signals": q80_repetition_signals,
+    "q82_weighted_sample": q82_weighted_sample,
 }
 
 # Shared quality-score SQL expression (identical to operators.text
@@ -386,5 +406,17 @@ ORACLES = {
                        i -> {_LOW_TOKS}[i] || ' ' || {_LOW_TOKS}[i+1]) AS bgs
             FROM documents
         )
+    """,
+    "q82_weighted_sample": f"""
+        SELECT doc_id, ROUND(pow(u, 1.0 / q), 6) AS sample_key
+        FROM (
+            SELECT doc_id,
+                   ({O.md5h("'ws_' || CAST(doc_id AS VARCHAR)")} + 1.0)
+                       / 4294967297.0 AS u,
+                   {_QUALITY_SQL} AS q
+            FROM documents
+        )
+        ORDER BY sample_key DESC, doc_id
+        LIMIT {WSAMPLE_K}
     """,
 }
