@@ -84,8 +84,15 @@ def main() -> None:
     # trees, cold parquet page-cache reads, Python/Arrow worker spawn.
     # Measured on this host: q31 cold 8.0s vs warm 0.73s with an
     # identical plan — the cold number is disk+JIT, not the query.
+    # Per-query fault isolation: one broken query must not take the
+    # whole bench down with it (round 3 lost every number to a single
+    # AnalysisException raised before the JSON line was printed).
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as ex:  # noqa: BLE001 — record and keep going
+            errors[name] = str(ex).splitlines()[0][:300]
 
     # Each catalog query persists its own intermediates (gram sets,
     # band tables) and never unpersists — after 14 queries the stale
@@ -107,12 +114,18 @@ def main() -> None:
     # seconds and have covered both passes of a short query before.
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        if name in errors:
+            continue
         best = None
-        for _pass in range(3):
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = round(time.time() - t0, 3)
-            best = dt if best is None or dt < best else best
+        try:
+            for _pass in range(3):
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = round(time.time() - t0, 3)
+                best = dt if best is None or dt < best else best
+        except Exception as ex:  # noqa: BLE001
+            errors[name] = str(ex).splitlines()[0][:300]
+            continue
         timings[name] = best
         spark.catalog.clearCache()
 
@@ -128,19 +141,22 @@ def main() -> None:
                       f"({ratio:.2f}x){flag}", file=sys.stderr)
         print(f"  total: {total:.3f}s vs r01 {sum(ANCHOR.values()):.3f}s",
               file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "warmup": "full-pass",
-                "passes": "min-of-3",
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "warmup": "full-pass",
+        "passes": "min-of-3",
+    }
+    if errors:
+        payload["errors"] = errors
+        for name, msg in errors.items():
+            print(f"  ERROR {name}: {msg}", file=sys.stderr)
+    print(json.dumps(payload))
+    if errors:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

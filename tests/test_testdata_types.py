@@ -1,0 +1,140 @@
+"""Event-time operators against the REAL testdata parquet.
+
+The driver regenerates /root/testdata between rounds and has already
+changed the physical encoding of `events.ts` once (TIMESTAMP(NANOS) ->
+timestamp[us] without tz, which Spark reads as TIMESTAMP_NTZ). Unit
+tests that build their own in-memory frames never see that change —
+round 3's bench crashed on it while the suite was green. These tests
+pin the load-path contract (ts is always TimestampType after
+load_table) and run every event-time operator end-to-end on the
+driver-generated file, whatever its encoding.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType, TimestampType
+
+from ulh_etl_spark.operators.temporal import asof_join, range_join
+from ulh_etl_spark.session import load_table
+from ulh_etl_spark.streaming.windows import sessionize, windowed_counts
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(SF_DIR, "events.parquet")),
+    reason="driver testdata not present",
+)
+
+
+def test_load_table_normalizes_events_ts(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    assert isinstance(ev.schema["ts"].dataType, TimestampType)
+    # Values must be the parquet file's naive micros verbatim (UTC
+    # session): spot-check against pyarrow's own read.
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(SF_DIR, "events.parquet"), columns=["event_id", "ts"]
+    )
+    want = {
+        r["event_id"]: r["ts"].replace(tzinfo=None)
+        for r in tbl.slice(0, 5).to_pylist()
+    }
+    got = {
+        r["event_id"]: r["ts"]
+        for r in ev.filter(F.col("event_id").isin(*want)).collect()
+    }
+    assert got == want
+
+
+def test_sessionize_on_testdata(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    s = sessionize(ev, "user_id", "ts", gap_minutes=30)
+    rows = s.limit(5).collect()
+    assert rows and all(r["session_start"] <= r["session_end"] for r in rows)
+
+
+def test_windowed_counts_on_testdata(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    out = windowed_counts(ev, "ts", "1 hour", ("event_type",), "value")
+    assert out.count() > 0
+
+
+def test_temporal_joins_on_testdata(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    a = ev.select("user_id", "ts", F.col("event_id").alias("a_event")).limit(200)
+    b = ev.select("user_id", "ts", F.col("event_id").alias("b_event"))
+    out = asof_join(
+        a,
+        b,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=("b_event",),
+        tolerance_seconds=86400,
+    )
+    assert out.count() == 200
+    rj = range_join(
+        a,
+        b,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        window_seconds=3600,
+        left_cols=("a_event",),
+        right_cols=("b_event",),
+    )
+    rj.write.format("noop").mode("overwrite").save()
+
+
+def test_event_ops_accept_raw_ntz(spark):
+    """The operators themselves (not just the load path) must accept a
+    TIMESTAMP_NTZ column: users reading their own un-normalized parquet
+    hit exactly this under ANSI mode."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base),
+        (1, base + datetime.timedelta(minutes=5)),
+        (1, base + datetime.timedelta(hours=2)),
+        (2, base),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz")
+    assert isinstance(df.schema["ts"].dataType, TimestampNTZType)
+
+    s = sessionize(df, "user_id", "ts", gap_minutes=30).collect()
+    assert {(r["user_id"], r["n_events"]) for r in s} == {(1, 2), (1, 1), (2, 1)}
+
+    right = spark.createDataFrame(
+        [(1, base + datetime.timedelta(minutes=1), "x")],
+        "user_id long, ts timestamp_ntz, tag string",
+    )
+    got = asof_join(
+        df,
+        right,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=("tag",),
+        tolerance_seconds=3600,
+    ).collect()
+    matched = {r["ts"]: r["matched_tag"] for r in got if r["user_id"] == 1}
+    assert matched[base] is None  # right row is after this left row
+    assert matched[base + datetime.timedelta(minutes=5)] == "x"
+    assert matched[base + datetime.timedelta(hours=2)] is None  # > tolerance
+
+    rj = range_join(
+        df.select("user_id", "ts"),
+        right.select("user_id", "ts", "tag"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        window_seconds=120,
+        left_cols=(),
+        right_cols=("tag",),
+    ).collect()
+    assert len(rj) == 1 and rj[0]["gap_us"] == 60_000_000

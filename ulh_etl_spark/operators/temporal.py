@@ -27,8 +27,26 @@ event/training-data workloads (BASELINE.json north-star ops).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DataType, TimestampNTZType, TimestampType
+
+
+def _epoch_micros(col: Column, dtype: DataType) -> Column:
+    """Microseconds since epoch for either timestamp flavor.
+
+    ``unix_micros`` only accepts TIMESTAMP (LTZ); a TIMESTAMP_NTZ
+    column is first cast to LTZ, which interprets the naive value in
+    the session timezone — exact for the engine's pinned-UTC sessions
+    (``get_spark``/``load_table`` both force UTC). Only *differences*
+    and bucket assignments of these values are consumed below, so a
+    constant session-tz offset cancels out anyway.
+    """
+    if isinstance(dtype, TimestampNTZType):
+        return F.unix_micros(col.cast("timestamp"))
+    if isinstance(dtype, TimestampType):
+        return F.unix_micros(col)
+    raise TypeError(f"expected a timestamp column, got {dtype}")
 
 
 def asof_join(
@@ -104,8 +122,9 @@ def asof_join(
     match = F.col("_match")
     if tolerance_seconds is not None:
         horizon = int(tolerance_seconds) * 1_000_000
-        gap = F.unix_micros(F.col("_t")) - F.unix_micros(
-            match.getField(right_ts)
+        ts_type = left.schema[left_ts].dataType
+        gap = _epoch_micros(F.col("_t"), ts_type) - _epoch_micros(
+            match.getField(right_ts), right.schema[right_ts].dataType
         )
         gap = gap if backward else -gap
         match = F.when(gap <= horizon, match)  # else NULL: out of horizon
@@ -142,8 +161,8 @@ def range_join(
     pair is produced exactly once (no distinct needed).
     """
     win_us = int(window_seconds) * 1_000_000
-    l_us = F.unix_micros(F.col(left_ts))
-    r_us = F.unix_micros(F.col(right_ts))
+    l_us = _epoch_micros(F.col(left_ts), left.schema[left_ts].dataType)
+    r_us = _epoch_micros(F.col(right_ts), right.schema[right_ts].dataType)
 
     a = left.select(
         F.col(on).alias("_k"),

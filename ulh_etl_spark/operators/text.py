@@ -207,20 +207,46 @@ def winnow_fingerprints(df, text_col: str, id_col: str, k: int = 5, window: int 
     detection. Guarantees any shared substring of length
     >= k + window - 1 contributes a shared fingerprint.
 
-    Shape: pure array expressions (transform/slice/array_min) inside
-    one projection — a narrow map; the distinct explode shuffles only
-    the selected fingerprints (~|text|/window per doc, not |text|).
-    Ties inside a window pick the same hash value either way, and
-    fingerprints are emitted as a distinct set, so the result is
-    order-insensitive and engine-portable.
+    Shape: pure array expressions, narrow map, no shuffle; the
+    distinct explode emits only the selected fingerprints
+    (~|text|/window per doc, not |text|).
+
+    The sliding-window minimum is a chain of ``zip_with(m,
+    slice(h, j+1, ...), least)`` over shift-by-j copies — every array
+    a higher-order function touches is its own *argument*, never an
+    outer capture. This matters enormously: an expression referenced
+    from inside a HOF lambda body (e.g. ``transform(sequence(...),
+    i -> array_min(slice(hashes, i, w)))``) is RE-EVALUATED per
+    element, so the md5 hash array was recomputed for every window
+    position — O(|text|²) md5 calls per doc, measured 90+ s for 500
+    x 300-char docs at sf0.01 vs ~2 s for this shape. The hash array
+    is also materialized as a named column in its own projection so
+    CollapseProject keeps the (non-cheap, multiply-referenced)
+    transform single-evaluation.
+
+    ``zip_with`` pads the shorter side with NULL and ``least`` skips
+    NULLs, so texts shorter than one window degrade to the min of
+    their whole hash array (same degenerate semantics as the oracle's
+    ``greatest(len - w + 1, 1)`` single window). Ties inside a window
+    pick the same hash value either way, and fingerprints are emitted
+    as a distinct set, so the result is order-insensitive and
+    engine-portable.
     """
-    hashes = F.transform(char_ngrams(F.col(text_col), k), md5_hash32)
-    n_windows = F.greatest(F.size(hashes) - (window - 1), F.lit(1))
-    mins = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda i: F.array_min(F.slice(hashes, i, window)),
+    with_h = df.select(
+        F.col(id_col),
+        F.transform(char_ngrams(F.col(text_col), k), md5_hash32).alias("_h"),
     )
-    return df.select(
+    h = F.col("_h")
+    n = F.size(h)
+    m = h
+    for j in range(1, window):
+        m = F.zip_with(
+            m,
+            F.slice(h, j + 1, F.greatest(n - j, F.lit(0))),
+            lambda a, b: F.least(a, b),
+        )
+    mins = F.slice(m, 1, F.greatest(n - (window - 1), F.lit(1)))
+    return with_h.select(
         F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp_hash")
     )
 
@@ -292,18 +318,31 @@ def contamination_counts(
 
 
 def repetition_signals(df, text_col: str, id_col: str):
-    """Gopher-style within-document repetition signals, all as array
-    expressions in ONE projection (narrow map, no shuffle):
+    """Gopher-style within-document repetition signals:
 
     - ``ttr`` — type-token ratio (distinct/total tokens); low = loops.
+      Pure array expression, narrow map.
     - ``top_bigram_frac`` — share of the most frequent word bigram;
-      high = stuck phrase repetition.
+      high = stuck phrase repetition. Explode -> partial-agged
+      groupBy(doc, bigram) -> per-doc max: linear in corpus tokens
+      with map-side combine. (The all-array alternative — count each
+      distinct bigram by filtering the bigram array — is O(tokens²)
+      PER DOC: measured 53 s vs 3 s at sf0.01 for the same result,
+      and it would be quadratically worse on book-length docs.)
 
-    Token-less docs emit NULLs. The per-doc bigram frequency scan is
-    O(tokens²) in the expression — fine for documents (10²-10³
-    tokens); book-length inputs would switch to the explode+groupBy
-    shape."""
-    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    Token-less docs emit NULL ttr; docs with < 2 tokens emit NULL
+    top_bigram_frac (left join keeps them).
+
+    The token array is materialized as its own column BEFORE the
+    bigram transform references it: an expression captured inside a
+    HOF lambda body is re-evaluated per element, so inlining the
+    split would re-tokenize the document once per bigram position
+    (O(tokens²) splits/doc)."""
+    with_t = df.select(
+        F.col(id_col),
+        whitespace_tokens(F.lower(F.col(text_col))).alias("_toks"),
+    )
+    toks = F.col("_toks")
     nt = F.size(toks)
     ttr = F.round(
         F.size(F.array_distinct(toks)).cast("double") / nt.cast("double"), 6
@@ -312,19 +351,37 @@ def repetition_signals(df, text_col: str, id_col: str):
         F.sequence(F.lit(1), nt - 1),
         lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
     )
-    top_count = F.array_max(
-        F.transform(
-            F.array_distinct(bigrams),
-            lambda g: F.size(F.filter(bigrams, lambda x: x == g)),
-        )
-    )
-    top_frac = F.round(
-        top_count.cast("double") / F.size(bigrams).cast("double"), 6
-    )
-    return df.select(
+    base = with_t.select(
         F.col(id_col),
         F.when(nt > 0, ttr).alias("ttr"),
-        F.when(nt > 1, top_frac).alias("top_bigram_frac"),
+        nt.alias("_nt"),
+        # Guard BEFORE materializing: for nt < 2, sequence(1, nt-1)
+        # counts DOWN through 0 and element_at errors under ANSI (the
+        # old all-array form never evaluated bigrams for such rows
+        # because `when` is lazy).
+        F.when(nt > 1, bigrams).otherwise(F.array()).alias("_bigrams"),
+    )
+    top = (
+        base.select(F.col(id_col), F.explode("_bigrams").alias("_bg"))
+        .groupBy(id_col, "_bg")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_top"), F.sum("_c").alias("_n_bigrams"))
+    )
+    return (
+        base.join(top, id_col, "left")
+        .select(
+            F.col(id_col),
+            "ttr",
+            F.when(
+                F.col("_nt") > 1,
+                F.round(
+                    F.col("_top").cast("double")
+                    / F.col("_n_bigrams").cast("double"),
+                    6,
+                ),
+            ).alias("top_bigram_frac"),
+        )
     )
 
 

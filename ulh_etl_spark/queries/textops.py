@@ -181,8 +181,9 @@ def q79_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q80_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition signals (type-token ratio, top-bigram
-    share) as pure array expressions — narrow map, no shuffle."""
+    """Gopher-style repetition signals: type-token ratio (narrow
+    array expression) + top-bigram share (explode -> partial-agged
+    groupBy, linear in corpus tokens)."""
     docs = load_table(spark, sf_dir, "documents")
     return T.repetition_signals(docs, "text", "doc_id")
 

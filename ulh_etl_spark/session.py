@@ -84,20 +84,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # so ANY session can read the TIMESTAMP(NANOS) events.parquet.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    # Nanosecond-precision parquet timestamps arrive as long (see
-    # nanosAsLong config above); normalize to TimestampType at
-    # microsecond precision so downstream event-time logic is typed.
+    # Normalize the event-time column to TimestampType (LTZ) no matter
+    # how the parquet writer encoded it, so downstream event-time logic
+    # (unix_micros, window, lag arithmetic) sees ONE type:
+    # - TIMESTAMP(NANOS) arrives as long (nanosAsLong conf above)
+    # - timestamp[us] without tz arrives as TIMESTAMP_NTZ, which many
+    #   Spark time functions (unix_micros, casts to numeric) reject.
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        # Integer division, NOT `/`: ts is epoch-nanos ~1.7e18, and
-        # double division (what `/` compiles to) only carries 52
-        # mantissa bits — the truncated micros would be off by up to
-        # ~250ns vs the parquet-native nanos->micros truncation.
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    if name == "events":
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, LongType):
+            # Integer division, NOT `/`: ts is epoch-nanos ~1.7e18, and
+            # double division (what `/` compiles to) only carries 52
+            # mantissa bits — the truncated micros would be off by up
+            # to ~250ns vs the parquet-native nanos->micros truncation.
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif isinstance(dt, TimestampNTZType):
+            # NTZ -> LTZ uses the session timezone; pin it to UTC so
+            # the naive parquet value is preserved verbatim (matching
+            # how DuckDB and pandas read the same file). Runtime-
+            # settable, so this also covers driver-owned sessions that
+            # were not built by get_spark().
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

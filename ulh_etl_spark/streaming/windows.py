@@ -70,13 +70,14 @@ def sessionize(
     lag -> boundary flag -> running sum; one shuffle on ``user_col``.
     Returns one row per session with start/end/count."""
     w = Window.partitionBy(user_col).orderBy(ts_col)
-    gap_s = gap_minutes * 60
+    # Interval arithmetic, not numeric casts: timestamp - timestamp is
+    # a day-time interval for BOTH TIMESTAMP and TIMESTAMP_NTZ, whereas
+    # CAST(ts AS BIGINT) is an ANSI error on NTZ columns.
+    gap = F.expr(f"INTERVAL '{int(gap_minutes) * 60}' SECOND")
     flagged = df.withColumn(
         "_new_session",
         F.when(
-            F.col(ts_col).cast("long")
-            - F.lag(F.col(ts_col).cast("long")).over(w)
-            > gap_s,
+            F.col(ts_col) - F.lag(F.col(ts_col)).over(w) > gap,
             1,
         )
         .otherwise(0)
