@@ -169,3 +169,30 @@ def test_connected_components_raises_when_not_converged(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=3)
+
+
+def test_lsh_contamination_flags_near_duplicate(spark):
+    from ulh_etl_spark.operators.dedup import lsh_contamination
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    bench = spark.createDataFrame(
+        [(100, base)], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, base),                                   # exact copy
+            (2, base.replace("lazy", "sleepy")),         # near dup
+            (3, "completely different content about spark plans"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_bands"]
+        for r in lsh_contamination(
+            corpus, bench, "text", "doc_id", rows_per_band=2
+        ).collect()
+    }
+    assert out.get(1, 0) >= 1          # identical doc always collides
+    assert 3 not in out                # unrelated doc stays clean
+    for n in out.values():             # n_bands bounded by band count
+        assert 1 <= n <= 4

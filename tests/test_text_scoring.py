@@ -226,3 +226,25 @@ def test_repetition_signals_model(spark):
     assert out[1] == (1.0, 0.25)      # all distinct; every bigram unique (1/4)
     assert out[2] == (None, None)
     assert out[3] == (1.0, None)
+
+
+def test_top_ngrams_model(spark):
+    from ulh_etl_spark.operators.text import top_ngrams
+
+    docs = [
+        (0, "a b a b a b"),    # 'a b' x3, 'b a' x2
+        (1, "a b c"),          # 'a b', 'b c'
+        (2, "x"),              # too short: no bigrams
+        (3, ""),               # empty
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = top_ngrams(df, "text", n=2, k=3).collect()
+    got = [(r["ngram"], r["n_occurrences"]) for r in rows]
+    assert got == [("a b", 4), ("b a", 2), ("b c", 1)]
+
+    # trigram path + tie cut determinism (all counts 1 -> lexicographic)
+    tri = top_ngrams(df, "text", n=3, k=2).collect()
+    assert [(r["ngram"], r["n_occurrences"]) for r in tri] == [
+        ("a b a", 2),
+        ("b a b", 2),
+    ]

@@ -35,6 +35,12 @@ SHUFFLE_BUDGET = {
     # pre-AQE plan), per-doc mean (4), NULL-preserving outer join back
     # to documents (5). Inherent to the mean-logprob semantics.
     "q78_unigram_logprob": 5,
+    # q85 runs the MinHash signature pipeline on BOTH relations:
+    # corpus fan-out repartition (1) + signature partial-agg (2),
+    # benchmark fan-out (3) + signature partial-agg (4) — the
+    # benchmark side is tiny, its band set broadcasts — and the final
+    # per-doc collision count (5). No key is re-shuffled twice.
+    "q85_lsh_decontamination": 5,
 }
 
 

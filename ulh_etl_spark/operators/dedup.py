@@ -206,6 +206,62 @@ def minhash_candidate_pairs(
     )
 
 
+def lsh_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Fuzzy (near-duplicate) benchmark decontamination: corpus docs
+    whose MinHash signature shares >= 1 LSH band bucket with ANY
+    benchmark doc — the near-dup complement of the exact n-gram
+    check in ``operators.text.contamination_counts`` (paraphrased or
+    lightly-edited eval material that exact grams miss).
+
+    Output: (id, n_bands) — how many of the doc's bands collide with
+    the benchmark set (more bands = higher estimated similarity).
+
+    Scale shape: both sides run the explode -> hash-once ->
+    partial-agg signature pipeline; the benchmark band set is
+    distinct-projected to (band_idx, band_key) — tiny (bands x
+    |benchmark| rows, no doc payload), so AQE broadcasts it and the
+    CORPUS NEVER SHUFFLES: scan -> signature agg (one shuffle on the
+    doc id, carrying 8 longs/doc) -> broadcast-hash semi join ->
+    per-doc count. No self-join, no candidate pair materialization.
+    """
+    cb = lsh_bands(
+        minhash_signatures(corpus, text_col, id_col, num_hashes, shingle_n),
+        id_col,
+        num_hashes,
+        rows_per_band,
+    )
+    bb = (
+        lsh_bands(
+            minhash_signatures(
+                benchmark, text_col, id_col, num_hashes, shingle_n
+            ),
+            id_col,
+            num_hashes,
+            rows_per_band,
+        )
+        .select("band_idx", "band_key")
+        .distinct()
+    )
+    # count(*), not count_distinct: lsh_bands emits exactly one row
+    # per (doc, band_idx) and the benchmark side is distinct-projected
+    # before the join, so matched rows are already unique per (doc,
+    # band) — a distinct aggregate would add an Expand + second
+    # shuffle for a value it cannot change.
+    return (
+        cb.join(F.broadcast(bb), ["band_idx", "band_key"])
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
 def ngram_jaccard_pairs_blocked(
     df: DataFrame,
     text_col: str,

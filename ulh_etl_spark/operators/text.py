@@ -200,6 +200,48 @@ def weighted_sample_key(
     return F.pow(u, F.lit(1.0) / weight)
 
 
+def top_ngrams(df, text_col: str, n: int = 2, k: int = 100):
+    """Corpus-level top-``k`` word ``n``-grams by occurrence count —
+    the vocabulary/phrase-statistics pass of a training-data pipeline
+    (boilerplate phrase discovery, contamination probes, tokenizer
+    corpus stats).
+
+    Scale shape: tokenize once per doc (materialized column, so the
+    n-gram transform's element_at lookups hit a cheap attribute, not
+    a re-evaluated split — see winnow_fingerprints for why that
+    matters), explode, ONE partial-agged groupBy on the n-gram, then
+    ``orderBy().limit(k)`` which Spark executes as
+    TakeOrderedAndProject: a per-partition top-k heap + driver merge
+    of ``partitions x k`` rows — no global sort at any corpus size.
+    Ties at the cutoff break deterministically by the n-gram string.
+
+    Docs with fewer than ``n`` tokens contribute nothing (guarded
+    BEFORE materializing: ``sequence(1, nt-n+1)`` would count DOWN
+    for short docs and error in ANSI element_at)."""
+    with_t = df.select(
+        whitespace_tokens(F.lower(F.col(text_col))).alias("_toks")
+    )
+    toks = F.col("_toks")
+    nt = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), nt - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return (
+        with_t.select(
+            F.explode(
+                F.when(nt >= n, grams).otherwise(F.array())
+            ).alias("ngram")
+        )
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram"))
+        .limit(k)
+    )
+
+
 def winnow_fingerprints(df, text_col: str, id_col: str, k: int = 5, window: int = 4):
     """Winnowing (Schleimer et al., SIGMOD 2003): k-gram hashes, then
     the minimum hash in every sliding window of ``window`` positions —

@@ -97,6 +97,25 @@ def q75_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs)
 
 
+# Same deterministic stand-in benchmark set as q79 (exact-gram
+# decontamination in queries/textops.py): every 97th doc.
+_DECON_MOD = 97
+
+
+def q85_lsh_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination: corpus docs sharing >= 1
+    MinHash-LSH band bucket with any benchmark doc (near-dup
+    contamination that exact n-gram matching misses). Benchmark band
+    set broadcasts; the corpus never shuffles beyond its signature
+    aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % _DECON_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _DECON_MOD != 0)
+    return D.lsh_contamination(
+        corpus, bench, "text", "doc_id", _NUM_HASHES, _ROWS_PER_BAND, _SHINGLE_N
+    )
+
+
 QUERIES = {
     "q34_dedup_exact": q34_dedup_exact,
     "q35_minhash_signature": q35_minhash_signature,
@@ -104,6 +123,7 @@ QUERIES = {
     "q37_simhash": q37_simhash,
     "q38_ngram_jaccard_pairs": q38_ngram_jaccard_pairs,
     "q75_neardup_components": q75_neardup_components,
+    "q85_lsh_decontamination": q85_lsh_decontamination,
 }
 
 ORACLES = {
@@ -190,5 +210,24 @@ ORACLES = {
         )
         SELECT src AS node, MIN(dst) AS component
         FROM reach GROUP BY src
+    """,
+    "q85_lsh_decontamination": f"""
+        WITH hashed AS (
+            SELECT doc_id, {_HS} AS hs FROM documents
+        ), sigs AS (
+            SELECT doc_id,
+               {_SIG_COLS}
+            FROM hashed
+        ), bands AS (
+{_BAND_SELECTS}
+        ), b AS (
+            SELECT DISTINCT band_idx, band_key FROM bands
+            WHERE doc_id % {_DECON_MOD} = 0
+        ), c AS (
+            SELECT * FROM bands WHERE doc_id % {_DECON_MOD} <> 0
+        )
+        SELECT c.doc_id, COUNT(DISTINCT c.band_idx) AS n_bands
+        FROM c JOIN b USING (band_idx, band_key)
+        GROUP BY c.doc_id
     """,
 }

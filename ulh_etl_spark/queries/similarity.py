@@ -138,6 +138,37 @@ def q61_hyperplane_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q86_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: per-query recall@k of the IVF probe
+    search against exact brute force — the measurement that sizes
+    nprobe for a target recall. Both legs are the engine's own
+    operators; the join of two k-row-per-query results is trivially
+    small (queries x k rows), so the cost is the two searches
+    themselves."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids(emb)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    bf = S.cosine_topk(emb, queries, k=_K).select("query_id", "neighbor_id")
+    iv = (
+        S.ivf_topk(S.ivf_assign(emb, cents), cents, queries, k=_K, nprobe=_NPROBE)
+        .select("query_id", "neighbor_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        # Both legs are (queries x k) rows by construction — broadcast
+        # the IVF side so the recall join never sort-merges.
+        bf.join(F.broadcast(iv), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                / F.lit(float(_K)),
+                6,
+            ).alias("recall_at_k")
+        )
+    )
+
+
 QUERIES = {
     "q39_cosine_topk": q39_cosine_topk,
     "q40_embedding_norms": q40_embedding_norms,
@@ -147,6 +178,7 @@ QUERIES = {
     "q47_kmeans_refined_centroids": q47_kmeans_refined_centroids,
     "q60_hyperplane_signature": q60_hyperplane_signature,
     "q61_hyperplane_pairs": q61_hyperplane_pairs,
+    "q86_ivf_recall": q86_ivf_recall,
 }
 
 
@@ -179,8 +211,10 @@ _HSIG_CTE = f"""
             GROUP BY e.vec_id
         )"""
 
-ORACLES = {
-    "q39_cosine_topk": f"""
+# q39/q42 oracle bodies as standalone strings: q86 (IVF recall)
+# nests both as subqueries, so the three stay in lockstep by
+# construction.
+_Q39_SQL = f"""
         WITH q AS (
             SELECT vec_id AS query_id, embedding AS q_vec
             FROM embeddings WHERE vec_id < {_N_QUERIES}
@@ -198,31 +232,9 @@ ORACLES = {
         SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
                CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= {_K}
-    """,
-    "q40_embedding_norms": """
-        SELECT vec_id, label,
-               ROUND(sqrt(list_sum(list_transform(embedding,
-                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
-        FROM embeddings
-    """,
-    "q41_ivf_cluster_sizes": f"""
-        WITH c AS (
-            SELECT vec_id AS centroid_id, embedding AS centroid_vec
-            FROM embeddings WHERE vec_id < {_N_CENTROIDS}
-        ), d AS (
-            SELECT e.vec_id, c.centroid_id AS cell, {_SQDIST} AS dist
-            FROM embeddings e, c
-        ), assigned AS (
-            SELECT vec_id, cell,
-                   row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY dist, cell) AS rn
-            FROM d
-        )
-        SELECT cell, COUNT(*) AS cell_size
-        FROM assigned WHERE rn = 1
-        GROUP BY cell
-    """,
-    "q42_ivf_topk": f"""
+"""
+
+_Q42_SQL = f"""
         WITH c AS (
             SELECT vec_id AS centroid_id, embedding AS centroid_vec
             FROM embeddings WHERE vec_id < {_N_CENTROIDS}
@@ -264,7 +276,34 @@ ORACLES = {
         SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
                CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= {_K}
+"""
+
+ORACLES = {
+    "q39_cosine_topk": _Q39_SQL,
+    "q40_embedding_norms": """
+        SELECT vec_id, label,
+               ROUND(sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+        FROM embeddings
     """,
+    "q41_ivf_cluster_sizes": f"""
+        WITH c AS (
+            SELECT vec_id AS centroid_id, embedding AS centroid_vec
+            FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+        ), d AS (
+            SELECT e.vec_id, c.centroid_id AS cell, {_SQDIST} AS dist
+            FROM embeddings e, c
+        ), assigned AS (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cell) AS rn
+            FROM d
+        )
+        SELECT cell, COUNT(*) AS cell_size
+        FROM assigned WHERE rn = 1
+        GROUP BY cell
+    """,
+    "q42_ivf_topk": _Q42_SQL,
     "q46_embedding_neardup": f"""
         WITH c AS (
             SELECT vec_id AS centroid_id, embedding AS centroid_vec
@@ -329,5 +368,16 @@ ORACLES = {
           ON a.band_idx = b.band_idx
          AND a.band_val = b.band_val
          AND a.vec_id < b.vec_id
+    """,
+    "q86_ivf_recall": f"""
+        WITH bf AS (SELECT * FROM ({_Q39_SQL})),
+             iv AS (SELECT * FROM ({_Q42_SQL}))
+        SELECT bf.query_id,
+               ROUND(CAST(COUNT(iv.neighbor_id) AS DOUBLE) / {_K}, 6)
+                   AS recall_at_k
+        FROM bf LEFT JOIN iv
+          ON bf.query_id = iv.query_id
+         AND bf.neighbor_id = iv.neighbor_id
+        GROUP BY bf.query_id
     """,
 }

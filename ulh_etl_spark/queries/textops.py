@@ -180,6 +180,17 @@ def q79_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOP_NGRAM_K = 100
+
+
+def q83_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-100 word bigrams (boilerplate-phrase /
+    tokenizer-stats pass). Partial-agged groupBy + TakeOrdered top-k:
+    no global sort, ties cut deterministically by the bigram string."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.top_ngrams(docs, "text", n=2, k=TOP_NGRAM_K)
+
+
 def q80_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals: type-token ratio (narrow
     array expression) + top-bigram share (explode -> partial-agged
@@ -215,6 +226,7 @@ QUERIES = {
     "q79_decontamination": q79_decontamination,
     "q80_repetition_signals": q80_repetition_signals,
     "q82_weighted_sample": q82_weighted_sample,
+    "q83_top_bigrams": q83_top_bigrams,
 }
 
 # Shared quality-score SQL expression (identical to operators.text
@@ -419,5 +431,19 @@ ORACLES = {
         )
         ORDER BY sample_key DESC, doc_id
         LIMIT {WSAMPLE_K}
+    """,
+    "q83_top_bigrams": f"""
+        WITH t AS (
+            SELECT {_LOW_TOKS} AS tk FROM documents
+        ), g AS (
+            SELECT unnest(list_transform(
+                       generate_series(1, len(tk) - 1),
+                       i -> tk[i] || ' ' || tk[i+1])) AS ngram
+            FROM t WHERE len(tk) >= 2
+        )
+        SELECT ngram, COUNT(*) AS n_occurrences
+        FROM g GROUP BY 1
+        ORDER BY n_occurrences DESC, ngram
+        LIMIT {TOP_NGRAM_K}
     """,
 }
