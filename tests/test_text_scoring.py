@@ -248,3 +248,47 @@ def test_top_ngrams_model(spark):
         ("a b a", 2),
         ("b a b", 2),
     ]
+
+
+def test_pack_sequences_model(spark):
+    from ulh_etl_spark.operators.text import pack_sequences, pack_utilization
+
+    # one shard (n_shards=1) makes the running sum easy to check
+    docs = [
+        (0, "w " * 300),   # 300 tokens -> offset 0,   pack 0
+        (1, "w " * 300),   # offset 300, pack 0 (straddles into 1)
+        (2, "w " * 300),   # offset 600, pack 1
+        (3, ""),           # 0 tokens  -> offset 900, pack 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["shard"], r["n_tokens"], r["start_offset"], r["pack_idx"])
+        for r in pack_sequences(df, "text", "doc_id", ctx_len=512, n_shards=1).collect()
+    }
+    assert out[0] == (0, 300, 0, 0)
+    assert out[1] == (0, 300, 300, 0)
+    assert out[2] == (0, 300, 600, 1)
+    assert out[3] == (0, 0, 900, 1)
+
+    util = pack_utilization(
+        pack_sequences(df, "text", "doc_id", ctx_len=512, n_shards=1),
+        ctx_len=512,
+    ).collect()
+    assert len(util) == 1
+    r = util[0]
+    # 900 tokens -> 2 windows of 512 = 1024 slots, 124 padded
+    assert (r["n_docs"], r["total_tokens"], r["n_windows"]) == (4, 900, 2)
+    assert r["pad_frac"] == round(124 / 1024, 6)
+
+
+def test_pack_sequences_shard_determinism(spark):
+    from ulh_etl_spark.operators.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "a b c") for i in range(50)], "doc_id long, text string"
+    )
+    a = pack_sequences(df, "text", "doc_id", ctx_len=8, n_shards=4).collect()
+    b = pack_sequences(df, "text", "doc_id", ctx_len=8, n_shards=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    shards = {r["shard"] for r in a}
+    assert shards <= set(range(4)) and len(shards) > 1

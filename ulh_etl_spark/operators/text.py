@@ -242,6 +242,87 @@ def top_ngrams(df, text_col: str, n: int = 2, k: int = 100):
     )
 
 
+def pack_sequences(
+    df,
+    text_col: str,
+    id_col: str,
+    ctx_len: int = 512,
+    n_shards: int = 8,
+    salt: str = "pack",
+):
+    """Deterministic sequence packing (concat-then-chunk): assign each
+    document a (shard, pack_idx, offset) so a training reader can
+    stream shard-ordered docs into fixed ``ctx_len``-token context
+    windows — the GPT-style packing pass of an LM data pipeline.
+
+    Shape: docs are salted-md5 sharded (stable, joinable — same trick
+    as hash_split), then ONE window per shard computes the running
+    token total before each doc; ``pack_idx`` is that offset div
+    ctx_len (the window holding the doc's first token; a doc may
+    straddle into the next window, which is the concat-then-chunk
+    contract). Scale: the only shuffle is the per-shard window sort —
+    parallelism = n_shards, so size n_shards to the cluster (each
+    shard's running sum is a sequential scan, the same cost a
+    single-threaded packer would pay per output file). NOT a global
+    single-partition window.
+
+    Output columns: id, shard, n_tokens, start_offset (tokens before
+    this doc within its shard), pack_idx."""
+    from pyspark.sql import Window
+
+    shard = (
+        md5_hash32(
+            F.concat(F.lit(salt), F.lit("_"), F.col(id_col).cast("string"))
+        )
+        % n_shards
+    )
+    with_n = df.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return with_n.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / ctx_len).cast("long").alias("pack_idx"),
+    )
+
+
+def pack_utilization(packed, ctx_len: int = 512):
+    """Per-shard packing summary from :func:`pack_sequences` output:
+    total tokens, number of ``ctx_len`` windows consumed, and the
+    padding fraction wasted in the final partial window — the number
+    a data-loading team actually monitors. One partial-agged groupBy
+    on the (tiny) shard key."""
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "total_tokens",
+            F.ceil(F.col("total_tokens") / ctx_len).cast("long").alias("n_windows"),
+            F.round(
+                (
+                    F.ceil(F.col("total_tokens") / ctx_len) * ctx_len
+                    - F.col("total_tokens")
+                ).cast("double")
+                / (F.ceil(F.col("total_tokens") / ctx_len) * ctx_len).cast(
+                    "double"
+                ),
+                6,
+            ).alias("pad_frac"),
+        )
+    )
+
+
 def winnow_fingerprints(df, text_col: str, id_col: str, k: int = 5, window: int = 4):
     """Winnowing (Schleimer et al., SIGMOD 2003): k-gram hashes, then
     the minimum hash in every sliding window of ``window`` positions —

@@ -181,6 +181,28 @@ def q79_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TOP_NGRAM_K = 100
+PACK_CTX = 512
+PACK_SHARDS = 8
+
+
+def q87_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic concat-then-chunk sequence packing: per-doc
+    (shard, offset, pack_idx) for 512-token context windows. The only
+    shuffle is the per-shard window — parallelism = shard count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.pack_sequences(
+        docs, "text", "doc_id", ctx_len=PACK_CTX, n_shards=PACK_SHARDS
+    )
+
+
+def q88_pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard packing utilization (windows consumed, padding
+    fraction) over the q87 assignment."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = T.pack_sequences(
+        docs, "text", "doc_id", ctx_len=PACK_CTX, n_shards=PACK_SHARDS
+    )
+    return T.pack_utilization(packed, ctx_len=PACK_CTX)
 
 
 def q83_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,6 +249,8 @@ QUERIES = {
     "q80_repetition_signals": q80_repetition_signals,
     "q82_weighted_sample": q82_weighted_sample,
     "q83_top_bigrams": q83_top_bigrams,
+    "q87_sequence_pack": q87_sequence_pack,
+    "q88_pack_utilization": q88_pack_utilization,
 }
 
 # Shared quality-score SQL expression (identical to operators.text
@@ -431,6 +455,46 @@ ORACLES = {
         )
         ORDER BY sample_key DESC, doc_id
         LIMIT {WSAMPLE_K}
+    """,
+    "q87_sequence_pack": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   {O.md5h("'pack_' || CAST(doc_id AS VARCHAR)")}
+                       % {PACK_SHARDS} AS shard,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+            FROM documents
+        ), w AS (
+            SELECT doc_id, shard, n_tokens,
+                   CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens AS BIGINT) AS start_offset
+            FROM t
+        )
+        SELECT doc_id, shard, n_tokens, start_offset,
+               CAST(floor(start_offset / {PACK_CTX}.0) AS BIGINT) AS pack_idx
+        FROM w
+    """,
+    "q88_pack_utilization": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   {O.md5h("'pack_' || CAST(doc_id AS VARCHAR)")}
+                       % {PACK_SHARDS} AS shard,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+            FROM documents
+        ), s AS (
+            SELECT shard, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+            FROM t GROUP BY shard
+        )
+        SELECT shard, n_docs, total_tokens,
+               CAST(ceil(total_tokens / {PACK_CTX}.0) AS BIGINT) AS n_windows,
+               ROUND(
+                   CAST(CAST(ceil(total_tokens / {PACK_CTX}.0) AS BIGINT)
+                        * {PACK_CTX} - total_tokens AS DOUBLE)
+                   / CAST(CAST(ceil(total_tokens / {PACK_CTX}.0) AS BIGINT)
+                        * {PACK_CTX} AS DOUBLE),
+               6) AS pad_frac
+        FROM s
     """,
     "q83_top_bigrams": f"""
         WITH t AS (
