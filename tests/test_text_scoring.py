@@ -292,3 +292,37 @@ def test_pack_sequences_shard_determinism(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     shards = {r["shard"] for r in a}
     assert shards <= set(range(4)) and len(shards) > 1
+
+
+def test_chunk_documents_model(spark):
+    from ulh_etl_spark.operators.text import chunk_documents
+
+    toks = " ".join(f"t{i}" for i in range(10))   # 10 tokens
+    df = spark.createDataFrame(
+        [(0, toks), (1, "a b"), (2, "")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_text"], r["chunk_n_tokens"])
+        )
+        assert r["chunk_n_tokens"] == len(r["chunk_text"].split())
+    # step=2: starts 0,2,4,6,8 -> ceil((10-2)/2)=4 chunks, starts 0,2,4,6
+    assert [c[0] for c in sorted(by_doc[0])] == [0, 1, 2, 3]
+    assert sorted(by_doc[0])[0][1] == "t0 t1 t2 t3"
+    assert sorted(by_doc[0])[-1][1] == "t6 t7 t8 t9"
+    # overlap contract: consecutive chunks share `overlap` tokens
+    assert sorted(by_doc[0])[0][1].split()[2:] == sorted(by_doc[0])[1][1].split()[:2]
+    # short doc -> itself whole; empty doc -> nothing
+    assert by_doc[1] == [(0, "a b", 2)]
+    assert 2 not in by_doc
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+    from ulh_etl_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=4)

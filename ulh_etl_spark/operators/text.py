@@ -242,6 +242,69 @@ def top_ngrams(df, text_col: str, n: int = 2, k: int = 100):
     )
 
 
+def chunk_documents(
+    df,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+):
+    """Split each document into fixed-size token chunks with overlap —
+    the RAG/embedding-prep chunking pass. Chunk i covers tokens
+    ``[i*step, i*step + chunk_tokens)`` with ``step = chunk_tokens -
+    overlap``; the final chunk may be short; a doc shorter than one
+    chunk yields itself whole; token-less docs yield nothing.
+
+    Narrow map + explode — no shuffle at any corpus size, and the
+    output carries (id, chunk_idx, chunk_text, chunk_n_tokens) so a
+    downstream embed stage never needs the original document. The
+    token array is materialized first (HOF-capture rule, see
+    winnow_fingerprints); each chunk is one ``slice`` of that
+    attribute — O(chunk_tokens) per chunk, no re-tokenization."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    with_t = df.select(
+        F.col(id_col),
+        whitespace_tokens(F.col(text_col)).alias("_toks"),
+    )
+    toks = F.col("_toks")
+    nt = F.size(toks)
+    # number of chunks so the last chunk's start < nt:
+    # ceil((nt-overlap)/step), floored at 1 — docs with <= overlap
+    # tokens still yield one whole-doc chunk (and sequence() must
+    # never see a negative upper bound: it would count DOWN).
+    n_chunks = F.greatest(
+        F.ceil((nt - F.lit(overlap)) / F.lit(step)).cast("long"), F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.array_join(
+                F.slice(toks, i * step + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.least(nt - i * step, F.lit(chunk_tokens)).alias(
+                "chunk_n_tokens"
+            ),
+        ),
+    )
+    return (
+        with_t.select(
+            F.col(id_col),
+            F.explode(
+                F.when(nt > 0, chunks).otherwise(F.array())
+            ).alias("_c"),
+        )
+        .select(
+            id_col,
+            F.col("_c.chunk_idx").alias("chunk_idx"),
+            F.col("_c.chunk_text").alias("chunk_text"),
+            F.col("_c.chunk_n_tokens").alias("chunk_n_tokens"),
+        )
+    )
+
+
 def pack_sequences(
     df,
     text_col: str,

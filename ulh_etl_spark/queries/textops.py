@@ -205,6 +205,21 @@ def q88_pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.pack_utilization(packed, ctx_len=PACK_CTX)
 
 
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+
+
+def q89_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/embedding-prep chunking: 64-token chunks, 16-token overlap.
+    Narrow map + explode — zero shuffles; each chunk is a slice of the
+    once-materialized token array."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.chunk_documents(
+        docs, "text", "doc_id",
+        chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP,
+    )
+
+
 def q83_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level top-100 word bigrams (boilerplate-phrase /
     tokenizer-stats pass). Partial-agged groupBy + TakeOrdered top-k:
@@ -251,6 +266,7 @@ QUERIES = {
     "q83_top_bigrams": q83_top_bigrams,
     "q87_sequence_pack": q87_sequence_pack,
     "q88_pack_utilization": q88_pack_utilization,
+    "q89_chunk_documents": q89_chunk_documents,
 }
 
 # Shared quality-score SQL expression (identical to operators.text
@@ -455,6 +471,34 @@ ORACLES = {
         )
         ORDER BY sample_key DESC, doc_id
         LIMIT {WSAMPLE_K}
+    """,
+    "q89_chunk_documents": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS tk FROM documents
+        ), c AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(0,
+                           CAST(greatest(ceil((len(tk) - {CHUNK_OVERLAP})
+                                / {CHUNK_TOKENS - CHUNK_OVERLAP}.0), 1)
+                               AS BIGINT) - 1),
+                       i -> struct_pack(
+                           chunk_idx := i,
+                           chunk_text := array_to_string(
+                               tk[i*{CHUNK_TOKENS - CHUNK_OVERLAP}+1 :
+                                  i*{CHUNK_TOKENS - CHUNK_OVERLAP}+{CHUNK_TOKENS}],
+                               ' '),
+                           chunk_n := least(len(tk)
+                                - i*{CHUNK_TOKENS - CHUNK_OVERLAP},
+                                {CHUNK_TOKENS}))
+                   )) AS ch
+            FROM t WHERE len(tk) > 0
+        )
+        SELECT doc_id,
+               ch.chunk_idx AS chunk_idx,
+               ch.chunk_text AS chunk_text,
+               CAST(ch.chunk_n AS BIGINT) AS chunk_n_tokens
+        FROM c
     """,
     "q87_sequence_pack": f"""
         WITH t AS (
