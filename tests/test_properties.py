@@ -280,3 +280,92 @@ def test_asof_join_matches_pandas_merge_asof(
         for row in merged.itertuples()
     }
     assert got == want
+
+
+# --- round-4 corpus ops vs pure-python models ------------------------
+
+WORDS = st.lists(
+    st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=1, max_size=6),
+    min_size=0, max_size=25,
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(WORDS, min_size=1, max_size=15))
+def test_chunk_documents_matches_model(spark, docs):
+    """chunk_documents == python model: sliding slices of the token
+    list with step = chunk - overlap; short docs whole, empty none."""
+    from ulh_etl_spark.operators.text import chunk_documents
+
+    chunk, overlap = 5, 2
+    step = chunk - overlap
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in chunk_documents(df, "text", "doc_id",
+                             chunk_tokens=chunk, overlap=overlap).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_text"], r["chunk_n_tokens"])
+        )
+    for i, ws in enumerate(docs):
+        toks = [w for w in ws if w]  # whitespace split drops nothing here
+        if not toks:
+            assert i not in got
+            continue
+        n_chunks = max(-(-(len(toks) - overlap) // step), 1)
+        want = [
+            (j, " ".join(toks[j * step : j * step + chunk]),
+             min(len(toks) - j * step, chunk))
+            for j in range(n_chunks)
+        ]
+        assert sorted(got[i]) == want
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(WORDS, min_size=1, max_size=15))
+def test_pack_sequences_invariants(spark, docs):
+    """Per shard: offsets are the running sum in doc_id order and
+    pack_idx = offset // ctx."""
+    from ulh_etl_spark.operators.text import pack_sequences
+
+    ctx = 7
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    rows = pack_sequences(df, "text", "doc_id", ctx_len=ctx, n_shards=3).collect()
+    assert len(rows) == len(docs)
+    by_shard = {}
+    for r in sorted(rows, key=lambda r: (r["shard"], r["doc_id"])):
+        expected = by_shard.get(r["shard"], 0)
+        assert r["start_offset"] == expected
+        assert r["pack_idx"] == expected // ctx
+        assert r["n_tokens"] == len([w for w in docs[r["doc_id"]] if w])
+        by_shard[r["shard"]] = expected + r["n_tokens"]
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(WORDS, min_size=1, max_size=12))
+def test_top_ngrams_matches_model(spark, docs):
+    from collections import Counter
+
+    from ulh_etl_spark.operators.text import top_ngrams
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = [(r["ngram"], r["n_occurrences"])
+           for r in top_ngrams(df, "text", n=2, k=5).collect()]
+    c = Counter()
+    for ws in docs:
+        toks = [w.lower() for w in ws if w]
+        c.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == want
