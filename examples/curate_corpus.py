@@ -58,6 +58,18 @@ def main() -> None:
     for r in hist.collect():
         print(f"  size {r['count']:3d}: {r['n_clusters']} cluster(s)")
 
+    # training-reader prep over the surviving train split: pack docs
+    # into fixed 512-token context windows and report utilization
+    from ulh_etl_spark.operators.text import pack_sequences, pack_utilization
+
+    train = curated.filter(F.col("split") == "train")
+    packed = pack_sequences(train, "text", "doc_id", ctx_len=512, n_shards=4)
+    print("\ntrain-split packing (512-token windows, 4 shards):")
+    for r in pack_utilization(packed, ctx_len=512).orderBy("shard").collect():
+        print(f"  shard {r['shard']}: docs={r['n_docs']:5d} "
+              f"tokens={r['total_tokens']:8d} windows={r['n_windows']:5d} "
+              f"pad={100 * r['pad_frac']:.2f}%")
+
 
 if __name__ == "__main__":
     main()
