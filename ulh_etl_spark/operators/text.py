@@ -229,12 +229,19 @@ def top_ngrams(df, text_col: str, n: int = 2, k: int = 100):
             " ", *[F.element_at(toks, i + j) for j in range(n)]
         ),
     )
+    # explode_outer + isnotnull, not plain explode: see
+    # repetition_signals — InferFiltersFromGenerate would otherwise
+    # re-inline the tokenizer into a pushed per-row filter. The
+    # isnotnull filter sits ABOVE the Generate (it references the
+    # generated attribute) and drops the placeholder row a short doc
+    # emits; concat_ws never yields NULL so no real n-gram is lost.
     return (
         with_t.select(
-            F.explode(
+            F.explode_outer(
                 F.when(nt >= n, grams).otherwise(F.array())
             ).alias("ngram")
         )
+        .filter(F.col("ngram").isNotNull())
         .groupBy("ngram")
         .agg(F.count("*").alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), F.col("ngram"))
@@ -289,13 +296,17 @@ def chunk_documents(
             ),
         ),
     )
+    # explode_outer + isnotnull: see repetition_signals — a plain
+    # explode triggers InferFiltersFromGenerate, which re-inlines the
+    # tokenizer + chunk transform into a pushed per-row filter.
     return (
         with_t.select(
             F.col(id_col),
-            F.explode(
+            F.explode_outer(
                 F.when(nt > 0, chunks).otherwise(F.array())
             ).alias("_c"),
         )
+        .filter(F.col("_c").isNotNull())
         .select(
             id_col,
             F.col("_c.chunk_idx").alias("chunk_idx"),
@@ -417,7 +428,15 @@ def winnow_fingerprints(df, text_col: str, id_col: str, k: int = 5, window: int 
     pick the same hash value either way, and fingerprints are emitted
     as a distinct set, so the result is order-insensitive and
     engine-portable.
+
+    The md5-per-position work dominates, so an under-parallel input
+    (one parquet split) is conditionally fanned out first — same rule
+    as the dedup operators: never a blanket repartition, only when
+    the scan has fewer splits than cores.
     """
+    from ulh_etl_spark.operators.dedup import _fan_out
+
+    df = _fan_out(df)
     with_h = df.select(
         F.col(id_col),
         F.transform(char_ngrams(F.col(text_col), k), md5_hash32).alias("_h"),
@@ -432,8 +451,13 @@ def winnow_fingerprints(df, text_col: str, id_col: str, k: int = 5, window: int 
             lambda a, b: F.least(a, b),
         )
     mins = F.slice(m, 1, F.greatest(n - (window - 1), F.lit(1)))
+    # explode_outer: char_ngrams yields >= 1 gram for any text, so the
+    # fingerprint array is never empty and outer == inner exactly —
+    # but the outer form stops InferFiltersFromGenerate from pushing a
+    # size()>0 filter that re-inlines the whole md5/zip_with chain as
+    # a per-row Filter (2-4x duplicate evaluation).
     return with_h.select(
-        F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp_hash")
+        F.col(id_col), F.explode_outer(F.array_distinct(mins)).alias("fp_hash")
     )
 
 
@@ -547,8 +571,16 @@ def repetition_signals(df, text_col: str, id_col: str):
         # because `when` is lazy).
         F.when(nt > 1, bigrams).otherwise(F.array()).alias("_bigrams"),
     )
+    # explode_OUTER, deliberately: a plain explode lets Catalyst's
+    # InferFiltersFromGenerate push a `size(bigrams) > 0` filter BELOW
+    # the materializing projections, re-inlining the whole tokenizer +
+    # bigram transform into a per-row Filter — which resurrects the
+    # O(tokens²) re-evaluation this function is shaped to avoid
+    # (measured: 11.8 s -> 0.6 s at sf0.1). The null row an empty doc
+    # emits aggregates to (_top=1, _n_bigrams=1) and is then discarded
+    # by the `_nt > 1` guard, so the output is identical.
     top = (
-        base.select(F.col(id_col), F.explode("_bigrams").alias("_bg"))
+        base.select(F.col(id_col), F.explode_outer("_bigrams").alias("_bg"))
         .groupBy(id_col, "_bg")
         .agg(F.count("*").alias("_c"))
         .groupBy(id_col)
