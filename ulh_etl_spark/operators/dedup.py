@@ -118,7 +118,11 @@ def minhash_signatures(
     # unchanged, so never hash (or shuffle) a duplicate shingle.
     df = _fan_out(df)
     grams = F.array_distinct(char_ngrams(F.col(text_col), shingle_n))
-    exploded = df.select(F.col(id_col), F.explode(grams).alias("_gram"))
+    # explode_outer: char_ngrams yields >= 1 gram for any text, so
+    # outer == inner exactly — and it stops InferFiltersFromGenerate
+    # from duplicating the gram pipeline in a pushed per-row filter
+    # (SCALE.md, round 4).
+    exploded = df.select(F.col(id_col), F.explode_outer(grams).alias("_gram"))
     hashed = exploded.select(F.col(id_col), md5_hash32(F.col("_gram")).alias("_h"))
     aggs = [
         F.min(

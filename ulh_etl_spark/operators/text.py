@@ -474,7 +474,14 @@ def unigram_logprob_scores(df, text_col: str, id_col: str):
     per-doc mean partial-aggregates. Token-less docs survive with
     NULL score (left join)."""
     toks = whitespace_tokens(F.lower(F.col(text_col)))
-    exploded = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    # explode_outer + isnotnull (NOT plain explode): see SCALE.md —
+    # the inferred size()>0 filter would re-tokenize every doc in a
+    # pushed per-row Filter. The isnotnull guard keeps exact explode
+    # semantics (token-less docs contribute no terms and no counts).
+    exploded = (
+        df.select(F.col(id_col), F.explode_outer(toks).alias("term"))
+        .filter(F.col("term").isNotNull())
+    )
     totals = exploded.groupBy("term").agg(F.count("*").alias("n"))
     grand = totals.agg(F.sum("n").alias("n_total"))
     vocab = totals.join(F.broadcast(grand)).select(
@@ -507,14 +514,16 @@ def contamination_counts(
     (AQE broadcast), then a per-doc count. The corpus never
     self-joins and never shuffles its gram sets."""
     def gramset(frame):
+        # explode_outer + isnotnull: avoids the inferred size()>0
+        # filter duplicating the md5 gram pipeline per row (SCALE.md).
         return frame.select(
             F.col(id_col),
-            F.explode(
+            F.explode_outer(
                 F.array_distinct(
                     F.transform(char_ngrams(F.col(text_col), n), md5_hash32)
                 )
             ).alias("_g"),
-        )
+        ).filter(F.col("_g").isNotNull())
 
     bench_grams = gramset(benchmark).select("_g").distinct()
     shared = (
@@ -618,8 +627,11 @@ def repetition_signals(df, text_col: str, id_col: str):
 def term_frequencies(df, text_col: str, id_col: str):
     """(id, term, tf) over lowercased whitespace tokens."""
     toks = whitespace_tokens(F.lower(F.col(text_col)))
+    # explode_outer + isnotnull: see SCALE.md (inferred-filter
+    # re-tokenization); exact explode semantics preserved.
     return (
-        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        df.select(F.col(id_col), F.explode_outer(toks).alias("term"))
+        .filter(F.col("term").isNotNull())
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
     )
