@@ -202,3 +202,40 @@ def test_partitioned_scan_prunes(spark):
         assert q.count() == 500
     finally:
         spark.sql("DROP TABLE IF EXISTS part_t")
+
+
+def test_corpus_ops_single_evaluation_plans(spark, sf_dir):
+    """Regression guards for the two round-4 optimizer findings
+    (SCALE.md): (a) HOF lambdas must not capture the tokenizer/hash
+    pipeline (it would re-evaluate per element), (b) plain explode()
+    must not let InferFiltersFromGenerate re-inline those pipelines
+    into a pushed per-row Filter. Both collapse to one invariant: the
+    expensive leaf expression appears EXACTLY ONCE per scan in the
+    optimized plan."""
+    from ulh_etl_spark.queries.dedup import q35_minhash_signature
+    from ulh_etl_spark.queries.textops import (
+        q57_tfidf,
+        q64_winnow_fingerprints,
+        q80_repetition_signals,
+        q89_chunk_documents,
+    )
+
+    def optimized(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    # one md5 transform total (inside the materializing projection)
+    assert optimized(
+        q64_winnow_fingerprints(spark, sf_dir)
+    ).count("md5(") == 1
+    # minhash hashes each shingle once, post-explode
+    assert optimized(q35_minhash_signature(spark, sf_dir)).count("md5(") == 1
+    # repetition: one split per scan leg (ttr leg + bigram leg)
+    p80 = optimized(q80_repetition_signals(spark, sf_dir))
+    assert p80.count("split(") == 2, p80
+    # tfidf: tf and df legs share one exploded relation -> 1 split
+    # per documents scan (plan may keep 2 scan legs + n_docs count)
+    p57 = optimized(q57_tfidf(spark, sf_dir))
+    assert p57.count("split(") <= 2, p57
+    # chunking: tokenize once
+    p89 = optimized(q89_chunk_documents(spark, sf_dir))
+    assert p89.count("split(") == 1, p89
