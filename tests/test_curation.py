@@ -86,3 +86,26 @@ def test_report_and_partitioned_write(spark, corpus, tmp_path):
     assert "PartitionFilters" in plan and "split" in plan.split(
         "PartitionFilters", 1
     )[1][:200]
+
+
+def test_curate_decontaminates_against_benchmark(spark):
+    from ulh_etl_spark.curation import CurationConfig, curate
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps on "
+            "running through the quiet field until the early evening")
+    corpus = spark.createDataFrame(
+        [
+            (1, base),                               # exact benchmark copy
+            (2, base.replace("quiet", "silent")),    # near dup of benchmark
+            (3, "completely unrelated text about catalyst physical plans "
+                "and shuffle exchanges in distributed query engines"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(99, base)], "doc_id long, text string")
+    cfg = CurationConfig(min_quality=0.0, near_dedup=False)
+    kept_with = {r["doc_id"] for r in curate(corpus, cfg, benchmark=bench).collect()}
+    kept_wo = {r["doc_id"] for r in curate(corpus, cfg).collect()}
+    assert 1 not in kept_with            # exact contamination dropped
+    assert 3 in kept_with                # clean doc survives
+    assert kept_wo == {1, 2, 3}          # no benchmark -> no drops

@@ -64,9 +64,20 @@ def annotate(df: DataFrame, cfg: CurationConfig) -> DataFrame:
     )
 
 
-def curate(df: DataFrame, cfg: CurationConfig = CurationConfig()) -> DataFrame:
+def curate(
+    df: DataFrame,
+    cfg: CurationConfig = CurationConfig(),
+    benchmark: DataFrame | None = None,
+) -> DataFrame:
     """Run the full curation pipeline; returns the surviving corpus
     annotated with (quality, lang_pred, n_tokens, split).
+
+    ``benchmark`` (optional): a frame of held-out eval documents with
+    the same text/id columns — corpus docs sharing an exact 8-gram
+    overlap (>= 3 hashes) OR a MinHash-LSH band with any benchmark
+    doc are dropped before the split (decontamination, both the exact
+    and the paraphrase-robust fuzzy check). Both flag relations are
+    id-level and tiny; the benchmark side broadcasts.
 
     Scale notes: the exact-dedup keep set and the LSH drop set are
     both id-level relations — joins against them are semi/anti joins
@@ -74,6 +85,22 @@ def curate(df: DataFrame, cfg: CurationConfig = CurationConfig()) -> DataFrame:
     drop set is usually tiny relative to the corpus; at 100 TB both
     joins convert to broadcasts via AQE when they fit.
     """
+    if benchmark is not None:
+        from ulh_etl_spark.operators.dedup import lsh_contamination
+        from ulh_etl_spark.operators.text import contamination_counts
+
+        exact = contamination_counts(
+            df, benchmark, cfg.text_col, cfg.id_col
+        ).select(cfg.id_col)
+        fuzzy = lsh_contamination(
+            df,
+            benchmark,
+            cfg.text_col,
+            cfg.id_col,
+            rows_per_band=cfg.minhash_rows_per_band,
+        ).select(cfg.id_col)
+        df = df.join(exact.union(fuzzy).distinct(), cfg.id_col, "left_anti")
+
     ann = annotate(df, cfg)
 
     kept = ann.filter(F.col("quality") >= cfg.min_quality)
