@@ -326,3 +326,28 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=4)
+
+
+def test_token_budget_sample_model(spark):
+    from ulh_etl_spark.operators.text import token_budget_sample
+
+    # group A: three docs, budget admits greedily by quality
+    docs = [
+        (1, "a", "x " * 50),   # 50 tokens
+        (2, "a", "y " * 60),   # 60 tokens
+        (3, "a", "z " * 70),   # 70 tokens
+        (4, "b", "w " * 10),   # lone doc in its group
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    out = token_budget_sample(df, "text", "doc_id", "source", budget_tokens=100)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # equal-length tokens -> quality ordered by doc length; doc 3 (70)
+    # first (longest = highest length score), then 2 (60): taken 70 < 100
+    # admits 2; after 130 >= 100 doc 1 is rejected.
+    assert set(rows) == {3, 2, 4}
+    assert rows[3]["taken_before"] == 0
+    assert rows[2]["taken_before"] == 70
+    assert rows[4]["taken_before"] == 0
+    # budget respected up to one-doc overshoot, per group
+    for r in rows.values():
+        assert r["taken_before"] < 100

@@ -249,6 +249,48 @@ def top_ngrams(df, text_col: str, n: int = 2, k: int = 100):
     )
 
 
+def token_budget_sample(
+    df,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    budget_tokens: int,
+):
+    """Per-group token-budget selection — the data-mixing pass that
+    caps each source's contribution to a training mixture: within
+    every ``group_col`` value, admit documents best-quality-first
+    (deterministic doc-id tiebreak) until the group's token budget is
+    exhausted. A doc is admitted iff the tokens taken BEFORE it are
+    still under budget, so each group may overshoot by at most one
+    document (greedy prefix rule — deterministic, engine-portable).
+
+    Shape: one quality/token annotation pass (narrow), ONE window per
+    group (running token sum, shuffle on the group key), then a
+    predicate — no joins, no driver state. Skewed source sizes are a
+    sort cost, not a correctness risk; a pathologically hot source
+    would use the same salting escape hatch as any hot key
+    (operators/skew.py).
+
+    Output: (id, group, quality, n_tokens, taken_before) for admitted
+    docs."""
+    from pyspark.sql import Window
+
+    ann = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        quality_score(F.col(text_col)).alias("quality"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("quality").desc(), F.col(id_col)
+    )
+    taken_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        ann.withColumn("taken_before", taken_before)
+        .filter(F.col("taken_before") < budget_tokens)
+    )
+
+
 def chunk_documents(
     df,
     text_col: str,

@@ -207,6 +207,17 @@ def q88_pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CHUNK_TOKENS = 64
 CHUNK_OVERLAP = 16
+MIX_BUDGET = 1000
+
+
+def q90_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing: cap each source's contribution at a 1000-token
+    budget, admitting best-quality docs first (deterministic doc_id
+    tiebreak). One window per source key, no joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.token_budget_sample(
+        docs, "text", "doc_id", "source", budget_tokens=MIX_BUDGET
+    )
 
 
 def q89_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,6 +278,7 @@ QUERIES = {
     "q87_sequence_pack": q87_sequence_pack,
     "q88_pack_utilization": q88_pack_utilization,
     "q89_chunk_documents": q89_chunk_documents,
+    "q90_token_budget_mix": q90_token_budget_mix,
 }
 
 # Shared quality-score SQL expression (identical to operators.text
@@ -471,6 +483,23 @@ ORACLES = {
         )
         ORDER BY sample_key DESC, doc_id
         LIMIT {WSAMPLE_K}
+    """,
+    "q90_token_budget_mix": f"""
+        WITH ann AS (
+            SELECT doc_id, source,
+                   {_QUALITY_SQL} AS quality,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+            FROM documents
+        ), w AS (
+            SELECT doc_id, source, quality, n_tokens,
+                   CAST(SUM(n_tokens) OVER (PARTITION BY source
+                       ORDER BY quality DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens AS BIGINT) AS taken_before
+            FROM ann
+        )
+        SELECT doc_id, source, quality, n_tokens, taken_before
+        FROM w WHERE taken_before < {MIX_BUDGET}
     """,
     "q89_chunk_documents": f"""
         WITH t AS (
