@@ -82,6 +82,68 @@ def cosine_topk(
     )
 
 
+def _centroid_literal(
+    centroids: DataFrame, centroid_id: str, centroid_vec: str
+) -> Column:
+    """Collect the (driver-small by construction) centroid set and fold
+    it into an ``array<struct<cell, cvec array<double>>>`` literal,
+    sorted by cell id ascending so that min/sort tie-breaks land on the
+    lowest cell — the same determinism the crossJoin + row_number
+    formulation had, without materializing |corpus| x C rows.
+
+    The collected rows are memoized on the DataFrame object so a query
+    that feeds the same centroid set to both the build (``ivf_assign``)
+    and probe (``ivf_assign_queries``) sides pays one driver job, not
+    two."""
+    cache = centroids.__dict__.setdefault("_ulh_centroid_cache", {})
+    key = (centroid_id, centroid_vec)
+    if key not in cache:
+        rows = centroids.select(
+            F.col(centroid_id).alias("cell"), F.col(centroid_vec).alias("cvec")
+        ).collect()
+        rows.sort(key=lambda r: r["cell"])
+        cache[key] = rows
+    rows = cache[key]
+
+    # One F.expr over a generated SQL string, not C x dim F.lit calls:
+    # per-element Column construction costs a py4j round-trip each
+    # (~1s of driver time at C=8, dim=64); a single parsed expression
+    # is milliseconds and constant-folds identically. CAST from repr()
+    # keeps every double bit-exact (repr round-trips).
+    def _cell_sql(v) -> str:
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            escaped = str(v).replace("'", "''")
+            return f"'{escaped}'"
+        if isinstance(v, int):
+            return f"CAST({v} AS BIGINT)"
+        return f"CAST('{v!r}' AS DOUBLE)"
+
+    elems = ", ".join(
+        "named_struct('cell', {}, 'cvec', array({}))".format(
+            _cell_sql(r["cell"]),
+            ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in r["cvec"]),
+        )
+        for r in rows
+    )
+    return F.expr(f"array({elems})")
+
+
+def _sq_dist_to(vec_col: str, cvec: Column) -> Column:
+    """Squared L2 distance from ``vec_col`` to a (literal) centroid
+    vector — identical double-arithmetic order to the previous join
+    formulation and to the DuckDB oracle, so hashes are bit-stable."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            cvec,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -93,31 +155,32 @@ def ivf_assign(
     """Assign every vector to its nearest centroid (squared-L2,
     deterministic centroid-id tie-break) — the IVF build step.
 
-    Scale: centroids broadcast (C is small); assignment is a narrow
-    map + a row_number window keyed by vector id. The output is what
-    you'd ``write.partitionBy("cell")`` so probes prune partitions.
+    Scale: the centroid set is driver-small (C cells) so it is
+    collected once and folded into an array literal; the argmin is
+    then a pure narrow map — ``array_min`` over
+    ``transform(cells, c -> struct(dist, cell))``, where the struct's
+    lexicographic ordering (dist first, then cell) reproduces the
+    deterministic lowest-cell tie-break. ZERO shuffles and no
+    |corpus| x C row amplification (the previous crossJoin +
+    row_number formulation pushed every (vector, centroid) pair
+    through an Exchange — 256x shuffle amplification at C=256). The
+    output is what you'd ``write.partitionBy("cell")`` so probes
+    prune partitions.
     """
-    cent = centroids.select(
-        F.col(centroid_id).alias("cell"), F.col(centroid_vec).alias("cell_vec")
-    )
-    dist = F.aggregate(
-        F.zip_with(
-            F.col(vec_col),
-            F.col("cell_vec"),
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
+    cell_type = centroids.schema[centroid_id].dataType.simpleString()
+    cells = _centroid_literal(centroids, centroid_id, centroid_vec)
+    scored = F.transform(
+        cells,
+        lambda c: F.struct(
+            _sq_dist_to(vec_col, c["cvec"]).alias("dist"),
+            c["cell"].alias("cell"),
         ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
     )
-    scored = corpus.crossJoin(F.broadcast(cent)).select(
-        F.col(id_col), F.col(vec_col), F.col("cell"), dist.alias("dist")
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("dist"), F.col("cell"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, "cell")
+    best = F.array_min(scored)
+    return corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        best["cell"].cast(cell_type).alias("cell"),
     )
 
 
@@ -182,8 +245,8 @@ def embedding_neardup_pairs(
     once (id1 < id2)."""
     from pyspark.storagelevel import StorageLevel
 
-    # persist: the self-join would otherwise run the centroid-distance
-    # window once per side
+    # persist: the self-join would otherwise re-scan the corpus and
+    # recompute the C-distance assignment map once per side
     assigned = ivf_assign(corpus, centroids, id_col, vec_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -217,9 +280,12 @@ def kmeans_refine(
     refreshed centroids each round (the standard Spark k-means shape;
     MLlib does the same with aggregators).
 
-    Scale: each iteration is one broadcast-assign (narrow) plus one
-    shuffle on ``cell``; centroid count stays driver-small. Returns
-    the refined centroids as (centroid_id, centroid_vec).
+    Scale: each iteration is one narrow assignment map plus one
+    shuffle on ``cell``; centroid count stays driver-small. Because
+    ``ivf_assign`` collects the incoming centroids into a literal,
+    each iteration also cuts the lineage — plan size stays constant
+    across rounds instead of growing. Returns the refined centroids
+    as (centroid_id, centroid_vec).
     """
     import pandas as pd
 
@@ -344,28 +410,34 @@ def ivf_assign_queries(
     vec_col: str,
     nprobe: int,
 ) -> DataFrame:
-    cent = centroids.select(
-        F.col("cell"), F.col("cell_vec")
-    ) if "cell" in centroids.columns else centroids.select(
-        F.col("centroid_id").alias("cell"), F.col("centroid_vec").alias("cell_vec")
+    """Per-query nearest-``nprobe`` cells — same zero-shuffle shape as
+    ``ivf_assign``: sort the literal centroid array by (dist, cell)
+    and explode the first ``nprobe`` entries. No crossJoin, no window.
+    """
+    cid, cvec = (
+        ("cell", "cell_vec")
+        if "cell" in centroids.columns
+        else ("centroid_id", "centroid_vec")
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("q_vec"),
-            F.col("cell_vec"),
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
+    cell_type = centroids.schema[cid].dataType.simpleString()
+    cells = _centroid_literal(centroids, cid, cvec)
+    scored = F.transform(
+        cells,
+        lambda c: F.struct(
+            _sq_dist_to(vec_col, c["cvec"]).alias("dist"),
+            c["cell"].alias("cell"),
         ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
     )
-    scored = q.crossJoin(F.broadcast(cent)).select(
-        "query_id", "q_vec", "cell", dist.alias("dist")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("cell"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "q_vec", "cell")
+    probed = F.slice(F.array_sort(scored), 1, nprobe)
+    # explode_outer, not explode: InferFiltersFromGenerate would turn a
+    # plain explode into a size(...) > 0 pre-filter that re-evaluates
+    # the whole C-distance transform per row (see operators/text.py for
+    # the same pattern); the array is never empty (nprobe >= 1, C >= 1)
+    # so the outer variant is semantically identical.
+    return queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode_outer(probed).alias("probe"),
+    ).select(
+        "query_id", "q_vec", F.col("probe.cell").cast(cell_type).alias("cell")
     )
