@@ -126,8 +126,12 @@ def main() -> None:
         except Exception as ex:  # noqa: BLE001
             errors[name] = str(ex).splitlines()[0][:300]
             continue
+        finally:
+            # finally, not after the loop: a throwing query must not
+            # leak its cached intermediates into the next query's
+            # timed passes.
+            spark.catalog.clearCache()
         timings[name] = best
-        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     if sf == ANCHOR_SF:

@@ -196,3 +196,18 @@ def test_lsh_contamination_flags_near_duplicate(spark):
     assert 3 not in out                # unrelated doc stays clean
     for n in out.values():             # n_bands bounded by band count
         assert 1 <= n <= 4
+
+
+def test_lsh_bands_rejects_non_divisor_rows_per_band(spark):
+    """rows_per_band that doesn't divide num_hashes silently dropped
+    trailing hashes; > num_hashes made LSH a zero-band no-op — both
+    must raise instead (ADVICE r4)."""
+    import pytest
+
+    from ulh_etl_spark.operators.dedup import lsh_bands, minhash_signatures
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    sigs = minhash_signatures(df, "text", "doc_id", num_hashes=8)
+    for bad in (3, 9, 0, -1):
+        with pytest.raises(ValueError, match="divisor"):
+            lsh_bands(sigs, "doc_id", num_hashes=8, rows_per_band=bad)

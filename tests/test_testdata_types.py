@@ -138,3 +138,37 @@ def test_event_ops_accept_raw_ntz(spark):
         right_cols=("tag",),
     ).collect()
     assert len(rj) == 1 and rj[0]["gap_us"] == 60_000_000
+
+
+def test_load_table_does_not_mutate_session_timezone(spark):
+    """ADVICE r4: the NTZ->LTZ normalization must be scoped to the
+    cast (Cast captures its timeZoneId at analysis), not applied by
+    permanently flipping spark.sql.session.timeZone — a driver-owned
+    session deliberately running in another zone must keep its own
+    timestamp semantics for unrelated queries."""
+    prior = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ev = load_table(spark, SF_DIR, "events")
+        # 1. the session conf is untouched by the load
+        assert (
+            spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+        )
+        # 2. the instant is still the naive parquet value read as UTC
+        #    (compare epoch micros — JVM-side, conversion-ambiguity-free)
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            os.path.join(SF_DIR, "events.parquet"), columns=["event_id", "ts"]
+        )
+        first = tbl.slice(0, 1).to_pylist()[0]
+        naive = first["ts"].replace(tzinfo=datetime.timezone.utc)
+        want_micros = int(naive.timestamp()) * 1_000_000 + naive.microsecond
+        got = (
+            ev.filter(F.col("event_id") == first["event_id"])
+            .select(F.unix_micros("ts").alias("um"))
+            .collect()[0]["um"]
+        )
+        assert got == want_micros
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior)

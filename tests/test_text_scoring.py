@@ -351,3 +351,35 @@ def test_token_budget_sample_model(spark):
     # budget respected up to one-doc overshoot, per group
     for r in rows.values():
         assert r["taken_before"] < 100
+
+
+def test_pack_sequences_default_shards_is_cluster_parallelism(spark):
+    """The n_shards default must track defaultParallelism — a fixed
+    small default would cap the only shuffle's parallelism and
+    silently serialize a 100 TB pack onto that many tasks."""
+    from ulh_etl_spark.operators.text import pack_sequences
+
+    dp = spark.sparkContext.defaultParallelism
+    df = spark.createDataFrame(
+        [(i, "a b c") for i in range(64 * dp)], "doc_id long, text string"
+    )
+    shards = {r["shard"] for r in pack_sequences(df, "text", "doc_id").collect()}
+    # modulus is dp: with 64*dp uniform-hashed docs every residue
+    # appears (P(miss) < dp * (1-1/dp)^(64*dp), vanishing)
+    assert shards == set(range(dp))
+
+
+def test_pack_utilization_zero_token_shard(spark):
+    """ANSI-mode guard: a shard of entirely token-less docs must
+    yield pad_frac 0.0, not DIVIDE_BY_ZERO (ADVICE r4)."""
+    from ulh_etl_spark.operators.text import pack_sequences, pack_utilization
+
+    df = spark.createDataFrame([(0, ""), (1, "  ")], "doc_id long, text string")
+    rows = pack_utilization(
+        pack_sequences(df, "text", "doc_id", ctx_len=512, n_shards=1),
+        ctx_len=512,
+    ).collect()
+    assert len(rows) == 1
+    assert (rows[0]["total_tokens"], rows[0]["n_windows"], rows[0]["pad_frac"]) == (
+        0, 0, 0.0,
+    )

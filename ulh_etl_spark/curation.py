@@ -45,6 +45,7 @@ class CurationConfig:
     min_quality: float = 0.0
     langs: tuple[str, ...] | None = None  # None = keep all
     near_dedup: bool = True
+    minhash_num_hashes: int = 8
     minhash_rows_per_band: int = 2
     split_salt: str = "split"
     train_pct: int = 80
@@ -97,6 +98,7 @@ def curate(
             benchmark,
             cfg.text_col,
             cfg.id_col,
+            num_hashes=cfg.minhash_num_hashes,
             rows_per_band=cfg.minhash_rows_per_band,
         ).select(cfg.id_col)
         df = df.join(exact.union(fuzzy).distinct(), cfg.id_col, "left_anti")
@@ -124,6 +126,7 @@ def curate(
             kept,
             cfg.text_col,
             cfg.id_col,
+            num_hashes=cfg.minhash_num_hashes,
             rows_per_band=cfg.minhash_rows_per_band,
         )
         drops = pairs.select(F.col("id2").alias(cfg.id_col)).distinct()

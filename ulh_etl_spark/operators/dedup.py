@@ -138,7 +138,18 @@ def lsh_bands(
 ) -> DataFrame:
     """Unpivot the signature into (id, band_idx, band_key) — one row
     per band; band_key concatenates the band's minhash values. Docs
-    sharing any band_key are candidate near-dups."""
+    sharing any band_key are candidate near-dups.
+
+    ``rows_per_band`` must divide ``num_hashes`` exactly: a remainder
+    would silently ignore trailing hashes, and rows_per_band >
+    num_hashes would yield ZERO bands — turning LSH (and anything
+    built on it, e.g. decontamination) into a silent no-op."""
+    if rows_per_band <= 0 or num_hashes % rows_per_band != 0:
+        raise ValueError(
+            f"rows_per_band={rows_per_band} must be a positive divisor "
+            f"of num_hashes={num_hashes} (a remainder drops trailing "
+            "hashes; rows_per_band > num_hashes yields zero bands)"
+        )
     num_bands = num_hashes // rows_per_band
     bands = []
     for b in range(num_bands):

@@ -363,7 +363,7 @@ def pack_sequences(
     text_col: str,
     id_col: str,
     ctx_len: int = 512,
-    n_shards: int = 8,
+    n_shards: int | None = None,
     salt: str = "pack",
 ):
     """Deterministic sequence packing (concat-then-chunk): assign each
@@ -377,14 +377,20 @@ def pack_sequences(
     ctx_len (the window holding the doc's first token; a doc may
     straddle into the next window, which is the concat-then-chunk
     contract). Scale: the only shuffle is the per-shard window sort —
-    parallelism = n_shards, so size n_shards to the cluster (each
-    shard's running sum is a sequential scan, the same cost a
-    single-threaded packer would pay per output file). NOT a global
+    parallelism = n_shards, so ``n_shards`` DEFAULTS to the cluster's
+    ``defaultParallelism`` (a fixed small default would silently
+    serialize a 100 TB pack onto that many tasks); pass it explicitly
+    only when the number of output files is itself the contract.
+    Each shard's running sum is a sequential scan, the same cost a
+    single-threaded packer would pay per output file. NOT a global
     single-partition window.
 
     Output columns: id, shard, n_tokens, start_offset (tokens before
     this doc within its shard), pack_idx."""
     from pyspark.sql import Window
+
+    if n_shards is None:
+        n_shards = df.sparkSession.sparkContext.defaultParallelism
 
     shard = (
         md5_hash32(
@@ -425,16 +431,23 @@ def pack_utilization(packed, ctx_len: int = 512):
             "n_docs",
             "total_tokens",
             F.ceil(F.col("total_tokens") / ctx_len).cast("long").alias("n_windows"),
-            F.round(
-                (
-                    F.ceil(F.col("total_tokens") / ctx_len) * ctx_len
-                    - F.col("total_tokens")
-                ).cast("double")
-                / (F.ceil(F.col("total_tokens") / ctx_len) * ctx_len).cast(
-                    "double"
+            # Guard total_tokens == 0 (a shard whose docs are all
+            # token-less): the denominator ceil(0/ctx)*ctx is 0, and
+            # under ANSI mode (repo default) 0/0 raises DIVIDE_BY_ZERO
+            # instead of returning a row. Zero tokens = zero windows =
+            # zero padding.
+            F.when(F.col("total_tokens") > 0,
+                F.round(
+                    (
+                        F.ceil(F.col("total_tokens") / ctx_len) * ctx_len
+                        - F.col("total_tokens")
+                    ).cast("double")
+                    / (F.ceil(F.col("total_tokens") / ctx_len) * ctx_len).cast(
+                        "double"
+                    ),
+                    6,
                 ),
-                6,
-            ).alias("pad_frac"),
+            ).otherwise(F.lit(0.0)).alias("pad_frac"),
         )
     )
 

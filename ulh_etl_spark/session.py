@@ -104,13 +104,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
         elif isinstance(dt, TimestampNTZType):
-            # NTZ -> LTZ uses the session timezone; pin it to UTC so
-            # the naive parquet value is preserved verbatim (matching
-            # how DuckDB and pandas read the same file). Runtime-
-            # settable, so this also covers driver-owned sessions that
-            # were not built by get_spark().
+            # NTZ -> LTZ uses the session timezone; the naive parquet
+            # value must be interpreted as UTC (matching how DuckDB and
+            # pandas read the same file). Cast captures its timeZoneId
+            # when the plan is analyzed — and PySpark analyzes eagerly
+            # at DataFrame construction — so pinning UTC only around
+            # this withColumn is sufficient, and restoring the prior
+            # value means a driver-owned session deliberately running
+            # in another zone keeps its timestamp semantics for every
+            # unrelated query (a permanent conf mutation here would
+            # silently change them all).
+            prior = spark.conf.get("spark.sql.session.timeZone")
             spark.conf.set("spark.sql.session.timeZone", "UTC")
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            try:
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            finally:
+                spark.conf.set("spark.sql.session.timeZone", prior)
     return df
 
 
