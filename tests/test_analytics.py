@@ -114,3 +114,49 @@ def test_approx_quartiles_near_exact(spark, sf_dir):
         a25, a50, a75 = approx[flag]
         for e, a in ((e25, a25), (e50, a50), (e75, a75)):
             assert abs(e - a) <= 1.0, (flag, e, a)
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    """global_ntile (range-repartition + driver offsets) must be
+    bit-identical to ntile(k) OVER (ORDER BY ...) — including the
+    SQL-standard uneven-bucket rule (first n mod k buckets get the
+    extra row) and the n < k edge."""
+    import random
+
+    from pyspark.sql import Window
+
+    from ulh_etl_spark.operators.rank import global_ntile
+
+    rnd = random.Random(73)
+    rows = [(i, rnd.randrange(100)) for i in range(2003)]  # heavy ties
+    df = spark.createDataFrame(rows, "id long, v long")
+    for k in (1, 7, 10):
+        want = {
+            r["id"]: r["t"]
+            for r in df.withColumn(
+                "t", F.ntile(k).over(Window.orderBy("v", "id"))
+            ).collect()
+        }
+        got = {
+            r["id"]: r["t"]
+            for r in global_ntile(df, ["v", "id"], k, out_col="t").collect()
+        }
+        assert got == want, f"k={k}"
+
+    small = spark.createDataFrame([(i, i) for i in range(5)], "id long, v long")
+    got = {
+        r["id"]: r["t"]
+        for r in global_ntile(small, ["v", "id"], 10, out_col="t").collect()
+    }
+    assert got == {i: i + 1 for i in range(5)}  # n < k: one row per bucket
+
+
+def test_q73_plan_has_no_single_partition_exchange(spark):
+    """The decile plan must never funnel the corpus through one task:
+    no Exchange SinglePartition (the unpartitioned-window signature)
+    anywhere in the physical plan."""
+    from ulh_etl_spark.plans.inspect import formatted_plan
+    from ulh_etl_spark.queries.analytic import q73_price_deciles
+
+    plan = formatted_plan(q73_price_deciles(spark, "/root/testdata/sf0.001"))
+    assert "SinglePartition" not in plan

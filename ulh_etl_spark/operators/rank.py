@@ -1,0 +1,94 @@
+"""Scale-safe global ranking/bucketing.
+
+``ntile`` / ``row_number`` over an UNPARTITIONED window funnel every
+row through one task — the classic Spark scale-killer (fine at test
+SF, fatal at 100 TB). ``global_ntile`` computes the identical result
+with the plan a distributed sort actually wants:
+
+1. ``repartitionByRange`` on the order keys — Spark's range
+   partitioner (sampled split points), each task owns a contiguous
+   key range; this is the same machinery ``orderBy`` uses for total
+   sorts, so it scales to arbitrary data sizes.
+2. a per-PARTITION ``row_number`` window (parallelism = number of
+   range partitions, each task sorts only its slice),
+3. per-partition counts collected to the driver (<= num_partitions
+   rows — driver-small by construction) and folded back in as a
+   cumulative-offset array literal indexed by partition id,
+4. global rank = offset[pid] + local rank; the ntile bucket follows
+   from the exact SQL-standard formula (first ``n mod k`` buckets get
+   one extra row), so the result is bit-identical to ``ntile(k) OVER
+   (ORDER BY ...)`` and shares its SQL oracle.
+
+Total cost: one range exchange + one hash exchange on partition id +
+one tiny count job. NO unpartitioned window exists anywhere in the
+plan — the global-rank result of the split-point choice is
+invariant, so AQE coalescing or skewed range samples change task
+sizing, never values. The ranked intermediate is persisted so the
+count job and the downstream consumer share one computation of the
+sort (the exchanges are additionally stage-reused within the
+session).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def global_ntile(
+    df: DataFrame,
+    order_by: list[str | Column],
+    k: int,
+    out_col: str = "ntile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``out_col`` = ``ntile(k) OVER (ORDER BY *order_by)``
+    without an unpartitioned window. ``order_by`` must be a total
+    order (include a tiebreak key) or the assignment is only
+    deterministic up to ties — same contract as the window form."""
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+
+    ranged = df.repartitionByRange(num_partitions, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # The window repartitions by _pid (hash) — each range slice lands
+    # in one task and sorts only itself. Parallelism = num_partitions.
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    local = ranged.withColumn("_lrn", F.row_number().over(w)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    counts = {
+        r["_pid"]: r["_cnt"]
+        for r in local.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect()
+    }
+    n = sum(counts.values())
+    offs, acc = [], 0
+    for pid in range(max(counts, default=-1) + 1):
+        offs.append(acc)
+        acc += counts.get(pid, 0)
+
+    # offsets as a literal array indexed by pid — one parsed
+    # expression, no join, no window (see similarity._centroid_literal
+    # for why not per-element F.lit construction).
+    off = F.element_at(
+        F.expr(
+            "array({})".format(
+                ", ".join(f"CAST({v} AS BIGINT)" for v in offs) or "CAST(0 AS BIGINT)"
+            )
+        ),
+        F.col("_pid") + 1,
+    )
+    r = off + F.col("_lrn")  # 1-based global rank
+    base, extra = n // k, n % k  # first `extra` buckets get base+1 rows
+    cut = extra * (base + 1)
+    if base == 0:
+        bucket = r  # fewer rows than buckets: row i -> bucket i
+    else:
+        bucket = F.when(
+            r <= cut, F.ceil(r / F.lit(base + 1))
+        ).otherwise(extra + F.ceil((r - cut) / F.lit(base)))
+    return local.withColumn(out_col, bucket.cast("int")).drop("_pid", "_lrn")

@@ -206,15 +206,23 @@ def q72_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q73_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile(10) decile assignment of orders by price (deterministic
-    orderkey tiebreak), aggregated to per-decile bounds — the
-    histogram/quantile-bucket pattern. One global sort; at scale
-    ntile over a single unpartitioned window is the known bottleneck
-    and the documented swap-in is approx_percentile bucketing."""
+    """Decile assignment of orders by price (deterministic orderkey
+    tiebreak), aggregated to per-decile bounds — the
+    histogram/quantile-bucket pattern. Implemented with
+    ``global_ntile`` (operators/rank.py): range-repartition +
+    per-slice rank + broadcast offsets — bit-identical to ``ntile(10)
+    OVER (ORDER BY ...)`` (the oracle) but with NO unpartitioned
+    window; every task sorts only its contiguous range slice."""
+    from ulh_etl_spark.operators.rank import global_ntile
+
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
     return (
-        orders.withColumn("decile", F.ntile(10).over(w))
+        global_ntile(
+            orders,
+            [F.col("o_totalprice"), F.col("o_orderkey")],
+            10,
+            out_col="decile",
+        )
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_orders"),
