@@ -38,11 +38,22 @@ HEADLINE = (
     "q44_media_decode",
     "q50_event_window_counts",
     "q51_event_sessionize",
+    # Corpus/training-data operators added in rounds 3-4 — bench-
+    # tracked so an explode/HOF-style regression in the newest code is
+    # caught by BENCH, not by accident (VERDICT r4 §next-round-6).
+    "q83_top_bigrams",
+    "q85_lsh_decontamination",
+    "q87_sequence_pack",
+    "q89_chunk_documents",
+    "q90_token_budget_mix",
 )
 
-# Round-1 anchor (BENCH_r01 @ sf0.1, local[32]) — the official
-# regression baseline recorded in BASELINE.md. Ratios vs this table go
-# to stderr so the stdout contract (one JSON line) is untouched.
+# Anchors @ sf0.1, local[32] — the official regression baselines
+# recorded in BASELINE.md. q01-q51: round-1 measurements (BENCH_r01).
+# q83-q90 did not exist in round 1; their anchors are the round-5
+# measurements taken when they entered the headline set. Ratios vs
+# this table go to stderr so the stdout contract (one JSON line) is
+# untouched.
 ANCHOR_SF = 0.1
 ANCHOR = {
     "q01_pricing_summary": 0.517,
@@ -59,6 +70,12 @@ ANCHOR = {
     "q44_media_decode": 0.558,
     "q50_event_window_counts": 0.417,
     "q51_event_sessionize": 0.828,
+    # r5-measured anchors (first bench-tracked round for these):
+    "q83_top_bigrams": 0.404,
+    "q85_lsh_decontamination": 0.738,
+    "q87_sequence_pack": 0.221,
+    "q89_chunk_documents": 0.258,
+    "q90_token_budget_mix": 0.385,
 }
 
 
@@ -141,9 +158,9 @@ def main() -> None:
                 ratio = secs / base
                 flag = " REGRESSION" if ratio > 1.5 else (
                     " improved" if ratio < 0.7 else "")
-                print(f"  {name}: {secs:.3f}s vs r01 {base:.3f}s "
+                print(f"  {name}: {secs:.3f}s vs anchor {base:.3f}s "
                       f"({ratio:.2f}x){flag}", file=sys.stderr)
-        print(f"  total: {total:.3f}s vs r01 {sum(ANCHOR.values()):.3f}s",
+        print(f"  total: {total:.3f}s vs anchor {sum(ANCHOR.values()):.3f}s",
               file=sys.stderr)
     payload = {
         "metric": "headline_queries_total_wall",
