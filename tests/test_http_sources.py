@@ -388,3 +388,87 @@ def test_batch_upsert_http_delete_and_skip(spark, tmp_path):
     assert "body" not in by_method["DELETE"]
     assert by_method["PATCH"]["url"] == "contacts(G-1)"
     assert len(flat) == 2
+
+
+def _fanout_routes():
+    t = FakeTransport()
+    t.route("POST", "https://lk/patient/p1",
+            ok([{"v": "a", "nested": {"x": 1}}]))
+    t.route("POST", "https://lk/patient/p2", HttpResponse(404))  # skipped
+    t.route("POST", "https://lk/patient/p3", ok([{"v": "b"}, {"v": "c"}]))
+    return t
+
+
+def test_entity_fanout_auto_stays_on_driver_below_threshold(spark):
+    """AUTO mode (distribute=None): under the threshold the
+    reference-faithful sequential driver loop runs — exactly ONE
+    transport is constructed, and it has already made every call by
+    the time the source returns."""
+    t = _fanout_routes()
+    factories = []
+
+    def factory():
+        factories.append(1)
+        return t
+
+    df = entity_fanout_source(
+        spark, factory, ["p1", "p2", "p3"],
+        lambda i: f"https://lk/patient/{i}",
+        api_delay_ms=0, sleeper=NOSLEEP, distribute_threshold=500,
+    )
+    assert len(factories) == 1 and len(t.calls) == 3
+    rows = {(r.v, r._source_patient_id) for r in df.collect()}
+    assert rows == {("a", "p1"), ("b", "p3"), ("c", "p3")}
+
+
+def test_entity_fanout_auto_distributes_at_threshold(spark, tmp_path):
+    """AUTO mode: at/over the threshold the executor mapInPandas path
+    runs (one transport per partition — observed via marker files,
+    since executor state never returns to the driver) and returns the
+    SAME stringified-record schema as the driver loop, columns sorted
+    by name. Every id is fetched exactly once even though the source
+    runs a key-union job plus the caller's collect (the raw fetch
+    frame is persisted)."""
+    calls_dir = tmp_path / "calls"
+    fact_dir = tmp_path / "fact"
+    calls_dir.mkdir()
+    fact_dir.mkdir()
+    cd, fd = str(calls_dir), str(fact_dir)
+
+    def factory():  # local def -> cloudpickled by value to executors
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        from ulh_etl_spark.sources.http import HttpResponse as _R
+
+        open(_os.path.join(fd, _uuid.uuid4().hex), "w").close()
+
+        class T:
+            def __call__(self, method, url, headers=None, json_body=None,
+                         timeout=60.0, data=None, auth=None):
+                eid = url.rsplit("/", 1)[1]
+                with open(_os.path.join(cd, _uuid.uuid4().hex), "w") as f:
+                    f.write(eid)
+                if eid == "p2":
+                    return _R(404)
+                if eid == "p1":
+                    return _R(200, _json.dumps([{"v": "a", "nested": {"x": 1}}]))
+                return _R(200, _json.dumps([{"v": "b"}, {"v": "c"}]))
+
+        return T()
+
+    df = entity_fanout_source(
+        spark, factory, ["p1", "p2", "p3"],
+        lambda i: f"https://lk/patient/{i}",
+        api_delay_ms=0, distribute_threshold=3,
+    )
+    assert len(list(fact_dir.iterdir())) > 1  # one transport per partition
+    assert df.columns == sorted(df.columns)
+    rows = {(r.v, r._source_patient_id) for r in df.collect()}
+    assert rows == {("a", "p1"), ("b", "p3"), ("c", "p3")}
+    fetched = sorted(p.read_text() for p in calls_dir.iterdir())
+    assert fetched == ["p1", "p2", "p3"]  # exactly once each
+    # nested values stringified identically to the driver path
+    nested = {r.nested for r in df.collect() if r.v == "a"}
+    assert nested == {json.dumps({"x": 1})}

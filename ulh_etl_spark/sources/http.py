@@ -304,7 +304,8 @@ def entity_fanout_source(
     id_tag_column: str = "_source_patient_id",
     api_delay_ms: int = 2000,
     sleeper: Sleeper = time.sleep,
-    distribute: bool = False,
+    distribute: bool | None = None,
+    distribute_threshold: int = 500,
 ) -> DataFrame:
     """S10 ("patient loop"): one API call per entity id, tagging every
     result row with its source id; continue on per-id failure; paced
@@ -312,14 +313,26 @@ def entity_fanout_source(
 
     ``ids`` may be a DataFrame (its first column is collected
     distinct — the reference's ``SELECT DISTINCT patientId``).
-    ``distribute=True`` runs the fan-out on executors via
-    ``mapInPandas`` (per-partition transport + pacing) for APIs that
-    allow concurrent callers; default is the reference-faithful
-    sequential driver loop.
+
+    ``distribute``: False = the reference-faithful sequential driver
+    loop; True = fan out on executors via ``mapInPandas``
+    (per-partition transport + pacing clock) for APIs that allow
+    concurrent callers; None (default) = AUTO — distribute when the
+    id count reaches ``distribute_threshold``. A driver loop over
+    100k ids at the reference's 2 s pacing is a 2-day serial job; the
+    executor path is the only shape that survives scale, so scale
+    must not depend on the caller remembering a flag. Both paths
+    return the SAME all-string stringified-record schema; the
+    distributed path's columns are sorted by name (a global
+    first-seen order is partition-order-dependent, so it would not be
+    deterministic distributed).
     """
     if isinstance(ids, DataFrame):
         first = ids.columns[0]
         ids = [r[0] for r in ids.select(first).distinct().collect()]
+
+    if distribute is None:
+        distribute = len(ids) >= distribute_threshold
 
     def fetch_one(transport: Transport, eid: str) -> list[dict]:
         body = json_body_for_id(eid) if json_body_for_id else None
@@ -345,6 +358,9 @@ def entity_fanout_source(
     # one pacing clock per partition
     import pandas as pd
 
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
     ids_df = spark.createDataFrame([(i,) for i in ids], "entity_id string")
 
     def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -358,14 +374,47 @@ def entity_fanout_source(
                 recs = fetch_one(transport, eid)
                 if recs:
                     yield pd.DataFrame(
-                        {"record_json": [json.dumps(r) for r in recs],
-                         id_tag_column: [eid] * len(recs)}
+                        {"record_json": [json.dumps(r) for r in recs]}
                     )
 
-    out = ids_df.mapInPandas(
-        _run, schema=f"record_json string, `{id_tag_column}` string"
+    # persist BEFORE the key-union job: the fetches are side-effecting
+    # HTTP calls — each partition must execute exactly once, with the
+    # parse pass reading the cached rows.
+    raw = ids_df.mapInPandas(_run, schema="record_json string").persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    return out
+    keys = sorted(
+        r["k"]
+        for r in raw.select(
+            F.explode(F.json_object_keys("record_json")).alias("k")
+        )
+        .distinct()
+        .collect()
+    )
+    if not keys:
+        return records_to_df(spark, [])
+
+    def _parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            recs = [json.loads(s) for s in pdf["record_json"]]
+            yield pd.DataFrame(
+                {
+                    k: pd.array(
+                        [
+                            json.dumps(v)
+                            if isinstance(v, (dict, list))
+                            else (None if v is None else str(v))
+                            for v in (r.get(k) for r in recs)
+                        ],
+                        dtype="object",
+                    )
+                    for k in keys
+                },
+                columns=keys,
+            )
+
+    schema = ", ".join(f"`{c}` string" for c in keys)
+    return raw.mapInPandas(_parse, schema=schema)
 
 
 def odata_paged_source(
