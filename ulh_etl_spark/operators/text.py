@@ -773,3 +773,35 @@ def bm25_scores(
             / (tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
         )
     return joined.select(F.col(id_col), F.round(score, 6).alias("bm25"))
+
+
+# PII redaction patterns, applied in order (email first: its local
+# part may contain digit runs the later numeric patterns would
+# otherwise see). Java regex (Spark) and RE2 (DuckDB) agree on this
+# subset — character classes, bounded repeats, \b word boundaries.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("<EMAIL>", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("<SSN>", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("<PHONE>", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"),
+)
+
+
+def redact_pii(text) -> "F.Column":
+    """Replace email/SSN/phone spans with typed placeholder tags —
+    the standard pre-training PII scrub stage. Pure chained
+    ``regexp_replace`` (JVM codegen, narrow map, no shuffle at any
+    corpus size)."""
+    out = text
+    for tag, pattern in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, tag)
+    return out
+
+
+def pii_count(text) -> "F.Column":
+    """Number of PII spans in the ORIGINAL text (each pattern counted
+    independently, pre-redaction — the monitoring number reported
+    alongside the scrub)."""
+    total = F.lit(0)
+    for _tag, pattern in PII_PATTERNS:
+        total = total + F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
+    return total

@@ -247,6 +247,65 @@ def q80_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.repetition_signals(docs, "text", "doc_id")
 
 
+LOGPROB_TIERS = 3
+
+
+def q91_logprob_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: rank the corpus by unigram
+    LM score and split into head/middle/tail tiers, reporting
+    per-tier size and score bounds — the pass that decides which
+    slice of a crawl is worth training on. The global ranking uses
+    global_ntile (operators/rank.py): range-repartition + driver
+    offsets, NO unpartitioned window — exact ntile semantics at any
+    corpus size."""
+    from ulh_etl_spark.operators.rank import global_ntile
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = T.unigram_logprob_scores(docs, "text", "doc_id")
+    tiled = global_ntile(
+        scores,
+        [F.col("mean_logprob").desc_nulls_last(), F.col("doc_id")],
+        LOGPROB_TIERS,
+        out_col="tier",
+    )
+    return tiled.groupBy("tier").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.max("mean_logprob"), 6).alias("best_logprob"),
+        F.round(F.min("mean_logprob"), 6).alias("worst_logprob"),
+    )
+
+
+# Deterministic PII seeding for q92: every 7th doc gets a synthetic
+# contact line appended so the redaction path is exercised against
+# non-trivial matches (the synthetic corpus contains no natural PII).
+PII_MOD = 7
+
+
+def q92_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: email/SSN/phone spans replaced with typed tags plus
+    the per-doc span count — the standard pre-training redaction
+    stage. Pure chained regexp (JVM codegen, narrow map, zero
+    shuffles at any corpus size)."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % PII_MOD == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact: user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-867-5309"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return seeded.select(
+        "doc_id",
+        T.redact_pii(F.col("text")).alias("clean_text"),
+        T.pii_count(F.col("text")).cast("long").alias("n_pii"),
+    )
+
+
 _TOKS = O.ws_tokens("text")
 _LOW_TOKS = O.ws_tokens("lower(text)")
 _BM25_IN = ", ".join(f"'{t}'" for t in BM25_QUERY)
@@ -279,6 +338,8 @@ QUERIES = {
     "q88_pack_utilization": q88_pack_utilization,
     "q89_chunk_documents": q89_chunk_documents,
     "q90_token_budget_mix": q90_token_budget_mix,
+    "q91_logprob_tiles": q91_logprob_tiles,
+    "q92_pii_redact": q92_pii_redact,
 }
 
 # Shared quality-score SQL expression (identical to operators.text
@@ -291,6 +352,38 @@ _QUALITY_SQL = """ROUND(
                  + (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
                         / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.2
                , 6)"""
+
+# q78's oracle body, shared with q91 (which tiers the same scores) so
+# the two stay in lockstep by construction.
+_Q78_SQL = f"""
+        WITH toks AS (
+            SELECT doc_id, t AS term
+            FROM documents, unnest({_LOW_TOKS}) AS u(t)
+        ), tot AS (
+            SELECT term, COUNT(*) AS n FROM toks GROUP BY 1
+        ), g AS (
+            SELECT SUM(n) AS n_total FROM tot
+        ), vocab AS (
+            SELECT term, ln(n / n_total) AS logp FROM tot, g
+        ), per AS (
+            SELECT toks.doc_id, ROUND(AVG(vocab.logp), 6) AS mean_logprob
+            FROM toks JOIN vocab USING (term)
+            GROUP BY toks.doc_id
+        )
+        SELECT d.doc_id, per.mean_logprob
+        FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
+# PII redaction/count SQL generated from the SAME pattern table the
+# Spark operator uses (operators.text.PII_PATTERNS) — one source of
+# truth for the regexes. 'g' flag: DuckDB's regexp_replace is
+# first-match-only by default, Spark's replaces all.
+_PII_REDACT_SQL = "text"
+for _tag, _pat in T.PII_PATTERNS:
+    _PII_REDACT_SQL = f"regexp_replace({_PII_REDACT_SQL}, '{_pat}', '{_tag}', 'g')"
+_PII_COUNT_SQL = " + ".join(
+    f"len(regexp_extract_all(text, '{_pat}'))" for _tag, _pat in T.PII_PATTERNS
+)
 
 ORACLES = {
     "q30_token_counts": f"""
@@ -419,23 +512,35 @@ ORACLES = {
         SELECT lang, CAST(rnk AS INT) AS rnk, doc_id, quality
         FROM ranked WHERE rnk <= {TOPK_PER_LANG}
     """,
-    "q78_unigram_logprob": f"""
-        WITH toks AS (
-            SELECT doc_id, t AS term
-            FROM documents, unnest({_LOW_TOKS}) AS u(t)
-        ), tot AS (
-            SELECT term, COUNT(*) AS n FROM toks GROUP BY 1
-        ), g AS (
-            SELECT SUM(n) AS n_total FROM tot
-        ), vocab AS (
-            SELECT term, ln(n / n_total) AS logp FROM tot, g
-        ), per AS (
-            SELECT toks.doc_id, ROUND(AVG(vocab.logp), 6) AS mean_logprob
-            FROM toks JOIN vocab USING (term)
-            GROUP BY toks.doc_id
+    "q78_unigram_logprob": _Q78_SQL,
+    "q91_logprob_tiles": f"""
+        WITH per AS ({_Q78_SQL}), tiled AS (
+            SELECT doc_id, mean_logprob,
+                   ntile({LOGPROB_TIERS}) OVER (
+                       ORDER BY mean_logprob DESC NULLS LAST, doc_id
+                   ) AS tier
+            FROM per
         )
-        SELECT d.doc_id, per.mean_logprob
-        FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+        SELECT CAST(tier AS INT) AS tier,
+               COUNT(*) AS n_docs,
+               ROUND(MAX(mean_logprob), 6) AS best_logprob,
+               ROUND(MIN(mean_logprob), 6) AS worst_logprob
+        FROM tiled GROUP BY tier
+    """,
+    "q92_pii_redact": f"""
+        WITH seeded AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % {PII_MOD} = 0
+                        THEN text || ' contact: user'
+                             || CAST(doc_id AS VARCHAR)
+                             || '@example.com or 555-867-5309'
+                        ELSE text END AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               {_PII_REDACT_SQL} AS clean_text,
+               CAST({_PII_COUNT_SQL} AS BIGINT) AS n_pii
+        FROM seeded
     """,
     "q79_decontamination": f"""
         WITH g AS (
