@@ -123,8 +123,14 @@ def test_dedup_fanout_probe_runs_no_job(spark, tmp_path):
     )
     sc = spark.sparkContext
     sc.setJobGroup("fanout_probe", "constructing dedup frame")
-    _ = minhash_signatures(upstream, "text", "doc_id")  # construct only
-    sc.setJobGroup("fanout_other", "")
+    try:
+        _ = minhash_signatures(upstream, "text", "doc_id")  # construct only
+    finally:
+        # CLEAR the group (don't just switch names): the session is
+        # shared across the suite, and a leaked job group makes every
+        # later job invisible to getJobIdsForGroup(None).
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
     jobs = sc.statusTracker().getJobIdsForGroup("fanout_probe")
     assert len(jobs) == 0, f"construction ran {len(jobs)} job(s)"
 

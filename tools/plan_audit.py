@@ -41,6 +41,13 @@ SHUFFLE_BUDGET = {
     # benchmark side is tiny, its band set broadcasts — and the final
     # per-doc collision count (5). No key is re-shuffled twice.
     "q85_lsh_decontamination": 5,
+    # q91 composes the ENTIRE q78 pipeline (5 budgeted exchanges: term
+    # explode agg, grand total, score join, per-doc mean, outer join
+    # back) with global_ntile's two (range repartition + per-slice
+    # window hash on _pid) and the final per-tier aggregate. Every
+    # exchange is a distinct stage of a distinct operator; none
+    # re-shuffles a key already partitioned.
+    "q91_logprob_tiles": 8,
 }
 
 

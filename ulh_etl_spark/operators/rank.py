@@ -46,7 +46,12 @@ def global_ntile(
     """Append ``out_col`` = ``ntile(k) OVER (ORDER BY *order_by)``
     without an unpartitioned window. ``order_by`` must be a total
     order (include a tiebreak key) or the assignment is only
-    deterministic up to ties — same contract as the window form."""
+    deterministic up to ties — same contract as the window form.
+
+    The ranked intermediate is persisted (the count job and the
+    consumer must see identical partition ids), which pins every
+    incoming column — pre-project ``df`` to the columns you need
+    before calling, since Catalyst cannot prune through the cache."""
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]

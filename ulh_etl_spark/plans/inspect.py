@@ -40,43 +40,104 @@ def simple_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().simpleString()
 
 
+def _dead_node_ids(plan: str) -> set[str]:
+    """Node ids that appear ONLY inside an AQE ``== Initial Plan ==``
+    tree section. When a cached/partially-executed AdaptiveSparkPlan
+    is embedded in a plan, formatted mode prints the superseded
+    initial tree next to the final one — counting its Exchanges (or
+    joins) double-reports work that never runs. A node id also
+    present in a live tree section (shared leaves like the scan) is
+    NOT dead."""
+    live: set[str] = set()
+    dead: set[str] = set()
+    base: int | None = None  # indent of the current Initial section
+    for line in plan.splitlines():
+        if not line.strip():
+            base = None
+            continue
+        if "== Initial Plan ==" in line:
+            base = line.index("==")
+            continue
+        if "== Final Plan ==" in line:
+            continue
+        if re.match(r"^\(\d+\)", line):  # detail header — tree art over
+            base = None
+            continue
+        m = re.search(r"\((\d+)\)", line)
+        if not m:
+            continue
+        indent = len(line) - len(line.lstrip())
+        if base is not None and indent >= base:
+            dead.add(m.group(1))
+        else:
+            base = None  # back out to the enclosing live tree
+            live.add(m.group(1))
+    return dead - live
+
+
+def _live_detail_blocks(plan: str) -> list[tuple[str, str, str]]:
+    """(node_id, node_name, body) for every numbered detail block
+    whose node is part of the plan that actually executes."""
+    dead = _dead_node_ids(plan)
+    parts = re.split(r"(?m)^\((\d+)\) (.+)$", plan)
+    out = []
+    for i in range(1, len(parts) - 2, 3):
+        nid, header, body = parts[i], parts[i + 1], parts[i + 2]
+        if nid not in dead:
+            out.append((nid, header.split()[0].strip(), body))
+    return out
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
-    """All PushedFilters entries across scans (deduped, order kept)."""
-    plan = formatted_plan(df)
+    """All PushedFilters entries across live scans (deduped, order
+    kept)."""
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
-        for f in m.group(1).split(","):
-            f = f.strip()
-            if f and f not in out:
-                out.append(f)
+    for _nid, _name, body in _live_detail_blocks(formatted_plan(df)):
+        for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", body):
+            for f in m.group(1).split(","):
+                f = f.strip()
+                if f and f not in out:
+                    out.append(f)
     return out
 
 
 def scan_columns(df: DataFrame) -> list[list[str]]:
-    """Column lists read by each parquet scan (ReadSchema)."""
-    plan = formatted_plan(df)
+    """Column lists read by each live parquet scan (ReadSchema)."""
     out = []
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
-        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
-        out.append(cols)
+    for _nid, _name, body in _live_detail_blocks(formatted_plan(df)):
+        for m in re.finditer(r"ReadSchema: struct<([^>]*)>", body):
+            cols = [
+                c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()
+            ]
+            out.append(cols)
     return out
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of shuffle Exchanges (excludes BroadcastExchange —
-    those are the cheap kind). Formatted mode prints each as a
-    numbered ``(N) Exchange`` node."""
-    plan = formatted_plan(df)
-    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+    """Number of shuffle Exchanges that actually execute (excludes
+    BroadcastExchange — those are the cheap kind — and superseded
+    AQE initial-plan copies)."""
+    return sum(
+        1
+        for _nid, name, _b in _live_detail_blocks(formatted_plan(df))
+        if name == "Exchange"
+    )
 
 
 def broadcast_join_count(df: DataFrame) -> int:
-    plan = formatted_plan(df)
-    return len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan))
+    return sum(
+        1
+        for _nid, name, _b in _live_detail_blocks(formatted_plan(df))
+        if name in ("BroadcastHashJoin", "BroadcastNestedLoopJoin")
+    )
 
 
 def sortmerge_join_count(df: DataFrame) -> int:
-    return len(re.findall(r"SortMergeJoin", formatted_plan(df)))
+    return sum(
+        1
+        for _nid, name, _b in _live_detail_blocks(formatted_plan(df))
+        if name == "SortMergeJoin"
+    )
 
 
 def wholestage_codegen_spans(df: DataFrame) -> int:

@@ -218,7 +218,10 @@ def q73_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
         global_ntile(
-            orders,
+            # pre-project: the ranked intermediate is persisted, which
+            # pins whatever columns flow in — prune to the two the
+            # query needs BEFORE the operator, not after.
+            orders.select("o_totalprice", "o_orderkey"),
             [F.col("o_totalprice"), F.col("o_orderkey")],
             10,
             out_col="decile",
