@@ -178,3 +178,27 @@ def test_q73_plan_has_no_single_partition_exchange(spark):
 
     plan = formatted_plan(q73_price_deciles(spark, "/root/testdata/sf0.001"))
     assert "SinglePartition" not in plan
+
+
+def test_global_row_number_matches_window(spark):
+    import random
+
+    from pyspark.sql import Window
+
+    from ulh_etl_spark.operators.rank import global_row_number
+
+    rnd = random.Random(93)
+    df = spark.createDataFrame(
+        [(i, rnd.randrange(50)) for i in range(997)], "id long, v long"
+    )
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    got = {
+        r["id"]: r["rn"]
+        for r in global_row_number(df, ["v", "id"], out_col="rn").collect()
+    }
+    assert got == want

@@ -52,6 +52,41 @@ def global_ntile(
     consumer must see identical partition ids), which pins every
     incoming column — pre-project ``df`` to the columns you need
     before calling, since Catalyst cannot prune through the cache."""
+    local, rank_col, n = _global_index(df, order_by, num_partitions)
+    base, extra = n // k, n % k  # first `extra` buckets get base+1 rows
+    cut = extra * (base + 1)
+    if base == 0:
+        bucket = rank_col  # fewer rows than buckets: row i -> bucket i
+    else:
+        bucket = F.when(
+            rank_col <= cut, F.ceil(rank_col / F.lit(base + 1))
+        ).otherwise(extra + F.ceil((rank_col - cut) / F.lit(base)))
+    return local.withColumn(out_col, bucket.cast("int")).drop("_pid", "_lrn")
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: list[str | Column],
+    out_col: str = "row_num",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``out_col`` = ``row_number() OVER (ORDER BY *order_by)``
+    (1-based) with the same scale-safe shape as :func:`global_ntile`
+    — the global-index primitive behind deterministic corpus
+    shuffling, sharded export, and position-based sampling. Same
+    total-order and pre-projection contracts."""
+    local, rank_col, _n = _global_index(df, order_by, num_partitions)
+    return local.withColumn(out_col, rank_col.cast("long")).drop("_pid", "_lrn")
+
+
+def _global_index(
+    df: DataFrame,
+    order_by: list[str | Column],
+    num_partitions: int | None,
+) -> tuple[DataFrame, Column, int]:
+    """Shared core: range-repartition + per-slice rank + driver
+    offsets. Returns (frame with _pid/_lrn, 1-based global-rank
+    column, total row count)."""
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
@@ -87,13 +122,4 @@ def global_ntile(
         ),
         F.col("_pid") + 1,
     )
-    r = off + F.col("_lrn")  # 1-based global rank
-    base, extra = n // k, n % k  # first `extra` buckets get base+1 rows
-    cut = extra * (base + 1)
-    if base == 0:
-        bucket = r  # fewer rows than buckets: row i -> bucket i
-    else:
-        bucket = F.when(
-            r <= cut, F.ceil(r / F.lit(base + 1))
-        ).otherwise(extra + F.ceil((r - cut) / F.lit(base)))
-    return local.withColumn(out_col, bucket.cast("int")).drop("_pid", "_lrn")
+    return local, off + F.col("_lrn"), n

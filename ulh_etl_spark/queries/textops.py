@@ -281,6 +281,33 @@ def q91_logprob_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 PII_MOD = 7
 
 
+EPOCH_SHARDS = 4
+
+
+def q93_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle for training readers: order the
+    corpus by md5(epoch_salt || doc_id) — a stable pseudo-random
+    permutation — assign each doc its global position, and derive the
+    reader shard round-robin. Every run/engine produces the identical
+    epoch order (no RNG state), and the global index is the
+    scale-safe global_row_number shape (range repartition + driver
+    offsets, no unpartitioned window)."""
+    from ulh_etl_spark.operators.rank import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("epoch0_"), F.col("doc_id").cast("string")))
+    shuffled = global_row_number(
+        docs.select("doc_id", key.alias("shuffle_key")),
+        ["shuffle_key", "doc_id"],
+        out_col="position",
+    )
+    return shuffled.select(
+        "doc_id",
+        "position",
+        ((F.col("position") - 1) % EPOCH_SHARDS).cast("int").alias("reader_shard"),
+    )
+
+
 def q92_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub: email/SSN/phone spans replaced with typed tags plus
     the per-doc span count — the standard pre-training redaction
@@ -340,6 +367,7 @@ QUERIES = {
     "q90_token_budget_mix": q90_token_budget_mix,
     "q91_logprob_tiles": q91_logprob_tiles,
     "q92_pii_redact": q92_pii_redact,
+    "q93_corpus_shuffle_shards": q93_corpus_shuffle_shards,
 }
 
 # Shared quality-score SQL expression (identical to operators.text
@@ -526,6 +554,22 @@ ORACLES = {
                ROUND(MAX(mean_logprob), 6) AS best_logprob,
                ROUND(MIN(mean_logprob), 6) AS worst_logprob
         FROM tiled GROUP BY tier
+    """,
+    "q93_corpus_shuffle_shards": f"""
+        WITH keyed AS (
+            SELECT doc_id,
+                   md5('epoch0_' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+            FROM documents
+        ), pos AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY shuffle_key, doc_id)
+                       AS position
+            FROM keyed
+        )
+        SELECT doc_id,
+               CAST(position AS BIGINT) AS position,
+               CAST((position - 1) % {EPOCH_SHARDS} AS INT) AS reader_shard
+        FROM pos
     """,
     "q92_pii_redact": f"""
         WITH seeded AS (
