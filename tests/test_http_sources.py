@@ -472,3 +472,41 @@ def test_entity_fanout_auto_distributes_at_threshold(spark, tmp_path):
     # nested values stringified identically to the driver path
     nested = {r.nested for r in df.collect() if r.v == "a"}
     assert nested == {json.dumps({"x": 1})}
+
+
+def test_entity_fanout_dataframe_ids_distribute_without_driver_list(spark, tmp_path):
+    """DataFrame id input + distributed mode: ids stay a frame
+    end-to-end (the auto decision uses count(), not a driver
+    collect) and results match the driver path."""
+    cd = str(tmp_path)
+
+    def factory():
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        from ulh_etl_spark.sources.http import HttpResponse as _R
+
+        class T:
+            def __call__(self, method, url, headers=None, json_body=None,
+                         timeout=60.0, data=None, auth=None):
+                eid = url.rsplit("/", 1)[1]
+                with open(_os.path.join(cd, _uuid.uuid4().hex), "w") as f:
+                    f.write(eid)
+                return _R(200, _json.dumps([{"v": f"val_{eid}"}]))
+
+        return T()
+
+    ids_df = spark.createDataFrame(
+        [("p1",), ("p2",), ("p1",), ("p3",)], "pid string"
+    )
+    df = entity_fanout_source(
+        spark, factory, ids_df, lambda i: f"https://lk/patient/{i}",
+        api_delay_ms=0, distribute_threshold=3,  # 3 distinct ids -> auto ON
+    )
+    rows = {(r.v, r._source_patient_id) for r in df.collect()}
+    assert rows == {("val_p1", "p1"), ("val_p2", "p2"), ("val_p3", "p3")}
+    import pathlib
+
+    fetched = sorted(p.read_text() for p in pathlib.Path(cd).iterdir())
+    assert fetched == ["p1", "p2", "p3"]  # distinct, exactly once each

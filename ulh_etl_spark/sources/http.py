@@ -311,8 +311,12 @@ def entity_fanout_source(
     result row with its source id; continue on per-id failure; paced
     by ``api_delay_ms`` (ELLKAY_API_TO_RAW_SNOWFLAKE.py:548-623).
 
-    ``ids`` may be a DataFrame (its first column is collected
-    distinct — the reference's ``SELECT DISTINCT patientId``).
+    ``ids`` may be a DataFrame (its first column, made distinct — the
+    reference's ``SELECT DISTINCT patientId``). A DataFrame id set
+    NEVER round-trips through the driver when the fan-out
+    distributes: the driver loop needs a Python list, but the
+    executor path keeps ids as a frame end-to-end (a 100M-id corpus
+    must not materialize on the driver just to be scattered back).
 
     ``distribute``: False = the reference-faithful sequential driver
     loop; True = fan out on executors via ``mapInPandas``
@@ -327,11 +331,14 @@ def entity_fanout_source(
     first-seen order is partition-order-dependent, so it would not be
     deterministic distributed).
     """
+    ids_frame: DataFrame | None = None
     if isinstance(ids, DataFrame):
-        first = ids.columns[0]
-        ids = [r[0] for r in ids.select(first).distinct().collect()]
-
-    if distribute is None:
+        ids_frame = ids.select(ids.columns[0]).toDF("entity_id").distinct()
+        if distribute is None:
+            distribute = ids_frame.count() >= distribute_threshold
+        if not distribute:
+            ids = [r[0] for r in ids_frame.collect()]
+    elif distribute is None:
         distribute = len(ids) >= distribute_threshold
 
     def fetch_one(transport: Transport, eid: str) -> list[dict]:
@@ -361,7 +368,11 @@ def entity_fanout_source(
     from pyspark.sql import functions as F
     from pyspark.storagelevel import StorageLevel
 
-    ids_df = spark.createDataFrame([(i,) for i in ids], "entity_id string")
+    ids_df = (
+        ids_frame
+        if ids_frame is not None
+        else spark.createDataFrame([(i,) for i in ids], "entity_id string")
+    )
 
     def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         transport = transport_factory()
