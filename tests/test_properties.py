@@ -369,3 +369,36 @@ def test_top_ngrams_matches_model(spark, docs):
         c.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
     want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.integers(min_value=0, max_value=20), min_size=0, max_size=60),
+    st.integers(min_value=1, max_value=12),
+)
+def test_global_ntile_model(spark, vals, k):
+    """global_ntile == the SQL-standard ntile model (python oracle):
+    sort by (v, idx), bucket sizes differ by at most 1, big buckets
+    first — for arbitrary duplicates, sizes, and k (including n <
+    k and n == 0)."""
+    from ulh_etl_spark.operators.rank import global_ntile
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    n = len(rows)
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    base, extra = divmod(n, k)
+    want, pos = {}, 0
+    for b in range(1, k + 1):
+        size = base + (1 if b <= extra else 0)
+        for _ in range(size):
+            want[order[pos][0]] = b
+            pos += 1
+    df = spark.createDataFrame(rows, "id long, v long") if rows else (
+        spark.createDataFrame([], "id long, v long")
+    )
+    got = {
+        r["id"]: r["t"]
+        for r in global_ntile(df, ["v", "id"], k, out_col="t").collect()
+    }
+    assert got == want

@@ -526,3 +526,52 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> 
     for b in range(bits):
         acc = acc + F.when(F.col(f"_s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
     return agged.select(F.col(id_col), acc.alias(f"simhash{bits}"))
+
+
+def duplicate_gram_stats(df, text_col: str, id_col: str, n: int = 16):
+    """Per-document duplicated-span signal — the exact-substring-dedup
+    family (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better") at character-``n``-gram granularity: for
+    each doc, the fraction of its DISTINCT n-gram hashes that occur in
+    at least one other document. High fraction = boilerplate /
+    memorization risk; the per-doc number is what a filtering
+    threshold consumes (pairwise near-dup ops answer a different
+    question: WHICH docs collide).
+
+    Scale: distinct-gram explode (narrow) -> gram document-frequency
+    (one partial-agged shuffle on the gram hash) -> join back on the
+    SAME key (no re-partition) -> per-doc aggregate. Never all-pairs,
+    never a full-document self-join. The exploded gram relation is
+    recomputed on the probe side rather than persisted — it is
+    |text| x n bytes wide, and the narrow re-explode is cheaper than
+    caching it at corpus scale.
+    """
+    from ulh_etl_spark.operators.text import char_ngrams, md5_hash32
+
+    grams = df.select(
+        F.col(id_col),
+        # explode_outer + isnotnull: see SCALE.md (InferFiltersFrom-
+        # Generate would re-run the gram+md5 pipeline in a pushed
+        # per-row filter with plain explode).
+        F.explode_outer(
+            F.array_distinct(
+                F.transform(char_ngrams(F.col(text_col), n), md5_hash32)
+            )
+        ).alias("_g"),
+    ).filter(F.col("_g").isNotNull())
+    # grams are per-doc distinct, so a plain count IS the doc frequency
+    freq = grams.groupBy("_g").agg(F.count("*").alias("_docs"))
+    return (
+        grams.join(freq, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("_docs") > 1).cast("long")).alias("n_dup_grams"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_dup_grams",
+            F.round(F.col("n_dup_grams") / F.col("n_grams"), 6).alias("dup_frac"),
+        )
+    )

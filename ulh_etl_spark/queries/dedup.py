@@ -116,6 +116,20 @@ def q85_lsh_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUPGRAM_N = 16
+
+
+def q94_duplicate_gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring-dedup signal (Lee et al. 2022 at 16-char-gram
+    granularity): per doc, the fraction of its distinct gram hashes
+    occurring in at least one other document — the per-doc
+    boilerplate/memorization-risk number a filtering threshold
+    consumes. Gram doc-frequency shuffle + same-key join-back; never
+    all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.duplicate_gram_stats(docs, "text", "doc_id", n=_DUPGRAM_N)
+
+
 QUERIES = {
     "q34_dedup_exact": q34_dedup_exact,
     "q35_minhash_signature": q35_minhash_signature,
@@ -124,6 +138,7 @@ QUERIES = {
     "q38_ngram_jaccard_pairs": q38_ngram_jaccard_pairs,
     "q75_neardup_components": q75_neardup_components,
     "q85_lsh_decontamination": q85_lsh_decontamination,
+    "q94_duplicate_gram_fraction": q94_duplicate_gram_fraction,
 }
 
 ORACLES = {
@@ -229,5 +244,23 @@ ORACLES = {
         SELECT c.doc_id, COUNT(DISTINCT c.band_idx) AS n_bands
         FROM c JOIN b USING (band_idx, band_key)
         GROUP BY c.doc_id
+    """,
+    "q94_duplicate_gram_fraction": f"""
+        WITH g AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       {O.grams('text', _DUPGRAM_N)}, gg -> {O.md5h('gg')}))) AS h
+            FROM documents
+        ), freq AS (
+            SELECT h, COUNT(*) AS docs FROM g GROUP BY h
+        )
+        SELECT g.doc_id,
+               COUNT(*) AS n_grams,
+               CAST(SUM(CASE WHEN freq.docs > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_grams,
+               ROUND(CAST(SUM(CASE WHEN freq.docs > 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS dup_frac
+        FROM g JOIN freq USING (h)
+        GROUP BY g.doc_id
     """,
 }
