@@ -237,7 +237,38 @@ def q73_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Z_BITS = 16
+_Z_SHIFT = 20
+
+
+def q95_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering report over orders: bucket the
+    bit-interleaved (custkey, orderkey) key and report each bucket's
+    row count and BOTH dimensions' min/max span — the file-statistics
+    rectangle a Z-ordered write gives every parquet file, which is
+    what lets filters on EITHER column prune at 100 TB (the Delta
+    OPTIMIZE ZORDER BY layout, as plain Spark expressions). Narrow
+    key computation + one partial-agged shuffle on the bucket."""
+    from ulh_etl_spark.operators.layout import zorder_bucket_stats
+
+    orders = load_table(spark, sf_dir, "orders")
+    return zorder_bucket_stats(
+        orders, "o_custkey", "o_orderkey", bits=_Z_BITS, bucket_shift=_Z_SHIFT
+    )
+
+
+def _morton_sql(a: str, b: str, bits: int) -> str:
+    """The morton_key closed form as DuckDB SQL — generated from the
+    same loop shape as operators.layout.morton_key."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
 QUERIES = {
+    "q95_zorder_clustering": q95_zorder_clustering,
     "q54_rollup_agg": q54_rollup_agg,
     "q55_pivot_status": q55_pivot_status,
     "q56_rolling_order_total": q56_rolling_order_total,
@@ -330,6 +361,21 @@ ORACLES = {
                    AS top5_keys
         FROM ranked WHERE rn <= 5
         GROUP BY o_orderpriority
+    """,
+    "q95_zorder_clustering": f"""
+        WITH z AS (
+            SELECT o_custkey, o_orderkey,
+                   ({_morton_sql('o_custkey', 'o_orderkey', _Z_BITS)}
+                    >> {_Z_SHIFT}) AS zbucket
+            FROM orders
+        )
+        SELECT zbucket,
+               COUNT(*) AS n_rows,
+               MIN(o_custkey) AS min_o_custkey,
+               MAX(o_custkey) AS max_o_custkey,
+               MIN(o_orderkey) AS min_o_orderkey,
+               MAX(o_orderkey) AS max_o_orderkey
+        FROM z GROUP BY zbucket
     """,
     "q73_price_deciles": """
         WITH tiled AS (
