@@ -245,3 +245,22 @@ def test_corpus_ops_single_evaluation_plans(spark, sf_dir):
     # chunking: tokenize once
     p89 = optimized(q89_chunk_documents(spark, sf_dir))
     assert p89.count("split(") == 1, p89
+
+
+def test_pack_sequences_default_parallelism_in_plan(spark):
+    """VERDICT r4 item 3: the packing window's shuffle parallelism
+    equals the shard count, so the DEFAULT shard count must track
+    defaultParallelism — pinned here at the plan level: the shard
+    modulus folded into the hash-partitioned exchange is the
+    cluster's parallelism, not a fixed constant."""
+    from ulh_etl_spark.operators.text import pack_sequences
+
+    dp = spark.sparkContext.defaultParallelism
+    df = spark.createDataFrame(
+        [(i, "a b") for i in range(32)], "doc_id long, text string"
+    )
+    plan = (
+        pack_sequences(df, "text", "doc_id")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert f"% {dp}" in plan, plan[:500]
