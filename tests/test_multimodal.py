@@ -205,3 +205,53 @@ def test_real_decode_image_via_pil(spark):
     ).collect()[0]
     assert (r["width"], r["height"], r["channels"]) == (8, 5, 3)
     assert r["mean_pixel"] == 20.0
+
+
+def test_ivf_index_write_prunes_partitions(spark, tmp_path):
+    """The written IVF index must probe partition-pruned: the cell
+    IN-list appears as a PartitionFilter and only the probed cells'
+    directories are scanned — the C/nprobe scan-cost claim, proven at
+    the file-listing level."""
+    from ulh_etl_spark.operators.similarity import (
+        ivf_assign,
+        ivf_probe_pruned,
+        ivf_topk,
+        write_ivf_index,
+    )
+    from ulh_etl_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    assigned = ivf_assign(emb, cents)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(assigned, path)
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    pruned = ivf_probe_pruned(spark, path, cents, queries, k=5, nprobe=2)
+
+    # 1. value parity with the in-memory probe
+    mem = ivf_topk(assigned, cents, queries, k=5, nprobe=2)
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, mem.collect()))
+
+    # 2. the cell IN-list lands in PartitionFilters (plan level) and
+    # the executed scan touches ONLY the probed cells' directories
+    from ulh_etl_spark.plans.inspect import formatted_plan
+
+    probe_scan = spark.read.parquet(path).filter(F.col("cell").isin([0, 1]))
+    plan = formatted_plan(probe_scan)
+    assert "PartitionFilters" in plan and "cell" in plan
+    touched = {
+        r["f"]
+        for r in probe_scan.select(
+            F.input_file_name().alias("f")
+        ).distinct().collect()
+    }
+    assert touched and all(
+        "cell=0" in f or "cell=1" in f for f in touched
+    ), touched
+    all_files = spark.read.parquet(path).inputFiles()
+    assert len(touched) < len(all_files)

@@ -441,3 +441,45 @@ def ivf_assign_queries(
     ).select(
         "query_id", "q_vec", F.col("probe.cell").cast(cell_type).alias("cell")
     )
+
+
+def write_ivf_index(
+    assigned: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index the way probes want to read it: one
+    parquet directory per ``cell``, so ``ivf_probe_pruned`` scans are
+    partition-pruned to the nprobe cells — at 100 TB a probe reads
+    C/nprobe-th of the corpus from DIRECTORY listing alone, before
+    any row is touched. One exchange (the partition-keyed write)."""
+    (
+        assigned.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivf_probe_pruned(
+    spark,
+    index_path: str,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """ANN probe over a written IVF index: the nprobe cell ids are
+    driver-known (centroids are tiny), so the cell filter folds into
+    an IN-list the scan prunes DIRECTORIES with — `.explain` shows
+    PartitionFilters, and only nprobe/C of the files are listed.
+    Same semantics as ``ivf_topk`` over the in-memory assignment."""
+    q_cells = ivf_assign_queries(queries, centroids, id_col, vec_col, nprobe)
+    cells = sorted({r["cell"] for r in q_cells.select("cell").distinct().collect()})
+    assigned = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
+    return ivf_topk(
+        assigned, centroids, queries, id_col=id_col, vec_col=vec_col,
+        k=k, nprobe=nprobe,
+    )
