@@ -47,6 +47,14 @@ class CurationConfig:
     near_dedup: bool = True
     minhash_num_hashes: int = 8
     minhash_rows_per_band: int = 2
+    # Exact-decontamination gram length/threshold. 24-char grams
+    # (~4 words) are specific enough that only genuine benchmark
+    # overlap collides; the 8-char default the q79 CORRECTNESS query
+    # uses flags essentially the whole corpus on natural text (short
+    # grams are common substrings) — right for exercising the
+    # operator, corpus-nuking as a pipeline default.
+    decontam_gram_n: int = 24
+    decontam_min_shared: int = 3
     split_salt: str = "split"
     train_pct: int = 80
     val_pct: int = 10
@@ -91,7 +99,12 @@ def curate(
         from ulh_etl_spark.operators.text import contamination_counts
 
         exact = contamination_counts(
-            df, benchmark, cfg.text_col, cfg.id_col
+            df,
+            benchmark,
+            cfg.text_col,
+            cfg.id_col,
+            n=cfg.decontam_gram_n,
+            min_shared=cfg.decontam_min_shared,
         ).select(cfg.id_col)
         fuzzy = lsh_contamination(
             df,
