@@ -109,3 +109,27 @@ def test_curate_decontaminates_against_benchmark(spark):
     assert 1 not in kept_with            # exact contamination dropped
     assert 3 in kept_with                # clean doc survives
     assert kept_wo == {1, 2, 3}          # no benchmark -> no drops
+
+
+def test_curate_with_benchmark_keeps_clean_corpus(spark):
+    """Regression (round 5): the decontamination DEFAULTS must not
+    nuke a clean corpus — with 24-char grams, docs sharing no real
+    phrase with the benchmark all survive."""
+    from ulh_etl_spark.curation import CurationConfig, curate
+
+    corpus = spark.createDataFrame(
+        [
+            (i, f"document number {i} talks about topic {i % 7} in its "
+                f"own particular way with wording variant {i * 13 % 31}")
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(999, "a completely different held out evaluation prompt about "
+               "orbital mechanics and spacecraft attitude control")],
+        "doc_id long, text string",
+    )
+    cfg = CurationConfig(min_quality=0.0, near_dedup=False)
+    kept = curate(corpus, cfg, benchmark=bench).count()
+    assert kept == 40
