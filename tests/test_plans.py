@@ -135,6 +135,64 @@ def test_dedup_fanout_probe_runs_no_job(spark, tmp_path):
     assert len(jobs) == 0, f"construction ran {len(jobs)} job(s)"
 
 
+def test_multimodal_fanout_probe_runs_no_job(spark, tmp_path):
+    """Constructing a decode stage must not execute the media scan:
+    the old _spread used df.rdd.getNumPartitions(), which under AQE
+    runs every upstream stage — a full extra pass over the media
+    bytes just to read a partition count."""
+    from ulh_etl_spark.operators.multimodal import decode_media, fake_decode_image
+
+    path = str(tmp_path / "media")
+    spark.range(0, 16).select(
+        F.col("id").alias("media_id"),
+        F.encode(F.concat(F.lit("blob"), F.col("id").cast("string")), "utf-8").alias(
+            "content"
+        ),
+    ).write.parquet(path)
+    upstream = (
+        spark.read.parquet(path)
+        .groupBy("media_id")
+        .agg(F.first("content").alias("content"))
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("mm_fanout_probe", "constructing decode frame")
+    try:
+        _ = decode_media(
+            upstream, fake_decode_image, "width int, height int, channels int"
+        )  # construct only
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+    jobs = sc.statusTracker().getJobIdsForGroup("mm_fanout_probe")
+    assert len(jobs) == 0, f"construction ran {len(jobs)} job(s)"
+
+
+def test_fan_out_never_touches_rdd(spark, tmp_path, monkeypatch):
+    """Pin the anti-pattern directly: fan_out must decide from plan
+    metadata only. A poisoned DataFrame.rdd property proves no code
+    path reaches it, for all three decision branches."""
+    from pyspark.sql import DataFrame
+
+    from ulh_etl_spark.operators.fanout import fan_out
+
+    def _boom(self):
+        raise AssertionError("fan_out touched df.rdd")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(_boom))
+
+    path = str(tmp_path / "t")
+    spark.range(0, 32).toDF("k").coalesce(1).write.parquet(path)
+    scan = spark.read.parquet(path)
+    # branch 1: under-parallel bare scan -> repartitioned
+    assert "Repartition" in fan_out(scan)._jdf.queryExecution().logical().toString()
+    # branch 2: Exchange already in plan -> untouched
+    shuffled = scan.groupBy("k").count()
+    assert fan_out(shuffled) is shuffled
+    # branch 3: in-memory frame (no input files) -> untouched
+    local = spark.createDataFrame([(1,)], "k long")
+    assert fan_out(local) is local
+
+
 # ---------------------------------------------------------------- skew
 
 

@@ -60,3 +60,21 @@ def test_verify_passes_then_catches_corruption(spark, tmp_path):
     after = {r["shard"]: r["ok"] for r in verify_training_shards(spark, path).collect()}
     assert after[0] is False
     assert all(v for s, v in after.items() if s != 0)
+
+
+def test_verify_catches_deleted_shard(spark, tmp_path):
+    """A whole missing shard directory must report ok=False (not NULL,
+    which ~ok filters would silently drop)."""
+    import shutil
+
+    path = str(tmp_path / "exp3")
+    export_training_shards(_docs(spark), path, ctx_len=64, n_shards=3)
+    shutil.rmtree(f"{path}/data/shard=1")
+
+    rows = verify_training_shards(spark, path).collect()
+    status = {r["shard"]: r["ok"] for r in rows}
+    assert status[1] is False
+    assert all(v for s, v in status.items() if s != 1)
+    # and the not-ok filter actually surfaces it
+    bad = verify_training_shards(spark, path).filter(~F.col("ok")).collect()
+    assert {r["shard"] for r in bad} == {1}

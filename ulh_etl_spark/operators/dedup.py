@@ -42,28 +42,9 @@ MINHASH_B = (12345, 23456, 34567, 45678, 56789, 67890, 78901, 89012)
 DEFAULT_SHINGLE = 4
 
 
-def _fan_out(df: DataFrame) -> DataFrame:
-    """Repartition ONLY when the input arrives under-parallel (e.g. a
-    small table read as 1-2 parquet splits). At scale the input already
-    has thousands of splits and a blanket repartition would force a
-    full shuffle of the raw corpus before any work happens — skip it.
-
-    Decided from PLAN METADATA only — never ``df.rdd``: under AQE the
-    rdd probe eagerly executes every upstream stage (a full corpus
-    scan+shuffle just to read a partition count) and then reports the
-    AQE-coalesced count, judging any small post-shuffle frame
-    "under-parallel". Instead: a frame whose plan already contains an
-    Exchange is spread by that shuffle — leave it; otherwise a bare
-    scan of fewer files than cores gets the spread-out repartition.
-    """
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    if "Exchange" in plan:
-        return df
-    files = df.inputFiles()
-    if files and len(files) < parallelism:
-        return df.repartition(parallelism)
-    return df
+# Shared under-parallelism guard (plan-metadata only, never df.rdd —
+# see operators/fanout.py for why the rdd probe is a 100 TB hazard).
+from ulh_etl_spark.operators.fanout import fan_out as _fan_out
 
 
 def exact_dedup_keys(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -32,15 +32,13 @@ from typing import Callable, Iterator
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Ensure Python-kernel stages get cluster-wide parallelism: a
-    small media table can arrive as one parquet split, which would
-    run every decode on a single core."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+# Under-parallelism guard for the decode stages: a small media table
+# can arrive as one parquet split, which would run every decode on a
+# single core. Plan-metadata decision only — never df.rdd, which under
+# AQE would execute the media scan once just to read a partition count
+# (a full extra pass over the media bytes at 100 TB). Shared helper:
+# operators/fanout.py.
+from ulh_etl_spark.operators.fanout import fan_out as _spread
 
 # magic-byte prefixes -> format tag (sniffed JVM-side via substring)
 _MAGIC = {

@@ -489,9 +489,9 @@ def winnow_fingerprints(df, text_col: str, id_col: str, k: int = 5, window: int 
     as the dedup operators: never a blanket repartition, only when
     the scan has fewer splits than cores.
     """
-    from ulh_etl_spark.operators.dedup import _fan_out
+    from ulh_etl_spark.operators.fanout import fan_out
 
-    df = _fan_out(df)
+    df = fan_out(df)
     with_h = df.select(
         F.col(id_col),
         F.transform(char_ngrams(F.col(text_col), k), md5_hash32).alias("_h"),

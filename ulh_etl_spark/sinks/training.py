@@ -100,9 +100,13 @@ def verify_training_shards(
         "r_docs",
         "ids_digest",
         "r_digest",
-        (
+        # coalesce(False): a shard present on only one side of the full
+        # outer join leaves the other side's columns NULL, and
+        # NULL & ... is NULL — which filter(~ok) would silently drop.
+        F.coalesce(
             (F.col("n_docs") == F.col("r_docs"))
             & (F.col("n_tokens") == F.col("r_tokens"))
-            & (F.col("ids_digest") == F.col("r_digest"))
+            & (F.col("ids_digest") == F.col("r_digest")),
+            F.lit(False),
         ).alias("ok"),
     )
