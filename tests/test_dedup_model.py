@@ -143,6 +143,28 @@ def test_connected_components_long_chain_converges(spark):
     assert len(out) == 13
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir mode: identical labels, and the rounds actually
+    checkpoint RELIABLY (files appear under the directory) — the
+    cluster-scale path where a lost executor must not abort the
+    iteration."""
+    import os
+
+    from ulh_etl_spark.operators.dedup import connected_components
+
+    ckpt = str(tmp_path / "ckpt")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id1 long, id2 long"
+    )
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    found = [f for _root, _d, files in os.walk(ckpt) for f in files]
+    assert found, "no reliable checkpoint files were written"
+
+
 def test_simhash_keeps_tokenless_docs(spark):
     """Empty / whitespace-only / null texts must not vanish from the
     signature table, and must land at simhash 0."""

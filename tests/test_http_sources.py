@@ -474,6 +474,78 @@ def test_entity_fanout_auto_distributes_at_threshold(spark, tmp_path):
     assert nested == {json.dumps({"x": 1})}
 
 
+def test_entity_fanout_auto_respects_pacing(spark):
+    """AUTO mode must NOT silently turn a paced (rate-limited) caller
+    into N concurrent per-partition callers: explicit api_delay_ms > 0
+    keeps the sequential driver loop even over the threshold; the
+    caller opts into concurrency with distribute=True."""
+    t = _fanout_routes()
+    df = entity_fanout_source(
+        spark, lambda: t, ["p1", "p2", "p3"],
+        lambda i: f"https://lk/patient/{i}",
+        api_delay_ms=2000, sleeper=NOSLEEP, distribute_threshold=3,
+    )
+    # sequential: the single FakeTransport has made all calls already
+    assert len(t.calls) == 3
+    rows = {(r.v, r._source_patient_id) for r in df.collect()}
+    assert rows == {("a", "p1"), ("b", "p3"), ("c", "p3")}
+
+
+def test_entity_fanout_paths_emit_same_column_order(spark):
+    """Sequential and distributed paths must agree on column order
+    (sorted by name), so a workload crossing the auto threshold does
+    not flip its output schema."""
+    t = _fanout_routes()
+    df = entity_fanout_source(
+        spark, lambda: t, ["p1", "p3"],
+        lambda i: f"https://lk/patient/{i}",
+        api_delay_ms=0, sleeper=NOSLEEP, distribute=False,
+    )
+    assert df.columns == sorted(df.columns)
+
+
+def test_entity_fanout_spool_fetches_once_durably(spark, tmp_path):
+    """spool_path: the raw fetch results land in parquet and every
+    downstream pass (key union, parse, caller collects) reads the
+    files — each id fetched exactly once, nothing cache-resident."""
+    calls_dir = tmp_path / "calls"
+    calls_dir.mkdir()
+    cd = str(calls_dir)
+
+    def factory():
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        from ulh_etl_spark.sources.http import HttpResponse as _R
+
+        class T:
+            def __call__(self, method, url, headers=None, json_body=None,
+                         timeout=60.0, data=None, auth=None):
+                eid = url.rsplit("/", 1)[1]
+                with open(_os.path.join(cd, _uuid.uuid4().hex), "w") as f:
+                    f.write(eid)
+                return _R(200, _json.dumps([{"v": f"val_{eid}"}]))
+
+        return T()
+
+    spool = str(tmp_path / "spool")
+    df = entity_fanout_source(
+        spark, factory, ["p1", "p2", "p3"],
+        lambda i: f"https://lk/patient/{i}",
+        api_delay_ms=0, distribute_threshold=3, spool_path=spool,
+    )
+    # collect twice: re-materialization must re-read the spool, not re-fetch
+    for _ in range(2):
+        rows = {(r.v, r._source_patient_id) for r in df.collect()}
+        assert rows == {("val_p1", "p1"), ("val_p2", "p2"), ("val_p3", "p3")}
+    fetched = sorted(p.read_text() for p in calls_dir.iterdir())
+    assert fetched == ["p1", "p2", "p3"]  # exactly once each
+    import os
+
+    assert any(f.endswith(".parquet") for f in os.listdir(spool))
+
+
 def test_entity_fanout_dataframe_ids_distribute_without_driver_list(spark, tmp_path):
     """DataFrame id input + distributed mode: ids stay a frame
     end-to-end (the auto decision uses count(), not a driver

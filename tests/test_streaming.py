@@ -203,6 +203,29 @@ def test_lsh_bucket_cap_drops_degenerate_bucket(spark):
     assert (100, 101) in unc and (100, 101) in cap
 
 
+def test_lsh_salted_self_join_identical_pairs(spark):
+    """salt_buckets (lossless skew guard): an adversarial corpus where
+    most docs share one band bucket must produce IDENTICAL pairs with
+    and without salting — the salt only splits the hot bucket's work
+    across (sa, sb) shuffle cells, visible as the extra salt columns
+    in the join key."""
+    from ulh_etl_spark.operators.dedup import minhash_candidate_pairs
+    from ulh_etl_spark.plans.inspect import formatted_plan
+
+    boiler = [(i, "identical boilerplate header text") for i in range(12)]
+    other = [(100, "rivers and mountains essay one"),
+             (101, "rivers and mountains essay one extra")]
+    df = spark.createDataFrame(boiler + other, "doc_id long, text string")
+
+    plain = minhash_candidate_pairs(df, "text", "doc_id")
+    salted = minhash_candidate_pairs(df, "text", "doc_id", salt_buckets=4)
+    want = {(r.id1, r.id2) for r in plain.collect()}
+    got = {(r.id1, r.id2) for r in salted.collect()}
+    assert got == want and sum(1 for a, b in want if a < 12 and b < 12) == 66
+    # the salts are part of the equi-join key (shuffle granularity)
+    assert "_sa" in formatted_plan(salted)
+
+
 def test_batch_sessionize_gap(spark):
     df = spark.createDataFrame(
         [

@@ -154,6 +154,7 @@ def minhash_candidate_pairs(
     rows_per_band: int = 2,
     shingle_n: int = DEFAULT_SHINGLE,
     max_bucket_size: int | None = None,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: equality self-join on (band_idx, band_key),
     id1 < id2, distinct. Scale: the join shuffles on the band key —
@@ -168,6 +169,16 @@ def minhash_candidate_pairs(
     which near-dup dedup would mostly collapse to one survivor
     anyway; exact dedup upstream catches the fully-identical ones.
     Default None = exact parity with the SQL oracle.
+
+    ``salt_buckets`` = S is the LOSSLESS skew guard: each side of the
+    self-join carries a deterministic per-id salt in [0, S) plus an
+    exploded guess of the other side's salt, and the join key becomes
+    (band, key, sa, sb) — a hot bucket of B rows splits into S² shuffle
+    cells of ~(B/S)² pairs each instead of one straggler task doing
+    B². Every pair still matches exactly once (x's salt row meets y's
+    guess row at (h(x), h(y))), so output is identical to unsalted —
+    at S× band-table replication cost. Use when the hot buckets are
+    real near-dups you must keep (cap drops them instead).
     """
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     # Persist the band table: the self-join would otherwise recompute
@@ -185,15 +196,30 @@ def minhash_candidate_pairs(
             counts.filter(F.col("_bsz") <= max_bucket_size),
             ["band_idx", "band_key"],
         ).drop("_bsz")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    on = [F.col("a.band_idx") == F.col("b.band_idx"),
+          F.col("a.band_key") == F.col("b.band_key")]
+    if salt_buckets is not None:
+        s = F.lit(salt_buckets)
+        guesses = F.explode(F.sequence(F.lit(0), s - 1))
+        a = (
+            bands.withColumn("_sa", F.pmod(F.hash(id_col), s))
+            .withColumn("_sb", guesses)
+            .alias("a")
         )
+        b = (
+            bands.withColumn("_sb", F.pmod(F.hash(id_col), s))
+            .withColumn("_sa", guesses)
+            .alias("b")
+        )
+        on += [F.col("a._sa") == F.col("b._sa"),
+               F.col("a._sb") == F.col("b._sb")]
+    else:
+        a, b = bands.alias("a"), bands.alias("b")
+    cond = on[0]
+    for c in on[1:]:
+        cond = cond & c
+    return (
+        a.join(b, cond & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(
             F.col(f"a.{id_col}").alias("id1"),
             F.col(f"b.{id_col}").alias("id2"),
@@ -367,6 +393,7 @@ def connected_components(
     id1: str = "id1",
     id2: str = "id2",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair relation via
     min-label propagation — the exact grouping for near-duplicate
@@ -384,7 +411,25 @@ def connected_components(
     graphs; min-propagation keeps this dependency-free.
 
     Output: (node, component) — component = min node id reachable.
+
+    ``checkpoint_dir``: when set, rounds checkpoint RELIABLY to that
+    (fault-tolerant, shared at cluster scale) directory instead of
+    ``localCheckpoint`` — local checkpoint blocks live on executors,
+    so one lost executor aborts a long iterative job; reliable
+    checkpoint survives it. Default stays local (no extra I/O) for
+    short local runs.
     """
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
     edges = pairs.select(
         F.col(id1).alias("src"), F.col(id2).alias("dst")
     )
@@ -398,17 +443,15 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # localCheckpoint per round, NOT just persist: the labels frame
-    # feeds the next round twice (neighbor join + carry-over), so the
+    # Checkpoint per round, NOT just persist: the labels frame feeds
+    # the next round twice (neighbor join + carry-over), so the
     # un-truncated lineage doubles every iteration and the analyzer
     # OOMs around round 15. Checkpointing materializes the round and
-    # cuts the plan — the standard iterative-Spark shape (at cluster
-    # scale swap in reliable checkpoint() on a fault-tolerant dir).
-    labels = (
+    # cuts the plan — the standard iterative-Spark shape.
+    labels = _ckpt(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
     )
 
     converged = False
@@ -419,7 +462,7 @@ def connected_components(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        new_labels = _ckpt(
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
@@ -432,7 +475,6 @@ def connected_components(
                     & (F.col("nbr_min") < F.col("component"))
                 ).cast("long").alias("_changed"),
             )
-            .localCheckpoint()
         )
         changed = new_labels.agg(F.sum("_changed")).collect()[0][0] or 0
         # release the previous round's checkpoint blocks — they'd

@@ -302,14 +302,17 @@ def entity_fanout_source(
     headers: dict | None = None,
     json_body_for_id: Callable[[str], Any] | None = None,
     id_tag_column: str = "_source_patient_id",
-    api_delay_ms: int = 2000,
+    api_delay_ms: int | None = None,
     sleeper: Sleeper = time.sleep,
     distribute: bool | None = None,
     distribute_threshold: int = 500,
+    spool_path: str | None = None,
 ) -> DataFrame:
     """S10 ("patient loop"): one API call per entity id, tagging every
     result row with its source id; continue on per-id failure; paced
     by ``api_delay_ms`` (ELLKAY_API_TO_RAW_SNOWFLAKE.py:548-623).
+    ``api_delay_ms=None`` (default) = the reference's 2 s pacing in
+    the sequential loop, no pacing on executors.
 
     ``ids`` may be a DataFrame (its first column, made distinct — the
     reference's ``SELECT DISTINCT patientId``). A DataFrame id set
@@ -322,24 +325,42 @@ def entity_fanout_source(
     loop; True = fan out on executors via ``mapInPandas``
     (per-partition transport + pacing clock) for APIs that allow
     concurrent callers; None (default) = AUTO — distribute when the
-    id count reaches ``distribute_threshold``. A driver loop over
-    100k ids at the reference's 2 s pacing is a 2-day serial job; the
-    executor path is the only shape that survives scale, so scale
-    must not depend on the caller remembering a flag. Both paths
-    return the SAME all-string stringified-record schema; the
-    distributed path's columns are sorted by name (a global
-    first-seen order is partition-order-dependent, so it would not be
-    deterministic distributed).
+    id count reaches ``distribute_threshold`` AND the caller did not
+    ask for pacing. A driver loop over 100k ids at the reference's
+    2 s pacing is a 2-day serial job; the executor path is the only
+    shape that survives scale, so scale must not depend on the caller
+    remembering a flag. But an explicit ``api_delay_ms > 0`` means
+    the API is rate-limited — auto must NOT silently turn one paced
+    caller into N concurrent ones; such callers opt in with
+    ``distribute=True`` (each partition then paces independently).
+    Both paths return the SAME all-string stringified-record schema
+    with columns sorted by name (a first-seen order would be
+    partition-order-dependent in the distributed path).
+
+    ``spool_path``: durable staging for the distributed path. The
+    fetches are side-effecting HTTP calls that must run exactly once;
+    with a spool the raw records are written to parquet there and all
+    downstream passes read the files. Without it the raw frame is
+    cache-persisted — fine locally, but a lost executor silently
+    re-fetches its partition and the cache lives until the session
+    clears it, so at cluster scale pass a shared-FS spool.
     """
     ids_frame: DataFrame | None = None
     if isinstance(ids, DataFrame):
         ids_frame = ids.select(ids.columns[0]).toDF("entity_id").distinct()
         if distribute is None:
-            distribute = ids_frame.count() >= distribute_threshold
+            # limit-bounded probe: "are there >= threshold ids?" must
+            # not pay a full count over a 100M-id frame to decide a
+            # boolean — touch at most `threshold` rows.
+            distribute = (
+                not api_delay_ms
+                and ids_frame.limit(distribute_threshold).count()
+                >= distribute_threshold
+            )
         if not distribute:
             ids = [r[0] for r in ids_frame.collect()]
     elif distribute is None:
-        distribute = len(ids) >= distribute_threshold
+        distribute = not api_delay_ms and len(ids) >= distribute_threshold
 
     def fetch_one(transport: Transport, eid: str) -> list[dict]:
         body = json_body_for_id(eid) if json_body_for_id else None
@@ -353,13 +374,16 @@ def entity_fanout_source(
         return recs
 
     if not distribute:
+        delay_ms = 2000 if api_delay_ms is None else api_delay_ms
         transport = transport_factory()
         records: list[dict] = []
         for i, eid in enumerate(ids):
             if i:
-                sleeper(api_delay_ms / 1000.0)
+                sleeper(delay_ms / 1000.0)
             records.extend(fetch_one(transport, eid))
-        return records_to_df(spark, records)
+        out = records_to_df(spark, records)
+        # same column order as the distributed path (sorted by name)
+        return out.select(*sorted(out.columns)) if out.columns else out
 
     # executor path: ids scattered across partitions; one transport and
     # one pacing clock per partition
@@ -374,13 +398,15 @@ def entity_fanout_source(
         else spark.createDataFrame([(i,) for i in ids], "entity_id string")
     )
 
+    delay_ms = api_delay_ms or 0
+
     def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         transport = transport_factory()
         first = True
         for pdf in batches:
             for eid in pdf["entity_id"]:
-                if not first:
-                    time.sleep(api_delay_ms / 1000.0)
+                if not first and delay_ms:
+                    time.sleep(delay_ms / 1000.0)
                 first = False
                 recs = fetch_one(transport, eid)
                 if recs:
@@ -388,12 +414,17 @@ def entity_fanout_source(
                         {"record_json": [json.dumps(r) for r in recs]}
                     )
 
-    # persist BEFORE the key-union job: the fetches are side-effecting
-    # HTTP calls — each partition must execute exactly once, with the
-    # parse pass reading the cached rows.
-    raw = ids_df.mapInPandas(_run, schema="record_json string").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # The fetches are side-effecting HTTP calls — each id must execute
+    # exactly once, with the key-union and parse passes reading the
+    # already-fetched rows. A spool (durable parquet) guarantees that;
+    # the persist fallback is best-effort (see docstring).
+    raw = ids_df.mapInPandas(_run, schema="record_json string")
+    cached: DataFrame | None = None
+    if spool_path is not None:
+        raw.write.mode("overwrite").parquet(spool_path)
+        raw = spark.read.parquet(spool_path)
+    else:
+        raw = cached = raw.persist(StorageLevel.MEMORY_AND_DISK)
     keys = sorted(
         r["k"]
         for r in raw.select(
@@ -403,6 +434,8 @@ def entity_fanout_source(
         .collect()
     )
     if not keys:
+        if cached is not None:
+            cached.unpersist()
         return records_to_df(spark, [])
 
     def _parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
