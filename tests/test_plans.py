@@ -167,6 +167,18 @@ def test_multimodal_fanout_probe_runs_no_job(spark, tmp_path):
     assert len(jobs) == 0, f"construction ran {len(jobs)} job(s)"
 
 
+def test_q96_probe_scan_is_partition_pruned(spark, sf_dir):
+    """The catalog's at-rest IVF probe must read only the nprobe
+    cells: the index scan carries PartitionFilters on `cell`, so
+    pruning happens at directory-listing time."""
+    from ulh_etl_spark.plans.inspect import partition_filters
+    from ulh_etl_spark.queries.similarity import q96_ivf_pruned_probe
+
+    df = q96_ivf_pruned_probe(spark, sf_dir)
+    pf = partition_filters(df)
+    assert any("cell" in f for f in pf), pf
+
+
 def test_fan_out_never_touches_rdd(spark, tmp_path, monkeypatch):
     """Pin the anti-pattern directly: fan_out must decide from plan
     metadata only. A poisoned DataFrame.rdd property proves no code

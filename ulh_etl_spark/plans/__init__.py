@@ -9,6 +9,7 @@ from ulh_etl_spark.plans.inspect import (  # noqa: F401
     broadcast_join_count,
     exchange_count,
     formatted_plan,
+    partition_filters,
     plan_facts,
     pushed_filters,
     scan_columns,

@@ -101,6 +101,20 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return out
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """All non-empty PartitionFilters entries across live scans — the
+    proof a partitioned-table scan prunes DIRECTORIES (reads only the
+    matching partitions) rather than listing every file."""
+    out: list[str] = []
+    for _nid, _name, body in _live_detail_blocks(formatted_plan(df)):
+        for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", body):
+            for f in m.group(1).split(","):
+                f = f.strip()
+                if f and f not in out:
+                    out.append(f)
+    return out
+
+
 def scan_columns(df: DataFrame) -> list[list[str]]:
     """Column lists read by each live parquet scan (ReadSchema)."""
     out = []
@@ -149,6 +163,7 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
 @dataclass
 class PlanFacts:
     pushed_filters: list[str] = field(default_factory=list)
+    partition_filters: list[str] = field(default_factory=list)
     scan_columns: list[list[str]] = field(default_factory=list)
     exchanges: int = 0
     broadcast_joins: int = 0
@@ -158,6 +173,7 @@ class PlanFacts:
     def summary(self) -> dict:
         return {
             "pushed_filters": len(self.pushed_filters),
+            "partition_filters": len(self.partition_filters),
             "scans": len(self.scan_columns),
             "scan_cols": [len(c) for c in self.scan_columns],
             "exchanges": self.exchanges,
@@ -170,6 +186,7 @@ class PlanFacts:
 def plan_facts(df: DataFrame) -> PlanFacts:
     return PlanFacts(
         pushed_filters=pushed_filters(df),
+        partition_filters=partition_filters(df),
         scan_columns=scan_columns(df),
         exchanges=exchange_count(df),
         broadcast_joins=broadcast_join_count(df),

@@ -169,6 +169,27 @@ def q86_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q96_ivf_pruned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-rest IVF path end-to-end: write the index partitioned by
+    cell, then probe it — the nprobe cell ids are driver-known, so the
+    cell IN-list prunes DIRECTORIES (PartitionFilters in the scan) and
+    the probe reads ~nprobe/C of the corpus from listing alone.
+    Semantically identical to q42 (same centroids, same tie-breaks),
+    so it shares q42's oracle SQL — what q96 adds is the physical
+    layout, pinned by the partition-filter check in the plan audit and
+    tests/test_plans.py."""
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids(emb)
+    path = tempfile.mkdtemp(prefix="ulh_ivf_index_")
+    S.write_ivf_index(S.ivf_assign(emb, cents), path)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return S.ivf_probe_pruned(
+        spark, path, cents, queries, k=_K, nprobe=_NPROBE
+    )
+
+
 QUERIES = {
     "q39_cosine_topk": q39_cosine_topk,
     "q40_embedding_norms": q40_embedding_norms,
@@ -179,6 +200,7 @@ QUERIES = {
     "q60_hyperplane_signature": q60_hyperplane_signature,
     "q61_hyperplane_pairs": q61_hyperplane_pairs,
     "q86_ivf_recall": q86_ivf_recall,
+    "q96_ivf_pruned_probe": q96_ivf_pruned_probe,
 }
 
 
@@ -369,6 +391,9 @@ ORACLES = {
          AND a.band_val = b.band_val
          AND a.vec_id < b.vec_id
     """,
+    # q96 = q42 through the at-rest partitioned index; the layout
+    # changes the scan, not the result, so the oracle is q42's.
+    "q96_ivf_pruned_probe": _Q42_SQL,
     "q86_ivf_recall": f"""
         WITH bf AS (SELECT * FROM ({_Q39_SQL})),
              iv AS (SELECT * FROM ({_Q42_SQL}))
