@@ -202,3 +202,22 @@ def test_global_row_number_matches_window(spark):
         for r in global_row_number(df, ["v", "id"], out_col="rn").collect()
     }
     assert got == want
+
+
+def test_release_rank_caches(spark):
+    """Each global rank call pins a persisted intermediate for the
+    session lifetime; release_rank_caches unpersists them all and the
+    registry drains (double-release is a no-op)."""
+    from ulh_etl_spark.operators.rank import (
+        _LIVE_CACHES,
+        global_ntile,
+        release_rank_caches,
+    )
+
+    release_rank_caches()
+    df = spark.range(200).toDF("v")
+    global_ntile(df, ["v"], 4, out_col="t").count()
+    global_ntile(df, [F.col("v").desc()], 5, out_col="t").count()
+    assert len(_LIVE_CACHES) == 2
+    assert release_rank_caches() == 2
+    assert release_rank_caches() == 0 and not _LIVE_CACHES

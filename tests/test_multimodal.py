@@ -160,6 +160,32 @@ def test_png_decode_unfilters_up_filter():
     assert meta["mean_pixel"] == float(v)
 
 
+def test_png_decode_rejects_palette():
+    """color_type 3 (palette): samples are PLTE indices, so a mean
+    over them is silently wrong — decode_png must refuse, matching its
+    documented contract, rather than 'decode' garbage."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from ulh_etl_spark.operators.multimodal import decode_png
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    w, h = 3, 2
+    raw = (b"\x00" + bytes([0, 1, 2])) * h  # 1 byte/px palette indices
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+           + chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0, 0, 0, 255]))
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="color type 3"):
+        decode_png(png)
+
+
 def test_real_decode_image_through_mapinpandas(spark):
     """A REAL codec through the same decode_media mapInPandas stage
     the fake kernel uses — PIL when installed, stdlib PNG otherwise;

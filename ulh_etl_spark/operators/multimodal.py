@@ -152,7 +152,13 @@ def decode_png(content: bytes) -> dict:
         pos += 12 + length
     if width is None:
         raise ValueError("PNG missing IHDR")
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    # color_type 3 (palette) would pass the channels lookup but its
+    # samples are PLTE indices, not intensities — mean_pixel over
+    # indices is silently wrong, so reject it with the other
+    # unsupported shapes (PIL handles palettes when installed).
+    if color_type not in (0, 2, 4, 6):
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
     if bit_depth != 8 or interlace != 0:
         raise ValueError(f"unsupported PNG (bit_depth={bit_depth}, interlace={interlace})")
 

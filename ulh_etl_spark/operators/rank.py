@@ -35,6 +35,28 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+# Every _global_index call persists its ranked intermediate (the count
+# job and the consumer must share ONE materialization of the sort) and
+# registers it here — the cache must outlive the returned lazy frame,
+# so it cannot be released inside the operator. Long-lived sessions
+# call release_rank_caches() once downstream results are materialized
+# (or no longer needed); otherwise each call pins a cached dataset for
+# the session lifetime.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def release_rank_caches() -> int:
+    """Unpersist every ranked intermediate cached by
+    :func:`global_ntile` / :func:`global_row_number` calls so far;
+    returns how many were released. Call after the consuming query has
+    materialized (re-materializing a released result recomputes the
+    range sort — correct, just not free)."""
+    n = len(_LIVE_CACHES)
+    for cached in _LIVE_CACHES:
+        cached.unpersist()
+    _LIVE_CACHES.clear()
+    return n
+
 
 def global_ntile(
     df: DataFrame,
@@ -100,6 +122,7 @@ def _global_index(
     local = ranged.withColumn("_lrn", F.row_number().over(w)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    _LIVE_CACHES.append(local)
 
     counts = {
         r["_pid"]: r["_cnt"]

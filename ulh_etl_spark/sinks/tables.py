@@ -2,9 +2,10 @@
 
 Storage model: managed Spark catalog tables (parquet). MERGE and
 UPDATE (which Snowflake gave the reference for free) are implemented
-storage-agnostically via staging-table swap — on a Delta/Iceberg
-deployment you'd swap these bodies for native ``MERGE INTO`` /
-``UPDATE`` and keep the signatures (SURVEY §7.3).
+storage-agnostically via staging-table swap; when delta-spark is
+importable AND the target is a Delta table, the same signatures
+dispatch to native ``MERGE INTO`` / in-place ``UPDATE`` automatically
+(SURVEY §7.3) — no caller change between modes.
 
 Scale notes: merge_upsert shuffles once on the merge keys and keeps
 map-side dedup via row_number; the staging swap is a metadata
@@ -99,6 +100,34 @@ def _swap_staging(spark: SparkSession, target: str, staging: str) -> None:
     spark.sql(f"ALTER TABLE {staging} RENAME TO {target}")
 
 
+def _delta_handle(spark: SparkSession, target: str):
+    """DeltaTable handle when delta-spark is importable AND ``target``
+    is a Delta table; else None (parquet staging-swap mode). The
+    import gate keeps the engine dependency-free — on a Delta
+    deployment the native MERGE/UPDATE path lights up with no code
+    change (SURVEY §7.3)."""
+    try:
+        from delta.tables import DeltaTable  # optional dependency
+    except ImportError:
+        return None
+    ddl = spark.sql(f"SHOW CREATE TABLE {target}").collect()[0][0].lower()
+    if "using delta" not in ddl:
+        return None
+    return DeltaTable.forName(spark, target)
+
+
+def _last_merge_metrics(spark: SparkSession, target: str) -> dict[str, int]:
+    """updated/inserted tallies of the most recent Delta operation,
+    from the table history (execute() does not return metrics in OSS
+    delta-spark)."""
+    hist = spark.sql(f"DESCRIBE HISTORY {target} LIMIT 1").collect()[0]
+    m = hist["operationMetrics"] or {}
+    return {
+        "updated": int(m.get("numTargetRowsUpdated", 0)),
+        "inserted": int(m.get("numTargetRowsInserted", 0)),
+    }
+
+
 def merge_upsert(
     spark: SparkSession,
     target: str,
@@ -148,6 +177,31 @@ def merge_upsert(
             writer = writer.partitionBy(*partition_cols)
         writer.saveAsTable(target)
         return {"updated": 0, "inserted": int(obs.get["rows"])}
+
+    dt = _delta_handle(spark, target)
+    if dt is not None:
+        # Native MERGE INTO: Delta requires at most one source row per
+        # key, so apply the keep-latest tiebreak first (same rule as
+        # the parquet path's row_number).
+        src = source_df
+        if tiebreak_cols:
+            ww = Window.partitionBy(*keys).orderBy(
+                *[F.col(c).desc() for c in tiebreak_cols]
+            )
+            src = (
+                src.withColumn("_rn", F.row_number().over(ww))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
+        (
+            dt.alias("t")
+            .merge(src.alias("s"), cond)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        return _last_merge_metrics(spark, target)
 
     tgt = spark.table(target)
     if partition_cols:
@@ -238,6 +292,11 @@ def update_flag(
     n = tgt.filter(F.col(flag_col) == from_val).count()
     if n == 0:
         return 0
+    dt = _delta_handle(spark, target)
+    if dt is not None:
+        # native in-place UPDATE — no full-table staging rewrite
+        dt.update(F.col(flag_col) == from_val, {flag_col: F.lit(to_val)})
+        return n
     flipped = tgt.withColumn(
         flag_col,
         F.when(F.col(flag_col) == from_val, F.lit(to_val)).otherwise(F.col(flag_col)),
