@@ -46,6 +46,15 @@ HEADLINE = (
     "q87_sequence_pack",
     "q89_chunk_documents",
     "q90_token_budget_mix",
+    # Round-5/6 rank, layout, and at-rest-index operators — a
+    # regression in global_ntile/global_row_number, Morton keys, or
+    # the partition-pruned IVF probe must be visible to BENCH
+    # (VERDICT r5 §next-round-4).
+    "q91_logprob_tiles",
+    "q93_corpus_shuffle_shards",
+    "q94_duplicate_gram_fraction",
+    "q95_zorder_clustering",
+    "q96_ivf_pruned_probe",
 )
 
 # Anchors @ sf0.1, local[32] — the official regression baselines

@@ -143,6 +143,59 @@ def test_connected_components_long_chain_converges(spark):
     assert len(out) == 13
 
 
+def test_cap_per_group_matches_single_window(spark):
+    """Two-phase salted cap == single-window rank, including on a
+    pathologically hot group (the case the salt exists for)."""
+    from pyspark.sql import Window
+
+    from ulh_etl_spark.operators.text import cap_per_group
+
+    rows = [(i, "hot") for i in range(500)] + [(1000 + i, f"g{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    got = {
+        (r.doc_id, r.source, r.cap_rank)
+        for r in cap_per_group(df, "source", "doc_id", 7, salt_buckets=4).collect()
+    }
+    key = F.md5(F.concat_ws("|", F.lit("cap"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(key, "doc_id")
+    want = {
+        (r.doc_id, r.source, r.cap_rank)
+        for r in df.withColumn("cap_rank", F.row_number().over(w))
+        .filter(F.col("cap_rank") <= 7)
+        .collect()
+    }
+    assert got == want
+    assert sum(1 for _, s, _ in got if s == "hot") == 7
+
+
+def test_cross_group_gram_overlap_model(spark):
+    """Hand-checkable overlap matrix: shared distinct gram hashes per
+    group pair, each gram counted once regardless of how many docs
+    carry it."""
+    from ulh_etl_spark.operators.dedup import cross_group_gram_overlap
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaabbbb", "A"),
+            (2, "bbbbcccc", "B"),
+            (3, "aaaacccc", "C"),
+            (4, "aaaabbbb", "B"),  # duplicates doc 1's grams into B
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r.src_a, r.src_b): r.shared_grams
+        for r in cross_group_gram_overlap(df, "text", "source", n=4).collect()
+    }
+    # 4-grams of "aaaabbbb": aaaa,aaab,aabb,abbb,bbbb (5 distinct)
+    # A∩B: doc4 == doc1 -> all 5 shared. B∩C: {bbbb..}∩{aaaa..}: doc2
+    # grams {bbbb,bbbc,bbcc,bccc,cccc} + doc4's 5; vs C {aaaa,aaac,
+    # aacc,accc,cccc}: shared = {cccc, aaaa, aaab? no} -> cccc from
+    # doc2, aaaa from doc4 -> 2. A∩C: {aaaa}: 1.
+    assert out == {("A", "B"): 5, ("B", "C"): 2, ("A", "C"): 1}
+
+
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
     """checkpoint_dir mode: identical labels, and the rounds actually
     checkpoint RELIABLY (files appear under the directory) — the

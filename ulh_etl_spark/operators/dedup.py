@@ -496,6 +496,62 @@ def connected_components(
     return labels
 
 
+def cross_group_gram_overlap(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    n: int = 16,
+) -> DataFrame:
+    """Cross-source duplication matrix: for every pair of groups
+    (sources/datasets/snapshots), the number of distinct character
+    ``n``-gram hashes present in BOTH — the measurement behind "how
+    much does dataset A repeat dataset B", which drives dedup-order
+    and mixing decisions when assembling a training corpus.
+
+    Scale shape: per-doc distinct grams explode (narrow, md5 hashed
+    once) -> ONE shuffle on the gram hash collecting the distinct
+    group set per gram (collect_set dedupes across docs; bounded by
+    |groups|, so this holds for source/language/dataset-granularity
+    groups — for web-domain cardinality use a pairwise join instead)
+    -> emit each group pair once per gram via an index-aware
+    transform over the sorted set -> partial-agged count per pair.
+    Never a doc-level self-join; the pair explosion is bounded by
+    |groups|² per gram.
+    """
+    from ulh_etl_spark.operators.text import char_ngrams, md5_hash32
+
+    grams = df.select(
+        F.col(group_col).alias("_grp"),
+        F.explode_outer(
+            F.array_distinct(
+                F.transform(char_ngrams(F.col(text_col), n), md5_hash32)
+            )
+        ).alias("_g"),
+    ).filter(F.col("_g").isNotNull())
+    sets = (
+        grams.groupBy("_g")
+        .agg(F.array_sort(F.collect_set("_grp")).alias("_gs"))
+        .filter(F.size("_gs") >= 2)
+    )
+    gs = F.col("_gs")
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    gs,
+                    lambda x, i: F.transform(
+                        F.slice(gs, i + F.lit(2), F.size(gs)),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("_p")
+    )
+    return pairs.groupBy(
+        F.col("_p.a").alias("src_a"), F.col("_p.b").alias("src_b")
+    ).agg(F.count("*").alias("shared_grams"))
+
+
 def simhash(text: Column, bits: int = 16) -> Column:
     """SimHash fingerprint over whitespace tokens.
 
@@ -561,14 +617,21 @@ def duplicate_gram_stats(df, text_col: str, id_col: str, n: int = 16):
     threshold consumes (pairwise near-dup ops answer a different
     question: WHICH docs collide).
 
-    Scale: distinct-gram explode (narrow) -> gram document-frequency
-    (one partial-agged shuffle on the gram hash) -> join back on the
-    SAME key (no re-partition) -> per-doc aggregate. Never all-pairs,
-    never a full-document self-join. The exploded gram relation is
-    recomputed on the probe side rather than persisted — it is
-    |text| x n bytes wide, and the narrow re-explode is cheaper than
-    caching it at corpus scale.
+    Scale: distinct-gram explode (narrow) -> doc-frequency as a
+    COUNT OVER (PARTITION BY gram hash) window -> per-doc aggregate.
+    The window formulation (round 6) replaces freq-groupBy +
+    join-back: one exchange on the gram hash instead of the join's
+    two plan legs (ReuseExchange already deduped the md5 evaluation,
+    so the measured win is the dropped SMJ sort+probe: 3.40 -> 3.13 s
+    at sf0.1, both within 1.4x of the 2.34 s bare gram-pipeline
+    floor — per-position md5 dominates, kept for oracle parity).
+    A boilerplate gram present in every doc makes one window group
+    |docs| rows wide, but that exact skew sat on the old join key
+    too — same hazard class. Never all-pairs, never a full-document
+    self-join.
     """
+    from pyspark.sql import Window
+
     from ulh_etl_spark.operators.text import char_ngrams, md5_hash32
 
     grams = df.select(
@@ -583,9 +646,8 @@ def duplicate_gram_stats(df, text_col: str, id_col: str, n: int = 16):
         ).alias("_g"),
     ).filter(F.col("_g").isNotNull())
     # grams are per-doc distinct, so a plain count IS the doc frequency
-    freq = grams.groupBy("_g").agg(F.count("*").alias("_docs"))
     return (
-        grams.join(freq, "_g")
+        grams.withColumn("_docs", F.count("*").over(Window.partitionBy("_g")))
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_grams"),

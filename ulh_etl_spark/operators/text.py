@@ -200,6 +200,52 @@ def weighted_sample_key(
     return F.pow(u, F.lit(1.0) / weight)
 
 
+def cap_per_group(
+    df,
+    group_col: str,
+    id_col: str,
+    n: int,
+    salt_buckets: int = 16,
+    rank_col: str = "cap_rank",
+):
+    """Per-group frequency cap — keep at most ``n`` rows per
+    ``group_col``, selected deterministically (lowest
+    ``md5('cap|' || id)`` first, id tiebreak). The Common Crawl-style
+    domain cap: without it a handful of template-heavy domains
+    dominate the training mix.
+
+    Scale shape (the reason this is not one window): ``row_number()
+    OVER (PARTITION BY group)`` funnels a hot group's entire row set
+    through ONE task — a 1B-doc domain is a straggler or an OOM.
+    Two-phase instead: (1) rank within (group, salt-of-id) — the hot
+    group splits across ``salt_buckets`` tasks, each keeping its local
+    top-``n``; (2) exact global per-group rank over the survivors,
+    now <= n * salt_buckets rows per group by construction. Every
+    global top-n row is in its salt-subgroup's top-n, so the result
+    is IDENTICAL to the single-window form (which is the SQL oracle).
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(
+        F.concat_ws("|", F.lit("cap"), F.col(id_col).cast("string"))
+    )
+    salted = df.withColumn("_ck", key).withColumn(
+        "_cs", F.pmod(F.hash(F.col(id_col)), F.lit(salt_buckets))
+    )
+    w1 = Window.partitionBy(group_col, "_cs").orderBy("_ck", id_col)
+    survivors = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= n)
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy(group_col).orderBy("_ck", id_col)
+    return (
+        survivors.withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= n)
+        .drop("_ck", "_cs")
+    )
+
+
 def top_ngrams(df, text_col: str, n: int = 2, k: int = 100):
     """Corpus-level top-``k`` word ``n``-grams by occurrence count —
     the vocabulary/phrase-statistics pass of a training-data pipeline

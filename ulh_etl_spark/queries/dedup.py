@@ -130,6 +130,39 @@ def q94_duplicate_gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicate_gram_stats(docs, "text", "doc_id", n=_DUPGRAM_N)
 
 
+def q98_source_gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: distinct 16-char-gram hashes
+    shared by each source pair — "how much does dataset A repeat
+    dataset B", the measurement behind dedup-order and mixing
+    decisions. One gram-hash shuffle; pair fan-out bounded by
+    |sources|² per gram, never a doc-level self-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.cross_group_gram_overlap(docs, "text", "source", n=_DUPGRAM_N)
+
+
+def q99_source_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication profile: corpus-level duplicated-gram
+    fraction by source (integer gram counts summed per source — exact
+    across engines, unlike averaging pre-rounded doubles). The
+    composition consumers read before choosing per-source dedup
+    aggressiveness."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = D.duplicate_gram_stats(docs, "text", "doc_id", n=_DUPGRAM_N)
+    return (
+        stats.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_grams").alias("total_grams"),
+            F.sum("n_dup_grams").alias("total_dup_grams"),
+            F.round(
+                F.sum("n_dup_grams") / F.sum("n_grams"), 6
+            ).alias("dup_frac"),
+            F.round(F.max("dup_frac"), 6).alias("max_doc_dup_frac"),
+        )
+    )
+
+
 QUERIES = {
     "q34_dedup_exact": q34_dedup_exact,
     "q35_minhash_signature": q35_minhash_signature,
@@ -139,6 +172,8 @@ QUERIES = {
     "q75_neardup_components": q75_neardup_components,
     "q85_lsh_decontamination": q85_lsh_decontamination,
     "q94_duplicate_gram_fraction": q94_duplicate_gram_fraction,
+    "q98_source_gram_overlap": q98_source_gram_overlap,
+    "q99_source_dup_profile": q99_source_dup_profile,
 }
 
 ORACLES = {
@@ -262,5 +297,47 @@ ORACLES = {
                           AS DOUBLE) / COUNT(*), 6) AS dup_frac
         FROM g JOIN freq USING (h)
         GROUP BY g.doc_id
+    """,
+    "q98_source_gram_overlap": f"""
+        WITH gr AS (
+            SELECT source,
+                   unnest(list_distinct(list_transform(
+                       {O.grams('text', _DUPGRAM_N)}, gg -> {O.md5h('gg')}))) AS h
+            FROM documents
+        ), g AS (
+            SELECT DISTINCT source, h FROM gr
+        )
+        SELECT a.source AS src_a, b.source AS src_b,
+               COUNT(*) AS shared_grams
+        FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2
+    """,
+    "q99_source_dup_profile": f"""
+        WITH g AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       {O.grams('text', _DUPGRAM_N)}, gg -> {O.md5h('gg')}))) AS h
+            FROM documents
+        ), freq AS (
+            SELECT h, COUNT(*) AS docs FROM g GROUP BY h
+        ), per_doc AS (
+            SELECT g.doc_id,
+                   COUNT(*) AS n_grams,
+                   CAST(SUM(CASE WHEN freq.docs > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_grams,
+                   ROUND(CAST(SUM(CASE WHEN freq.docs > 1 THEN 1 ELSE 0 END)
+                              AS DOUBLE) / COUNT(*), 6) AS dup_frac
+            FROM g JOIN freq USING (h)
+            GROUP BY g.doc_id
+        )
+        SELECT d.source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(p.n_grams) AS BIGINT) AS total_grams,
+               CAST(SUM(p.n_dup_grams) AS BIGINT) AS total_dup_grams,
+               ROUND(CAST(SUM(p.n_dup_grams) AS DOUBLE)
+                     / CAST(SUM(p.n_grams) AS DOUBLE), 6) AS dup_frac,
+               ROUND(MAX(p.dup_frac), 6) AS max_doc_dup_frac
+        FROM per_doc p JOIN documents d USING (doc_id)
+        GROUP BY d.source
     """,
 }

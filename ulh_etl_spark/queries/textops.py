@@ -333,6 +333,21 @@ def q92_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CAP_N = 10
+
+
+def q97_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source frequency cap (the Common Crawl domain cap): keep at
+    most 10 docs per source, chosen deterministically by md5-of-id
+    order. Two-phase salted ranking — a hot source never funnels
+    through one task (operators.text.cap_per_group); result identical
+    to the single-window SQL the oracle runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.cap_per_group(docs, "source", "doc_id", _CAP_N).select(
+        "doc_id", "source", F.col("cap_rank").cast("int").alias("cap_rank")
+    )
+
+
 _TOKS = O.ws_tokens("text")
 _LOW_TOKS = O.ws_tokens("lower(text)")
 _BM25_IN = ", ".join(f"'{t}'" for t in BM25_QUERY)
@@ -368,6 +383,7 @@ QUERIES = {
     "q91_logprob_tiles": q91_logprob_tiles,
     "q92_pii_redact": q92_pii_redact,
     "q93_corpus_shuffle_shards": q93_corpus_shuffle_shards,
+    "q97_source_cap": q97_source_cap,
 }
 
 # Shared quality-score SQL expression (identical to operators.text
@@ -414,6 +430,19 @@ _PII_COUNT_SQL = " + ".join(
 )
 
 ORACLES = {
+    # q97: the two-phase salted cap is exactly the single-window rank
+    "q97_source_cap": f"""
+        WITH ranked AS (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('cap|' || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS cap_rank
+            FROM documents
+        )
+        SELECT doc_id, source, CAST(cap_rank AS INT) AS cap_rank
+        FROM ranked WHERE cap_rank <= {_CAP_N}
+    """,
     "q30_token_counts": f"""
         SELECT doc_id,
                CAST(len({_TOKS}) AS BIGINT) AS ws_tokens,
