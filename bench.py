@@ -55,6 +55,12 @@ HEADLINE = (
     "q94_duplicate_gram_fraction",
     "q95_zorder_clustering",
     "q96_ivf_pruned_probe",
+    # Round-6 curation additions (salted source cap, cross-source
+    # duplication matrix, per-source dup profile, hashed-model score).
+    "q84_model_quality_score",
+    "q97_source_cap",
+    "q98_source_gram_overlap",
+    "q99_source_dup_profile",
 )
 
 # Anchors @ sf0.1, local[32] — the official regression baselines

@@ -383,3 +383,42 @@ def test_pack_utilization_zero_token_shard(spark):
     assert (rows[0]["total_tokens"], rows[0]["n_windows"], rows[0]["pad_frac"]) == (
         0, 0, 0.0,
     )
+
+
+def test_hashed_linear_score_model(spark):
+    """Hashed bag-of-words scorer: matches a pure-Python replica, and
+    tokenless/null docs land at sigmoid(0) = 0.5 instead of NULL."""
+    import hashlib
+    import math
+
+    from ulh_etl_spark.operators.text import (
+        hashed_linear_score,
+        hashed_model_weights,
+    )
+
+    K = 8
+    w = hashed_model_weights(K)
+
+    def py_score(text):
+        toks = [t for t in text.lower().split() if t]
+        if not toks:
+            return 0.5
+        logit = sum(
+            w[int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % K]
+            for t in toks
+        ) / len(toks)
+        return round(1.0 / (1.0 + math.exp(-logit)), 6)
+
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, "spark engine"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id", hashed_linear_score(F.col("text"), w).alias("s")
+        ).collect()
+    }
+    assert out[0] == py_score("the quick brown fox")
+    assert out[1] == py_score("spark engine")
+    assert out[2] == 0.5 and out[3] == 0.5

@@ -200,6 +200,59 @@ def weighted_sample_key(
     return F.pow(u, F.lit(1.0) / weight)
 
 
+def hashed_model_weights(n_buckets: int, salt: str = "qmodel") -> list[float]:
+    """Deterministic stand-in weight vector for
+    :func:`hashed_linear_score`, shaped like a trained linear model:
+    w_i = md5-uniform(salt, i) - 0.5, centered in [-0.5, 0.5).
+    A REAL trained model (fastText-style hashed bag-of-words) plugs
+    its weights into the same scorer unchanged — nothing about the
+    Spark plan depends on where the numbers came from."""
+    import hashlib
+
+    out = []
+    for i in range(n_buckets):
+        h = hashlib.md5(f"{salt}_{i}".encode()).hexdigest()[:8]
+        out.append(round(int(h, 16) / 4294967296.0 - 0.5, 6))
+    return out
+
+
+def hashed_linear_score(
+    text: Column, weights: list[float], round_to: int = 6
+) -> Column:
+    """Model-based quality scoring at corpus scale — the fastText-
+    style hashed bag-of-words linear classifier as a PURE JVM
+    expression: each token hashes into one of ``len(weights)``
+    buckets, the doc logit is the mean bucket weight, the score is
+    its sigmoid. No Python in the hot path, no vocabulary join, no
+    shuffle — the model rides the expression as ONE parsed array
+    literal (an F.lit per weight would cost len(weights) py4j calls
+    per plan; see similarity._centroid_literal for the same rule).
+
+    This is how a learned quality filter actually deploys at 100 TB:
+    hash-bucket lookup folded into codegen, weights broadcast as plan
+    constants — not a UDF calling a model object per row.
+    """
+    k = len(weights)
+    warr = F.expr(
+        "array({})".format(
+            ", ".join(f"CAST({w} AS DOUBLE)" for w in weights)
+        )
+    )
+    toks = whitespace_tokens(F.lower(text))
+    logits = F.transform(
+        toks,
+        lambda t: F.element_at(
+            warr, (md5_hash32(t) % F.lit(k) + 1).cast("int")
+        ),
+    )
+    mean = F.when(
+        F.size(toks) > 0,
+        F.aggregate(logits, F.lit(0.0), lambda a, x: a + x)
+        / F.size(toks).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-mean)), round_to)
+
+
 def cap_per_group(
     df,
     group_col: str,

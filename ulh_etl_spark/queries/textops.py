@@ -333,6 +333,24 @@ def q92_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QMODEL_K = 64
+_QMODEL_W = T.hashed_model_weights(_QMODEL_K)
+
+
+def q84_model_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: fastText-style hashed bag-of-words
+    linear classifier as one JVM expression — token-hash bucket
+    lookup into a plan-constant weight array, sigmoid of the mean
+    logit. The deployment shape for a LEARNED filter at 100 TB (no
+    UDF, no vocab join, no shuffle); the stand-in weights are
+    md5-derived so the oracle computes the identical model."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.hashed_linear_score(F.col("text"), _QMODEL_W).alias("model_score"),
+    )
+
+
 _CAP_N = 10
 
 
@@ -383,6 +401,7 @@ QUERIES = {
     "q91_logprob_tiles": q91_logprob_tiles,
     "q92_pii_redact": q92_pii_redact,
     "q93_corpus_shuffle_shards": q93_corpus_shuffle_shards,
+    "q84_model_quality_score": q84_model_quality_score,
     "q97_source_cap": q97_source_cap,
 }
 
@@ -429,7 +448,22 @@ _PII_COUNT_SQL = " + ".join(
     f"len(regexp_extract_all(text, '{_pat}'))" for _tag, _pat in T.PII_PATTERNS
 )
 
+_W_SQL = "[" + ", ".join(repr(w) for w in _QMODEL_W) + "]::DOUBLE[]"
+
 ORACLES = {
+    # q84: identical hashed-bucket linear model, weights inlined
+    "q84_model_quality_score": f"""
+        WITH t AS (
+            SELECT doc_id, {_LOW_TOKS} AS toks FROM documents
+        )
+        SELECT doc_id,
+               ROUND(1.0 / (1.0 + exp(-(CASE WHEN len(toks) > 0 THEN
+                   list_sum(list_transform(toks,
+                       tk -> ({_W_SQL})[CAST({O.md5h('tk')} % {_QMODEL_K} AS INT) + 1]))
+                   / CAST(len(toks) AS DOUBLE)
+                   ELSE 0.0 END))), 6) AS model_score
+        FROM t
+    """,
     # q97: the two-phase salted cap is exactly the single-window rank
     "q97_source_cap": f"""
         WITH ranked AS (
