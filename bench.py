@@ -91,6 +91,17 @@ ANCHOR = {
     "q87_sequence_pack": 0.221,
     "q89_chunk_documents": 0.258,
     "q90_token_budget_mix": 0.385,
+    # r6-measured anchors (first bench-tracked round for these; q94/
+    # q98/q99 measured AFTER the regex-lookahead char_ngrams rewrite):
+    "q84_model_quality_score": 0.430,
+    "q91_logprob_tiles": 0.379,
+    "q93_corpus_shuffle_shards": 0.196,
+    "q94_duplicate_gram_fraction": 1.843,
+    "q95_zorder_clustering": 0.271,
+    "q96_ivf_pruned_probe": 1.166,
+    "q97_source_cap": 0.199,
+    "q98_source_gram_overlap": 3.007,
+    "q99_source_dup_profile": 1.883,
 }
 
 
