@@ -195,6 +195,16 @@ def test_cross_group_gram_overlap_model(spark):
     # doc2, aaaa from doc4 -> 2. A∩C: {aaaa}: 1.
     assert out == {("A", "B"): 5, ("B", "C"): 2, ("A", "C"): 1}
 
+    # The high-cardinality fallback (mask wider than max_mask_groups
+    # -> distinct-pair self-join) must agree with the bitmask path.
+    fb = {
+        (r.src_a, r.src_b): r.shared_grams
+        for r in cross_group_gram_overlap(
+            df, "text", "source", n=4, max_mask_groups=2
+        ).collect()
+    }
+    assert fb == out
+
 
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
     """checkpoint_dir mode: identical labels, and the rounds actually

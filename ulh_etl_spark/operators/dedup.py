@@ -17,8 +17,12 @@ Scale design (the point of each algorithm):
 - **n-gram Jaccard** — exact verifier for candidate pairs produced by
   the approximate methods (never run it all-pairs at scale).
 
-All hashes are md5-derived (ulh_etl_spark.operators.text.md5_hash32)
-so DuckDB computes identical values for the correctness oracle.
+Hash policy (text.gram_hash64 docstring has the numbers): operators
+whose OUTPUT carries hash values (minhash signatures, LSH band keys,
+simhash) use md5_hash32 so DuckDB computes identical values for the
+correctness oracle; operators that only emit counts/ratios of grams
+(blocked Jaccard, duplicate-gram stats, cross-group overlap) use the
+~2x-cheaper xxhash64 and their oracles count raw grams instead.
 """
 
 from __future__ import annotations
@@ -31,6 +35,7 @@ from ulh_etl_spark.operators.text import (
     MERSENNE31,
     char_ngrams,
     fingerprint,
+    gram_hash64,
     md5_hash32,
     whitespace_tokens,
 )
@@ -307,16 +312,19 @@ def ngram_jaccard_pairs_blocked(
     and non-candidate pairs are never materialized. Gram sets are
     computed once per doc, before the join.
     """
-    # Gram sets as md5-int arrays, not strings: integer set-intersection
-    # is several times cheaper than string comparison, and the hash is
-    # engine-portable so the oracle computes the identical sets
-    # (collisions included) — exactness of the *measure* becomes
-    # hash-set Jaccard, which is the standard trade at scale.
-    # Persist the gram-set relation: computing the md5 gram sets is the
-    # dominant cost (one md5 per character), and the two self-joins
-    # would recompute it up to 4x (once per join side). Materializing
-    # once is the canonical candidate-verification shape — at scale the
-    # gram sets are ~3x the text size and spill to disk cleanly.
+    # Gram sets as xxhash64-long arrays, not strings: integer set-
+    # intersection is several times cheaper than string comparison and
+    # the hashed set is ~1/3 the bytes of the raw grams it replaces.
+    # xxhash64 over md5 (two-hash policy, text.gram_hash64): only the
+    # Jaccard VALUE escapes, and at 64 bits hash-set Jaccard equals
+    # raw-gram Jaccard up to ~n^2/2^65 collision noise — so the oracle
+    # verifies against raw-gram Jaccard directly.
+    # Persist the gram-set relation: building the gram sets is the
+    # dominant cost (one regex capture per position), and the two
+    # self-joins would recompute it up to 4x (once per join side).
+    # Materializing once is the canonical candidate-verification
+    # shape — at scale the gram sets are ~3x the text size and spill
+    # to disk cleanly.
     # Repartition first (only if under-parallel): a small input may
     # arrive as 1-2 parquet splits and the per-char md5 work would run
     # on as many cores.
@@ -326,14 +334,14 @@ def ngram_jaccard_pairs_blocked(
         F.col(block_col).alias("_blk"),
         F.col(length_col).alias("_len"),
         (F.col(length_col) / max_length_diff).cast("long").alias("_bkt"),
-        # distinct BEFORE hashing (md5 is the dominant per-row cost, so
-        # never hash a duplicate gram) AND after: two distinct grams
-        # that collide in the 32-bit prefix must still yield a
+        # distinct BEFORE hashing (never hash a duplicate gram) AND
+        # after: two distinct grams that collide must still yield a
         # deduplicated hash set, or |A|+|B| counts a hash that
         # array_intersect dedupes.
         F.array_distinct(
             F.transform(
-                F.array_distinct(char_ngrams(F.col(text_col), n)), md5_hash32
+                F.array_distinct(char_ngrams(F.col(text_col), n)),
+                lambda g: gram_hash64(g),
             )
         ).alias("_g"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -501,6 +509,7 @@ def cross_group_gram_overlap(
     text_col: str,
     group_col: str,
     n: int = 16,
+    max_mask_groups: int = 64,
 ) -> DataFrame:
     """Cross-source duplication matrix: for every pair of groups
     (sources/datasets/snapshots), the number of distinct character
@@ -508,48 +517,96 @@ def cross_group_gram_overlap(
     much does dataset A repeat dataset B", which drives dedup-order
     and mixing decisions when assembling a training corpus.
 
-    Scale shape: per-doc distinct grams explode (narrow, md5 hashed
-    once) -> ONE shuffle on the gram hash collecting the distinct
-    group set per gram (collect_set dedupes across docs; bounded by
-    |groups|, so this holds for source/language/dataset-granularity
-    groups — for web-domain cardinality use a pairwise join instead)
-    -> emit each group pair once per gram via an index-aware
-    transform over the sorted set -> partial-agged count per pair.
-    Never a doc-level self-join; the pair explosion is bounded by
-    |groups|² per gram.
-    """
-    from ulh_etl_spark.operators.text import char_ngrams, md5_hash32
+    Scale shape (<= ``max_mask_groups`` groups, the bitmask path):
+    one cheap pre-pass reads ONLY the group column (columnar scan +
+    tiny distinct) to assign each group a bit; per-doc distinct grams
+    explode (narrow, hashed once) with mask = 1 << bit -> ONE shuffle
+    on the gram hash computing bit_or(mask) per gram — a plain long
+    aggregate that stays in whole-stage codegen (the collect_set
+    formulation this replaced falls out to ObjectHashAggregate) ->
+    groupBy(mask).count() collapses |distinct grams| rows to
+    <= 2^|groups| (in practice a few hundred) BEFORE any pair
+    fan-out -> the C(|groups|, 2) pair expansion runs over that tiny
+    relation via a literal pair array. Never a doc-level self-join;
+    the heavy stages never materialize a pair.
 
-    grams = df.select(
-        F.col(group_col).alias("_grp"),
-        F.explode_outer(
-            F.array_distinct(
-                F.transform(char_ngrams(F.col(text_col), n), md5_hash32)
-            )
-        ).alias("_g"),
-    ).filter(F.col("_g").isNotNull())
-    sets = (
-        grams.groupBy("_g")
-        .agg(F.array_sort(F.collect_set("_grp")).alias("_gs"))
-        .filter(F.size("_gs") >= 2)
-    )
-    gs = F.col("_gs")
-    pairs = sets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    gs,
-                    lambda x, i: F.transform(
-                        F.slice(gs, i + F.lit(2), F.size(gs)),
-                        lambda y: F.struct(x.alias("a"), y.alias("b")),
-                    ),
+    Above ``max_mask_groups`` (web-domain cardinality) the mask no
+    longer fits a long; falls back to distinct (group, gram) rows +
+    a gram-keyed self-join — same result, pairwise-join cost.
+    """
+    from ulh_etl_spark.operators.text import char_ngrams, gram_hash64
+
+    def explode_grams(frame, *keep):
+        return frame.select(
+            *keep,
+            F.explode_outer(
+                F.array_distinct(
+                    F.transform(
+                        char_ngrams(F.col(text_col), n),
+                        lambda g: gram_hash64(g),
+                    )
                 )
-            )
-        ).alias("_p")
+            ).alias("_g"),
+        ).filter(F.col("_g").isNotNull())
+
+    # Group inventory: bounded by |groups|; reads one column (parquet
+    # prunes to it), so at 100 TB it is metadata-cheap next to the
+    # gram pipeline it gates.
+    groups = sorted(
+        r[0] for r in df.select(F.col(group_col)).distinct().collect()
     )
-    return pairs.groupBy(
-        F.col("_p.a").alias("src_a"), F.col("_p.b").alias("src_b")
-    ).agg(F.count("*").alias("shared_grams"))
+    if len(groups) > max_mask_groups:
+        gg = explode_grams(df.withColumn("_grp", F.col(group_col)), "_grp").distinct()
+        a, b = gg.alias("a"), gg.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a._g") == F.col("b._g"))
+                & (F.col("a._grp") < F.col("b._grp")),
+            )
+            .groupBy(
+                F.col("a._grp").alias("src_a"), F.col("b._grp").alias("src_b")
+            )
+            .agg(F.count("*").alias("shared_grams"))
+        )
+
+    # Mask assigned ONCE PER DOCUMENT, before the gram explode — the
+    # |groups|-branch lookup must never run per gram row (measured:
+    # evaluating it post-explode cost more than the collect_set it
+    # replaced).
+    mask_expr = F.lit(0).cast("long")
+    for i, g in enumerate(groups):
+        mask_expr = F.when(
+            F.col(group_col) == F.lit(g), F.lit(1 << i).cast("long")
+        ).otherwise(mask_expr)
+    masks = (
+        explode_grams(df.withColumn("_m", mask_expr), "_m")
+        .groupBy("_g")
+        .agg(F.bit_or("_m").alias("_mask"))
+        .groupBy("_mask")
+        .count()
+    )
+    # Pair expansion as a broadcast nested-loop join against the
+    # C(|groups|, 2)-row pair table — fully codegen. (A literal-array
+    # explode+filter was tried first: Catalyst does not constant-fold
+    # the 190-struct CreateArray, so it rebuilt the array per mask row
+    # in an interpreted Generate — 2x the whole query's cost.)
+    pair_rows = [
+        (groups[i], groups[j], (1 << i) | (1 << j))
+        for i in range(len(groups))
+        for j in range(i + 1, len(groups))
+    ]
+    pairs = df.sparkSession.createDataFrame(
+        pair_rows, "src_a string, src_b string, _bits long"
+    )
+    return (
+        masks.join(
+            F.broadcast(pairs),
+            F.col("_mask").bitwiseAND(F.col("_bits")) == F.col("_bits"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.sum("count").alias("shared_grams"))
+    )
 
 
 def simhash(text: Column, bits: int = 16) -> Column:
@@ -632,16 +689,19 @@ def duplicate_gram_stats(df, text_col: str, id_col: str, n: int = 16):
     """
     from pyspark.sql import Window
 
-    from ulh_etl_spark.operators.text import char_ngrams, md5_hash32
+    from ulh_etl_spark.operators.text import char_ngrams, gram_hash64
 
     grams = df.select(
         F.col(id_col),
         # explode_outer + isnotnull: see SCALE.md (InferFiltersFrom-
-        # Generate would re-run the gram+md5 pipeline in a pushed
+        # Generate would re-run the gram+hash pipeline in a pushed
         # per-row filter with plain explode).
         F.explode_outer(
             F.array_distinct(
-                F.transform(char_ngrams(F.col(text_col), n), md5_hash32)
+                F.transform(
+                    char_ngrams(F.col(text_col), n),
+                    lambda g: gram_hash64(g),
+                )
             )
         ).alias("_g"),
     ).filter(F.col("_g").isNotNull())

@@ -36,6 +36,23 @@ def md5_hash32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def gram_hash64(col: Column) -> Column:
+    """Fast 64-bit gram hash (xxhash64) for HASH-INVARIANT operators.
+
+    Two-hash policy: md5_hash32 is for operators whose OUTPUT contains
+    hash values the DuckDB oracle must reproduce bit-for-bit (minhash
+    signatures, LSH band keys, winnowing fingerprints, hash splits).
+    Where only counts/ratios of (distinct) grams escape — duplicate-
+    gram fraction, cross-source overlap, blocked Jaccard, exact-gram
+    decontamination — the hash is an internal compression and the
+    oracle can count RAW grams instead; xxhash64 is a single JVM
+    codegen intrinsic vs md5's digest+hex+conv chain. Measured at
+    sf0.1: the 16-char-gram explode drops 1.24 s -> 0.57 s, full
+    q94 1.90 s -> 1.20 s. 64-bit width keeps collision effects below
+    oracle tolerance at any testable scale (~n^2 / 2^65)."""
+    return F.xxhash64(col)
+
+
 def whitespace_tokens(col: Column) -> Column:
     """Split on whitespace runs, dropping empties (leading blanks)."""
     return F.filter(F.split(col, r"\s+"), lambda t: t != "")
@@ -685,7 +702,10 @@ def contamination_counts(
             F.col(id_col),
             F.explode_outer(
                 F.array_distinct(
-                    F.transform(char_ngrams(F.col(text_col), n), md5_hash32)
+                    F.transform(
+                        char_ngrams(F.col(text_col), n),
+                        lambda g: gram_hash64(g),
+                    )
                 )
             ).alias("_g"),
         ).filter(F.col("_g").isNotNull())

@@ -217,8 +217,7 @@ ORACLES = {
     "q38_ngram_jaccard_pairs": f"""
         WITH g AS MATERIALIZED (
             SELECT doc_id, lang, n_chars,
-                   list_distinct(list_transform({O.grams('text', 3)},
-                                 gg -> {O.md5h('gg')})) AS g3
+                   list_distinct({O.grams('text', 3)}) AS g3
             FROM documents
         ), p AS (
             SELECT a.doc_id AS id1, b.doc_id AS id2,
@@ -283,8 +282,7 @@ ORACLES = {
     "q94_duplicate_gram_fraction": f"""
         WITH g AS (
             SELECT doc_id,
-                   unnest(list_distinct(list_transform(
-                       {O.grams('text', _DUPGRAM_N)}, gg -> {O.md5h('gg')}))) AS h
+                   unnest(list_distinct({O.grams('text', _DUPGRAM_N)})) AS h
             FROM documents
         ), freq AS (
             SELECT h, COUNT(*) AS docs FROM g GROUP BY h
@@ -301,8 +299,7 @@ ORACLES = {
     "q98_source_gram_overlap": f"""
         WITH gr AS (
             SELECT source,
-                   unnest(list_distinct(list_transform(
-                       {O.grams('text', _DUPGRAM_N)}, gg -> {O.md5h('gg')}))) AS h
+                   unnest(list_distinct({O.grams('text', _DUPGRAM_N)})) AS h
             FROM documents
         ), g AS (
             SELECT DISTINCT source, h FROM gr
@@ -315,8 +312,7 @@ ORACLES = {
     "q99_source_dup_profile": f"""
         WITH g AS (
             SELECT doc_id,
-                   unnest(list_distinct(list_transform(
-                       {O.grams('text', _DUPGRAM_N)}, gg -> {O.md5h('gg')}))) AS h
+                   unnest(list_distinct({O.grams('text', _DUPGRAM_N)})) AS h
             FROM documents
         ), freq AS (
             SELECT h, COUNT(*) AS docs FROM g GROUP BY h

@@ -652,8 +652,7 @@ ORACLES = {
     "q79_decontamination": f"""
         WITH g AS (
             SELECT doc_id,
-                   unnest(list_distinct(list_transform(
-                       {O.grams('text', DECON_N)}, gg -> {O.md5h('gg')}))) AS h
+                   unnest(list_distinct({O.grams('text', DECON_N)})) AS h
             FROM documents
         ), b AS (
             SELECT DISTINCT h FROM g WHERE doc_id % {DECON_MOD} = 0
