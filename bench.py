@@ -61,6 +61,10 @@ HEADLINE = (
     "q97_source_cap",
     "q98_source_gram_overlap",
     "q99_source_dup_profile",
+    # Round-6 dedup additions: semantic (embedding-cluster) dedup and
+    # passage-level exact dedup with reassembly.
+    "q100_semantic_dedup",
+    "q101_passage_dedup",
 )
 
 # Anchors @ sf0.1, local[32] — the official regression baselines

@@ -296,3 +296,60 @@ def test_lsh_bands_rejects_non_divisor_rows_per_band(spark):
     for bad in (3, 9, 0, -1):
         with pytest.raises(ValueError, match="divisor"):
             lsh_bands(sigs, "doc_id", num_hashes=8, rows_per_band=bad)
+
+
+def test_semantic_dedup_model(spark):
+    """Hand-checkable SemDeDup: two clusters; in cluster A, vectors 1
+    and 3 are identical (cos=1) so 3 drops and 1 survives; vector 10
+    is the min-id exemplar of cluster B's identical pair (10, 11);
+    vector 5 sits in cluster A but nearly orthogonal to everything ->
+    kept. Chain rule: 3 also similar to nothing else, no transitive
+    surprises."""
+    from ulh_etl_spark.operators.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (3, [1.0, 0.0, 0.0]),     # dup of 1 -> dropped
+            (5, [0.9, 0.1, 0.0]),     # same cell as 1, cos ~0.994
+            (10, [0.0, 1.0, 0.0]),
+            (11, [0.0, 1.0, 0.0]),    # dup of 10 -> dropped
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "centroid_id int, centroid_vec array<double>",
+    )
+    out = {
+        r.vec_id: (r.cell, r.kept)
+        for r in semantic_dedup(emb, cents, threshold=0.995).collect()
+    }
+    assert out == {
+        1: (0, True),
+        3: (0, False),
+        5: (0, True),   # cos(1,5) ~ 0.993884 < 0.995 -> survives
+        10: (1, True),
+        11: (1, False),
+    }
+
+
+def test_collapse_neardup_best_model(spark):
+    """Keep-best collapse: component 1 = {1,2,3} with 2 highest
+    quality -> keep 2; component 10 = {10,11} tied quality -> lowest
+    id 10 wins."""
+    from ulh_etl_spark.operators.dedup import collapse_neardup_best
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "node long, component long",
+    )
+    scored = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.7), (10, 0.4), (11, 0.4), (99, 1.0)],
+        "doc_id long, quality double",
+    )
+    out = {
+        r.component: (r.keep_id, r.best_quality, r.n_members)
+        for r in collapse_neardup_best(labels, scored).collect()
+    }
+    assert out == {1: (2, 0.9, 3), 10: (10, 0.4, 2)}

@@ -422,3 +422,32 @@ def test_hashed_linear_score_model(spark):
     assert out[0] == py_score("the quick brown fox")
     assert out[1] == py_score("spark engine")
     assert out[2] == 0.5 and out[3] == 0.5
+
+
+def test_passage_dedup_model(spark):
+    """Hand-checkable passage dedup (2-token passages): doc 1 owns
+    both its passages; doc 2 repeats doc 1's first passage ('a b') at
+    idx 0 -> dropped, keeps its unique tail; doc 3 repeats its OWN
+    first passage -> within-doc repeat also dropped; doc 4 is
+    token-less -> survives with empty clean_text."""
+    from ulh_etl_spark.operators.text import passage_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b x y"),
+            (3, "p q p q"),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.clean_text, r.n_passages, r.n_dropped)
+        for r in passage_dedup(df, "text", "doc_id", passage_tokens=2).collect()
+    }
+    assert out == {
+        1: ("a b c d", 2, 0),
+        2: ("x y", 2, 1),
+        3: ("p q", 2, 1),
+        4: ("", 1, 0),
+    }

@@ -504,6 +504,50 @@ def connected_components(
     return labels
 
 
+def collapse_neardup_best(
+    labels: DataFrame,
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Near-dup cluster collapse, keep-best-member: given component
+    labels from ``connected_components`` (node, component) and a
+    per-document score relation, pick each cluster's highest-scoring
+    member (ties -> lowest id) as the survivor — the curation step
+    after clustering: "of these N near-identical pages, keep the
+    best-written one" rather than the arbitrary min-id.
+
+    Scale: one equi-join on the doc id (labels are |clustered docs|,
+    usually a small fraction of the corpus; AQE broadcasts when
+    small), then ONE partial-agged max-struct groupBy on component —
+    no window sort, no second pass. Returns (component, keep_id,
+    best_<score_col>, n_members).
+    """
+    m = labels.join(
+        scored.select(
+            F.col(id_col).alias("node"), F.col(score_col).alias("_score")
+        ),
+        "node",
+    )
+    # argmax via struct ordering: (score asc, -id asc) so max() lands
+    # on highest score, lowest id on ties. Single aggregate — the
+    # max_by(x, y) pair form needs two agg buffers and loses the
+    # deterministic tiebreak.
+    best = F.max(
+        F.struct(F.col("_score").alias("s"), (-F.col("node")).alias("nid"))
+    )
+    return (
+        m.groupBy("component")
+        .agg(best.alias("_b"), F.count("*").alias("n_members"))
+        .select(
+            "component",
+            (-F.col("_b.nid")).alias("keep_id"),
+            F.col("_b.s").alias(f"best_{score_col}"),
+            "n_members",
+        )
+    )
+
+
 def cross_group_gram_overlap(
     df: DataFrame,
     text_col: str,

@@ -49,11 +49,16 @@ def cosine_topk(
     per-query top-k window, keyed by query_id. For huge query sets use
     ivf_topk instead.
     """
+    # Norms precomputed per row on each side — never per pair: the
+    # per-pair l2_norm would triple the interpreted HOF work across
+    # |corpus| x |queries| rows. Same arithmetic, same bits.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -63,7 +68,7 @@ def cosine_topk(
             "neighbor_id",
             (
                 _dot(F.col("q_vec"), F.col("c_vec"))
-                / (l2_norm(F.col("q_vec")) * l2_norm(F.col("c_vec")))
+                / (F.col("_qn") * F.col("_cn"))
             ).alias("cos_raw"),
         )
     )
@@ -201,17 +206,18 @@ def ivf_topk(
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
         F.col("cell"),
     )
     scored = (
-        c.join(F.broadcast(q_cells), "cell")
+        c.join(F.broadcast(q_cells.withColumn("_qn", l2_norm(F.col("q_vec")))), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
             (
                 _dot(F.col("q_vec"), F.col("c_vec"))
-                / (l2_norm(F.col("q_vec")) * l2_norm(F.col("c_vec")))
+                / (F.col("_qn") * F.col("_cn"))
             ).alias("cos_raw"),
         )
     )
@@ -246,23 +252,99 @@ def embedding_neardup_pairs(
     from pyspark.storagelevel import StorageLevel
 
     # persist: the self-join would otherwise re-scan the corpus and
-    # recompute the C-distance assignment map once per side
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # recompute the C-distance assignment map once per side. Norm
+    # precomputed per vector, not per pair (see semantic_dedup).
+    assigned = (
+        ivf_assign(corpus, centroids, id_col, vec_col)
+        .withColumn("_norm", l2_norm(F.col(vec_col)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = assigned.select(
-        F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"), "cell"
+        F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"),
+        F.col("_norm").alias("_n1"), "cell",
     )
     b = assigned.select(
-        F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"), "cell"
+        F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"),
+        F.col("_norm").alias("_n2"), "cell",
     )
     pairs = a.join(b, "cell").filter(F.col("id1") < F.col("id2"))
-    cos = _dot(F.col("v1"), F.col("v2")) / (
-        l2_norm(F.col("v1")) * l2_norm(F.col("v2"))
-    )
+    cos = _dot(F.col("v1"), F.col("v2")) / (F.col("_n1") * F.col("_n2"))
     return (
         pairs.select("id1", "id2", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster embeddings,
+    then within each cluster drop all but one of every group of
+    semantically near-identical vectors. Catches paraphrases and
+    re-renderings that lexical (gram/MinHash) dedup cannot see.
+
+    Keep rule (deterministic stand-in for the paper's random
+    exemplar): a vector is DROPPED iff some same-cell vector with a
+    SMALLER id is >= ``threshold`` cosine-similar. The min-id member
+    of any similarity chain always survives; order-free, one pass,
+    exactly reproducible by the SQL oracle.
+
+    Scale: identical shape to ``embedding_neardup_pairs`` — narrow
+    centroid-literal assignment, ONE shuffle on ``cell`` for the
+    self-join (cells bound the pair fan-out; centroid count is the
+    skew knob), then a distinct on the dropped-id column and a
+    same-key anti-join-style flag join. Never all-pairs.
+
+    Returns (id_col, cell, kept) for every input vector.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    # Per-vector norm computed ONCE before the self-join (the naive
+    # per-pair l2_norm doubles the interpreted HOF work on every one
+    # of the O(sum cell^2) candidate pairs; dividing by the product of
+    # the precomputed doubles is bit-identical arithmetic).
+    assigned = (
+        ivf_assign(corpus, centroids, id_col, vec_col)
+        .withColumn("_norm", l2_norm(F.col(vec_col)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = assigned.select(
+        F.col(id_col).alias("_id1"),
+        F.col(vec_col).alias("_v1"),
+        F.col("_norm").alias("_n1"),
+        "cell",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_id2"),
+        F.col(vec_col).alias("_v2"),
+        F.col("_norm").alias("_n2"),
+        "cell",
+    )
+    cos = _dot(F.col("_v1"), F.col("_v2")) / (F.col("_n1") * F.col("_n2"))
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("_id1") < F.col("_id2"))
+        # round BEFORE thresholding, like embedding_neardup_pairs: the
+        # oracle compares rounded cosines, and a vector sitting exactly
+        # on the boundary must fall on the same side in both engines.
+        .filter(F.round(cos, 6) >= threshold)
+        .select(F.col("_id2").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        assigned.select(id_col, "cell")
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.col("_dropped").isNull().alias("kept"),
+        )
     )
 
 

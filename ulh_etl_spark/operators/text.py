@@ -485,6 +485,93 @@ def chunk_documents(
     )
 
 
+def passage_dedup(
+    df,
+    text_col: str,
+    id_col: str,
+    passage_tokens: int = 64,
+):
+    """Passage-level exact dedup with reassembly — the distributable
+    form of exact duplicate-substring removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): split
+    every document into non-overlapping ``passage_tokens``-token
+    passages, keep only the globally FIRST occurrence of each distinct
+    passage text (ordered by (doc_id, passage_idx)), drop every later
+    repeat, and reassemble each document from its surviving passages
+    in order. Removes cross-document boilerplate at passage
+    granularity — the suffix-array substring walk the paper uses is
+    inherently sequential; fixed passages are the shuffle-expressible
+    form of the same signal.
+
+    Scale: passage explode is a narrow map; canonical-occurrence
+    choice is ONE shuffle — a window keyed by the passage hash
+    (xxhash64: only keep/drop decisions depend on it, so the fast
+    non-portable hash is safe — two-hash policy, see gram_hash64; the
+    passage text must travel in the same shuffle anyway for
+    reassembly); reassembly is one shuffle back on the doc id with an
+    ordered in-group sort. A boilerplate passage repeated across the
+    whole corpus makes one window group wide — same skew class as the
+    gram-frequency window in duplicate_gram_stats; cap or pre-filter
+    via that operator if a corpus is known-pathological.
+
+    Returns (id_col, clean_text, n_passages, n_dropped) — one row per
+    input document, token-less documents included (empty clean_text).
+    """
+    from pyspark.sql import Window
+
+    if passage_tokens <= 0:
+        raise ValueError("passage_tokens must be positive")
+    with_t = df.select(
+        F.col(id_col), whitespace_tokens(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
+    nt = F.size(toks)
+    n_pass = F.greatest(
+        F.ceil(nt / F.lit(passage_tokens)).cast("long"), F.lit(1)
+    )
+    passages = F.transform(
+        F.sequence(F.lit(0), n_pass - 1),
+        lambda i: F.struct(
+            i.alias("idx"),
+            F.array_join(
+                F.slice(toks, i * passage_tokens + 1, passage_tokens), " "
+            ).alias("passage"),
+        ),
+    )
+    # explode_outer (not explode): token-less docs must keep a row so
+    # the output covers every input document — and it sidesteps the
+    # InferFiltersFromGenerate re-evaluation trap (SCALE.md).
+    exploded = with_t.select(
+        F.col(id_col), F.explode_outer(passages).alias("_p")
+    ).select(
+        F.col(id_col),
+        F.col("_p.idx").alias("_idx"),
+        F.col("_p.passage").alias("_passage"),
+    )
+    w = Window.partitionBy(F.xxhash64("_passage")).orderBy(id_col, "_idx")
+    ranked = exploded.withColumn("_rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("_rn") == 1, F.struct(F.col("_idx"), F.col("_passage"))
+    )
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            # collect_list skips the NULLs the when() leaves for
+            # dropped passages; array_sort orders by _idx (first
+            # struct field) for deterministic reassembly.
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["_passage"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").alias("n_passages"),
+            F.sum((F.col("_rn") > 1).cast("long")).alias("n_dropped"),
+        )
+    )
+
+
 def pack_sequences(
     df,
     text_col: str,

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from ulh_etl_spark.operators import dedup as D
 from ulh_etl_spark.queries import _oracle_fragments as O
+from ulh_etl_spark.queries.textops import _QUALITY_SQL
 from ulh_etl_spark.session import load_table
 
 _NUM_HASHES = 8
@@ -163,6 +164,24 @@ def q99_source_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q102_neardup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation composition: MinHash-LSH candidate pairs -> exact
+    connected components -> collapse each near-dup cluster to its
+    BEST-QUALITY member (ties -> lowest doc_id). The "keep the
+    best-written copy" policy real corpus curation wants, vs the
+    arbitrary min-id survivor. Join on doc id + one max-struct
+    groupBy; no window, no extra pass over the corpus."""
+    from ulh_etl_spark.operators.text import with_quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_candidate_pairs(
+        docs, "text", "doc_id", _NUM_HASHES, _ROWS_PER_BAND, _SHINGLE_N
+    )
+    labels = D.connected_components(pairs)
+    scored = with_quality_score(docs, "text").select("doc_id", "quality")
+    return D.collapse_neardup_best(labels, scored, "doc_id", "quality")
+
+
 QUERIES = {
     "q34_dedup_exact": q34_dedup_exact,
     "q35_minhash_signature": q35_minhash_signature,
@@ -174,7 +193,34 @@ QUERIES = {
     "q94_duplicate_gram_fraction": q94_duplicate_gram_fraction,
     "q98_source_gram_overlap": q98_source_gram_overlap,
     "q99_source_dup_profile": q99_source_dup_profile,
+    "q102_neardup_collapse": q102_neardup_collapse,
 }
+
+_CC_CTE = f"""WITH RECURSIVE hashed AS (
+            SELECT doc_id, {_HS} AS hs FROM documents
+        ), sigs AS (
+            SELECT doc_id,
+               {_SIG_COLS}
+            FROM hashed
+        ), bands AS (
+{_BAND_SELECTS}
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ), edges AS (
+            SELECT id1 AS a, id2 AS b FROM pairs
+            UNION
+            SELECT id2, id1 FROM pairs
+        ), reach(src, dst) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        ), comp AS (
+            SELECT src AS node, MIN(dst) AS component
+            FROM reach GROUP BY src
+        )"""
 
 ORACLES = {
     "q34_dedup_exact": f"""
@@ -233,32 +279,25 @@ ORACLES = {
         WHERE ROUND(CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE), 6) >= 0.5
     """,
     # exact transitive closure of the LSH pair graph: component =
-    # min reachable node id (recursive CTE fixpoint)
+    # min reachable node id (recursive CTE fixpoint); _CC_CTE shared
+    # with q102 so the two stay in lockstep by construction.
     "q75_neardup_components": f"""
-        WITH RECURSIVE hashed AS (
-            SELECT doc_id, {_HS} AS hs FROM documents
-        ), sigs AS (
-            SELECT doc_id,
-               {_SIG_COLS}
-            FROM hashed
-        ), bands AS (
-{_BAND_SELECTS}
-        ), pairs AS (
-            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-            FROM bands a JOIN bands b
-              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-             AND a.doc_id < b.doc_id
-        ), edges AS (
-            SELECT id1 AS a, id2 AS b FROM pairs
-            UNION
-            SELECT id2, id1 FROM pairs
-        ), reach(src, dst) AS (
-            SELECT a, a FROM edges
-            UNION
-            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        {_CC_CTE}
+        SELECT node, component FROM comp
+    """,
+    "q102_neardup_collapse": f"""
+        {_CC_CTE}, scored AS (
+            SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents
+        ), ranked AS (
+            SELECT c.component, c.node, s.quality,
+                   row_number() OVER (PARTITION BY c.component
+                                      ORDER BY s.quality DESC, c.node) AS rn,
+                   COUNT(*) OVER (PARTITION BY c.component) AS n_members
+            FROM comp c JOIN scored s ON c.node = s.doc_id
         )
-        SELECT src AS node, MIN(dst) AS component
-        FROM reach GROUP BY src
+        SELECT component, node AS keep_id, quality AS best_quality,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM ranked WHERE rn = 1
     """,
     "q85_lsh_decontamination": f"""
         WITH hashed AS (

@@ -190,6 +190,19 @@ def q96_ivf_pruned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q100_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: embedding-cluster semantic dedup — within each IVF
+    cell, drop every vector that has a smaller-id same-cell vector at
+    cosine >= threshold (deterministic exemplar = min id). The
+    semantic companion to the lexical dedup family (q34-q38): it
+    catches paraphrases MinHash can't. Same cell-blocked join shape
+    as q46; one shuffle on cell, never all-pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(
+        emb, _centroids(emb), threshold=_NEARDUP_THRESHOLD
+    )
+
+
 QUERIES = {
     "q39_cosine_topk": q39_cosine_topk,
     "q40_embedding_norms": q40_embedding_norms,
@@ -201,6 +214,7 @@ QUERIES = {
     "q61_hyperplane_pairs": q61_hyperplane_pairs,
     "q86_ivf_recall": q86_ivf_recall,
     "q96_ivf_pruned_probe": q96_ivf_pruned_probe,
+    "q100_semantic_dedup": q100_semantic_dedup,
 }
 
 
@@ -394,6 +408,31 @@ ORACLES = {
     # q96 = q42 through the at-rest partitioned index; the layout
     # changes the scan, not the result, so the oracle is q42's.
     "q96_ivf_pruned_probe": _Q42_SQL,
+    "q100_semantic_dedup": f"""
+        WITH c AS (
+            SELECT vec_id AS centroid_id, embedding AS centroid_vec
+            FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+        ), assigned AS (
+            SELECT vec_id, embedding, cell FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {_SQDIST}, c.centroid_id) AS rn
+                FROM embeddings e, c
+            ) WHERE rn = 1
+        ), dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM assigned a JOIN assigned b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE ROUND(
+                list_sum(list_transform(generate_series(1, len(a.embedding)),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+            6) >= {_NEARDUP_THRESHOLD}
+        )
+        SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS kept
+        FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    """,
     "q86_ivf_recall": f"""
         WITH bf AS (SELECT * FROM ({_Q39_SQL})),
              iv AS (SELECT * FROM ({_Q42_SQL}))

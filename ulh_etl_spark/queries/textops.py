@@ -206,6 +206,7 @@ def q88_pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CHUNK_TOKENS = 64
+PASSAGE_TOKENS = 32
 CHUNK_OVERLAP = 16
 MIX_BUDGET = 1000
 
@@ -228,6 +229,18 @@ def q89_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.chunk_documents(
         docs, "text", "doc_id",
         chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP,
+    )
+
+
+def q101_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup with reassembly (Lee et al. 2022's
+    duplicate-substring REMOVAL, at passage granularity): 32-token
+    non-overlapping passages, keep the globally first occurrence of
+    each distinct passage, rebuild every doc from its survivors. One
+    passage-hash window shuffle + one doc-key reassembly shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.passage_dedup(
+        docs, "text", "doc_id", passage_tokens=PASSAGE_TOKENS
     )
 
 
@@ -397,6 +410,7 @@ QUERIES = {
     "q87_sequence_pack": q87_sequence_pack,
     "q88_pack_utilization": q88_pack_utilization,
     "q89_chunk_documents": q89_chunk_documents,
+    "q101_passage_dedup": q101_passage_dedup,
     "q90_token_budget_mix": q90_token_budget_mix,
     "q91_logprob_tiles": q91_logprob_tiles,
     "q92_pii_redact": q92_pii_redact,
@@ -739,6 +753,36 @@ ORACLES = {
                ch.chunk_text AS chunk_text,
                CAST(ch.chunk_n AS BIGINT) AS chunk_n_tokens
         FROM c
+    """,
+    "q101_passage_dedup": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS tk FROM documents
+        ), p AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(0,
+                           CAST(greatest(ceil(len(tk) / {PASSAGE_TOKENS}.0), 1)
+                               AS BIGINT) - 1),
+                       i -> struct_pack(
+                           idx := i,
+                           passage := array_to_string(
+                               tk[i*{PASSAGE_TOKENS}+1 : (i+1)*{PASSAGE_TOKENS}],
+                               ' '))
+                   )) AS ps
+            FROM t
+        ), ranked AS (
+            SELECT doc_id, ps.idx AS idx, ps.passage AS passage,
+                   row_number() OVER (PARTITION BY ps.passage
+                                      ORDER BY doc_id, ps.idx) AS rn
+            FROM p
+        )
+        SELECT doc_id,
+               COALESCE(string_agg(passage, ' ' ORDER BY idx)
+                            FILTER (rn = 1), '') AS clean_text,
+               COUNT(*) AS n_passages,
+               CAST(COUNT(*) FILTER (rn > 1) AS BIGINT) AS n_dropped
+        FROM ranked
+        GROUP BY doc_id
     """,
     "q87_sequence_pack": f"""
         WITH t AS (
