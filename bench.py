@@ -106,6 +106,10 @@ ANCHOR = {
     "q97_source_cap": 0.199,
     "q98_source_gram_overlap": 3.007,
     "q99_source_dup_profile": 1.883,
+    # r6 dedup additions (first bench-tracked measurements, after the
+    # per-row norm precompute):
+    "q100_semantic_dedup": 2.082,
+    "q101_passage_dedup": 0.407,
 }
 
 
