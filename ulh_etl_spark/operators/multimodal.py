@@ -119,7 +119,7 @@ def fake_decode_video(content: bytes) -> dict:
     }
 
 
-def decode_png(content: bytes) -> dict:
+def decode_png(content: bytes, keep_pixels: bool = False) -> dict:
     """REAL PNG decode with the standard library only (zlib + struct,
     per the public PNG spec / RFC 2083): parse IHDR, inflate the IDAT
     stream, reverse the per-scanline filters (None/Sub/Up/Average/
@@ -168,6 +168,7 @@ def decode_png(content: bytes) -> dict:
     prior = bytearray(stride)
     total = 0
     out_pos = 0
+    px = bytearray() if keep_pixels else None
     for _y in range(height):
         ftype = raw[out_pos]
         line = bytearray(raw[out_pos + 1 : out_pos + 1 + stride])
@@ -195,13 +196,18 @@ def decode_png(content: bytes) -> dict:
             raise ValueError(f"bad PNG filter {ftype}")
         total += sum(line)
         prior = line
+        if px is not None:
+            px.extend(line)
     n_px_bytes = height * stride
-    return {
+    out = {
         "width": width,
         "height": height,
         "channels": channels,
         "mean_pixel": round(total / n_px_bytes, 6) if n_px_bytes else 0.0,
     }
+    if px is not None:
+        out["pixels"] = bytes(px)
+    return out
 
 
 def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:
@@ -405,4 +411,165 @@ def embed_media(
 
     return _spread(df.select(id_col, content_col)).mapInPandas(
         _run, schema=f"{id_col} long, embedding array<{vec_type}>"
+    )
+
+
+# ------------------------------------------------- perceptual-hash dedup
+
+
+def dhash_image(content: bytes, hash_size: int = 8) -> int:
+    """REAL difference-hash (dHash): decode, grayscale, box-downsample
+    to (hash_size+1) x hash_size, set bit (row-major) iff the left
+    cell is brighter than its right neighbor. Near-identical images
+    (recompression, small edits, resize) land within a few bits; the
+    standard cheap image near-dup signature. PIL path for any format;
+    stdlib PNG decode otherwise (same fallback chain as
+    real_decode_image). Integer box-mean arithmetic — bit-exact across
+    platforms."""
+    try:
+        from PIL import Image  # optional dependency
+    except ImportError:
+        Image = None
+
+    w = hash_size + 1
+    h = hash_size
+    if Image is not None:
+        import io
+
+        with Image.open(io.BytesIO(content)) as im:
+            gray = im.convert("L")
+            width, height = gray.width, gray.height
+            gpx = gray.tobytes()
+    else:
+        d = decode_png(content, keep_pixels=True)
+        width, height, ch = d["width"], d["height"], d["channels"]
+        raw = d["pixels"]
+        # integer grayscale: mean of the color channels (alpha, when
+        # present as channel 2 of 2 or 4 of 4, is excluded)
+        color_ch = {1: 1, 2: 1, 3: 3, 4: 3}[ch]
+        gpx = bytes(
+            sum(raw[i * ch + c] for c in range(color_ch)) // color_ch
+            for i in range(width * height)
+        )
+    if width < w or height < h:
+        raise ValueError(f"image {width}x{height} smaller than hash grid {w}x{h}")
+
+    def box_mean(gx: int, gy: int) -> int:
+        x0, x1 = gx * width // w, (gx + 1) * width // w
+        y0, y1 = gy * height // h, (gy + 1) * height // h
+        acc = 0
+        for y in range(y0, y1):
+            row = y * width
+            for x in range(x0, x1):
+                acc += gpx[row + x]
+        return acc // ((x1 - x0) * (y1 - y0))
+
+    bits = 0
+    bit = 0
+    for gy in range(h):
+        row = [box_mean(gx, gy) for gx in range(w)]
+        for gx in range(hash_size):
+            if row[gx] > row[gx + 1]:
+                bits |= 1 << bit
+            bit += 1
+    return bits
+
+
+def portable_phash(content: bytes) -> int:
+    """SQL-reproducible 60-bit stand-in hash for the synthetic catalog
+    media (same portability trick as _portable_decoder: md5 of the
+    uppercase hex so DuckDB's VARCHAR-only md5 computes the identical
+    value). Pseudorandom per distinct content — identical blobs
+    collide at hamming 0, everything else is ~30 bits apart — so it
+    exercises the banding + hamming pipeline end to end; swap in
+    dhash_image for real perceptual behavior."""
+    import hashlib as _hl
+
+    return int(_hl.md5(content.hex().upper().encode()).hexdigest()[:15], 16)
+
+
+def media_phash(
+    df: DataFrame,
+    hasher: Callable[[bytes], int] = dhash_image,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-media 64-bit perceptual hash via Arrow mapInPandas — the
+    narrow feature stage feeding visual near-dup dedup. The binary
+    column never leaves this stage; downstream carries (id, long)."""
+    import pandas as pd
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "phash": [hasher(b) for b in pdf[content_col]],
+                }
+            )
+
+    return _spread(df.select(id_col, content_col)).mapInPandas(
+        _run, schema=f"{id_col} long, phash long"
+    )
+
+
+def phash_neardup_pairs(
+    phashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Visual near-dup pairs from perceptual hashes: split each hash
+    into ``bands`` equal bit-bands; candidates share at least one
+    exact band (equality self-join — the SimHash/LSH banding trick,
+    never all-pairs); verify with the exact popcount(xor) Hamming
+    distance, keep pairs <= ``max_hamming``.
+
+    Pigeonhole guarantee: hamming(a, b) <= bands - 1 implies a and b
+    agree on >= 1 band, so recall is total for ``max_hamming <
+    bands``; larger ``max_hamming`` trades recall like any LSH.
+
+    Scale: band table is 4 rows/media; ONE shuffle on (band_idx,
+    band_val); candidate volume is O(sum band-bucket^2) — identical
+    skew profile to minhash_candidate_pairs, same salting applies if
+    a degenerate band value (e.g. flat images) goes hot.
+    """
+    if bits % bands != 0:
+        raise ValueError(f"bands={bands} must divide bits={bits}")
+    bw = bits // bands
+    mask = (1 << bw) - 1
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col(hash_col), b * bw)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for b in range(bands)
+        ]
+    )
+    bt = phashes.select(
+        F.col(id_col), F.col(hash_col), F.explode(band_arr).alias("_b")
+    ).select(
+        id_col, hash_col, F.col("_b.band_idx").alias("band_idx"),
+        F.col("_b.band_val").alias("band_val"),
+    )
+    a, b = bt.alias("a"), bt.alias("b")
+    ia, ib = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+    ham = F.bit_count(
+        F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (ia < ib),
+        )
+        .select(ia.alias("id1"), ib.alias("id2"), ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
     )
