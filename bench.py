@@ -65,6 +65,10 @@ HEADLINE = (
     # passage-level exact dedup with reassembly.
     "q100_semantic_dedup",
     "q101_passage_dedup",
+    # Round-7 additions: keep-best near-dup collapse (missed the r6
+    # bench cut) and the visual perceptual-hash near-dup pipeline.
+    "q102_neardup_collapse",
+    "q103_phash_neardup_pairs",
 )
 
 # Anchors @ sf0.1, local[32] — the official regression baselines
@@ -110,6 +114,13 @@ ANCHOR = {
     # per-row norm precompute):
     "q100_semantic_dedup": 2.082,
     "q101_passage_dedup": 0.407,
+    # r7-measured anchors (first bench-tracked round for these):
+    # q102 is the minhash->components->collapse composition; its cost
+    # is the per-round fixed overhead of the iterative components
+    # loop (checkpoint + convergence scalar), which amortizes at
+    # scale. q103 is the visual near-dup banded-LSH pipeline.
+    "q102_neardup_collapse": 5.557,
+    "q103_phash_neardup_pairs": 0.928,
 }
 
 

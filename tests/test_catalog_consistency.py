@@ -40,6 +40,25 @@ def test_entry_contract_shape():
     assert all(isinstance(sql, str) and sql.strip() for sql in os_.values())
 
 
+import re
+
+
 def test_catalog_naming_convention():
     for name in all_queries():
-        assert name[0] == "q" and name[1:3].isdigit() and name[3] == "_", name
+        assert re.fullmatch(r"q\d{2,3}_[a-z0-9_]+", name), name
+
+
+def test_catalog_md_not_stale():
+    """CATALOG.md is the committed reviewer-facing index; its query
+    list must equal all_queries() so tools/gen_catalog.py can't be
+    forgotten after adding a query (it went stale in round 6)."""
+    import pathlib
+
+    text = pathlib.Path(__file__).parent.parent.joinpath("CATALOG.md").read_text()
+    listed = set(re.findall(r"^\| (q\d+_\w+) \|", text, flags=re.M))
+    assert listed == set(all_queries())
+    m = re.search(r"^(\d+) queries; (\d+) hash-checked", text, flags=re.M)
+    assert m and (int(m.group(1)), int(m.group(2))) == (
+        len(all_queries()),
+        len(all_oracles()),
+    )

@@ -353,3 +353,54 @@ def test_collapse_neardup_best_model(spark):
         for r in collapse_neardup_best(labels, scored).collect()
     }
     assert out == {1: (2, 0.9, 3), 10: (10, 0.4, 2)}
+
+
+def test_cross_group_overlap_64_group_boundary(spark):
+    """Exactly 64 groups — the bitmask path's own default cap: bit 63
+    must be encoded as its two's-complement long (F.lit(1 << 63) used
+    to overflow), and a planted overlap involving the 64th group must
+    survive the mask round-trip."""
+    from ulh_etl_spark.operators.dedup import cross_group_gram_overlap
+
+    rows = [(i, f"unique-{i:04d}-text", f"g{i:02d}") for i in range(62)]
+    # g62 and g63 (bits 62 and 63) share one doc's grams
+    rows += [(100, "sharedgramrun", "g62"), (101, "sharedgramrun", "g63")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r.src_a, r.src_b): r.shared_grams
+        for r in cross_group_gram_overlap(
+            df, "text", "source", n=8, max_mask_groups=64
+        ).collect()
+    }
+    # "sharedgramrun" has 13-8+1 = 6 distinct 8-grams
+    assert out[("g62", "g63")] == 6
+    assert all(v > 0 for v in out.values())
+    # and the fallback path agrees on the planted pair
+    fb = {
+        (r.src_a, r.src_b): r.shared_grams
+        for r in cross_group_gram_overlap(
+            df, "text", "source", n=8, max_mask_groups=8
+        ).collect()
+    }
+    assert fb == out
+
+
+def test_cross_group_overlap_null_group(spark):
+    """NULL-group rows carry no bit (mask 0) and drop out of the pair
+    matrix — the collect_set-era semantics on dirty data; the group
+    inventory must not TypeError sorting None against str."""
+    from ulh_etl_spark.operators.dedup import cross_group_gram_overlap
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaabbbb", "A"),
+            (2, "aaaabbbb", "B"),
+            (3, "aaaabbbb", None),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r.src_a, r.src_b): r.shared_grams
+        for r in cross_group_gram_overlap(df, "text", "source", n=4).collect()
+    }
+    assert out == {("A", "B"): 5}

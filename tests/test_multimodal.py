@@ -281,3 +281,159 @@ def test_ivf_index_write_prunes_partitions(spark, tmp_path):
     ), touched
     all_files = spark.read.parquet(path).inputFiles()
     assert len(touched) < len(all_files)
+
+
+# ------------------------------------------------- perceptual-hash dedup
+
+
+def _pattern_png(w, h, noise=0, seed=7):
+    """Deterministic smooth test image: a sin/cos brightness field
+    sampled at any resolution — two renders of different sizes are the
+    SAME underlying image, which is exactly what a perceptual hash
+    must treat as near-identical."""
+    import math
+    import random
+
+    from ulh_etl_spark.operators.multimodal import encode_png
+
+    rnd = random.Random(seed)
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            u, t = x / w, y / h
+            v = int(127.5 + 127.5 * math.sin(6.0 * u) * math.cos(4.0 * t))
+            if noise:
+                v = max(0, min(255, v + rnd.randint(-noise, noise)))
+            px += bytes([v, v, v])
+    return encode_png(w, h, bytes(px), channels=3)
+
+
+def _hamming(a, b):
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_dhash_golden_value():
+    """Pin the exact bits: guards the vectorized numpy rewrite against
+    the straight acc//area definition and platform drift."""
+    from ulh_etl_spark.operators.multimodal import dhash_image
+
+    assert dhash_image(_pattern_png(40, 32)) == 0x83838383837C7C7C
+
+
+def test_dhash_identical_and_neardup():
+    from ulh_etl_spark.operators.multimodal import dhash_image
+
+    base = dhash_image(_pattern_png(40, 32))
+    # identical bytes -> hamming 0
+    assert _hamming(base, dhash_image(_pattern_png(40, 32))) == 0
+    # same image rendered at 2x resolution -> within a few bits
+    assert _hamming(base, dhash_image(_pattern_png(80, 64))) <= 4
+    # mild per-pixel noise -> within a few bits
+    assert _hamming(base, dhash_image(_pattern_png(40, 32, noise=6))) <= 4
+    # a genuinely different image -> far away
+    other = dhash_image(_pattern_png(40, 32, noise=120, seed=99))
+    assert _hamming(base, other) > 8
+
+
+def test_dhash_rejects_tiny_image():
+    import pytest as _pt
+
+    from ulh_etl_spark.operators.multimodal import dhash_image
+
+    with _pt.raises(ValueError, match="smaller than hash grid"):
+        dhash_image(_pattern_png(4, 4))
+
+
+def test_dhash_pil_stdlib_parity():
+    """Where PIL is installed, the PIL decode path must produce the
+    same bits as the stdlib PNG path (both feed the identical integer
+    box-mean grid)."""
+    pytest.importorskip("PIL")
+    from ulh_etl_spark.operators import multimodal as mm
+
+    png = _pattern_png(40, 32)
+    with_pil = mm.dhash_image(png)
+
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_pil(name, *a, **k):
+        if name == "PIL" or name.startswith("PIL."):
+            raise ImportError(name)
+        return real_import(name, *a, **k)
+
+    builtins.__import__ = no_pil
+    try:
+        without_pil = mm.dhash_image(png)
+    finally:
+        builtins.__import__ = real_import
+    assert _hamming(with_pil, without_pil) <= 2
+
+
+def test_media_phash_bit63_roundtrip(spark):
+    """An unsigned hash with bit 63 set must survive the Arrow 'long'
+    schema as its two's-complement value (uint64 inference used to
+    raise ArrowInvalid here)."""
+    from ulh_etl_spark.operators.multimodal import media_phash
+
+    df = spark.createDataFrame(
+        [(1, b"a"), (2, b"b")], "media_id long, content binary"
+    )
+    out = {
+        r.media_id: r.phash
+        for r in media_phash(df, hasher=lambda b: (1 << 63) + b[0]).collect()
+    }
+    assert out == {
+        1: (1 << 63) + ord("a") - (1 << 64),
+        2: (1 << 63) + ord("b") - (1 << 64),
+    }
+
+
+def test_phash_neardup_pairs_model(spark):
+    """Banded LSH + exact Hamming verify against a brute-force oracle
+    computed in the test — valid because max_hamming=3 < bands=4 makes
+    banded recall total (pigeonhole). Includes negative (bit-63)
+    hashes, which the shiftright band split must handle."""
+    from ulh_etl_spark.operators.multimodal import phash_neardup_pairs
+
+    hashes = {
+        1: 0,
+        2: 7,                      # ham(1,2)=3
+        3: -(1 << 63),             # bit 63 only; ham(1,3)=1
+        4: -(1 << 63) + 6,         # bits 63,1,2
+        5: 0x5555555555,           # far from everything
+    }
+    df = spark.createDataFrame(
+        list(hashes.items()), "media_id long, phash long"
+    )
+    got = sorted(
+        (r.id1, r.id2, r.hamming)
+        for r in phash_neardup_pairs(df).collect()
+    )
+    expect = sorted(
+        (i, j, _hamming(hashes[i], hashes[j]))
+        for i in hashes
+        for j in hashes
+        if i < j and _hamming(hashes[i], hashes[j]) <= 3
+    )
+    assert got == expect and len(got) >= 4
+
+
+def test_phash_pipeline_media_to_pairs(spark):
+    """media -> media_phash (Arrow stage, real dhash) -> banded pairs:
+    the same blob twice pairs at hamming 0; a different image stays
+    unpaired."""
+    from ulh_etl_spark.operators.multimodal import (
+        dhash_image,
+        media_phash,
+        phash_neardup_pairs,
+    )
+
+    a = _pattern_png(40, 32)
+    c = _pattern_png(40, 32, noise=120, seed=99)
+    df = spark.createDataFrame(
+        [(1, a), (2, a), (3, c)], "media_id long, content binary"
+    )
+    pairs = phash_neardup_pairs(media_phash(df, hasher=dhash_image)).collect()
+    assert [(r.id1, r.id2, r.hamming) for r in pairs] == [(1, 2, 0)]

@@ -451,3 +451,83 @@ def test_passage_dedup_model(spark):
         3: ("p q", 2, 1),
         4: ("", 1, 0),
     }
+
+
+def test_passage_dedup_skew_robust_parity(spark):
+    """Adversarial skew corpus: ONE boilerplate passage opens every
+    document (the whole-corpus hot window group). The skew_robust
+    min-struct-groupBy path must return byte-identical output to the
+    window path — including the model corpus's within-doc repeat and
+    token-less edge cases."""
+    from ulh_etl_spark.operators.text import passage_dedup
+
+    rows = [(i, f"legal boilerplate unique{i} tail{i}") for i in range(200)]
+    rows += [(1000, "p q p q"), (1001, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(**kw):
+        return sorted(
+            (r.doc_id, r.clean_text, r.n_passages, r.n_dropped)
+            for r in passage_dedup(
+                df, "text", "doc_id", passage_tokens=2, **kw
+            ).collect()
+        )
+
+    window_out = run()
+    robust_out = run(skew_robust=True)
+    assert window_out == robust_out
+    # the boilerplate passage survives exactly once, in the min doc
+    by_id = {t[0]: t for t in robust_out}
+    assert by_id[0][1] == "legal boilerplate unique0 tail0"
+    assert by_id[5][1] == "unique5 tail5" and by_id[5][3] == 1
+    assert by_id[1001] == (1001, "", 1, 0)
+
+
+def test_dsir_importance_model(spark):
+    """Exact parity with a pure-Python replica of the DSIR arithmetic
+    (hashed buckets, add-1 smoothing, natural-log ratio), plus the
+    semantic sanity check: a doc made of target-domain tokens scores
+    above one made of off-domain tokens."""
+    import hashlib
+    import math
+
+    from ulh_etl_spark.operators.text import dsir_importance
+
+    B = 64
+    rows = [
+        (1, "alpha beta alpha gamma", True),
+        (2, "delta epsilon zeta", False),
+        (3, "alpha beta", False),       # target-like, not in target
+        (4, "delta zeta delta", False),  # off-domain
+        (5, "   ", False),               # token-less -> NULL
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    got = {
+        r.doc_id: r.log_importance
+        for r in dsir_importance(
+            df, "text", "doc_id", "is_t", n_buckets=B
+        ).collect()
+    }
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % B
+
+    t_n, r_n = {}, {}
+    for _, text, is_t in rows:
+        for tok in text.lower().split():
+            b = bucket(tok)
+            r_n[b] = r_n.get(b, 0) + 1
+            if is_t:
+                t_n[b] = t_n.get(b, 0) + 1
+    t_tot, r_tot = sum(t_n.values()), sum(r_n.values())
+
+    def lr(b):
+        return math.log((t_n.get(b, 0) + 1.0) / (t_tot + B)) - math.log(
+            (r_n.get(b, 0) + 1.0) / (r_tot + B)
+        )
+
+    for doc_id, text, _ in rows:
+        toks = text.lower().split()
+        want = round(sum(lr(bucket(t)) for t in toks), 6) if toks else None
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
+    assert got[3] > got[4]  # target-like beats off-domain

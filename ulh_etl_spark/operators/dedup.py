@@ -595,9 +595,13 @@ def cross_group_gram_overlap(
 
     # Group inventory: bounded by |groups|; reads one column (parquet
     # prunes to it), so at 100 TB it is metadata-cheap next to the
-    # gram pipeline it gates.
+    # gram pipeline it gates. NULL groups get no bit (mask 0) and so
+    # drop out of the pair join — same semantics as the earlier
+    # collect_set formulation on dirty data.
     groups = sorted(
-        r[0] for r in df.select(F.col(group_col)).distinct().collect()
+        r[0]
+        for r in df.select(F.col(group_col)).distinct().collect()
+        if r[0] is not None
     )
     if len(groups) > max_mask_groups:
         gg = explode_grams(df.withColumn("_grp", F.col(group_col)), "_grp").distinct()
@@ -618,10 +622,18 @@ def cross_group_gram_overlap(
     # |groups|-branch lookup must never run per gram row (measured:
     # evaluating it post-explode cost more than the collect_set it
     # replaced).
+    # Bit 63 (the 64th group) must be encoded as its two's-complement
+    # long value: F.lit(1 << 63) = 2^63 overflows signed long, so map
+    # it to -2^63 — bit_or / bitwiseAND semantics are identical on the
+    # signed representation.
+    def _bit(i: int) -> int:
+        v = 1 << i
+        return v - (1 << 64) if v >= (1 << 63) else v
+
     mask_expr = F.lit(0).cast("long")
     for i, g in enumerate(groups):
         mask_expr = F.when(
-            F.col(group_col) == F.lit(g), F.lit(1 << i).cast("long")
+            F.col(group_col) == F.lit(g), F.lit(_bit(i)).cast("long")
         ).otherwise(mask_expr)
     masks = (
         explode_grams(df.withColumn("_m", mask_expr), "_m")
@@ -636,7 +648,7 @@ def cross_group_gram_overlap(
     # the 190-struct CreateArray, so it rebuilt the array per mask row
     # in an interpreted Generate — 2x the whole query's cost.)
     pair_rows = [
-        (groups[i], groups[j], (1 << i) | (1 << j))
+        (groups[i], groups[j], _bit(i) | _bit(j))
         for i in range(len(groups))
         for j in range(i + 1, len(groups))
     ]

@@ -431,6 +431,8 @@ def dhash_image(content: bytes, hash_size: int = 8) -> int:
     except ImportError:
         Image = None
 
+    import numpy as np
+
     w = hash_size + 1
     h = hash_size
     if Image is not None:
@@ -439,39 +441,34 @@ def dhash_image(content: bytes, hash_size: int = 8) -> int:
         with Image.open(io.BytesIO(content)) as im:
             gray = im.convert("L")
             width, height = gray.width, gray.height
-            gpx = gray.tobytes()
+            gpx = np.frombuffer(gray.tobytes(), dtype=np.uint8)
     else:
         d = decode_png(content, keep_pixels=True)
         width, height, ch = d["width"], d["height"], d["channels"]
-        raw = d["pixels"]
         # integer grayscale: mean of the color channels (alpha, when
         # present as channel 2 of 2 or 4 of 4, is excluded)
         color_ch = {1: 1, 2: 1, 3: 3, 4: 3}[ch]
-        gpx = bytes(
-            sum(raw[i * ch + c] for c in range(color_ch)) // color_ch
-            for i in range(width * height)
-        )
+        raw = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(-1, ch)
+        gpx = raw[:, :color_ch].astype(np.int64).sum(axis=1) // color_ch
     if width < w or height < h:
         raise ValueError(f"image {width}x{height} smaller than hash grid {w}x{h}")
 
-    def box_mean(gx: int, gy: int) -> int:
-        x0, x1 = gx * width // w, (gx + 1) * width // w
-        y0, y1 = gy * height // h, (gy + 1) * height // h
-        acc = 0
-        for y in range(y0, y1):
-            row = y * width
-            for x in range(x0, x1):
-                acc += gpx[row + x]
-        return acc // ((x1 - x0) * (y1 - y0))
+    # Integer box means over the floor-division grid, vectorized as
+    # two reduceat passes (C loops, no per-pixel Python) — bit-exact
+    # with the straight acc//area definition on both decode paths.
+    arr = gpx.reshape(height, width).astype(np.int64)
+    xs = np.array([x * width // w for x in range(w + 1)])
+    ys = np.array([y * height // h for y in range(h + 1)])
+    col_sums = np.add.reduceat(arr, xs[:-1], axis=1)
+    box_sums = np.add.reduceat(col_sums, ys[:-1], axis=0)
+    areas = np.outer(np.diff(ys), np.diff(xs))
+    means = box_sums // areas  # (h, w) grid
 
+    cmp = means[:, :hash_size] > means[:, 1:]  # left brighter than right
     bits = 0
-    bit = 0
-    for gy in range(h):
-        row = [box_mean(gx, gy) for gx in range(w)]
-        for gx in range(hash_size):
-            if row[gx] > row[gx + 1]:
-                bits |= 1 << bit
-            bit += 1
+    for i, v in enumerate(cmp.reshape(-1)):
+        if v:
+            bits |= 1 << i
     return bits
 
 
@@ -501,10 +498,16 @@ def media_phash(
 
     def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
+            # Hashers return unsigned 0..2^64-1; fold into signed
+            # two's complement so pandas doesn't infer uint64 (Arrow
+            # raises casting values >= 2^63 to the declared long).
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,
-                    "phash": [hasher(b) for b in pdf[content_col]],
+                    "phash": [
+                        h - (1 << 64) if h >= (1 << 63) else h
+                        for h in (hasher(b) for b in pdf[content_col])
+                    ],
                 }
             )
 

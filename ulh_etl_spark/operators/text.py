@@ -490,6 +490,7 @@ def passage_dedup(
     text_col: str,
     id_col: str,
     passage_tokens: int = 64,
+    skew_robust: bool = False,
 ):
     """Passage-level exact dedup with reassembly — the distributable
     form of exact duplicate-substring removal (Lee et al. 2022,
@@ -511,8 +512,15 @@ def passage_dedup(
     reassembly); reassembly is one shuffle back on the doc id with an
     ordered in-group sort. A boilerplate passage repeated across the
     whole corpus makes one window group wide — same skew class as the
-    gram-frequency window in duplicate_gram_stats; cap or pre-filter
-    via that operator if a corpus is known-pathological.
+    gram-frequency window in duplicate_gram_stats; for a
+    known-pathological corpus pass ``skew_robust=True``: the
+    canonical occurrence is then a min-struct groupBy (map-side
+    partial agg collapses each hot passage to ONE row per map task —
+    bounded reduce input with no salt needed) joined back to mark
+    keep/drop, and the hot JOIN key is splittable by AQE skew-join
+    (windows are not, since they need the whole group on one task).
+    Identical output either way; the window form saves a join in the
+    common non-pathological case.
 
     Returns (id_col, clean_text, n_passages, n_dropped) — one row per
     input document, token-less documents included (empty clean_text).
@@ -548,8 +556,23 @@ def passage_dedup(
         F.col("_p.idx").alias("_idx"),
         F.col("_p.passage").alias("_passage"),
     )
-    w = Window.partitionBy(F.xxhash64("_passage")).orderBy(id_col, "_idx")
-    ranked = exploded.withColumn("_rn", F.row_number().over(w))
+    if skew_robust:
+        cand = exploded.withColumn("_h", F.xxhash64("_passage"))
+        canon = cand.groupBy("_h").agg(
+            F.min(F.struct(F.col(id_col).alias("i"), F.col("_idx").alias("x")))
+            .alias("_c")
+        )
+        ranked = cand.join(canon, "_h").withColumn(
+            "_rn",
+            F.when(
+                (F.col(id_col) == F.col("_c.i"))
+                & (F.col("_idx") == F.col("_c.x")),
+                F.lit(1),
+            ).otherwise(F.lit(2)),
+        )
+    else:
+        w = Window.partitionBy(F.xxhash64("_passage")).orderBy(id_col, "_idx")
+        ranked = exploded.withColumn("_rn", F.row_number().over(w))
     kept_struct = F.when(
         F.col("_rn") == 1, F.struct(F.col("_idx"), F.col("_passage"))
     )
@@ -761,6 +784,69 @@ def unigram_logprob_scores(df, text_col: str, id_col: str):
         exploded.join(vocab, "term")
         .groupBy(id_col)
         .agg(F.round(F.avg("logp"), 6).alias("mean_logprob"))
+    )
+    return df.select(id_col).join(per_doc, id_col, "left")
+
+
+def dsir_importance(
+    df,
+    text_col: str,
+    id_col: str,
+    target_col: str,
+    n_buckets: int = 1024,
+    smoothing: float = 1.0,
+):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per-document log
+    importance weight ln p_target(x) - ln p_raw(x) under hashed
+    bag-of-unigrams models — the standard recipe for selecting raw
+    web data that "looks like" a high-quality target domain. Rows
+    where boolean ``target_col`` holds define the target
+    distribution; every row contributes to the raw distribution.
+    Both models are add-``smoothing`` estimates over ``n_buckets``
+    hashed token buckets; a document's weight is the sum of its
+    tokens' bucket log-ratios. Resample/top-k downstream with
+    weighted_sample_key(exp(score)) or a plain orderBy.
+
+    Scale: token explode is a narrow map; BOTH histograms are ONE
+    partial-agged groupBy of the exploded corpus (conditional sums,
+    <= n_buckets output rows); the log-ratio model broadcasts (it is
+    bounded by n_buckets REGARDLESS of vocabulary size — the reason
+    DSIR hashes); the per-doc sum partial-aggregates. No self-join,
+    no window, no Python. Token-less docs survive with NULL weight
+    (left join), mirroring unigram_logprob_scores."""
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    # explode_outer + isnotnull: see SCALE.md (inferred size()>0
+    # filter would re-tokenize per row with plain explode).
+    exploded = (
+        df.select(
+            F.col(id_col),
+            F.col(target_col).alias("_t"),
+            F.explode_outer(toks).alias("term"),
+        )
+        .filter(F.col("term").isNotNull())
+        .select(
+            id_col, "_t", (md5_hash32(F.col("term")) % n_buckets).alias("_b")
+        )
+    )
+    hist = exploded.groupBy("_b").agg(
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("t_n"),
+        F.count("*").alias("r_n"),
+    )
+    tot = hist.agg(F.sum("t_n").alias("t_tot"), F.sum("r_n").alias("r_tot"))
+    s = float(smoothing)
+    sb = s * n_buckets
+    ratio = hist.join(F.broadcast(tot)).select(
+        "_b",
+        (
+            F.log((F.col("t_n") + s) / (F.col("t_tot") + sb))
+            - F.log((F.col("r_n") + s) / (F.col("r_tot") + sb))
+        ).alias("_lr"),
+    )
+    per_doc = (
+        exploded.join(F.broadcast(ratio), "_b")
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_lr"), 6).alias("log_importance"))
     )
     return df.select(id_col).join(per_doc, id_col, "left")
 

@@ -139,11 +139,51 @@ def q76_media_embed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select("media_id", "cell")
 
 
+def q103_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual near-dup end to end: media bytes -> perceptual hash
+    (real Arrow mapInPandas stage, portable hasher) -> banded LSH
+    self-join -> exact Hamming verify. Near-dup structure is planted
+    deterministically so the pipeline produces real pair volume:
+    docs cluster in fours on ``doc_id // 4`` (cluster id IS the media
+    content, so every member hashes to the cluster base), then member
+    j > 0 flips bit j-1 JVM-side — every cluster yields C(4,2) pairs
+    at hamming 1-2, all under max_hamming=3 < bands=4, where the
+    pigeonhole guarantee makes banded recall total (so the oracle is
+    the plain declarative all-pairs hamming join)."""
+    from ulh_etl_spark.operators.multimodal import (
+        media_phash,
+        phash_neardup_pairs,
+        portable_phash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    clustered = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.floor(F.col("doc_id") / 4).cast("string"), "UTF-8").alias(
+            "content"
+        ),
+    )
+    ph = media_phash(clustered, hasher=portable_phash)
+    member = F.col("media_id") % 4
+    flip = (
+        F.when(member == 1, F.lit(1))
+        .when(member == 2, F.lit(2))
+        .when(member == 3, F.lit(4))
+        .otherwise(F.lit(0))
+    ).cast("long")
+    ph = ph.withColumn("phash", F.col("phash").bitwiseXOR(flip))
+    pairs = phash_neardup_pairs(ph)
+    return pairs.select(
+        "id1", "id2", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 QUERIES = {
     "q43_media_metadata": q43_media_metadata,
     "q44_media_decode": q44_media_decode,
     "q45_frame_sample_counts": q45_frame_sample_counts,
     "q76_media_embed_cells": q76_media_embed_cells,
+    "q103_phash_neardup_pairs": q103_phash_neardup_pairs,
 }
 
 ORACLES = {
@@ -210,5 +250,26 @@ ORACLES = {
                                       ORDER BY dist, cell) AS rn
             FROM d
         ) WHERE rn = 1
+    """,
+    # cluster-id bytes -> 60-bit md5 phash (portable_phash's exact
+    # arithmetic) -> member bit flips -> declarative all-pairs hamming
+    # join (valid oracle because max_hamming < bands => total recall)
+    "q103_phash_neardup_pairs": """
+        WITH ph AS (
+            SELECT doc_id AS media_id,
+                   xor(
+                       CAST('0x' || substr(md5(upper(hex(encode(
+                           CAST(doc_id // 4 AS VARCHAR))))), 1, 15) AS BIGINT),
+                       CASE doc_id % 4
+                           WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 4
+                           ELSE 0
+                       END::BIGINT
+                   ) AS phash
+            FROM documents
+        )
+        SELECT a.media_id AS id1, b.media_id AS id2,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+        FROM ph a JOIN ph b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 3
     """,
 }

@@ -364,6 +364,24 @@ def q84_model_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSIR_B = 1024
+
+
+def q104_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (hashed-unigram importance resampling):
+    log importance weight of every document with lang='en' docs as
+    the target domain — the select-web-data-that-looks-like-the-
+    target recipe. One conditional-sum histogram groupBy (bounded by
+    n_buckets), a broadcast log-ratio model, one per-doc sum; no
+    self-join, no window, no Python (operators.text.dsir_importance)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_is_en", F.col("lang") == "en"
+    )
+    return T.dsir_importance(
+        docs, "text", "doc_id", "_is_en", n_buckets=_DSIR_B
+    )
+
+
 _CAP_N = 10
 
 
@@ -417,6 +435,7 @@ QUERIES = {
     "q93_corpus_shuffle_shards": q93_corpus_shuffle_shards,
     "q84_model_quality_score": q84_model_quality_score,
     "q97_source_cap": q97_source_cap,
+    "q104_dsir_importance": q104_dsir_importance,
 }
 
 # Shared quality-score SQL expression (identical to operators.text
@@ -618,6 +637,35 @@ ORACLES = {
         FROM ranked WHERE rnk <= {TOPK_PER_LANG}
     """,
     "q78_unigram_logprob": _Q78_SQL,
+    # add-1-smoothed hashed-unigram models; natural logs; token-less
+    # docs NULL via the left join — identical arithmetic to
+    # operators.text.dsir_importance
+    "q104_dsir_importance": f"""
+        WITH ex AS (
+            SELECT doc_id, lang = 'en' AS t,
+                   {O.md5h("term")} % {_DSIR_B} AS b
+            FROM (SELECT doc_id, lang, u.t AS term
+                  FROM documents, unnest({_LOW_TOKS}) AS u(t))
+        ), hist AS (
+            SELECT b,
+                   SUM(CASE WHEN t THEN 1 ELSE 0 END) AS t_n,
+                   COUNT(*) AS r_n
+            FROM ex GROUP BY b
+        ), tot AS (
+            SELECT SUM(t_n) AS t_tot, SUM(r_n) AS r_tot FROM hist
+        ), ratio AS (
+            SELECT b,
+                   ln((t_n + 1.0) / (t_tot + {_DSIR_B}.0))
+                   - ln((r_n + 1.0) / (r_tot + {_DSIR_B}.0)) AS lr
+            FROM hist, tot
+        ), per AS (
+            SELECT ex.doc_id, ROUND(SUM(ratio.lr), 6) AS log_importance
+            FROM ex JOIN ratio USING (b)
+            GROUP BY ex.doc_id
+        )
+        SELECT d.doc_id, per.log_importance
+        FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+    """,
     "q91_logprob_tiles": f"""
         WITH per AS ({_Q78_SQL}), tiled AS (
             SELECT doc_id, mean_logprob,
