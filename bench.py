@@ -66,9 +66,12 @@ HEADLINE = (
     "q100_semantic_dedup",
     "q101_passage_dedup",
     # Round-7 additions: keep-best near-dup collapse (missed the r6
-    # bench cut) and the visual perceptual-hash near-dup pipeline.
+    # bench cut), the visual perceptual-hash near-dup pipeline and
+    # its cluster rollup, and DSIR importance-weight data selection.
     "q102_neardup_collapse",
     "q103_phash_neardup_pairs",
+    "q104_dsir_importance",
+    "q105_phash_neardup_clusters",
 )
 
 # Anchors @ sf0.1, local[32] — the official regression baselines

@@ -48,6 +48,14 @@ SHUFFLE_BUDGET = {
     # exchange is a distinct stage of a distinct operator; none
     # re-shuffles a key already partitioned.
     "q91_logprob_tiles": 8,
+    # q104 is q78's exact pipeline shape with a bucket histogram in
+    # place of the vocabulary: token explode -> bucket histogram (1),
+    # model totals (2; broadcast back), per-doc sum (3), and the
+    # NULL-preserving outer join back to documents (4+5, both sides
+    # exchange for the SMJ on doc_id — per_doc is corpus-sized, no
+    # broadcast possible). The log-ratio model join itself broadcasts
+    # (bounded by n_buckets).
+    "q104_dsir_importance": 5,
 }
 
 

@@ -178,13 +178,52 @@ def q103_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q105_phash_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual dedup report: the q103 perceptual-hash pair pipeline ->
+    exact connected components -> one row per visual near-dup cluster
+    (keep_id = min member, the survivor; n_members = copies to drop).
+    The multimodal twin of q102's textual collapse — pairs, the
+    iterative component fixpoint, and the final rollup in one
+    composition."""
+    from ulh_etl_spark.operators.dedup import connected_components
+
+    pairs = q103_phash_neardup_pairs(spark, sf_dir)
+    labels = connected_components(pairs)
+    return labels.groupBy("component").agg(
+        F.min("node").alias("keep_id"),
+        F.count("*").alias("n_members"),
+    )
+
+
 QUERIES = {
     "q43_media_metadata": q43_media_metadata,
     "q44_media_decode": q44_media_decode,
     "q45_frame_sample_counts": q45_frame_sample_counts,
     "q76_media_embed_cells": q76_media_embed_cells,
     "q103_phash_neardup_pairs": q103_phash_neardup_pairs,
+    "q105_phash_neardup_clusters": q105_phash_neardup_clusters,
 }
+
+# Shared by the q103/q105 oracles: portable_phash arithmetic + member
+# bit flips + the all-pairs hamming join (RECURSIVE is harmless for
+# q103 and required by q105's closure).
+_PHASH_PAIRS_CTE = """WITH RECURSIVE ph AS (
+            SELECT doc_id AS media_id,
+                   xor(
+                       CAST('0x' || substr(md5(upper(hex(encode(
+                           CAST(doc_id // 4 AS VARCHAR))))), 1, 15) AS BIGINT),
+                       CASE doc_id % 4
+                           WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 4
+                           ELSE 0
+                       END::BIGINT
+                   ) AS phash
+            FROM documents
+        ), ppairs AS (
+            SELECT a.media_id AS id1, b.media_id AS id2,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+            FROM ph a JOIN ph b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        )"""
 
 ORACLES = {
     "q43_media_metadata": f"""
@@ -254,22 +293,28 @@ ORACLES = {
     # cluster-id bytes -> 60-bit md5 phash (portable_phash's exact
     # arithmetic) -> member bit flips -> declarative all-pairs hamming
     # join (valid oracle because max_hamming < bands => total recall)
-    "q103_phash_neardup_pairs": """
-        WITH ph AS (
-            SELECT doc_id AS media_id,
-                   xor(
-                       CAST('0x' || substr(md5(upper(hex(encode(
-                           CAST(doc_id // 4 AS VARCHAR))))), 1, 15) AS BIGINT),
-                       CASE doc_id % 4
-                           WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 4
-                           ELSE 0
-                       END::BIGINT
-                   ) AS phash
-            FROM documents
+    "q103_phash_neardup_pairs": f"""
+        {_PHASH_PAIRS_CTE}
+        SELECT id1, id2, hamming FROM ppairs
+    """,
+    # same pair CTE -> recursive transitive closure (q75's fixpoint
+    # pattern) -> per-cluster rollup; shared CTE keeps q103/q105 in
+    # lockstep by construction
+    "q105_phash_neardup_clusters": f"""
+        {_PHASH_PAIRS_CTE},
+        edges AS (
+            SELECT id1 AS a, id2 AS b FROM ppairs
+            UNION
+            SELECT id2, id1 FROM ppairs
+        ), reach(src, dst) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        ), comp AS (
+            SELECT src AS node, MIN(dst) AS component
+            FROM reach GROUP BY src
         )
-        SELECT a.media_id AS id1, b.media_id AS id2,
-               CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
-        FROM ph a JOIN ph b ON a.media_id < b.media_id
-        WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        SELECT component, MIN(node) AS keep_id, COUNT(*) AS n_members
+        FROM comp GROUP BY component
     """,
 }
