@@ -72,6 +72,8 @@ HEADLINE = (
     "q103_phash_neardup_pairs",
     "q104_dsir_importance",
     "q105_phash_neardup_clusters",
+    "q106_hard_negatives",
+    "q107_incremental_dedup",
 )
 
 # Anchors @ sf0.1, local[32] — the official regression baselines

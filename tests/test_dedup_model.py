@@ -404,3 +404,29 @@ def test_cross_group_overlap_null_group(spark):
         for r in cross_group_gram_overlap(df, "text", "source", n=4).collect()
     }
     assert out == {("A", "B"): 5}
+
+
+def test_incremental_dedup_model(spark):
+    """Hand-checkable: within-batch dups collapse to min id with a
+    count; anything whose fingerprint is already in the store drops;
+    normalization means case/punctuation variants share a
+    fingerprint."""
+    from ulh_etl_spark.operators.dedup import fingerprint, incremental_dedup
+
+    new = spark.createDataFrame(
+        [
+            (11, "Hello, World"),
+            (13, "hello world"),     # same normalized fp as 11
+            (15, "already ingested"),
+            (17, "brand new text"),
+        ],
+        "doc_id long, text string",
+    )
+    seen = spark.createDataFrame(
+        [("already ingested",), ("some old doc",)], "text string"
+    ).select(fingerprint(F.col("text")).alias("fp"))
+    out = {
+        r.doc_id: r.batch_dups
+        for r in incremental_dedup(new, seen, "text", "doc_id").collect()
+    }
+    assert out == {11: 2, 17: 1}

@@ -437,3 +437,28 @@ def test_phash_pipeline_media_to_pairs(spark):
     )
     pairs = phash_neardup_pairs(media_phash(df, hasher=dhash_image)).collect()
     assert [(r.id1, r.id2, r.hamming) for r in pairs] == [(1, 2, 0)]
+
+
+def test_hard_negatives_excludes_positives(spark):
+    """The labeled positive is the geometric nearest neighbor — it
+    must be excluded BEFORE ranking so rank 1 goes to the best true
+    negative, and ranks stay dense."""
+    from ulh_etl_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.999, 0.01]),   # positive for query 0 (closest)
+        (2, [0.9, 0.1]),      # best hard negative
+        (3, [0.5, 0.5]),
+        (4, [-1.0, 0.0]),     # opposite
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id = 0")
+    pos = spark.createDataFrame([(0, 1)], "query_id long, pos_id long")
+    out = [
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in hard_negatives(emb, queries, pos, k=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert out == [(0, 2, 1), (0, 3, 2), (0, 4, 3)]

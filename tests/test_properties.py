@@ -402,3 +402,45 @@ def test_global_ntile_model(spark, vals, k):
         for r in global_ntile(df, ["v", "id"], k, out_col="t").collect()
     }
     assert got == want
+
+
+# signed 64-bit longs, biased toward boundary structure (bit 63,
+# shared bands) via a mix of full-range and small-perturbation values
+_I64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(_I64, min_size=2, max_size=12, unique=True),
+       st.sampled_from([0, 1, 2, 3, 7]))
+def test_phash_banded_pairs_match_bruteforce(spark, hashes, flip_mask):
+    """Pigeonhole property: with max_hamming=3 < bands=4 the banded
+    LSH result must EQUAL the brute-force hamming join for arbitrary
+    signed 64-bit hashes — including negatives and near-duplicate
+    pairs planted by xor-ing a small mask onto the first hash."""
+    from ulh_etl_spark.operators.multimodal import phash_neardup_pairs
+
+    vals = list(hashes)
+    # xor of a signed python int with a small mask stays in the
+    # signed 64-bit range (infinite two's complement)
+    planted = vals[0] ^ flip_mask
+    if planted not in vals:
+        vals.append(planted)
+    df = spark.createDataFrame(
+        list(enumerate(vals)), "media_id long, phash long"
+    )
+    got = sorted(
+        (r.id1, r.id2, r.hamming)
+        for r in phash_neardup_pairs(df).collect()
+    )
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    want = sorted(
+        (i, j, ham(vals[i], vals[j]))
+        for i in range(len(vals))
+        for j in range(i + 1, len(vals))
+        if ham(vals[i], vals[j]) <= 3
+    )
+    assert got == want

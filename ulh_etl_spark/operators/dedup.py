@@ -65,6 +65,42 @@ def exact_dedup_keys(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_fps: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Incremental exact dedup of a NEW batch against the corpus
+    already ingested — the shape that makes daily corpus building
+    tractable at 100 TB: the historical corpus is never re-read or
+    re-hashed; only its at-rest fingerprint store (``seen_fps``, one
+    ``fp`` column, written once per batch and appended) participates.
+
+    Two-stage: (1) within-batch keep-min on the fingerprint (one
+    partial-agged groupBy of the NEW data only), (2) anti-join the
+    winners against the historical fingerprints on ``fp``. Returns
+    (id_col, fp, batch_dups) — the surviving new documents, with how
+    many in-batch copies each collapsed.
+
+    Scale: stage 2 is fp-keyed — bucket the fingerprint store by fp
+    (sinks.tables.write_bucketed) and the anti-join co-locates with
+    NO shuffle of the store; a day's batch is the small side and its
+    post-dedup winners often broadcast outright. Uniform 128-bit
+    fingerprints cannot skew."""
+    winners = (
+        new_docs.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("batch_dups"),
+        )
+    )
+    return winners.join(
+        seen_fps.select("fp"), "fp", "left_anti"
+    ).select(id_col, "fp", "batch_dups")
+
+
 def minhash_columns(text: Column, num_hashes: int = 8, shingle_n: int = DEFAULT_SHINGLE) -> list[Column]:
     """MinHash signature as ``num_hashes`` long columns (mh_0..mh_k).
 

@@ -87,6 +87,69 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Hard-negative mining for retrieval/contrastive training (the
+    DPR recipe, Karpukhin et al. 2020 §3.2): per query, the top-k
+    most cosine-similar corpus items that are NOT labeled positives —
+    the near-miss negatives that actually move a contrastive loss,
+    vs uninformative random negatives.
+
+    ``positives``: (query_id, pos_id) relevance pairs to exclude.
+    Self-matches are always excluded.
+
+    Scale: same shape as cosine_topk — queries broadcast, the corpus
+    never shuffles for the scoring join; the positives exclusion is a
+    BROADCAST left-anti join (positives are a few rows per query by
+    construction, and must exclude BEFORE ranking or a positive
+    occupies a top-k slot), so the only shuffle remains the per-query
+    top-k window. For huge query sets, block by IVF cell first
+    (ivf_topk) and anti-join the same way."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+    )
+    pos = positives.select(
+        F.col("query_id"), F.col("pos_id").alias("neighbor_id")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(pos), ["query_id", "neighbor_id"], "left_anti")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
 def _centroid_literal(
     centroids: DataFrame, centroid_id: str, centroid_vec: str
 ) -> Column:

@@ -182,6 +182,22 @@ def q102_neardup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.collapse_neardup_best(labels, scored, "doc_id", "quality")
 
 
+def q107_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus building: dedup TODAY's batch (odd doc_ids)
+    against the at-rest fingerprint store of everything already
+    ingested (even doc_ids) — within-batch keep-min groupBy, then an
+    fp-keyed anti-join against the store; the historical text is
+    never re-read (operators.dedup.incremental_dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    seen = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(D.fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return D.incremental_dedup(new, seen, "text", "doc_id")
+
+
 QUERIES = {
     "q34_dedup_exact": q34_dedup_exact,
     "q35_minhash_signature": q35_minhash_signature,
@@ -194,6 +210,7 @@ QUERIES = {
     "q98_source_gram_overlap": q98_source_gram_overlap,
     "q99_source_dup_profile": q99_source_dup_profile,
     "q102_neardup_collapse": q102_neardup_collapse,
+    "q107_incremental_dedup": q107_incremental_dedup,
 }
 
 _CC_CTE = f"""WITH RECURSIVE hashed AS (
@@ -229,6 +246,20 @@ ORACLES = {
                COUNT(*) AS dup_count
         FROM documents
         GROUP BY 1
+    """,
+    "q107_incremental_dedup": f"""
+        WITH seen AS (
+            SELECT DISTINCT md5({O.norm_text('text')}) AS fp
+            FROM documents WHERE doc_id % 2 = 0
+        ), winners AS (
+            SELECT md5({O.norm_text('text')}) AS fp,
+                   MIN(doc_id) AS doc_id,
+                   COUNT(*) AS batch_dups
+            FROM documents WHERE doc_id % 2 = 1
+            GROUP BY 1
+        )
+        SELECT w.doc_id, w.fp, w.batch_dups
+        FROM winners w ANTI JOIN seen s ON w.fp = s.fp
     """,
     "q35_minhash_signature": f"""
         WITH hashed AS (

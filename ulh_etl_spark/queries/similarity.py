@@ -26,6 +26,23 @@ def q39_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, queries, k=_K)
 
 
+def q106_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (DPR recipe): per query, top-10 cosine
+    neighbors EXCLUDING its labeled positives (synthetic qrels:
+    query_id+100 and query_id+200) — positives must drop before
+    ranking so they never occupy a top-k slot. Queries and qrels
+    broadcast; the corpus scoring join stays shuffle-free."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    pos = queries.select(F.col("vec_id").alias("query_id")).select(
+        "query_id",
+        F.explode(
+            F.array(F.col("query_id") + 100, F.col("query_id") + 200)
+        ).alias("pos_id"),
+    )
+    return S.hard_negatives(emb, queries, pos, k=_K)
+
+
 def q40_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector L2 norm — the normalize step of any ANN build."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -215,6 +232,7 @@ QUERIES = {
     "q86_ivf_recall": q86_ivf_recall,
     "q96_ivf_pruned_probe": q96_ivf_pruned_probe,
     "q100_semantic_dedup": q100_semantic_dedup,
+    "q106_hard_negatives": q106_hard_negatives,
 }
 
 
@@ -316,6 +334,29 @@ _Q42_SQL = f"""
 
 ORACLES = {
     "q39_cosine_topk": _Q39_SQL,
+    # q39's exact-scoring shape + the qrels exclusion (positives =
+    # query_id+100, query_id+200) applied BEFORE ranking
+    "q106_hard_negatives": f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS q_vec
+            FROM embeddings WHERE vec_id < {_N_QUERIES}
+        ), scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   {_DOT} / ({_NORM_Q} * {_NORM_E}) AS cos_raw
+            FROM q, embeddings e
+            WHERE e.vec_id <> q.query_id
+              AND e.vec_id <> q.query_id + 100
+              AND e.vec_id <> q.query_id + 200
+        ), ranked AS (
+            SELECT query_id, neighbor_id, cos_raw,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_raw DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
+               CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {_K}
+    """,
     "q40_embedding_norms": """
         SELECT vec_id, label,
                ROUND(sqrt(list_sum(list_transform(embedding,
