@@ -74,6 +74,7 @@ HEADLINE = (
     "q105_phash_neardup_clusters",
     "q106_hard_negatives",
     "q107_incremental_dedup",
+    "q108_gopher_rules",
 )
 
 # Anchors @ sf0.1, local[32] — the official regression baselines

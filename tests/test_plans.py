@@ -334,3 +334,25 @@ def test_pack_sequences_default_parallelism_in_plan(spark):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert f"% {dp}" in plan, plan[:500]
+
+
+def test_q108_gopher_rules_is_narrow_map(spark, sf_dir):
+    """The Gopher rule filter must stay a pure narrow map — zero
+    exchanges, one documents scan reading only (doc_id, text)."""
+    from ulh_etl_spark.queries.textops import q108_gopher_rules
+
+    df = q108_gopher_rules(spark, sf_dir)
+    assert exchange_count(df) == 0
+    cols = scan_columns(df)
+    assert cols and all(set(c) <= {"doc_id", "text"} for c in cols), cols
+
+
+def test_q107_incremental_dedup_store_side_never_rehashes(spark, sf_dir):
+    """q107's plan: exactly the two budgeted exchanges (batch keep-min
+    groupBy + the fp anti-join) and a broadcast anti-join shape at
+    this SF — the store side contributes only its fp column."""
+    from ulh_etl_spark.queries.dedup import q107_incremental_dedup
+
+    df = q107_incremental_dedup(spark, sf_dir)
+    assert exchange_count(df) <= 3
+    assert broadcast_join_count(df) >= 1

@@ -531,3 +531,32 @@ def test_dsir_importance_model(spark):
         want = round(sum(lr(bucket(t)) for t in toks), 6) if toks else None
         assert got[doc_id] == want, (doc_id, got[doc_id], want)
     assert got[3] > got[4]  # target-like beats off-domain
+
+
+def test_gopher_rules_model(spark):
+    """Each rule rejects its targeted pathology and passes clean prose
+    (thresholds at defaults: >=10 words, mean word len 3-10, symbol
+    ratio <=0.1, alpha fraction >=0.8, >=2 distinct stopwords)."""
+    from ulh_etl_spark.operators.text import gopher_rules
+
+    clean = (
+        "the quick brown fox jumps over that lazy dog and keeps "
+        "running with great speed toward the distant hills have fun"
+    )
+    rows = [
+        (1, clean),
+        (2, "too short to pass"),                          # word count
+        (3, "a i o u e y b c d e f g h j k l m n o p q"),  # mean len < 3
+        (4, clean + " " + "# # # # # # # # # # # # # # #"),  # symbols
+        (5, "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16"),     # alpha frac
+        (6, "quick brown foxes jump over lazy dogs running fast "
+            "toward distant hills tonight quietly"),        # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_rules(df, "text", "doc_id").collect()}
+    assert out[1].keep
+    assert not out[2].word_count_ok and not out[2].keep
+    assert not out[3].mean_word_len_ok and not out[3].keep
+    assert not out[4].symbol_ratio_ok and not out[4].keep
+    assert not out[5].alpha_frac_ok and not out[5].keep
+    assert not out[6].stopwords_ok and not out[6].keep

@@ -788,6 +788,72 @@ def unigram_logprob_scores(df, text_col: str, id_col: str):
     return df.select(id_col).join(per_doc, id_col, "left")
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df,
+    text_col: str,
+    id_col: str,
+    min_words: int = 10,
+    max_words: int = 100000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+):
+    """The Gopher rule-based quality filter (Rae et al. 2021,
+    "Scaling Language Models", Table A1): per-document pass/fail
+    flags for word count bounds, mean word length bounds,
+    symbol-to-word ratio (# and ellipsis), alphabetic-word fraction,
+    and distinct-stopword presence, plus the conjunctive ``keep``.
+    Returned per-rule (not just the verdict) because curation tuning
+    reads WHICH rule rejected.
+
+    Scale: a pure narrow map — every signal is a JVM expression over
+    one tokenization (no shuffle, no Python, no joins); ratio
+    comparisons divide the same integers in any engine, so the flags
+    are exactly reproducible in SQL."""
+    toks = whitespace_tokens(F.col(text_col))
+    low = whitespace_tokens(F.lower(F.col(text_col)))
+    n_words = F.size(toks)
+    n_safe = F.greatest(n_words, F.lit(1)).cast("double")
+    tok_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_word_len = tok_chars.cast("double") / n_safe
+    n_symbols = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"\.\.\.|#"), 0)
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(low),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    flags = {
+        "word_count_ok": (n_words >= min_words) & (n_words <= max_words),
+        "mean_word_len_ok": (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len),
+        "symbol_ratio_ok": n_symbols.cast("double") / n_safe
+        <= max_symbol_ratio,
+        "alpha_frac_ok": n_alpha.cast("double") / n_safe
+        >= min_alpha_word_frac,
+        "stopwords_ok": n_stop >= min_stopwords,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        *[c.alias(name) for name, c in flags.items()],
+        keep.alias("keep"),
+    )
+
+
 def dsir_importance(
     df,
     text_col: str,

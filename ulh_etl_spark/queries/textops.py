@@ -382,6 +382,14 @@ def q104_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q108_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter: per-rule pass flags + the
+    conjunctive keep, all JVM expressions over one tokenization
+    (operators.text.gopher_rules). Pure narrow map — no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.gopher_rules(docs, "text", "doc_id")
+
+
 _CAP_N = 10
 
 
@@ -436,6 +444,7 @@ QUERIES = {
     "q84_model_quality_score": q84_model_quality_score,
     "q97_source_cap": q97_source_cap,
     "q104_dsir_importance": q104_dsir_importance,
+    "q108_gopher_rules": q108_gopher_rules,
 }
 
 # Shared quality-score SQL expression (identical to operators.text
@@ -637,6 +646,41 @@ ORACLES = {
         FROM ranked WHERE rnk <= {TOPK_PER_LANG}
     """,
     "q78_unigram_logprob": _Q78_SQL,
+    # identical integer counts + double divisions as the Spark
+    # expressions, so every flag lands on the same side
+    "q108_gopher_rules": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   {_TOKS} AS toks,
+                   {_LOW_TOKS} AS low,
+                   len(regexp_extract_all(text, '\\.\\.\\.|#')) AS n_symbols
+            FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   len(toks) AS n_words,
+                   CAST(GREATEST(len(toks), 1) AS DOUBLE) AS n_safe,
+                   COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS tok_chars,
+                   len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+                   len(list_intersect(list_distinct(low),
+                       ['the','be','to','of','and','that','have','with'])) AS n_stop,
+                   n_symbols
+            FROM t
+        ), f AS (
+            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                   n_words >= 10 AND n_words <= 100000 AS word_count_ok,
+                   CAST(tok_chars AS DOUBLE) / n_safe >= 3.0
+                       AND CAST(tok_chars AS DOUBLE) / n_safe <= 10.0
+                       AS mean_word_len_ok,
+                   CAST(n_symbols AS DOUBLE) / n_safe <= 0.1 AS symbol_ratio_ok,
+                   CAST(n_alpha AS DOUBLE) / n_safe >= 0.8 AS alpha_frac_ok,
+                   n_stop >= 2 AS stopwords_ok
+            FROM m
+        )
+        SELECT *,
+               word_count_ok AND mean_word_len_ok AND symbol_ratio_ok
+                   AND alpha_frac_ok AND stopwords_ok AS keep
+        FROM f
+    """,
     # add-1-smoothed hashed-unigram models; natural logs; token-less
     # docs NULL via the left join — identical arithmetic to
     # operators.text.dsir_importance
