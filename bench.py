@@ -75,6 +75,7 @@ HEADLINE = (
     "q106_hard_negatives",
     "q107_incremental_dedup",
     "q108_gopher_rules",
+    "q109_minhash_estimate",
 )
 
 # Anchors @ sf0.1, local[32] — the official regression baselines
@@ -121,12 +122,17 @@ ANCHOR = {
     "q100_semantic_dedup": 2.082,
     "q101_passage_dedup": 0.407,
     # r7-measured anchors (first bench-tracked round for these):
-    # q102 is the minhash->components->collapse composition; its cost
-    # is the per-round fixed overhead of the iterative components
-    # loop (checkpoint + convergence scalar), which amortizes at
-    # scale. q103 is the visual near-dup banded-LSH pipeline.
-    "q102_neardup_collapse": 5.557,
+    # q102/q105 are the iterative components compositions — cost is
+    # the per-round fixed overhead of the loop (lazy checkpoint +
+    # convergence scalar), which amortizes at scale; the q102 value
+    # is the post-pointer-jump measurement (5.56 s before it).
+    "q102_neardup_collapse": 4.972,
     "q103_phash_neardup_pairs": 0.928,
+    "q104_dsir_importance": 1.363,
+    "q105_phash_neardup_clusters": 2.380,
+    "q106_hard_negatives": 0.443,
+    "q107_incremental_dedup": 0.513,
+    "q108_gopher_rules": 0.435,
 }
 
 

@@ -430,3 +430,34 @@ def test_incremental_dedup_model(spark):
         for r in incremental_dedup(new, seen, "text", "doc_id").collect()
     }
     assert out == {11: 2, 17: 1}
+
+
+def test_minhash_estimate_model(spark):
+    """Identical docs -> estimate 1.0 == exact 1.0 (err 0); near-dups
+    -> estimate within the sketch's resolution (multiples of 1/8) of
+    the exact Jaccard, and both bounded to [0, 1]."""
+    from ulh_etl_spark.operators.dedup import minhash_estimate_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                      # identical
+            (3, base + " with a new tail"),  # near-dup
+            (4, "completely different text about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.id1, r.id2): r
+        for r in minhash_estimate_pairs(df, "text", "doc_id").collect()
+    }
+    exact_pair = rows[(1, 2)]
+    assert exact_pair.jaccard_est == 1.0
+    assert exact_pair.jaccard_exact == 1.0
+    assert exact_pair.abs_err == 0.0
+    for r in rows.values():
+        assert 0.0 <= r.jaccard_est <= 1.0
+        assert 0.0 <= r.jaccard_exact <= 1.0
+        assert abs(r.jaccard_est * 8 - round(r.jaccard_est * 8)) < 1e-9
+        assert r.abs_err == round(abs(r.jaccard_est - r.jaccard_exact), 6)

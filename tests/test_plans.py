@@ -356,3 +356,35 @@ def test_q107_incremental_dedup_store_side_never_rehashes(spark, sf_dir):
     df = q107_incremental_dedup(spark, sf_dir)
     assert exchange_count(df) <= 3
     assert broadcast_join_count(df) >= 1
+
+
+def test_incremental_dedup_bucketed_store_no_store_shuffle(spark):
+    """The incremental-dedup scale claim, proven at the plan level:
+    with the fingerprint store bucketed on fp, the anti-join against
+    it introduces NO exchange on the store side (only the new batch's
+    keep-min groupBy shuffles), and results match the unbucketed
+    run."""
+    from ulh_etl_spark.operators.dedup import fingerprint, incremental_dedup
+    from ulh_etl_spark.sinks.tables import write_bucketed
+
+    new = spark.createDataFrame(
+        [(1, "fresh one"), (2, "seen before"), (3, "fresh one")],
+        "doc_id long, text string",
+    )
+    seen_src = spark.createDataFrame(
+        [("seen before",), ("ancient doc",)], "text string"
+    ).select(fingerprint(F.col("text")).alias("fp"))
+    try:
+        write_bucketed(seen_src, "fp_store", ["fp"], num_buckets=8)
+        store = spark.table("fp_store")
+        out = incremental_dedup(new, store, "text", "doc_id")
+        # exactly one exchange: the batch groupBy; the store scan
+        # feeds the join with no Exchange above it
+        assert exchange_count(out) == 1, plan_facts(out).summary()
+        got = sorted((r.doc_id, r.batch_dups) for r in out.collect())
+        unbucketed = incremental_dedup(new, seen_src, "text", "doc_id")
+        assert got == sorted(
+            (r.doc_id, r.batch_dups) for r in unbucketed.collect()
+        ) == [(1, 2)]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS fp_store")

@@ -65,6 +65,73 @@ def exact_dedup_keys(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def minhash_estimate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 4,
+    shingle_n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Sketch-accuracy audit for the MinHash family: for every LSH
+    candidate pair, the signature-based Jaccard ESTIMATE (fraction of
+    agreeing minhash components — the Broder estimator the banding
+    math assumes) next to the EXACT shingle-set Jaccard, plus the
+    absolute error. This is how you validate num_hashes/band geometry
+    on a new corpus before trusting the sketch at full scale.
+
+    Scale: exact Jaccard is computed ONLY on LSH candidates (never
+    all-pairs); the per-doc distinct gram-hash array rides the two
+    id-keyed joins — bounded by candidate volume, the same O(sum
+    bucket^2) as the pair generation itself.
+    """
+    feats = df.select(
+        F.col(id_col),
+        *minhash_columns(F.col(text_col), num_hashes, shingle_n),
+        F.array_distinct(
+            F.transform(
+                char_ngrams(F.col(text_col), shingle_n), md5_hash32
+            )
+        ).alias("_gs"),
+    )
+    pairs = minhash_candidate_pairs(
+        df, text_col, id_col, num_hashes, rows_per_band, shingle_n
+    )
+    a = feats.select(
+        F.col(id_col).alias("id1"),
+        F.col("_gs").alias("_ga"),
+        *[F.col(f"mh_{j}").alias(f"_a{j}") for j in range(num_hashes)],
+    )
+    b = feats.select(
+        F.col(id_col).alias("id2"),
+        F.col("_gs").alias("_gb"),
+        *[F.col(f"mh_{j}").alias(f"_b{j}") for j in range(num_hashes)],
+    )
+    agree = None
+    for j in range(num_hashes):
+        term = (F.col(f"_a{j}") == F.col(f"_b{j}")).cast("int")
+        agree = term if agree is None else agree + term
+    inter = F.size(F.array_intersect(F.col("_ga"), F.col("_gb")))
+    union = (
+        F.size(F.col("_ga")) + F.size(F.col("_gb")) - inter
+    )
+    est = F.round(agree.cast("double") / num_hashes, 6)
+    exact = F.round(
+        inter.cast("double") / F.greatest(union, F.lit(1)).cast("double"), 6
+    )
+    return (
+        pairs.join(a, "id1")
+        .join(b, "id2")
+        .select(
+            "id1",
+            "id2",
+            est.alias("jaccard_est"),
+            exact.alias("jaccard_exact"),
+            F.round(F.abs(est - exact), 6).alias("abs_err"),
+        )
+    )
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     seen_fps: DataFrame,

@@ -198,6 +198,18 @@ def q107_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.incremental_dedup(new, seen, "text", "doc_id")
 
 
+def q109_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: per LSH candidate pair, the Broder
+    signature estimate of Jaccard vs the exact shingle-set Jaccard
+    and the absolute error — the num_hashes/band-geometry validation
+    run before trusting the sketch at scale. Exact Jaccard touches
+    ONLY candidates (operators.dedup.minhash_estimate_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_estimate_pairs(
+        docs, "text", "doc_id", _NUM_HASHES, _ROWS_PER_BAND, _SHINGLE_N
+    )
+
+
 QUERIES = {
     "q34_dedup_exact": q34_dedup_exact,
     "q35_minhash_signature": q35_minhash_signature,
@@ -211,6 +223,7 @@ QUERIES = {
     "q99_source_dup_profile": q99_source_dup_profile,
     "q102_neardup_collapse": q102_neardup_collapse,
     "q107_incremental_dedup": q107_incremental_dedup,
+    "q109_minhash_estimate": q109_minhash_estimate,
 }
 
 _CC_CTE = f"""WITH RECURSIVE hashed AS (
@@ -246,6 +259,44 @@ ORACLES = {
                COUNT(*) AS dup_count
         FROM documents
         GROUP BY 1
+    """,
+    # Broder estimate (mean component agreement) + exact shingle
+    # Jaccard over the SAME candidate pairs; est/exact rounded FIRST,
+    # then the abs error of the rounded values — mirroring the Spark
+    # expression exactly
+    "q109_minhash_estimate": f"""
+        WITH hashed AS (
+            SELECT doc_id, {_HS} AS hs FROM documents
+        ), sigs AS (
+            SELECT doc_id,
+               {_SIG_COLS}
+            FROM hashed
+        ), gsets AS (
+            SELECT doc_id, list_distinct(hs) AS gs FROM hashed
+        ), bands AS (
+{_BAND_SELECTS}
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ), j AS (
+            SELECT p.id1, p.id2,
+                   ROUND(({" + ".join(f"(CASE WHEN sa.mh_{k} = sb.mh_{k} THEN 1 ELSE 0 END)" for k in range(_NUM_HASHES))})
+                         / {_NUM_HASHES}.0, 6) AS jaccard_est,
+                   ROUND(CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+                         / CAST(GREATEST(len(ga.gs) + len(gb.gs)
+                                - len(list_intersect(ga.gs, gb.gs)), 1) AS DOUBLE),
+                         6) AS jaccard_exact
+            FROM pairs p
+            JOIN sigs sa ON sa.doc_id = p.id1
+            JOIN sigs sb ON sb.doc_id = p.id2
+            JOIN gsets ga ON ga.doc_id = p.id1
+            JOIN gsets gb ON gb.doc_id = p.id2
+        )
+        SELECT id1, id2, jaccard_est, jaccard_exact,
+               ROUND(ABS(jaccard_est - jaccard_exact), 6) AS abs_err
+        FROM j
     """,
     "q107_incremental_dedup": f"""
         WITH seen AS (
