@@ -453,6 +453,50 @@ def test_passage_dedup_model(spark):
     }
 
 
+def test_boilerplate_passage_filter_model(spark):
+    """Hand-checkable boilerplate removal (2-token passages,
+    min_docs=2): 'a b' occurs in docs 1, 2 and 3 -> stripped from ALL
+    three (contrast passage_dedup, which keeps the first); doc 3's
+    within-doc repeat of its own unique passage ('p q' twice) is NOT
+    boilerplate (docfreq counts DISTINCT docs = 1) and survives both
+    times; token-less doc 4 survives with empty clean_text."""
+    from ulh_etl_spark.operators.text import boilerplate_passage_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b x y"),
+            (3, "p q p q a b"),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.clean_text, r.n_passages, r.n_dropped)
+        for r in boilerplate_passage_filter(
+            df, "text", "doc_id", passage_tokens=2, min_docs=2
+        ).collect()
+    }
+    assert out == {
+        1: ("c d", 2, 1),
+        2: ("x y", 2, 1),
+        3: ("p q p q", 3, 1),
+        4: ("", 1, 0),
+    }
+
+
+def test_boilerplate_passage_filter_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from ulh_etl_spark.operators.text import boilerplate_passage_filter
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        boilerplate_passage_filter(df, "text", "doc_id", passage_tokens=0)
+    with _pytest.raises(ValueError):
+        boilerplate_passage_filter(df, "text", "doc_id", min_docs=1)
+
+
 def test_passage_dedup_skew_robust_parity(spark):
     """Adversarial skew corpus: ONE boilerplate passage opens every
     document (the whole-corpus hot window group). The skew_robust

@@ -595,6 +595,99 @@ def passage_dedup(
     )
 
 
+def boilerplate_passage_filter(
+    df,
+    text_col: str,
+    id_col: str,
+    passage_tokens: int = 32,
+    min_docs: int = 3,
+):
+    """Corpus-level boilerplate removal (CCNet / RefinedWeb line-wise
+    dedup semantics, at passage granularity since the corpus has no
+    line structure): any passage whose text occurs in >= ``min_docs``
+    DISTINCT documents is boilerplate (nav bars, license headers,
+    cookie banners) and is removed from EVERY document — unlike
+    :func:`passage_dedup`, which keeps the first occurrence. Each doc
+    is then reassembled from its surviving passages in order.
+
+    Scale shape: passage explode is a narrow map; document frequency
+    per passage is a two-level groupBy — first on ``(passage_hash,
+    doc)`` (map-side partial agg collapses within-doc repeats, so a
+    doc that repeats its own boilerplate contributes ONE row), then
+    on ``passage_hash`` (input already one row per (passage, doc) —
+    bounded). The frequency table joins back to the exploded passages
+    on the hash; a corpus-wide boilerplate passage makes that key hot,
+    but it is a JOIN key (AQE skew-split applies), not a window — the
+    same reasoning as passage_dedup's skew_robust path. Reassembly is
+    one shuffle on the doc id. xxhash64 is safe here (two-hash
+    policy: only keep/drop decisions depend on it).
+
+    Returns (id_col, clean_text, n_passages, n_dropped) — one row per
+    input document, token-less documents included (empty clean_text).
+    """
+    if passage_tokens <= 0:
+        raise ValueError("passage_tokens must be positive")
+    if min_docs < 2:
+        raise ValueError("min_docs < 2 would drop every passage")
+    with_t = df.select(
+        F.col(id_col), whitespace_tokens(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
+    nt = F.size(toks)
+    n_pass = F.greatest(
+        F.ceil(nt / F.lit(passage_tokens)).cast("long"), F.lit(1)
+    )
+    passages = F.transform(
+        F.sequence(F.lit(0), n_pass - 1),
+        lambda i: F.struct(
+            i.alias("idx"),
+            F.array_join(
+                F.slice(toks, i * passage_tokens + 1, passage_tokens), " "
+            ).alias("passage"),
+        ),
+    )
+    # explode_outer + isNotNull filter: token-less docs keep a row,
+    # and the InferFiltersFromGenerate re-evaluation trap is avoided
+    # (see passage_dedup / chunk_documents).
+    exploded = (
+        with_t.select(F.col(id_col), F.explode_outer(passages).alias("_p"))
+        .select(
+            F.col(id_col),
+            F.col("_p.idx").alias("_idx"),
+            F.col("_p.passage").alias("_passage"),
+        )
+        .withColumn("_h", F.xxhash64("_passage"))
+    )
+    docfreq = (
+        exploded.groupBy("_h", id_col)
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("_h")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("_h", F.lit(True).alias("_boiler"))
+    )
+    marked = exploded.join(docfreq, "_h", "left")
+    kept_struct = F.when(
+        F.col("_boiler").isNull(), F.struct(F.col("_idx"), F.col("_passage"))
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["_passage"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").alias("n_passages"),
+            F.sum(F.col("_boiler").isNotNull().cast("long")).alias(
+                "n_dropped"
+            ),
+        )
+    )
+
+
 def pack_sequences(
     df,
     text_col: str,

@@ -244,6 +244,25 @@ def q101_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOILER_MIN_DOCS = 2
+
+
+def q110_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate removal: passages occurring
+    in >= BOILER_MIN_DOCS distinct documents are stripped from EVERY
+    document (contrast q101, which keeps the first occurrence).
+    Two-level groupBy docfreq + hash join-back + one reassembly
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.boilerplate_passage_filter(
+        docs,
+        "text",
+        "doc_id",
+        passage_tokens=PASSAGE_TOKENS,
+        min_docs=BOILER_MIN_DOCS,
+    )
+
+
 def q83_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level top-100 word bigrams (boilerplate-phrase /
     tokenizer-stats pass). Partial-agged groupBy + TakeOrdered top-k:
@@ -437,6 +456,7 @@ QUERIES = {
     "q88_pack_utilization": q88_pack_utilization,
     "q89_chunk_documents": q89_chunk_documents,
     "q101_passage_dedup": q101_passage_dedup,
+    "q110_boilerplate_removal": q110_boilerplate_removal,
     "q90_token_budget_mix": q90_token_budget_mix,
     "q91_logprob_tiles": q91_logprob_tiles,
     "q92_pii_redact": q92_pii_redact,
@@ -874,6 +894,41 @@ ORACLES = {
                COUNT(*) AS n_passages,
                CAST(COUNT(*) FILTER (rn > 1) AS BIGINT) AS n_dropped
         FROM ranked
+        GROUP BY doc_id
+    """,
+    "q110_boilerplate_removal": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS tk FROM documents
+        ), p AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(0,
+                           CAST(greatest(ceil(len(tk) / {PASSAGE_TOKENS}.0), 1)
+                               AS BIGINT) - 1),
+                       i -> struct_pack(
+                           idx := i,
+                           passage := array_to_string(
+                               tk[i*{PASSAGE_TOKENS}+1 : (i+1)*{PASSAGE_TOKENS}],
+                               ' '))
+                   )) AS ps
+            FROM t
+        ), pp AS (
+            SELECT doc_id, ps.idx AS idx, ps.passage AS passage FROM p
+        ), boiler AS (
+            SELECT passage FROM pp
+            GROUP BY passage
+            HAVING COUNT(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+        ), marked AS (
+            SELECT pp.doc_id, pp.idx, pp.passage,
+                   b.passage IS NOT NULL AS is_boiler
+            FROM pp LEFT JOIN boiler b ON pp.passage = b.passage
+        )
+        SELECT doc_id,
+               COALESCE(string_agg(passage, ' ' ORDER BY idx)
+                            FILTER (NOT is_boiler), '') AS clean_text,
+               COUNT(*) AS n_passages,
+               CAST(COUNT(*) FILTER (is_boiler) AS BIGINT) AS n_dropped
+        FROM marked
         GROUP BY doc_id
     """,
     "q87_sequence_pack": f"""
