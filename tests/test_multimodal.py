@@ -462,3 +462,95 @@ def test_hard_negatives_excludes_positives(spark):
         .collect()
     ]
     assert out == [(0, 2, 1), (0, 3, 2), (0, 4, 3)]
+
+
+def test_pq_encode_model(spark):
+    """Hand-checkable PQ (4 dims, m=2 subspaces, ksub=2): seeds are
+    ids 0/1 so the codebook per subspace is {code 0: [0,0], code 1:
+    [1,1]}. v2's halves pick opposite codewords; v3 is exactly
+    equidistant in both subspaces -> lowest-code tie-break (0)."""
+    from ulh_etl_spark.operators.similarity import pq_codebook, pq_encode
+
+    corpus = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 0.0, 0.0]),
+            (1, [1.0, 1.0, 1.0, 1.0]),
+            (2, [0.9, 1.1, 0.1, -0.1]),
+            (3, [0.5, 0.5, 0.5, 0.5]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cb = pq_codebook(corpus, dim=4, m=2, ksub=2)
+    assert cb.count() == 4  # m * ksub
+    out = {
+        r.vec_id: (list(r.codes), r.recon_err)
+        for r in pq_encode(corpus, cb).collect()
+    }
+    assert out[0] == ([0, 0], 0.0)
+    assert out[1] == ([1, 1], 0.0)
+    assert out[2][0] == [1, 0]
+    assert abs(out[2][1] - 0.04) < 1e-6
+    assert out[3][0] == [0, 0]  # equidistant -> lowest code
+    assert abs(out[3][1] - 1.0) < 1e-6
+
+
+def test_pq_adc_equals_distance_to_reconstruction(spark):
+    """ADC's defining property: the ADC distance to a corpus row
+    equals the exact squared L2 between the query and that row's
+    RECONSTRUCTED (codeword-concatenated) vector."""
+    from ulh_etl_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 0.0, 0.0]),
+            (1, [1.0, 1.0, 1.0, 1.0]),
+            (2, [0.9, 1.1, 0.1, -0.1]),  # reconstructs to [1,1,0,0]
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cb = pq_codebook(corpus, dim=4, m=2, ksub=2)
+    enc = pq_encode(corpus, cb)
+    queries = spark.createDataFrame(
+        [(7, [1.0, 1.0, 1.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    out = {
+        r.vec_id: (r.adc_dist, r.rank)
+        for r in pq_adc_topk(enc, cb, queries, k=3).collect()
+    }
+    # dist(q, recon): v1 -> [1,1,1,1]: 0; v2 -> [1,1,0,0]: 2; v0: 4
+    assert out[1] == (0.0, 1)
+    assert out[2] == (2.0, 2)
+    assert out[0] == (4.0, 3)
+
+
+def test_l2_topk_model(spark):
+    from ulh_etl_spark.operators.similarity import l2_topk
+
+    corpus = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [3.0, 4.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    queries = corpus.filter("vec_id = 0")
+    out = [
+        (r.vec_id, r.l2_sq, r.rank)
+        for r in l2_topk(corpus, queries, k=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert out == [(0, 0.0, 1), (2, 1.0, 2), (1, 25.0, 3)]
+
+
+def test_pq_codebook_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from ulh_etl_spark.operators.similarity import pq_codebook
+
+    df = spark.createDataFrame([(0, [0.0])], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError):
+        pq_codebook(df, dim=5, m=2)
+    with _pytest.raises(ValueError):
+        pq_codebook(df, dim=4, m=2, ksub=1)

@@ -388,3 +388,41 @@ def test_incremental_dedup_bucketed_store_no_store_shuffle(spark):
         ) == [(1, 2)]
     finally:
         spark.sql("DROP TABLE IF EXISTS fp_store")
+
+
+def test_q111_pq_encode_is_narrow_map(spark, sf_dir):
+    """PQ encode must keep the ivf_assign shape: codebook folded into
+    plan literals, zero exchanges, no |corpus| x ksub join — the
+    property that lets a 100 TB corpus encode in one scan pass."""
+    from ulh_etl_spark.queries.similarity import q111_pq_encode
+
+    df = q111_pq_encode(spark, sf_dir)
+    assert exchange_count(df) == 0
+    assert broadcast_join_count(df) == 0
+
+
+def test_pq_adc_scan_reads_only_codes(spark, sf_dir):
+    """The ADC leg's whole point: score from (vec_id, codes) alone.
+    The corpus embedding column must not appear in the ADC scan."""
+    from pyspark.sql import functions as F
+
+    from ulh_etl_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+    from ulh_etl_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, dim=64, m=4, ksub=16)
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="ulh_pq_codes_")
+    pq_encode(emb, cb).select("vec_id", "codes").write.mode(
+        "overwrite"
+    ).parquet(path)
+    enc = spark.read.parquet(path)
+    queries = emb.filter(F.col("vec_id") < 2)
+    df = pq_adc_topk(enc, cb, queries, k=5)
+    cols = [c for c in scan_columns(df) if "codes" in c]
+    assert cols and all(set(c) <= {"vec_id", "codes"} for c in cols), cols

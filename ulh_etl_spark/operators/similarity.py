@@ -628,3 +628,269 @@ def ivf_probe_pruned(
         assigned, centroids, queries, id_col=id_col, vec_col=vec_col,
         k=k, nprobe=nprobe,
     )
+
+
+# ---------------------------------------------------- product quantization
+
+
+def _sq_dist(vec: Column, cvec: Column) -> Column:
+    """Squared L2 between two array columns/literals — same sequential
+    double fold as ``_sq_dist_to`` so DuckDB's ``list_sum`` oracle
+    reproduces it bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            cvec,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 4,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic product-quantization codebook (Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search"): split the
+    ``dim``-dimensional space into ``m`` contiguous subspaces of
+    dim/m dims; subspace ``s``'s ``ksub`` codewords are the
+    corresponding slices of the first ``ksub`` vectors by id — the
+    same seed-not-Lloyd stand-in the IVF family uses (_centroids);
+    refine with ``kmeans_refine`` per subspace when quantization
+    error matters more than oracle determinism.
+
+    Returns (subspace int, code int, cvec array<double>) — m * ksub
+    rows, driver-small by construction (the PQ contract: the codebook
+    always fits in memory; that is what makes encode a narrow map).
+    """
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    if ksub < 2:
+        raise ValueError("ksub must be >= 2")
+    dsub = dim // m
+    w = Window.orderBy(id_col)
+    seeds = (
+        corpus.orderBy(id_col)
+        .limit(ksub)
+        .withColumn("code", F.row_number().over(w) - 1)
+    )
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("subspace"),
+                F.transform(
+                    F.slice(F.col(vec_col), s * dsub + 1, dsub),
+                    lambda x: x.cast("double"),
+                ).alias("cvec"),
+            )
+            for s in range(m)
+        ]
+    )
+    return seeds.select(
+        F.explode(subs).alias("_s"), F.col("code").cast("int").alias("code")
+    ).select(
+        F.col("_s.subspace").alias("subspace"), "code", F.col("_s.cvec").alias("cvec")
+    )
+
+
+def _pq_literals(codebook: DataFrame) -> "list[tuple[Column, list]]":
+    """Collect the (driver-small) codebook once and fold each
+    subspace's codewords into an ``array<struct<code, cvec>>`` plan
+    literal ordered by code — the PQ analogue of _centroid_literal
+    (same single-F.expr construction; per-element F.lit calls cost a
+    py4j round-trip each). Returns [(literal, rows)] indexed by
+    subspace; ``rows`` are the collected codewords for driver-side
+    LUT computation in ``pq_adc_topk``."""
+    cache = codebook.__dict__.setdefault("_ulh_pq_cache", {})
+    if "lits" not in cache:
+        rows = codebook.select("subspace", "code", "cvec").collect()
+        by_sub: dict[int, list] = {}
+        for r in rows:
+            by_sub.setdefault(r["subspace"], []).append(r)
+        out = []
+        for s in sorted(by_sub):
+            cws = sorted(by_sub[s], key=lambda r: r["code"])
+            elems = ", ".join(
+                "named_struct('code', CAST({} AS INT), 'cvec', array({}))".format(
+                    int(r["code"]),
+                    ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in r["cvec"]),
+                )
+                for r in cws
+            )
+            out.append((F.expr(f"array({elems})"), cws))
+        cache["lits"] = out
+    return cache["lits"]
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode every vector: per subspace, the code of the nearest
+    codeword (squared L2, deterministic lowest-code tie-break), plus
+    the total reconstruction error — the audit metric that sizes
+    m/ksub for a target distortion.
+
+    Scale: the codebook folds into plan literals (same zero-shuffle
+    shape as ivf_assign — NO |corpus| x ksub join amplification);
+    encode is a pure narrow map over the scan, so a 100 TB corpus
+    PQ-encodes in one pass writing (id, m bytes) — a 64-dim float
+    corpus compresses 64x, which is what lets the ADC scan of
+    ``pq_adc_topk`` keep the whole index hot. recon_err sums the m
+    per-subspace minima left-to-right (oracle mirrors the order)."""
+    lits = _pq_literals(codebook)
+    m = len(lits)
+    dim = len(lits[0][1][0]["cvec"]) * m
+    dsub = dim // m
+    def _scored(lit: Column, sub: Column) -> Column:
+        # NB: the lambda must stay single-parameter — a two-parameter
+        # lambda is the (element, index) transform form and the second
+        # argument would silently bind to the INT index.
+        return F.transform(
+            lit,
+            lambda c: F.struct(
+                _sq_dist(sub, c["cvec"]).alias("dist"),
+                c["code"].alias("code"),
+            ),
+        )
+
+    bests = []
+    for s, (lit, _) in enumerate(lits):
+        sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
+        bests.append(F.array_min(_scored(lit, sub)))
+    recon = bests[0]["dist"]
+    for b in bests[1:]:
+        recon = recon + b["dist"]
+    return corpus.select(
+        F.col(id_col),
+        F.array(*[b["code"] for b in bests]).alias("codes"),
+        recon.alias("recon_err"),
+    )
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: per query, precompute
+    the m x ksub lookup table of squared distances from the query's
+    subvectors to every codeword (driver-side — m*ksub doubles per
+    query, the whole point of ADC), then score each corpus row as the
+    SUM OF m TABLE LOOKUPS — no float arithmetic against the original
+    vectors, which never load.
+
+    Scale: queries and LUTs are plan literals (driver-small, like
+    _centroid_literal); the scan reads only (id, codes) — m bytes a
+    row instead of dim floats — and scoring is a narrow map; the only
+    shuffle is the per-query top-k window. LUT doubles are computed
+    with the same left-to-right fold as _sq_dist so the DuckDB oracle
+    (which recomputes them symbolically) hash-matches.
+
+    Returns (query_id, vec_id [neighbor id], adc_dist, rank).
+    """
+    lits = _pq_literals(codebook)
+    m = len(lits)
+    dsub = len(lits[0][1][0]["cvec"])
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).collect()
+    q_rows.sort(key=lambda r: r["query_id"])
+
+    def _lut(qv) -> list:
+        out = []
+        for s, (_, cws) in enumerate(lits):
+            sub = [float(x) for x in qv[s * dsub : (s + 1) * dsub]]
+            out.append(
+                [
+                    # sequential fold, same order as _sq_dist/list_sum
+                    _py_sq_dist(sub, [float(v) for v in cw["cvec"]])
+                    for cw in cws
+                ]
+            )
+        return out
+
+    q_elems = ", ".join(
+        "named_struct('query_id', CAST({} AS BIGINT), 'lut', array({}))".format(
+            int(r["query_id"]),
+            ", ".join(
+                "array({})".format(
+                    ", ".join(f"CAST('{d!r}' AS DOUBLE)" for d in row)
+                )
+                for row in _lut(r["q_vec"])
+            ),
+        )
+        for r in q_rows
+    )
+    q_lit = F.expr(f"array({q_elems})")
+    dist = F.col("_q.lut")[0][F.col("codes")[0]]
+    for s in range(1, m):
+        dist = dist + F.col("_q.lut")[s][F.col("codes")[s]]
+    scored = encoded.select(
+        F.col(id_col), F.col("codes"), F.explode(q_lit).alias("_q")
+    ).select(
+        F.col("_q.query_id").alias("query_id"),
+        F.col(id_col),
+        dist.alias("_d"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_d"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            F.round("_d", 6).alias("adc_dist"),
+            "rank",
+        )
+    )
+
+
+def _py_sq_dist(a: list, b: list) -> float:
+    """Driver-side squared L2 with the identical sequential fold as
+    the _sq_dist Column expression and DuckDB's list_sum — all three
+    must agree bitwise for the ADC oracle hash to be stable."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + (x - y) * (x - y)
+    return acc
+
+
+def l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Brute-force exact squared-L2 top-k — the ground-truth leg for
+    ADC/IVF recall audits. Same shape as cosine_topk: queries
+    broadcast, corpus never shuffles, one per-query top-k window."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.col(id_col),
+        _sq_dist(F.col(vec_col), F.col("q_vec")).alias("_d"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_d"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", id_col, F.round("_d", 6).alias("l2_sq"), "rank"
+        )
+    )

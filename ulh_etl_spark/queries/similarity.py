@@ -220,6 +220,62 @@ def q100_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M = 4
+_PQ_KSUB = 16
+_EMB_DIM_PQ = 64
+
+
+def _pq_cb(emb: DataFrame) -> DataFrame:
+    return S.pq_codebook(emb, dim=_EMB_DIM_PQ, m=_PQ_M, ksub=_PQ_KSUB)
+
+
+def q111_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode: every vector compressed to m=4
+    sub-codes (16 codewords each — 64 floats become 4 nibbles) plus
+    the reconstruction error that sizes m/ksub for a target
+    distortion. The codebook folds into plan literals (ivf_assign
+    shape): a pure narrow map, zero shuffles at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    enc = S.pq_encode(emb, _pq_cb(emb))
+    return enc.select(
+        "vec_id",
+        *[
+            F.col("codes")[s].cast("int").alias(f"code_{s}")
+            for s in range(_PQ_M)
+        ],
+        F.round("recon_err", 6).alias("recon_err"),
+    )
+
+
+def q112_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC quality audit: per-query recall@k of asymmetric-distance
+    top-k over PQ codes against exact brute-force squared-L2 — the
+    measurement that decides whether 64x compression is usable for
+    first-stage retrieval. The ADC scan reads only (id, codes) and
+    scores rows by m table lookups; both legs are queries x k rows,
+    so the recall join broadcasts (q86 pattern)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = _pq_cb(emb)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    enc = S.pq_encode(emb, cb).select("vec_id", "codes")
+    adc = (
+        S.pq_adc_topk(enc, cb, queries, k=_K)
+        .select("query_id", "vec_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    bf = S.l2_topk(emb, queries, k=_K).select("query_id", "vec_id")
+    return (
+        bf.join(F.broadcast(adc), ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.lit(float(_K)),
+                6,
+            ).alias("recall_at_k")
+        )
+    )
+
+
 QUERIES = {
     "q39_cosine_topk": q39_cosine_topk,
     "q40_embedding_norms": q40_embedding_norms,
@@ -233,6 +289,8 @@ QUERIES = {
     "q96_ivf_pruned_probe": q96_ivf_pruned_probe,
     "q100_semantic_dedup": q100_semantic_dedup,
     "q106_hard_negatives": q106_hard_negatives,
+    "q111_pq_encode": q111_pq_encode,
+    "q112_pq_adc_recall": q112_pq_adc_recall,
 }
 
 
@@ -331,6 +389,50 @@ _Q42_SQL = f"""
                CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= {_K}
 """
+
+_PQ_DSUB = _EMB_DIM_PQ // _PQ_M
+
+# Shared PQ CTE chain: deterministic codebook (first ksub vectors by
+# id, sliced per subspace), per-(vector, subspace) nearest codeword
+# (lowest-code tie-break — mirrors the array_min struct ordering).
+_PQ_CTE = f"""
+        seed AS (
+            SELECT embedding,
+                   row_number() OVER (ORDER BY vec_id) - 1 AS code
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  ORDER BY vec_id LIMIT {_PQ_KSUB})
+        ), cb AS (
+            SELECT t.s AS subspace, seed.code,
+                   list_transform(
+                       seed.embedding[t.s*{_PQ_DSUB}+1 : (t.s+1)*{_PQ_DSUB}],
+                       x -> CAST(x AS DOUBLE)) AS cvec
+            FROM seed CROSS JOIN
+                 (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s) t
+        ), d AS (
+            SELECT e.vec_id, c.subspace, c.code,
+                   list_sum(list_transform(generate_series(1, {_PQ_DSUB}),
+                       i -> (CAST(e.embedding[c.subspace*{_PQ_DSUB} + i] AS DOUBLE)
+                             - c.cvec[i])
+                          * (CAST(e.embedding[c.subspace*{_PQ_DSUB} + i] AS DOUBLE)
+                             - c.cvec[i]))) AS dist
+            FROM embeddings e CROSS JOIN cb c
+        ), best AS (
+            SELECT vec_id, subspace, code, dist,
+                   row_number() OVER (PARTITION BY vec_id, subspace
+                                      ORDER BY dist, code) AS rn
+            FROM d
+        )"""
+
+_PQ_CODE_COLS = ", ".join(
+    f"CAST(MAX(CASE WHEN subspace = {s} THEN code END) AS INT) AS code_{s}"
+    for s in range(_PQ_M)
+)
+# left-associated sum, same order as the Spark expression
+_PQ_RECON = "((d_0 + d_1) + d_2) + d_3"
+_PQ_D_COLS = ", ".join(
+    f"MAX(CASE WHEN subspace = {s} THEN dist END) AS d_{s}"
+    for s in range(_PQ_M)
+)
 
 ORACLES = {
     "q39_cosine_topk": _Q39_SQL,
@@ -484,5 +586,61 @@ ORACLES = {
           ON bf.query_id = iv.query_id
          AND bf.neighbor_id = iv.neighbor_id
         GROUP BY bf.query_id
+    """,
+    "q111_pq_encode": f"""
+        WITH {_PQ_CTE}, hm AS (
+            SELECT vec_id, {_PQ_CODE_COLS}, {_PQ_D_COLS}
+            FROM best WHERE rn = 1 GROUP BY vec_id
+        )
+        SELECT vec_id, code_0, code_1, code_2, code_3,
+               ROUND({_PQ_RECON}, 6) AS recon_err
+        FROM hm
+    """,
+    "q112_pq_adc_recall": f"""
+        WITH {_PQ_CTE}, codes AS (
+            SELECT vec_id, subspace, code FROM best WHERE rn = 1
+        ), q AS (
+            SELECT vec_id AS query_id, embedding AS q_vec
+            FROM embeddings WHERE vec_id < {_N_QUERIES}
+        ), adcd AS (
+            SELECT q.query_id, c.vec_id, c.subspace,
+                   list_sum(list_transform(generate_series(1, {_PQ_DSUB}),
+                       i -> (CAST(q.q_vec[c.subspace*{_PQ_DSUB} + i] AS DOUBLE)
+                             - cb.cvec[i])
+                          * (CAST(q.q_vec[c.subspace*{_PQ_DSUB} + i] AS DOUBLE)
+                             - cb.cvec[i]))) AS dist
+            FROM codes c
+            JOIN cb ON cb.subspace = c.subspace AND cb.code = c.code
+            CROSS JOIN q
+        ), adc AS (
+            SELECT query_id, vec_id, {_PQ_D_COLS}
+            FROM adcd GROUP BY query_id, vec_id
+        ), adck AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY {_PQ_RECON}, vec_id) AS rk
+                FROM adc) WHERE rk <= {_K}
+        ), ex AS (
+            SELECT q.query_id, e.vec_id,
+                   list_sum(list_transform(generate_series(1, {_EMB_DIM_PQ}),
+                       i -> (CAST(q.q_vec[i] AS DOUBLE)
+                             - CAST(e.embedding[i] AS DOUBLE))
+                          * (CAST(q.q_vec[i] AS DOUBLE)
+                             - CAST(e.embedding[i] AS DOUBLE)))) AS dist
+            FROM embeddings e CROSS JOIN q
+        ), exk AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY dist, vec_id) AS rk
+                FROM ex) WHERE rk <= {_K}
+        )
+        SELECT exk.query_id,
+               ROUND(SUM(CASE WHEN adck.vec_id IS NOT NULL
+                              THEN 1 ELSE 0 END) / {_K}.0, 6) AS recall_at_k
+        FROM exk LEFT JOIN adck
+          ON exk.query_id = adck.query_id AND exk.vec_id = adck.vec_id
+        GROUP BY exk.query_id
     """,
 }
