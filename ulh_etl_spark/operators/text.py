@@ -1010,6 +1010,24 @@ def dsir_importance(
     return df.select(id_col).join(per_doc, id_col, "left")
 
 
+def _gram_set(frame, text_col: str, id_col: str, n: int):
+    """Per-row distinct character-n-gram hashes, exploded to
+    (id, _g). explode_outer + isNotNull: avoids the inferred
+    size()>0 filter duplicating the md5 gram pipeline per row
+    (SCALE.md)."""
+    return frame.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(
+                F.transform(
+                    char_ngrams(F.col(text_col), n),
+                    lambda g: gram_hash64(g),
+                )
+            )
+        ).alias("_g"),
+    ).filter(F.col("_g").isNotNull())
+
+
 def contamination_counts(
     corpus,
     benchmark,
@@ -1028,19 +1046,7 @@ def contamination_counts(
     (AQE broadcast), then a per-doc count. The corpus never
     self-joins and never shuffles its gram sets."""
     def gramset(frame):
-        # explode_outer + isnotnull: avoids the inferred size()>0
-        # filter duplicating the md5 gram pipeline per row (SCALE.md).
-        return frame.select(
-            F.col(id_col),
-            F.explode_outer(
-                F.array_distinct(
-                    F.transform(
-                        char_ngrams(F.col(text_col), n),
-                        lambda g: gram_hash64(g),
-                    )
-                )
-            ).alias("_g"),
-        ).filter(F.col("_g").isNotNull())
+        return _gram_set(frame, text_col, id_col, n)
 
     bench_grams = gramset(benchmark).select("_g").distinct()
     shared = (
@@ -1051,6 +1057,55 @@ def contamination_counts(
         .filter(F.col("n_shared") >= min_shared)
     )
     return shared
+
+
+def bloom_contamination_counts(
+    corpus,
+    benchmark,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    min_shared: int = 3,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+):
+    """Benchmark decontamination with a Bloom prefilter — identical
+    OUTPUT to :func:`contamination_counts` (the exact join removes
+    Bloom false positives), different engine path for the regime
+    where the benchmark gram set is too big to broadcast raw:
+
+    1. benchmark grams -> fixed ``n_bits/8``-byte bitmap, broadcast
+       once (operators.bloom — 1e9 grams at 1% FP is ~1.2 GB where
+       the raw long set + join hash table is tens of GB);
+    2. corpus grams probe the bitmap (Arrow-batched numpy — the only
+       Python hop, vectorized) — survivors are true matches plus the
+       FP trickle;
+    3. exact verify: survivors SHUFFLE-join the benchmark grams
+       (deliberately not broadcast — at this stage the corpus side is
+       pruned to ~|matches|, so the shuffle is tiny; broadcasting
+       here would reinstate the very footprint the Bloom removed),
+       then the per-doc count as in contamination_counts.
+
+    Exactness: Bloom has no false negatives, so step 3's join sees
+    every true match; its equality predicate kills every false
+    positive. pytest pins output parity with contamination_counts
+    and the FP-rate bound; the shared oracle SQL is the exact
+    formulation."""
+    from ulh_etl_spark.operators.bloom import bloom_probe, build_bloom
+
+    bench_grams = _gram_set(benchmark, text_col, id_col, n).select("_g").distinct()
+    bits = build_bloom(bench_grams, "_g", n_bits=n_bits, n_hashes=n_hashes)
+    cand = (
+        bloom_probe(_gram_set(corpus, text_col, id_col, n), "_g", bits, n_hashes)
+        .filter(F.col("_in_bloom"))
+        .drop("_in_bloom")
+    )
+    return (
+        cand.join(bench_grams.hint("shuffle_hash"), "_g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
 
 
 def repetition_signals(df, text_col: str, id_col: str):

@@ -180,6 +180,29 @@ def q79_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_BITS = 1 << 20
+BLOOM_HASHES = 5
+
+
+def q113_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q79's decontamination with the memory-bounded engine path: the
+    benchmark grams compress to a fixed 128 KiB Bloom bitmap
+    (broadcast once), corpus grams probe it vectorized, and the FP
+    survivors shuffle-join the benchmark for the exact verify —
+    identical output to q79 (Bloom has no false negatives; the
+    equality join kills false positives), so it shares q79's oracle
+    body. What q113 adds is the physical path that still works when
+    the benchmark gram set outgrows a raw broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % DECON_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % DECON_MOD != 0)
+    return T.bloom_contamination_counts(
+        corpus, bench, "text", "doc_id",
+        n=DECON_N, min_shared=DECON_MIN_SHARED,
+        n_bits=BLOOM_BITS, n_hashes=BLOOM_HASHES,
+    )
+
+
 TOP_NGRAM_K = 100
 PACK_CTX = 512
 PACK_SHARDS = 8
@@ -449,6 +472,7 @@ QUERIES = {
     "q66_top_quality_per_lang": q66_top_quality_per_lang,
     "q78_unigram_logprob": q78_unigram_logprob,
     "q79_decontamination": q79_decontamination,
+    "q113_bloom_decontamination": q113_bloom_decontamination,
     "q80_repetition_signals": q80_repetition_signals,
     "q82_weighted_sample": q82_weighted_sample,
     "q83_top_bigrams": q83_top_bigrams,
@@ -776,6 +800,24 @@ ORACLES = {
         FROM seeded
     """,
     "q79_decontamination": f"""
+        WITH g AS (
+            SELECT doc_id,
+                   unnest(list_distinct({O.grams('text', DECON_N)})) AS h
+            FROM documents
+        ), b AS (
+            SELECT DISTINCT h FROM g WHERE doc_id % {DECON_MOD} = 0
+        ), c AS (
+            SELECT doc_id, h FROM g WHERE doc_id % {DECON_MOD} <> 0
+        )
+        SELECT c.doc_id, COUNT(*) AS n_shared
+        FROM c JOIN b USING (h)
+        GROUP BY c.doc_id
+        HAVING COUNT(*) >= {DECON_MIN_SHARED}
+    """,
+    # q113 is q79 with a Bloom-prefilter engine path; the composed
+    # result is exact (no false negatives + equality verify join), so
+    # the exact formulation IS its oracle — same sharing as q96/q42.
+    "q113_bloom_decontamination": f"""
         WITH g AS (
             SELECT doc_id,
                    unnest(list_distinct({O.grams('text', DECON_N)})) AS h
