@@ -604,3 +604,39 @@ def test_gopher_rules_model(spark):
     assert not out[4].symbol_ratio_ok and not out[4].keep
     assert not out[5].alpha_frac_ok and not out[5].keep
     assert not out[6].stopwords_ok and not out[6].keep
+
+
+def test_group_quantile_calibrate_model(spark):
+    """Hand-checkable per-group percent_rank: group A (4 values, one
+    tie) and group B (single element -> calibrated 0.0). keep marks
+    the top half of EACH group regardless of the groups' raw scales
+    (B's lone 0.1 is kept even though it is globally the worst)."""
+    import pytest as _pytest
+
+    from ulh_etl_spark.operators.rank import group_quantile_calibrate
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", 10.0),
+            (2, "A", 20.0),
+            (3, "A", 20.0),
+            (4, "A", 40.0),
+            (5, "B", 0.1),
+        ],
+        "doc_id long, source string, quality double",
+    )
+    out = {
+        r.doc_id: (r.calibrated, r.keep)
+        for r in group_quantile_calibrate(
+            df, "quality", "source", keep_frac=0.5
+        ).collect()
+    }
+    # ties share rank; (rank-1)/(n-1) with n=4
+    assert out[1] == (0.0, False)
+    assert out[2] == out[3] == (round(1 / 3, 6), False)
+    assert out[4] == (1.0, True)
+    # single-element group: percent_rank 0, below the 0.5 cutoff
+    assert out[5] == (0.0, False)
+
+    with _pytest.raises(ValueError):
+        group_quantile_calibrate(df, "quality", "source", keep_frac=0.0)

@@ -146,3 +146,42 @@ def _global_index(
         F.col("_pid") + 1,
     )
     return local, off + F.col("_lrn"), n
+
+
+def group_quantile_calibrate(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    keep_frac: float | None = None,
+    out_col: str = "calibrated",
+):
+    """Per-group quantile calibration: map ``value_col`` to its
+    percent_rank WITHIN its group, making scores comparable across
+    groups with different scales/distributions — the source-fair
+    quality thresholding pass (CCNet applies it to perplexity per
+    language; same trick for heuristic quality per crawl source). A
+    single global cutoff on the raw score over-prunes whole sources
+    whose scores run low; cutting on the calibrated rank keeps the
+    same fraction of every group.
+
+    ``keep_frac`` adds a boolean ``keep``: True for the top
+    ``keep_frac`` of each group (calibrated >= 1 - keep_frac).
+    percent_rank is (rank-1)/(n-1) with tie-sharing — deterministic,
+    no RNG, and identical in ANSI SQL, so the whole output is
+    oracle-checkable.
+
+    Scale: ONE shuffle on the group key; the in-group sort is the
+    window sort. Group skew = the largest group's share of the
+    corpus; if one source dominates, split its ranking with
+    global_ntile per group (range partition within the group) — the
+    window form is right while every group fits a task's spill
+    budget."""
+    if keep_frac is not None and not 0.0 < keep_frac <= 1.0:
+        raise ValueError("keep_frac must be in (0, 1]")
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    out = df.withColumn(out_col, F.round(F.percent_rank().over(w), 6))
+    if keep_frac is not None:
+        out = out.withColumn(
+            "keep", F.col(out_col) >= F.lit(1.0) - F.lit(keep_frac)
+        )
+    return out

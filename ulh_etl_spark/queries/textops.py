@@ -180,6 +180,26 @@ def q79_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CALIB_KEEP_FRAC = 0.5
+
+
+def q114_source_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-fair quality thresholding: quality percent-ranked WITHIN
+    each source, keep the top half of every source — a global cutoff
+    on the raw score would over-prune sources whose heuristic scores
+    run low (CCNet does this per-language on perplexity). One shuffle
+    on source."""
+    from ulh_etl_spark.operators.rank import group_quantile_calibrate
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = T.with_quality_score(docs, "text").select(
+        "doc_id", "source", "quality"
+    )
+    return group_quantile_calibrate(
+        scored, "quality", "source", keep_frac=CALIB_KEEP_FRAC
+    )
+
+
 BLOOM_BITS = 1 << 20
 BLOOM_HASHES = 5
 
@@ -473,6 +493,7 @@ QUERIES = {
     "q78_unigram_logprob": q78_unigram_logprob,
     "q79_decontamination": q79_decontamination,
     "q113_bloom_decontamination": q113_bloom_decontamination,
+    "q114_source_quality_calibration": q114_source_quality_calibration,
     "q80_repetition_signals": q80_repetition_signals,
     "q82_weighted_sample": q82_weighted_sample,
     "q83_top_bigrams": q83_top_bigrams,
@@ -814,6 +835,20 @@ ORACLES = {
         GROUP BY c.doc_id
         HAVING COUNT(*) >= {DECON_MIN_SHARED}
     """,
+    "q114_source_quality_calibration": f"""
+        WITH s AS (
+            SELECT doc_id, source, {{quality}} AS quality FROM documents
+        ), c AS (
+            SELECT doc_id, source, quality,
+                   ROUND(percent_rank() OVER (PARTITION BY source
+                                              ORDER BY quality), 6)
+                       AS calibrated
+            FROM s
+        )
+        SELECT doc_id, source, quality, calibrated,
+               calibrated >= 1.0 - {CALIB_KEEP_FRAC} AS keep
+        FROM c
+    """.format(quality=_QUALITY_SQL),
     # q113 is q79 with a Bloom-prefilter engine path; the composed
     # result is exact (no false negatives + equality verify join), so
     # the exact formulation IS its oracle — same sharing as q96/q42.
