@@ -76,6 +76,14 @@ HEADLINE = (
     "q107_incremental_dedup",
     "q108_gopher_rules",
     "q109_minhash_estimate",
+    # Round-7 additions: boilerplate removal, product quantization
+    # (narrow-map encode + ADC recall), Bloom decontamination, and
+    # source-fair quality calibration.
+    "q110_boilerplate_removal",
+    "q111_pq_encode",
+    "q112_pq_adc_recall",
+    "q113_bloom_decontamination",
+    "q114_source_quality_calibration",
 )
 
 # Anchors @ sf0.1, local[32] — the official regression baselines
@@ -133,6 +141,15 @@ ANCHOR = {
     "q106_hard_negatives": 0.443,
     "q107_incremental_dedup": 0.513,
     "q108_gopher_rules": 0.435,
+    # r7 second-batch anchors (min-of-3 warm, same host): q113's cost
+    # is dominated by the bloom-build job + the Python probe hop —
+    # the price of the memory-bounded path; q79's broadcast variant
+    # (q85-adjacent) remains the fast shape while the gram set fits.
+    "q110_boilerplate_removal": 0.588,
+    "q111_pq_encode": 0.905,
+    "q112_pq_adc_recall": 1.244,
+    "q113_bloom_decontamination": 1.679,
+    "q114_source_quality_calibration": 0.393,
 }
 
 
