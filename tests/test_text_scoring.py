@@ -640,3 +640,49 @@ def test_group_quantile_calibrate_model(spark):
 
     with _pytest.raises(ValueError):
         group_quantile_calibrate(df, "quality", "source", keep_frac=0.0)
+
+
+def test_bpe_merge_steps_model(spark):
+    """Classic BPE walkthrough (low/lower/newest histogram): merge 0
+    is the (l,o)/(o,w) 7-7 tie broken lexicographically, merge 1
+    builds 'low', merge 2 picks (e,s) from the four-way 3-3 tie."""
+    from ulh_etl_spark.operators.text import bpe_merge_steps
+
+    docs = [
+        (0, "low low low low low"),
+        (1, "lower lower"),
+        (2, "newest newest newest"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = [
+        (r.step, r.merge_left, r.merge_right, r.pair_count)
+        for r in bpe_merge_steps(df, "text", n_merges=5)
+        .orderBy("step")
+        .collect()
+    ]
+    assert out == [
+        (0, "l", "o", 7),
+        (1, "lo", "w", 7),
+        (2, "e", "s", 3),
+        (3, "e", "w", 3),
+        (4, "es", "t", 3),
+    ]
+
+
+def test_bpe_merge_overlap_counting_and_greedy(spark):
+    """Overlapping occurrences count toward the pair frequency
+    ('aaa' has (a,a) twice) but merge greedily left-to-right
+    ('aaa' -> [aa, a], so step 1 sees (aa, a))."""
+    from ulh_etl_spark.operators.text import bpe_merge_steps
+
+    df = spark.createDataFrame([(0, "aaa aaa b")], "doc_id long, text string")
+    out = [
+        (r.step, r.merge_left, r.merge_right, r.pair_count)
+        for r in bpe_merge_steps(df, "text", n_merges=2)
+        .orderBy("step")
+        .collect()
+    ]
+    # one distinct word 'aaa' with cnt 2: (a,a) appears at 2 positions
+    # -> pair_count 4; after the greedy merge 'aaa' -> [aa, a]
+    assert out[0] == (0, "a", "a", 4)
+    assert out[1] == (1, "aa", "a", 2)

@@ -1108,6 +1108,96 @@ def bloom_contamination_counts(
     )
 
 
+def bpe_merge_steps(df, text_col: str, n_merges: int = 6):
+    """Byte-pair-encoding merge-table training (Sennrich et al. 2016
+    — the tokenizer-induction pass of an LM pipeline): start from the
+    character split of every distinct word, repeatedly find the
+    most frequent adjacent symbol pair (weighted by word frequency;
+    overlapping occurrences counted, classic formulation) and merge
+    it greedily left-to-right in every word. Returns the merge table
+    — (step, merge_left, merge_right, pair_count) — which IS the
+    trained artifact a BPE tokenizer loads. Deterministic tie-break:
+    (count DESC, left ASC, right ASC). No end-of-word marker
+    (GPT-2-style; merges never cross word boundaries regardless).
+
+    Scale shape: the corpus is read ONCE — the word-frequency groupBy
+    (one corpus-scale shuffle, map-side partial agg). Every merge
+    iteration then runs on the VOCABULARY relation, bounded by
+    |distinct words| regardless of corpus size — the same reason
+    real BPE trainers operate on the word histogram. Per step: one
+    vocab-sized pair-count groupBy + a top-1 collect (a scalar per
+    round, like kmeans_refine/connected_components) + a narrow fold
+    re-merge. The vocab base is persisted so the corpus pass never
+    re-runs. Symbols must not contain U+001F (the oracle's list
+    encoding); whitespace tokens cannot.
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    spark = df.sparkSession
+    base = (
+        df.select(
+            F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("syms", F.split("w", ""))
+        .persist()
+    )
+    words = base
+    try:
+        merges = []
+        for step in range(n_merges):
+            syms = F.col("syms")
+            n = F.size(syms)
+            pair_arr = F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("l"),
+                    F.element_at(syms, i + 1).alias("r"),
+                ),
+            )
+            # guard BEFORE building: sequence(1, 0) counts DOWN (the
+            # chunk_documents trap); single-symbol words have no pairs
+            pairs = words.select(
+                "cnt",
+                F.explode(
+                    F.when(n > 1, pair_arr).otherwise(F.array())
+                ).alias("_p"),
+            ).select("cnt", F.col("_p.l").alias("l"), F.col("_p.r").alias("r"))
+            top = (
+                pairs.groupBy("l", "r")
+                .agg(F.sum("cnt").alias("pc"))
+                .orderBy(F.desc("pc"), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            b = top[0]
+            merges.append((step, b["l"], b["r"], int(b["pc"])))
+            l, r = F.lit(b["l"]), F.lit(b["r"])
+            merged = F.aggregate(
+                syms,
+                F.expr("array()").cast("array<string>"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == l)
+                    & (s == r),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.concat(l, r)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            )
+            words = words.withColumn("syms", merged)
+        return spark.createDataFrame(
+            merges,
+            "step int, merge_left string, merge_right string, pair_count long",
+        )
+    finally:
+        base.unpersist()
+
+
 def repetition_signals(df, text_col: str, id_col: str):
     """Gopher-style within-document repetition signals:
 

@@ -200,6 +200,19 @@ def q114_source_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+BPE_MERGES = 6
+
+
+def q115_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer induction: the first 6 merge-table rows trained
+    on the corpus word histogram (one corpus pass; every iteration
+    runs on the vocab relation, bounded regardless of corpus size).
+    The oracle unrolls the same iterations as CTE layers with a
+    list_reduce greedy re-merge."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bpe_merge_steps(docs, "text", n_merges=BPE_MERGES)
+
+
 BLOOM_BITS = 1 << 20
 BLOOM_HASHES = 5
 
@@ -494,6 +507,7 @@ QUERIES = {
     "q79_decontamination": q79_decontamination,
     "q113_bloom_decontamination": q113_bloom_decontamination,
     "q114_source_quality_calibration": q114_source_quality_calibration,
+    "q115_bpe_merges": q115_bpe_merges,
     "q80_repetition_signals": q80_repetition_signals,
     "q82_weighted_sample": q82_weighted_sample,
     "q83_top_bigrams": q83_top_bigrams,
@@ -835,6 +849,7 @@ ORACLES = {
         GROUP BY c.doc_id
         HAVING COUNT(*) >= {DECON_MIN_SHARED}
     """,
+    "q115_bpe_merges": None,  # filled below by _bpe_oracle_sql
     "q114_source_quality_calibration": f"""
         WITH s AS (
             SELECT doc_id, source, {{quality}} AS quality FROM documents
@@ -1063,3 +1078,65 @@ ORACLES = {
         LIMIT {TOP_NGRAM_K}
     """,
 }
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Unrolled BPE training as static SQL: one CTE layer per merge
+    (pair counts -> top-1 -> list_reduce greedy re-merge), mirroring
+    operators.text.bpe_merge_steps exactly — including the greedy
+    left-to-right merge (list_reduce's running accumulator is the
+    U+001F-joined symbol string; its last element is checked with an
+    exact ends_with because symbols never contain the separator)."""
+    ctes = [
+        f"""w0 AS (
+            SELECT w, COUNT(*) AS cnt, string_split(w, '') AS syms
+            FROM (SELECT unnest({_LOW_TOKS}) AS w FROM documents)
+            GROUP BY w
+        )"""
+    ]
+    for i in range(n_merges):
+        ctes.append(
+            f"""p{i} AS (
+            SELECT l, r, SUM(cnt) AS pc FROM (
+                SELECT w.cnt, w.syms[t.pi] AS l, w.syms[t.pi + 1] AS r
+                FROM w{i} w,
+                     unnest(generate_series(1, len(w.syms) - 1)) AS t(pi)
+            ) GROUP BY l, r
+        )"""
+        )
+        ctes.append(
+            f"""b{i} AS (
+            SELECT l, r, pc FROM p{i} ORDER BY pc DESC, l, r LIMIT 1
+        )"""
+        )
+        if i + 1 < n_merges:
+            ctes.append(
+                f"""w{i + 1} AS (
+            SELECT w.w, w.cnt,
+                   string_split(
+                       list_reduce(w.syms, (acc, s) -> CASE
+                           WHEN (acc = b.l
+                                 OR ends_with(acc, chr(31) || b.l))
+                                AND s = b.r
+                           THEN substr(acc, 1,
+                                       length(acc) - length(b.l))
+                                || b.l || b.r
+                           ELSE acc || chr(31) || s END),
+                       chr(31)) AS syms
+            FROM w{i} w CROSS JOIN b{i} b
+        )"""
+            )
+    selects = [
+        f"SELECT CAST({i} AS INT) AS step, l AS merge_left, "
+        f"r AS merge_right, CAST(pc AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(n_merges)
+    ]
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + "\n        "
+        + "\n        UNION ALL ".join(selects)
+    )
+
+
+ORACLES["q115_bpe_merges"] = _bpe_oracle_sql(BPE_MERGES)
