@@ -686,3 +686,51 @@ def test_bpe_merge_overlap_counting_and_greedy(spark):
     # -> pair_count 4; after the greedy merge 'aaa' -> [aa, a]
     assert out[0] == (0, "a", "a", 4)
     assert out[1] == (1, "aa", "a", 2)
+
+
+def test_apply_bpe_model(spark):
+    """apply_bpe with an explicit merge list: 'low' after merges
+    (l,o),(lo,w) is ONE symbol; 'lower' is [low,e,r] = 3; token-less
+    doc survives as (0, 0); a word the merges never touch keeps its
+    character count."""
+    from ulh_etl_spark.operators.text import apply_bpe
+
+    docs = [
+        (0, "low low lower"),
+        (1, "xyz"),
+        (2, "   "),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_ws_tokens, r.n_bpe_tokens)
+        for r in apply_bpe(
+            df, "text", "doc_id", [("l", "o"), ("lo", "w")]
+        ).collect()
+    }
+    assert out == {
+        0: (3, 1 + 1 + 3),  # low(1) + low(1) + lower(low,e,r)
+        1: (1, 3),          # untouched word stays 3 chars
+        2: (0, 0),
+    }
+
+
+def test_apply_bpe_accepts_merge_table_df(spark):
+    """End-to-end: train on the corpus, tokenize with the trained
+    table — BPE counts never exceed character counts and never fall
+    below the whitespace token count."""
+    from ulh_etl_spark.operators.text import apply_bpe, bpe_merge_steps
+
+    docs = [(0, "low low low low low"), (1, "lower lower"), (2, "newest newest newest")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges = bpe_merge_steps(df, "text", n_merges=3)
+    out = {
+        r.doc_id: (r.n_ws_tokens, r.n_bpe_tokens)
+        for r in apply_bpe(df, "text", "doc_id", merges).collect()
+    }
+    for did, text in docs:
+        ws = len(text.split())
+        chars = sum(len(w) for w in text.split())
+        assert out[did][0] == ws
+        assert ws <= out[did][1] <= chars
+    # after (l,o),(lo,w),(e,s): 'low' is 1 symbol -> doc 0 = 5
+    assert out[0] == (5, 5)

@@ -1198,6 +1198,72 @@ def bpe_merge_steps(df, text_col: str, n_merges: int = 6):
         base.unpersist()
 
 
+def apply_bpe(df, text_col: str, id_col: str, merges):
+    """Tokenize with a trained BPE merge table (the other half of
+    :func:`bpe_merge_steps`): per document, the whitespace token
+    count and the BPE symbol count after applying every merge in
+    step order — the real token accounting a packing/budget pass
+    needs once the tokenizer is BPE, not whitespace.
+
+    ``merges``: the merge-table DataFrame from bpe_merge_steps (or a
+    list of (left, right) pairs) — driver-small by construction (one
+    row per merge), collected and folded into the expression.
+
+    Scale shape: merges apply on the VOCABULARY, not per token
+    occurrence — distinct words (one corpus-scale groupBy) get the
+    greedy fold chain (narrow), then documents re-join the vocab on
+    the word (AQE broadcasts while the vocab fits, shuffle-joins
+    beyond) and sum symbol counts per doc. A 100-merge tokenizer is
+    100 chained folds over |vocab| rows — independent of corpus
+    size. Token-less docs survive with (0, 0) via the left join."""
+    if hasattr(merges, "collect"):
+        rows = merges.orderBy("step").collect()
+        pairs = [(r["merge_left"], r["merge_right"]) for r in rows]
+    else:
+        pairs = list(merges)
+    toks = df.select(
+        F.col(id_col),
+        whitespace_tokens(F.lower(F.col(text_col))).alias("_toks"),
+    )
+    words = (
+        toks.select(F.explode("_toks").alias("w")).distinct()
+        .withColumn("syms", F.split("w", ""))
+    )
+    for left, right in pairs:
+        l, r = F.lit(left), F.lit(right)
+        words = words.withColumn(
+            "syms",
+            F.aggregate(
+                F.col("syms"),
+                F.expr("array()").cast("array<string>"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == l)
+                    & (s == r),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.concat(l, r)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            ),
+        )
+    vocab = words.select("w", F.size("syms").alias("_ns"))
+    agg = (
+        toks.select(F.col(id_col), F.explode("_toks").alias("w"))
+        .join(vocab, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("_ws"),
+            F.sum("_ns").alias("_bpe"),
+        )
+    )
+    return df.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("_ws"), F.lit(0)).cast("long").alias("n_ws_tokens"),
+        F.coalesce(F.col("_bpe"), F.lit(0)).cast("long").alias("n_bpe_tokens"),
+    )
+
+
 def repetition_signals(df, text_col: str, id_col: str):
     """Gopher-style within-document repetition signals:
 

@@ -213,6 +213,17 @@ def q115_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bpe_merge_steps(docs, "text", n_merges=BPE_MERGES)
 
 
+def q116_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the q115-trained merge table:
+    per-doc whitespace vs BPE token counts — the accounting that
+    feeds packing/budget passes once the tokenizer is BPE. Merges
+    apply on the vocab (corpus-size-independent), docs re-join on
+    the word."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = T.bpe_merge_steps(docs, "text", n_merges=BPE_MERGES)
+    return T.apply_bpe(docs, "text", "doc_id", merges)
+
+
 BLOOM_BITS = 1 << 20
 BLOOM_HASHES = 5
 
@@ -508,6 +519,7 @@ QUERIES = {
     "q113_bloom_decontamination": q113_bloom_decontamination,
     "q114_source_quality_calibration": q114_source_quality_calibration,
     "q115_bpe_merges": q115_bpe_merges,
+    "q116_bpe_tokenize": q116_bpe_tokenize,
     "q80_repetition_signals": q80_repetition_signals,
     "q82_weighted_sample": q82_weighted_sample,
     "q83_top_bigrams": q83_top_bigrams,
@@ -1080,13 +1092,16 @@ ORACLES = {
 }
 
 
-def _bpe_oracle_sql(n_merges: int) -> str:
-    """Unrolled BPE training as static SQL: one CTE layer per merge
-    (pair counts -> top-1 -> list_reduce greedy re-merge), mirroring
+def _bpe_cte_chain(n_merges: int, with_final_vocab: bool) -> list:
+    """Unrolled BPE training as static SQL CTE layers: per merge,
+    pair counts -> top-1 -> list_reduce greedy re-merge, mirroring
     operators.text.bpe_merge_steps exactly — including the greedy
     left-to-right merge (list_reduce's running accumulator is the
     U+001F-joined symbol string; its last element is checked with an
-    exact ends_with because symbols never contain the separator)."""
+    exact ends_with because symbols never contain the separator).
+    ``with_final_vocab`` also materializes w{n_merges}, the vocab
+    after ALL merges (the apply-BPE chain needs it; the merge-table
+    query does not)."""
     ctes = [
         f"""w0 AS (
             SELECT w, COUNT(*) AS cnt, string_split(w, '') AS syms
@@ -1109,7 +1124,7 @@ def _bpe_oracle_sql(n_merges: int) -> str:
             SELECT l, r, pc FROM p{i} ORDER BY pc DESC, l, r LIMIT 1
         )"""
         )
-        if i + 1 < n_merges:
+        if i + 1 < n_merges or with_final_vocab:
             ctes.append(
                 f"""w{i + 1} AS (
             SELECT w.w, w.cnt,
@@ -1126,6 +1141,11 @@ def _bpe_oracle_sql(n_merges: int) -> str:
             FROM w{i} w CROSS JOIN b{i} b
         )"""
             )
+    return ctes
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    ctes = _bpe_cte_chain(n_merges, with_final_vocab=False)
     selects = [
         f"SELECT CAST({i} AS INT) AS step, l AS merge_left, "
         f"r AS merge_right, CAST(pc AS BIGINT) AS pair_count FROM b{i}"
@@ -1139,4 +1159,33 @@ def _bpe_oracle_sql(n_merges: int) -> str:
     )
 
 
+def _bpe_apply_oracle_sql(n_merges: int) -> str:
+    """apply_bpe oracle: train the same merge chain, then re-join
+    every document's tokens against the final vocab's symbol counts."""
+    ctes = _bpe_cte_chain(n_merges, with_final_vocab=True)
+    ctes.append(
+        f"""tok AS (
+            SELECT doc_id, unnest({_LOW_TOKS}) AS w FROM documents
+        )"""
+    )
+    ctes.append(
+        f"""agg AS (
+            SELECT t.doc_id, COUNT(*) AS n_ws, SUM(len(v.syms)) AS n_bpe
+            FROM tok t JOIN w{n_merges} v ON t.w = v.w
+            GROUP BY t.doc_id
+        )"""
+    )
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + """
+        SELECT d.doc_id,
+               CAST(COALESCE(a.n_ws, 0) AS BIGINT) AS n_ws_tokens,
+               CAST(COALESCE(a.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """
+    )
+
+
 ORACLES["q115_bpe_merges"] = _bpe_oracle_sql(BPE_MERGES)
+ORACLES["q116_bpe_tokenize"] = _bpe_apply_oracle_sql(BPE_MERGES)
