@@ -554,3 +554,28 @@ def test_pq_codebook_rejects_bad_args(spark):
         pq_codebook(df, dim=5, m=2)
     with _pytest.raises(ValueError):
         pq_codebook(df, dim=4, m=2, ksub=1)
+
+
+def test_frame_scene_changes_model(spark):
+    """Hand-checkable scene detection: media 1 has a single cut
+    (hash jumps 0b1111 at frame 60 = 4 bits > threshold 2), media 2
+    is one flat shot (delta 1 bit each), media 3 is a single frame
+    (no deltas -> 0 changes, NULL max)."""
+    from ulh_etl_spark.operators.multimodal import frame_scene_changes
+
+    rows = [
+        (1, 0, 0b0000), (1, 30, 0b0001), (1, 60, 0b1110), (1, 90, 0b1111),
+        (2, 0, 0b0000), (2, 30, 0b0001), (2, 60, 0b0000),
+        (3, 0, 0b1010),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, frame_idx int, phash long"
+    )
+    out = {
+        r.media_id: (r.n_frames, r.n_scene_changes, r.max_frame_delta)
+        for r in frame_scene_changes(df, threshold=2).collect()
+    }
+    # media 1: deltas 1, 4(0001->1110 flips all 4), 1 -> one change
+    assert out[1] == (4, 1, 4)
+    assert out[2] == (3, 0, 1)
+    assert out[3] == (1, 0, None)

@@ -472,6 +472,45 @@ def dhash_image(content: bytes, hash_size: int = 8) -> int:
     return bits
 
 
+def frame_scene_changes(
+    frame_phashes: DataFrame,
+    id_col: str = "media_id",
+    idx_col: str = "frame_idx",
+    hash_col: str = "phash",
+    threshold: int = 10,
+) -> DataFrame:
+    """Video scene-change detection over per-frame perceptual hashes:
+    a scene boundary is a consecutive-frame Hamming jump above
+    ``threshold`` bits (the classic cheap shot detector — dHash is
+    stable within a shot, jumps across cuts). Input is the (id,
+    frame_idx, phash) relation from sample_frames -> a frame hasher;
+    output one row per media: (id, n_frames, n_scene_changes,
+    max_frame_delta — NULL for single-frame media).
+
+    Scale: ONE shuffle (the per-media lag window); frames per media
+    are bounded by the sampler's max_frames, so window groups are
+    tiny regardless of corpus size and the whole pass is linear in
+    sampled frames. The frame BYTES never reach this operator — only
+    (id, idx, long), the same narrow-feature contract as media_phash."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(idx_col)
+    ham = F.bit_count(
+        F.col(hash_col).bitwiseXOR(F.lag(hash_col).over(w))
+    )
+    return (
+        frame_phashes.withColumn("_ham", ham)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.coalesce(
+                F.sum((F.col("_ham") > threshold).cast("long")), F.lit(0)
+            ).alias("n_scene_changes"),
+            F.max("_ham").cast("int").alias("max_frame_delta"),
+        )
+    )
+
+
 def portable_phash(content: bytes) -> int:
     """SQL-reproducible 60-bit stand-in hash for the synthetic catalog
     media (same portability trick as _portable_decoder: md5 of the

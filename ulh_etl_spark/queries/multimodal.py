@@ -195,6 +195,48 @@ def q105_phash_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _portable_frame_extractor(content: bytes, idx: int) -> bytes:
+    """Frame-bytes stand-in reproducible in SQL: ascii hexdigest of
+    md5(upper-hex(content) + '_' + idx) — the same portability trick
+    as _portable_embedder/_portable_decoder."""
+    return (
+        hashlib.md5(
+            (content.hex().upper() + f"_{idx}").encode()
+        ).hexdigest().encode()
+    )
+
+
+SCENE_THRESHOLD = 25
+
+
+def q117_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-change detection end to end: media bytes ->
+    sampled frames (Arrow mapInPandas explode) -> per-frame 60-bit
+    portable phash (pure JVM md5/conv expression — the frame bytes
+    die in this projection) -> per-media lag-window Hamming jumps
+    above SCENE_THRESHOLD bits. Swap dhash_image in for real
+    perceptual behavior; the portable hash exercises the identical
+    plan."""
+    from ulh_etl_spark.operators.multimodal import frame_scene_changes
+
+    frames = sample_frames(
+        _media(spark, sf_dir),
+        every_nth=30,
+        max_frames=8,
+        frame_extractor=_portable_frame_extractor,
+    )
+    ph = frames.select(
+        "media_id",
+        "frame_idx",
+        F.conv(
+            F.substring(F.md5(F.upper(F.hex("frame"))), 1, 15), 16, 10
+        )
+        .cast("long")
+        .alias("phash"),
+    )
+    return frame_scene_changes(ph, threshold=SCENE_THRESHOLD)
+
+
 QUERIES = {
     "q43_media_metadata": q43_media_metadata,
     "q44_media_decode": q44_media_decode,
@@ -202,6 +244,7 @@ QUERIES = {
     "q76_media_embed_cells": q76_media_embed_cells,
     "q103_phash_neardup_pairs": q103_phash_neardup_pairs,
     "q105_phash_neardup_clusters": q105_phash_neardup_clusters,
+    "q117_scene_changes": q117_scene_changes,
 }
 
 # Shared by the q103/q105 oracles: portable_phash arithmetic + member
@@ -317,4 +360,39 @@ ORACLES = {
         SELECT component, MIN(node) AS keep_id, COUNT(*) AS n_members
         FROM comp GROUP BY component
     """,
+    # media -> sampled-frame stand-in bytes -> 60-bit phash ->
+    # per-media lag Hamming: the exact double of the Spark chain
+    # (frame bytes are the ascii hexdigest, so hex() of them matches
+    # Python bytes.hex() byte for byte)
+    "q117_scene_changes": f"""
+        WITH media AS ({{media}}),
+        fr AS (
+            SELECT media_id,
+                   t.k * 30 AS frame_idx,
+                   encode(md5(upper(hex(content)) || '_'
+                              || CAST(t.k * 30 AS VARCHAR))) AS frame
+            FROM media,
+                 unnest(generate_series(0,
+                     LEAST(8, GREATEST(1, octet_length(content) // 30)) - 1
+                 )) AS t(k)
+        ), ph AS (
+            SELECT media_id, frame_idx,
+                   CAST('0x' || substr(md5(upper(hex(frame))), 1, 15)
+                        AS BIGINT) AS phash
+            FROM fr
+        ), d AS (
+            SELECT media_id, phash,
+                   lag(phash) OVER (PARTITION BY media_id
+                                    ORDER BY frame_idx) AS prev
+            FROM ph
+        )
+        SELECT media_id,
+               COUNT(*) AS n_frames,
+               CAST(SUM(CASE WHEN bit_count(xor(phash, prev)) > {{t}}
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_scene_changes,
+               CAST(MAX(bit_count(xor(phash, prev))) AS INT)
+                   AS max_frame_delta
+        FROM d GROUP BY media_id
+    """.format(media=_DUCK_MEDIA, t=SCENE_THRESHOLD),
 }
