@@ -734,3 +734,51 @@ def test_apply_bpe_accepts_merge_table_df(spark):
         assert ws <= out[did][1] <= chars
     # after (l,o),(lo,w),(e,s): 'low' is 1 symbol -> doc 0 = 5
     assert out[0] == (5, 5)
+
+
+def test_kneser_ney_bigram_model(spark):
+    """Exact pure-Python KN parity on a tiny corpus, including the
+    continuation-count behavior: probabilities per history sum to 1,
+    and a doc with < 2 tokens survives with NULL."""
+    import math
+
+    import pytest as _pytest
+
+    from ulh_etl_spark.operators.text import kneser_ney_bigram_scores
+
+    docs = [(0, "a b a b"), (1, "a c"), (2, "b"), (3, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: r.mean_kn_logprob
+        for r in kneser_ney_bigram_scores(df, "text", "doc_id").collect()
+    }
+
+    # model: bigrams doc0: (a,b),(b,a),(a,b); doc1: (a,c)
+    c12 = {("a", "b"): 2, ("b", "a"): 1, ("a", "c"): 1}
+    c1 = {"a": 3, "b": 1}
+    n1p_fw = {"a": 2, "b": 1}
+    n1p_bw = {"b": 1, "a": 1, "c": 1}
+    T = 3
+    d = 0.75
+
+    def p(w1, w2):
+        return max(c12[(w1, w2)] - d, 0) / c1[w1] + (
+            d * n1p_fw[w1] / c1[w1]
+        ) * (n1p_bw[w2] / T)
+
+    want0 = round(
+        (math.log(p("a", "b")) * 2 + math.log(p("b", "a"))) / 3, 6
+    )
+    want1 = round(math.log(p("a", "c")), 6)
+    assert abs(out[0] - want0) < 1e-6
+    assert abs(out[1] - want1) < 1e-6
+    assert out[2] is None and out[3] is None
+
+    # per-history normalization: sum_w2 P(w2|a) == 1 over the model's
+    # support plus the continuation mass of unseen (a, w2) pairs
+    mass = sum(p("a", w2) for w2 in ("b", "c"))
+    unseen = (d * n1p_fw["a"] / c1["a"]) * (n1p_bw["a"] / T)
+    assert abs(mass + unseen - 1.0) < 1e-12
+
+    with _pytest.raises(ValueError):
+        kneser_ney_bigram_scores(df, "text", "doc_id", discount=1.5)

@@ -881,6 +881,83 @@ def unigram_logprob_scores(df, text_col: str, id_col: str):
     return df.select(id_col).join(per_doc, id_col, "left")
 
 
+def kneser_ney_bigram_scores(
+    df, text_col: str, id_col: str, discount: float = 0.75
+):
+    """Interpolated Kneser-Ney bigram LM quality proxy (Kneser & Ney
+    1995; the smoothing real KenLM-perplexity filters use, here at
+    bigram order trained on the corpus itself — unigram_logprob_scores
+    one order up): per-doc mean ln P_KN(w2|w1) with
+
+        P_KN(w2|w1) = max(c(w1,w2) - d, 0)/c(w1·)
+                      + (d · N1+(w1,·)/c(w1·)) · N1+(·,w2)/|bigram types|
+
+    where c(w1·) is the count of bigram occurrences starting w1 (so
+    the per-history distribution sums to 1 by construction),
+    N1+(w1,·)/N1+(·,w2) are distinct continuation counts, and the
+    continuation distribution is what distinguishes KN from naive
+    backoff ('francisco' is frequent but only ever follows 'san').
+
+    Scale shape: bigram explode is narrow; model relations are
+    vocabulary/bigram-type-bounded groupBys (partial-agged); the
+    grand type count is a 1-row agg CROSS JOINed in (broadcast, no
+    collect); scoring re-joins doc bigrams on (w1,w2), w1, w2 — AQE
+    broadcasts each while the model fits, shuffle-joins beyond. Docs
+    with < 2 tokens survive with NULL score (left join)."""
+    if not 0.0 < discount < 1.0:
+        raise ValueError("discount must be in (0, 1)")
+    toks_col = whitespace_tokens(F.lower(F.col(text_col)))
+    with_t = df.select(F.col(id_col), toks_col.alias("_toks"))
+    toks = F.col("_toks")
+    nt = F.size(toks)
+    bigram_arr = F.transform(
+        F.sequence(F.lit(1), nt - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+    )
+    # guard BEFORE building (sequence counts DOWN below 2 tokens),
+    # explode_outer to dodge InferFiltersFromGenerate re-evaluation
+    bigrams = (
+        with_t.select(
+            F.col(id_col),
+            F.explode_outer(
+                F.when(nt > 1, bigram_arr).otherwise(F.array())
+            ).alias("_b"),
+        )
+        .filter(F.col("_b").isNotNull())
+        .select(id_col, F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+    )
+    bc = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    fw = bc.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1p_fw")
+    )
+    bw = bc.groupBy("w2").agg(F.count("*").alias("n1p_bw"))
+    types = bc.agg(F.count("*").alias("n_types"))
+    d = F.lit(discount)
+    model = (
+        bc.join(fw, "w1")
+        .join(bw, "w2")
+        .join(F.broadcast(types))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1")
+                + (d * F.col("n1p_fw") / F.col("c1"))
+                * (F.col("n1p_bw") / F.col("n_types"))
+            ).alias("logp"),
+        )
+    )
+    per_doc = (
+        bigrams.join(model, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(F.round(F.avg("logp"), 6).alias("mean_kn_logprob"))
+    )
+    return df.select(id_col).join(per_doc, id_col, "left")
+
+
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 

@@ -180,6 +180,20 @@ def q79_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KN_DISCOUNT = 0.75
+
+
+def q118_kneser_ney_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM quality proxy — q78's
+    pipeline one order up, with the continuation-count smoothing
+    real perplexity filters use. Model relations are bigram-type-
+    bounded; docs with < 2 tokens survive with NULL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.kneser_ney_bigram_scores(
+        docs, "text", "doc_id", discount=KN_DISCOUNT
+    )
+
+
 CALIB_KEEP_FRAC = 0.5
 
 
@@ -520,6 +534,7 @@ QUERIES = {
     "q114_source_quality_calibration": q114_source_quality_calibration,
     "q115_bpe_merges": q115_bpe_merges,
     "q116_bpe_tokenize": q116_bpe_tokenize,
+    "q118_kneser_ney_scores": q118_kneser_ney_scores,
     "q80_repetition_signals": q80_repetition_signals,
     "q82_weighted_sample": q82_weighted_sample,
     "q83_top_bigrams": q83_top_bigrams,
@@ -862,6 +877,38 @@ ORACLES = {
         HAVING COUNT(*) >= {DECON_MIN_SHARED}
     """,
     "q115_bpe_merges": None,  # filled below by _bpe_oracle_sql
+    "q118_kneser_ney_scores": f"""
+        WITH t AS (
+            SELECT doc_id, {_LOW_TOKS} AS tk FROM documents
+        ), bg AS (
+            SELECT doc_id, tk[i.i] AS w1, tk[i.i + 1] AS w2
+            FROM t, unnest(generate_series(1, len(tk) - 1)) AS i(i)
+        ), bc AS (
+            SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2
+        ), fw AS (
+            SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1p_fw
+            FROM bc GROUP BY w1
+        ), bw AS (
+            SELECT w2, COUNT(*) AS n1p_bw FROM bc GROUP BY w2
+        ), ty AS (
+            SELECT COUNT(*) AS n_types FROM bc
+        ), model AS (
+            SELECT bc.w1, bc.w2,
+                   ln(greatest(bc.c12 - {KN_DISCOUNT}, 0.0) / fw.c1
+                      + ({KN_DISCOUNT} * fw.n1p_fw / fw.c1)
+                        * (bw.n1p_bw / ty.n_types)) AS logp
+            FROM bc
+            JOIN fw ON bc.w1 = fw.w1
+            JOIN bw ON bc.w2 = bw.w2
+            CROSS JOIN ty
+        ), s AS (
+            SELECT bg.doc_id, ROUND(AVG(m.logp), 6) AS mean_kn_logprob
+            FROM bg JOIN model m ON bg.w1 = m.w1 AND bg.w2 = m.w2
+            GROUP BY bg.doc_id
+        )
+        SELECT d.doc_id, s.mean_kn_logprob
+        FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+    """,
     "q114_source_quality_calibration": f"""
         WITH s AS (
             SELECT doc_id, source, {{quality}} AS quality FROM documents
