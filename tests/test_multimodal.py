@@ -579,3 +579,67 @@ def test_frame_scene_changes_model(spark):
     assert out[1] == (4, 1, 4)
     assert out[2] == (3, 0, 1)
     assert out[3] == (1, 0, None)
+
+
+def test_ivfpq_equals_pq_adc_when_probing_all_cells(spark):
+    """With nprobe = C the IVF pruning is a no-op, so IVF-PQ must
+    reproduce plain ADC top-k exactly; with nprobe = 1 it returns a
+    subset of the corpus (only the probed cell's members)."""
+    import random
+
+    from ulh_etl_spark.operators.similarity import (
+        ivf_assign,
+        ivfpq_adc_topk,
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    rng = random.Random(11)
+    corpus = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = corpus.filter("vec_id < 4").selectExpr(
+        "vec_id AS centroid_id", "embedding AS centroid_vec"
+    )
+    cb = pq_codebook(corpus, dim=8, m=2, ksub=4)
+    enc = pq_encode(corpus, cb).select("vec_id", "codes")
+    enc_cells = ivf_assign(corpus, cents).select("vec_id", "cell").join(
+        enc, "vec_id"
+    )
+    queries = corpus.filter("vec_id IN (5, 17)")
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.vec_id, r.adc_dist, r.rank) for r in df.collect()
+        )
+
+    full = rows(pq_adc_topk(enc, cb, queries, k=5))
+    all_cells = rows(
+        ivfpq_adc_topk(enc_cells, cb, cents, queries, k=5, nprobe=4)
+    )
+    assert all_cells == full
+
+    pruned = rows(
+        ivfpq_adc_topk(enc_cells, cb, cents, queries, k=5, nprobe=1)
+    )
+    assert pruned
+    # nprobe=1 results must come ONLY from each query's nearest cell
+    from ulh_etl_spark.operators.similarity import ivf_assign_queries
+
+    q_cell = {
+        r.query_id: r.cell
+        for r in ivf_assign_queries(
+            queries, cents, "vec_id", "embedding", nprobe=1
+        ).collect()
+    }
+    members = {
+        c: {r.vec_id for r in rows_df.collect()}
+        for c, rows_df in (
+            (c, enc_cells.filter(F.col("cell") == c))
+            for c in set(q_cell.values())
+        )
+    }
+    for qid, vid, _, _ in pruned:
+        assert vid in members[q_cell[qid]], (qid, vid)

@@ -803,36 +803,12 @@ def pq_adc_topk(
     """
     lits = _pq_literals(codebook)
     m = len(lits)
-    dsub = len(lits[0][1][0]["cvec"])
-    q_rows = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    ).collect()
-    q_rows.sort(key=lambda r: r["query_id"])
-
-    def _lut(qv) -> list:
-        out = []
-        for s, (_, cws) in enumerate(lits):
-            sub = [float(x) for x in qv[s * dsub : (s + 1) * dsub]]
-            out.append(
-                [
-                    # sequential fold, same order as _sq_dist/list_sum
-                    _py_sq_dist(sub, [float(v) for v in cw["cvec"]])
-                    for cw in cws
-                ]
-            )
-        return out
-
+    luts = _adc_luts(lits, queries, id_col, vec_col)
     q_elems = ", ".join(
-        "named_struct('query_id', CAST({} AS BIGINT), 'lut', array({}))".format(
-            int(r["query_id"]),
-            ", ".join(
-                "array({})".format(
-                    ", ".join(f"CAST('{d!r}' AS DOUBLE)" for d in row)
-                )
-                for row in _lut(r["q_vec"])
-            ),
+        "named_struct('query_id', CAST({} AS BIGINT), 'lut', {})".format(
+            qid, _lut_sql(lut)
         )
-        for r in q_rows
+        for qid, lut in luts
     )
     q_lit = F.expr(f"array({q_elems})")
     dist = F.col("_q.lut")[0][F.col("codes")[0]]
@@ -854,6 +830,46 @@ def pq_adc_topk(
             id_col,
             F.round("_d", 6).alias("adc_dist"),
             "rank",
+        )
+    )
+
+
+def _adc_luts(lits, queries: DataFrame, id_col: str, vec_col: str):
+    """Collect the (driver-small) query set and compute each query's
+    m x ksub ADC lookup table: squared distances from its subvectors
+    to every codeword, with the identical sequential double fold as
+    _sq_dist / DuckDB's list_sum so the oracle hash stays stable.
+    Returns [(query_id, lut)] sorted by query id."""
+    m = len(lits)
+    dsub = len(lits[0][1][0]["cvec"])
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).collect()
+    q_rows.sort(key=lambda r: r["query_id"])
+    out = []
+    for r in q_rows:
+        qv = r["q_vec"]
+        lut = []
+        for s, (_, cws) in enumerate(lits):
+            sub = [float(x) for x in qv[s * dsub : (s + 1) * dsub]]
+            lut.append(
+                [
+                    _py_sq_dist(sub, [float(v) for v in cw["cvec"]])
+                    for cw in cws
+                ]
+            )
+        out.append((int(r["query_id"]), lut))
+    return out
+
+
+def _lut_sql(lut) -> str:
+    """m x ksub LUT as an array(array(double)) SQL literal."""
+    return "array({})".format(
+        ", ".join(
+            "array({})".format(
+                ", ".join(f"CAST('{d!r}' AS DOUBLE)" for d in row)
+            )
+            for row in lut
         )
     )
 
@@ -892,5 +908,60 @@ def l2_topk(
         .filter(F.col("rank") <= k)
         .select(
             "query_id", id_col, F.round("_d", 6).alias("l2_sq"), "rank"
+        )
+    )
+
+
+def ivfpq_adc_topk(
+    encoded_cells: DataFrame,
+    codebook: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-PQ search — the FAISS IVFPQ shape, the composition that
+    actually runs billion-vector ANN: coarse quantizer prunes the
+    corpus to ``nprobe`` cells per query (IVF), then asymmetric
+    distance over PQ codes ranks within them (m table lookups a row,
+    no float vectors loaded).
+
+    ``encoded_cells``: (id, cell, codes) — the at-rest index row,
+    ivf_assign's cell + pq_encode's codes; written partitionBy(cell)
+    it is both partition-pruned AND 64x smaller than raw floats.
+
+    Scale: centroids and per-query LUTs fold into plan literals; the
+    probe is a broadcast join on cell (corpus side never shuffles);
+    the only shuffle is the per-query top-k window over the probed
+    fraction. Cost vs pq_adc_topk drops by ~nprobe/C; recall trades
+    exactly as IVF's. Self-matches are kept (pq_adc_topk contract).
+
+    Returns (query_id, vec_id, adc_dist, rank).
+    """
+    lits = _pq_literals(codebook)
+    m = len(lits)
+    luts = _adc_luts(lits, queries, id_col, vec_col)
+    map_entries = ", ".join(
+        f"CAST({qid} AS BIGINT), {_lut_sql(lut)}" for qid, lut in luts
+    )
+    lut_map = F.expr(f"map({map_entries})")
+    q_cells = ivf_assign_queries(
+        queries, centroids, id_col, vec_col, nprobe
+    ).select("query_id", "cell")
+    lut = F.element_at(lut_map, F.col("query_id"))
+    dist = lut[0][F.col("codes")[0]]
+    for s in range(1, m):
+        dist = dist + lut[s][F.col("codes")[s]]
+    scored = encoded_cells.join(F.broadcast(q_cells), "cell").select(
+        "query_id", F.col(id_col), dist.alias("_d")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_d"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", id_col, F.round("_d", 6).alias("adc_dist"), "rank"
         )
     )

@@ -276,6 +276,24 @@ def q112_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q119_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search (the FAISS IVFPQ composition): coarse IVF cells
+    prune to nprobe=2 of 8, ADC over PQ codes ranks within — the
+    at-rest index row (id, cell, codes) is both partition-prunable
+    and 64x smaller than raw floats. Centroids + per-query LUTs are
+    plan literals; the probe is a broadcast cell join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids(emb)
+    cb = _pq_cb(emb)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    encoded_cells = S.ivf_assign(emb, cents).select("vec_id", "cell").join(
+        S.pq_encode(emb, cb).select("vec_id", "codes"), "vec_id"
+    )
+    return S.ivfpq_adc_topk(
+        encoded_cells, cb, cents, queries, k=_K, nprobe=_NPROBE
+    )
+
+
 QUERIES = {
     "q39_cosine_topk": q39_cosine_topk,
     "q40_embedding_norms": q40_embedding_norms,
@@ -291,6 +309,7 @@ QUERIES = {
     "q106_hard_negatives": q106_hard_negatives,
     "q111_pq_encode": q111_pq_encode,
     "q112_pq_adc_recall": q112_pq_adc_recall,
+    "q119_ivfpq_topk": q119_ivfpq_topk,
 }
 
 
@@ -586,6 +605,59 @@ ORACLES = {
           ON bf.query_id = iv.query_id
          AND bf.neighbor_id = iv.neighbor_id
         GROUP BY bf.query_id
+    """,
+    # IVF cell CTEs (q42's shapes) + PQ chain + per-(query, vec)
+    # ordered ADC sum over the probed cells only
+    "q119_ivfpq_topk": f"""
+        WITH c AS (
+            SELECT vec_id AS centroid_id, embedding AS centroid_vec
+            FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+        ), assigned AS (
+            SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.centroid_id AS cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {_SQDIST}, c.centroid_id) AS rn
+                FROM embeddings e, c
+            ) WHERE rn = 1
+        ), q AS (
+            SELECT vec_id AS query_id, embedding AS q_vec
+            FROM embeddings WHERE vec_id < {_N_QUERIES}
+        ), q_cells AS (
+            SELECT query_id, q_vec, cell FROM (
+                SELECT q.query_id, q.q_vec, c.centroid_id AS cell,
+                       row_number() OVER (PARTITION BY q.query_id ORDER BY
+                           list_sum(list_transform(generate_series(1, len(q.q_vec)),
+                               i -> (CAST(q.q_vec[i] AS DOUBLE) - CAST(c.centroid_vec[i] AS DOUBLE))
+                                  * (CAST(q.q_vec[i] AS DOUBLE) - CAST(c.centroid_vec[i] AS DOUBLE)))),
+                           c.centroid_id) AS rn
+                FROM q, c
+            ) WHERE rn <= {_NPROBE}
+        ), {_PQ_CTE.strip()}
+        , codes AS (
+            SELECT vec_id, subspace, code FROM best WHERE rn = 1
+        ), adcd AS (
+            SELECT qc.query_id, a.vec_id, co.subspace,
+                   list_sum(list_transform(generate_series(1, {_PQ_DSUB}),
+                       i -> (CAST(qc.q_vec[co.subspace*{_PQ_DSUB} + i] AS DOUBLE)
+                             - cb.cvec[i])
+                          * (CAST(qc.q_vec[co.subspace*{_PQ_DSUB} + i] AS DOUBLE)
+                             - cb.cvec[i]))) AS dist
+            FROM assigned a
+            JOIN q_cells qc ON a.cell = qc.cell
+            JOIN codes co ON co.vec_id = a.vec_id
+            JOIN cb ON cb.subspace = co.subspace AND cb.code = co.code
+        ), adc AS (
+            SELECT query_id, vec_id, {_PQ_D_COLS}
+            FROM adcd GROUP BY query_id, vec_id
+        ), ranked AS (
+            SELECT query_id, vec_id, {_PQ_RECON} AS adc_dist,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY {_PQ_RECON}, vec_id) AS rank
+            FROM adc
+        )
+        SELECT query_id, vec_id, ROUND(adc_dist, 6) AS adc_dist,
+               CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {_K}
     """,
     "q111_pq_encode": f"""
         WITH {_PQ_CTE}, hm AS (
