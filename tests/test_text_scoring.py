@@ -782,3 +782,33 @@ def test_kneser_ney_bigram_model(spark):
 
     with _pytest.raises(ValueError):
         kneser_ney_bigram_scores(df, "text", "doc_id", discount=1.5)
+
+
+def test_blocklist_filter_leet_folding(spark):
+    """Obfuscated terms fold to their canonical form before matching:
+    'sp4m', '$pam', '5pam' all hit 'spam'; occurrences are counted
+    (not just presence); clean docs keep=True with empty matched."""
+    import pytest as _pytest
+
+    from ulh_etl_spark.operators.text import blocklist_filter
+
+    docs = [
+        (0, "buy SP4M now spam $pam"),
+        (1, "a perfectly normal sentence"),
+        (2, "SLOW s10w but fine"),  # s10w -> slow (1->l, 0->o)
+        (3, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_matches, r.matched, r.keep)
+        for r in blocklist_filter(
+            df, "text", "doc_id", ("spam", "slow")
+        ).collect()
+    }
+    assert out[0] == (3, "spam", False)
+    assert out[1] == (0, "", True)
+    assert out[2] == (2, "slow", False)
+    assert out[3] == (0, "", True)
+
+    with _pytest.raises(ValueError):
+        blocklist_filter(df, "text", "doc_id", ())

@@ -958,6 +958,48 @@ def kneser_ney_bigram_scores(
     return df.select(id_col).join(per_doc, id_col, "left")
 
 
+LEET_FROM = "04135$@7"
+LEET_TO = "oaless" + "at"
+
+
+def blocklist_filter(
+    df,
+    text_col: str,
+    id_col: str,
+    blocklist: tuple,
+    leet_fold: bool = True,
+):
+    """Safety/blocklist prefilter with obfuscation folding: lowercase
+    the text, fold common leet substitutions (0->o, 4->a, 1->l, 3->e,
+    5->s, $->s, @->a, 7->t) so 'sp4m'/'$pam' still match 'spam',
+    tokenize, and count blocklist hits per document. The blocklist
+    must be pre-normalized (lowercase, unfolded). Returns (id,
+    n_matches, matched — sorted comma-joined terms, keep).
+
+    Scale: pure narrow map — translate + split + array_intersect are
+    JVM expressions; the blocklist folds into an array literal (it is
+    policy-sized, not data-sized). Zero shuffles; a match-term
+    explode for per-term frequencies would be the only extension
+    needing one."""
+    if not blocklist:
+        raise ValueError("blocklist must be non-empty")
+    base = F.lower(F.col(text_col))
+    if leet_fold:
+        base = F.translate(base, LEET_FROM, LEET_TO)
+    toks = whitespace_tokens(base)
+    bl = F.array(*[F.lit(t) for t in blocklist])
+    matched = F.array_sort(F.array_intersect(F.array_distinct(toks), bl))
+    # n_matches counts OCCURRENCES (policy wants volume, not just
+    # presence): tokens retained in the blocklist set
+    occ = F.size(F.filter(toks, _isin_pred(tuple(blocklist))))
+    return df.select(
+        F.col(id_col),
+        occ.cast("long").alias("n_matches"),
+        F.array_join(matched, ",").alias("matched"),
+        (occ == 0).alias("keep"),
+    )
+
+
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 

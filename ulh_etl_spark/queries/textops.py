@@ -180,6 +180,17 @@ def q79_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOCKLIST = ("slow", "big", "spam")
+
+
+def q120_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety blocklist prefilter with leet folding (sp4m -> spam):
+    per-doc occurrence counts + matched terms + keep flag. Pure
+    narrow map; the blocklist is a policy-sized array literal."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.blocklist_filter(docs, "text", "doc_id", BLOCKLIST)
+
+
 KN_DISCOUNT = 0.75
 
 
@@ -535,6 +546,7 @@ QUERIES = {
     "q115_bpe_merges": q115_bpe_merges,
     "q116_bpe_tokenize": q116_bpe_tokenize,
     "q118_kneser_ney_scores": q118_kneser_ney_scores,
+    "q120_blocklist_filter": q120_blocklist_filter,
     "q80_repetition_signals": q80_repetition_signals,
     "q82_weighted_sample": q82_weighted_sample,
     "q83_top_bigrams": q83_top_bigrams,
@@ -597,6 +609,11 @@ _PII_COUNT_SQL = " + ".join(
 )
 
 _W_SQL = "[" + ", ".join(repr(w) for w in _QMODEL_W) + "]::DOUBLE[]"
+
+# Blocklist oracle fragments: the leet fold's from-chars (kept in
+# lockstep with operators.text.LEET_FROM) and the list literal.
+LEET_FROM_SQL = T.LEET_FROM
+BL_SQL = "[" + ", ".join(f"'{t}'" for t in BLOCKLIST) + "]"
 
 ORACLES = {
     # q84: identical hashed-bucket linear model, weights inlined
@@ -877,6 +894,24 @@ ORACLES = {
         HAVING COUNT(*) >= {DECON_MIN_SHARED}
     """,
     "q115_bpe_merges": None,  # filled below by _bpe_oracle_sql
+    "q120_blocklist_filter": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(
+                       translate(lower(text), '{LEET_FROM_SQL}', 'oalessat'),
+                       '\\s+'), x -> x <> '') AS tk
+            FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(tk,
+                       x -> list_contains({BL_SQL}, x))) AS BIGINT)
+                       AS n_matches,
+                   COALESCE(array_to_string(list_sort(list_intersect(
+                       list_distinct(tk), {BL_SQL})), ','), '') AS matched
+            FROM t
+        )
+        SELECT doc_id, n_matches, matched, n_matches = 0 AS keep FROM m
+    """,
     "q118_kneser_ney_scores": f"""
         WITH t AS (
             SELECT doc_id, {_LOW_TOKS} AS tk FROM documents
