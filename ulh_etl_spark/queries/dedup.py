@@ -103,6 +103,25 @@ def q75_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECON_MOD = 97
 
 
+def q121_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup audit: the distribution of near-dup cluster sizes
+    (how much mass sits in big boilerplate families vs 2-doc pairs)
+    — the report that decides whether keep-one collapse is enough or
+    big clusters need manual review. q75's components + two bounded
+    groupBys (per-component size, then the size histogram)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_candidate_pairs(
+        docs, "text", "doc_id", _NUM_HASHES, _ROWS_PER_BAND, _SHINGLE_N
+    )
+    comp = D.connected_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters")
+    )
+
+
 def q85_lsh_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy benchmark decontamination: corpus docs sharing >= 1
     MinHash-LSH band bucket with any benchmark doc (near-dup
@@ -217,6 +236,7 @@ QUERIES = {
     "q37_simhash": q37_simhash,
     "q38_ngram_jaccard_pairs": q38_ngram_jaccard_pairs,
     "q75_neardup_components": q75_neardup_components,
+    "q121_cluster_size_histogram": q121_cluster_size_histogram,
     "q85_lsh_decontamination": q85_lsh_decontamination,
     "q94_duplicate_gram_fraction": q94_duplicate_gram_fraction,
     "q98_source_gram_overlap": q98_source_gram_overlap,
@@ -366,6 +386,16 @@ ORACLES = {
     "q75_neardup_components": f"""
         {_CC_CTE}
         SELECT node, component FROM comp
+    """,
+    "q121_cluster_size_histogram": f"""
+        {_CC_CTE}
+        , sizes AS (
+            SELECT component, COUNT(*) AS cluster_size
+            FROM comp GROUP BY component
+        )
+        SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+               COUNT(*) AS n_clusters
+        FROM sizes GROUP BY cluster_size
     """,
     "q102_neardup_collapse": f"""
         {_CC_CTE}, scored AS (

@@ -180,6 +180,45 @@ def q79_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q122_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit: document pairs in DIFFERENT splits
+    sharing a winnowing fingerprint (q63's splits x q64's
+    fingerprints) — the QA gate that catches eval answers hiding in
+    the training set even after dedup. The fingerprint self-join is
+    bucketed by fp_hash (same skew class as LSH band buckets: a
+    corpus-wide boilerplate fingerprint goes hot and AQE skew-split
+    applies); output is the per-split-pair count of distinct leaky
+    doc pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    splits = docs.select(
+        "doc_id", T.hash_split(F.col("doc_id")).alias("split")
+    )
+    fps = (
+        T.winnow_fingerprints(docs, "text", "doc_id", k=5, window=4)
+        .select("doc_id", "fp_hash")
+        .join(splits, "doc_id")
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp_hash") == F.col("b.fp_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.split") != F.col("b.split")),
+        )
+        .select(
+            F.least("a.split", "b.split").alias("split_1"),
+            F.greatest("a.split", "b.split").alias("split_2"),
+            F.col("a.doc_id").alias("_d1"),
+            F.col("b.doc_id").alias("_d2"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy("split_1", "split_2").agg(
+        F.count("*").alias("n_leaky_pairs")
+    )
+
+
 BLOCKLIST = ("slow", "big", "spam")
 
 
@@ -547,6 +586,7 @@ QUERIES = {
     "q116_bpe_tokenize": q116_bpe_tokenize,
     "q118_kneser_ney_scores": q118_kneser_ney_scores,
     "q120_blocklist_filter": q120_blocklist_filter,
+    "q122_split_leakage": q122_split_leakage,
     "q80_repetition_signals": q80_repetition_signals,
     "q82_weighted_sample": q82_weighted_sample,
     "q83_top_bigrams": q83_top_bigrams,
@@ -894,6 +934,44 @@ ORACLES = {
         HAVING COUNT(*) >= {DECON_MIN_SHARED}
     """,
     "q115_bpe_merges": None,  # filled below by _bpe_oracle_sql
+    "q122_split_leakage": f"""
+        WITH f AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(h) - 3, 1)),
+                       i -> list_min(h[i:i+3])))) AS fp_hash
+            FROM (
+                SELECT doc_id,
+                       list_transform({O.grams('text', 5)},
+                                      g -> {O.md5h('g')}) AS h
+                FROM documents
+            )
+        ), s AS (
+            SELECT doc_id,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id,
+                       {O.md5h("'split_' || CAST(doc_id AS VARCHAR)")} % 100 AS b
+                FROM documents
+            )
+        ), j AS (
+            SELECT f.doc_id, f.fp_hash, s.split
+            FROM f JOIN s ON f.doc_id = s.doc_id
+        ), p AS (
+            SELECT DISTINCT
+                   least(a.split, b.split) AS split_1,
+                   greatest(a.split, b.split) AS split_2,
+                   a.doc_id AS d1, b.doc_id AS d2
+            FROM j a JOIN j b
+              ON a.fp_hash = b.fp_hash
+             AND a.doc_id < b.doc_id
+             AND a.split <> b.split
+        )
+        SELECT split_1, split_2, COUNT(*) AS n_leaky_pairs
+        FROM p GROUP BY split_1, split_2
+    """,
     "q120_blocklist_filter": f"""
         WITH t AS (
             SELECT doc_id,
