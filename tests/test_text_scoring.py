@@ -812,3 +812,81 @@ def test_blocklist_filter_leet_folding(spark):
 
     with _pytest.raises(ValueError):
         blocklist_filter(df, "text", "doc_id", ())
+
+
+def test_zipf_slope_model(spark):
+    """Exact least-squares parity on a tiny vocabulary with a known
+    rank-frequency curve."""
+    import math
+
+    from ulh_etl_spark.operators.text import zipf_slope
+
+    # freq: a=4, b=2, c=1 -> ranks 1, 2, 3
+    df = spark.createDataFrame(
+        [(0, "a a a a b b c")], "doc_id long, text string"
+    )
+    row = zipf_slope(df, "text").collect()[0]
+    xs = [math.log(r) for r in (1, 2, 3)]
+    ys = [math.log(n) for n in (4, 2, 1)]
+    m = 3
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    want = round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6)
+    assert row.n_terms == 3
+    assert abs(row.zipf_slope - want) < 1e-6
+
+
+def test_contrastive_span_pairs_model(spark):
+    """Spans are non-overlapping, deterministic, and short docs are
+    skipped."""
+    import pytest as _pytest
+
+    from ulh_etl_spark.operators.text import contrastive_span_pairs
+
+    long_doc = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(0, long_doc), (1, "too short")], "doc_id long, text string"
+    )
+    out = contrastive_span_pairs(
+        df, "text", "doc_id", span_tokens=4
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.doc_id == 0
+    assert r.span_a == "w0 w1 w2 w3"
+    # offset within [span, nt - span] and span_b matches the slice
+    assert 4 <= r.b_offset <= 16
+    toks = long_doc.split()
+    assert r.span_b == " ".join(toks[r.b_offset : r.b_offset + 4])
+    # deterministic across invocations
+    again = contrastive_span_pairs(
+        df, "text", "doc_id", span_tokens=4
+    ).collect()[0]
+    assert (again.span_b, again.b_offset) == (r.span_b, r.b_offset)
+
+    with _pytest.raises(ValueError):
+        contrastive_span_pairs(df, "text", "doc_id", span_tokens=0)
+
+
+def test_profile_columns_model(spark):
+    import pytest as _pytest
+
+    from ulh_etl_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "x", 2.5), (2, None, 1.0), (2, "y", None)],
+        "k long, s string, v double",
+    )
+    out = {
+        r.column: (r.n_nonnull, r.n_distinct, r.min_value, r.max_value)
+        for r in profile_columns(df, ["k", "s", "v"]).collect()
+    }
+    assert out["k"] == (3, 2, "1", "2")
+    assert out["s"] == (2, 2, "x", "y")
+    assert out["v"] == (2, 2, "1.0", "2.5")
+
+    with _pytest.raises(ValueError):
+        profile_columns(df, [])
+    with _pytest.raises(ValueError):
+        profile_columns(df, ["nope"])

@@ -958,6 +958,95 @@ def kneser_ney_bigram_scores(
     return df.select(id_col).join(per_doc, id_col, "left")
 
 
+def zipf_slope(df, text_col: str):
+    """Corpus health audit: least-squares slope of the token
+    rank-frequency curve in log-log space (natural text tracks Zipf's
+    law, slope ~ -1; synthetic/templated/spammy corpora deviate
+    sharply — a cheap distribution-level QA signal before training).
+
+    Returns ONE row (n_terms, zipf_slope). Scale: the vocabulary
+    groupBy is the only corpus-scale shuffle; ranking uses
+    global_row_number (range repartition + driver offsets — NO
+    single-partition window even at web-scale vocabularies); the
+    slope is a closed-form aggregate of (ln rank, ln freq) sums."""
+    from ulh_etl_spark.operators.rank import global_row_number
+
+    vocab = (
+        df.select(
+            F.explode_outer(
+                whitespace_tokens(F.lower(F.col(text_col)))
+            ).alias("w")
+        )
+        .filter(F.col("w").isNotNull())
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .withColumn("_negn", -F.col("n"))
+    )
+    ranked = global_row_number(vocab, ["_negn", "w"], out_col="rnk")
+    x = F.log(F.col("rnk").cast("double"))
+    y = F.log(F.col("n").cast("double"))
+    s = ranked.agg(
+        F.count("*").alias("m"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    m = F.col("m").cast("double")
+    return s.select(
+        F.col("m").cast("long").alias("n_terms"),
+        F.round(
+            (m * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (m * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+    )
+
+
+def contrastive_span_pairs(
+    df, text_col: str, id_col: str, span_tokens: int = 16, salt: str = "span"
+):
+    """Contrastive training-pair generation (the inverse-cloze /
+    Contriever recipe): from every document long enough, two
+    NON-OVERLAPPING token spans — span_a is the document head,
+    span_b starts at a deterministic salted-md5 offset in the
+    remainder — yielding (anchor, positive) pairs for a retrieval
+    encoder without any labels. No RNG: same corpus -> same pairs,
+    across runs and engines.
+
+    Pure narrow map (tokenize + two slices); docs with fewer than
+    2 * span_tokens tokens yield nothing. Returns (id, span_a,
+    span_b, b_offset — the 0-based token offset of span_b)."""
+    if span_tokens < 1:
+        raise ValueError("span_tokens must be >= 1")
+    with_t = df.select(
+        F.col(id_col),
+        whitespace_tokens(F.lower(F.col(text_col))).alias("_toks"),
+    )
+    toks = F.col("_toks")
+    nt = F.size(toks)
+    # offset range [span_tokens, nt - span_tokens]: md5-uniform pick
+    span_range = nt - 2 * span_tokens + 1
+    off = (
+        F.lit(span_tokens)
+        + md5_hash32(
+            F.concat(F.lit(salt + "_"), F.col(id_col).cast("string"))
+        )
+        % span_range
+    )
+    return (
+        with_t.filter(nt >= 2 * span_tokens)
+        .select(
+            F.col(id_col),
+            F.array_join(F.slice(toks, 1, span_tokens), " ").alias("span_a"),
+            F.array_join(F.slice(toks, off + 1, span_tokens), " ").alias(
+                "span_b"
+            ),
+            off.cast("long").alias("b_offset"),
+        )
+    )
+
+
 LEET_FROM = "04135$@7"
 LEET_TO = "oaless" + "at"
 

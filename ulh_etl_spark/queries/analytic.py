@@ -267,7 +267,23 @@ def _morton_sql(a: str, b: str, bits: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+PROFILE_COLS = ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"]
+
+
+def q125_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-level data-quality profile of lineitem: per column,
+    non-null count, exact distinct count, min/max as strings — the
+    post-load snapshot an ETL engine records (companion to the
+    file-level precheck suite). ONE pass: every metric for every
+    column in a single partial-aggregated agg."""
+    from ulh_etl_spark.operators.profile import profile_columns
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_columns(li, PROFILE_COLS)
+
+
 QUERIES = {
+    "q125_column_profile": q125_column_profile,
     "q95_zorder_clustering": q95_zorder_clustering,
     "q54_rollup_agg": q54_rollup_agg,
     "q55_pivot_status": q55_pivot_status,
@@ -284,6 +300,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q125_column_profile": """
+        SELECT 'l_orderkey' AS column, COUNT(l_orderkey) AS n_nonnull, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct, CAST(MIN(l_orderkey) AS VARCHAR) AS min_value, CAST(MAX(l_orderkey) AS VARCHAR) AS max_value FROM lineitem
+        UNION ALL SELECT 'l_linenumber' AS column, COUNT(l_linenumber) AS n_nonnull, CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS n_distinct, CAST(MIN(l_linenumber) AS VARCHAR) AS min_value, CAST(MAX(l_linenumber) AS VARCHAR) AS max_value FROM lineitem
+        UNION ALL SELECT 'l_quantity' AS column, COUNT(l_quantity) AS n_nonnull, CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct, CAST(MIN(l_quantity) AS VARCHAR) AS min_value, CAST(MAX(l_quantity) AS VARCHAR) AS max_value FROM lineitem
+        UNION ALL SELECT 'l_returnflag' AS column, COUNT(l_returnflag) AS n_nonnull, CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_distinct, CAST(MIN(l_returnflag) AS VARCHAR) AS min_value, CAST(MAX(l_returnflag) AS VARCHAR) AS max_value FROM lineitem
+    """,
     "q54_rollup_agg": """
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 4) AS sum_qty,

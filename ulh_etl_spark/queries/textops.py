@@ -219,6 +219,27 @@ def q122_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q123_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus distribution QA: rank-frequency log-log slope (natural
+    text ~ -1). Vocabulary groupBy + global_row_number ranking (no
+    single-partition window) + closed-form least squares."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.zipf_slope(docs, "text")
+
+
+SPAN_TOKENS = 16
+
+
+def q124_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive (anchor, positive) span-pair generation (inverse
+    cloze): doc head + salted-md5-offset second span, deterministic,
+    pure narrow map; short docs yield nothing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.contrastive_span_pairs(
+        docs, "text", "doc_id", span_tokens=SPAN_TOKENS
+    )
+
+
 BLOCKLIST = ("slow", "big", "spam")
 
 
@@ -587,6 +608,8 @@ QUERIES = {
     "q118_kneser_ney_scores": q118_kneser_ney_scores,
     "q120_blocklist_filter": q120_blocklist_filter,
     "q122_split_leakage": q122_split_leakage,
+    "q123_zipf_slope": q123_zipf_slope,
+    "q124_span_pairs": q124_span_pairs,
     "q80_repetition_signals": q80_repetition_signals,
     "q82_weighted_sample": q82_weighted_sample,
     "q83_top_bigrams": q83_top_bigrams,
@@ -934,6 +957,43 @@ ORACLES = {
         HAVING COUNT(*) >= {DECON_MIN_SHARED}
     """,
     "q115_bpe_merges": None,  # filled below by _bpe_oracle_sql
+    "q123_zipf_slope": f"""
+        WITH v AS (
+            SELECT w, COUNT(*) AS n
+            FROM (SELECT unnest({_LOW_TOKS}) AS w FROM documents)
+            GROUP BY w
+        ), r AS (
+            SELECT n, row_number() OVER (ORDER BY n DESC, w) AS rnk FROM v
+        ), s AS (
+            SELECT COUNT(*) AS m,
+                   SUM(ln(rnk)) AS sx, SUM(ln(n)) AS sy,
+                   SUM(ln(rnk) * ln(n)) AS sxy,
+                   SUM(ln(rnk) * ln(rnk)) AS sxx
+            FROM r
+        )
+        SELECT CAST(m AS BIGINT) AS n_terms,
+               ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 6)
+                   AS zipf_slope
+        FROM s
+    """,
+    "q124_span_pairs": f"""
+        WITH t AS (
+            SELECT doc_id, {_LOW_TOKS} AS tk FROM documents
+        ), e AS (
+            SELECT doc_id, tk, len(tk) AS nt FROM t
+            WHERE len(tk) >= 32
+        ), o AS (
+            SELECT doc_id, tk,
+                   16 + {O.md5h("'span_' || CAST(doc_id AS VARCHAR)")}
+                       % (nt - 32 + 1) AS off
+            FROM e
+        )
+        SELECT doc_id,
+               array_to_string(tk[1:16], ' ') AS span_a,
+               array_to_string(tk[off + 1 : off + 16], ' ') AS span_b,
+               CAST(off AS BIGINT) AS b_offset
+        FROM o
+    """,
     "q122_split_leakage": f"""
         WITH f AS (
             SELECT doc_id,
