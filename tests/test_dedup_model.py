@@ -461,3 +461,29 @@ def test_minhash_estimate_model(spark):
         assert 0.0 <= r.jaccard_exact <= 1.0
         assert abs(r.jaccard_est * 8 - round(r.jaccard_est * 8)) < 1e-9
         assert r.abs_err == round(abs(r.jaccard_est - r.jaccard_exact), 6)
+
+
+def test_levenshtein_link_pairs_model(spark):
+    """Blocking prevents cross-block pairs even at distance 0; within
+    a block only pairs within max_distance survive."""
+    import pytest as _pytest
+
+    from ulh_etl_spark.operators.dedup import levenshtein_link_pairs
+
+    rows = [
+        (1, "smith", "A"),
+        (2, "smyth", "A"),   # distance 1 from smith
+        (3, "jones", "A"),   # far from both
+        (4, "smith", "B"),   # identical text, different block
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, blk string")
+    out = {
+        (r.id1, r.id2): r.distance
+        for r in levenshtein_link_pairs(
+            df, "id", "name", "blk", max_distance=1
+        ).collect()
+    }
+    assert out == {(1, 2): 1}
+
+    with _pytest.raises(ValueError):
+        levenshtein_link_pairs(df, "id", "name", "blk", max_distance=-1)

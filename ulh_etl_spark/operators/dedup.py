@@ -918,3 +918,43 @@ def duplicate_gram_stats(df, text_col: str, id_col: str, n: int = 16):
             F.round(F.col("n_dup_grams") / F.col("n_grams"), 6).alias("dup_frac"),
         )
     )
+
+
+def levenshtein_link_pairs(
+    df,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    max_distance: int = 1,
+):
+    """Record-linkage candidate pairs (entity resolution): within each
+    blocking-key group, every id pair whose ``text_col`` values are
+    within ``max_distance`` edits (JVM levenshtein). Blocking is THE
+    scale move of classic ER (Fellegi-Sunter pipelines): candidate
+    volume is O(sum block^2), never corpus^2 — the same bound the
+    LSH band join gives fuzzy text dedup, with the block key playing
+    the bucket. One shuffle on the block key; a hot block (one giant
+    nation/zip) is a JOIN key, so AQE skew-split applies. Returns
+    (id1, id2, distance)."""
+    if max_distance < 0:
+        raise ValueError("max_distance must be >= 0")
+    a = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id1"),
+        F.col(text_col).alias("_t1"),
+    )
+    b = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id2"),
+        F.col(text_col).alias("_t2"),
+    )
+    return (
+        a.join(b, ["_blk"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            F.levenshtein("_t1", "_t2").alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+    )

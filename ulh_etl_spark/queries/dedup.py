@@ -122,6 +122,16 @@ def q121_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q126_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairs over customer: block on
+    nation, pair names within 1 edit (single-digit variants) —
+    classic Fellegi-Sunter blocking; O(sum block^2), never n^2."""
+    cust = load_table(spark, sf_dir, "customer")
+    return D.levenshtein_link_pairs(
+        cust, "c_custkey", "c_name", "c_nationkey", max_distance=1
+    )
+
+
 def q85_lsh_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy benchmark decontamination: corpus docs sharing >= 1
     MinHash-LSH band bucket with any benchmark doc (near-dup
@@ -237,6 +247,7 @@ QUERIES = {
     "q38_ngram_jaccard_pairs": q38_ngram_jaccard_pairs,
     "q75_neardup_components": q75_neardup_components,
     "q121_cluster_size_histogram": q121_cluster_size_histogram,
+    "q126_record_linkage": q126_record_linkage,
     "q85_lsh_decontamination": q85_lsh_decontamination,
     "q94_duplicate_gram_fraction": q94_duplicate_gram_fraction,
     "q98_source_gram_overlap": q98_source_gram_overlap,
@@ -386,6 +397,15 @@ ORACLES = {
     "q75_neardup_components": f"""
         {_CC_CTE}
         SELECT node, component FROM comp
+    """,
+    "q126_record_linkage": """
+        SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+               CAST(levenshtein(a.c_name, b.c_name) AS INT) AS distance
+        FROM customer a
+        JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
     """,
     "q121_cluster_size_histogram": f"""
         {_CC_CTE}
