@@ -84,6 +84,23 @@ HEADLINE = (
     "q112_pq_adc_recall",
     "q113_bloom_decontamination",
     "q114_source_quality_calibration",
+    # Round-7 third batch: tokenizer induction + application, scene
+    # detection, KN bigram LM, IVF-PQ, blocklist filter.
+    "q115_bpe_merges",
+    "q116_bpe_tokenize",
+    "q117_scene_changes",
+    "q118_kneser_ney_scores",
+    "q119_ivfpq_topk",
+    "q120_blocklist_filter",
+    # Round-7 fourth batch: audits (cluster sizes, split leakage,
+    # Zipf, profile), span pairs, record linkage, compression ratio.
+    "q121_cluster_size_histogram",
+    "q122_split_leakage",
+    "q123_zipf_slope",
+    "q124_span_pairs",
+    "q125_column_profile",
+    "q126_record_linkage",
+    "q127_compression_ratio",
 )
 
 # Anchors @ sf0.1, local[32] — the official regression baselines
@@ -150,6 +167,16 @@ ANCHOR = {
     "q112_pq_adc_recall": 1.244,
     "q113_bloom_decontamination": 1.679,
     "q114_source_quality_calibration": 0.393,
+    # r7 third-batch anchors (min-of-3 warm): q115/q116 carry the
+    # iterative merge-training jobs (6 rounds over the vocab; q116
+    # trains then applies); q119 adds the IVF probe join over q112's
+    # ADC machinery.
+    "q115_bpe_merges": 1.402,
+    "q116_bpe_tokenize": 2.392,
+    "q117_scene_changes": 0.520,
+    "q118_kneser_ney_scores": 0.861,
+    "q119_ivfpq_topk": 1.650,
+    "q120_blocklist_filter": 0.341,
 }
 
 

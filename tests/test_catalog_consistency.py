@@ -13,6 +13,9 @@ from ulh_etl_spark.queries import all_oracles, all_queries
 ROWS_ONLY_OK = {
     "q62_approx_user_counts",  # HLL++ sketch — bound in test_analytics
     "q77_approx_quartiles",  # t-digest sketch — bound in test_analytics
+    # deterministic zlib — not SQL-expressible; exact parity vs direct
+    # zlib pinned in test_text_scoring.py
+    "q127_compression_ratio",
 }
 
 

@@ -890,3 +890,34 @@ def test_profile_columns_model(spark):
         profile_columns(df, [])
     with _pytest.raises(ValueError):
         profile_columns(df, ["nope"])
+
+
+def test_compression_ratio_exact_parity_and_ordering(spark):
+    """Exact parity with direct zlib on every doc; repetitive text
+    compresses below natural prose; empty doc -> NULL."""
+    import zlib
+
+    import pytest as _pytest
+
+    from ulh_etl_spark.operators.text import compression_ratio
+
+    docs = [
+        (0, "spam " * 50),
+        (1, "the quick brown fox jumps over the lazy dog entirely"),
+        (2, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: r.compression_ratio
+        for r in compression_ratio(df, "text", "doc_id").collect()
+    }
+    for did, text in docs:
+        if not text:
+            assert out[did] is None
+            continue
+        b = text.encode()
+        assert out[did] == round(len(zlib.compress(b, 6)) / len(b), 6)
+    assert out[0] < out[1]  # repetition compresses more
+
+    with _pytest.raises(ValueError):
+        compression_ratio(df, "text", "doc_id", level=11)

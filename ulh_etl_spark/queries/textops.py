@@ -219,6 +219,15 @@ def q122_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q127_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc zlib compression ratio (entropy proxy; repetitive text
+    compresses low, noise high). Deterministic but not
+    SQL-expressible -> rows-only gate; exact parity vs direct zlib
+    is pinned in tests/test_text_scoring.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.compression_ratio(docs, "text", "doc_id")
+
+
 def q123_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus distribution QA: rank-frequency log-log slope (natural
     text ~ -1). Vocabulary groupBy + global_row_number ranking (no
@@ -609,6 +618,7 @@ QUERIES = {
     "q120_blocklist_filter": q120_blocklist_filter,
     "q122_split_leakage": q122_split_leakage,
     "q123_zipf_slope": q123_zipf_slope,
+    "q127_compression_ratio": q127_compression_ratio,
     "q124_span_pairs": q124_span_pairs,
     "q80_repetition_signals": q80_repetition_signals,
     "q82_weighted_sample": q82_weighted_sample,
