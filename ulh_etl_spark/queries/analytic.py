@@ -267,6 +267,85 @@ def _morton_sql(a: str, b: str, bits: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def q128_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey transition matrix: per-user event sequences
+    (deterministic (ts, event_id) ordering) -> lag -> corpus-wide
+    (from, to) counts — the Markov-chain view of product analytics.
+    One shuffle (the per-user window); the transition matrix is
+    |types|^2 rows, trivially small at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev")
+    )
+    return (
+        t.filter(F.col("prev").isNotNull())
+        .groupBy(
+            F.col("prev").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n_transitions"))
+    )
+
+
+def q129_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-active week,
+    counted per week-offset — the standard retention triangle. Two
+    bounded shuffles (distinct user-weeks, per-user min); week
+    truncation is Monday-based in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    j = uw.join(cohort, "user_id").select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+        .cast("long")
+        .alias("week_offset"),
+    )
+    return j.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_users")
+    )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q130_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ordered funnel over FUNNEL_STEPS: a user advances to
+    step i only if their FIRST step-i event is strictly after their
+    first step-(i-1) event (first-touch attribution). One per-user
+    conditional-min agg + one global roll-up — two map-combined
+    shuffles regardless of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    mins = ev.groupBy("user_id").agg(
+        *[
+            F.min(
+                F.when(F.col("event_type") == s, F.col("ts"))
+            ).alias(f"_t{i}")
+            for i, s in enumerate(FUNNEL_STEPS)
+        ]
+    )
+    q = [F.col("_t0").isNotNull()]
+    for i in range(1, len(FUNNEL_STEPS)):
+        q.append(q[i - 1] & (F.col(f"_t{i}") > F.col(f"_t{i - 1}")))
+    counts = mins.agg(
+        *[F.sum(qi.cast("long")).alias(f"_n{i}") for i, qi in enumerate(q)]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(s).alias("step_name"),
+                F.col(f"_n{i}").cast("long").alias("n_users"),
+            )
+            for i, s in enumerate(FUNNEL_STEPS)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("_r")).select("_r.*")
+
+
 PROFILE_COLS = ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"]
 
 
@@ -284,6 +363,9 @@ def q125_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q125_column_profile": q125_column_profile,
+    "q128_event_transitions": q128_event_transitions,
+    "q129_cohort_retention": q129_cohort_retention,
+    "q130_funnel": q130_funnel,
     "q95_zorder_clustering": q95_zorder_clustering,
     "q54_rollup_agg": q54_rollup_agg,
     "q55_pivot_status": q55_pivot_status,
@@ -300,6 +382,54 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q128_event_transitions": """
+        WITH t AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events
+        )
+        SELECT prev AS from_type, event_type AS to_type,
+               COUNT(*) AS n_transitions
+        FROM t WHERE prev IS NOT NULL
+        GROUP BY 1, 2
+    """,
+    "q129_cohort_retention": """
+        WITH uw AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+            FROM events
+        ), c AS (
+            SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id
+        )
+        SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+               CAST(date_diff('day', CAST(c.cohort_week AS DATE),
+                              CAST(uw.week AS DATE)) / 7 AS BIGINT)
+                   AS week_offset,
+               COUNT(*) AS n_users
+        FROM uw JOIN c ON uw.user_id = c.user_id
+        GROUP BY 1, 2
+    """,
+    "q130_funnel": """
+        WITH m AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+                   MIN(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+            FROM events GROUP BY user_id
+        ), f AS (
+            SELECT CAST(SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n0,
+                   CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 > t0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 > t0
+                                  AND t2 > t1
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+            FROM m
+        )
+        SELECT CAST(1 AS INT) AS step, 'view' AS step_name, n0 AS n_users FROM f
+        UNION ALL SELECT CAST(2 AS INT), 'click', n1 FROM f
+        UNION ALL SELECT CAST(3 AS INT), 'purchase', n2 FROM f
+    """,
     "q125_column_profile": """
         SELECT 'l_orderkey' AS column, COUNT(l_orderkey) AS n_nonnull, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct, CAST(MIN(l_orderkey) AS VARCHAR) AS min_value, CAST(MAX(l_orderkey) AS VARCHAR) AS max_value FROM lineitem
         UNION ALL SELECT 'l_linenumber' AS column, COUNT(l_linenumber) AS n_nonnull, CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS n_distinct, CAST(MIN(l_linenumber) AS VARCHAR) AS min_value, CAST(MAX(l_linenumber) AS VARCHAR) AS max_value FROM lineitem
