@@ -346,6 +346,57 @@ def q130_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(F.explode(rows).alias("_r")).select("_r.*")
 
 
+MIN_SUPPORT = 3
+
+
+def q131_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (the Apriori candidate-pair step):
+    part pairs appearing together in >= MIN_SUPPORT orders, with
+    lift = N * c12 / (c1 * c2). Candidate volume is O(sum basket^2)
+    — bounded by basket size, never |parts|^2; the per-part counts
+    broadcast while the catalog fits (AQE)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    # 1-row scalar aggregate joined broadcast (q71 pattern) — not a
+    # driver-side count() action
+    n_orders = items.agg(F.countDistinct("l_orderkey").alias("_n"))
+    part_cnt = items.groupBy("l_partkey").agg(F.count("*").alias("_c"))
+    a = items.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("p1")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("p2")
+    )
+    pairs = (
+        a.join(b, "_o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= MIN_SUPPORT)
+    )
+    c1 = part_cnt.select(
+        F.col("l_partkey").alias("p1"), F.col("_c").alias("_c1")
+    )
+    c2 = part_cnt.select(
+        F.col("l_partkey").alias("p2"), F.col("_c").alias("_c2")
+    )
+    return (
+        pairs.join(c1, "p1")
+        .join(c2, "p2")
+        .join(F.broadcast(n_orders))
+        .select(
+            "p1",
+            "p2",
+            "support",
+            F.round(
+                F.col("_n") * F.col("support")
+                / (F.col("_c1") * F.col("_c2")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
 PROFILE_COLS = ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"]
 
 
@@ -364,6 +415,7 @@ def q125_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q125_column_profile": q125_column_profile,
     "q128_event_transitions": q128_event_transitions,
+    "q131_copurchase_pairs": q131_copurchase_pairs,
     "q129_cohort_retention": q129_cohort_retention,
     "q130_funnel": q130_funnel,
     "q95_zorder_clustering": q95_zorder_clustering,
@@ -382,6 +434,29 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q131_copurchase_pairs": """
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), n AS (
+            SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items
+        ), pc AS (
+            SELECT l_partkey, COUNT(*) AS c FROM items GROUP BY l_partkey
+        ), pairs AS (
+            SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                   COUNT(*) AS support
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 3
+        )
+        SELECT p.p1, p.p2, p.support,
+               ROUND(n.n_orders * p.support / (c1.c * c2.c), 6) AS lift
+        FROM pairs p
+        JOIN pc c1 ON c1.l_partkey = p.p1
+        JOIN pc c2 ON c2.l_partkey = p.p2
+        CROSS JOIN n
+    """,
     "q128_event_transitions": """
         WITH t AS (
             SELECT user_id, event_type,
