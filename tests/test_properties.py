@@ -444,3 +444,76 @@ def test_phash_banded_pairs_match_bruteforce(spark, hashes, flip_mask):
         if ham(vals[i], vals[j]) <= 3
     )
     assert got == want
+
+
+WORD = st.text(alphabet="abcd", min_size=1, max_size=3)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(WORD, max_size=8), min_size=1, max_size=8),
+       st.integers(min_value=2, max_value=3))
+def test_boilerplate_filter_matches_model(spark, docs, min_docs):
+    """boilerplate_passage_filter vs a pure-python model at 1-token
+    passages (every token is its own passage): a token is dropped
+    everywhere iff it appears in >= min_docs distinct docs."""
+    from ulh_etl_spark.operators.text import boilerplate_passage_filter
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.clean_text, r.n_passages, r.n_dropped)
+        for r in boilerplate_passage_filter(
+            df, "text", "doc_id", passage_tokens=1, min_docs=min_docs
+        ).collect()
+    }
+    docfreq = {}
+    for toks in docs:
+        for t in set(toks):
+            docfreq[t] = docfreq.get(t, 0) + 1
+    boiler = {t for t, n in docfreq.items() if n >= min_docs}
+    for i, toks in enumerate(docs):
+        kept = [t for t in toks if t not in boiler]
+        n_pass = max(len(toks), 1)  # token-less doc yields one empty passage
+        dropped = sum(1 for t in toks if t in boiler)
+        assert out[i] == (" ".join(kept), n_pass, dropped), (i, toks)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(WORD, st.sampled_from(["A", "B"])),
+                min_size=1, max_size=12),
+       st.integers(min_value=0, max_value=2))
+def test_levenshtein_link_pairs_matches_bruteforce(spark, rows, maxd):
+    """Blocked linkage == brute-force python levenshtein restricted
+    to same-block pairs."""
+    from ulh_etl_spark.operators.dedup import levenshtein_link_pairs
+
+    data = [(i, name, blk) for i, (name, blk) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, name string, blk string")
+    got = {
+        (r.id1, r.id2): r.distance
+        for r in levenshtein_link_pairs(
+            df, "id", "name", "blk", max_distance=maxd
+        ).collect()
+    }
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {}
+    for i, (na, ba) in enumerate(rows):
+        for j in range(i + 1, len(rows)):
+            nb, bb = rows[j]
+            if ba == bb and lev(na, nb) <= maxd:
+                want[(i, j)] = lev(na, nb)
+    assert got == want
