@@ -177,6 +177,22 @@ ANCHOR = {
     "q118_kneser_ney_scores": 0.861,
     "q119_ivfpq_topk": 1.650,
     "q120_blocklist_filter": 0.341,
+    # r7 fourth-batch anchors (min-of-3 warm). q126 is the suite's
+    # most expensive single query: ~4.5M in-block levenshtein
+    # evaluations (25 nation blocks x ~600²/2 pairs at sf0.1) — the
+    # honest O(sum block²) cost of ER candidate verification; see
+    # SCALE.md for why PassJoin segment blocking degenerates on this
+    # corpus (constant 9-char name prefix) and when it would help.
+    # q125's cost is the exact countDistinct Expand (documented
+    # exact=False HLL knob). q121 re-runs the LSH + components
+    # pipeline (q102's cost class).
+    "q121_cluster_size_histogram": 3.586,
+    "q122_split_leakage": 0.824,
+    "q123_zipf_slope": 0.261,
+    "q124_span_pairs": 0.253,
+    "q125_column_profile": 4.222,
+    "q126_record_linkage": 11.472,
+    "q127_compression_ratio": 0.280,
 }
 
 
