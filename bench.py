@@ -101,6 +101,11 @@ HEADLINE = (
     "q125_column_profile",
     "q126_record_linkage",
     "q127_compression_ratio",
+    # Round-7 fifth batch: events analytics + market baskets.
+    "q128_event_transitions",
+    "q129_cohort_retention",
+    "q130_funnel",
+    "q131_copurchase_pairs",
 )
 
 # Anchors @ sf0.1, local[32] — the official regression baselines
@@ -193,6 +198,12 @@ ANCHOR = {
     "q125_column_profile": 4.222,
     "q126_record_linkage": 11.472,
     "q127_compression_ratio": 0.280,
+    # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's
+    # cost is the in-order pair fan-out (O(sum basket²), baskets ~4).
+    "q128_event_transitions": 0.735,
+    "q129_cohort_retention": 0.465,
+    "q130_funnel": 0.378,
+    "q131_copurchase_pairs": 1.622,
 }
 
 
