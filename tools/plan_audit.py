@@ -56,6 +56,32 @@ SHUFFLE_BUDGET = {
     # broadcast possible). The log-ratio model join itself broadcasts
     # (bounded by n_buckets).
     "q104_dsir_importance": 5,
+    # q118 trains a bigram KN model from the corpus itself: bigram
+    # explode -> pair counts (1), forward/continuation marginals (2,
+    # 3), the type-count 1-row agg (4), the model assembly joins on
+    # w1/w2 (5, 6 — every model relation is BIGRAM-TYPE-bounded, so
+    # each shuffle moves vocabulary-sized data, and AQE broadcasts
+    # them at real corpus scale), per-doc mean (7) and the
+    # NULL-preserving outer join back to documents (8, 9 — both
+    # sides exchange for the doc_id SMJ). Same justification class
+    # as q78/q104: one exchange per distinct model relation.
+    "q118_kneser_ney_scores": 9,
+    # q122 composes three pipelines: winnowing fingerprints (explode
+    # is narrow; fp docfreq groupBy 1), the rare-fp filter join (2),
+    # the split assignment join (3), the fp-bucketed self-join (4, 5
+    # — both sides exchange), the distinct over leaky pairs (6) and
+    # the per-split-pair rollup (7); the audit's pre-AQE plan also
+    # counts the exchanges AQE later converts to broadcasts. No key
+    # is re-shuffled redundantly: each boundary is a distinct stage
+    # of the leakage semantics (cap -> tag -> pair -> dedupe ->
+    # roll up).
+    "q122_split_leakage": 10,
+    # q131: basket distinct (1), the scalar order count (2, 1-row),
+    # per-part counts (3), the in-order pair self-join (4, 5), the
+    # pair-support groupBy (6), and the two lift joins against the
+    # part counts (7, 8 — part-catalog-bounded, AQE-broadcastable).
+    # One exchange per Apriori stage.
+    "q131_copurchase_pairs": 9,
 }
 
 
