@@ -467,16 +467,21 @@ def test_boilerplate_filter_matches_model(spark, docs, min_docs):
             df, "text", "doc_id", passage_tokens=1, min_docs=min_docs
         ).collect()
     }
+    # model passages: token-less docs emit ONE empty-string passage
+    # (the explode_outer keep-a-row artifact, same as passage_dedup);
+    # it participates in docfreq like any passage, so two empty docs
+    # "share boilerplate" — hypothesis found this, both engines agree
+    # on it, and the operator docstring documents it.
+    passages = [toks if toks else [""] for toks in docs]
     docfreq = {}
-    for toks in docs:
-        for t in set(toks):
+    for ps in passages:
+        for t in set(ps):
             docfreq[t] = docfreq.get(t, 0) + 1
     boiler = {t for t, n in docfreq.items() if n >= min_docs}
-    for i, toks in enumerate(docs):
-        kept = [t for t in toks if t not in boiler]
-        n_pass = max(len(toks), 1)  # token-less doc yields one empty passage
-        dropped = sum(1 for t in toks if t in boiler)
-        assert out[i] == (" ".join(kept), n_pass, dropped), (i, toks)
+    for i, ps in enumerate(passages):
+        kept = [t for t in ps if t not in boiler]
+        dropped = sum(1 for t in ps if t in boiler)
+        assert out[i] == (" ".join(kept), len(ps), dropped), (i, ps)
 
 
 @settings(max_examples=10, deadline=None,

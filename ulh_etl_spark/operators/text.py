@@ -624,6 +624,11 @@ def boilerplate_passage_filter(
 
     Returns (id_col, clean_text, n_passages, n_dropped) — one row per
     input document, token-less documents included (empty clean_text).
+    Known artifact (shared with passage_dedup's keep-a-row contract):
+    a token-less doc emits one EMPTY passage, which participates in
+    docfreq like any other — so >= min_docs empty docs count each
+    other as "boilerplate" (n_dropped 1, clean_text still ''). Filter
+    empty docs upstream if the n_dropped accounting matters.
     """
     if passage_tokens <= 0:
         raise ValueError("passage_tokens must be positive")
