@@ -426,3 +426,70 @@ def test_pq_adc_scan_reads_only_codes(spark, sf_dir):
     df = pq_adc_topk(enc, cb, queries, k=5)
     cols = [c for c in scan_columns(df) if "codes" in c]
     assert cols and all(set(c) <= {"vec_id", "codes"} for c in cols), cols
+
+
+def test_ivf_append_incremental_maintenance(spark, tmp_path):
+    """ivf_append touches only the cells its vectors land in:
+    untouched cells keep their exact file set, probes see appended
+    rows immediately, and the returned cell list matches the
+    assignment."""
+    import os
+    import random
+
+    from ulh_etl_spark.operators.similarity import (
+        ivf_append,
+        ivf_assign,
+        ivf_probe_pruned,
+        write_ivf_index,
+    )
+
+    rng = random.Random(5)
+
+    def vecs(ids):
+        return spark.createDataFrame(
+            [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in ids],
+            "vec_id long, embedding array<float>",
+        )
+
+    base = vecs(range(40))
+    cents = base.filter("vec_id < 4").selectExpr(
+        "vec_id AS centroid_id", "embedding AS centroid_vec"
+    )
+    path = str(tmp_path / "ivf")
+    write_ivf_index(ivf_assign(base, cents), path)
+
+    def files_per_cell():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("cell="):
+                out[d] = sorted(os.listdir(os.path.join(path, d)))
+        return out
+
+    before = files_per_cell()
+    new = vecs(range(100, 106))
+    touched = ivf_append(spark, path, new, cents)
+    expect = sorted(
+        r["cell"]
+        for r in ivf_assign(new, cents).select("cell").distinct().collect()
+    )
+    assert touched == expect
+
+    after = files_per_cell()
+    for d, fs in before.items():
+        cell = int(d.split("=", 1)[1])
+        if cell not in touched:
+            assert after[d] == fs, f"untouched {d} was rewritten"
+        else:
+            assert set(fs) <= set(after[d]), f"{d} lost files"
+
+    # probes see the appended rows with the same pruned-scan path
+    q = vecs([100]).filter("vec_id = 100")
+    got = {
+        r.neighbor_id
+        for r in ivf_probe_pruned(spark, path, cents, q, k=40, nprobe=4).collect()
+    }
+    # nprobe = C probes every cell and k covers the corpus, so every
+    # appended id (minus the query itself) must be reachable
+    assert {101, 102, 103, 104, 105} <= got
+    total = spark.read.parquet(path).count()
+    assert total == 46

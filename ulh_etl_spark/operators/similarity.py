@@ -965,3 +965,38 @@ def ivfpq_adc_topk(
             "query_id", id_col, F.round("_d", 6).alias("adc_dist"), "rank"
         )
     )
+
+
+def ivf_append(
+    spark,
+    index_path: str,
+    new_vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Incremental maintenance of the at-rest IVF index: assign ONLY
+    the new vectors to cells (ivf_assign — zero-shuffle narrow map)
+    and APPEND them into the existing cell-partitioned layout.
+    Existing files are never read or rewritten — the write is
+    dynamic-partition append, so a day's ingest touches only the
+    cells its vectors land in (returned, driver-small: bounded by C).
+
+    This is the standard IVF ingest loop: centroids stay FIXED
+    between retrains (moving them would orphan the at-rest
+    assignment), appended cells accumulate small files, and a
+    periodic compact_partitions + centroid retrain (kmeans_refine +
+    full rewrite) resets both drifts. Probes via ivf_probe_pruned see
+    appended rows immediately — same PartitionFilters pruning, no
+    index rebuild."""
+    assigned = ivf_assign(new_vectors, centroids, id_col, vec_col)
+    cells = sorted(
+        r["cell"] for r in assigned.select("cell").distinct().collect()
+    )
+    (
+        assigned.repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(index_path)
+    )
+    return cells
