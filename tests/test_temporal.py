@@ -196,3 +196,36 @@ def test_range_join_no_nested_loop(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rolling_zscore_anomalies_model(spark):
+    """Hand-checkable trailing-baseline z-scores (baseline=2):
+    points with < 2 predecessors get NULL z and are never flagged;
+    the spike after a flat baseline is flagged; the current point is
+    excluded from its own baseline."""
+    import math
+
+    import pytest as _pytest
+
+    from ulh_etl_spark.operators.temporal import rolling_zscore_anomalies
+
+    rows = [("t1", 10.0), ("t2", 12.0), ("t3", 11.0), ("t4", 100.0)]
+    df = spark.createDataFrame(rows, "t string, v double")
+    out = {
+        r.t: (r.baseline_mean, r.zscore, r.is_anomaly)
+        for r in rolling_zscore_anomalies(
+            df, "v", "t", baseline=2, threshold=2.0
+        ).collect()
+    }
+    assert out["t1"] == (None, None, False)
+    assert out["t2"] == (None, None, False)
+    # t3 baseline {10, 12}: mean 11, std sqrt(2) -> z = 0
+    assert out["t3"][0] == 11.0 and out["t3"][1] == 0.0
+    assert out["t3"][2] is False
+    # t4 baseline {12, 11}: mean 11.5, var 0.5 -> z = 88.5/sqrt(0.5)
+    want = (100.0 - 11.5) / math.sqrt(0.5)
+    assert abs(out["t4"][1] - want) < 1e-9
+    assert out["t4"][2] is True
+
+    with _pytest.raises(ValueError):
+        rolling_zscore_anomalies(df, "v", "t", baseline=1)

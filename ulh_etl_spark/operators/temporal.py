@@ -197,3 +197,57 @@ def range_join(
         *[F.col(c) for c in right_cols],
         (F.col("_rus") - F.col("_lus")).alias("gap_us"),
     )
+
+
+def rolling_zscore_anomalies(
+    df,
+    value_col: str,
+    order_col: str,
+    baseline: int = 8,
+    threshold: float = 2.0,
+    partition_col: str | None = None,
+):
+    """Time-series anomaly flags: each point scored against the
+    TRAILING ``baseline`` points (current excluded — the baseline
+    must not contain the anomaly it is judging): z = (x - mean) /
+    sqrt(var), flagged when |z| > threshold. Variance uses the
+    explicit sum/sumsq closed form over the window — both engines
+    fold the same frame rows in the same order, so the oracle is
+    bit-stable (a builtin stddev's internal accumulation order is
+    not). Points with fewer than ``baseline`` predecessors get NULL
+    z and are never flagged. mean/z are emitted UNROUNDED: both
+    engines produce bitwise-identical doubles from the identical
+    frame fold, while a display round() reintroduces engine-specific
+    half-case behavior (Spark HALF_UP vs DuckDB half-even — measured
+    flapping at the 4th decimal).
+
+    Scale: with ``partition_col`` (per-key series) this is one
+    shuffle and bounded frames. WITHOUT it the window is global —
+    acceptable ONLY because a time-bucketed series is calendar-
+    bounded (52 weekly rows/year forever), not data-bounded; never
+    use the global form on a row-per-event relation.
+
+    Adds mean/z/flag columns; input rows pass through."""
+    from pyspark.sql import Window
+
+    if baseline < 2:
+        raise ValueError("baseline must be >= 2 (variance needs n > 1)")
+    w = (
+        Window.partitionBy(partition_col) if partition_col else Window
+    ).orderBy(order_col).rowsBetween(-baseline, -1)
+    x = F.col(value_col)
+    cnt = F.count(x).over(w)
+    s = F.sum(x).over(w)
+    sq = F.sum(x * x).over(w)
+    mean = s / cnt
+    var = (sq - s * s / cnt) / (cnt - 1)
+    z = (x - mean) / F.sqrt(var)
+    full = cnt >= baseline
+    return (
+        df.withColumn("baseline_mean", F.when(full, mean))
+        .withColumn("zscore", F.when(full, z))
+        .withColumn(
+            "is_anomaly",
+            F.when(full, F.abs(z) > F.lit(threshold)).otherwise(F.lit(False)),
+        )
+    )

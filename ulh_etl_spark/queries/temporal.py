@@ -120,13 +120,77 @@ def q81_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANOM_BASELINE = 8
+ANOM_THRESHOLD = 2.0
+
+
+def q132_weekly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational monitoring: weekly order-revenue series scored
+    against the trailing 8-week baseline (current week excluded),
+    |z| > 2 flagged. The weekly rollup is one map-combined shuffle;
+    the global window is calendar-bounded (345 weeks here, 52
+    rows/year forever — see rolling_zscore_anomalies), and the
+    rolled-up totals are rounded BEFORE the window so both engines
+    fold identical doubles in identical frame order."""
+    from ulh_etl_spark.operators.temporal import rolling_zscore_anomalies
+
+    orders = load_table(spark, sf_dir, "orders")
+    weekly = (
+        orders.groupBy(
+            F.date_format(
+                F.date_trunc("week", F.col("o_orderdate")), "yyyy-MM-dd"
+            ).alias("week")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+    return rolling_zscore_anomalies(
+        weekly, "revenue", "week",
+        baseline=ANOM_BASELINE, threshold=ANOM_THRESHOLD,
+    )
+
+
 QUERIES = {
+    "q132_weekly_anomalies": q132_weekly_anomalies,
     "q52_asof_join": q52_asof_join,
     "q53_event_pairs_within_hour": q53_event_pairs_within_hour,
     "q81_scd2_priority_history": q81_scd2_priority_history,
 }
 
 ORACLES = {
+    "q132_weekly_anomalies": f"""
+        WITH weekly AS (
+            SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d')
+                       AS week,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1
+        ), w AS (
+            SELECT week, n_orders, revenue,
+                   COUNT(revenue) OVER win AS cnt,
+                   SUM(revenue) OVER win AS s,
+                   SUM(revenue * revenue) OVER win AS sq
+            FROM weekly
+            WINDOW win AS (ORDER BY week
+                           ROWS BETWEEN {ANOM_BASELINE} PRECEDING
+                                    AND 1 PRECEDING)
+        )
+        SELECT week, n_orders, revenue,
+               CASE WHEN cnt >= {ANOM_BASELINE}
+                    THEN s / cnt END AS baseline_mean,
+               CASE WHEN cnt >= {ANOM_BASELINE}
+                    THEN (revenue - s / cnt)
+                         / sqrt((sq - s * s / cnt) / (cnt - 1))
+               END AS zscore,
+               CASE WHEN cnt >= {ANOM_BASELINE}
+                    THEN abs((revenue - s / cnt)
+                          / sqrt((sq - s * s / cnt) / (cnt - 1)))
+                         > {ANOM_THRESHOLD}
+                    ELSE FALSE END AS is_anomaly
+        FROM w
+    """,
     # ANSI formulation: rank every order at-or-before the event and keep
     # the newest (orderdate desc, orderkey desc) — the textbook O(n*m)
     # shape the engine's union-window form replaces.
