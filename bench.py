@@ -101,11 +101,13 @@ HEADLINE = (
     "q125_column_profile",
     "q126_record_linkage",
     "q127_compression_ratio",
-    # Round-7 fifth batch: events analytics + market baskets.
+    # Round-7 fifth batch: events analytics + market baskets +
+    # time-series anomaly detection.
     "q128_event_transitions",
     "q129_cohort_retention",
     "q130_funnel",
     "q131_copurchase_pairs",
+    "q132_weekly_anomalies",
 )
 
 # Anchors @ sf0.1, local[32] — the official regression baselines
@@ -204,6 +206,7 @@ ANCHOR = {
     "q129_cohort_retention": 0.465,
     "q130_funnel": 0.378,
     "q131_copurchase_pairs": 1.622,
+    "q132_weekly_anomalies": 0.331,
 }
 
 
