@@ -493,3 +493,68 @@ def test_ivf_append_incremental_maintenance(spark, tmp_path):
     assert {101, 102, 103, 104, 105} <= got
     total = spark.read.parquet(path).count()
     assert total == 46
+
+
+def test_compact_cells_after_append(spark, tmp_path):
+    """The ivf_append -> compact_cells maintenance loop: appends
+    fragment the touched cells, compaction collapses ONLY those to
+    one file each, untouched cells keep their exact file set, and
+    the data (row multiset) is byte-identical before/after."""
+    import os
+    import random
+
+    from ulh_etl_spark.operators.similarity import (
+        compact_cells,
+        ivf_append,
+        ivf_assign,
+        write_ivf_index,
+    )
+
+    rng = random.Random(7)
+
+    def vecs(ids):
+        return spark.createDataFrame(
+            [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in ids],
+            "vec_id long, embedding array<float>",
+        )
+
+    base = vecs(range(30))
+    cents = base.filter("vec_id < 3").selectExpr(
+        "vec_id AS centroid_id", "embedding AS centroid_vec"
+    )
+    path = str(tmp_path / "ivf")
+    write_ivf_index(ivf_assign(base, cents), path)
+    touched = set()
+    for batch in (range(100, 104), range(200, 204)):
+        touched |= set(ivf_append(spark, path, vecs(batch), cents))
+
+    def files_per_cell():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("cell="):
+                out[int(d.split("=", 1)[1])] = sorted(
+                    f for f in os.listdir(os.path.join(path, d))
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before_rows = sorted(
+        (r.vec_id,) for r in spark.read.parquet(path).select("vec_id").collect()
+    )
+    before_files = files_per_cell()
+    frag = {c for c, fs in before_files.items() if len(fs) >= 2}
+    assert frag, "appends must have fragmented at least one cell"
+
+    done = compact_cells(spark, path, min_files=2, target_files=1)
+    assert set(int(c) for c in done) == frag
+
+    after_files = files_per_cell()
+    for c, fs in after_files.items():
+        if c in frag:
+            assert len(fs) == 1, f"cell {c} not compacted"
+        else:
+            assert fs == before_files[c], f"untouched cell {c} rewritten"
+    after_rows = sorted(
+        (r.vec_id,) for r in spark.read.parquet(path).select("vec_id").collect()
+    )
+    assert after_rows == before_rows

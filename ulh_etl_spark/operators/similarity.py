@@ -1000,3 +1000,65 @@ def ivf_append(
         .parquet(index_path)
     )
     return cells
+
+
+def compact_cells(
+    spark,
+    index_path: str,
+    cells: list | None = None,
+    min_files: int = 2,
+    target_files: int = 1,
+) -> dict:
+    """Per-cell small-file compaction for a cell-partitioned at-rest
+    index — the maintenance counterpart of :func:`ivf_append` (every
+    append adds files to the touched cells; file COUNT, not bytes,
+    dominates probe planning once appends accumulate).
+
+    Rewrites ONLY the named ``cells`` (default: every cell whose file
+    count >= ``min_files``) — each rewrite reads one cell directory
+    (PartitionFilters-pruned scan), coalesces to ``target_files`` and
+    atomically replaces just that directory. Untouched cells keep
+    their exact files, so the hot path (probes) never waits on a
+    full-index rewrite. Returns {cell: files_before} for the
+    compacted cells.
+
+    Scale: work is proportional to the appended (fragmented) cells,
+    not the index; run it on cold cells between ingest waves. The
+    per-cell replace is last-writer-wins against a concurrent append
+    to the SAME cell — pause appends per cell or layer a table format
+    (Delta/Iceberg) when ingest is continuous."""
+    import os
+    import shutil
+    import tempfile
+
+    def _cell_dirs():
+        out = {}
+        for d in os.listdir(index_path):
+            if d.startswith("cell="):
+                full = os.path.join(index_path, d)
+                files = [f for f in os.listdir(full) if f.endswith(".parquet")]
+                out[d.split("=", 1)[1]] = (full, len(files))
+        return out
+
+    dirs = _cell_dirs()
+    if cells is None:
+        todo = {c: v for c, v in dirs.items() if v[1] >= min_files}
+    else:
+        todo = {str(c): dirs[str(c)] for c in cells if str(c) in dirs}
+    compacted = {}
+    for cell, (full, n_files) in sorted(todo.items()):
+        df = spark.read.parquet(full)
+        tmp = tempfile.mkdtemp(prefix=f"ulh_compact_{cell}_")
+        df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+        # atomic-enough swap: move new files in only after the full
+        # rewrite succeeded; a crash before the swap leaves the
+        # original cell intact
+        staged = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        for f in os.listdir(full):
+            if f.endswith(".parquet"):
+                os.remove(os.path.join(full, f))
+        for f in staged:
+            shutil.move(os.path.join(tmp, f), os.path.join(full, f))
+        shutil.rmtree(tmp, ignore_errors=True)
+        compacted[cell] = n_files
+    return compacted
