@@ -108,6 +108,7 @@ HEADLINE = (
     "q130_funnel",
     "q131_copurchase_pairs",
     "q132_weekly_anomalies",
+    "q133_rfm_segments",
 )
 
 # Anchors @ sf0.1, local[32] — the official regression baselines
@@ -207,6 +208,7 @@ ANCHOR = {
     "q130_funnel": 0.378,
     "q131_copurchase_pairs": 1.622,
     "q132_weekly_anomalies": 0.331,
+    "q133_rfm_segments": 0.697,
 }
 
 

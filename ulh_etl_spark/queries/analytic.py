@@ -397,6 +397,48 @@ def q131_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q133_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer recency (last order
+    date), frequency (order count) and monetary (total spend), each
+    quintiled 1-5 (1 = earliest/fewest/least; deterministic custkey
+    tiebreak) and concatenated into the segment label — the classic
+    marketing cut. All three quintile passes use global_ntile
+    (range-repartition + driver offsets): bit-identical to ntile(5)
+    OVER (ORDER BY ...) with NO unpartitioned window, so the pattern
+    survives a customer table of any size."""
+    from ulh_etl_spark.operators.rank import global_ntile
+
+    orders = load_table(spark, sf_dir, "orders")
+    pc = orders.groupBy("o_custkey").agg(
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order"),
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    x = global_ntile(
+        pc, [F.col("last_order"), F.col("o_custkey")], 5, out_col="r_q"
+    )
+    x = global_ntile(
+        x, [F.col("n_orders"), F.col("o_custkey")], 5, out_col="f_q"
+    )
+    x = global_ntile(
+        x, [F.col("monetary"), F.col("o_custkey")], 5, out_col="m_q"
+    )
+    return x.select(
+        "o_custkey",
+        "last_order",
+        "n_orders",
+        "monetary",
+        F.col("r_q").cast("int").alias("r_q"),
+        F.col("f_q").cast("int").alias("f_q"),
+        F.col("m_q").cast("int").alias("m_q"),
+        F.concat(
+            F.col("r_q").cast("string"),
+            F.col("f_q").cast("string"),
+            F.col("m_q").cast("string"),
+        ).alias("segment"),
+    )
+
+
 PROFILE_COLS = ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"]
 
 
@@ -416,6 +458,7 @@ QUERIES = {
     "q125_column_profile": q125_column_profile,
     "q128_event_transitions": q128_event_transitions,
     "q131_copurchase_pairs": q131_copurchase_pairs,
+    "q133_rfm_segments": q133_rfm_segments,
     "q129_cohort_retention": q129_cohort_retention,
     "q130_funnel": q130_funnel,
     "q95_zorder_clustering": q95_zorder_clustering,
@@ -434,6 +477,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q133_rfm_segments": """
+        WITH pc AS (
+            SELECT o_custkey,
+                   strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_order,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS monetary
+            FROM orders GROUP BY o_custkey
+        ), q AS (
+            SELECT o_custkey, last_order, n_orders, monetary,
+                   CAST(ntile(5) OVER (ORDER BY last_order, o_custkey)
+                        AS INT) AS r_q,
+                   CAST(ntile(5) OVER (ORDER BY n_orders, o_custkey)
+                        AS INT) AS f_q,
+                   CAST(ntile(5) OVER (ORDER BY monetary, o_custkey)
+                        AS INT) AS m_q
+            FROM pc
+        )
+        SELECT o_custkey, last_order, n_orders, monetary, r_q, f_q, m_q,
+               CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR)
+                   || CAST(m_q AS VARCHAR) AS segment
+        FROM q
+    """,
     "q131_copurchase_pairs": """
         WITH items AS (
             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
