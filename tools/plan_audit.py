@@ -82,6 +82,13 @@ SHUFFLE_BUDGET = {
     # part counts (7, 8 — part-catalog-bounded, AQE-broadcastable).
     # One exchange per Apriori stage.
     "q131_copurchase_pairs": 9,
+    # q133: the per-customer RFM rollup (1) followed by THREE
+    # global_ntile passes, each costing its own range repartition
+    # (2, 4, 6) plus the per-slice rank hash on _pid (3, 5, 7) —
+    # the deliberate price of ntile-without-an-unpartitioned-window,
+    # once per scored dimension. No key is re-shuffled redundantly:
+    # each dimension's ordering is distinct by construction.
+    "q133_rfm_segments": 7,
 }
 
 
