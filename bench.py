@@ -109,6 +109,7 @@ HEADLINE = (
     "q131_copurchase_pairs",
     "q132_weekly_anomalies",
     "q133_rfm_segments",
+    "q134_corpus_diff",
 )
 
 # Anchors @ sf0.1, local[32] — the official regression baselines
@@ -209,6 +210,7 @@ ANCHOR = {
     "q131_copurchase_pairs": 1.622,
     "q132_weekly_anomalies": 0.331,
     "q133_rfm_segments": 0.697,
+    "q134_corpus_diff": 0.654,
 }
 
 

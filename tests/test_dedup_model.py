@@ -487,3 +487,31 @@ def test_levenshtein_link_pairs_model(spark):
 
     with _pytest.raises(ValueError):
         levenshtein_link_pairs(df, "id", "name", "blk", max_distance=-1)
+
+
+def test_corpus_diff_model(spark):
+    """All four statuses on a hand-built pair of versions; content
+    normalization means a case/punct-only edit is 'unchanged'."""
+    from ulh_etl_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gone now"), (3, "same text"),
+         (4, "will change")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "ALPHA, beta!"), (3, "same text"), (4, "has changed"),
+         (5, "brand new")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.status
+        for r in corpus_diff(old, new, "text", "doc_id").collect()
+    }
+    assert out == {
+        1: "unchanged",  # normalization strips case/punct
+        2: "removed",
+        3: "unchanged",
+        4: "changed",
+        5: "added",
+    }

@@ -958,3 +958,40 @@ def levenshtein_link_pairs(
         )
         .filter(F.col("distance") <= max_distance)
     )
+
+
+def corpus_diff(
+    old,
+    new,
+    text_col: str,
+    id_col: str,
+):
+    """Snapshot diff between two corpus versions (the daily-crawl /
+    dataset-release comparison): FULL OUTER join on the id, comparing
+    normalized-content fingerprints — status per id is ``added``
+    (new only), ``removed`` (old only), ``changed`` (both, different
+    fingerprint) or ``unchanged``. The change detector is the same
+    md5 fingerprint exact dedup keys on, so 'changed' means content,
+    not formatting (normalization strips case/punct/whitespace).
+
+    Scale: each side collapses to (id, fingerprint) BEFORE the join —
+    the join moves two narrow columns, never document text; one
+    shuffle per side on the id. Returns (id, status, old_fp, new_fp).
+    """
+    from ulh_etl_spark.operators.text import fingerprint
+
+    o = old.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("old_fp")
+    )
+    n = new.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("new_fp")
+    )
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return o.join(n, id_col, "full_outer").select(
+        id_col, status.alias("status"), "old_fp", "new_fp"
+    )

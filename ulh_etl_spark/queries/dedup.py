@@ -132,6 +132,26 @@ def q126_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q134_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two synthetic corpus versions
+    ("yesterday" drops doc_id % 7 == 0, "today" drops % 5 == 0 and
+    revises % 11 == 0): added/removed/changed/unchanged per doc via
+    fingerprint comparison — each side collapses to (id, fp) before
+    the full outer join, so the join never moves text."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit(" appended revision")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return D.corpus_diff(old, new, "text", "doc_id")
+
+
 def q85_lsh_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy benchmark decontamination: corpus docs sharing >= 1
     MinHash-LSH band bucket with any benchmark doc (near-dup
@@ -248,6 +268,7 @@ QUERIES = {
     "q75_neardup_components": q75_neardup_components,
     "q121_cluster_size_histogram": q121_cluster_size_histogram,
     "q126_record_linkage": q126_record_linkage,
+    "q134_corpus_diff": q134_corpus_diff,
     "q85_lsh_decontamination": q85_lsh_decontamination,
     "q94_duplicate_gram_fraction": q94_duplicate_gram_fraction,
     "q98_source_gram_overlap": q98_source_gram_overlap,
@@ -397,6 +418,24 @@ ORACLES = {
     "q75_neardup_components": f"""
         {_CC_CTE}
         SELECT node, component FROM comp
+    """,
+    "q134_corpus_diff": f"""
+        WITH o AS (
+            SELECT doc_id, md5({O.norm_text('text')}) AS old_fp
+            FROM documents WHERE doc_id % 7 <> 0
+        ), n AS (
+            SELECT doc_id,
+                   md5({O.norm_text("CASE WHEN doc_id % 11 = 0 THEN text || ' appended revision' ELSE text END")})
+                       AS new_fp
+            FROM documents WHERE doc_id % 5 <> 0
+        )
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.old_fp IS NULL THEN 'added'
+                    WHEN n.new_fp IS NULL THEN 'removed'
+                    WHEN o.old_fp = n.new_fp THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               o.old_fp, n.new_fp
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
     """,
     "q126_record_linkage": """
         SELECT a.c_custkey AS id1, b.c_custkey AS id2,
