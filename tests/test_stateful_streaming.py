@@ -91,3 +91,47 @@ def test_seen_keys_dedup(spark, tmp_path):
     )
     got = {r.user_id: r.occurrences for r in rows}
     assert got == {300: 1}  # 100 already seen -> suppressed
+
+
+def test_running_zscore_stream_flags_spike_across_batches(spark, tmp_path):
+    """The Welford state accumulates across micro-batches: batch 1
+    establishes a flat baseline (no emissions — below min_points,
+    then in-band), batch 2's spike is scored against the checkpointed
+    moments and emitted; the in-band value in batch 2 is not."""
+    import math
+
+    from ulh_etl_spark.streaming.stateful import running_zscore_stream
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    # batch 1: 10 near-constant points for user 1 (values 10.0/10.2
+    # alternating -> nonzero variance), all in-band
+    _write(
+        src, "b1.csv",
+        [(1, 10.0 if i % 2 == 0 else 10.2) for i in range(10)],
+    )
+    out1 = _drain(
+        spark, src, ckpt, "zs_sink",
+        lambda s: running_zscore_stream(s, min_points=8, threshold=3.0),
+    )
+    assert out1 == []  # baseline only, nothing anomalous
+
+    # batch 2: one spike + one in-band point
+    _write(src, "b2.csv", [(1, 100.0), (1, 10.1)])
+    out2 = _drain(
+        spark, src, ckpt, "zs_sink",
+        lambda s: running_zscore_stream(s, min_points=8, threshold=3.0),
+    )
+    flagged = {(r.user_id, r.value) for r in out2}
+    assert (1, 100.0) in flagged
+    assert (1, 10.1) not in flagged
+    spike = next(r for r in out2 if r.value == 100.0)
+    # model: Welford over the 10 baseline points
+    vals = [10.0 if i % 2 == 0 else 10.2 for i in range(10)]
+    mean = sum(vals) / len(vals)
+    var = sum((v - mean) ** 2 for v in vals) / (len(vals) - 1)
+    want = round((100.0 - mean) / math.sqrt(var), 6)
+    assert abs(spike.zscore - want) < 1e-6
+    assert spike.n_baseline == 10

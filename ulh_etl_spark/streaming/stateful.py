@@ -102,3 +102,65 @@ def dedup_within_watermark(
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def running_zscore_stream(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    min_points: int = 8,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Streaming per-key anomaly detection — the stateful twin of
+    operators.temporal.rolling_zscore_anomalies: each key's state
+    carries Welford running moments (count, mean, M2), every incoming
+    point is scored against the state BEFORE it is folded in (the
+    baseline must not contain the point it judges), and points with
+    |z| > threshold after ``min_points`` baseline points emit as
+    anomalies. Unlike the batch trailing-window form, state is O(3
+    doubles) per key FOREVER — no window buffer — which is what makes
+    it viable for unbounded per-key streams.
+
+    Emits ONLY anomalies (update mode): (key, value, zscore,
+    n_baseline). Welford is numerically stable under streaming
+    accumulation where the naive sum-of-squares form cancels
+    catastrophically on long-running keys."""
+    import math
+
+    import pandas as pd
+
+    def update(
+        key: Tuple[Any, ...],
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        (cnt, mean, m2) = state.get if state.exists else (0, 0.0, 0.0)
+        rows = []
+        for pdf in batches:
+            for v in pdf[value_col].astype(float):
+                if cnt >= min_points and m2 > 0:
+                    std = math.sqrt(m2 / (cnt - 1))
+                    z = (v - mean) / std
+                    if abs(z) > threshold:
+                        rows.append((key[0], v, round(z, 6), cnt))
+                # Welford fold AFTER scoring
+                cnt += 1
+                d = v - mean
+                mean += d / cnt
+                m2 += d * (v - mean)
+        state.update((cnt, mean, m2))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[key_col, value_col, "zscore", "n_baseline"]
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} long, {value_col} double, zscore double, "
+            "n_baseline long"
+        ),
+        stateStructType="cnt long, mean double, m2 double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
