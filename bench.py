@@ -110,6 +110,7 @@ HEADLINE = (
     "q132_weekly_anomalies",
     "q133_rfm_segments",
     "q134_corpus_diff",
+    "q135_length_buckets",
 )
 
 # Anchors @ sf0.1, local[32] — the official regression baselines
@@ -211,6 +212,7 @@ ANCHOR = {
     "q132_weekly_anomalies": 0.331,
     "q133_rfm_segments": 0.697,
     "q134_corpus_diff": 0.654,
+    "q135_length_buckets": 0.578,
 }
 
 

@@ -242,6 +242,56 @@ def q127_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.compression_ratio(docs, "text", "doc_id")
 
 
+LEN_BUCKETS = 8
+
+
+def q135_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit (the inference/serving prep
+    pass): docs split into 8 equal-count token-length buckets
+    (global_ntile — no unpartitioned window), reporting per bucket
+    the padding waste when batching within the bucket vs padding
+    everything to the GLOBAL max. The bucketed pad_frac is what a
+    length-grouped batcher achieves; naive_pad_frac is the cost of
+    not bucketing — the delta is the serving-throughput argument.
+    Global max arrives via a broadcast 1-row agg (q71 pattern)."""
+    from ulh_etl_spark.operators.rank import global_ntile
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(T.whitespace_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    b = global_ntile(
+        toks, [F.col("n_tokens"), F.col("doc_id")], LEN_BUCKETS,
+        out_col="bucket",
+    )
+    gmax = toks.agg(F.max("n_tokens").alias("_gmax"))
+    per = b.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    return (
+        per.join(F.broadcast(gmax))
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            "n_docs",
+            "max_tokens",
+            "total_tokens",
+            F.round(
+                (F.col("max_tokens") * F.col("n_docs") - F.col("total_tokens"))
+                / (F.col("max_tokens") * F.col("n_docs")),
+                6,
+            ).alias("pad_frac"),
+            F.round(
+                (F.col("_gmax") * F.col("n_docs") - F.col("total_tokens"))
+                / (F.col("_gmax") * F.col("n_docs")),
+                6,
+            ).alias("naive_pad_frac"),
+        )
+    )
+
+
 def q123_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus distribution QA: rank-frequency log-log slope (natural
     text ~ -1). Vocabulary groupBy + global_row_number ranking (no
@@ -634,6 +684,7 @@ QUERIES = {
     "q123_zipf_slope": q123_zipf_slope,
     "q127_compression_ratio": q127_compression_ratio,
     "q124_span_pairs": q124_span_pairs,
+    "q135_length_buckets": q135_length_buckets,
     "q80_repetition_signals": q80_repetition_signals,
     "q82_weighted_sample": q82_weighted_sample,
     "q83_top_bigrams": q83_top_bigrams,
@@ -981,6 +1032,31 @@ ORACLES = {
         HAVING COUNT(*) >= {DECON_MIN_SHARED}
     """,
     "q115_bpe_merges": None,  # filled below by _bpe_oracle_sql
+    "q135_length_buckets": f"""
+        WITH t AS (
+            SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+            FROM documents
+        ), b AS (
+            SELECT doc_id, n_tokens,
+                   ntile({LEN_BUCKETS}) OVER (ORDER BY n_tokens, doc_id)
+                       AS bucket
+            FROM t
+        ), g AS (
+            SELECT MAX(n_tokens) AS gmax FROM t
+        ), per AS (
+            SELECT bucket, COUNT(*) AS n_docs,
+                   MAX(n_tokens) AS max_tokens,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+            FROM b GROUP BY bucket
+        )
+        SELECT CAST(bucket AS INT) AS bucket, n_docs, max_tokens,
+               total_tokens,
+               ROUND((max_tokens * n_docs - total_tokens)
+                     / (max_tokens * n_docs * 1.0), 6) AS pad_frac,
+               ROUND((g.gmax * n_docs - total_tokens)
+                     / (g.gmax * n_docs * 1.0), 6) AS naive_pad_frac
+        FROM per CROSS JOIN g
+    """,
     "q123_zipf_slope": f"""
         WITH v AS (
             SELECT w, COUNT(*) AS n
