@@ -111,6 +111,7 @@ HEADLINE = (
     "q133_rfm_segments",
     "q134_corpus_diff",
     "q135_length_buckets",
+    "q136_multiprobe_recall",
 )
 
 # Anchors @ sf0.1, local[32] — the official regression baselines
@@ -213,6 +214,9 @@ ANCHOR = {
     "q133_rfm_segments": 0.697,
     "q134_corpus_diff": 0.654,
     "q135_length_buckets": 0.578,
+    # cost is the brute-force ground-truth leg plus the probe-expanded
+    # candidate join — the recall AUDIT is inherently two searches.
+    "q136_multiprobe_recall": 2.793,
 }
 
 

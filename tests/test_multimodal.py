@@ -643,3 +643,37 @@ def test_ivfpq_equals_pq_adc_when_probing_all_cells(spark):
     }
     for qid, vid, _, _ in pruned:
         assert vid in members[q_cell[qid]], (qid, vid)
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe's defining property: its candidate set is a
+    SUPERSET of single-probe's (flip set includes 0 = the exact
+    key), so recall can only go up."""
+    import random
+
+    from ulh_etl_spark.operators.similarity import (
+        hyperplane_candidate_pairs,
+        hyperplane_multiprobe_topk,
+    )
+
+    rng = random.Random(13)
+    corpus = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = corpus.filter("vec_id < 3")
+    mp = hyperplane_multiprobe_topk(
+        corpus, queries, 16, num_planes=16, rows_per_band=8, k=60
+    )
+    mp_pairs = {(r.query_id, r.neighbor_id) for r in mp.collect()}
+    sp = hyperplane_candidate_pairs(
+        corpus, 16, num_planes=16, rows_per_band=8
+    )
+    sp_pairs = set()
+    for r in sp.collect():
+        if r.id1 < 3:
+            sp_pairs.add((r.id1, r.id2))
+        if r.id2 < 3:
+            sp_pairs.add((r.id2, r.id1))
+    assert sp_pairs <= mp_pairs, sp_pairs - mp_pairs
+    assert len(mp_pairs) > len(sp_pairs)  # probes found extras here

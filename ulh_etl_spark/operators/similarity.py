@@ -1062,3 +1062,106 @@ def compact_cells(
         shutil.rmtree(tmp, ignore_errors=True)
         compacted[cell] = n_files
     return compacted
+
+
+def hyperplane_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    rows_per_band: int = 8,
+    k: int = 10,
+) -> DataFrame:
+    """Multi-probe cosine-LSH search (Lv et al. 2007): the corpus is
+    indexed ONCE with exact band keys; each query probes its exact
+    key in every band PLUS all hamming-1 perturbations of that key —
+    recovering most of the recall extra hash tables would buy, at
+    the index memory of one table. Candidates dedupe, then exact
+    cosine rerank to top-k (deterministic neighbor-id tiebreak,
+    self-matches excluded — cosine_topk's contract).
+
+    Scale: the probe expansion is QUERY-side only — the corpus band
+    relation stays num_bands rows/vector; queries fan out x
+    (1 + rows_per_band) per band and broadcast (they're the small
+    side by construction). The candidate join remains bucketed on
+    (band_idx, band_val) — O(sum bucket x probes), never all-pairs
+    — and the rerank join moves only candidate ids."""
+    if num_planes % rows_per_band != 0:
+        raise ValueError("rows_per_band must divide num_planes")
+    num_bands = num_planes // rows_per_band
+    mask = (1 << rows_per_band) - 1
+
+    def _bands(sig_df, out_id, probes):
+        flips = [0] + [1 << j for j in range(rows_per_band)] if probes else [0]
+        rows = [
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col("hsig"), b * rows_per_band)
+                .bitwiseAND(F.lit(mask))
+                .bitwiseXOR(F.lit(f))
+                .alias("band_val"),
+            )
+            for b in range(num_bands)
+            for f in flips
+        ]
+        return sig_df.select(
+            F.col(id_col).alias(out_id), F.explode(F.array(*rows)).alias("_b")
+        ).select(
+            out_id,
+            F.col("_b.band_idx").alias("band_idx"),
+            F.col("_b.band_val").alias("band_val"),
+        )
+
+    c_bands = _bands(
+        hyperplane_signature(corpus, dim, id_col, vec_col, num_planes),
+        "neighbor_id",
+        probes=False,
+    )
+    q_bands = _bands(
+        hyperplane_signature(queries, dim, id_col, vec_col, num_planes),
+        "query_id",
+        probes=True,
+    )
+    cand = (
+        c_bands.join(F.broadcast(q_bands), ["band_idx", "band_val"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+    )
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cosine"),
+            "rank",
+        )
+    )

@@ -294,6 +294,36 @@ def q119_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q136_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH quality evaluation: per-query recall@10 of
+    hyperplane multi-probe search (exact band keys + hamming-1
+    probes, query-side expansion only) against exact brute force —
+    the measurement that shows multi-probe recovering the recall
+    extra hash tables would cost memory for. q86's recall-join
+    pattern."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    bf = S.cosine_topk(emb, queries, k=_K).select("query_id", "neighbor_id")
+    mp = (
+        S.hyperplane_multiprobe_topk(
+            emb, queries, _EMB_DIM,
+            num_planes=_N_PLANES, rows_per_band=_ROWS_PER_BAND, k=_K,
+        )
+        .select("query_id", "neighbor_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        bf.join(F.broadcast(mp), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.lit(float(_K)),
+                6,
+            ).alias("recall_at_k")
+        )
+    )
+
+
 QUERIES = {
     "q39_cosine_topk": q39_cosine_topk,
     "q40_embedding_norms": q40_embedding_norms,
@@ -310,6 +340,7 @@ QUERIES = {
     "q111_pq_encode": q111_pq_encode,
     "q112_pq_adc_recall": q112_pq_adc_recall,
     "q119_ivfpq_topk": q119_ivfpq_topk,
+    "q136_multiprobe_recall": q136_multiprobe_recall,
 }
 
 
@@ -454,6 +485,57 @@ _PQ_D_COLS = ", ".join(
 )
 
 ORACLES = {
+    "q136_multiprobe_recall": f"""
+        WITH {_HSIG_CTE},
+        cb AS (
+            SELECT s.vec_id AS neighbor_id, t.b AS band_idx,
+                   (s.hsig >> (t.b * {_ROWS_PER_BAND}))
+                       & {(1 << _ROWS_PER_BAND) - 1} AS band_val
+            FROM sig s,
+                 (SELECT unnest(generate_series(0, {_N_PLANES // _ROWS_PER_BAND - 1})) AS b) t
+        ), qb AS (
+            SELECT s.vec_id AS query_id, t.b AS band_idx,
+                   xor((s.hsig >> (t.b * {_ROWS_PER_BAND}))
+                       & {(1 << _ROWS_PER_BAND) - 1}, fl.f) AS band_val
+            FROM sig s,
+                 (SELECT unnest(generate_series(0, {_N_PLANES // _ROWS_PER_BAND - 1})) AS b) t,
+                 (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS f) fl
+            WHERE s.vec_id < {_N_QUERIES}
+        ), cand AS (
+            SELECT DISTINCT qb.query_id, cb.neighbor_id
+            FROM cb JOIN qb
+              ON cb.band_idx = qb.band_idx AND cb.band_val = qb.band_val
+            WHERE cb.neighbor_id <> qb.query_id
+        ), scored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   list_sum(list_transform(generate_series(1, len(eq.embedding)),
+                       i -> CAST(eq.embedding[i] AS DOUBLE)
+                          * CAST(en.embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(eq.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(en.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                       AS cos_raw
+            FROM cand c
+            JOIN embeddings eq ON eq.vec_id = c.query_id
+            JOIN embeddings en ON en.vec_id = c.neighbor_id
+        ), mp AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_raw DESC, neighbor_id) AS rank
+                FROM scored
+            ) WHERE rank <= {_K}
+        ), bf AS (
+            SELECT query_id, neighbor_id FROM ({_Q39_SQL})
+        )
+        SELECT bf.query_id,
+               ROUND(SUM(CASE WHEN mp.neighbor_id IS NOT NULL
+                              THEN 1 ELSE 0 END) / {_K}.0, 6) AS recall_at_k
+        FROM bf LEFT JOIN mp
+          ON bf.query_id = mp.query_id AND bf.neighbor_id = mp.neighbor_id
+        GROUP BY bf.query_id
+    """,
     "q39_cosine_topk": _Q39_SQL,
     # q39's exact-scoring shape + the qrels exclusion (positives =
     # query_id+100, query_id+200) applied BEFORE ranking
