@@ -112,6 +112,7 @@ HEADLINE = (
     "q134_corpus_diff",
     "q135_length_buckets",
     "q136_multiprobe_recall",
+    "q137_needle_insertion",
 )
 
 # Anchors @ sf0.1, local[32] — the official regression baselines
@@ -217,6 +218,7 @@ ANCHOR = {
     # cost is the brute-force ground-truth leg plus the probe-expanded
     # candidate join — the recall AUDIT is inherently two searches.
     "q136_multiprobe_recall": 2.793,
+    "q137_needle_insertion": 0.448,
 }
 
 

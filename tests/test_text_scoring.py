@@ -921,3 +921,30 @@ def test_compression_ratio_exact_parity_and_ordering(spark):
 
     with _pytest.raises(ValueError):
         compression_ratio(df, "text", "doc_id", level=11)
+
+
+def test_needle_insert_model(spark):
+    """Needle lands at floor(frac * n_tokens), reconstruction keeps
+    every original token in order, token-less docs get the needle
+    alone, and the placement is deterministic across calls."""
+    from ulh_etl_spark.operators.text import needle_insert
+
+    df = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(10))), (1, "   ")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in needle_insert(df, "text", "doc_id").collect()}
+    r0 = out[0]
+    toks = r0.text_with_needle.split()
+    assert r0.n_tokens == 10
+    assert len(toks) == 11
+    assert toks[r0.needle_pos] == "XNEEDLEX"
+    assert [t for t in toks if t != "XNEEDLEX"] == [f"w{i}" for i in range(10)]
+    assert 0 <= r0.needle_pos <= 10
+    assert abs(r0.depth_frac * 10 - r0.needle_pos) < 1 + 1e-9
+
+    r1 = out[1]
+    assert (r1.n_tokens, r1.needle_pos, r1.text_with_needle) == (0, 0, "XNEEDLEX")
+
+    again = {r.doc_id: r.needle_pos for r in needle_insert(df, "text", "doc_id").collect()}
+    assert again == {k: v.needle_pos for k, v in out.items()}

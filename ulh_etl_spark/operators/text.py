@@ -997,6 +997,52 @@ def compression_ratio(df, text_col: str, id_col: str, level: int = 6):
     )
 
 
+def needle_insert(
+    df,
+    text_col: str,
+    id_col: str,
+    needle: str = "XNEEDLEX",
+    salt: str = "needle",
+):
+    """Long-context eval-data synthesis (needle-in-a-haystack prep):
+    insert a marker token into each document at a deterministic
+    salted-md5 depth fraction — the generator for retrieval-depth
+    evals, where the needle's position must be uniform over depths
+    AND exactly reproducible (no RNG: same corpus -> same needles,
+    across runs and engines, so eval scores are comparable between
+    training runs).
+
+    Pure narrow map (tokenize, slice, concat). Returns (id,
+    n_tokens — original count, depth_frac in [0, 1), needle_pos —
+    0-based token index, text_with_needle). Token-less docs get the
+    needle alone at position 0."""
+    with_t = df.select(
+        F.col(id_col),
+        whitespace_tokens(F.col(text_col)).alias("_toks"),
+    )
+    toks = F.col("_toks")
+    nt = F.size(toks)
+    frac = (
+        md5_hash32(
+            F.concat(F.lit(salt + "_"), F.col(id_col).cast("string"))
+        )
+        % 1000
+    ) / F.lit(1000.0)
+    pos = F.floor(frac * nt).cast("int")
+    inserted = F.concat(
+        F.slice(toks, 1, pos),
+        F.array(F.lit(needle)),
+        F.slice(toks, pos + 1, nt - pos),
+    )
+    return with_t.select(
+        F.col(id_col),
+        nt.cast("long").alias("n_tokens"),
+        F.round(frac, 3).alias("depth_frac"),
+        pos.alias("needle_pos"),
+        F.array_join(inserted, " ").alias("text_with_needle"),
+    )
+
+
 def zipf_slope(df, text_col: str):
     """Corpus health audit: least-squares slope of the token
     rank-frequency curve in log-log space (natural text tracks Zipf's

@@ -242,6 +242,14 @@ def q127_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.compression_ratio(docs, "text", "doc_id")
 
 
+def q137_needle_insertion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Needle-in-a-haystack eval-data synthesis: marker inserted at a
+    deterministic md5 depth per doc (uniform over depths, exactly
+    reproducible across engines). Pure narrow map."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.needle_insert(docs, "text", "doc_id")
+
+
 LEN_BUCKETS = 8
 
 
@@ -685,6 +693,7 @@ QUERIES = {
     "q127_compression_ratio": q127_compression_ratio,
     "q124_span_pairs": q124_span_pairs,
     "q135_length_buckets": q135_length_buckets,
+    "q137_needle_insertion": q137_needle_insertion,
     "q80_repetition_signals": q80_repetition_signals,
     "q82_weighted_sample": q82_weighted_sample,
     "q83_top_bigrams": q83_top_bigrams,
@@ -1032,6 +1041,28 @@ ORACLES = {
         HAVING COUNT(*) >= {DECON_MIN_SHARED}
     """,
     "q115_bpe_merges": None,  # filled below by _bpe_oracle_sql
+    "q137_needle_insertion": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS tk FROM documents
+        ), p AS (
+            SELECT doc_id, tk, len(tk) AS nt,
+                   ({O.md5h("'needle_' || CAST(doc_id AS VARCHAR)")} % 1000)
+                       / 1000.0 AS frac
+            FROM t
+        ), q AS (
+            SELECT doc_id, tk, nt, frac,
+                   CAST(floor(frac * nt) AS INT) AS pos
+            FROM p
+        )
+        SELECT doc_id,
+               CAST(nt AS BIGINT) AS n_tokens,
+               ROUND(frac, 3) AS depth_frac,
+               pos AS needle_pos,
+               array_to_string(
+                   tk[1:pos] || ['XNEEDLEX'] || tk[pos+1:nt], ' ')
+                   AS text_with_needle
+        FROM q
+    """,
     "q135_length_buckets": f"""
         WITH t AS (
             SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
