@@ -218,7 +218,7 @@ ANCHOR = {
     # cost is the brute-force ground-truth leg plus the probe-expanded
     # candidate join — the recall AUDIT is inherently two searches.
     "q136_multiprobe_recall": 2.793,
-    "q137_needle_insertion": 0.448,
+    "q137_needle_insertion": 0.226,
 }
 
 
