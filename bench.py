@@ -113,6 +113,7 @@ HEADLINE = (
     "q135_length_buckets",
     "q136_multiprobe_recall",
     "q137_needle_insertion",
+    "q138_kcenter_coreset",
 )
 
 # Anchors @ sf0.1, local[32] — the official regression baselines
@@ -219,6 +220,8 @@ ANCHOR = {
     # candidate join — the recall AUDIT is inherently two searches.
     "q136_multiprobe_recall": 2.793,
     "q137_needle_insertion": 0.226,
+    # the k-1 argmax jobs of the greedy loop (scalar per round)
+    "q138_kcenter_coreset": 1.618,
 }
 
 

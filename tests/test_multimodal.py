@@ -677,3 +677,29 @@ def test_multiprobe_recall_dominates_single_probe(spark):
             sp_pairs.add((r.id2, r.id1))
     assert sp_pairs <= mp_pairs, sp_pairs - mp_pairs
     assert len(mp_pairs) > len(sp_pairs)  # probes found extras here
+
+
+def test_kcenter_coreset_model(spark):
+    """Exact greedy parity on a hand-built 1-D layout: seed is the
+    lowest id; each subsequent pick is the farthest from the chosen
+    set; the radius sequence is non-increasing after step 1."""
+    from ulh_etl_spark.operators.similarity import kcenter_coreset
+
+    # positions on a line: 0, 1, 10, 20 (ids 0..3)
+    rows = [(0, [0.0]), (1, [1.0]), (2, [10.0]), (3, [20.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = [
+        (r.step, r.vec_id, r.dist_when_chosen)
+        for r in kcenter_coreset(df, k=4).orderBy("step").collect()
+    ]
+    # greedy from id 0: farthest is 3 (400), then 2 (min(100, 100) =
+    # 100), then 1 (min(1, 81, 361) = 1)
+    assert out[0] == (0, 0, None)
+    assert out[1] == (1, 3, 400.0)
+    assert out[2] == (2, 2, 100.0)
+    assert out[3] == (3, 1, 1.0)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kcenter_coreset(df, k=0)

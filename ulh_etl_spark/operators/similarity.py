@@ -1165,3 +1165,67 @@ def hyperplane_multiprobe_topk(
             "rank",
         )
     )
+
+
+def kcenter_coreset(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Greedy k-center coreset selection (Gonzalez 1985; the
+    farthest-point diverse-subset pass of embedding-based data
+    selection — pick the k most MUTUALLY DISTANT exemplars, a 2-approx
+    of the k-center objective): seed with the lowest-id vector, then
+    repeatedly take the vector farthest (squared L2) from the chosen
+    set, deterministic lowest-id tie-break.
+
+    Scale shape: the chosen set is k vectors — always driver-small —
+    so each chosen center folds into the plan as a literal and the
+    running min-distance column updates as a NARROW map
+    (least(mind, dist-to-new-center)); the only per-iteration action
+    is the 1-row argmax (TakeOrdered — a scalar per round, the
+    kmeans_refine/BPE pattern). k iterations = k jobs over a column
+    whose lineage is k chained least() expressions; persist the
+    corpus projection once so the scan never re-runs.
+
+    Returns (step, id, dist_when_chosen) — dist is the squared L2 to
+    the previously-chosen set at selection time (the coreset radius
+    sequence; step 0's is NULL). Raw doubles: both engines fold
+    identical arithmetic (the q132 rounding lesson)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    base = corpus.select(F.col(id_col), F.col(vec_col)).persist()
+    try:
+        seed = base.orderBy(id_col).limit(1).collect()[0]
+        chosen = [(0, seed[id_col], None)]
+
+        def _vec_lit(v):
+            return F.expr(
+                "array({})".format(
+                    ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in v)
+                )
+            )
+
+        cur = base.withColumn(
+            "_mind", _sq_dist(F.col(vec_col), _vec_lit(seed[vec_col]))
+        )
+        for step in range(1, k):
+            nxt = (
+                cur.orderBy(F.col("_mind").desc(), F.col(id_col))
+                .limit(1)
+                .collect()[0]
+            )
+            chosen.append((step, nxt[id_col], float(nxt["_mind"])))
+            cur = cur.withColumn(
+                "_mind",
+                F.least(
+                    F.col("_mind"),
+                    _sq_dist(F.col(vec_col), _vec_lit(nxt[vec_col])),
+                ),
+            )
+        return base.sparkSession.createDataFrame(
+            chosen, f"step int, {id_col} long, dist_when_chosen double"
+        )
+    finally:
+        base.unpersist()

@@ -324,6 +324,19 @@ def q136_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CORESET_K = 6
+
+
+def q138_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset: the 6 most mutually distant
+    embeddings (farthest-point, deterministic seed + tie-breaks) —
+    the diverse-exemplar selection pass. Centers fold into plan
+    literals per iteration; the only per-round action is a 1-row
+    argmax. Oracle: the same greedy unrolled as CTE layers."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.kcenter_coreset(emb, k=CORESET_K)
+
+
 QUERIES = {
     "q39_cosine_topk": q39_cosine_topk,
     "q40_embedding_norms": q40_embedding_norms,
@@ -341,6 +354,7 @@ QUERIES = {
     "q112_pq_adc_recall": q112_pq_adc_recall,
     "q119_ivfpq_topk": q119_ivfpq_topk,
     "q136_multiprobe_recall": q136_multiprobe_recall,
+    "q138_kcenter_coreset": q138_kcenter_coreset,
 }
 
 
@@ -485,6 +499,61 @@ _PQ_D_COLS = ", ".join(
 )
 
 ORACLES = {
+    "q138_kcenter_coreset": """
+        WITH c0 AS (
+            SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1
+        ),
+        d0 AS (
+            SELECT e.vec_id, e.embedding, list_sum(list_transform(generate_series(1, len(e.embedding)), i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))) AS mind
+            FROM embeddings e CROSS JOIN c0 c
+        ),
+        c1 AS (
+            SELECT vec_id, embedding, mind FROM d0
+            ORDER BY mind DESC, vec_id LIMIT 1
+        ),
+        d1 AS (
+            SELECT d.vec_id, d.embedding,
+                   least(d.mind, list_sum(list_transform(generate_series(1, len(d.embedding)), i -> (CAST(d.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) * (CAST(d.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))))) AS mind
+            FROM d0 d CROSS JOIN c1 c
+        ),
+        c2 AS (
+            SELECT vec_id, embedding, mind FROM d1
+            ORDER BY mind DESC, vec_id LIMIT 1
+        ),
+        d2 AS (
+            SELECT d.vec_id, d.embedding,
+                   least(d.mind, list_sum(list_transform(generate_series(1, len(d.embedding)), i -> (CAST(d.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) * (CAST(d.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))))) AS mind
+            FROM d1 d CROSS JOIN c2 c
+        ),
+        c3 AS (
+            SELECT vec_id, embedding, mind FROM d2
+            ORDER BY mind DESC, vec_id LIMIT 1
+        ),
+        d3 AS (
+            SELECT d.vec_id, d.embedding,
+                   least(d.mind, list_sum(list_transform(generate_series(1, len(d.embedding)), i -> (CAST(d.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) * (CAST(d.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))))) AS mind
+            FROM d2 d CROSS JOIN c3 c
+        ),
+        c4 AS (
+            SELECT vec_id, embedding, mind FROM d3
+            ORDER BY mind DESC, vec_id LIMIT 1
+        ),
+        d4 AS (
+            SELECT d.vec_id, d.embedding,
+                   least(d.mind, list_sum(list_transform(generate_series(1, len(d.embedding)), i -> (CAST(d.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) * (CAST(d.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))))) AS mind
+            FROM d3 d CROSS JOIN c4 c
+        ),
+        c5 AS (
+            SELECT vec_id, embedding, mind FROM d4
+            ORDER BY mind DESC, vec_id LIMIT 1
+        )
+        SELECT CAST(0 AS INT) AS step, vec_id, CAST(NULL AS DOUBLE) AS dist_when_chosen FROM c0
+        UNION ALL SELECT CAST(1 AS INT), vec_id, mind FROM c1
+        UNION ALL SELECT CAST(2 AS INT), vec_id, mind FROM c2
+        UNION ALL SELECT CAST(3 AS INT), vec_id, mind FROM c3
+        UNION ALL SELECT CAST(4 AS INT), vec_id, mind FROM c4
+        UNION ALL SELECT CAST(5 AS INT), vec_id, mind FROM c5
+    """,
     "q136_multiprobe_recall": f"""
         WITH {_HSIG_CTE},
         cb AS (
