@@ -22,11 +22,12 @@ probe are Arrow-batched numpy over the hash column.
 
 Build topology: one pass over the member set — each partition fills
 a local bitmap (mapInPandas), the driver ORs the per-partition
-bitmaps. The collect volume is ``n_partitions * n_bits/8`` bytes, so
-the member relation is coalesced to ``max(1, n_bits >> 23)``
-partitions first (>= 1 MB of bitmap per task) — bounding driver
-intake to ~the bitmap size itself while keeping the scan parallel
-for big member sets.
+bitmaps. The collect volume is ``n_partitions * n_bits/8`` bytes;
+the member relation keeps its natural parallelism UNLESS that volume
+would exceed ``max_collect_bytes`` (default 1 GiB), in which case it
+is coalesced down to the largest partition count that fits — small
+blooms build fully parallel (32 tasks x 128 KiB = 4 MiB collected),
+and only GiB-scale bitmaps trade scan parallelism for driver safety.
 """
 
 from __future__ import annotations
@@ -45,11 +46,20 @@ def _split_key(h):
     return h1, h2
 
 
-def build_bloom(df: DataFrame, col: str, n_bits: int = 1 << 20, n_hashes: int = 5):
+def build_bloom(
+    df: DataFrame,
+    col: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    max_collect_bytes: int = 1 << 30,
+):
     """Build the bitmap (numpy uint8 array of n_bits/8 bytes) from a
     DataFrame's 64-bit hash column. Runs ONE Spark job (the bitmap
-    collect) — eager, like the IVF centroid collect, and driver-small
-    by the coalesce bound above. NULL keys are ignored."""
+    collect) — eager, like the IVF centroid collect; driver intake is
+    bounded by ``max_collect_bytes`` (partitions coalesce only when a
+    GiB-scale bitmap would otherwise multiply past it — the common
+    sub-MiB bloom builds at full scan parallelism). NULL keys are
+    ignored."""
     if n_bits <= 0 or n_bits & (n_bits - 1):
         raise ValueError("n_bits must be a positive power of two")
     if n_bits % 8 or n_hashes < 1:
@@ -75,8 +85,18 @@ def build_bloom(df: DataFrame, col: str, n_bits: int = 1 << 20, n_hashes: int = 
         if seen:
             yield pd.DataFrame({"bits": [arr.tobytes()]})
 
-    n_parts = max(1, n_bits >> 23)
-    parts = df.select(col).coalesce(n_parts).mapInPandas(_part, "bits binary").collect()
+    members = df.select(col)
+    cap = max(1, max_collect_bytes // nbytes)
+    # partition-count estimate from PLAN METADATA (file listing /
+    # cluster parallelism), never df.rdd — the rdd probe executes
+    # upstream stages under AQE (operators/fanout.py docstring)
+    est_parts = (
+        len(members.inputFiles())
+        or members.sparkSession.sparkContext.defaultParallelism
+    )
+    if est_parts > cap:
+        members = members.coalesce(cap)
+    parts = members.mapInPandas(_part, "bits binary").collect()
     out = np.zeros(nbytes, dtype=np.uint8)
     for r in parts:
         out |= np.frombuffer(r["bits"], dtype=np.uint8)
