@@ -703,3 +703,19 @@ def test_kcenter_coreset_model(spark):
 
     with _pytest.raises(ValueError):
         kcenter_coreset(df, k=0)
+
+
+def test_kcenter_coreset_exhaustion_and_duplicates(spark):
+    """k larger than the distinct-vector count: every id is chosen
+    exactly once, then selection stops — duplicates (zero remaining
+    distance everywhere) must not be re-picked."""
+    from ulh_etl_spark.operators.similarity import kcenter_coreset
+
+    rows = [(0, [0.0]), (1, [0.0]), (2, [5.0])]  # ids 0/1 identical
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = [
+        (r.step, r.vec_id)
+        for r in kcenter_coreset(df, k=10).orderBy("step").collect()
+    ]
+    assert [v for _, v in out] == [0, 2, 1]  # each id once, then stop
+    assert len(out) == 3

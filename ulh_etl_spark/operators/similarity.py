@@ -1211,11 +1211,21 @@ def kcenter_coreset(
             "_mind", _sq_dist(F.col(vec_col), _vec_lit(seed[vec_col]))
         )
         for step in range(1, k):
-            nxt = (
-                cur.orderBy(F.col("_mind").desc(), F.col(id_col))
+            # exclude already-chosen ids (a k-item literal IN-list):
+            # duplicate vectors drive every remaining _mind to 0, and
+            # without the guard the argmax would re-pick a chosen id
+            # once k approaches the number of DISTINCT vectors
+            picked = (
+                cur.filter(
+                    ~F.col(id_col).isin(*[c[1] for c in chosen])
+                )
+                .orderBy(F.col("_mind").desc(), F.col(id_col))
                 .limit(1)
-                .collect()[0]
+                .collect()
             )
+            if not picked:  # corpus exhausted: fewer than k vectors
+                break
+            nxt = picked[0]
             chosen.append((step, nxt[id_col], float(nxt["_mind"])))
             cur = cur.withColumn(
                 "_mind",
