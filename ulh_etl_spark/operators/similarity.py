@@ -1048,17 +1048,21 @@ def compact_cells(
     compacted = {}
     for cell, (full, n_files) in sorted(todo.items()):
         df = spark.read.parquet(full)
+        originals = [
+            f for f in os.listdir(full) if f.endswith(".parquet")
+        ]
         tmp = tempfile.mkdtemp(prefix=f"ulh_compact_{cell}_")
         df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-        # atomic-enough swap: move new files in only after the full
-        # rewrite succeeded; a crash before the swap leaves the
-        # original cell intact
         staged = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
-        for f in os.listdir(full):
-            if f.endswith(".parquet"):
-                os.remove(os.path.join(full, f))
+        # swap order matters: move the compacted files IN first (their
+        # part-uuid names cannot collide with the originals), THEN
+        # delete the originals — a crash mid-swap leaves transient
+        # duplicate rows (cleaned by the next compaction) instead of a
+        # window where the cell has NO data
         for f in staged:
             shutil.move(os.path.join(tmp, f), os.path.join(full, f))
+        for f in originals:
+            os.remove(os.path.join(full, f))
         shutil.rmtree(tmp, ignore_errors=True)
         compacted[cell] = n_files
     return compacted
