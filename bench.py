@@ -221,7 +221,7 @@ ANCHOR = {
     "q136_multiprobe_recall": 2.793,
     "q137_needle_insertion": 0.226,
     # the k-1 argmax jobs of the greedy loop (scalar per round)
-    "q138_kcenter_coreset": 1.618,
+    "q138_kcenter_coreset": 0.944,
 }
 
 
