@@ -114,6 +114,7 @@ HEADLINE = (
     "q136_multiprobe_recall",
     "q137_needle_insertion",
     "q138_kcenter_coreset",
+    "q139_event_type_anomalies",
 )
 
 # Anchors @ sf0.1, local[32] — the official regression baselines
@@ -222,6 +223,7 @@ ANCHOR = {
     "q137_needle_insertion": 0.226,
     # the k-1 argmax jobs of the greedy loop (scalar per round)
     "q138_kcenter_coreset": 0.944,
+    "q139_event_type_anomalies": 0.624,
 }
 
 

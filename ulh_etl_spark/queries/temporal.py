@@ -152,14 +152,73 @@ def q132_weekly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DAILY_BASELINE = 7
+
+
+def q139_event_type_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series monitoring: daily event counts per event_type, each
+    scored against ITS OWN trailing 7-day baseline — the partitioned
+    form of rolling_zscore_anomalies (one shuffle on the series key;
+    frames bounded by the baseline; no global window). The per-type
+    split is what catches a single event family breaking while the
+    total stays flat."""
+    from ulh_etl_spark.operators.temporal import rolling_zscore_anomalies
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+                .alias("day"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .withColumn("n_events", F.col("n_events").cast("double"))
+    )
+    return rolling_zscore_anomalies(
+        daily, "n_events", "day",
+        baseline=DAILY_BASELINE, threshold=2.0,
+        partition_col="event_type",
+    ).withColumn("n_events", F.col("n_events").cast("long"))
+
+
 QUERIES = {
     "q132_weekly_anomalies": q132_weekly_anomalies,
+    "q139_event_type_anomalies": q139_event_type_anomalies,
     "q52_asof_join": q52_asof_join,
     "q53_event_pairs_within_hour": q53_event_pairs_within_hour,
     "q81_scd2_priority_history": q81_scd2_priority_history,
 }
 
 ORACLES = {
+    "q139_event_type_anomalies": f"""
+        WITH daily AS (
+            SELECT event_type,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   CAST(COUNT(*) AS DOUBLE) AS n_events
+            FROM events GROUP BY 1, 2
+        ), w AS (
+            SELECT event_type, day, n_events,
+                   COUNT(n_events) OVER win AS cnt,
+                   SUM(n_events) OVER win AS s,
+                   SUM(n_events * n_events) OVER win AS sq
+            FROM daily
+            WINDOW win AS (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN {DAILY_BASELINE} PRECEDING
+                                    AND 1 PRECEDING)
+        )
+        SELECT event_type, day, CAST(n_events AS BIGINT) AS n_events,
+               CASE WHEN cnt >= {DAILY_BASELINE}
+                    THEN s / cnt END AS baseline_mean,
+               CASE WHEN cnt >= {DAILY_BASELINE}
+                    THEN (n_events - s / cnt)
+                         / sqrt((sq - s * s / cnt) / (cnt - 1))
+               END AS zscore,
+               CASE WHEN cnt >= {DAILY_BASELINE}
+                    THEN abs((n_events - s / cnt)
+                          / sqrt((sq - s * s / cnt) / (cnt - 1))) > 2.0
+                    ELSE FALSE END AS is_anomaly
+        FROM w
+    """,
     "q132_weekly_anomalies": f"""
         WITH weekly AS (
             SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d')
