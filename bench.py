@@ -223,7 +223,7 @@ ANCHOR = {
     "q137_needle_insertion": 0.226,
     # the k-1 argmax jobs of the greedy loop (scalar per round)
     "q138_kcenter_coreset": 0.944,
-    "q139_event_type_anomalies": 0.624,
+    "q139_event_type_anomalies": 0.239,
 }
 
 
