@@ -115,6 +115,7 @@ HEADLINE = (
     "q137_needle_insertion",
     "q138_kcenter_coreset",
     "q139_event_type_anomalies",
+    "q140_group_weighted_sample",
 )
 
 # Anchors @ sf0.1, local[32] — the official regression baselines
@@ -224,6 +225,7 @@ ANCHOR = {
     # the k-1 argmax jobs of the greedy loop (scalar per round)
     "q138_kcenter_coreset": 0.944,
     "q139_event_type_anomalies": 0.239,
+    "q140_group_weighted_sample": 0.627,
 }
 
 

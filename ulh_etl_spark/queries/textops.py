@@ -300,6 +300,38 @@ def q135_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GROUP_WSAMPLE_K = 20
+
+
+def q140_group_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-weighted sample (top-20 per lang by the
+    Efraimidis-Spirakis key) — the per-group form of q82: every
+    language contributes its own quality-proportional sample
+    regardless of language size, the selection pass of a
+    per-language mixture build. ONE shuffle (the per-lang rank
+    window); the key itself is a narrow expression, and a hot
+    language is the window group — the documented escape is
+    cap_per_group's salted pattern if a group outgrows a task."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = T.weighted_sample_key(
+        F.col("doc_id"), T.quality_score(F.col("text"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("sample_key").desc(), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id", "lang", F.round(key, 6).alias("sample_key")
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= GROUP_WSAMPLE_K)
+        .select("lang", F.col("rnk").cast("int").alias("rnk"),
+                "doc_id", "sample_key")
+    )
+
+
 def q123_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus distribution QA: rank-frequency log-log slope (natural
     text ~ -1). Vocabulary groupBy + global_row_number ranking (no
@@ -694,6 +726,7 @@ QUERIES = {
     "q124_span_pairs": q124_span_pairs,
     "q135_length_buckets": q135_length_buckets,
     "q137_needle_insertion": q137_needle_insertion,
+    "q140_group_weighted_sample": q140_group_weighted_sample,
     "q80_repetition_signals": q80_repetition_signals,
     "q82_weighted_sample": q82_weighted_sample,
     "q83_top_bigrams": q83_top_bigrams,
@@ -1268,6 +1301,25 @@ ORACLES = {
                        i -> {_LOW_TOKS}[i] || ' ' || {_LOW_TOKS}[i+1]) AS bgs
             FROM documents
         )
+    """,
+    "q140_group_weighted_sample": f"""
+        WITH keyed AS (
+            SELECT doc_id, lang, ROUND(pow(u, 1.0 / q), 6) AS sample_key
+            FROM (
+                SELECT doc_id, lang,
+                       ({O.md5h("'ws_' || CAST(doc_id AS VARCHAR)")} + 1.0)
+                           / 4294967297.0 AS u,
+                       {_QUALITY_SQL} AS q
+                FROM documents
+            )
+        ), ranked AS (
+            SELECT lang, doc_id, sample_key,
+                   row_number() OVER (PARTITION BY lang
+                       ORDER BY sample_key DESC, doc_id) AS rnk
+            FROM keyed
+        )
+        SELECT lang, CAST(rnk AS INT) AS rnk, doc_id, sample_key
+        FROM ranked WHERE rnk <= {GROUP_WSAMPLE_K}
     """,
     "q82_weighted_sample": f"""
         SELECT doc_id, ROUND(pow(u, 1.0 / q), 6) AS sample_key
