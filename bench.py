@@ -116,6 +116,7 @@ HEADLINE = (
     "q138_kcenter_coreset",
     "q139_event_type_anomalies",
     "q140_group_weighted_sample",
+    "q141_deletion_impact",
 )
 
 # Anchors @ sf0.1, local[32] — the official regression baselines
@@ -226,6 +227,7 @@ ANCHOR = {
     "q138_kcenter_coreset": 0.944,
     "q139_event_type_anomalies": 0.239,
     "q140_group_weighted_sample": 0.627,
+    "q141_deletion_impact": 1.182,
 }
 
 

@@ -300,6 +300,51 @@ def q135_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ERASE_MOD = 101
+
+
+def q141_deletion_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact report: given an erasure list
+    (every ERASE_MOD-th doc — stand-in for deletion requests), count
+    the rows each derived artifact must purge — source documents,
+    winnowing fingerprints (q64 grain), split assignments (q63
+    grain), and 32-token passages (q101 grain). The report is what a
+    compliance pass signs off BEFORE running the deletes; every leg
+    is a broadcast semi-join against the (tiny by construction)
+    erasure list, so the scan cost is one pass per artifact and
+    nothing shuffles on the corpus side."""
+    docs = load_table(spark, sf_dir, "documents")
+    erase = docs.filter(F.col("doc_id") % ERASE_MOD == 0).select("doc_id")
+
+    def _purged(df):
+        return df.join(F.broadcast(erase), "doc_id", "left_semi")
+
+    n_docs = _purged(docs).count()
+    n_fps = _purged(
+        T.winnow_fingerprints(docs, "text", "doc_id", k=5, window=4)
+    ).count()
+    n_splits = _purged(
+        docs.select("doc_id", T.hash_split(F.col("doc_id")).alias("s"))
+    ).count()
+    toks = T.whitespace_tokens(F.col("text"))
+    n_passages = _purged(
+        docs.select(
+            "doc_id",
+            F.greatest(
+                F.ceil(F.size(toks) / F.lit(PASSAGE_TOKENS)).cast("long"),
+                F.lit(1),
+            ).alias("np"),
+        )
+    ).agg(F.coalesce(F.sum("np"), F.lit(0))).collect()[0][0]
+    rows = [
+        ("documents", int(n_docs)),
+        ("winnow_fingerprints", int(n_fps)),
+        ("split_assignments", int(n_splits)),
+        ("passages", int(n_passages)),
+    ]
+    return spark.createDataFrame(rows, "artifact string, n_rows_purged long")
+
+
 GROUP_WSAMPLE_K = 20
 
 
@@ -727,6 +772,7 @@ QUERIES = {
     "q135_length_buckets": q135_length_buckets,
     "q137_needle_insertion": q137_needle_insertion,
     "q140_group_weighted_sample": q140_group_weighted_sample,
+    "q141_deletion_impact": q141_deletion_impact,
     "q80_repetition_signals": q80_repetition_signals,
     "q82_weighted_sample": q82_weighted_sample,
     "q83_top_bigrams": q83_top_bigrams,
@@ -1074,6 +1120,36 @@ ORACLES = {
         HAVING COUNT(*) >= {DECON_MIN_SHARED}
     """,
     "q115_bpe_merges": None,  # filled below by _bpe_oracle_sql
+    "q141_deletion_impact": f"""
+        WITH erase AS (
+            SELECT doc_id FROM documents WHERE doc_id % {ERASE_MOD} = 0
+        ), fp AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(h) - 3, 1)),
+                       i -> list_min(h[i:i+3])))) AS fp_hash
+            FROM (
+                SELECT doc_id,
+                       list_transform({O.grams('text', 5)},
+                                      g -> {O.md5h('g')}) AS h
+                FROM documents
+            )
+        )
+        SELECT 'documents' AS artifact,
+               CAST((SELECT COUNT(*) FROM erase) AS BIGINT) AS n_rows_purged
+        UNION ALL SELECT 'winnow_fingerprints',
+               CAST((SELECT COUNT(*) FROM fp
+                     WHERE fp.doc_id IN (SELECT doc_id FROM erase))
+                    AS BIGINT)
+        UNION ALL SELECT 'split_assignments',
+               CAST((SELECT COUNT(*) FROM erase) AS BIGINT)
+        UNION ALL SELECT 'passages',
+               CAST((SELECT COALESCE(SUM(greatest(
+                         CAST(ceil(len({_TOKS}) / {{pt}}.0) AS BIGINT), 1)), 0)
+                     FROM documents
+                     WHERE doc_id IN (SELECT doc_id FROM erase))
+                    AS BIGINT)
+    """.replace("{pt}", str(PASSAGE_TOKENS)),
     "q137_needle_insertion": f"""
         WITH t AS (
             SELECT doc_id, {_TOKS} AS tk FROM documents
