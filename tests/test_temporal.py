@@ -229,3 +229,34 @@ def test_rolling_zscore_anomalies_model(spark):
 
     with _pytest.raises(ValueError):
         rolling_zscore_anomalies(df, "v", "t", baseline=1)
+
+
+def test_rolling_zscore_flat_baseline(spark):
+    """Zero-variance trailing baseline must not divide by zero
+    (hard SparkArithmeticException under Spark 4's default ANSI
+    mode): flat-baseline points get NULL z, and is_anomaly is
+    (x != mean) — a constant series never flags, a spike after a
+    flat run does. Regression for ADVICE r7 (temporal.py:244)."""
+    from ulh_etl_spark.operators.temporal import rolling_zscore_anomalies
+
+    # constant series: every full window is flat; nothing flags
+    rows = [(f"t{i}", 5.0) for i in range(6)]
+    df = spark.createDataFrame(rows, "t string, v double")
+    out = rolling_zscore_anomalies(
+        df, "v", "t", baseline=3, threshold=2.0
+    ).collect()
+    assert all(r.zscore is None for r in out)
+    assert all(r.is_anomaly is False for r in out)
+    full = [r for r in out if r.baseline_mean is not None]
+    assert len(full) == 3 and all(r.baseline_mean == 5.0 for r in full)
+
+    # spike after a flat baseline: NULL z, but flagged via x != mean
+    rows = [("t1", 5.0), ("t2", 5.0), ("t3", 5.0), ("t4", 9.0)]
+    df = spark.createDataFrame(rows, "t string, v double")
+    got = {
+        r.t: (r.baseline_mean, r.zscore, r.is_anomaly)
+        for r in rolling_zscore_anomalies(
+            df, "v", "t", baseline=3, threshold=2.0
+        ).collect()
+    }
+    assert got["t4"] == (5.0, None, True)

@@ -221,6 +221,17 @@ def rolling_zscore_anomalies(
     half-case behavior (Spark HALF_UP vs DuckDB half-even — measured
     flapping at the 4th decimal).
 
+    Flat-baseline semantics: a full trailing window with ZERO
+    variance (all ``baseline`` values identical) has no meaningful
+    z — emitting one would divide by zero (a hard error under
+    Spark 4's default ANSI mode, and an engine-divergent inf/NaN
+    with ANSI off). Such points get NULL ``zscore`` and
+    ``is_anomaly = (x != mean)``: any departure from a perfectly
+    flat baseline is by definition anomalous. The variance sign
+    check uses the SAME closed-form expression both engines fold,
+    so the guard itself is bit-stable too. (The streaming twin
+    ``running_zscore_stream`` applies the same m2 > 0 guard.)
+
     Scale: with ``partition_col`` (per-key series) this is one
     shuffle and bounded frames. WITHOUT it the window is global —
     acceptable ONLY because a time-bucketed series is calendar-
@@ -243,11 +254,14 @@ def rolling_zscore_anomalies(
     var = (sq - s * s / cnt) / (cnt - 1)
     z = (x - mean) / F.sqrt(var)
     full = cnt >= baseline
+    scored = full & (var > 0)
     return (
         df.withColumn("baseline_mean", F.when(full, mean))
-        .withColumn("zscore", F.when(full, z))
+        .withColumn("zscore", F.when(scored, z))
         .withColumn(
             "is_anomaly",
-            F.when(full, F.abs(z) > F.lit(threshold)).otherwise(F.lit(False)),
+            F.when(scored, F.abs(z) > F.lit(threshold))
+            .when(full, x != mean)
+            .otherwise(F.lit(False)),
         )
     )

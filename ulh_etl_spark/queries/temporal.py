@@ -210,12 +210,16 @@ ORACLES = {
                CASE WHEN cnt >= {DAILY_BASELINE}
                     THEN s / cnt END AS baseline_mean,
                CASE WHEN cnt >= {DAILY_BASELINE}
+                     AND (sq - s * s / cnt) / (cnt - 1) > 0
                     THEN (n_events - s / cnt)
                          / sqrt((sq - s * s / cnt) / (cnt - 1))
                END AS zscore,
                CASE WHEN cnt >= {DAILY_BASELINE}
+                     AND (sq - s * s / cnt) / (cnt - 1) > 0
                     THEN abs((n_events - s / cnt)
                           / sqrt((sq - s * s / cnt) / (cnt - 1))) > 2.0
+                    WHEN cnt >= {DAILY_BASELINE}
+                    THEN n_events <> s / cnt
                     ELSE FALSE END AS is_anomaly
         FROM w
     """,
@@ -240,13 +244,17 @@ ORACLES = {
                CASE WHEN cnt >= {ANOM_BASELINE}
                     THEN s / cnt END AS baseline_mean,
                CASE WHEN cnt >= {ANOM_BASELINE}
+                     AND (sq - s * s / cnt) / (cnt - 1) > 0
                     THEN (revenue - s / cnt)
                          / sqrt((sq - s * s / cnt) / (cnt - 1))
                END AS zscore,
                CASE WHEN cnt >= {ANOM_BASELINE}
+                     AND (sq - s * s / cnt) / (cnt - 1) > 0
                     THEN abs((revenue - s / cnt)
                           / sqrt((sq - s * s / cnt) / (cnt - 1)))
                          > {ANOM_THRESHOLD}
+                    WHEN cnt >= {ANOM_BASELINE}
+                    THEN revenue <> s / cnt
                     ELSE FALSE END AS is_anomaly
         FROM w
     """,
