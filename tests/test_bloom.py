@@ -56,6 +56,31 @@ def test_bloom_null_probes_false(spark):
     assert out == {1: True, 2: False}
 
 
+def test_bloom_huge_keys_with_nulls_in_batch(spark):
+    """Regression for ADVICE r7 (bloom.py:123): a NULL sharing an
+    Arrow batch with keys of magnitude > 2^53 used to coerce the
+    whole column to float64, round-tripping 9007199254740993 to
+    ...992 — a member probing False (false negative) and a corrupt
+    bitmap on build. Both sides must keep NULLs out of the batch."""
+    big = [(1 << 53) + 1, (1 << 53) + 3, -((1 << 53) + 5), (1 << 62) + 7]
+    members = spark.createDataFrame(
+        [(k,) for k in big] + [(None,)], "g long"
+    ).coalesce(1)  # one batch: nulls and big keys together
+    bits = build_bloom(members, "g", n_bits=1 << 12, n_hashes=3)
+
+    probes = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(big)]
+        + [(99, None), (100, (1 << 53) + 2)],  # +2: float64 alias of +1/+3
+        "i long, g long",
+    ).coalesce(1)
+    out = {
+        r.i: r._in_bloom
+        for r in bloom_probe(probes, "g", bits, 3).collect()
+    }
+    assert all(out[i] for i in range(len(big))), out  # no false negatives
+    assert out[99] is False  # NULL probes False
+
+
 def test_build_bloom_rejects_bad_args(spark):
     df = spark.createDataFrame([(1,)], "g long")
     with pytest.raises(ValueError):

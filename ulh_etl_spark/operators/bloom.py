@@ -59,7 +59,10 @@ def build_bloom(
     bounded by ``max_collect_bytes`` (partitions coalesce only when a
     GiB-scale bitmap would otherwise multiply past it — the common
     sub-MiB bloom builds at full scan parallelism). NULL keys are
-    ignored."""
+    ignored — filtered OUT BEFORE the Arrow hop: a single NULL in a
+    batch makes Arrow hand pandas a float64 column, and the
+    float64 -> int64 round-trip silently corrupts any key with
+    magnitude > 2^53 (wrong bitmap, i.e. false negatives)."""
     if n_bits <= 0 or n_bits & (n_bits - 1):
         raise ValueError("n_bits must be a positive power of two")
     if n_bits % 8 or n_hashes < 1:
@@ -70,7 +73,7 @@ def build_bloom(
         arr = np.zeros(nbytes, dtype=np.uint8)
         seen = False
         for pdf in batches:
-            vals = pdf[col].dropna()
+            vals = pdf[col]
             if not len(vals):
                 continue
             seen = True
@@ -85,7 +88,8 @@ def build_bloom(
         if seen:
             yield pd.DataFrame({"bits": [arr.tobytes()]})
 
-    members = df.select(col)
+    # null filter BEFORE mapInPandas: batches must stay pure int64
+    members = df.select(col).where(F.col(col).isNotNull())
     cap = max(1, max_collect_bytes // nbytes)
     # partition-count estimate from PLAN METADATA (file listing /
     # cluster parallelism), never df.rdd — the rdd probe executes
@@ -109,7 +113,14 @@ def bloom_probe(df: DataFrame, col: str, bits, n_hashes: int = 5) -> DataFrame:
     false negative). The bitmap broadcasts once; the probe is an
     Arrow-batched numpy pandas UDF — the unavoidable Python hop costs
     one vectorized pass per batch, not per row. NULL keys probe
-    False."""
+    False.
+
+    The UDF only ever sees ``coalesce(col, 0)`` — NULLs must not
+    reach the Arrow batch, because one NULL turns the whole long
+    column into float64 and the int64 round-trip corrupts keys with
+    magnitude > 2^53 (observed: a member key probing False, a false
+    negative). The NULL->False rule is a JVM-side ``when`` on the
+    original column instead."""
     from pyspark.sql.functions import pandas_udf
 
     n_bits = len(bits) * 8
@@ -119,10 +130,8 @@ def bloom_probe(df: DataFrame, col: str, bits, n_hashes: int = 5) -> DataFrame:
     @pandas_udf("boolean")
     def _probe(s: pd.Series) -> pd.Series:
         arr = np.frombuffer(bc.value, dtype=np.uint8)
-        null_mask = s.isna().to_numpy()
-        h = s.fillna(0).to_numpy(dtype=np.int64)
-        h1, h2 = _split_key(h)
-        ok = np.ones(len(h), dtype=bool)
+        h1, h2 = _split_key(s.to_numpy(dtype=np.int64))
+        ok = np.ones(len(s), dtype=bool)
         for j in range(n_hashes):
             pos = (h1 + np.uint64(j) * h2) & np.uint64(n_bits - 1)
             byte = arr[(pos >> np.uint64(3)).astype(np.int64)]
@@ -130,7 +139,12 @@ def bloom_probe(df: DataFrame, col: str, bits, n_hashes: int = 5) -> DataFrame:
                 np.uint8
             )
             ok &= (byte & bit) != 0
-        ok[null_mask] = False
         return pd.Series(ok)
 
-    return df.withColumn("_in_bloom", _probe(F.col(col)))
+    key = F.col(col)
+    return df.withColumn(
+        "_in_bloom",
+        F.when(key.isNull(), F.lit(False)).otherwise(
+            _probe(F.coalesce(key, F.lit(0)))
+        ),
+    )
