@@ -795,7 +795,13 @@ def pq_adc_topk(
     Scale: queries and LUTs are plan literals (driver-small, like
     _centroid_literal); the scan reads only (id, codes) — m bytes a
     row instead of dim floats — and scoring is a narrow map; the only
-    shuffle is the per-query top-k window. LUT doubles are computed
+    shuffle is the per-query top-k window. The fan-out explodes ONLY
+    the bigint query-id array; each row's LUT comes from a map
+    literal via element_at (the ivfpq_adc_topk shape), so the
+    |corpus| x |queries| intermediate never carries the m x ksub
+    double table — with an exploded LUT struct the intermediate
+    would be m*ksub*8 bytes a row and dwarf the (id, codes) scan
+    the operator exists to keep small. LUT doubles are computed
     with the same left-to-right fold as _sq_dist so the DuckDB oracle
     (which recomputes them symbolically) hash-matches.
 
@@ -804,20 +810,23 @@ def pq_adc_topk(
     lits = _pq_literals(codebook)
     m = len(lits)
     luts = _adc_luts(lits, queries, id_col, vec_col)
-    q_elems = ", ".join(
-        "named_struct('query_id', CAST({} AS BIGINT), 'lut', {})".format(
-            qid, _lut_sql(lut)
-        )
-        for qid, lut in luts
+    map_entries = ", ".join(
+        f"CAST({qid} AS BIGINT), {_lut_sql(lut)}" for qid, lut in luts
     )
-    q_lit = F.expr(f"array({q_elems})")
-    dist = F.col("_q.lut")[0][F.col("codes")[0]]
+    lut_map = F.expr(f"map({map_entries})")
+    qid_lit = F.expr(
+        "array({})".format(
+            ", ".join(f"CAST({qid} AS BIGINT)" for qid, _ in luts)
+        )
+    )
+    lut = F.element_at(lut_map, F.col("query_id"))
+    dist = lut[0][F.col("codes")[0]]
     for s in range(1, m):
-        dist = dist + F.col("_q.lut")[s][F.col("codes")[s]]
+        dist = dist + lut[s][F.col("codes")[s]]
     scored = encoded.select(
-        F.col(id_col), F.col("codes"), F.explode(q_lit).alias("_q")
+        F.col(id_col), F.col("codes"), F.explode(qid_lit).alias("query_id")
     ).select(
-        F.col("_q.query_id").alias("query_id"),
+        "query_id",
         F.col(id_col),
         dist.alias("_d"),
     )
@@ -1026,45 +1035,68 @@ def compact_cells(
     not the index; run it on cold cells between ingest waves. The
     per-cell replace is last-writer-wins against a concurrent append
     to the SAME cell — pause appends per cell or layer a table format
-    (Delta/Iceberg) when ingest is continuous."""
-    import os
-    import shutil
-    import tempfile
+    (Delta/Iceberg) when ingest is continuous.
 
-    def _cell_dirs():
-        out = {}
-        for d in os.listdir(index_path):
-            if d.startswith("cell="):
-                full = os.path.join(index_path, d)
-                files = [f for f in os.listdir(full) if f.endswith(".parquet")]
-                out[d.split("=", 1)[1]] = (full, len(files))
-        return out
+    All listing / staging / swap I/O goes through the Hadoop
+    FileSystem API resolved from ``index_path`` — the maintenance
+    loop works on the same storage tiers (HDFS, S3A, local file:/)
+    the index writers (:func:`write_ivf_index` / :func:`ivf_append`)
+    support, not just a locally mounted POSIX path. Staging lives in
+    an underscore-prefixed dir under the index root (hidden from
+    Spark's file listing), so staged->final moves are same-FS
+    renames, never copies."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    root = HPath(index_path)
+    fs = root.getFileSystem(hconf)
 
-    dirs = _cell_dirs()
-    if cells is None:
-        todo = {c: v for c, v in dirs.items() if v[1] >= min_files}
-    else:
-        todo = {str(c): dirs[str(c)] for c in cells if str(c) in dirs}
-    compacted = {}
-    for cell, (full, n_files) in sorted(todo.items()):
-        df = spark.read.parquet(full)
-        originals = [
-            f for f in os.listdir(full) if f.endswith(".parquet")
+    def _parquets(dir_path):
+        return [
+            st.getPath()
+            for st in fs.listStatus(dir_path)
+            if st.getPath().getName().endswith(".parquet")
         ]
-        tmp = tempfile.mkdtemp(prefix=f"ulh_compact_{cell}_")
-        df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-        staged = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+
+    dirs = {}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("cell="):
+            dirs[name.split("=", 1)[1]] = st.getPath()
+
+    if cells is None:
+        todo = {
+            c: (p, _parquets(p))
+            for c, p in dirs.items()
+            if len(_parquets(p)) >= min_files
+        }
+    else:
+        todo = {
+            str(c): (dirs[str(c)], _parquets(dirs[str(c)]))
+            for c in cells
+            if str(c) in dirs
+        }
+    compacted = {}
+    for cell, (cell_path, originals) in sorted(todo.items()):
+        df = spark.read.parquet(cell_path.toString())
+        tmp = HPath(root, f"_compact_tmp_{cell}")
+        fs.delete(tmp, True)
+        df.coalesce(target_files).write.mode("overwrite").parquet(
+            tmp.toString()
+        )
+        staged = _parquets(tmp)
         # swap order matters: move the compacted files IN first (their
         # part-uuid names cannot collide with the originals), THEN
         # delete the originals — a crash mid-swap leaves transient
         # duplicate rows (cleaned by the next compaction) instead of a
         # window where the cell has NO data
-        for f in staged:
-            shutil.move(os.path.join(tmp, f), os.path.join(full, f))
-        for f in originals:
-            os.remove(os.path.join(full, f))
-        shutil.rmtree(tmp, ignore_errors=True)
-        compacted[cell] = n_files
+        for p in staged:
+            if not fs.rename(p, HPath(cell_path, p.getName())):
+                raise IOError(f"rename failed: {p} -> {cell_path}")
+        for p in originals:
+            fs.delete(p, False)
+        fs.delete(tmp, True)
+        compacted[cell] = len(originals)
     return compacted
 
 

@@ -312,37 +312,61 @@ def q141_deletion_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     compliance pass signs off BEFORE running the deletes; every leg
     is a broadcast semi-join against the (tiny by construction)
     erasure list, so the scan cost is one pass per artifact and
-    nothing shuffles on the corpus side."""
+    nothing shuffles on the corpus side.
+
+    The report is ONE LAZY PLAN — a union of four single-row
+    aggregates — honoring the catalog contract that queries return
+    un-executed DataFrames (no driver-side counts at construction
+    time): nothing runs unless the caller executes the result, and
+    bench/plan tooling sees the real four-scan plan, not a
+    pre-collected local relation."""
     docs = load_table(spark, sf_dir, "documents")
     erase = docs.filter(F.col("doc_id") % ERASE_MOD == 0).select("doc_id")
 
     def _purged(df):
         return df.join(F.broadcast(erase), "doc_id", "left_semi")
 
-    n_docs = _purged(docs).count()
-    n_fps = _purged(
-        T.winnow_fingerprints(docs, "text", "doc_id", k=5, window=4)
-    ).count()
-    n_splits = _purged(
-        docs.select("doc_id", T.hash_split(F.col("doc_id")).alias("s"))
-    ).count()
-    toks = T.whitespace_tokens(F.col("text"))
-    n_passages = _purged(
-        docs.select(
-            "doc_id",
-            F.greatest(
-                F.ceil(F.size(toks) / F.lit(PASSAGE_TOKENS)).cast("long"),
-                F.lit(1),
-            ).alias("np"),
+    def _leg(df, name):
+        return _purged(df).agg(F.count("*").alias("_n")).select(
+            F.lit(name).alias("artifact"),
+            F.col("_n").cast("long").alias("n_rows_purged"),
         )
-    ).agg(F.coalesce(F.sum("np"), F.lit(0))).collect()[0][0]
-    rows = [
-        ("documents", int(n_docs)),
-        ("winnow_fingerprints", int(n_fps)),
-        ("split_assignments", int(n_splits)),
-        ("passages", int(n_passages)),
-    ]
-    return spark.createDataFrame(rows, "artifact string, n_rows_purged long")
+
+    toks = T.whitespace_tokens(F.col("text"))
+    passages = (
+        _purged(
+            docs.select(
+                "doc_id",
+                F.greatest(
+                    F.ceil(F.size(toks) / F.lit(PASSAGE_TOKENS)).cast("long"),
+                    F.lit(1),
+                ).alias("np"),
+            )
+        )
+        .agg(F.coalesce(F.sum("np"), F.lit(0)).alias("_n"))
+        .select(
+            F.lit("passages").alias("artifact"),
+            F.col("_n").cast("long").alias("n_rows_purged"),
+        )
+    )
+    return (
+        _leg(docs, "documents")
+        .unionAll(
+            _leg(
+                T.winnow_fingerprints(docs, "text", "doc_id", k=5, window=4),
+                "winnow_fingerprints",
+            )
+        )
+        .unionAll(
+            _leg(
+                docs.select(
+                    "doc_id", T.hash_split(F.col("doc_id")).alias("s")
+                ),
+                "split_assignments",
+            )
+        )
+        .unionAll(passages)
+    )
 
 
 GROUP_WSAMPLE_K = 20
