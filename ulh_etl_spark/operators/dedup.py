@@ -920,6 +920,33 @@ def duplicate_gram_stats(df, text_col: str, id_col: str, n: int = 16):
     )
 
 
+def _delete1(v):
+    """All single-character deletions of a string Column (empty array
+    for the empty string). Pure JVM expression: sequence + transform
+    + Column.substr — no Python hop."""
+    return F.when(F.length(v) <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(v)),
+            lambda i: F.concat(
+                v.substr(F.lit(1), i - F.lit(1)),
+                v.substr(i + F.lit(1), F.length(v) - i),
+            ),
+        )
+    )
+
+
+def _deletion_variants(col, d: int):
+    """The symmetric-delete neighborhood: every string obtainable
+    from ``col`` by deleting UP TO ``d`` characters (FastSS /
+    SymSpell index key set). |N_d(s)| = sum_{k<=d} C(len, k)."""
+    variants = F.array(col)
+    frontier = F.array(col)
+    for _ in range(d):
+        frontier = F.array_distinct(F.flatten(F.transform(frontier, _delete1)))
+        variants = F.array_union(variants, frontier)
+    return variants
+
+
 def levenshtein_link_pairs(
     df,
     id_col: str,
@@ -928,36 +955,65 @@ def levenshtein_link_pairs(
     max_distance: int = 1,
 ):
     """Record-linkage candidate pairs (entity resolution): within each
-    blocking-key group, every id pair whose ``text_col`` values are
-    within ``max_distance`` edits (JVM levenshtein). Blocking is THE
-    scale move of classic ER (Fellegi-Sunter pipelines): candidate
-    volume is O(sum block^2), never corpus^2 — the same bound the
-    LSH band join gives fuzzy text dedup, with the block key playing
-    the bucket. One shuffle on the block key; a hot block (one giant
-    nation/zip) is a JOIN key, so AQE skew-split applies. Returns
-    (id1, id2, distance)."""
+    blocking-key group, every id pair (unique ids assumed) whose
+    ``text_col`` values are within ``max_distance`` edits (exact JVM
+    levenshtein verify). Returns (id1, id2, distance).
+
+    Candidate generation for ``max_distance`` <= 2 is symmetric-delete
+    blocking (FastSS / SymSpell): lev(a, b) <= d guarantees a and b
+    share at least one common <= d-deletion variant (each edit costs
+    at most one deletion on each side), so each side explodes to its
+    N_d neighborhood and the join key is (block, variant) — exactness
+    preserved, with the exact levenshtein filter killing the rare
+    colliding non-pair (e.g. "ab"/"ba" share "b" at lev 2).
+
+    Why not block on the raw key alone: a coarse block (25 nations)
+    leaves candidate volume at n^2/25 — still quadratic in corpus
+    size. And a length-band composite key dies on fixed-format keys
+    (every TPC-H c_name is 18 chars). A (block, variant) bucket
+    instead only collects records within 2d edits of each other
+    (triangle inequality through the shared variant), so candidate
+    volume is O(sum near-dup-family^2 x C(L, d)) — LINEAR in corpus
+    size for bounded family sizes, at an index fan-out of
+    sum_{k<=d} C(L, k) rows per record (L+1 at d=1). That is the
+    trade every production spell/ER index (SymSpell) makes. One
+    shuffle on (block, variant); a hot bucket is a genuine
+    duplicate family, i.e. proportional to real output.
+
+    ``max_distance`` >= 3 falls back to the plain blocked self-join
+    (neighborhood fan-out C(L, 3)+ stops paying for itself); keep
+    blocks fine-grained there."""
     if max_distance < 0:
         raise ValueError("max_distance must be >= 0")
-    a = df.select(
-        F.col(block_col).alias("_blk"),
-        F.col(id_col).alias("id1"),
-        F.col(text_col).alias("_t1"),
-    )
-    b = df.select(
-        F.col(block_col).alias("_blk"),
-        F.col(id_col).alias("id2"),
-        F.col(text_col).alias("_t2"),
-    )
-    return (
-        a.join(b, ["_blk"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select(
-            "id1",
-            "id2",
-            F.levenshtein("_t1", "_t2").alias("distance"),
+
+    def _side(idc, tc):
+        return df.select(
+            F.col(block_col).alias("_blk"),
+            F.col(id_col).alias(idc),
+            F.col(text_col).alias(tc),
+        ).filter(F.col(tc).isNotNull())
+
+    a, b = _side("id1", "_t1"), _side("id2", "_t2")
+    if max_distance <= 2:
+        a = a.withColumn(
+            "_v", F.explode(_deletion_variants(F.col("_t1"), max_distance))
         )
-        .filter(F.col("distance") <= max_distance)
-    )
+        b = b.withColumn(
+            "_v", F.explode(_deletion_variants(F.col("_t2"), max_distance))
+        )
+        cands = (
+            a.join(b, ["_blk", "_v"])
+            .filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2", "_t1", "_t2")
+            .distinct()
+        )
+    else:
+        cands = a.join(b, ["_blk"]).filter(F.col("id1") < F.col("id2"))
+    return cands.select(
+        "id1",
+        "id2",
+        F.levenshtein("_t1", "_t2").alias("distance"),
+    ).filter(F.col("distance") <= max_distance)
 
 
 def corpus_diff(
