@@ -100,7 +100,7 @@ HEADLINE = (
     "q124_span_pairs",
     "q125_column_profile",
     "q126_record_linkage",
-    "q127_compression_ratio",
+    "q127_gram_compression_proxy",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",
@@ -208,7 +208,8 @@ ANCHOR = {
     "q124_span_pairs": 0.253,
     "q125_column_profile": 4.222,
     "q126_record_linkage": 11.472,
-    "q127_compression_ratio": 0.280,
+    # renamed r8: zlib slot became the JVM-side distinct-gram proxy
+    "q127_gram_compression_proxy": 0.280,
     # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's
     # cost is the in-order pair fan-out (O(sum basket²), baskets ~4).
     "q128_event_transitions": 0.735,

@@ -16,21 +16,31 @@ from ulh_etl_spark.session import load_table
 def test_hll_within_rsd_bound(spark, sf_dir):
     """approx_count_distinct(rsd=0.05) stays within 3x the configured
     relative error of the exact count (generous: HLL++ bias correction
-    usually lands far inside)."""
-    approx = {
-        r["event_type"]: r["approx_users"]
-        for r in q62_approx_user_counts(spark, sf_dir).collect()
-    }
-    exact = {
-        r["event_type"]: r["exact"]
-        for r in load_table(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("exact"))
+    usually lands far inside). The raw sketch value is checked here;
+    the catalog query emits the exact count + the same bound as a
+    flag (pinned TRUE by the DuckDB oracle)."""
+    from ulh_etl_spark.queries.analytic import HLL_RSD
+
+    ev = load_table(spark, sf_dir, "events")
+    raw = {
+        r["event_type"]: (r["approx"], r["exact"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", HLL_RSD).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
         .collect()
     }
-    assert set(approx) == set(exact)
-    for k, e in exact.items():
-        assert abs(approx[k] - e) <= max(3, 0.15 * e), (k, approx[k], e)
+    for k, (a, e) in raw.items():
+        assert abs(a - e) <= max(3, 0.15 * e), (k, a, e)
+
+    flags = {
+        r["event_type"]: (r["exact_users"], r["sketch_within_3rsd"])
+        for r in q62_approx_user_counts(spark, sf_dir).collect()
+    }
+    assert set(flags) == set(raw)
+    for k, (e, ok) in flags.items():
+        assert e == raw[k][1] and ok is True, (k, e, ok)
 
 
 def test_rollup_levels_consistent(spark, sf_dir):
@@ -113,7 +123,9 @@ def test_rolling_window_single_shuffle(spark, sf_dir):
 
 def test_approx_quartiles_near_exact(spark, sf_dir):
     """approx_percentile(accuracy=1000) must land within 1 quantity
-    unit of the exact per-group quartiles (integer-valued data)."""
+    unit of the exact per-group quartiles (integer-valued data). The
+    raw sketch is checked here; the catalog query emits the exact
+    quartiles + a 10% bound flag (pinned TRUE by the oracle)."""
     from ulh_etl_spark.queries.analytic import (
         q59_quantity_quartiles,
         q77_approx_quartiles,
@@ -125,13 +137,31 @@ def test_approx_quartiles_near_exact(spark, sf_dir):
     }
     approx = {
         r["l_returnflag"]: r["approx_quartiles"]
-        for r in q77_approx_quartiles(spark, sf_dir).collect()
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 1000)"
+            ).alias("approx_quartiles")
+        )
+        .collect()
     }
     assert set(exact) == set(approx)
     for flag, (e25, e50, e75) in exact.items():
         a25, a50, a75 = approx[flag]
         for e, a in ((e25, a25), (e50, a50), (e75, a75)):
             assert abs(e - a) <= 1.0, (flag, e, a)
+
+    cat = {
+        r["l_returnflag"]: r
+        for r in q77_approx_quartiles(spark, sf_dir).collect()
+    }
+    for flag, (e25, e50, e75) in exact.items():
+        r = cat[flag]
+        assert (r["exact_q1"], r["exact_median"], r["exact_q3"]) == (
+            e25, e50, e75,
+        )
+        assert r["sketch_within_10pct"] is True
 
 
 def test_global_ntile_matches_window_ntile(spark):

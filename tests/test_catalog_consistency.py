@@ -9,14 +9,13 @@ from ulh_etl_spark.queries import all_oracles, all_queries
 
 # Queries that are DELIBERATELY rows-only (the result is an
 # engine-specific estimate no SQL oracle can reproduce); each must
-# carry a pytest pinning its accuracy instead.
-ROWS_ONLY_OK = {
-    "q62_approx_user_counts",  # HLL++ sketch — bound in test_analytics
-    "q77_approx_quartiles",  # t-digest sketch — bound in test_analytics
-    # deterministic zlib — not SQL-expressible; exact parity vs direct
-    # zlib pinned in test_text_scoring.py
-    "q127_compression_ratio",
-}
+# carry a pytest pinning its accuracy instead. Since round 8 this is
+# EMPTY: the sketch queries (q62/q77) emit exact companion columns
+# plus an error-bound flag the oracle pins to TRUE, and the zlib
+# catalog slot became the SQL-expressible distinct-gram proxy (zlib
+# itself stays pytest-pinned in test_text_scoring.py) — so every
+# catalog entry the driver samples is fully hash-checkable.
+ROWS_ONLY_OK: set[str] = set()
 
 
 def test_every_query_has_an_oracle():

@@ -233,13 +233,32 @@ def q122_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q127_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc zlib compression ratio (entropy proxy; repetitive text
-    compresses low, noise high). Deterministic but not
-    SQL-expressible -> rows-only gate; exact parity vs direct zlib
-    is pinned in tests/test_text_scoring.py."""
+_PROXY_GRAM_N = 4
+
+
+def q127_gram_compression_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc compressibility proxy: distinct 4-gram ratio
+    (repetitive text scores low, diverse text high — the same
+    ordering signal as a zlib ratio). A pure narrow map (char_ngrams
+    + array_distinct + size, zero shuffles, zero Python), and —
+    unlike zlib — exactly SQL-expressible, so the driver hash-gate
+    checks it end to end. The zlib variant stays available as
+    ``operators.text.compression_ratio`` (Arrow-batched pandas UDF)
+    with exact zlib parity pinned in tests/test_text_scoring.py —
+    it is deterministic but not DuckDB-expressible, which made its
+    catalog slot print a permanent ``no_oracle`` row; this proxy
+    replaces it in the catalog so every sampled entry is
+    hash-checkable."""
     docs = load_table(spark, sf_dir, "documents")
-    return T.compression_ratio(docs, "text", "doc_id")
+    grams = T.char_ngrams(F.col("text"), _PROXY_GRAM_N)
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    return docs.select(
+        "doc_id",
+        n_grams.cast("long").alias("n_grams"),
+        n_distinct.cast("long").alias("n_distinct_grams"),
+        F.round(n_distinct / n_grams, 6).alias("distinct_ratio"),
+    )
 
 
 def q137_needle_insertion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -791,7 +810,7 @@ QUERIES = {
     "q120_blocklist_filter": q120_blocklist_filter,
     "q122_split_leakage": q122_split_leakage,
     "q123_zipf_slope": q123_zipf_slope,
-    "q127_compression_ratio": q127_compression_ratio,
+    "q127_gram_compression_proxy": q127_gram_compression_proxy,
     "q124_span_pairs": q124_span_pairs,
     "q135_length_buckets": q135_length_buckets,
     "q137_needle_insertion": q137_needle_insertion,
@@ -1239,6 +1258,18 @@ ORACLES = {
                ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 6)
                    AS zipf_slope
         FROM s
+    """,
+    "q127_gram_compression_proxy": f"""
+        WITH g AS (
+            SELECT doc_id, {O.grams('text', _PROXY_GRAM_N)} AS gs
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(gs) AS BIGINT) AS n_grams,
+               CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct_grams,
+               ROUND(len(list_distinct(gs)) * 1.0 / len(gs), 6)
+                   AS distinct_ratio
+        FROM g
     """,
     "q124_span_pairs": f"""
         WITH t AS (
