@@ -172,3 +172,44 @@ def test_load_table_does_not_mutate_session_timezone(spark):
         assert got == want_micros
     finally:
         spark.conf.set("spark.sql.session.timeZone", prior)
+
+
+def test_q50_q51_match_oracle_on_driver_testdata(spark):
+    """Full driver-gate replica for q50/q51 on the REAL testdata
+    parquet (VERDICT r7 #5): their only driver-side CORRECTNESS rows
+    ever are round-1 errors from the since-fixed TIMESTAMP(NANOS)
+    issue, and the driver regenerates /root/testdata between rounds —
+    this pins the whole path (load_table nanos/NTZ normalization ->
+    event-time operator -> hash-comparable output) against the next
+    encoding change, whatever it is."""
+    import duckdb
+
+    from ulh_etl_spark.queries import all_oracles, all_queries
+    from ulh_etl_spark.session import TABLES, table_path
+
+    queries, oracles = all_queries(), all_oracles()
+    con = duckdb.connect()
+    for t in TABLES:
+        p = table_path(SF_DIR, t)
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{p}')"
+            )
+
+    def norm(df_pandas):
+        cols = sorted(df_pandas.columns)
+        rows = [
+            tuple(
+                round(v, 9) if isinstance(v, float) else (None if v is None else str(v))
+                for v in row
+            )
+            for row in df_pandas[cols].itertuples(index=False, name=None)
+        ]
+        return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+    for name in ("q50_event_window_counts", "q51_event_sessionize"):
+        sdf = queries[name](spark, SF_DIR).toPandas()
+        odf = con.execute(oracles[name]).fetchdf()
+        assert len(sdf) == len(odf) > 0, name
+        assert norm(sdf) == norm(odf), name
