@@ -719,3 +719,74 @@ def test_kcenter_coreset_exhaustion_and_duplicates(spark):
     ]
     assert [v for _, v in out] == [0, 2, 1]  # each id once, then stop
     assert len(out) == 3
+
+
+def _recompress_png(png: bytes, level: int) -> bytes:
+    """Re-deflate a PNG's IDAT stream at a different zlib level —
+    byte-different file, pixel-identical image (the PNG analogue of
+    'recompressed variant' a JPEG re-save would produce)."""
+    import struct
+    import zlib
+
+    out = bytearray(png[:8])
+    pos, idat = 8, b""
+    chunks = []
+    while pos < len(png):
+        (length,) = struct.unpack(">I", png[pos : pos + 4])
+        ctype = png[pos + 4 : pos + 8]
+        data = png[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IDAT":
+            idat += data
+        else:
+            chunks.append((ctype, data))
+    raw = zlib.decompress(idat)
+    redone = zlib.compress(raw, level)
+    for ctype, data in chunks:
+        if ctype == b"IEND":
+            crc = zlib.crc32(b"IDAT" + redone) & 0xFFFFFFFF
+            out += struct.pack(">I", len(redone)) + b"IDAT" + redone
+            out += struct.pack(">I", crc)
+        body = struct.pack(">I", len(data)) + ctype + data
+        body += struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        out += body
+    return bytes(out)
+
+
+def test_phash_pipeline_on_recompressed_real_images(spark):
+    """VERDICT r7 #7 (real-codec leg, PIL-free): REAL PNG files —
+    same image recompressed at a different zlib level (different
+    bytes, identical pixels), a lightly noised re-render, and an
+    unrelated image — through the FULL q103 pipeline (stdlib PNG
+    decode inside media_phash -> banded LSH -> exact Hamming).
+    Recompression must hash identically (distance 0), the noised
+    variant must pair as a near-dup, the unrelated image must not."""
+    from ulh_etl_spark.operators.multimodal import (
+        media_phash,
+        phash_neardup_pairs,
+    )
+
+    base = _pattern_png(64, 48)
+    recomp = _recompress_png(base, level=1)
+    assert recomp != base  # genuinely different bytes on disk
+    noised = _pattern_png(64, 48, noise=12, seed=7)
+    # the unrelated image: the inverted pattern (seed only drives
+    # noise in _pattern_png, so a different seed alone is identical)
+    from ulh_etl_spark.operators.multimodal import decode_png, encode_png
+
+    d = decode_png(base, keep_pixels=True)
+    inv = bytes(255 - b for b in d["pixels"])
+    other = encode_png(d["width"], d["height"], inv, channels=3)
+
+    df = spark.createDataFrame(
+        [(1, base), (2, recomp), (3, noised), (4, other)],
+        "media_id long, content binary",
+    )
+    hashes = media_phash(df)
+    pairs = {
+        (r.id1, r.id2): r.hamming
+        for r in phash_neardup_pairs(hashes, max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0, pairs  # recompression: exact hash
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 3  # noised: near-dup
+    assert not any(4 in p for p in pairs), pairs  # unrelated: no pair
