@@ -390,6 +390,104 @@ def test_batch_upsert_http_delete_and_skip(spark, tmp_path):
     assert len(flat) == 2
 
 
+def make_flaky_transport(spool_dir, marker_dir, fail_times=1, mode="raise"):
+    """Transport that fails the first ``fail_times`` attempts of each
+    distinct payload (marker files track attempts — foreachPartition
+    workers are separate processes) then behaves like the spool
+    transport. mode='raise' throws; mode='503' returns HTTP 503."""
+    spool_dir, marker_dir = str(spool_dir), str(marker_dir)
+    inner = make_spool_transport(spool_dir)
+
+    def _call(method, url, headers=None, json_body=None,
+              timeout=60.0, data=None, auth=None):
+        import hashlib
+        import os
+
+        key = hashlib.md5(data.encode()).hexdigest()
+        marker = os.path.join(marker_dir, f"attempts_{key}")
+        n = len(os.listdir(marker)) if os.path.isdir(marker) else 0
+        os.makedirs(marker, exist_ok=True)
+        open(os.path.join(marker, str(n)), "w").close()
+        if n < fail_times:
+            if mode == "raise":
+                raise ConnectionError("flaky")
+            return HttpResponse(status=503, body="busy")
+        return _call_inner(method, url, headers, json_body, timeout, data)
+
+    def _call_inner(method, url, headers, json_body, timeout, data):
+        return inner(method, url, headers=headers, json_body=json_body,
+                     timeout=timeout, data=data)
+
+    return _call
+
+
+def test_batch_upsert_retry_budget_recovers(spark, tmp_path):
+    """Each batch's first attempt dies (transport exception); the
+    retry budget resends the SAME payload and every op lands. Also
+    exercised with HTTP 503 instead of an exception."""
+    for mode in ("raise", "503"):
+        spool = tmp_path / mode
+        markers = tmp_path / f"{mode}_markers"
+        spool.mkdir()
+        markers.mkdir()
+        rows = spark.createDataFrame(
+            [(f"M{i}", f"v{i}") for i in range(7)], "mbi string, val string"
+        ).coalesce(1)
+        transport = make_flaky_transport(
+            spool, markers, fail_times=1, mode=mode
+        )
+        res = batch_upsert_http(
+            rows, "https://dv/$batch", "contacts", ["mbi"],
+            transport_factory=lambda: transport, batch_size=3,
+            retries=2, sleeper=lambda s: None,
+        )
+        assert res.succeeded == 7 and res.failed == 0, (mode, res)
+        assert res.batches == 3 and res.retried == 3, (mode, res)
+        flat = [op for b in read_spool(spool) for op in b]
+        assert len(flat) == 7  # delivered exactly once despite retries
+
+
+def test_batch_upsert_retry_budget_exhausted_continues(spark, tmp_path):
+    """A batch that out-fails its budget counts its ops failed and
+    the stream continues — no exception, later batches still land."""
+    rows = spark.createDataFrame(
+        [(f"M{i}", f"v{i}") for i in range(6)], "mbi string, val string"
+    ).coalesce(1)
+    # every attempt 503s; a budget of 1 retry can't save any batch
+    spool = tmp_path / "spool"
+    markers = tmp_path / "markers"
+    spool.mkdir()
+    markers.mkdir()
+    transport = make_flaky_transport(spool, markers, fail_times=99, mode="503")
+    res = batch_upsert_http(
+        rows, "https://dv/$batch", "contacts", ["mbi"],
+        transport_factory=lambda: transport, batch_size=3,
+        retries=1, sleeper=lambda s: None,
+    )
+    assert res.succeeded == 0 and res.failed == 6
+    assert res.batches == 2 and res.retried == 2
+    assert read_spool(spool) == []  # nothing ever delivered
+
+
+def test_batch_upsert_max_inflight_bounds_streams(spark, tmp_path):
+    """max_inflight_batches=n repartitions the rows to n partitions —
+    one serial HTTP stream each — so with batch_size above the row
+    count the request count IS the partition bound."""
+    rows = spark.createDataFrame(
+        [(f"M{i}", f"v{i}") for i in range(10)], "mbi string, val string"
+    ).repartition(8)
+    transport = make_spool_transport(tmp_path)
+    res = batch_upsert_http(
+        rows, "https://dv/$batch", "contacts", ["mbi"],
+        transport_factory=lambda: transport, batch_size=500,
+        max_inflight_batches=2,
+    )
+    assert res.succeeded == 10 and res.failed == 0
+    assert res.batches <= 2  # bounded concurrent streams
+    flat = [op for b in read_spool(tmp_path) for op in b]
+    assert len(flat) == 10
+
+
 def _fanout_routes():
     t = FakeTransport()
     t.route("POST", "https://lk/patient/p1",

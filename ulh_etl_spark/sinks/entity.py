@@ -41,6 +41,7 @@ class BatchResult:
     failed: int = 0
     creates: int = 0
     updates: int = 0
+    retried: int = 0
 
 
 def entity_mirror_merge(
@@ -169,18 +170,44 @@ def batch_upsert_http(
     headers: dict | None = None,
     op_col: str = "_op",
     guid_col: str = "_guid",
+    max_inflight_batches: int | None = None,
+    retries: int = 1,
+    backoff_s: float = 0.5,
+    sleeper: Callable[[float], None] | None = None,
 ) -> BatchResult:
     """Stream rows to the entity store in ``$batch`` chunks via
     ``foreachPartition``. Rows carrying ``_op``/``_guid`` (from
     ``classify_create_update``) become GUID-PATCH or POST; otherwise
     every row is an alternate-key PATCH upsert. Per-batch results are
     aggregated through a Spark accumulator (driver never holds rows).
+
+    ``max_inflight_batches`` caps CONCURRENT requests against the
+    entity store: each partition is one serial HTTP stream, so
+    repartitioning to n partitions bounds inflight ``$batch`` calls
+    at n regardless of cluster size — the knob that keeps a
+    1000-executor backfill from DDoSing a rate-limited API. The
+    repartition is one narrow-payload shuffle; upstream compute
+    keeps its natural parallelism (a ``coalesce`` would drag the
+    whole upstream plan down to n tasks).
+
+    ``retries`` is the per-batch retry budget: a transport exception,
+    HTTP 429, or 5xx retries the SAME batch up to ``retries`` extra
+    attempts (linear backoff via the injectable ``sleeper``) — safe
+    because every op is an idempotent keyed PATCH/DELETE (POSTs are
+    create-intent, reference :540-585 semantics). A batch that
+    exhausts the budget counts its ops as failed and the stream
+    continues (continue-on-error, like the reference's per-batch
+    logging); ``BatchResult.retried`` reports total retry attempts.
     """
     assert 1 <= batch_size <= 1000, "Dataverse caps $batch at 1000 ops"
+    if max_inflight_batches is not None:
+        assert max_inflight_batches >= 1
+        rows = rows.repartition(max_inflight_batches)
     spark = rows.sparkSession
     acc_ok = spark.sparkContext.accumulator(0)
     acc_bad = spark.sparkContext.accumulator(0)
     acc_batches = spark.sparkContext.accumulator(0)
+    acc_retried = spark.sparkContext.accumulator(0)
     hdrs = {"Prefer": "odata.continue-on-error", **(headers or {})}
     has_op = op_col in rows.columns
 
@@ -188,18 +215,42 @@ def batch_upsert_http(
         return ",".join(f"{k}='{row[k]}'" for k in alternate_key)
 
     def send(partition) -> None:
+        import time as _time
+
+        wait = sleeper if sleeper is not None else _time.sleep
         transport = transport_factory()
         ops: list[dict] = []
+
+        def attempt_once(payload: str):
+            return transport("POST", batch_url, headers=hdrs,
+                             json_body=None, data=payload)
 
         def flush() -> None:
             if not ops:
                 return
-            resp = transport("POST", batch_url, headers=hdrs,
-                             json_body=None, data=build_batch_payload(ops))
+            payload = build_batch_payload(ops)
+            resp = None
+            for attempt in range(retries + 1):
+                if attempt:
+                    acc_retried.add(1)
+                    wait(backoff_s * attempt)
+                try:
+                    resp = attempt_once(payload)
+                except Exception:
+                    if attempt == retries:
+                        resp = None
+                    continue
+                if resp.status == 429 or resp.status >= 500:
+                    continue
+                break
+            acc_batches.add(1)
+            if resp is None or resp.status == 429 or resp.status >= 500:
+                acc_bad.add(len(ops))  # budget exhausted: continue-on-error
+                ops.clear()
+                return
             ok, bad = parse_batch_response(resp.body)
             acc_ok.add(ok)
             acc_bad.add(bad + max(len(ops) - ok - bad, 0))
-            acc_batches.add(1)
             ops.clear()
 
         for row in partition:
@@ -227,5 +278,6 @@ def batch_upsert_http(
 
     rows.foreachPartition(send)
     return BatchResult(
-        batches=acc_batches.value, succeeded=acc_ok.value, failed=acc_bad.value
+        batches=acc_batches.value, succeeded=acc_ok.value,
+        failed=acc_bad.value, retried=acc_retried.value,
     )
