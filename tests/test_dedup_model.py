@@ -515,3 +515,32 @@ def test_corpus_diff_model(spark):
         4: "changed",
         5: "added",
     }
+
+
+def test_star_edges_same_components_as_pairs(spark):
+    """minhash_star_edges must yield EXACTLY the same connected
+    components as the full C(B,2) pair enumeration — a star spans
+    the bucket clique — while emitting far fewer edges. Checked on
+    the real synthetic corpus slice (planted boilerplate families)."""
+    from ulh_etl_spark.operators.dedup import (
+        connected_components,
+        minhash_candidate_pairs,
+        minhash_star_edges,
+    )
+    from ulh_etl_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    kw = dict(num_hashes=8, rows_per_band=4, shingle_n=4)
+    pairs = minhash_candidate_pairs(docs, "text", "doc_id", **kw)
+    stars = minhash_star_edges(docs, "text", "doc_id", **kw)
+    n_pairs, n_stars = pairs.count(), stars.count()
+    assert n_stars <= n_pairs
+    via_pairs = {
+        (r.node, r.component) for r in connected_components(pairs).collect()
+    }
+    via_stars = {
+        (r.node, r.component) for r in connected_components(stars).collect()
+    }
+    assert via_stars == via_pairs and via_pairs
+    # star ids must still be ordered edges (id1 = bucket root = min)
+    assert stars.filter("id1 >= id2").count() == 0

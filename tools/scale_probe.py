@@ -1,0 +1,76 @@
+"""Measure sf0.1 -> sf1 scaling exponents for the heavy-tail queries.
+
+For each probed query: warm pass + min-of-2 timed runs at sf0.1, one
+timed run at the 10x .scaledata/sf1 set (tools/gen_scale.py), then
+exponent = log10(t_sf1 / t_sf0.1). ~1.0 is linear; anything
+materially above gets a named cause or a fix (VERDICT r7 #6).
+
+Usage: python tools/scale_probe.py [query ...]   (default: the 10
+most expensive from the r7 bench)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from ulh_etl_spark.queries import all_queries  # noqa: E402
+from ulh_etl_spark.session import get_spark  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/root/repo/.scaledata/sf1"
+
+HEAVY = [
+    "q126_record_linkage",
+    "q125_column_profile",
+    "q121_cluster_size_histogram",
+    "q102_neardup_collapse",
+    "q136_multiprobe_recall",
+    "q116_bpe_tokenize",
+    "q113_bloom_decontamination",
+    "q100_semantic_dedup",
+    "q105_phash_neardup_clusters",
+    "q119_ivfpq_topk",
+]
+
+
+def timed(fn, spark, sf_dir) -> tuple[float, int]:
+    t0 = time.time()
+    n = fn(spark, sf_dir).count()
+    return time.time() - t0, n
+
+
+def main() -> int:
+    names = sys.argv[1:] or HEAVY
+    qs = all_queries()
+    spark = get_spark("scale_probe")
+    try:  # merge with prior probes (partial runs accumulate)
+        with open("/root/repo/SCALE_PROBE.json") as f:
+            out = json.load(f)
+    except (OSError, ValueError):
+        out = {}
+    for name in names:
+        fn = qs[name]
+        timed(fn, spark, SF01)  # warm (codegen + page cache)
+        t01 = min(timed(fn, spark, SF01)[0], timed(fn, spark, SF01)[0])
+        t1, n1 = timed(fn, spark, SF1)
+        exp = math.log10(t1 / t01)
+        out[name] = {
+            "sf0.1_s": round(t01, 3),
+            "sf1_s": round(t1, 3),
+            "sf1_rows": n1,
+            "exponent": round(exp, 3),
+        }
+        print(f"{name:34s} {t01:7.2f}s -> {t1:8.2f}s  exp={exp:+.2f}")
+    with open("/root/repo/SCALE_PROBE.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print("wrote SCALE_PROBE.json")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -355,6 +355,54 @@ def minhash_candidate_pairs(
     )
 
 
+def minhash_star_edges(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Connectivity-only LSH edges for clustering pipelines: per band
+    bucket, one edge from each member to the bucket's MIN id (a star)
+    instead of the full C(B, 2) pair enumeration. A bucket is a
+    clique in the candidate graph, and a star spans a clique — so
+    ``connected_components`` over these edges is IDENTICAL to
+    components over :func:`minhash_candidate_pairs`, at B-1 edges per
+    bucket instead of B(B-1)/2.
+
+    This is the difference between linear and quadratic on corpora
+    with boilerplate: measured on the synthetic corpus at 10x sf0.1,
+    the pair relation is 47.6M rows (near-clique buckets) vs ~200K
+    star edges — the downstream component fixpoint iterates over
+    47.6M edges every round for the SAME final labels. Use the pair
+    op when pairs themselves are the product (similarity audits,
+    exact-verify reranks); use this when pairs only feed clustering.
+
+    Plan: signature agg (one shuffle) -> band explode -> ONE
+    window-min per (band_idx, band_key) -> filter + distinct. The
+    hot-bucket cost is B rows through one window task — linear, vs
+    the B^2 shuffle cells the pair join needs salting for. Returns
+    (id1, id2), id1 < id2 (id1 is always the bucket root)."""
+    from pyspark.sql import Window
+
+    bands = lsh_bands(
+        minhash_signatures(df, text_col, id_col, num_hashes, shingle_n),
+        id_col,
+        num_hashes,
+        rows_per_band,
+    )
+    w = Window.partitionBy("band_idx", "band_key")
+    return (
+        bands.withColumn("_root", F.min(id_col).over(w))
+        .filter(F.col(id_col) != F.col("_root"))
+        .select(
+            F.col("_root").alias("id1"), F.col(id_col).alias("id2")
+        )
+        .distinct()
+    )
+
+
 def lsh_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

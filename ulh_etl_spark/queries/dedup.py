@@ -87,15 +87,18 @@ _BAND_SELECTS = "\n        UNION ALL\n".join(
 )
 
 def q75_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the MinHash-LSH candidate pairs —
+    """Connected components over the MinHash-LSH candidate graph —
     the exact near-dup cluster assignment (transitive closure), via
-    iterative min-label propagation. The oracle computes the same
-    fixpoint with a recursive CTE."""
+    iterative min-label propagation. The edge relation is the
+    connectivity-only star form (one edge per bucket member to the
+    bucket min — B-1 edges per bucket, not C(B,2)); components are
+    provably identical to the full pair enumeration the oracle's
+    recursive CTE clusters, because a star spans the bucket clique."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_candidate_pairs(
+    edges = D.minhash_star_edges(
         docs, "text", "doc_id", _NUM_HASHES, _ROWS_PER_BAND, _SHINGLE_N
     )
-    return D.connected_components(pairs)
+    return D.connected_components(edges)
 
 
 # Same deterministic stand-in benchmark set as q79 (exact-gram
@@ -107,13 +110,15 @@ def q121_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup audit: the distribution of near-dup cluster sizes
     (how much mass sits in big boilerplate families vs 2-doc pairs)
     — the report that decides whether keep-one collapse is enough or
-    big clusters need manual review. q75's components + two bounded
-    groupBys (per-component size, then the size histogram)."""
+    big clusters need manual review. q75's components (star-edge
+    form — identical labels at B-1 edges per bucket, not C(B,2)) +
+    two bounded groupBys (per-component size, then the size
+    histogram)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_candidate_pairs(
+    edges = D.minhash_star_edges(
         docs, "text", "doc_id", _NUM_HASHES, _ROWS_PER_BAND, _SHINGLE_N
     )
-    comp = D.connected_components(pairs)
+    comp = D.connected_components(edges)
     sizes = comp.groupBy("component").agg(
         F.count("*").alias("cluster_size")
     )
@@ -219,14 +224,16 @@ def q102_neardup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEST-QUALITY member (ties -> lowest doc_id). The "keep the
     best-written copy" policy real corpus curation wants, vs the
     arbitrary min-id survivor. Join on doc id + one max-struct
-    groupBy; no window, no extra pass over the corpus."""
+    groupBy; no window, no extra pass over the corpus. Clustering
+    runs on the star-edge LSH form (identical components, B-1 edges
+    per bucket instead of C(B,2))."""
     from ulh_etl_spark.operators.text import with_quality_score
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_candidate_pairs(
+    edges = D.minhash_star_edges(
         docs, "text", "doc_id", _NUM_HASHES, _ROWS_PER_BAND, _SHINGLE_N
     )
-    labels = D.connected_components(pairs)
+    labels = D.connected_components(edges)
     scored = with_quality_score(docs, "text").select("doc_id", "quality")
     return D.collapse_neardup_best(labels, scored, "doc_id", "quality")
 
