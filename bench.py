@@ -208,8 +208,9 @@ ANCHOR = {
     "q124_span_pairs": 0.253,
     "q125_column_profile": 4.222,
     "q126_record_linkage": 11.472,
-    # renamed r8: zlib slot became the JVM-side distinct-gram proxy
-    "q127_gram_compression_proxy": 0.280,
+    # r8 anchor: the distinct-gram proxy is a NEW query (the old
+    # 0.280 anchor belonged to the retired zlib catalog slot)
+    "q127_gram_compression_proxy": 0.360,
     # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's
     # cost is the in-order pair fan-out (O(sum basket²), baskets ~4).
     "q128_event_transitions": 0.735,
