@@ -48,6 +48,13 @@ SHUFFLE_BUDGET = {
     # exchange is a distinct stage of a distinct operator; none
     # re-shuffles a key already partitioned.
     "q91_logprob_tiles": 8,
+    # q141 reports purge counts for FOUR derived artifacts as one
+    # lazy union (round-8 rewrite — the eager form hid its plan from
+    # this audit entirely): four single-row aggregate legs (one
+    # exchange each; the erasure-list side of every leg broadcasts)
+    # plus the winnow-fingerprint leg's explode partial-agg. One
+    # exchange per artifact is the report's inherent cost.
+    "q141_deletion_impact": 5,
     # q104 is q78's exact pipeline shape with a bucket histogram in
     # place of the vocabulary: token explode -> bucket histogram (1),
     # model totals (2; broadcast back), per-doc sum (3), and the
