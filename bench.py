@@ -101,6 +101,8 @@ HEADLINE = (
     "q125_column_profile",
     "q126_record_linkage",
     "q127_gram_compression_proxy",
+    # Round-8 addition: stride-1 duplicate-span removal.
+    "q142_dup_span_removal",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",
@@ -211,6 +213,8 @@ ANCHOR = {
     # r8 anchor: the distinct-gram proxy is a NEW query (the old
     # 0.280 anchor belonged to the retired zlib catalog slot)
     "q127_gram_compression_proxy": 0.360,
+    # r8 first measurement (min-of-3 warm, quiet host)
+    "q142_dup_span_removal": 0.587,
     # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's
     # cost is the in-order pair fan-out (O(sum basket²), baskets ~4).
     "q128_event_transitions": 0.735,

@@ -948,3 +948,38 @@ def test_needle_insert_model(spark):
 
     again = {r.doc_id: r.needle_pos for r in needle_insert(df, "text", "doc_id").collect()}
     assert again == {k: v.needle_pos for k, v in out.items()}
+
+
+def test_duplicate_span_removal_model(spark):
+    """Hand-checkable stride-1 span dedup (k=3): overlapping
+    removable windows merge into one span; the earliest doc keeps its
+    copy; within-doc self-repeats are NOT removed (cross-doc policy);
+    sub-window docs pass through untouched."""
+    from ulh_etl_spark.operators.text import duplicate_span_removal
+
+    rows = [
+        (1, "a b c d e f"),        # first occurrence: keeps all
+        (2, "x a b c d y"),        # shares 'a b c','b c d' with doc 1
+        (3, "p q r s p q r s"),    # self-repeat only: untouched
+        (4, "a b c"),              # fully covered by doc 1's span
+        (5, "z z"),                # shorter than the window
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in duplicate_span_removal(
+            df, "text", "doc_id", window_tokens=3
+        ).collect()
+    }
+    assert out[1] == (6, 0, "a b c d e f")
+    # windows at pos 1 ('a b c') and 2 ('b c d') merge into span
+    # [1, 5): tokens x _ _ _ _ y -> 'x y'
+    assert out[2] == (6, 4, "x y")
+    assert out[3] == (8, 0, "p q r s p q r s")
+    assert out[4] == (3, 3, "")
+    assert out[5] == (2, 0, "z z")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        duplicate_span_removal(df, "text", "doc_id", window_tokens=0)

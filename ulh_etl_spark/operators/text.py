@@ -595,6 +595,124 @@ def passage_dedup(
     )
 
 
+def duplicate_span_removal(
+    df,
+    text_col: str,
+    id_col: str,
+    window_tokens: int = 16,
+):
+    """Sliding-window duplicate-SPAN removal — the stride-1 refinement
+    of :func:`passage_dedup` (Lee et al. 2022's duplicate-substring
+    removal): every ``window_tokens``-token window (stride 1, so a
+    shared substring at ANY alignment is caught — fixed passages only
+    catch aligned repeats), windows whose text also occurs in an
+    EARLIER document (smaller id) are removable; each doc's removable
+    windows merge into maximal covered spans, and the doc is rebuilt
+    from the tokens outside them. Keep-first-doc policy: the earliest
+    doc retains the span, every later doc sheds it — deterministic
+    and engine-portable where the paper's suffix-array walk is
+    inherently sequential. Within-doc self-repeats are NOT removed
+    (that is repetition_signals' signal, a quality concern, not
+    cross-doc dedup).
+
+    Scale: window hashing is a narrow map over the once-materialized
+    token array (n - k + 1 windows/doc); the global first-occurrence
+    pass is ONE partial-agged groupBy on the window hash (uniform
+    md5 keys) + a join back (a corpus-wide boilerplate window makes
+    a hot JOIN key — AQE-splittable); span merging is a bounded
+    per-doc window (rows = windows of ONE doc); rebuild is one join
+    back to the corpus on the doc id. No suffix array, no global
+    sort, no driver state.
+
+    Output: (id_col, n_tokens, n_removed, clean_text) — one row per
+    input doc; ``clean_text`` is whitespace-normalized (tokens
+    rejoined with single spaces) exactly like passage_dedup's
+    reassembly."""
+    from pyspark.sql import Window
+
+    if window_tokens <= 0:
+        raise ValueError("window_tokens must be positive")
+    k = window_tokens
+    with_t = df.select(
+        F.col(id_col), whitespace_tokens(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
+    n_wins = F.size(toks) - F.lit(k - 1)
+    wins = with_t.filter(n_wins > 0).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_wins - 1),
+                lambda p: F.struct(
+                    p.alias("pos"),
+                    F.md5(F.array_join(F.slice(toks, p + 1, k), " ")).alias(
+                        "h"
+                    ),
+                ),
+            )
+        ).alias("_w"),
+    ).select(id_col, F.col("_w.pos").alias("pos"), F.col("_w.h").alias("h"))
+    firsts = wins.groupBy("h").agg(F.min(id_col).alias("_fd"))
+    removable = (
+        wins.join(firsts, "h")
+        .filter(F.col(id_col) > F.col("_fd"))
+        .select(id_col, "pos")
+    )
+    # gaps-and-islands: a window starts a new span iff it begins at or
+    # after the running end of everything before it (all windows are
+    # k long, so prev_end = prev max pos + k)
+    wdoc = Window.partitionBy(id_col).orderBy("pos")
+    prev_max = F.max("pos").over(
+        wdoc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        removable.withColumn(
+            "_new",
+            F.when(
+                prev_max.isNull() | (F.col("pos") >= prev_max + k), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "_island",
+            F.sum("_new").over(
+                wdoc.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").cast("long").alias("s"),
+            (F.max("pos") + F.lit(k)).cast("long").alias("e"),
+        )
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_isl")
+    )
+    joined = with_t.join(per_doc, id_col, "left").withColumn(
+        "_isl", F.coalesce("_isl", F.array().cast("array<struct<s:long,e:long>>"))
+    )
+    isl = F.col("_isl")
+    positions = F.when(
+        F.size(toks) > 0, F.sequence(F.lit(0), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    kept = F.filter(
+        positions,
+        lambda p: ~F.exists(
+            isl, lambda sp: (p >= sp["s"]) & (p < sp["e"])
+        ),
+    )
+    n_removed = F.aggregate(
+        isl, F.lit(0).cast("long"), lambda acc, sp: acc + (sp["e"] - sp["s"])
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        n_removed.alias("n_removed"),
+        F.concat_ws(
+            " ", F.transform(kept, lambda p: F.element_at(toks, p + 1))
+        ).alias("clean_text"),
+    )
+
+
 def boilerplate_passage_filter(
     df,
     text_col: str,

@@ -233,6 +233,22 @@ def q122_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_WINDOW = 16
+
+
+def q142_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-1 duplicate-SPAN removal (Lee et al. 2022 substring
+    dedup, the alignment-free refinement of q101's fixed passages):
+    every 16-token sliding window that also occurs in an earlier doc
+    marks its span; spans merge and the doc is rebuilt without them,
+    keeping the earliest doc's copy. Catches shared boilerplate at
+    ANY offset — q101 only catches passage-aligned repeats."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.duplicate_span_removal(
+        docs, "text", "doc_id", window_tokens=SPAN_WINDOW
+    )
+
+
 _PROXY_GRAM_N = 4
 
 
@@ -811,6 +827,7 @@ QUERIES = {
     "q122_split_leakage": q122_split_leakage,
     "q123_zipf_slope": q123_zipf_slope,
     "q127_gram_compression_proxy": q127_gram_compression_proxy,
+    "q142_dup_span_removal": q142_dup_span_removal,
     "q124_span_pairs": q124_span_pairs,
     "q135_length_buckets": q135_length_buckets,
     "q137_needle_insertion": q137_needle_insertion,
@@ -1258,6 +1275,71 @@ ORACLES = {
                ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 6)
                    AS zipf_slope
         FROM s
+    """,
+    # Same semantics as the engine: stride-1 k-token windows, a
+    # window is removable iff its text occurs in a SMALLER doc_id,
+    # removable windows merge into spans (new span iff pos >= running
+    # max prior pos + k), rebuild from uncovered tokens. The nested
+    # list lambdas capture the outer position var (tested capability).
+    "q142_dup_span_removal": f"""
+        WITH toks AS (
+            SELECT doc_id, {O.ws_tokens('text')} AS tk FROM documents
+        ), wins AS (
+            SELECT doc_id, CAST(p AS BIGINT) AS pos,
+                   md5(array_to_string(tk[CAST(p AS INT) + 1 :
+                                          CAST(p AS INT) + {SPAN_WINDOW}],
+                                       ' ')) AS h
+            FROM toks,
+                 UNNEST(range(greatest(len(tk) - {SPAN_WINDOW} + 1, 0)))
+                     AS u(p)
+        ), firsts AS (
+            SELECT h, min(doc_id) AS fd FROM wins GROUP BY h
+        ), rem AS (
+            SELECT w.doc_id, w.pos
+            FROM wins w JOIN firsts f ON w.h = f.h
+            WHERE w.doc_id > f.fd
+        ), flagged AS (
+            SELECT doc_id, pos,
+                   CASE WHEN max(pos) OVER prior IS NULL
+                             OR pos >= max(pos) OVER prior + {SPAN_WINDOW}
+                        THEN 1 ELSE 0 END AS new_span
+            FROM rem
+            WINDOW prior AS (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING)
+        ), islands AS (
+            SELECT doc_id, pos,
+                   SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND CURRENT ROW) AS isl
+            FROM flagged
+        ), spans AS (
+            SELECT doc_id, isl,
+                   CAST(min(pos) AS BIGINT) AS s,
+                   CAST(max(pos) + {SPAN_WINDOW} AS BIGINT) AS e
+            FROM islands GROUP BY doc_id, isl
+        ), per_doc AS (
+            SELECT doc_id,
+                   list_sort(list({{'s': s, 'e': e}})) AS isl_list
+            FROM spans GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(len(t.tk) AS BIGINT) AS n_tokens,
+               CAST(coalesce(
+                   (SELECT SUM(e - s) FROM spans sp
+                    WHERE sp.doc_id = t.doc_id), 0) AS BIGINT)
+                   AS n_removed,
+               coalesce(array_to_string(
+                   list_transform(
+                       list_filter(
+                           range(len(t.tk)),
+                           p -> len(list_filter(
+                                    coalesce(p2.isl_list, []),
+                                    sp -> p >= sp.s AND p < sp.e)) = 0
+                       ),
+                       p -> t.tk[p + 1]
+                   ), ' '), '') AS clean_text
+        FROM toks t LEFT JOIN per_doc p2 ON t.doc_id = p2.doc_id
     """,
     "q127_gram_compression_proxy": f"""
         WITH g AS (
