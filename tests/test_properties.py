@@ -522,3 +522,41 @@ def test_levenshtein_link_pairs_matches_bruteforce(spark, rows, maxd):
             if ba == bb and lev(na, nb) <= maxd:
                 want[(i, j)] = lev(na, nb)
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(WORD, min_size=0, max_size=14),
+                min_size=1, max_size=10),
+       st.integers(min_value=1, max_value=4))
+def test_duplicate_span_removal_matches_model(spark, docs, k):
+    """Stride-1 span dedup == the brute-force python model: window at
+    pos p of doc d is removable iff the same k-token text occurs at
+    any position of any SMALLER doc id; removable windows union into
+    covered positions; clean_text = uncovered tokens joined."""
+    from ulh_etl_spark.operators.text import duplicate_span_removal
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in duplicate_span_removal(
+            df, "text", "doc_id", window_tokens=k
+        ).collect()
+    }
+
+    win_texts = {}  # doc -> set of window tuples
+    for i, toks in enumerate(docs):
+        win_texts[i] = {
+            tuple(toks[p : p + k]) for p in range(len(toks) - k + 1)
+        }
+    want = {}
+    for i, toks in enumerate(docs):
+        earlier = set().union(*(win_texts[j] for j in range(i)), set())
+        covered = set()
+        for p in range(len(toks) - k + 1):
+            if tuple(toks[p : p + k]) in earlier:
+                covered.update(range(p, p + k))
+        clean = " ".join(t for q, t in enumerate(toks) if q not in covered)
+        want[i] = (len(toks), len(covered), clean)
+    assert got == want
