@@ -103,6 +103,7 @@ HEADLINE = (
     "q127_gram_compression_proxy",
     # Round-8 addition: stride-1 duplicate-span removal.
     "q142_dup_span_removal",
+    "q143_temperature_mix",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",
@@ -215,6 +216,7 @@ ANCHOR = {
     "q127_gram_compression_proxy": 0.360,
     # r8 first measurement (min-of-3 warm, quiet host)
     "q142_dup_span_removal": 0.587,
+    "q143_temperature_mix": 0.711,
     # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's
     # cost is the in-order pair fan-out (O(sum basket²), baskets ~4).
     "q128_event_transitions": 0.735,

@@ -983,3 +983,39 @@ def test_duplicate_span_removal_model(spark):
 
     with _pytest.raises(ValueError):
         duplicate_span_removal(df, "text", "doc_id", window_tokens=0)
+
+
+def test_temperature_budget_mix_model(spark):
+    """alpha=0.5 mixing: targets proportional to isqrt(source token
+    mass) via integer DIV — a 100x bigger source gets only ~10x the
+    budget (down-weighted vs raw proportion); admission is the greedy
+    best-quality prefix under each derived target."""
+    import math
+
+    from ulh_etl_spark.operators.text import temperature_budget_mix
+
+    # source A: 100 docs x 10 tokens = 1000; source B: 1 doc x 10
+    rows = [(i, "tok " * 9 + "tok", "A") for i in range(100)]
+    rows.append((1000, "tok " * 9 + "tok", "B"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = temperature_budget_mix(
+        df, "text", "doc_id", "source", total_budget=120
+    ).collect()
+    targets = {r.source: r.target_tokens for r in out}
+    isq_a, isq_b = math.isqrt(1000), math.isqrt(10)
+    assert targets["A"] == 120 * isq_a // (isq_a + isq_b) == 109
+    assert targets["B"] == 120 * isq_b // (isq_a + isq_b) == 10
+    # raw proportion would give A 1000/1010 ~ 118.8 of 120; sqrt
+    # temperature hands B ~3x its raw share
+    by_src = {"A": [], "B": []}
+    for r in out:
+        by_src[r.source].append(r)
+    # greedy prefix: tokens taken before each admitted doc < target
+    assert all(r.taken_before < r.target_tokens for r in out)
+    # A admits ceil-ish 108/10 -> 11 docs (last overshoots by <=1 doc)
+    assert len(by_src["A"]) == 11 and len(by_src["B"]) == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        temperature_budget_mix(df, "text", "doc_id", "source", 0)

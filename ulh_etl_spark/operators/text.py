@@ -418,6 +418,72 @@ def token_budget_sample(
     )
 
 
+def temperature_budget_mix(
+    df,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    total_budget: int,
+):
+    """Temperature-scaled source mixing (the alpha = 0.5 rebalancing
+    pass of multilingual / multi-source training mixtures): each
+    group's share of ``total_budget`` tokens is proportional to
+    sqrt(its token mass) — big sources are DOWN-weighted relative to
+    raw proportion, small sources up-weighted, the standard
+    temperature trick. Within each group, documents admit
+    best-quality-first under the group's derived budget (the
+    :func:`token_budget_sample` greedy prefix rule: at most one-doc
+    overshoot, deterministic doc-id tiebreak).
+
+    Bit-stable weight math: shares use the INTEGER sqrt of each
+    group's token total (floor(sqrt(T)), exact for T < 2^52 in any
+    IEEE engine) and integer division —
+    ``target_g = total_budget * isqrt(T_g) DIV sum isqrt(T)`` — so
+    both engines derive identical targets with no float summation
+    order in sight. This is the engineering form of T^0.5
+    temperature sampling; fractional-alpha pow() would hang the
+    oracle on cross-engine pow rounding.
+
+    Shape: annotation narrow map, one partial-agged groupBy for the
+    per-group totals, a 1-row grand total that broadcasts back, and
+    ONE admission window per group. Output per ADMITTED doc:
+    (id, group, quality, n_tokens, taken_before, target_tokens)."""
+    from pyspark.sql import Window
+
+    if total_budget <= 0:
+        raise ValueError("total_budget must be positive")
+    ann = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        quality_score(F.col(text_col)).alias("quality"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    totals = ann.groupBy(group_col).agg(
+        F.floor(F.sqrt(F.sum("n_tokens"))).cast("long").alias("_isq")
+    )
+    grand = totals.agg(F.sum("_isq").alias("_isq_sum"))
+    targets = totals.crossJoin(F.broadcast(grand)).select(
+        group_col,
+        # integer DIV, not `/`: float division would reintroduce the
+        # cross-engine rounding the isqrt formulation exists to avoid
+        F.expr(f"CAST({total_budget} * _isq DIV _isq_sum AS BIGINT)")
+        .alias("target_tokens"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("quality").desc(), F.col(id_col)
+    )
+    taken_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        ann.join(targets, group_col)
+        .withColumn("taken_before", taken_before)
+        .filter(F.col("taken_before") < F.col("target_tokens"))
+        .select(
+            id_col, group_col, "quality", "n_tokens",
+            "taken_before", "target_tokens",
+        )
+    )
+
+
 def chunk_documents(
     df,
     text_col: str,

@@ -233,6 +233,23 @@ def q122_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEMP_MIX_BUDGET = 5000
+
+
+def q143_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.5) source mixing: each source's
+    share of a 5000-token budget is proportional to sqrt(its token
+    mass) — big sources down-weighted, small sources up-weighted (the
+    standard multilingual rebalancing trick) — then best-quality-
+    first admission under the derived per-source target. Weights use
+    integer sqrt + integer DIV so both engines derive identical
+    targets (operators.text.temperature_budget_mix)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.temperature_budget_mix(
+        docs, "text", "doc_id", "source", total_budget=TEMP_MIX_BUDGET
+    )
+
+
 SPAN_WINDOW = 16
 
 
@@ -828,6 +845,7 @@ QUERIES = {
     "q123_zipf_slope": q123_zipf_slope,
     "q127_gram_compression_proxy": q127_gram_compression_proxy,
     "q142_dup_span_removal": q142_dup_span_removal,
+    "q143_temperature_mix": q143_temperature_mix,
     "q124_span_pairs": q124_span_pairs,
     "q135_length_buckets": q135_length_buckets,
     "q137_needle_insertion": q137_needle_insertion,
@@ -1545,6 +1563,39 @@ ORACLES = {
         )
         ORDER BY sample_key DESC, doc_id
         LIMIT {WSAMPLE_K}
+    """,
+    # Same bit-stable weight math as the engine: integer sqrt of each
+    # source's token total, integer DIV for the target — no float
+    # summation order anywhere.
+    "q143_temperature_mix": f"""
+        WITH ann AS (
+            SELECT doc_id, source,
+                   {_QUALITY_SQL} AS quality,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+            FROM documents
+        ), totals AS (
+            SELECT source,
+                   CAST(floor(sqrt(SUM(n_tokens))) AS BIGINT) AS isq
+            FROM ann GROUP BY source
+        ), grand AS (
+            SELECT SUM(isq) AS isq_sum FROM totals
+        ), targets AS (
+            SELECT source,
+                   CAST({TEMP_MIX_BUDGET} * isq // isq_sum AS BIGINT)
+                       AS target_tokens
+            FROM totals, grand
+        ), w AS (
+            SELECT a.doc_id, a.source, a.quality, a.n_tokens,
+                   t.target_tokens,
+                   CAST(SUM(a.n_tokens) OVER (PARTITION BY a.source
+                       ORDER BY a.quality DESC, a.doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - a.n_tokens AS BIGINT) AS taken_before
+            FROM ann a JOIN targets t ON a.source = t.source
+        )
+        SELECT doc_id, source, quality, n_tokens, taken_before,
+               target_tokens
+        FROM w WHERE taken_before < target_tokens
     """,
     "q90_token_budget_mix": f"""
         WITH ann AS (
