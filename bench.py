@@ -104,6 +104,8 @@ HEADLINE = (
     # Round-8 addition: stride-1 duplicate-span removal.
     "q142_dup_span_removal",
     "q143_temperature_mix",
+    "q144_novelty_scores",
+    "q145_incremental_neardup",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",
@@ -217,6 +219,8 @@ ANCHOR = {
     # r8 first measurement (min-of-3 warm, quiet host)
     "q142_dup_span_removal": 0.587,
     "q143_temperature_mix": 0.711,
+    "q144_novelty_scores": 1.564,
+    "q145_incremental_neardup": 0.953,
     # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's
     # cost is the in-order pair fan-out (O(sum basket²), baskets ~4).
     "q128_event_transitions": 0.735,

@@ -544,3 +544,36 @@ def test_star_edges_same_components_as_pairs(spark):
     assert via_stars == via_pairs and via_pairs
     # star ids must still be ordered edges (id1 = bucket root = min)
     assert stars.filter("id1 >= id2").count() == 0
+
+
+def test_incremental_neardup_model(spark):
+    """Batch-vs-store near-dup flags: an exact copy of a stored doc
+    flags dup_vs_store; two same-batch copies flag dup_in_batch on
+    the LATER id only (per-bucket min rule); a unique doc flags
+    neither."""
+    from ulh_etl_spark.operators.dedup import (
+        incremental_neardup,
+        lsh_bands,
+        minhash_signatures,
+    )
+
+    X = "the quick brown fox jumps over the lazy dog again and again"
+    Y = "completely different content about spark shuffles and joins"
+    Z = "unique text that matches nothing else in corpus or batch"
+    store_docs = spark.createDataFrame([(0, X)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1, X), (3, Y), (5, Y), (7, Z)], "doc_id long, text string"
+    )
+    store = lsh_bands(
+        minhash_signatures(store_docs, "text", "doc_id", 8, 4), "doc_id", 8, 2
+    )
+    out = {
+        r.doc_id: (r.dup_vs_store, r.dup_in_batch)
+        for r in incremental_neardup(
+            batch, store, "text", "doc_id", 8, 2, 4
+        ).collect()
+    }
+    assert out[1] == (True, False)   # copy of stored doc
+    assert out[3] == (False, False)  # first of the in-batch pair
+    assert out[5] == (False, True)   # later copy: in-batch dup
+    assert out[7] == (False, False)  # unique

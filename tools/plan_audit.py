@@ -55,6 +55,14 @@ SHUFFLE_BUDGET = {
     # plus the winnow-fingerprint leg's explode partial-agg. One
     # exchange per artifact is the report's inherent cost.
     "q141_deletion_impact": 5,
+    # q145 runs the signature pipeline on BOTH relations (q85's
+    # budget rationale): store fan-out (1) + signature agg (2),
+    # batch fan-out (3) + signature agg (4), store band distinct (5;
+    # tiny projection, AQE broadcasts it at runtime), the batch-band
+    # join on (band_idx, band_key) (6; the window over the same key
+    # reuses that partitioning), and the final per-doc flag agg (7).
+    # Every exchange is a distinct stage boundary; no key re-shuffle.
+    "q145_incremental_neardup": 7,
     # q104 is q78's exact pipeline shape with a bucket histogram in
     # place of the vocabulary: token explode -> bucket histogram (1),
     # model totals (2; broadcast back), per-doc sum (3), and the

@@ -187,6 +187,62 @@ def incremental_dedup(
     ).select(id_col, "fp", "batch_dups")
 
 
+def incremental_neardup(
+    new_docs: DataFrame,
+    store_bands: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Incremental NEAR-dup screening of a new batch against the
+    at-rest LSH band store — the fuzzy twin of
+    :func:`incremental_dedup`: the historical corpus is never re-read
+    or re-signed; only its band table (``store_bands``:
+    (band_idx, band_key), written once per batch by
+    :func:`lsh_bands` and appended) participates.
+
+    Per new doc, two independent flags:
+      - ``dup_vs_store``: shares >= 1 band bucket with ANY stored doc
+        (a distinct-projected store side — the lsh_contamination
+        broadcast shape; the batch never shuffles beyond its own
+        signature agg);
+      - ``dup_in_batch``: shares >= 1 band bucket with a SMALLER-id
+        doc of the SAME batch (per-bucket min — the star-edge rule,
+        B-1 comparisons per bucket, never C(B,2)).
+    A doc enters the corpus iff neither flag is set; its band rows
+    append to the store either way the caller decides (dup bands are
+    usually appended too, so future batches collide with the KEPT
+    representative's buckets).
+
+    Output: (id, dup_vs_store, dup_in_batch) — one row per new doc
+    that produced a signature (every doc: char_ngrams yields >= 1
+    gram for any text)."""
+    from pyspark.sql import Window
+
+    new_bands = lsh_bands(
+        minhash_signatures(new_docs, text_col, id_col, num_hashes, shingle_n),
+        id_col,
+        num_hashes,
+        rows_per_band,
+    )
+    store = store_bands.select("band_idx", "band_key").distinct()
+    w = Window.partitionBy("band_idx", "band_key")
+    flagged = (
+        new_bands.join(
+            store.withColumn("_hit", F.lit(True)),
+            ["band_idx", "band_key"],
+            "left",
+        )
+        .withColumn("_batch_min", F.min(id_col).over(w))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.max(F.coalesce(F.col("_hit"), F.lit(False))).alias("dup_vs_store"),
+        F.max(F.col("_batch_min") < F.col(id_col)).alias("dup_in_batch"),
+    )
+
+
 def minhash_columns(text: Column, num_hashes: int = 8, shingle_n: int = DEFAULT_SHINGLE) -> list[Column]:
     """MinHash signature as ``num_hashes`` long columns (mh_0..mh_k).
 

@@ -418,6 +418,56 @@ def token_budget_sample(
     )
 
 
+def novelty_scores(
+    df,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+):
+    """Per-document corpus NOVELTY: the fraction of a doc's distinct
+    character ``n``-grams whose globally FIRST occurrence (by
+    ascending id — the ingest order) is this document. The curation
+    dashboard metric behind "diversity decay": as a crawl grows, new
+    documents' novelty falls, and the marginal value of ingesting
+    more of the same source with it. Complements dup-gram stats
+    (which measure sharedness, not attribution order).
+
+    Scale: grams are per-doc distinct before hashing (explode once);
+    first-occurrence is ONE partial-agged groupBy on the uniform
+    gram hash; attribution is a join back on the same key (hot
+    boilerplate gram = hot join key, AQE-splittable) + one per-doc
+    count agg. Output: (id, n_grams, n_novel, novelty), novelty
+    rounded to 6."""
+    grams = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(
+                F.transform(
+                    char_ngrams(F.col(text_col), n),
+                    lambda g: gram_hash64(g),
+                )
+            )
+        ).alias("_g"),
+    ).filter(F.col("_g").isNotNull())
+    firsts = grams.groupBy("_g").agg(F.min(id_col).alias("_fd"))
+    return (
+        grams.join(firsts, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                (F.col(id_col) == F.col("_fd")).cast("long")
+            ).alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
+        )
+    )
+
+
 def temperature_budget_mix(
     df,
     text_col: str,

@@ -137,6 +137,32 @@ def q126_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q145_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screening: TODAY's batch (odd doc_ids)
+    against the at-rest LSH band store of everything already ingested
+    (even doc_ids) — the fuzzy twin of q107's exact incremental
+    dedup. Per new doc: does it share a band bucket with the stored
+    corpus, and/or with an earlier doc of its own batch (per-bucket
+    min — star-edge rule). The historical text is never re-read; only
+    its band table participates
+    (operators.dedup.incremental_neardup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    store_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    store_bands = D.lsh_bands(
+        D.minhash_signatures(
+            store_docs, "text", "doc_id", _NUM_HASHES, _SHINGLE_N
+        ),
+        "doc_id",
+        _NUM_HASHES,
+        _ROWS_PER_BAND,
+    )
+    return D.incremental_neardup(
+        batch, store_bands, "text", "doc_id",
+        _NUM_HASHES, _ROWS_PER_BAND, _SHINGLE_N,
+    )
+
+
 def q134_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff between two synthetic corpus versions
     ("yesterday" drops doc_id % 7 == 0, "today" drops % 5 == 0 and
@@ -283,6 +309,7 @@ QUERIES = {
     "q102_neardup_collapse": q102_neardup_collapse,
     "q107_incremental_dedup": q107_incremental_dedup,
     "q109_minhash_estimate": q109_minhash_estimate,
+    "q145_incremental_neardup": q145_incremental_neardup,
 }
 
 _CC_CTE = f"""WITH RECURSIVE hashed AS (
@@ -443,6 +470,33 @@ ORACLES = {
                     ELSE 'changed' END AS status,
                o.old_fp, n.new_fp
         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    """,
+    "q145_incremental_neardup": f"""
+        WITH hashed AS (
+            SELECT doc_id, {_HS} AS hs FROM documents
+        ), sigs AS (
+            SELECT doc_id,
+               {_SIG_COLS}
+            FROM hashed
+        ), bands AS (
+{_BAND_SELECTS}
+        ), store AS (
+            SELECT DISTINCT band_idx, band_key FROM bands
+            WHERE doc_id % 2 = 0
+        ), batch AS (
+            SELECT * FROM bands WHERE doc_id % 2 = 1
+        ), flagged AS (
+            SELECT b.doc_id,
+                   (s.band_idx IS NOT NULL) AS hit,
+                   min(b.doc_id) OVER (PARTITION BY b.band_idx,
+                                       b.band_key) AS batch_min
+            FROM batch b LEFT JOIN store s
+              ON b.band_idx = s.band_idx AND b.band_key = s.band_key
+        )
+        SELECT doc_id,
+               max(hit) AS dup_vs_store,
+               max(batch_min < doc_id) AS dup_in_batch
+        FROM flagged GROUP BY doc_id
     """,
     "q126_record_linkage": """
         SELECT a.c_custkey AS id1, b.c_custkey AS id2,

@@ -233,6 +233,19 @@ def q122_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NOVELTY_GRAM_N = 8
+
+
+def q144_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty attribution: per doc, the fraction of its
+    distinct 8-grams whose globally FIRST occurrence (ascending
+    doc_id = ingest order) is that doc — the diversity-decay metric
+    that tells a crawl when marginal documents stop adding content
+    (operators.text.novelty_scores)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.novelty_scores(docs, "text", "doc_id", n=NOVELTY_GRAM_N)
+
+
 TEMP_MIX_BUDGET = 5000
 
 
@@ -846,6 +859,7 @@ QUERIES = {
     "q127_gram_compression_proxy": q127_gram_compression_proxy,
     "q142_dup_span_removal": q142_dup_span_removal,
     "q143_temperature_mix": q143_temperature_mix,
+    "q144_novelty_scores": q144_novelty_scores,
     "q124_span_pairs": q124_span_pairs,
     "q135_length_buckets": q135_length_buckets,
     "q137_needle_insertion": q137_needle_insertion,
@@ -1563,6 +1577,27 @@ ORACLES = {
         )
         ORDER BY sample_key DESC, doc_id
         LIMIT {WSAMPLE_K}
+    """,
+    # The engine hashes grams (xxhash64, internal compression only —
+    # two-hash policy, text.gram_hash64); the oracle counts RAW
+    # distinct grams, so only counts/ratios cross the compare.
+    "q144_novelty_scores": f"""
+        WITH g AS (
+            SELECT doc_id,
+                   unnest(list_distinct({O.grams('text', NOVELTY_GRAM_N)}))
+                       AS gr
+            FROM documents
+        ), firsts AS (
+            SELECT gr, min(doc_id) AS fd FROM g GROUP BY gr
+        )
+        SELECT a.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN a.doc_id = f.fd THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               ROUND(SUM(CASE WHEN a.doc_id = f.fd THEN 1 ELSE 0 END)
+                     * 1.0 / COUNT(*), 6) AS novelty
+        FROM g a JOIN firsts f ON a.gr = f.gr
+        GROUP BY a.doc_id
     """,
     # Same bit-stable weight math as the engine: integer sqrt of each
     # source's token total, integer DIV for the target — no float
