@@ -106,6 +106,7 @@ HEADLINE = (
     "q143_temperature_mix",
     "q144_novelty_scores",
     "q145_incremental_neardup",
+    "q146_random_projection",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",
@@ -221,6 +222,7 @@ ANCHOR = {
     "q143_temperature_mix": 0.711,
     "q144_novelty_scores": 1.564,
     "q145_incremental_neardup": 0.953,
+    "q146_random_projection": 0.839,
     # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's
     # cost is the in-order pair fan-out (O(sum basket²), baskets ~4).
     "q128_event_transitions": 0.735,

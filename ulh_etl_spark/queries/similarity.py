@@ -337,8 +337,24 @@ def q138_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.kcenter_coreset(emb, k=CORESET_K)
 
 
+_RP_OUT_DIM = 16
+
+
+def q146_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss reduction 64 -> 16 dims via a
+    deterministic ±1 Rademacher matrix (md5-derived, literal-folded —
+    zero shuffles, zero Python): the cheap pre-reduction feeding ANN
+    when raw dimension is the per-pair cost
+    (operators.similarity.random_projection)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.random_projection(
+        emb, dim=_EMB_DIM, out_dim=_RP_OUT_DIM
+    )
+
+
 QUERIES = {
     "q39_cosine_topk": q39_cosine_topk,
+    "q146_random_projection": q146_random_projection,
     "q40_embedding_norms": q40_embedding_norms,
     "q41_ivf_cluster_sizes": q41_ivf_cluster_sizes,
     "q42_ivf_topk": q42_ivf_topk,
@@ -498,7 +514,30 @@ _PQ_D_COLS = ", ".join(
     for s in range(_PQ_M)
 )
 
+def _rp_cols_sql() -> str:
+    """The reduced coordinates as SQL expressions — the SAME ±1 sign
+    rows the Spark expression folds in (rp_signs), products summed by
+    list_sum (the bit-stable _DOT precedent)."""
+    from ulh_etl_spark.operators.similarity import rp_signs
+
+    cols = []
+    for k, row in enumerate(rp_signs(_RP_OUT_DIM, _EMB_DIM)):
+        lits = ", ".join(f"CAST({s} AS DOUBLE)" for s in row)
+        cols.append(
+            "ROUND(list_sum(list_transform("
+            f"generate_series(1, {_EMB_DIM}), "
+            f"j -> CAST(embedding[j] AS DOUBLE) * ([{lits}])[j])), 6) "
+            f"AS r{k:02d}"
+        )
+    return ",\n               ".join(cols)
+
+
 ORACLES = {
+    "q146_random_projection": f"""
+        SELECT vec_id,
+               {_rp_cols_sql()}
+        FROM embeddings
+    """,
     "q138_kcenter_coreset": """
         WITH c0 AS (
             SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1
