@@ -39,9 +39,17 @@ HEAVY = [
 
 
 def timed(fn, spark, sf_dir) -> tuple[float, int]:
+    # noop sink, not count(): count lets Catalyst prune projection
+    # work out of the measurement (bench.py's rationale — q142's
+    # clean_text rebuild is 4x the pruned plan). Query CONSTRUCTION
+    # stays inside the window: iterative operators (components
+    # fixpoint, kmeans, BPE) run their driver loop eagerly when the
+    # query function is called.
     t0 = time.time()
-    n = fn(spark, sf_dir).count()
-    return time.time() - t0, n
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    return dt, df.count()
 
 
 def main() -> int:

@@ -62,6 +62,36 @@ def _centroids(emb: DataFrame) -> DataFrame:
     )
 
 
+# Within-cell SELF-JOIN queries (q46/q100) must grow the cell count
+# with the corpus: a FIXED C leaves cell size ∝ N and within-cell
+# pairs ∝ N²/C — measured at 10x sf0.1, q100 ran 15.1 s (exponent
+# 0.85) with C=8 vs 3.0 s near-linear with C = N/250. Probe-style
+# queries (q42/q86/q96/q119) keep the fixed seed: their per-query
+# work is ∝ cell size (linear in N), and their scale story is
+# partition pruning, not pair volume.
+_TARGET_CELL_SIZE = 250
+
+
+def _adaptive_centroids(emb: DataFrame) -> DataFrame:
+    """Centroid seed sized to the corpus: C = max(_N_CENTROIDS,
+    N // _TARGET_CELL_SIZE) first vectors. The count is one cheap
+    column scan at construction — the same eagerness class as
+    ivf_assign's centroid-literal collect; the oracle derives the
+    identical C with a scalar subquery."""
+    n = emb.count()
+    c = max(_N_CENTROIDS, n // _TARGET_CELL_SIZE)
+    return emb.filter(F.col("vec_id") < c).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+
+
+_ADAPTIVE_C_SQL = (
+    f"(SELECT greatest(count(*) // {_TARGET_CELL_SIZE}, {_N_CENTROIDS}) "
+    "FROM embeddings)"
+)
+
+
 def q41_ivf_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF build: nearest-centroid assignment (squared L2,
     deterministic tie-break) then cell histogram. At scale the
@@ -108,7 +138,7 @@ def q46_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding leg of the dedup suite."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.embedding_neardup_pairs(
-        emb, _centroids(emb), threshold=_NEARDUP_THRESHOLD
+        emb, _adaptive_centroids(emb), threshold=_NEARDUP_THRESHOLD
     )
 
 
@@ -216,7 +246,7 @@ def q100_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     as q46; one shuffle on cell, never all-pairs."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.semantic_dedup(
-        emb, _centroids(emb), threshold=_NEARDUP_THRESHOLD
+        emb, _adaptive_centroids(emb), threshold=_NEARDUP_THRESHOLD
     )
 
 
@@ -695,7 +725,7 @@ ORACLES = {
     "q46_embedding_neardup": f"""
         WITH c AS (
             SELECT vec_id AS centroid_id, embedding AS centroid_vec
-            FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+            FROM embeddings WHERE vec_id < {_ADAPTIVE_C_SQL}
         ), assigned AS (
             SELECT vec_id, embedding, cell FROM (
                 SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
@@ -763,7 +793,7 @@ ORACLES = {
     "q100_semantic_dedup": f"""
         WITH c AS (
             SELECT vec_id AS centroid_id, embedding AS centroid_vec
-            FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+            FROM embeddings WHERE vec_id < {_ADAPTIVE_C_SQL}
         ), assigned AS (
             SELECT vec_id, embedding, cell FROM (
                 SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
