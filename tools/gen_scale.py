@@ -103,6 +103,14 @@ def main() -> None:
             "l_orderkey", F.col("l_orderkey") + F.lit(r * OFFSET)
         )
 
+    def ev_rep(df, r):
+        if r == 0:
+            return df
+        return df.withColumn(
+            "event_id", F.col("event_id") + F.lit(r * OFFSET)
+        ).withColumn("user_id", F.col("user_id") + F.lit(r * OFFSET))
+
+    write(replicate(read("events"), factor, ev_rep), "events", 32)
     write(replicate(read("documents"), factor, docs_rep), "documents", 32)
     write(replicate(read("embeddings"), factor, emb_rep), "embeddings", 16)
     write(replicate(read("customer"), factor, cust_rep), "customer", 16)

@@ -63,9 +63,13 @@ def main() -> int:
         out = {}
     for name in names:
         fn = qs[name]
-        timed(fn, spark, SF01)  # warm (codegen + page cache)
-        t01 = min(timed(fn, spark, SF01)[0], timed(fn, spark, SF01)[0])
-        t1, n1 = timed(fn, spark, SF1)
+        try:
+            timed(fn, spark, SF01)  # warm (codegen + page cache)
+            t01 = min(timed(fn, spark, SF01)[0], timed(fn, spark, SF01)[0])
+            t1, n1 = timed(fn, spark, SF1)
+        except Exception as e:  # missing sf1 table etc.: skip, keep rest
+            print(f"{name:34s} ERROR {e}")
+            continue
         exp = math.log10(t1 / t01)
         out[name] = {
             "sf0.1_s": round(t01, 3),
