@@ -1019,3 +1019,56 @@ def test_temperature_budget_mix_model(spark):
 
     with _pytest.raises(ValueError):
         temperature_budget_mix(df, "text", "doc_id", "source", 0)
+
+
+def test_ansi_degenerate_input_guards(spark):
+    """Default-ANSI divide-by-zero audit regressions (the
+    rolling_zscore class): zipf_slope on a one-term vocabulary emits
+    NULL instead of crashing; weighted_sample_key with weight 0
+    yields a NULL key (never sampled); range_join and pack_sequences
+    reject non-positive window/ctx_len at build time."""
+    import pytest as _pytest
+
+    from ulh_etl_spark.operators.temporal import range_join
+    from ulh_etl_spark.operators.text import (
+        pack_sequences,
+        weighted_sample_key,
+        zipf_slope,
+    )
+    from pyspark.sql import functions as F
+
+    one_term = spark.createDataFrame(
+        [(1, "hello hello hello"), (2, "hello")],
+        "doc_id long, text string",
+    )
+    row = zipf_slope(one_term, "text").collect()[0]
+    assert row.n_terms == 1 and row.zipf_slope is None
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0)], "id long, w double"
+    )
+    keys = {
+        r.id: r.k
+        for r in df.select(
+            "id", weighted_sample_key(F.col("id"), F.col("w")).alias("k")
+        ).collect()
+    }
+    assert keys[1] is not None and keys[2] is None
+    # NULL key sorts last under the descending top-k: zero-weight
+    # rows are never sampled
+    top = df.select(
+        "id", weighted_sample_key(F.col("id"), F.col("w")).alias("k")
+    ).orderBy(F.col("k").desc()).limit(1).collect()
+    assert top[0].id == 1
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 10)], "k long, ts string, x long"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "x")
+    with _pytest.raises(ValueError):
+        range_join(ev, ev, on="k", left_ts="ts", right_ts="ts",
+                   window_seconds=0, left_cols=(), right_cols=())
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        pack_sequences(docs, "text", "doc_id", ctx_len=0)
+    with _pytest.raises(ValueError):
+        pack_sequences(docs, "text", "doc_id", ctx_len=8, n_shards=0)

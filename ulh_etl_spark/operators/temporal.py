@@ -160,6 +160,10 @@ def range_join(
     equi-join on (key, bucket) covers every candidate and each true
     pair is produced exactly once (no distinct needed).
     """
+    if window_seconds <= 0:
+        # fail at build time, not as a runtime DIVIDE_BY_ZERO in the
+        # bucket expression (ANSI) / an empty-result silent no-op
+        raise ValueError("window_seconds must be positive")
     win_us = int(window_seconds) * 1_000_000
     l_us = _epoch_micros(F.col(left_ts), left.schema[left_ts].dataType)
     r_us = _epoch_micros(F.col(right_ts), right.schema[right_ts].dataType)

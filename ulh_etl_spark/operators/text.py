@@ -220,12 +220,17 @@ def weighted_sample_key(
     per-partition heap + tiny driver merge (TakeOrderedAndProject),
     the whole weighted sample costs a single scan with NO shuffle at
     any corpus size. Deterministic u makes the sample reproducible
-    across runs and engines (no RNG state)."""
+    across runs and engines (no RNG state).
+
+    ``weight = 0`` yields a NULL key (try_divide — a raw 1/0 is a
+    hard error under default ANSI mode): NULLs sort last under the
+    descending top-k, so zero-weight rows are never sampled — the
+    A-ES limit of probability proportional to zero."""
     u = (
         md5_hash32(F.concat(F.lit(salt), F.lit("_"), id_col.cast("string")))
         + F.lit(1.0)
     ) / F.lit(4294967297.0)  # (h+1)/(2^32+1) in (0,1)
-    return F.pow(u, F.lit(1.0) / weight)
+    return F.pow(u, F.try_divide(F.lit(1.0), weight))
 
 
 def hashed_model_weights(n_buckets: int, salt: str = "qmodel") -> list[float]:
@@ -958,8 +963,14 @@ def pack_sequences(
     this doc within its shard), pack_idx."""
     from pyspark.sql import Window
 
+    if ctx_len <= 0:
+        # fail at build time, not as a runtime DIVIDE_BY_ZERO in the
+        # pack_idx expression (ANSI)
+        raise ValueError("ctx_len must be positive")
     if n_shards is None:
         n_shards = df.sparkSession.sparkContext.defaultParallelism
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
 
     shard = (
         md5_hash32(
@@ -1312,12 +1323,19 @@ def zipf_slope(df, text_col: str):
         F.sum(x * x).alias("sxx"),
     )
     m = F.col("m").cast("double")
+    # degenerate-vocabulary guard: with <= 1 distinct term the
+    # least-squares denominator is exactly 0.0 (sx = sxx = ln 1 = 0)
+    # — a hard DIVIDE_BY_ZERO under default ANSI mode. A one-term
+    # corpus has no rank-frequency slope; emit NULL (mirrored in the
+    # q123 oracle).
+    denom = m * F.col("sxx") - F.col("sx") * F.col("sx")
     return s.select(
         F.col("m").cast("long").alias("n_terms"),
-        F.round(
-            (m * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / (m * F.col("sxx") - F.col("sx") * F.col("sx")),
-            6,
+        F.when(
+            denom != 0,
+            F.round(
+                (m * F.col("sxy") - F.col("sx") * F.col("sy")) / denom, 6
+            ),
         ).alias("zipf_slope"),
     )
 

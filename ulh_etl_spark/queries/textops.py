@@ -1304,8 +1304,10 @@ ORACLES = {
             FROM r
         )
         SELECT CAST(m AS BIGINT) AS n_terms,
-               ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 6)
-                   AS zipf_slope
+               CASE WHEN m * sxx - sx * sx <> 0
+                    THEN ROUND((m * sxy - sx * sy)
+                               / (m * sxx - sx * sx), 6)
+               END AS zipf_slope
         FROM s
     """,
     # Same semantics as the engine: stride-1 k-token windows, a
