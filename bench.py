@@ -107,6 +107,7 @@ HEADLINE = (
     "q144_novelty_scores",
     "q145_incremental_neardup",
     "q146_random_projection",
+    "q147_audio_neardup",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",
@@ -226,6 +227,7 @@ ANCHOR = {
     "q144_novelty_scores": 2.124,
     "q145_incremental_neardup": 0.953,
     "q146_random_projection": 1.017,
+    "q147_audio_neardup": 2.030,
     # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's
     # cost is the in-order pair fan-out (O(sum basket²), baskets ~4).
     "q128_event_transitions": 0.735,

@@ -830,3 +830,53 @@ def test_random_projection_jl_property(spark):
             ) / out_dim
             ratio = red / max(orig, 1e-12)
             assert 0.3 < ratio < 3.0, (a, b, ratio)
+
+
+def test_wav_roundtrip_and_energy_fingerprint():
+    """Real RIFF/PCM16 round-trip (stdlib wave both directions) and
+    the energy-envelope fingerprint: the loud/quiet frame pattern is
+    recovered from the DECODED bytes; non-16-bit widths refuse; a
+    lightly-noised re-render keeps the same fingerprint."""
+    import io
+    import random
+    import wave
+
+    import pytest
+
+    from ulh_etl_spark.operators.multimodal import (
+        audio_energy_fingerprint,
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    # envelope bits 0b1010_0110_0101_1001 -> loud frames where set
+    bits = 0b1010011001011001
+    samples = []
+    for i in range(16):
+        amp = 20000 if (bits >> i) & 1 else 0
+        samples.extend([amp, -amp] * 25)
+    blob = encode_wav_pcm16(samples, sample_rate=8000)
+    d = decode_wav_pcm16(blob)
+    assert (d["sample_rate"], d["n_channels"], d["n_samples"]) == (
+        8000, 1, 800,
+    )
+    assert d["samples"] == samples  # exact PCM round-trip
+    assert audio_energy_fingerprint(blob) == bits
+
+    # additive noise well under the threshold: fingerprint unchanged
+    rnd = random.Random(5)
+    noisy = [s + rnd.randint(-500, 500) for s in samples]
+    assert audio_energy_fingerprint(encode_wav_pcm16(noisy)) == bits
+
+    # 8-bit samples must refuse (decode_png's palette rule)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes(100))
+    with pytest.raises(ValueError, match="sample width"):
+        decode_wav_pcm16(buf.getvalue())
+
+    # empty stream: fingerprint 0, no crash
+    assert audio_energy_fingerprint(encode_wav_pcm16([])) == 0

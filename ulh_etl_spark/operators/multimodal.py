@@ -239,6 +239,76 @@ def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> byt
     )
 
 
+def encode_wav_pcm16(samples, sample_rate: int = 8000) -> bytes:
+    """Minimal REAL WAV writer (stdlib ``wave``): mono 16-bit PCM.
+    The audio counterpart of :func:`encode_png` — test/data-generator
+    side of the real-codec pair."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(
+            b"".join(struct.pack("<h", int(s)) for s in samples)
+        )
+    return buf.getvalue()
+
+
+def decode_wav_pcm16(content: bytes) -> dict:
+    """REAL WAV decode with the standard library only (``wave`` —
+    RIFF/PCM per the public WAVE spec): mono-or-first-channel 16-bit
+    samples plus stream metadata. Refuses non-16-bit widths (a mean
+    over mis-width samples would be silently wrong — decode_png's
+    palette rule)."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError(
+                f"unsupported sample width {w.getsampwidth()} (PCM16 only)"
+            )
+        nch = w.getnchannels()
+        n = w.getnframes()
+        raw = w.readframes(n)
+        all_samples = struct.unpack(f"<{n * nch}h", raw)
+        return {
+            "sample_rate": w.getframerate(),
+            "n_channels": nch,
+            "n_samples": n,
+            "samples": list(all_samples[::nch]),  # first channel
+        }
+
+
+def audio_energy_fingerprint(
+    content: bytes, n_bits: int = 16, threshold: float = 8000.0
+) -> int:
+    """Energy-envelope audio fingerprint over REAL WAV bytes: the
+    stream splits into ``n_bits`` equal frames; bit i is set iff
+    frame i's mean |amplitude| >= ``threshold``. The chromaprint-
+    style loud/quiet envelope at its simplest — deterministic,
+    codec-real (stdlib decode), and band-joinable exactly like an
+    image phash (:func:`phash_neardup_pairs` is hash-agnostic).
+    Streams shorter than ``n_bits`` samples pad with silent frames."""
+    d = decode_wav_pcm16(content)
+    s = d["samples"]
+    n = len(s)
+    fp = 0
+    if n == 0:
+        return 0
+    frame = max(1, n // n_bits)
+    for i in range(n_bits):
+        seg = s[i * frame : (i + 1) * frame]
+        if seg and sum(abs(x) for x in seg) / len(seg) >= threshold:
+            fp |= 1 << i
+    return fp
+
+
 def real_decode_image(content: bytes) -> dict:
     """Real image decode. Prefers PIL when installed (any format);
     falls back to the stdlib :func:`decode_png` for PNG bytes, so ONE

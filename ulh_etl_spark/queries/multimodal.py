@@ -209,6 +209,72 @@ def _portable_frame_extractor(content: bytes, idx: int) -> bytes:
 SCENE_THRESHOLD = 25
 
 
+def q147_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup end to end with a REAL codec (the audio leg of
+    the visual q103 / video q117 triad): docs cluster in fours; each
+    doc synthesizes an ACTUAL PCM16 WAV whose 16-frame loud/quiet
+    energy envelope encodes its cluster id (stdlib ``wave`` writer in
+    an Arrow mapInPandas stage), the fingerprint stage DECODES the
+    WAV (stdlib ``wave`` reader, operators.multimodal.
+    audio_energy_fingerprint) and recovers the envelope bits, member
+    j > 0 flips bit j-1 JVM-side, then banded LSH + exact Hamming
+    pairs (phash_neardup_pairs is hash-agnostic; 16 bits / 4 bands
+    with max_hamming 3 < bands makes banded recall total, so the
+    oracle is the declarative all-pairs hamming join on the
+    ARITHMETIC fingerprint — the cluster id the envelope encodes)."""
+    import pandas as pd
+
+    from ulh_etl_spark.operators.multimodal import (
+        audio_energy_fingerprint,
+        media_phash,
+        phash_neardup_pairs,
+    )
+
+    from ulh_etl_spark.operators.text import md5_hash32
+
+    # md5-scramble the cluster id into the 16 envelope bits —
+    # sequential raw ids are hamming-close (cluster 6 vs 7 differ in
+    # one bit), which would swamp the planted families with
+    # neighboring-id pairs; scrambled fingerprints collide only at
+    # the binomial base rate, exactly like q103's hashed content
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        md5_hash32(F.floor(F.col("doc_id") / 4).cast("string"))
+        .bitwiseAND(F.lit(65535))
+        .alias("_cluster"),
+    )
+
+    def synth(batches):
+        from ulh_etl_spark.operators.multimodal import encode_wav_pcm16
+
+        for pdf in batches:
+            content = []
+            for c in pdf["_cluster"]:
+                samples = []
+                for bit in range(16):
+                    amp = 20000 if (int(c) >> bit) & 1 else 0
+                    samples.extend([amp, -amp] * 25)  # 50/frame
+                content.append(encode_wav_pcm16(samples))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].values, "content": content}
+            )
+
+    wavs = docs.mapInPandas(synth, "media_id long, content binary")
+    fp = media_phash(wavs, hasher=audio_energy_fingerprint)
+    member = F.col("media_id") % 4
+    flip = (
+        F.when(member == 1, F.lit(1))
+        .when(member == 2, F.lit(2))
+        .when(member == 3, F.lit(4))
+        .otherwise(F.lit(0))
+    ).cast("long")
+    fp = fp.withColumn("phash", F.col("phash").bitwiseXOR(flip))
+    pairs = phash_neardup_pairs(fp, bits=16, bands=4, max_hamming=3)
+    return pairs.select(
+        "id1", "id2", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 def q117_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video scene-change detection end to end: media bytes ->
     sampled frames (Arrow mapInPandas explode) -> per-frame 60-bit
@@ -245,6 +311,7 @@ QUERIES = {
     "q103_phash_neardup_pairs": q103_phash_neardup_pairs,
     "q105_phash_neardup_clusters": q105_phash_neardup_clusters,
     "q117_scene_changes": q117_scene_changes,
+    "q147_audio_neardup": q147_audio_neardup,
 }
 
 # Shared by the q103/q105 oracles: portable_phash arithmetic + member
@@ -339,6 +406,25 @@ ORACLES = {
     "q103_phash_neardup_pairs": f"""
         {_PHASH_PAIRS_CTE}
         SELECT id1, id2, hamming FROM ppairs
+    """,
+    # the envelope fingerprint of the synthesized WAV IS the cluster
+    # id (loud frame per set bit), so the oracle is pure arithmetic —
+    # the engine leg still round-trips real RIFF/PCM16 bytes
+    "q147_audio_neardup": """
+        WITH f AS (
+            SELECT doc_id AS media_id,
+                   xor(CAST('0x' || substr(md5(CAST(doc_id // 4 AS VARCHAR)),
+                                           1, 8) AS BIGINT) & 65535,
+                       CASE doc_id % 4
+                           WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 4
+                           ELSE 0
+                       END::BIGINT) AS fp
+            FROM documents
+        )
+        SELECT a.media_id AS id1, b.media_id AS id2,
+               CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+        FROM f a JOIN f b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 3
     """,
     # same pair CTE -> recursive transitive closure (q75's fixpoint
     # pattern) -> per-cluster rollup; shared CTE keeps q103/q105 in
