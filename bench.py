@@ -108,6 +108,7 @@ HEADLINE = (
     "q145_incremental_neardup",
     "q146_random_projection",
     "q147_audio_neardup",
+    "q148_html_extract",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",
@@ -228,6 +229,7 @@ ANCHOR = {
     "q145_incremental_neardup": 0.953,
     "q146_random_projection": 1.017,
     "q147_audio_neardup": 2.030,
+    "q148_html_extract": 0.393,
     # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's
     # cost is the in-order pair fan-out (O(sum basket²), baskets ~4).
     "q128_event_transitions": 0.735,

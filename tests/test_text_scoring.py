@@ -1072,3 +1072,35 @@ def test_ansi_degenerate_input_guards(spark):
         pack_sequences(docs, "text", "doc_id", ctx_len=0)
     with _pytest.raises(ValueError):
         pack_sequences(docs, "text", "doc_id", ctx_len=8, n_shards=0)
+
+
+def test_html_to_text_model(spark):
+    """Extraction semantics: script/style ELEMENTS drop wholesale
+    (their content must not leak as prose), comments and tags strip,
+    entities unescape with &amp; LAST, whitespace collapses."""
+    from ulh_etl_spark.operators.text import html_to_text
+
+    cases = [
+        # script content must vanish, not just its tags
+        ("<p>a</p><script>var leak = 'SECRET';</script><p>b</p>", "a b"),
+        ("<STYLE type='x'>p{color:red}</STYLE>hi", "hi"),
+        ("<!-- hidden -->shown", "shown"),
+        ("line<br/>break", "line break"),
+        ("&lt;tag&gt; &amp; &quot;q&quot; &#39;s&#39; &nbsp;", "<tag> & \"q\" 's'"),
+        # double-escaped: &amp;lt; is the TEXT "&lt;", not a tag
+        ("&amp;lt;not-a-tag&amp;gt;", "&lt;not-a-tag&gt;"),
+        ("  a \n\t b  ", "a b"),
+        ("<script a=1>x</script >tail", "tail"),  # spaced close tag
+        ("", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i long, h string"
+    )
+    from pyspark.sql import functions as F
+
+    out = {
+        r.i: r.t
+        for r in df.select("i", html_to_text(F.col("h")).alias("t")).collect()
+    }
+    for i, (h, want) in enumerate(cases):
+        assert out[i] == want, (h, out[i], want)

@@ -423,6 +423,43 @@ def token_budget_sample(
     )
 
 
+_HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # LAST: unescaping it earlier would re-interpret
+    #                  sequences like "&amp;lt;" as a second entity
+)
+
+
+def html_to_text(col: Column) -> Column:
+    """Web-crawl text extraction as a pure JVM expression chain — the
+    stage between raw HTML and every text operator in this engine:
+    1. drop <script>/<style> ELEMENTS wholesale (their text content
+       is code, not prose — tag-stripping alone would leak it);
+    2. strip comments, then all remaining tags;
+    3. unescape the common entities (&amp; LAST — see _HTML_ENTITIES);
+    4. collapse whitespace runs and trim.
+    Regexes are RE2-compatible (no backrefs/lookbehind), so the
+    DuckDB oracle runs the IDENTICAL patterns. A narrow map — the
+    100 TB extraction pass is scan-shaped, zero shuffles. This is
+    the deterministic core of extraction, not a browser: dynamic
+    content, CSS visibility, and boilerplate DOM pruning
+    (readability) are out of scope — boilerplate_passage_filter
+    handles template text statistically downstream."""
+    # two explicit element patterns, no backreference — RE2 (the
+    # oracle's regex engine) has none
+    out = F.regexp_replace(col, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    out = F.regexp_replace(out, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]*>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
 def novelty_scores(
     df,
     text_col: str,

@@ -53,3 +53,19 @@ def simhash_expr(hashes_expr: str, bits: int) -> str:
         )
         terms.append(f"(CASE WHEN {s} > 0 THEN {1 << b} ELSE 0 END)")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def html_to_text(expr: str) -> str:
+    """HTML -> text extraction — identical chain to
+    operators.text.html_to_text (RE2-safe patterns, 'g' flag: DuckDB
+    replaces first-match-only by default where Spark replaces all)."""
+    out = f"regexp_replace({expr}, '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g')"
+    out = f"regexp_replace({out}, '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g')"
+    out = f"regexp_replace({out}, '(?s)<!--.*?-->', ' ', 'g')"
+    out = f"regexp_replace({out}, '(?s)<[^>]*>', ' ', 'g')"
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "''"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        out = f"replace({out}, '{ent}', '{ch}')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"

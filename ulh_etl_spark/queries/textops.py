@@ -233,6 +233,37 @@ def q122_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q148_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-crawl text extraction: each doc is wrapped in a
+    deterministic HTML page (title from its source, a per-doc script
+    block, style, comments, entity-bearing footer — the q147
+    synthesize-then-process pattern) and ``html_to_text`` recovers
+    the prose: script/style ELEMENTS dropped wholesale, tags
+    stripped, entities unescaped, whitespace collapsed. Pure
+    regex narrow map — the scan-shaped extraction pass every raw
+    crawl runs before any text operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>"),
+        F.col("source"),
+        F.lit('</title><script type="text/javascript">var id = '),
+        did,
+        F.lit(";</script><style>p { margin: 0; }</style></head>"),
+        F.lit("<body><!-- doc "),
+        did,
+        F.lit(" --><p>"),
+        F.col("text"),
+        F.lit("</p><div>&amp; &lt;footer&gt;</div></body></html>"),
+    )
+    extracted = T.html_to_text(html)
+    return docs.select(
+        "doc_id",
+        extracted.alias("extracted"),
+        F.length(extracted).cast("long").alias("n_chars_extracted"),
+    )
+
+
 NOVELTY_GRAM_N = 8
 
 
@@ -860,6 +891,7 @@ QUERIES = {
     "q142_dup_span_removal": q142_dup_span_removal,
     "q143_temperature_mix": q143_temperature_mix,
     "q144_novelty_scores": q144_novelty_scores,
+    "q148_html_extract": q148_html_extract,
     "q124_span_pairs": q124_span_pairs,
     "q135_length_buckets": q135_length_buckets,
     "q137_needle_insertion": q137_needle_insertion,
@@ -1579,6 +1611,25 @@ ORACLES = {
         )
         ORDER BY sample_key DESC, doc_id
         LIMIT {WSAMPLE_K}
+    """,
+    "q148_html_extract": f"""
+        WITH h AS (
+            SELECT doc_id,
+                   '<html><head><title>' || source
+                   || '</title><script type="text/javascript">var id = '
+                   || CAST(doc_id AS VARCHAR)
+                   || ';</script><style>p {{ margin: 0; }}</style></head>'
+                   || '<body><!-- doc ' || CAST(doc_id AS VARCHAR)
+                   || ' --><p>' || text
+                   || '</p><div>&amp; &lt;footer&gt;</div></body></html>'
+                       AS html
+            FROM documents
+        )
+        SELECT doc_id,
+               {O.html_to_text('html')} AS extracted,
+               CAST(length({O.html_to_text('html')}) AS BIGINT)
+                   AS n_chars_extracted
+        FROM h
     """,
     # The engine hashes grams (xxhash64, internal compression only —
     # two-hash policy, text.gram_hash64); the oracle counts RAW
