@@ -109,6 +109,7 @@ HEADLINE = (
     "q146_random_projection",
     "q147_audio_neardup",
     "q148_html_extract",
+    "q149_sft_render",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",
@@ -230,6 +231,7 @@ ANCHOR = {
     "q146_random_projection": 1.017,
     "q147_audio_neardup": 2.030,
     "q148_html_extract": 0.393,
+    "q149_sft_render": 0.473,
     # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's
     # cost is the in-order pair fan-out (O(sum basket²), baskets ~4).
     "q128_event_transitions": 0.735,

@@ -1104,3 +1104,33 @@ def test_html_to_text_model(spark):
     }
     for i, (h, want) in enumerate(cases):
         assert out[i] == want, (h, out[i], want)
+
+
+def test_render_sft_pairs_model(spark):
+    """The rendered template's response substring (sliced by the
+    emitted offsets) must be EXACTLY the response tokens — the
+    offsets are the loss mask, an off-by-one silently trains on
+    template or prompt chars. Short docs yield nothing."""
+    import pytest as _pytest
+
+    from ulh_etl_spark.operators.text import render_sft_pairs
+
+    rows = [
+        (1, "a b c d e"),   # prompt 2 -> 'a b', response 'c d e'
+        (2, "x  y"),        # 2 tokens: prompt 2, NO response -> drop
+        (3, "only"),        # 1 token -> drop
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in render_sft_pairs(df, "text", "doc_id", prompt_tokens=2)
+        .collect()
+    }
+    assert set(out) == {1}
+    r = out[1]
+    assert r.rendered == "<|user|>a b<|assistant|>c d e<|end|>"
+    assert r.rendered[r.resp_char_start : r.resp_char_end] == "c d e"
+    assert (r.n_prompt_tokens, r.n_response_tokens) == (2, 3)
+
+    with _pytest.raises(ValueError):
+        render_sft_pairs(df, "text", "doc_id", prompt_tokens=0)

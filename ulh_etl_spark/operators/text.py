@@ -423,6 +423,63 @@ def token_budget_sample(
     )
 
 
+SFT_USER = "<|user|>"
+SFT_ASSISTANT = "<|assistant|>"
+SFT_END = "<|end|>"
+
+
+def render_sft_pairs(
+    df,
+    text_col: str,
+    id_col: str,
+    prompt_tokens: int = 16,
+):
+    """Instruction-tuning data formatting: split each document into a
+    (prompt, response) pair — prompt = the first ``prompt_tokens``
+    tokens, response = the rest (the inverse-cloze stand-in for real
+    conversation rows) — render the chat template
+    ``<|user|>P<|assistant|>R<|end|>`` and emit the CHARACTER span of
+    the response inside the rendered string. That span is the loss
+    mask: trainers compute loss only on assistant chars/tokens, and
+    shipping the offsets WITH the rendered text is what lets the
+    tokenizer stage mask without re-parsing the template. Docs with
+    fewer than ``prompt_tokens`` + 1 tokens yield nothing (no
+    response to train on).
+
+    Pure narrow map (tokenize + two joins + length arithmetic);
+    token text is whitespace-normalized by the re-join, like every
+    reassembly operator here. Offsets are 0-based,
+    ``[resp_char_start, resp_char_end)``."""
+    if prompt_tokens < 1:
+        raise ValueError("prompt_tokens must be >= 1")
+    with_t = df.select(
+        F.col(id_col), whitespace_tokens(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
+    nt = F.size(toks)
+    prompt = F.array_join(F.slice(toks, 1, prompt_tokens), " ")
+    response = F.array_join(
+        F.slice(toks, prompt_tokens + 1, nt - prompt_tokens), " "
+    )
+    rendered = F.concat(
+        F.lit(SFT_USER), prompt, F.lit(SFT_ASSISTANT), response, F.lit(SFT_END)
+    )
+    start = (
+        F.lit(len(SFT_USER)) + F.length(prompt) + F.lit(len(SFT_ASSISTANT))
+    )
+    return (
+        with_t.filter(nt > prompt_tokens)
+        .select(
+            F.col(id_col),
+            rendered.alias("rendered"),
+            start.cast("long").alias("resp_char_start"),
+            (start + F.length(response)).cast("long").alias("resp_char_end"),
+            F.lit(prompt_tokens).cast("long").alias("n_prompt_tokens"),
+            (nt - prompt_tokens).cast("long").alias("n_response_tokens"),
+        )
+    )
+
+
 _HTML_ENTITIES = (
     ("&lt;", "<"),
     ("&gt;", ">"),

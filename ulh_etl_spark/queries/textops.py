@@ -233,6 +233,21 @@ def q122_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SFT_PROMPT_TOKENS = 16
+
+
+def q149_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-data formatting: every long-enough doc becomes a
+    rendered ``<|user|>prompt<|assistant|>response<|end|>`` training
+    row with the response's character span attached — the loss-mask
+    offsets the tokenizer stage consumes without re-parsing the
+    template (operators.text.render_sft_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.render_sft_pairs(
+        docs, "text", "doc_id", prompt_tokens=SFT_PROMPT_TOKENS
+    )
+
+
 def q148_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-crawl text extraction: each doc is wrapped in a
     deterministic HTML page (title from its source, a per-doc script
@@ -892,6 +907,7 @@ QUERIES = {
     "q143_temperature_mix": q143_temperature_mix,
     "q144_novelty_scores": q144_novelty_scores,
     "q148_html_extract": q148_html_extract,
+    "q149_sft_render": q149_sft_render,
     "q124_span_pairs": q124_span_pairs,
     "q135_length_buckets": q135_length_buckets,
     "q137_needle_insertion": q137_needle_insertion,
@@ -1611,6 +1627,28 @@ ORACLES = {
         )
         ORDER BY sample_key DESC, doc_id
         LIMIT {WSAMPLE_K}
+    """,
+    "q149_sft_render": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS tk FROM documents
+        ), parts AS (
+            SELECT doc_id,
+                   len(tk) AS nt,
+                   array_to_string(tk[1:{SFT_PROMPT_TOKENS}], ' ') AS p,
+                   array_to_string(tk[{SFT_PROMPT_TOKENS} + 1:len(tk)], ' ')
+                       AS r
+            FROM t WHERE len(tk) > {SFT_PROMPT_TOKENS}
+        )
+        SELECT doc_id,
+               '<|user|>' || p || '<|assistant|>' || r || '<|end|>'
+                   AS rendered,
+               CAST(8 + length(p) + 13 AS BIGINT) AS resp_char_start,
+               CAST(8 + length(p) + 13 + length(r) AS BIGINT)
+                   AS resp_char_end,
+               CAST({SFT_PROMPT_TOKENS} AS BIGINT) AS n_prompt_tokens,
+               CAST(nt - {SFT_PROMPT_TOKENS} AS BIGINT)
+                   AS n_response_tokens
+        FROM parts
     """,
     "q148_html_extract": f"""
         WITH h AS (
