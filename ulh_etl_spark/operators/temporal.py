@@ -258,14 +258,25 @@ def rolling_zscore_anomalies(
     var = (sq - s * s / cnt) / (cnt - 1)
     z = (x - mean) / F.sqrt(var)
     full = cnt >= baseline
-    scored = full & (var > 0)
+    # Flat-baseline guard via min==max over the frame, NOT `var > 0`:
+    # for a constant non-integer baseline (all 0.1) float roundoff in
+    # sq - s*s/cnt can leave a tiny positive residue, turning every
+    # point into a huge z-score — and Spark/DuckDB window-sum orders
+    # can disagree on the residue's sign. min/max comparison is
+    # bit-stable in both engines.
+    mn = F.min(x).over(w)
+    mx = F.max(x).over(w)
+    scored = full & (mn != mx)
     return (
         df.withColumn("baseline_mean", F.when(full, mean))
         .withColumn("zscore", F.when(scored, z))
         .withColumn(
             "is_anomaly",
+            # flat baseline: anomalous iff the point leaves the
+            # constant level (compare against mn, which is exact,
+            # not the round-off-prone mean).
             F.when(scored, F.abs(z) > F.lit(threshold))
-            .when(full, x != mean)
+            .when(full, x != mn)
             .otherwise(F.lit(False)),
         )
     )

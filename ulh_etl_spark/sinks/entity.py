@@ -190,11 +190,15 @@ def batch_upsert_http(
     keeps its natural parallelism (a ``coalesce`` would drag the
     whole upstream plan down to n tasks).
 
-    ``retries`` is the per-batch retry budget: a transport exception,
-    HTTP 429, or 5xx retries the SAME batch up to ``retries`` extra
-    attempts (linear backoff via the injectable ``sleeper``) — safe
-    because every op is an idempotent keyed PATCH/DELETE (POSTs are
-    create-intent, reference :540-585 semantics). A batch that
+    ``retries`` is the per-batch retry budget (linear backoff via the
+    injectable ``sleeper``). HTTP 429 retries any batch — the server
+    rejected it before processing. A transport exception or 5xx is
+    AMBIGUOUS (the batch may have been applied before the response was
+    lost), so those retry only batches composed entirely of keyed
+    PATCH/DELETE ops, which are idempotent under re-send; a batch
+    containing any POST create fails immediately on an ambiguous
+    error rather than risk silently duplicating created records
+    (reference :540-585 create-intent semantics). A batch that
     exhausts the budget counts its ops as failed and the stream
     continues (continue-on-error, like the reference's per-batch
     logging); ``BatchResult.retried`` reports total retry attempts.
@@ -229,6 +233,13 @@ def batch_upsert_http(
             if not ops:
                 return
             payload = build_batch_payload(ops)
+            # POST creates are NOT idempotent: a transport exception or
+            # 5xx after the server applied the batch would duplicate
+            # the created records on re-send. Only 429 (rejected before
+            # processing) is safe to retry for a batch containing
+            # POSTs; ambiguous failures retry only all-PATCH/DELETE
+            # batches (keyed + If-Match, safe to re-apply).
+            idempotent = all(o["method"] != "POST" for o in ops)
             resp = None
             for attempt in range(retries + 1):
                 if attempt:
@@ -237,10 +248,13 @@ def batch_upsert_http(
                 try:
                     resp = attempt_once(payload)
                 except Exception:
-                    if attempt == retries:
-                        resp = None
+                    resp = None
+                    if attempt == retries or not idempotent:
+                        break
                     continue
-                if resp.status == 429 or resp.status >= 500:
+                if resp.status == 429 and attempt < retries:
+                    continue
+                if resp.status >= 500 and attempt < retries and idempotent:
                     continue
                 break
             acc_batches.add(1)
