@@ -260,3 +260,91 @@ def test_rolling_zscore_flat_baseline(spark):
         ).collect()
     }
     assert got["t4"] == (5.0, None, True)
+
+
+def test_rolling_zscore_noninteger_flat_baseline(spark):
+    """Regression for the r9 half-fix (ADVICE r9, temporal.py:269):
+    a constant NON-INTEGER baseline (all 0.1) can leave a tiny
+    positive round-off residue in the closed-form variance, which
+    a `var > 0`-only guard turns into a huge spurious z. The
+    min==max guard must classify these frames as flat — NULL z,
+    is_anomaly = (x != min) — and the DuckDB oracle twin (the
+    q132/q139 guard expression) must agree row-for-row."""
+    import duckdb
+
+    from ulh_etl_spark.operators.temporal import rolling_zscore_anomalies
+
+    rows = [(f"t{i}", 0.1) for i in range(1, 6)] + [("t6", 0.4)]
+    df = spark.createDataFrame(rows, "t string, v double")
+    got = {
+        r.t: (r.zscore, r.is_anomaly)
+        for r in rolling_zscore_anomalies(
+            df, "v", "t", baseline=4, threshold=2.0
+        ).collect()
+    }
+    # flat 0.1 frames: never scored, never flagged
+    assert got["t5"] == (None, False)
+    # spike after the flat run: NULL z, flagged via x != mn
+    assert got["t6"] == (None, True)
+
+    # Oracle twin: the exact guard shape shipped in q132/q139.
+    oracle = duckdb.sql(
+        """
+        WITH pts(t, v) AS (VALUES
+            ('t1', 0.1), ('t2', 0.1), ('t3', 0.1),
+            ('t4', 0.1), ('t5', 0.1), ('t6', 0.4)
+        ), w AS (
+            SELECT t, v,
+                   COUNT(v) OVER win AS cnt,
+                   SUM(v) OVER win AS s,
+                   SUM(v * v) OVER win AS sq,
+                   MIN(v) OVER win AS mn,
+                   MAX(v) OVER win AS mx
+            FROM pts
+            WINDOW win AS (ORDER BY t
+                           ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT t,
+               CASE WHEN cnt >= 4 AND mn <> mx
+                     AND (sq - s * s / cnt) / (cnt - 1) > 0
+                    THEN (v - s / cnt)
+                         / sqrt((sq - s * s / cnt) / (cnt - 1))
+               END AS zscore,
+               CASE WHEN cnt >= 4 AND mn <> mx
+                     AND (sq - s * s / cnt) / (cnt - 1) > 0
+                    THEN abs((v - s / cnt)
+                          / sqrt((sq - s * s / cnt) / (cnt - 1))) > 2.0
+                    WHEN cnt >= 4 THEN v <> mn
+                    ELSE FALSE END AS is_anomaly
+        FROM w
+        """
+    ).fetchall()
+    assert {t: (z, a) for t, z, a in oracle} == got
+
+
+def test_rolling_zscore_large_magnitude_low_spread(spark):
+    """ADVICE r9 cancellation backstop: baselines near 1e16 with a
+    1-ulp spread make the closed-form variance cancel to exactly 0
+    or negative while min != max. Without the var > 0 guard that is
+    a divide-by-zero (hard error under Spark 4 default ANSI) or a
+    NaN z whose abs() > threshold is TRUE under NaN ordering. Such
+    rows must fall through to the x != min flat branch — no crash,
+    no NaN, deterministic flags."""
+    import math
+
+    from ulh_etl_spark.operators.temporal import rolling_zscore_anomalies
+
+    base = 1.0e16
+    up = math.nextafter(base, math.inf)  # 1 ulp apart: min != max
+    rows = [("t1", base), ("t2", up), ("t3", base), ("t4", up), ("t5", base)]
+    df = spark.createDataFrame(rows, "t string, v double")
+    out = rolling_zscore_anomalies(
+        df, "v", "t", baseline=4, threshold=2.0
+    ).collect()
+    for r in out:
+        assert r.zscore is None or not math.isnan(r.zscore)
+    got = {r.t: r.is_anomaly for r in out}
+    # t5 = base while frame-min is base -> x == mn -> not flagged
+    # (when var cancels <= 0); if var survives > 0 the true z is
+    # tiny, also not flagged. Either leg: False, never NaN-True.
+    assert got["t5"] is False

@@ -225,16 +225,24 @@ def rolling_zscore_anomalies(
     half-case behavior (Spark HALF_UP vs DuckDB half-even — measured
     flapping at the 4th decimal).
 
-    Flat-baseline semantics: a full trailing window with ZERO
-    variance (all ``baseline`` values identical) has no meaningful
-    z — emitting one would divide by zero (a hard error under
-    Spark 4's default ANSI mode, and an engine-divergent inf/NaN
-    with ANSI off). Such points get NULL ``zscore`` and
-    ``is_anomaly = (x != mean)``: any departure from a perfectly
-    flat baseline is by definition anomalous. The variance sign
-    check uses the SAME closed-form expression both engines fold,
-    so the guard itself is bit-stable too. (The streaming twin
-    ``running_zscore_stream`` applies the same m2 > 0 guard.)
+    Flat-baseline semantics: a full trailing window whose values
+    are all identical (``min == max`` over the frame — bit-stable
+    in both engines, unlike the round-off-prone closed-form
+    variance sign for constant non-integer baselines such as all
+    0.1) has no meaningful z. Such points get NULL ``zscore`` and
+    ``is_anomaly = (x != min)``: any departure from a perfectly
+    flat baseline is by definition anomalous, and ``min`` is exact
+    where the computed mean carries round-off. A second ``var > 0``
+    guard backs this up for large-magnitude low-spread baselines
+    (values near 1e16) where the closed form can cancel to exactly
+    0 (divide-by-zero — a hard error under Spark 4's default ANSI
+    mode) or to a tiny negative (sqrt → NaN, and abs(NaN) >
+    threshold is TRUE under Spark's NaN ordering); rows with
+    min != max but var <= 0 also fall through to the ``x != min``
+    branch. Both guards are mirrored verbatim in the q132/q139
+    DuckDB oracles. (The streaming twin ``running_zscore_stream``
+    guards on Welford ``m2 > 0``, which is equivalent here only
+    because Welford's incremental update does not cancel.)
 
     Scale: with ``partition_col`` (per-key series) this is one
     shuffle and bounded frames. WITHOUT it the window is global —
@@ -266,7 +274,11 @@ def rolling_zscore_anomalies(
     # bit-stable in both engines.
     mn = F.min(x).over(w)
     mx = F.max(x).over(w)
-    scored = full & (mn != mx)
+    # Both guards (see docstring): min!=max for bit-stable flat
+    # detection, var>0 against catastrophic cancellation at large
+    # magnitudes (exact-0 -> ANSI divide error, negative -> NaN z
+    # that NaN-ordering would flag anomalous).
+    scored = full & (mn != mx) & (var > 0)
     return (
         df.withColumn("baseline_mean", F.when(full, mean))
         .withColumn("zscore", F.when(scored, z))

@@ -200,26 +200,32 @@ ORACLES = {
             SELECT event_type, day, n_events,
                    COUNT(n_events) OVER win AS cnt,
                    SUM(n_events) OVER win AS s,
-                   SUM(n_events * n_events) OVER win AS sq
+                   SUM(n_events * n_events) OVER win AS sq,
+                   MIN(n_events) OVER win AS mn,
+                   MAX(n_events) OVER win AS mx
             FROM daily
             WINDOW win AS (PARTITION BY event_type ORDER BY day
                            ROWS BETWEEN {DAILY_BASELINE} PRECEDING
                                     AND 1 PRECEDING)
         )
+        -- Guard mirrors operators/temporal.py rolling_zscore_anomalies:
+        -- scored iff full frame AND mn <> mx (bit-stable flat check)
+        -- AND closed-form var > 0 (cancellation backstop); otherwise
+        -- full frames flag via n_events <> mn (exact, not s/cnt).
         SELECT event_type, day, CAST(n_events AS BIGINT) AS n_events,
                CASE WHEN cnt >= {DAILY_BASELINE}
                     THEN s / cnt END AS baseline_mean,
-               CASE WHEN cnt >= {DAILY_BASELINE}
+               CASE WHEN cnt >= {DAILY_BASELINE} AND mn <> mx
                      AND (sq - s * s / cnt) / (cnt - 1) > 0
                     THEN (n_events - s / cnt)
                          / sqrt((sq - s * s / cnt) / (cnt - 1))
                END AS zscore,
-               CASE WHEN cnt >= {DAILY_BASELINE}
+               CASE WHEN cnt >= {DAILY_BASELINE} AND mn <> mx
                      AND (sq - s * s / cnt) / (cnt - 1) > 0
                     THEN abs((n_events - s / cnt)
                           / sqrt((sq - s * s / cnt) / (cnt - 1))) > 2.0
                     WHEN cnt >= {DAILY_BASELINE}
-                    THEN n_events <> s / cnt
+                    THEN n_events <> mn
                     ELSE FALSE END AS is_anomaly
         FROM w
     """,
@@ -234,27 +240,33 @@ ORACLES = {
             SELECT week, n_orders, revenue,
                    COUNT(revenue) OVER win AS cnt,
                    SUM(revenue) OVER win AS s,
-                   SUM(revenue * revenue) OVER win AS sq
+                   SUM(revenue * revenue) OVER win AS sq,
+                   MIN(revenue) OVER win AS mn,
+                   MAX(revenue) OVER win AS mx
             FROM weekly
             WINDOW win AS (ORDER BY week
                            ROWS BETWEEN {ANOM_BASELINE} PRECEDING
                                     AND 1 PRECEDING)
         )
+        -- Guard mirrors operators/temporal.py rolling_zscore_anomalies:
+        -- scored iff full frame AND mn <> mx (bit-stable flat check)
+        -- AND closed-form var > 0 (cancellation backstop); otherwise
+        -- full frames flag via revenue <> mn (exact, not s/cnt).
         SELECT week, n_orders, revenue,
                CASE WHEN cnt >= {ANOM_BASELINE}
                     THEN s / cnt END AS baseline_mean,
-               CASE WHEN cnt >= {ANOM_BASELINE}
+               CASE WHEN cnt >= {ANOM_BASELINE} AND mn <> mx
                      AND (sq - s * s / cnt) / (cnt - 1) > 0
                     THEN (revenue - s / cnt)
                          / sqrt((sq - s * s / cnt) / (cnt - 1))
                END AS zscore,
-               CASE WHEN cnt >= {ANOM_BASELINE}
+               CASE WHEN cnt >= {ANOM_BASELINE} AND mn <> mx
                      AND (sq - s * s / cnt) / (cnt - 1) > 0
                     THEN abs((revenue - s / cnt)
                           / sqrt((sq - s * s / cnt) / (cnt - 1)))
                          > {ANOM_THRESHOLD}
                     WHEN cnt >= {ANOM_BASELINE}
-                    THEN revenue <> s / cnt
+                    THEN revenue <> mn
                     ELSE FALSE END AS is_anomaly
         FROM w
     """,
