@@ -861,12 +861,25 @@ def test_wav_roundtrip_and_energy_fingerprint():
         8000, 1, 800,
     )
     assert d["samples"] == samples  # exact PCM round-trip
-    assert audio_energy_fingerprint(blob) == bits
+    assert audio_energy_fingerprint(blob, n_bits=16) == bits
 
     # additive noise well under the threshold: fingerprint unchanged
     rnd = random.Random(5)
     noisy = [s + rnd.randint(-500, 500) for s in samples]
-    assert audio_energy_fingerprint(encode_wav_pcm16(noisy)) == bits
+    assert audio_energy_fingerprint(encode_wav_pcm16(noisy), n_bits=16) == bits
+
+    # wide envelope (q147's width): a 60-bit pattern round-trips —
+    # the regression for the saturated 16-bit space is that widths
+    # past 32 bits survive the encode/decode/threshold chain exactly
+    wide = (0x0BADC0FFEE15BAD5 >> 4) | 1 | (1 << 59)  # ends set, 60b
+    wsamples = []
+    for i in range(60):
+        amp = 20000 if (wide >> i) & 1 else 0
+        wsamples.extend([amp, -amp] * 25)
+    assert (
+        audio_energy_fingerprint(encode_wav_pcm16(wsamples), n_bits=60)
+        == wide
+    )
 
     # 8-bit samples must refuse (decode_png's palette rule)
     buf = io.BytesIO()

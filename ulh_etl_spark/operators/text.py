@@ -36,6 +36,17 @@ def md5_hash32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def md5_hash60(col: Column) -> Column:
+    """Deterministic 60-bit hash: first 15 hex chars of md5 as a long
+    (portable_phash's width — 15 nibbles keeps the value < 2^60, so
+    it is sign-safe as a BIGINT in BOTH engines; 16 would overflow
+    DuckDB's signed CAST for high digests). Use where a 32-bit space
+    saturates: pairing/banding relations over >= ~2^16 keys collide
+    at the base rate C(bits, <=h)/2^bits, which at 60 bits is ~3e-14
+    for hamming <= 3 — negligible at any corpus size we can hold."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def gram_hash64(col: Column) -> Column:
     """Fast 64-bit gram hash (xxhash64) for HASH-INVARIANT operators.
 

@@ -212,16 +212,24 @@ SCENE_THRESHOLD = 25
 def q147_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup end to end with a REAL codec (the audio leg of
     the visual q103 / video q117 triad): docs cluster in fours; each
-    doc synthesizes an ACTUAL PCM16 WAV whose 16-frame loud/quiet
+    doc synthesizes an ACTUAL PCM16 WAV whose 60-frame loud/quiet
     energy envelope encodes its cluster id (stdlib ``wave`` writer in
     an Arrow mapInPandas stage), the fingerprint stage DECODES the
     WAV (stdlib ``wave`` reader, operators.multimodal.
     audio_energy_fingerprint) and recovers the envelope bits, member
     j > 0 flips bit j-1 JVM-side, then banded LSH + exact Hamming
-    pairs (phash_neardup_pairs is hash-agnostic; 16 bits / 4 bands
+    pairs (phash_neardup_pairs is hash-agnostic; 60 bits / 4 bands
     with max_hamming 3 < bands makes banded recall total, so the
     oracle is the declarative all-pairs hamming join on the
-    ARITHMETIC fingerprint — the cluster id the envelope encodes)."""
+    ARITHMETIC fingerprint — the cluster id the envelope encodes).
+
+    60-bit width (was 16 through r9): a 16-bit space saturates — at
+    sf1's ~50 K clusters, random fingerprints land within hamming 3
+    of each other at rate C(16,<=3)/2^16 ~ 1%, burying the ~75 K
+    planted pairs under ~13 M base-rate collisions, and the pair
+    relation grew quadratically with corpus. At 60 bits the collision
+    rate is C(60,<=3)/2^60 ~ 3e-14, so output ~= planted pairs at any
+    reachable scale and pair volume grows linearly with the corpus."""
     import pandas as pd
 
     from ulh_etl_spark.operators.multimodal import (
@@ -230,17 +238,16 @@ def q147_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         phash_neardup_pairs,
     )
 
-    from ulh_etl_spark.operators.text import md5_hash32
+    from ulh_etl_spark.operators.text import md5_hash60
 
-    # md5-scramble the cluster id into the 16 envelope bits —
+    # md5-scramble the cluster id into the 60 envelope bits —
     # sequential raw ids are hamming-close (cluster 6 vs 7 differ in
     # one bit), which would swamp the planted families with
     # neighboring-id pairs; scrambled fingerprints collide only at
     # the binomial base rate, exactly like q103's hashed content
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
-        md5_hash32(F.floor(F.col("doc_id") / 4).cast("string"))
-        .bitwiseAND(F.lit(65535))
+        md5_hash60(F.floor(F.col("doc_id") / 4).cast("string"))
         .alias("_cluster"),
     )
 
@@ -251,7 +258,7 @@ def q147_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             content = []
             for c in pdf["_cluster"]:
                 samples = []
-                for bit in range(16):
+                for bit in range(60):
                     amp = 20000 if (int(c) >> bit) & 1 else 0
                     samples.extend([amp, -amp] * 25)  # 50/frame
                 content.append(encode_wav_pcm16(samples))
@@ -260,7 +267,9 @@ def q147_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     wavs = docs.mapInPandas(synth, "media_id long, content binary")
-    fp = media_phash(wavs, hasher=audio_energy_fingerprint)
+    fp = media_phash(
+        wavs, hasher=lambda b: audio_energy_fingerprint(b, n_bits=60)
+    )
     member = F.col("media_id") % 4
     flip = (
         F.when(member == 1, F.lit(1))
@@ -269,7 +278,7 @@ def q147_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
     ).cast("long")
     fp = fp.withColumn("phash", F.col("phash").bitwiseXOR(flip))
-    pairs = phash_neardup_pairs(fp, bits=16, bands=4, max_hamming=3)
+    pairs = phash_neardup_pairs(fp, bits=60, bands=4, max_hamming=3)
     return pairs.select(
         "id1", "id2", F.col("hamming").cast("int").alias("hamming")
     )
@@ -409,12 +418,13 @@ ORACLES = {
     """,
     # the envelope fingerprint of the synthesized WAV IS the cluster
     # id (loud frame per set bit), so the oracle is pure arithmetic —
-    # the engine leg still round-trips real RIFF/PCM16 bytes
+    # the engine leg still round-trips real RIFF/PCM16 bytes. 15 md5
+    # nibbles = the engine's md5_hash60 (sign-safe 60-bit BIGINT).
     "q147_audio_neardup": """
         WITH f AS (
             SELECT doc_id AS media_id,
                    xor(CAST('0x' || substr(md5(CAST(doc_id // 4 AS VARCHAR)),
-                                           1, 8) AS BIGINT) & 65535,
+                                           1, 15) AS BIGINT),
                        CASE doc_id % 4
                            WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 4
                            ELSE 0
