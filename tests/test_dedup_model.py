@@ -463,6 +463,51 @@ def test_minhash_estimate_model(spark):
         assert r.abs_err == round(abs(r.jaccard_est - r.jaccard_exact), 6)
 
 
+def test_minhash_estimate_sampled_parity(spark):
+    """sample_mod=K output must be EXACTLY the full audit restricted
+    to pairs whose BOTH endpoints satisfy md5_60bit(id) % K == 0 —
+    the deterministic endpoint-sample contract q109 and its DuckDB
+    oracle share (r9-verdict item 3). Also: K=1 keeps everything."""
+    import hashlib
+
+    from ulh_etl_spark.operators.dedup import minhash_estimate_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(i, base + f" tail {i % 3}") for i in range(1, 13)],
+        "doc_id long, text string",
+    )
+    full = {
+        (r.id1, r.id2): (r.jaccard_est, r.jaccard_exact, r.abs_err)
+        for r in minhash_estimate_pairs(df, "text", "doc_id").collect()
+    }
+    assert len(full) > 4  # fixture actually produces candidate pairs
+
+    K = 2
+
+    def kept(i):
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        return int(h[:15], 16) % K == 0
+
+    sampled = {
+        (r.id1, r.id2): (r.jaccard_est, r.jaccard_exact, r.abs_err)
+        for r in minhash_estimate_pairs(
+            df, "text", "doc_id", sample_mod=K
+        ).collect()
+    }
+    want = {p: v for p, v in full.items() if kept(p[0]) and kept(p[1])}
+    assert sampled == want
+    assert 0 < len(sampled) < len(full)  # K=2 actually splits
+
+    everything = {
+        (r.id1, r.id2): (r.jaccard_est, r.jaccard_exact, r.abs_err)
+        for r in minhash_estimate_pairs(
+            df, "text", "doc_id", sample_mod=1
+        ).collect()
+    }
+    assert everything == full
+
+
 def test_levenshtein_link_pairs_model(spark):
     """Blocking prevents cross-block pairs even at distance 0; within
     a block only pairs within max_distance survive."""

@@ -72,6 +72,7 @@ def minhash_estimate_pairs(
     num_hashes: int = 8,
     rows_per_band: int = 4,
     shingle_n: int = DEFAULT_SHINGLE,
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """Sketch-accuracy audit for the MinHash family: for every LSH
     candidate pair, the signature-based Jaccard ESTIMATE (fraction of
@@ -79,6 +80,25 @@ def minhash_estimate_pairs(
     math assumes) next to the EXACT shingle-set Jaccard, plus the
     absolute error. This is how you validate num_hashes/band geometry
     on a new corpus before trusting the sketch at full scale.
+
+    ``sample_mod=K`` audits the deterministic ENDPOINT sample: a pair
+    is kept iff BOTH docs satisfy ``md5_60bit(id) % K == 0`` — every
+    pair has the identical 1/K^2 marginal inclusion probability, so
+    the audited error distribution is unbiased (inclusion is keyed by
+    doc_id, independent of content). An audit needs that
+    distribution, not every pair: on a boilerplate corpus the
+    candidate relation is quadratic in family size, so the full form
+    is output-bound (measured 53 s / exponent 1.43 at sf1).
+    Endpoint (not per-pair) keying is what makes the sample SCALE:
+    a per-pair hash ``h(id1,id2) % K`` must still enumerate every
+    bucket clique before filtering (measured 20 s at sf1 — the join
+    emission is the cost), while the endpoint predicate filters the
+    BAND table below the join, shrinking the clique enumeration
+    itself by ~K^2. The hash is engine-portable (md5 nibbles,
+    reproducible in DuckDB), so the sampled output stays exactly
+    hash-checkable, equals the full output restricted to sampled
+    endpoints (pinned by test), and the same pair is kept or dropped
+    forever — re-audits compare like with like.
 
     Scale: exact Jaccard is computed ONLY on LSH candidates (never
     all-pairs); the per-doc distinct gram-hash array rides the two
@@ -92,6 +112,19 @@ def minhash_estimate_pairs(
     0.9 s for the identical projection at sf0.1).
     """
     df = _fan_out(df)
+    if sample_mod is not None:
+        # deterministic endpoint keep/drop AT THE SOURCE (see
+        # docstring): band keys are per-doc functions, so dropping
+        # non-sampled docs before hashing is identical to filtering
+        # the band table — and the signature/gram pipeline, persist,
+        # and every join shrink by K with it. 15 md5 nibbles = the
+        # sign-safe 60-bit BIGINT DuckDB reproduces (md5_hash60).
+        doc_key = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        df = df.filter(doc_key % sample_mod == 0)
     feats = df.select(
         F.col(id_col),
         *minhash_columns(F.col(text_col), num_hashes, shingle_n),

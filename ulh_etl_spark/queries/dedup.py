@@ -18,6 +18,14 @@ _NUM_HASHES = 8
 _ROWS_PER_BAND = 4
 _SHINGLE_N = 4
 _SIMHASH_BITS = 16
+# q109 audits the endpoint sample: a pair survives iff BOTH doc ids
+# hash into the 1/_PAIR_SAMPLE_MOD slice (portable 60-bit md5 of the
+# id) — uniform 1/K^2 inclusion per pair, and the filter lands BELOW
+# the band join so the clique enumeration shrinks ~K^2 (a per-pair
+# key still enumerates the full output-bound relation: 53 s full /
+# 20 s pair-keyed / ~2 s endpoint-keyed at sf1). 6 leaves ~13 gate
+# rows at sf0.01 and ~1.3M audited pairs at sf1.
+_PAIR_SAMPLE_MOD = 6
 
 
 def q34_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,14 +289,29 @@ def q107_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q109_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-accuracy audit: per LSH candidate pair, the Broder
-    signature estimate of Jaccard vs the exact shingle-set Jaccard
-    and the absolute error — the num_hashes/band-geometry validation
-    run before trusting the sketch at scale. Exact Jaccard touches
-    ONLY candidates (operators.dedup.minhash_estimate_pairs)."""
+    """Sketch-accuracy audit: per LSH candidate pair in a
+    DETERMINISTIC 1/_PAIR_SAMPLE_MOD sample, the Broder signature
+    estimate of Jaccard vs the exact shingle-set Jaccard and the
+    absolute error — the num_hashes/band-geometry validation run
+    before trusting the sketch at scale. An audit needs the error
+    DISTRIBUTION, not every pair: the full-pair form was output-bound
+    (53 s / exponent 1.43 at sf1 over 47.6 M candidate pairs), while
+    the endpoint sample (both doc ids md5-hash into the 1/K slice,
+    filtered BELOW the band join) shrinks the clique enumeration
+    itself ~K^2 yet stays hash-checkable — the oracle applies the
+    identical portable endpoint predicate. Exact Jaccard
+    still touches ONLY candidates (operators.dedup.
+    minhash_estimate_pairs), and the operator's default remains the
+    full audit for corpora where the pair relation is tame."""
     docs = load_table(spark, sf_dir, "documents")
     return D.minhash_estimate_pairs(
-        docs, "text", "doc_id", _NUM_HASHES, _ROWS_PER_BAND, _SHINGLE_N
+        docs,
+        "text",
+        "doc_id",
+        _NUM_HASHES,
+        _ROWS_PER_BAND,
+        _SHINGLE_N,
+        sample_mod=_PAIR_SAMPLE_MOD,
     )
 
 
@@ -362,10 +385,17 @@ ORACLES = {
         ), bands AS (
 {_BAND_SELECTS}
         ), pairs AS (
+            -- identical deterministic endpoint sample as the engine
+            -- (md5_hash60 of each doc id): unbiased 1/K^2 pair
+            -- slice, and the same pair is kept in both legs forever
             SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
             FROM bands a JOIN bands b
               ON a.band_idx = b.band_idx AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id
+             AND CAST('0x' || substr(md5(CAST(a.doc_id AS VARCHAR)),
+                     1, 15) AS BIGINT) % {_PAIR_SAMPLE_MOD} = 0
+             AND CAST('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)),
+                     1, 15) AS BIGINT) % {_PAIR_SAMPLE_MOD} = 0
         ), j AS (
             SELECT p.id1, p.id2,
                    ROUND(({" + ".join(f"(CASE WHEN sa.mh_{k} = sb.mh_{k} THEN 1 ELSE 0 END)" for k in range(_NUM_HASHES))})
