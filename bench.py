@@ -110,6 +110,8 @@ HEADLINE = (
     "q147_audio_neardup",
     "q148_html_extract",
     "q149_sft_render",
+    # Round-10 addition: hashed char-trigram language ID.
+    "q150_lang_id_ngram",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",
@@ -232,6 +234,8 @@ ANCHOR = {
     "q147_audio_neardup": 2.030,
     "q148_html_extract": 0.393,
     "q149_sft_render": 0.473,
+    # round-10 entry measurement (min-of-3 warm, quiet host)
+    "q150_lang_id_ngram": 2.224,
     # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's
     # cost is the in-order pair fan-out (O(sum basket²), baskets ~4).
     "q128_event_transitions": 0.735,

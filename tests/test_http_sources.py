@@ -411,7 +411,7 @@ def make_flaky_transport(spool_dir, marker_dir, fail_times=1, mode="raise"):
         if n < fail_times:
             if mode == "raise":
                 raise ConnectionError("flaky")
-            return HttpResponse(status=503, body="busy")
+            return HttpResponse(status=int(mode), body="busy")
         return _call_inner(method, url, headers, json_body, timeout, data)
 
     def _call_inner(method, url, headers, json_body, timeout, data):
@@ -467,6 +467,108 @@ def test_batch_upsert_retry_budget_exhausted_continues(spark, tmp_path):
     assert res.succeeded == 0 and res.failed == 6
     assert res.batches == 2 and res.retried == 2
     assert read_spool(spool) == []  # nothing ever delivered
+
+
+def _create_rows(spark, n=3):
+    """Rows classified as POST creates (op column, no guid)."""
+    return spark.createDataFrame(
+        [(f"K{i}", f"v{i}", "create", None) for i in range(n)],
+        "k string, val string, _op string, _guid string",
+    ).coalesce(1)
+
+
+def test_batch_upsert_post_batch_fails_fast_on_ambiguous(spark, tmp_path):
+    """A batch containing POST creates must NOT burn retries on an
+    AMBIGUOUS failure (transport exception or 5xx): the server may
+    already have applied the batch, so a re-send would duplicate the
+    created records. All ops fail immediately, retried stays 0, and
+    nothing is ever delivered twice. Pins the r9 idempotency-aware
+    retry change (sinks/entity.py flush())."""
+    for mode in ("raise", "503"):
+        spool = tmp_path / f"post_{mode}"
+        markers = tmp_path / f"post_{mode}_markers"
+        spool.mkdir()
+        markers.mkdir()
+        transport = make_flaky_transport(
+            spool, markers, fail_times=1, mode=mode
+        )
+        res = batch_upsert_http(
+            _create_rows(spark), "https://dv/$batch", "contacts", ["k"],
+            transport_factory=lambda: transport, batch_size=10,
+            retries=3, sleeper=lambda s: None,
+        )
+        assert res.failed == 3 and res.succeeded == 0, (mode, res)
+        assert res.retried == 0, (mode, res)  # fail-fast: no re-send
+        assert read_spool(spool) == [], mode  # never delivered at all
+
+
+def test_batch_upsert_post_batch_retries_on_429(spark, tmp_path):
+    """HTTP 429 means the server REJECTED the batch before processing
+    — safe to retry even for POST creates. One 429 then success:
+    every create lands exactly once, retried == 1."""
+    spool = tmp_path / "spool"
+    markers = tmp_path / "markers"
+    spool.mkdir()
+    markers.mkdir()
+    transport = make_flaky_transport(spool, markers, fail_times=1, mode="429")
+    res = batch_upsert_http(
+        _create_rows(spark), "https://dv/$batch", "contacts", ["k"],
+        transport_factory=lambda: transport, batch_size=10,
+        retries=2, sleeper=lambda s: None,
+    )
+    assert res.succeeded == 3 and res.failed == 0
+    assert res.retried == 1
+    flat = [op for b in read_spool(spool) for op in b]
+    assert len(flat) == 3  # exactly-once delivery
+    assert all(op["method"] == "POST" for op in flat)
+
+
+def test_batch_upsert_mixed_batch_is_non_idempotent(spark, tmp_path):
+    """One POST among keyed PATCHes poisons the whole batch's
+    idempotency: an ambiguous 5xx must fail ALL its ops fast (the
+    batch is atomic on the wire — re-sending would re-create). The
+    keyed PATCH rows in a SEPARATE batch keep their retry budget."""
+    rows = spark.createDataFrame(
+        [
+            ("K1", "v1", "create", None),
+            ("K2", "v2", "update", "G-2"),
+        ],
+        "k string, val string, _op string, _guid string",
+    ).coalesce(1)
+    spool = tmp_path / "spool"
+    markers = tmp_path / "markers"
+    spool.mkdir()
+    markers.mkdir()
+    transport = make_flaky_transport(spool, markers, fail_times=1, mode="503")
+    res = batch_upsert_http(
+        rows, "https://dv/$batch", "contacts", ["k"],
+        transport_factory=lambda: transport, batch_size=10,
+        retries=3, sleeper=lambda s: None,
+    )
+    # single mixed batch: fail-fast, no retries, nothing delivered
+    assert res.failed == 2 and res.succeeded == 0
+    assert res.retried == 0
+    assert read_spool(spool) == []
+
+    # control: the same PATCH alone IS idempotent and survives the 503
+    spool2 = tmp_path / "spool2"
+    markers2 = tmp_path / "markers2"
+    spool2.mkdir()
+    markers2.mkdir()
+    patch_only = spark.createDataFrame(
+        [("K2", "v2", "update", "G-2")],
+        "k string, val string, _op string, _guid string",
+    ).coalesce(1)
+    t2 = make_flaky_transport(spool2, markers2, fail_times=1, mode="503")
+    res2 = batch_upsert_http(
+        patch_only, "https://dv/$batch", "contacts", ["k"],
+        transport_factory=lambda: t2, batch_size=10,
+        retries=3, sleeper=lambda s: None,
+    )
+    assert res2.succeeded == 1 and res2.failed == 0
+    assert res2.retried == 1
+    flat = [op for b in read_spool(spool2) for op in b]
+    assert len(flat) == 1 and flat[0]["method"] == "PATCH"
 
 
 def test_batch_upsert_max_inflight_bounds_streams(spark, tmp_path):

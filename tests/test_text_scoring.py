@@ -1134,3 +1134,93 @@ def test_render_sft_pairs_model(spark):
 
     with _pytest.raises(ValueError):
         render_sft_pairs(df, "text", "doc_id", prompt_tokens=0)
+
+
+def test_whitespace_class_parity_with_oracle_on_vertical_tab(spark):
+    """Java \\s includes \\x0B; RE2 (DuckDB) \\s does not — so the
+    shared patterns spell the class out explicitly (operators.text
+    .WS_CLASS) and this fixture pins engine/oracle token parity on a
+    document that actually CONTAINS a vertical tab (plus every other
+    class member). Regression for ADVICE r8 item 5."""
+    import duckdb
+
+    from ulh_etl_spark.operators.text import (
+        bpe_ish_token_count,
+        html_to_text,
+        whitespace_tokens,
+    )
+    from ulh_etl_spark.queries import _oracle_fragments as O
+
+    nasty = "a\x0Bb\tc\nd\fe\rf  g.h\x0B\x0Bend"
+    html = "<p>x\x0By</p><script >var z\x0B=1;</script\x0B>tail"
+    df = spark.createDataFrame([(nasty, html)], "t string, h string")
+    got = df.select(
+        whitespace_tokens(F.col("t")).alias("tok"),
+        bpe_ish_token_count(F.col("t")).alias("bpe"),
+        html_to_text(F.col("h")).alias("txt"),
+    ).collect()[0]
+
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        SELECT {O.ws_tokens('?')} AS tok,
+               len(regexp_extract_all(?,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]'))
+                   AS bpe,
+               {O.html_to_text('?')} AS txt
+        """,
+        [nasty, nasty, html],
+    ).fetchone()
+    # engine splits a\x0Bb into separate tokens; oracle must agree
+    assert got.tok == want[0]
+    assert "a" in got.tok and "b" in got.tok  # \x0B really split
+    assert got.bpe == want[1]
+    assert got.txt == want[2]
+    assert "var" not in got.txt  # </script\x0B> closed the element
+
+
+def test_lang_id_ngram_beats_marker_toy(spark):
+    """The hashed char-trigram NB profile classifier must correctly
+    label French/German/Spanish prose containing NO marker words —
+    exactly the inputs the q32 marker toy calls 'unknown' — plus
+    English with technical vocabulary, and keep whitespace-only text
+    'unknown'. (r9 verdict item 5.)"""
+    from ulh_etl_spark.operators.text import lang_id, lang_id_ngram
+
+    fixtures = [
+        # marker-free prose the toy cannot classify
+        ("heute morgen gehen wir zusammen einkaufen und danach kochen", "de"),
+        ("buenos dias amigos como estan ustedes hoy", "es"),
+        ("je ne sais pas pourquoi tu pars si tot ce soir", "fr"),
+        ("nous allons voir un film ce soir avec nos amis", "fr"),
+        ("das kind spielt im garten mit dem hund", "de"),
+        ("el perro corre por el parque todos los dias", "es"),
+        ("die besprechung wurde wegen des regens abgesagt", "de"),
+        ("la reunion de manana fue cancelada por la lluvia", "es"),
+        ("la reunion de demain a ete annulee a cause de la pluie", "fr"),
+        # english, incl. domain vocabulary absent from the markers
+        ("the cat sat on the mat and watched the rain", "en"),
+        ("machine learning pipelines process large datasets", "en"),
+        ("we should review the quarterly report before friday", "en"),
+        # degenerate
+        ("   ", "unknown"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(fixtures)], "i long, t string"
+    )
+    out = {
+        r.i: (r.ng, r.toy)
+        for r in df.select(
+            "i",
+            lang_id_ngram(F.col("t")).alias("ng"),
+            lang_id(F.col("t")).alias("toy"),
+        ).collect()
+    }
+    marker_misses = 0
+    for i, (text, want) in enumerate(fixtures):
+        got_ng, got_toy = out[i]
+        assert got_ng == want, (text, want, got_ng)
+        marker_misses += got_toy != want
+    # the upgrade must actually matter: the toy mislabels a majority
+    # of the marker-free fixtures this test exists for
+    assert marker_misses >= 5

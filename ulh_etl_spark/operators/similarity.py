@@ -1147,7 +1147,17 @@ def compact_cells(
             if not fs.rename(p, HPath(cell_path, p.getName())):
                 raise IOError(f"rename failed: {p} -> {cell_path}")
         for p in originals:
-            fs.delete(p, False)
+            # a silently-failed delete would BAKE the duplicate rows
+            # into every future read AND into the next compaction
+            # (which would faithfully rewrite them) — raise with the
+            # exact leftover path so the operator can remove it and
+            # re-check, instead of returning success over a corrupt
+            # cell. Reads stay safe meanwhile: duplicates, not loss.
+            if not fs.delete(p, False):
+                raise IOError(
+                    f"delete failed: {p} still present — cell={cell} "
+                    "serves duplicate rows until that file is removed"
+                )
         fs.delete(tmp, True)
         compacted[cell] = len(originals)
     return compacted

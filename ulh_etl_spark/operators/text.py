@@ -64,9 +64,21 @@ def gram_hash64(col: Column) -> Column:
     return F.xxhash64(col)
 
 
+# Java's \s is [ \t\n\x0B\f\r]; RE2 (DuckDB's regex engine) omits
+# \x0B from its \s — so a vertical tab in ANY document would silently
+# break engine/oracle token parity. Every whitespace regex shared
+# with an oracle therefore spells the class out EXPLICITLY (Java's
+# semantics, kept); the escape syntax \t/\n/\x0B/\f/\r parses
+# identically in both engines. _oracle_fragments imports these so
+# the two sides cannot drift.
+WS_CLASS = r"[ \t\n\x0B\f\r]"
+WS_CHARS = r" \t\n\x0B\f\r"  # for composing negated classes
+
+
 def whitespace_tokens(col: Column) -> Column:
-    """Split on whitespace runs, dropping empties (leading blanks)."""
-    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+    """Split on whitespace runs, dropping empties (leading blanks).
+    Explicit class, not \\s — see WS_CLASS."""
+    return F.filter(F.split(col, WS_CLASS + "+"), lambda t: t != "")
 
 
 def token_count(col: Column) -> Column:
@@ -77,7 +89,11 @@ def bpe_ish_token_count(col: Column) -> Column:
     """BPE-flavored token count: alpha runs, digit runs, and single
     punctuation marks each count as one token (a cheap, deterministic
     stand-in for a real BPE vocabulary)."""
-    return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+    return F.size(
+        F.regexp_extract_all(
+            col, F.lit(rf"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS_CHARS}]"), 0
+        )
+    )
 
 
 def char_ngrams(col: Column, n: int) -> Column:
@@ -150,6 +166,191 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "de": ("der", "die", "das", "und", "ist"),
     "fr": ("le", "la", "les", "et", "est"),
 }
+
+
+# Tiny per-language training corpora for the hashed char-n-gram
+# profile classifier (lang_id_ngram). Everyday prose, written for
+# this repo — enough trigram signal to separate the four languages'
+# orthography (th/sch/que/aux...), NOT a general-purpose model; a
+# real deployment swaps in profiles trained on real corpora through
+# the same lang_ngram_weights() path unchanged.
+LANG_PROFILE_SAMPLES: dict[str, str] = {
+    "en": (
+        "the weather this morning was cold and clear so we walked "
+        "through the old town and looked at the market stalls "
+        "which were full of bread and cheese and fresh vegetables "
+        "everyone was talking about the coming winter and whether "
+        "the trains would still run on time after the storm "
+        "she said that they would probably be late again because "
+        "the signals between the two stations had not been repaired "
+        "meanwhile the new computer systems were processing all the "
+        "data from the network and learning which messages mattered"
+    ),
+    "es": (
+        "esta manana el tiempo estaba frio y despejado asi que "
+        "caminamos por el casco antiguo y miramos los puestos del "
+        "mercado que estaban llenos de pan y queso y verduras "
+        "frescas todos hablaban del invierno que viene y de si los "
+        "trenes seguirian llegando a tiempo despues de la tormenta "
+        "ella dijo que probablemente volverian a llegar tarde porque "
+        "las senales entre las dos estaciones no habian sido reparadas "
+        "mientras tanto los nuevos sistemas informaticos procesaban "
+        "todos los datos de la red y aprendian que mensajes importaban"
+    ),
+    "de": (
+        "heute morgen war das wetter kalt und klar also sind wir "
+        "durch die altstadt gelaufen und haben uns die marktstaende "
+        "angeschaut die voller brot und kaese und frischem gemuese "
+        "waren alle sprachen ueber den kommenden winter und darueber "
+        "ob die zuege nach dem sturm noch puenktlich fahren wuerden "
+        "sie sagte dass sie wahrscheinlich wieder zu spaet kommen "
+        "weil die signale zwischen den beiden bahnhoefen noch nicht "
+        "repariert worden waren waehrend dessen verarbeiteten die "
+        "neuen rechnersysteme alle daten aus dem netz und lernten "
+        "welche nachrichten wichtig waren"
+    ),
+    "fr": (
+        "ce matin le temps etait froid et clair alors nous avons "
+        "marche dans la vieille ville et regarde les etals du marche "
+        "qui etaient pleins de pain et de fromage et de legumes "
+        "frais tout le monde parlait de l'hiver qui arrive et se "
+        "demandait si les trains arriveraient encore a l'heure apres "
+        "la tempete elle a dit qu'ils seraient probablement encore "
+        "en retard parce que les signaux entre les deux gares "
+        "n'avaient pas encore ete repares pendant ce temps les "
+        "nouveaux systemes informatiques traitaient toutes les "
+        "donnees du reseau et apprenaient quels messages comptaient"
+    ),
+}
+
+
+def lang_ngram_weights(
+    samples: dict[str, str] | None = None,
+    n: int = 3,
+    n_buckets: int = 512,
+) -> dict[str, list[float]]:
+    """Hashed char-n-gram language PROFILES (pure Python, runs once
+    at plan build): per language, bucket b's weight is the Laplace-
+    smoothed multinomial log-likelihood log((count_b + 1) /
+    (total + n_buckets)) of the language's training trigrams hashed
+    by the same md5 bucketing the engine applies per document —
+    the Cavnar-Trenkle n-gram profile idea in naive-Bayes form,
+    deployable exactly like hashed_model_weights (plan-constant
+    array, no vocab join). Weights round to 6 so the literal both
+    engines parse is short and identical. 512 buckets: with ~1K
+    training trigrams per language, 128 buckets average ~8 grams
+    each and cross-language collision noise misclassifies clean
+    fixtures (measured); 512 keeps buckets near-distinct while the
+    4 x 512 literal array still parses in one plan constant."""
+    import hashlib
+    import math
+
+    samples = samples or LANG_PROFILE_SAMPLES
+    out = {}
+    for lang, text in samples.items():
+        t = text.lower()
+        grams = (
+            [t[i: i + n] for i in range(len(t) - n + 1)]
+            if len(t) >= n
+            else [t]
+        )
+        cnt = [0] * n_buckets
+        for g in grams:
+            b = int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets
+            cnt[b] += 1
+        tot = len(grams)
+        out[lang] = [
+            round(math.log((c + 1) / (tot + n_buckets)), 6) for c in cnt
+        ]
+    return out
+
+
+def lang_gram_buckets(col: Column, n: int = 3, n_buckets: int = 512) -> Column:
+    """md5 bucket index per char n-gram (1-based, ready for
+    element_at). Compute this ONCE as a real column and fold every
+    language's weight array over it: the md5 is ~all the per-gram
+    cost, and scoring L languages against a shared bucket column is
+    1 hash pass + L cheap array folds instead of L hash passes
+    (measured 2x on the 4-language q150 plan — and the plan parses
+    each weight array once instead of twice)."""
+    return F.transform(
+        char_ngrams(F.lower(col), n),
+        lambda g: (md5_hash32(g) % F.lit(n_buckets) + 1).cast("int"),
+    )
+
+
+def _weights_literal(w: list[float]) -> Column:
+    # ONE parsed array literal per language (not len(w) py4j lit
+    # calls) — same rule as similarity._centroid_literal
+    return F.expr(
+        "array({})".format(", ".join(f"CAST({v!r} AS DOUBLE)" for v in w))
+    )
+
+
+def lang_score_from_buckets(bucket_col: Column, weights: list[float]) -> Column:
+    """Mean log-likelihood of a pre-bucketed gram array under one
+    language's profile, rounded 6 (both engines fold the list
+    left-to-right over identical parsed doubles — q84's pattern)."""
+    warr = _weights_literal(weights)
+    total = F.aggregate(
+        F.transform(bucket_col, lambda b: F.element_at(warr, b)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return F.round(total / F.size(bucket_col).cast("double"), 6)
+
+
+def lang_pred_from_scores(
+    scores: dict[str, Column], text_col: Column
+) -> Column:
+    """argmax with the fixed en > es > de > fr tie-break;
+    whitespace-only text stays 'unknown' (its single empty gram
+    carries no signal)."""
+    s = scores
+    return (
+        F.when(F.length(F.trim(text_col)) == 0, F.lit("unknown"))
+        .when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]),
+            F.lit("en"),
+        )
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]), F.lit("es"))
+        .when(s["de"] >= s["fr"], F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def lang_ngram_scores(
+    col: Column,
+    profiles: dict[str, list[float]],
+    n: int = 3,
+) -> dict[str, Column]:
+    """Per-language mean trigram log-likelihood (rounded 6) — the
+    char-n-gram upgrade of lang_scores, as self-contained Columns.
+    For multi-language scoring prefer materializing
+    lang_gram_buckets once and lang_score_from_buckets per language
+    (q150's shape) — this convenience form re-hashes the grams per
+    language."""
+    buckets = lang_gram_buckets(col, n, len(next(iter(profiles.values()))))
+    return {
+        lang: lang_score_from_buckets(buckets, w)
+        for lang, w in profiles.items()
+    }
+
+
+def lang_id_ngram(
+    col: Column,
+    profiles: dict[str, list[float]] | None = None,
+    n: int = 3,
+) -> Column:
+    """Language ID by hashed char-n-gram naive-Bayes profiles — the
+    production upgrade of the marker-word lang_id (which only sees
+    exact stopword matches and calls everything else 'unknown').
+    argmax of the per-language mean log-likelihood (see
+    lang_pred_from_scores). Still a pure JVM expression chain — no
+    UDF, no join, the weight arrays ride the plan as parsed
+    literals."""
+    profiles = profiles or lang_ngram_weights(n=n)
+    return lang_pred_from_scores(lang_ngram_scores(col, profiles, n), col)
 
 
 def _isin_pred(markers: tuple[str, ...]):
@@ -518,14 +719,19 @@ def html_to_text(col: Column) -> Column:
     (readability) are out of scope — boilerplate_passage_filter
     handles template text statistically downstream."""
     # two explicit element patterns, no backreference — RE2 (the
-    # oracle's regex engine) has none
-    out = F.regexp_replace(col, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
-    out = F.regexp_replace(out, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    # oracle's regex engine) has none; explicit whitespace classes,
+    # not \s — Java and RE2 disagree on \x0B (see WS_CLASS)
+    out = F.regexp_replace(
+        col, rf"(?is)<script\b[^>]*>.*?</script{WS_CLASS}*>", " "
+    )
+    out = F.regexp_replace(
+        out, rf"(?is)<style\b[^>]*>.*?</style{WS_CLASS}*>", " "
+    )
     out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
     out = F.regexp_replace(out, r"(?s)<[^>]*>", " ")
     for ent, ch in _HTML_ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(ch))
-    return F.trim(F.regexp_replace(out, r"\s+", " "))
+    return F.trim(F.regexp_replace(out, WS_CLASS + "+", " "))
 
 
 def novelty_scores(

@@ -5,7 +5,13 @@ stays in lockstep with the Spark expressions."""
 from __future__ import annotations
 
 from ulh_etl_spark.operators.dedup import MINHASH_A, MINHASH_B
-from ulh_etl_spark.operators.text import MERSENNE31
+from ulh_etl_spark.operators.text import MERSENNE31, WS_CLASS
+
+# the escape syntax in WS_CLASS ([ \t\n\x0B\f\r]) parses identically
+# in RE2, and DuckDB string literals keep backslashes verbatim, so
+# the engine constant drops straight into the SQL — one definition,
+# zero drift (Java \s vs RE2 \s disagree on \x0B; see operators.text)
+WS = WS_CLASS
 
 
 def md5h(expr: str) -> str:
@@ -23,7 +29,7 @@ def grams(expr: str, n: int) -> str:
 
 def ws_tokens(expr: str) -> str:
     """Whitespace tokens — identical to text.whitespace_tokens."""
-    return f"list_filter(string_split_regex({expr}, '\\s+'), t -> t <> '')"
+    return f"list_filter(string_split_regex({expr}, '{WS}+'), t -> t <> '')"
 
 
 def norm_text(expr: str) -> str:
@@ -59,8 +65,8 @@ def html_to_text(expr: str) -> str:
     """HTML -> text extraction — identical chain to
     operators.text.html_to_text (RE2-safe patterns, 'g' flag: DuckDB
     replaces first-match-only by default where Spark replaces all)."""
-    out = f"regexp_replace({expr}, '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g')"
-    out = f"regexp_replace({out}, '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g')"
+    out = f"regexp_replace({expr}, '(?is)<script\\b[^>]*>.*?</script{WS}*>', ' ', 'g')"
+    out = f"regexp_replace({out}, '(?is)<style\\b[^>]*>.*?</style{WS}*>', ' ', 'g')"
     out = f"regexp_replace({out}, '(?s)<!--.*?-->', ' ', 'g')"
     out = f"regexp_replace({out}, '(?s)<[^>]*>', ' ', 'g')"
     for ent, ch in (
@@ -68,4 +74,4 @@ def html_to_text(expr: str) -> str:
         ("&#39;", "''"), ("&nbsp;", " "), ("&amp;", "&"),
     ):
         out = f"replace({out}, '{ent}', '{ch}')"
-    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+    return f"trim(regexp_replace({out}, '{WS}+', ' ', 'g'))"

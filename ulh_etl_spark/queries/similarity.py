@@ -74,15 +74,27 @@ _TARGET_CELL_SIZE = 250
 
 def _adaptive_centroids(emb: DataFrame) -> DataFrame:
     """Centroid seed sized to the corpus: C = max(_N_CENTROIDS,
-    N // _TARGET_CELL_SIZE) first vectors. The count is one cheap
-    column scan at construction — the same eagerness class as
-    ivf_assign's centroid-literal collect; the oracle derives the
-    identical C with a scalar subquery."""
-    n = emb.count()
-    c = max(_N_CENTROIDS, n // _TARGET_CELL_SIZE)
-    return emb.filter(F.col("vec_id") < c).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("centroid_vec"),
+    N // _TARGET_CELL_SIZE) first vectors. LAZY: C is a broadcast
+    1-row aggregate inside the returned plan, not a driver-side
+    count() — constructing this DataFrame runs no job, honoring the
+    catalog's lazy-construction contract; the count executes inside
+    ivf_assign's one existing centroid-literal collect. The oracle
+    derives the identical C with a scalar subquery."""
+    c = emb.agg(
+        F.greatest(
+            F.floor(F.count("*") / _TARGET_CELL_SIZE),
+            F.lit(_N_CENTROIDS),
+        )
+        .cast("long")
+        .alias("_c")
+    )
+    return (
+        emb.crossJoin(F.broadcast(c))
+        .filter(F.col("vec_id") < F.col("_c"))
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
     )
 
 

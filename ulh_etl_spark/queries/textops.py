@@ -248,6 +248,56 @@ def q149_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LANG_K = 512
+_LANG_N = 3
+_LANG_W = T.lang_ngram_weights(n=_LANG_N, n_buckets=_LANG_K)
+
+
+def q150_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by hashed char-trigram naive-Bayes profiles — the
+    production-shaped upgrade of q32's marker-word toy (which only
+    sees exact stopword hits and calls everything else 'unknown'):
+    per language, the doc's mean trigram log-likelihood under a
+    plan-constant hashed profile (operators.text.lang_ngram_weights),
+    argmax with the fixed en > es > de > fr tie-break. Pure JVM
+    expression — one char_ngrams pass, four element_at folds, no
+    UDF/join/shuffle; the weight arrays ride the plan exactly like
+    q84's hashed linear model."""
+    docs = load_table(spark, sf_dir, "documents")
+    # three projections: bucket the grams ONCE (the md5 pass is ~all
+    # the per-gram cost), fold each language's plan-constant weight
+    # array over the shared bucket column, then argmax over the
+    # score COLUMNS — nothing is hashed or scored twice
+    bucketed = docs.select(
+        "doc_id",
+        "text",
+        T.lang_gram_buckets(F.col("text"), _LANG_N, _LANG_K).alias("_b"),
+    )
+    scored = bucketed.select(
+        "doc_id",
+        "text",
+        *[
+            T.lang_score_from_buckets(F.col("_b"), _LANG_W[lang]).alias(
+                f"score_{lang}"
+            )
+            for lang in ("en", "es", "de", "fr")
+        ],
+    )
+    scores = {
+        lang: F.col(f"score_{lang}") for lang in ("en", "es", "de", "fr")
+    }
+    return scored.select(
+        "doc_id",
+        T.lang_pred_from_scores(scores, F.col("text")).alias(
+            "predicted_lang"
+        ),
+        "score_en",
+        "score_es",
+        "score_de",
+        "score_fr",
+    )
+
+
 def q148_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-crawl text extraction: each doc is wrapped in a
     deterministic HTML page (title from its source, a per-doc script
@@ -908,6 +958,7 @@ QUERIES = {
     "q144_novelty_scores": q144_novelty_scores,
     "q148_html_extract": q148_html_extract,
     "q149_sft_render": q149_sft_render,
+    "q150_lang_id_ngram": q150_lang_id_ngram,
     "q124_span_pairs": q124_span_pairs,
     "q135_length_buckets": q135_length_buckets,
     "q137_needle_insertion": q137_needle_insertion,
@@ -933,11 +984,11 @@ QUERIES = {
 
 # Shared quality-score SQL expression (identical to operators.text
 # .quality_score) so q31 and q66 oracles stay in lockstep.
-_QUALITY_SQL = """ROUND(
+_QUALITY_SQL = f"""ROUND(
                  least(CAST(length(text) AS DOUBLE), 500.0) / 500.0 * 0.5
-                 + (CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''),
+                 + (CAST(len(list_filter(list_filter(string_split_regex(lower(text), '{O.WS}+'), t -> t <> ''),
                         t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
-                    / CAST(greatest(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')), 1) AS DOUBLE)) * 0.3
+                    / CAST(greatest(len(list_filter(string_split_regex(text, '{O.WS}+'), t -> t <> '')), 1) AS DOUBLE)) * 0.3
                  + (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
                         / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.2
                , 6)"""
@@ -1011,7 +1062,7 @@ ORACLES = {
     "q30_token_counts": f"""
         SELECT doc_id,
                CAST(len({_TOKS}) AS BIGINT) AS ws_tokens,
-               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9{T.WS_CHARS}]'))
                     AS BIGINT) AS bpe_tokens
         FROM documents
     """,
@@ -1026,6 +1077,45 @@ ORACLES = {
                         / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.2
                , 6) AS quality
         FROM documents
+    """,
+    # q150: identical hashed char-trigram NB profiles; the weight
+    # arrays are materialized ONCE in a 1-row CTE and cross-joined —
+    # inlining a 512-element list literal inside the lambda (q84's
+    # pattern, fine at K=64) makes DuckDB rebuild the list per gram
+    # evaluation: measured 60 s vs 0.6 s for 500 docs
+    "q150_lang_id_ngram": f"""
+        WITH w AS (
+            SELECT {", ".join(
+                "[" + ", ".join(repr(x) for x in _LANG_W[lang])
+                + f"]::DOUBLE[] AS w_{lang}"
+                for lang in ('en', 'es', 'de', 'fr')
+            )}
+        ), t AS (
+            SELECT doc_id, text, {O.grams('lower(text)', _LANG_N)} AS g
+            FROM documents
+        ), s AS (
+            SELECT doc_id, text,
+                   {", ".join(
+                       "ROUND(list_sum(list_transform(g, t -> "
+                       f"w.w_{lang}"
+                       f"[CAST({O.md5h('t')} % {_LANG_K} AS INT) + 1])) "
+                       f"/ CAST(len(g) AS DOUBLE), 6) AS score_{lang}"
+                       for lang in ('en', 'es', 'de', 'fr')
+                   )}
+            FROM t, w
+        )
+        SELECT doc_id,
+               CASE
+                 WHEN length(trim(text)) = 0 THEN 'unknown'
+                 WHEN score_en >= score_es AND score_en >= score_de
+                      AND score_en >= score_fr THEN 'en'
+                 WHEN score_es >= score_de AND score_es >= score_fr
+                      THEN 'es'
+                 WHEN score_de >= score_fr THEN 'de'
+                 ELSE 'fr'
+               END AS predicted_lang,
+               score_en, score_es, score_de, score_fr
+        FROM s
     """,
     "q32_lang_id": f"""
         SELECT doc_id,
@@ -1501,7 +1591,7 @@ ORACLES = {
             SELECT doc_id,
                    list_filter(string_split_regex(
                        translate(lower(text), '{LEET_FROM_SQL}', 'oalessat'),
-                       '\\s+'), x -> x <> '') AS tk
+                       '{O.WS}+'), x -> x <> '') AS tk
             FROM documents
         ), m AS (
             SELECT doc_id,
