@@ -346,3 +346,94 @@ def test_compact_table(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_compact")
         spark.sql("DROP TABLE IF EXISTS t_compact_p")
+
+
+def test_stream_neardup_screen_matches_batch_operator(spark, tmp_path):
+    """foreachBatch incremental near-dup twin (r9 verdict item 7):
+    batch-2 near-dups of batch-1 docs are flagged dup_vs_store via
+    the band STORE the first drain wrote (the historical docs are
+    never re-read), batch-internal dups flag dup_in_batch, and the
+    streamed flags for batch 2 EQUAL the batch operator screening the
+    same frame against the same store."""
+    import os
+
+    from ulh_etl_spark.operators.dedup import incremental_neardup
+    from ulh_etl_spark.streaming.file_stream import (
+        stream_neardup_screen_available_now,
+    )
+
+    inbound = tmp_path / "inbound"
+    inbound.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "bands")
+    schema = "doc_id LONG, text STRING"
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    other = "completely unrelated prose about spark query planning today"
+
+    def args():
+        return dict(
+            spark=spark, inbound_dir=str(inbound), schema=schema,
+            text_col="text", id_col="doc_id", store_dir=store,
+            results_table="neardup_stream_results", checkpoint_dir=ckpt,
+        )
+
+    try:
+        with open(os.path.join(inbound, "b1.csv"), "w") as f:
+            f.write("doc_id,text\n")
+            f.write(f"1,{base}\n")
+            f.write(f"2,{other}\n")
+        s1 = stream_neardup_screen_available_now(**args())
+        assert s1 == {
+            "screened": 2, "flagged_vs_store": 0, "flagged_in_batch": 0,
+        }
+        assert os.path.isdir(store)  # band store materialized
+
+        # batch 2: doc 11 near-dups doc 1 (store hit), 13 dups 12
+        # inside the batch, 14 is fresh
+        with open(os.path.join(inbound, "b2.csv"), "w") as f:
+            f.write("doc_id,text\n")
+            f.write(f"11,{base} slightly extended\n")
+            f.write(f"12,{other} with a tail\n")
+            f.write(f"13,{other} with a tail\n")
+            f.write("14,entirely novel text nothing shares any shingle here\n")
+        store_before = spark.read.parquet(store)
+        batch2 = spark.createDataFrame(
+            [
+                (11, base + " slightly extended"),
+                (12, other + " with a tail"),
+                (13, other + " with a tail"),
+                (14, "entirely novel text nothing shares any shingle here"),
+            ],
+            schema,
+        )
+        want = {
+            r.doc_id: (r.dup_vs_store, r.dup_in_batch)
+            for r in incremental_neardup(
+                batch2, store_before, "text", "doc_id"
+            ).collect()
+        }
+        s2 = stream_neardup_screen_available_now(**args())
+        got = {
+            r.doc_id: (r.dup_vs_store, r.dup_in_batch)
+            for r in spark.table("neardup_stream_results")
+            .filter(F.col("doc_id") >= 11)
+            .collect()
+        }
+        assert got == want  # stream == batch operator, exactly
+        assert got[11][0] is True  # store hit across batches
+        # 12 shares batch-min rule: 13 flags in-batch, 12 does not
+        assert got[12][1] is False and got[13][1] is True
+        assert got[14] == (False, False)
+        assert s2["screened"] == 4
+        assert s2["flagged_vs_store"] == sum(
+            1 for v in want.values() if v[0]
+        )
+
+        # drained checkpoint: nothing new -> no-op, results unchanged
+        s3 = stream_neardup_screen_available_now(**args())
+        assert s3 == {
+            "screened": 0, "flagged_vs_store": 0, "flagged_in_batch": 0,
+        }
+        assert spark.table("neardup_stream_results").count() == 6
+    finally:
+        spark.sql("DROP TABLE IF EXISTS neardup_stream_results")

@@ -14,7 +14,9 @@ heavy-tail probe reads are generated.
 Output lives under the repo (driver testdata is read-only):
 /root/repo/.scaledata/sf1 — gitignored, regenerable.
 
-Usage: python tools/gen_scale.py [factor]
+Usage: python tools/gen_scale.py [factor] [out_name]
+e.g. `python tools/gen_scale.py 100 sf10` builds the 100x set at
+.scaledata/sf10 for the second-decade (sf1 -> sf10) probes.
 """
 
 from __future__ import annotations
@@ -44,7 +46,10 @@ def replicate(df, factor: int, transforms):
 
 
 def main() -> None:
+    global OUT
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    if len(sys.argv) > 2:
+        OUT = f"/root/repo/.scaledata/{sys.argv[2]}"
     spark = get_spark("gen_scale")
     os.makedirs(OUT, exist_ok=True)
 

@@ -7,6 +7,13 @@ materially above gets a named cause or a fix (VERDICT r7 #6).
 
 Usage: python tools/scale_probe.py [query ...]   (default: the 10
 most expensive from the r7 bench)
+
+Env overrides for other decades: SCALE_FROM / SCALE_TO point at the
+two datasets, SCALE_LABEL suffixes the SCALE_PROBE.json key — e.g.
+  SCALE_FROM=/root/repo/.scaledata/sf1 \
+  SCALE_TO=/root/repo/.scaledata/sf10 SCALE_LABEL=@sf10 \
+  python tools/scale_probe.py q102_neardup_collapse
+records "q102_neardup_collapse@sf10" with the sf1 -> sf10 exponent.
 """
 
 from __future__ import annotations
@@ -21,8 +28,11 @@ sys.path.insert(0, "/root/repo")
 from ulh_etl_spark.queries import all_queries  # noqa: E402
 from ulh_etl_spark.session import get_spark  # noqa: E402
 
-SF01 = "/root/testdata/sf0.1"
-SF1 = "/root/repo/.scaledata/sf1"
+import os
+
+SF01 = os.environ.get("SCALE_FROM", "/root/testdata/sf0.1")
+SF1 = os.environ.get("SCALE_TO", "/root/repo/.scaledata/sf1")
+LABEL = os.environ.get("SCALE_LABEL", "")
 
 HEAVY = [
     "q126_record_linkage",
@@ -71,7 +81,7 @@ def main() -> int:
             print(f"{name:34s} ERROR {e}")
             continue
         exp = math.log10(t1 / t01)
-        out[name] = {
+        out[name + LABEL] = {
             "sf0.1_s": round(t01, 3),
             "sf1_s": round(t1, 3),
             "sf1_rows": n1,

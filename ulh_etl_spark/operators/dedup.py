@@ -228,6 +228,7 @@ def incremental_neardup(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     shingle_n: int = DEFAULT_SHINGLE,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup screening of a new batch against the
     at-rest LSH band store — the fuzzy twin of
@@ -251,15 +252,25 @@ def incremental_neardup(
 
     Output: (id, dup_vs_store, dup_in_batch) — one row per new doc
     that produced a signature (every doc: char_ngrams yields >= 1
-    gram for any text)."""
+    gram for any text).
+
+    ``new_bands`` optionally supplies the batch's band table
+    pre-computed (it MUST come from the same lsh_bands /
+    minhash_signatures parameters) — the streaming twin computes the
+    bands once and feeds the same frame to the screen AND the store
+    append, so the two can't drift and the signature pass runs once
+    per micro-batch."""
     from pyspark.sql import Window
 
-    new_bands = lsh_bands(
-        minhash_signatures(new_docs, text_col, id_col, num_hashes, shingle_n),
-        id_col,
-        num_hashes,
-        rows_per_band,
-    )
+    if new_bands is None:
+        new_bands = lsh_bands(
+            minhash_signatures(
+                new_docs, text_col, id_col, num_hashes, shingle_n
+            ),
+            id_col,
+            num_hashes,
+            rows_per_band,
+        )
     store = store_bands.select("band_idx", "band_key").distinct()
     w = Window.partitionBy("band_idx", "band_key")
     flagged = (

@@ -159,3 +159,116 @@ def stream_merge_available_now(
     )
     q.awaitTermination()
     return stats
+
+
+def stream_neardup_screen_available_now(
+    spark,
+    inbound_dir: str,
+    schema: str,
+    text_col: str,
+    id_col: str,
+    store_dir: str,
+    results_table: str,
+    checkpoint_dir: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 4,
+) -> dict:
+    """Streaming incremental NEAR-dup screening: drain the inbound
+    directory exactly-once (AvailableNow + checkpoint) and, per
+    micro-batch via ``foreachBatch``,
+      1. screen the batch against the at-rest LSH band store with
+         operators.dedup.incremental_neardup (dup_vs_store /
+         dup_in_batch flags — the historical corpus is never re-read,
+         only its band table),
+      2. append the flags to ``results_table``,
+      3. append the batch's OWN band rows to the store so later
+         batches collide with them (dup docs' bands included — future
+         batches should collide with the kept representative's
+         buckets; see the batch operator's docstring).
+    The signature/band pass runs ONCE per batch: the same band frame
+    (persisted) feeds both the screen and the store append through
+    incremental_neardup's ``new_bands`` hook, so stream and batch
+    flags are identical by construction (pinned by test).
+
+    At-least-once note: a micro-batch REPLAYED after a crash between
+    steps 2 and 3 can append duplicate band rows / result rows.
+    Band-store duplicates are harmless for correctness (the screen
+    distinct-projects the store); exactly-once results need the
+    table swapped for a transactional sink (Delta) or a merge keyed
+    on (batch_id, id) — same caveat as every foreachBatch sink.
+
+    Scale: per micro-batch, one signature narrow map + one
+    (band_idx, band_key) shuffle over batch + store-distinct rows;
+    the store is an append-only parquet dir partitioned by nothing
+    (band joins are uniform-hash keyed). Returns {"screened": n,
+    "flagged_vs_store": n, "flagged_in_batch": n} accumulated across
+    drained batches."""
+    import os
+
+    from pyspark.storagelevel import StorageLevel
+
+    from ulh_etl_spark.operators.dedup import (
+        incremental_neardup,
+        lsh_bands,
+        minhash_signatures,
+    )
+
+    stats = {"screened": 0, "flagged_vs_store": 0, "flagged_in_batch": 0}
+
+    def _screen(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        bands = lsh_bands(
+            minhash_signatures(
+                batch_df, text_col, id_col, num_hashes, shingle_n
+            ),
+            id_col,
+            num_hashes,
+            rows_per_band,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            if os.path.isdir(store_dir):
+                store = sess.read.parquet(store_dir)
+            else:  # first batch ever: empty store, same schema
+                store = bands.limit(0)
+            flags = incremental_neardup(
+                batch_df,
+                store,
+                text_col,
+                id_col,
+                num_hashes,
+                rows_per_band,
+                shingle_n,
+                new_bands=bands,
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            flags.write.mode("append").saveAsTable(results_table)
+            # stats BEFORE the store append: the parquet read lists
+            # files at action time, so a cache-missed recompute of
+            # `flags` after the append would screen the batch against
+            # its OWN bands (every doc self-hits the store)
+            agg = flags.agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("dup_vs_store").cast("long")).alias("s"),
+                F.sum(F.col("dup_in_batch").cast("long")).alias("b"),
+            ).collect()[0]
+            stats["screened"] += agg["n"]
+            stats["flagged_vs_store"] += int(agg["s"] or 0)
+            stats["flagged_in_batch"] += int(agg["b"] or 0)
+            # store append LAST, after every consumer of the old store
+            bands.write.mode("append").parquet(store_dir)
+            flags.unpersist()
+        finally:
+            bands.unpersist()
+
+    q = (
+        _csv_stream(spark, inbound_dir, schema)
+        .drop("file_name", "file_load_time")
+        .writeStream.foreachBatch(_screen)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stats
