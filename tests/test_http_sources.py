@@ -782,3 +782,38 @@ def test_entity_fanout_dataframe_ids_distribute_without_driver_list(spark, tmp_p
 
     fetched = sorted(p.read_text() for p in pathlib.Path(cd).iterdir())
     assert fetched == ["p1", "p2", "p3"]  # distinct, exactly once each
+
+
+def test_classify_snapshot_semantics(spark, tmp_path):
+    """SURVEY §7.4 stale-key-map risk, pinned: 'update' wins iff the
+    key exists at SNAPSHOT time — the moment the key_map plan was
+    constructed (a parquet read pins its file listing then). A GUID
+    appended concurrently after the snapshot must NOT flip that run's
+    'create' (same policy as the reference's collected dict), while a
+    FRESH key_map read sees it — so re-classification after the
+    append yields 'update', which is how a non-racing rerun heals."""
+    km_dir = str(tmp_path / "keymap")
+    spark.createDataFrame(
+        [("MBI1", "G-1")], "mbi string, guid string"
+    ).write.parquet(km_dir)
+    snapshot = spark.read.parquet(km_dir)
+    rows = spark.createDataFrame(
+        [("MBI1", "v1"), ("MBI2", "v2")], "mbi string, v string"
+    )
+    classified = classify_create_update(rows, snapshot, ["mbi"])
+
+    # concurrent run creates MBI2 AFTER this run's snapshot
+    spark.createDataFrame(
+        [("MBI2", "G-2")], "mbi string, guid string"
+    ).write.mode("append").parquet(km_dir)
+
+    got = {r.mbi: (r._op, r._guid) for r in classified.collect()}
+    assert got == {"MBI1": ("update", "G-1"), "MBI2": ("create", None)}
+
+    fresh = {
+        r.mbi: r._op
+        for r in classify_create_update(
+            rows, spark.read.parquet(km_dir), ["mbi"]
+        ).collect()
+    }
+    assert fresh == {"MBI1": "update", "MBI2": "update"}

@@ -114,7 +114,17 @@ def classify_create_update(
     ``delete_when`` (e.g. ``F.col("status") == "canceled"``) marks
     matching rows 'delete' when the snapshot knows their GUID, and
     'skip' when it doesn't (nothing exists to delete — the reference
-    silently drops canceled rows never synced)."""
+    silently drops canceled rows never synced).
+
+    Snapshot semantics (SURVEY §7.4 stale-key-map risk): 'update'
+    wins iff the key exists AT SNAPSHOT TIME = when ``key_map``'s
+    plan was CONSTRUCTED (a parquet/table read pins its file listing
+    then — pinned by test_classify_snapshot_semantics). A key whose
+    entity is created concurrently AFTER the snapshot still
+    classifies 'create' — the POST may duplicate the entity, which
+    is the reference's behavior too (its collected dict is staler
+    still); the mirror MERGE reconciles the MIRROR by key either
+    way, and runs that must not race take a fresh key_map read."""
     from pyspark.sql import functions as F
 
     km = key_map.select(*keys, F.col(guid_col).alias("_guid")).distinct()
