@@ -247,14 +247,22 @@ def encode_wav_pcm16(samples, sample_rate: int = 8000) -> bytes:
     import struct
     import wave
 
+    import numpy as np
+
+    arr = np.asarray(
+        samples if isinstance(samples, np.ndarray) else list(samples),
+        dtype=np.int64,
+    )
+    if arr.size and (arr.max() > 32767 or arr.min() < -32768):
+        raise struct.error("sample out of int16 range")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(sample_rate)
-        w.writeframes(
-            b"".join(struct.pack("<h", int(s)) for s in samples)
-        )
+        # vectorized little-endian int16 pack — byte-identical to the
+        # per-sample struct.pack('<h') loop, ~30x less Python
+        w.writeframes(arr.astype("<i2").tobytes())
     return buf.getvalue()
 
 
@@ -300,17 +308,33 @@ def audio_energy_fingerprint(
     corpus passes ~2^16 distinct streams (hamming-<=3 base-rate
     collisions ~1% of pairs — measured 13 M spurious pairs at sf1 in
     the r9 catalog), so the default is the full 64 bits of the long;
-    q147 uses 60 to stay sign-safe in the DuckDB oracle twin."""
-    d = decode_wav_pcm16(content)
-    s = d["samples"]
-    n = len(s)
+    q147 uses 60 to stay sign-safe in the DuckDB oracle twin.
+
+    Decodes with stdlib ``wave`` straight into a numpy int16 view
+    (same real-codec path as decode_wav_pcm16, minus the per-sample
+    Python list the envelope never needed — the widened 60-frame
+    fingerprint made the list loop the q147 bottleneck)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError(
+                f"unsupported sample width {w.getsampwidth()} (PCM16 only)"
+            )
+        nch = w.getnchannels()
+        raw = w.readframes(w.getnframes())
+    s = np.abs(np.frombuffer(raw, dtype="<i2")[::nch].astype(np.int64))
+    n = s.size
     fp = 0
     if n == 0:
         return 0
     frame = max(1, n // n_bits)
     for i in range(n_bits):
         seg = s[i * frame : (i + 1) * frame]
-        if seg and sum(abs(x) for x in seg) / len(seg) >= threshold:
+        if seg.size and seg.sum() / seg.size >= threshold:
             fp |= 1 << i
     return fp
 

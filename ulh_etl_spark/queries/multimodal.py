@@ -252,16 +252,20 @@ def q147_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def synth(batches):
+        import numpy as np
+
         from ulh_etl_spark.operators.multimodal import encode_wav_pcm16
 
+        sign = np.tile(np.array([1, -1], dtype=np.int64), 25)  # 50/frame
         for pdf in batches:
             content = []
             for c in pdf["_cluster"]:
-                samples = []
-                for bit in range(60):
-                    amp = 20000 if (int(c) >> bit) & 1 else 0
-                    samples.extend([amp, -amp] * 25)  # 50/frame
-                content.append(encode_wav_pcm16(samples))
+                c = int(c)
+                amps = np.array(
+                    [20000 if (c >> bit) & 1 else 0 for bit in range(60)],
+                    dtype=np.int64,
+                )
+                content.append(encode_wav_pcm16(np.outer(amps, sign).ravel()))
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"].values, "content": content}
             )
