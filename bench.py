@@ -110,8 +110,13 @@ HEADLINE = (
     "q147_audio_neardup",
     "q148_html_extract",
     "q149_sft_render",
-    # Round-10 addition: hashed char-trigram language ID.
+    # Round-10 additions: hashed char-trigram language ID, SQ8
+    # scalar quantization, vocabulary-coverage audit, rare-gram
+    # blocked containment dedup.
     "q150_lang_id_ngram",
+    "q151_sq8_encode",
+    "q152_vocab_coverage",
+    "q153_containment_pairs",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",
@@ -234,8 +239,11 @@ ANCHOR = {
     "q147_audio_neardup": 2.030,
     "q148_html_extract": 0.393,
     "q149_sft_render": 0.473,
-    # round-10 entry measurement (min-of-3 warm, quiet host)
+    # round-10 entry measurements (min-of-3 warm, quiet host)
     "q150_lang_id_ngram": 2.224,
+    "q151_sq8_encode": 1.001,
+    "q152_vocab_coverage": 0.710,
+    "q153_containment_pairs": 1.566,
     # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's
     # cost is the in-order pair fan-out (O(sum basket²), baskets ~4).
     "q128_event_transitions": 0.735,

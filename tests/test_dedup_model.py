@@ -622,3 +622,48 @@ def test_incremental_neardup_model(spark):
     assert out[3] == (False, False)  # first of the in-batch pair
     assert out[5] == (False, True)   # later copy: in-batch dup
     assert out[7] == (False, False)  # unique
+
+
+def test_gram_containment_pairs_model(spark):
+    """Asymmetric containment: a short doc quoted inside a longer one
+    is emitted as (contained, container) with high containment but
+    LOW jaccard — the pair the symmetric dedup family misses; mutual
+    near-dups emit both directions; unrelated docs emit nothing; and
+    a gram above df_max never blocks (but still counts in the exact
+    arithmetic)."""
+    from ulh_etl_spark.operators.dedup import gram_containment_pairs
+
+    quote = "the seldom seen quartz fox vaulted the zigzag hedge"
+    filler = (
+        " meanwhile entirely different prose follows about query"
+        " planning partition pruning shuffle exchanges and adaptive"
+        " execution in long form to dilute the quoted span far below"
+        " any symmetric jaccard threshold while keeping every quoted"
+        " gram present verbatim"
+    )
+    rows = [
+        (1, quote),                    # contained
+        (2, quote + filler),           # container
+        (3, "totally unrelated text about walking in the park"),
+        (4, quote + " with a tiny tail"),  # near-dup of 1 (mutual)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.contained_id, r.container_id): (r.containment, r.jaccard)
+        for r in gram_containment_pairs(
+            df, "text", "doc_id", n=4, df_max=8, threshold=0.6
+        ).collect()
+    }
+    # 1 ⊂ 2: full containment, low jaccard (the asymmetric case)
+    c12, j12 = out[(1, 2)]
+    assert c12 == 1.0 and j12 < 0.4
+    # 2 is NOT contained in 1
+    assert (2, 1) not in out
+    # mutual near-dups 1/4: both directions, and the direction with
+    # the extra tail has strictly lower containment
+    assert out[(1, 4)][0] == 1.0
+    assert 0.6 <= out[(4, 1)][0] < 1.0
+    # unrelated doc never appears
+    assert not any(3 in p for p in out)
+    # 4 ⊂ 2 too (the quote rides along)
+    assert out[(4, 2)][0] >= 0.6

@@ -1224,3 +1224,69 @@ def test_lang_id_ngram_beats_marker_toy(spark):
     # the upgrade must actually matter: the toy mislabels a majority
     # of the marker-free fixtures this test exists for
     assert marker_misses >= 5
+
+
+def test_sq8_encode_model(spark):
+    """Hand-checkable SQ8: per-dim corpus bounds, floor-quantized
+    codes, midpoint-decode reconstruction error; a FLAT dimension
+    (min == max) encodes 0 and contributes zero error."""
+    from ulh_etl_spark.operators.similarity import sq8_bounds, sq8_encode
+
+    rows = [
+        (1, [0.0, 10.0, 7.5]),
+        (2, [1.0, 20.0, 7.5]),
+        (3, [2.0, 30.0, 7.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    mns, mxs = sq8_bounds(df)
+    assert mns == [0.0, 10.0, 7.5] and mxs == [2.0, 30.0, 7.5]
+    out = {
+        r.vec_id: (list(r.codes), r.recon_err)
+        for r in sq8_encode(df, (mns, mxs)).collect()
+    }
+    # dim1 span [0,2]: 0 -> 0, 1 -> floor(127.5) = 127, 2 -> 255
+    # dim2 span [10,30]: same code ladder; dim3 flat -> always 0
+    assert [c for c, _ in out.values()] == [
+        [0, 0, 0], [127, 127, 0], [255, 255, 0]
+    ]
+
+    def err(v, mn, mx, code):
+        return (v - (mn + (code + 0.5) * (mx - mn) / 256.0)) ** 2
+
+    import math
+
+    for vid, vec in ((1, rows[0][1]), (2, rows[1][1]), (3, rows[2][1])):
+        codes, got = out[vid]
+        want = sum(
+            err(v, mn, mx, c)
+            for v, mn, mx, c in zip(vec, mns, mxs, codes)
+            if mx > mn
+        )
+        assert math.isclose(got, want, rel_tol=1e-12), (vid, got, want)
+    # flat dim contributed nothing; each live dim's error is bounded
+    # by half a quantization cell squared: (span / 512)^2
+    assert out[1][1] <= (2 / 512.0) ** 2 + (20 / 512.0) ** 2 + 1e-12
+
+
+def test_vocab_coverage_model(spark):
+    """Deterministic top-K vocabulary (count desc, token asc) and
+    per-doc OOV tally; token-less docs pass through with zero
+    counts; the count-tie at the K boundary resolves lexically."""
+    from ulh_etl_spark.operators.text import vocab_coverage
+
+    docs = [
+        (1, "aa aa bb zz"),   # zz ties with bb? counts: aa3 bb2 cc2 zz1
+        (2, "aa bb cc"),
+        (3, "cc AA"),          # lowercased -> aa
+        (4, "   "),            # token-less
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # counts: aa=4, bb=2, cc=2, zz=1; K=2 -> {aa, bb} (bb < cc tie)
+    out = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate)
+        for r in vocab_coverage(df, "text", "doc_id", vocab_size=2).collect()
+    }
+    assert out[1] == (4, 1, 0.25)       # zz OOV
+    assert out[2] == (3, 1, round(1 / 3, 6))  # cc OOV
+    assert out[3] == (2, 1, 0.5)        # cc OOV, AA covered
+    assert out[4] == (0, 0, 0.0)        # token-less passthrough

@@ -55,6 +55,15 @@ SHUFFLE_BUDGET = {
     # plus the winnow-fingerprint leg's explode partial-agg. One
     # exchange per artifact is the report's inherent cost.
     "q141_deletion_impact": 5,
+    # q153 composes 7 distinct stage boundaries: fan-out repartition
+    # of the 1-split input (1), gram-posting explode -> df partial-agg
+    # (2), rare-gram semi-join keyed on gram (3; rare set is NOT
+    # driver-small in general — most grams of a diverse corpus sit in
+    # the df window, so broadcasting it is the scale trap), posting
+    # self-join on gram (4), candidate-pair distinct (5), and the two
+    # id-keyed gram-array verify joins (6, 7). Each shuffles a new
+    # key; none re-partitions one already in place.
+    "q153_containment_pairs": 7,
     # q145 runs the signature pipeline on BOTH relations (q85's
     # budget rationale): store fan-out (1) + signature agg (2),
     # batch fan-out (3) + signature agg (4), store band distinct (5;

@@ -287,6 +287,120 @@ def incremental_neardup(
     )
 
 
+def gram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = DEFAULT_SHINGLE,
+    df_max: int = 8,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Asymmetric near-CONTAINMENT pairs — the quote/subset relation
+    Jaccard structurally misses: containment(A in B) =
+    |grams(A) ∩ grams(B)| / |grams(A)| is high when A is quoted
+    inside a much larger B even though their Jaccard is tiny
+    (the size mismatch sinks |A∩B|/|A∪B|). The aggregator-page /
+    quotation / boilerplate-inclusion detector of a curation stack.
+
+    Blocking (the scale-critical part): candidates share at least one
+    RARE gram — distinct-gram document frequency in [2, ``df_max``].
+    Rare-gram blocking is the classic ER move: per rare gram the pair
+    clique is <= C(df_max, 2), so candidate volume is bounded by
+    df-filtered posting lists, never all-pairs and never the hot
+    boilerplate grams (df > df_max drops the gram from BLOCKING only
+    — the exact containment arithmetic still uses every gram). Recall
+    is a knob, not total: a contained span must contribute one gram
+    rare at corpus level (threshold-recall tradeoff documented here,
+    NOT hidden); raise df_max for more recall at quadratic-in-df_max
+    bucket cost. The DuckDB oracle reproduces the identical df
+    blocking rule, so the gate is exact for what the operator claims.
+
+    Emits ORDERED rows (contained_id, container_id, containment,
+    jaccard): one row per direction whose containment >= threshold —
+    mutual near-dups qualify in both directions, a strict subset in
+    one; jaccard rides along to show why containment was needed.
+
+    Scale: gram sets hashed to longs (gram_hash64 two-hash policy —
+    only ratios escape, the oracle verifies against raw grams), one
+    df groupBy (partial-agged), bounded-clique pair join, arrays ride
+    the verify join once. Same persist rationale as
+    ngram_jaccard_pairs_blocked."""
+    df = _fan_out(df)
+    g = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(
+                F.array_distinct(char_ngrams(F.col(text_col), n)),
+                lambda x: gram_hash64(x),
+            )
+        ).alias("_g"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    posts = g.select(F.col(id_col), F.explode("_g").alias("_gram"))
+    rare = (
+        posts.groupBy("_gram")
+        .agg(F.count("*").alias("_df"))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= df_max))
+        .select("_gram")
+    )
+    rp = posts.join(rare, "_gram")
+    pairs = (
+        rp.alias("a")
+        .join(
+            rp.alias("b"),
+            (F.col("a._gram") == F.col("b._gram"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("_id1"),
+            F.col(f"b.{id_col}").alias("_id2"),
+        )
+        .distinct()
+    )
+    ga = g.select(F.col(id_col).alias("_id1"), F.col("_g").alias("_ga"))
+    gb = g.select(F.col(id_col).alias("_id2"), F.col("_g").alias("_gb"))
+    inter = F.size(F.array_intersect(F.col("_ga"), F.col("_gb")))
+    union = F.size("_ga") + F.size("_gb") - inter
+    scored = (
+        pairs.join(ga, "_id1")
+        .join(gb, "_id2")
+        .select(
+            "_id1",
+            "_id2",
+            inter.alias("_i"),
+            F.size("_ga").alias("_na"),
+            F.size("_gb").alias("_nb"),
+            F.round(
+                inter.cast("double")
+                / F.greatest(union, F.lit(1)).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    c12 = F.round(
+        F.col("_i").cast("double")
+        / F.greatest(F.col("_na"), F.lit(1)).cast("double"),
+        6,
+    )
+    c21 = F.round(
+        F.col("_i").cast("double")
+        / F.greatest(F.col("_nb"), F.lit(1)).cast("double"),
+        6,
+    )
+    fwd = scored.select(
+        F.col("_id1").alias("contained_id"),
+        F.col("_id2").alias("container_id"),
+        c12.alias("containment"),
+        "jaccard",
+    ).filter(F.col("containment") >= threshold)
+    rev = scored.select(
+        F.col("_id2").alias("contained_id"),
+        F.col("_id1").alias("container_id"),
+        c21.alias("containment"),
+        "jaccard",
+    ).filter(F.col("containment") >= threshold)
+    return fwd.unionByName(rev)
+
+
 def minhash_columns(text: Column, num_hashes: int = 8, shingle_n: int = DEFAULT_SHINGLE) -> list[Column]:
     """MinHash signature as ``num_hashes`` long columns (mh_0..mh_k).
 

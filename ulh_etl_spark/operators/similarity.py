@@ -830,6 +830,97 @@ def pq_encode(
     )
 
 
+def sq8_bounds(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list, list]:
+    """Exact per-dimension (min, max) over the corpus — the training
+    pass of scalar quantization. One posexplode + groupBy(dim):
+    min/max partial-aggregate map-side, so the shuffle carries only
+    dim x partitions rows regardless of corpus size; the result is
+    driver-small (2 x dim doubles) and folds into the encode plan as
+    literals, exactly like a PQ codebook. min/max are EXACT (no
+    accumulation), so the DuckDB oracle computes bit-identical
+    bounds from the same float32 values."""
+    rows = (
+        corpus.select(F.posexplode(F.col(vec_col)).alias("_d", "_v"))
+        .groupBy("_d")
+        .agg(
+            F.min(F.col("_v").cast("double")).alias("mn"),
+            F.max(F.col("_v").cast("double")).alias("mx"),
+        )
+        .orderBy("_d")
+        .collect()
+    )
+    return [r.mn for r in rows], [r.mx for r in rows]
+
+
+def sq8_encode(
+    corpus: DataFrame,
+    bounds: tuple[list, list],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8 scalar quantization: each dimension linearly quantized to
+    an 8-bit code against the corpus [min, max] range —
+    ``code_d = clamp(floor((v - mn) * 255 / (mx - mn)), 0, 255)`` —
+    plus the reconstruction error of the midpoint decode
+    ``mn + (code + 0.5) * (mx - mn) / 256``. The 4x-compression
+    sibling of :func:`pq_encode` (FAISS's SQ8): no codebook training,
+    per-dimension independence, and the same audit contract —
+    ``recon_err`` is what sizes bits-per-dim for a target distortion.
+
+    Scale: the bounds ride the plan as two dim-length literal arrays
+    (PQ-codebook shape); encode + error is a pure zip_with narrow map
+    over the scan — zero shuffles, one pass, at any corpus size.
+    Every double op (subtract, scale, divide, floor, the
+    left-to-right error fold) mirrors the DuckDB oracle exactly;
+    flat dimensions (mx == mn) encode 0 with the dimension skipped
+    in the error (its midpoint decode equals the value)."""
+    mns, mxs = bounds
+    mn_lit = F.expr(
+        "array({})".format(", ".join(f"CAST({v!r} AS DOUBLE)" for v in mns))
+    )
+    mx_lit = F.expr(
+        "array({})".format(", ".join(f"CAST({v!r} AS DOUBLE)" for v in mxs))
+    )
+    v = F.col(vec_col)
+
+    def code_at(i):
+        x = F.element_at(v, i).cast("double")
+        mn = F.element_at(mn_lit, i)
+        mx = F.element_at(mx_lit, i)
+        return F.when(
+            mx > mn,
+            F.least(
+                F.floor((x - mn) * F.lit(255.0) / (mx - mn)), F.lit(255)
+            ).cast("int"),
+        ).otherwise(F.lit(0))
+
+    def err_at(i):
+        # d * d, never pow(d, 2): pow may take the exp/log path and
+        # the oracle must fold the identical doubles
+        mn = F.element_at(mn_lit, i)
+        mx = F.element_at(mx_lit, i)
+        x = F.element_at(v, i).cast("double")
+        d = x - (
+            mn + (code_at(i).cast("double") + F.lit(0.5))
+            * (mx - mn) / F.lit(256.0)
+        )
+        return F.when(mx > mn, d * d).otherwise(F.lit(0.0))
+
+    idx = F.sequence(F.lit(1), F.size(v))
+    codes = F.transform(idx, lambda i: code_at(i))
+    err_terms = F.transform(idx, lambda i: err_at(i))
+    recon = F.aggregate(err_terms, F.lit(0.0), lambda a, x: a + x)
+    return corpus.select(
+        F.col(id_col),
+        codes.alias("codes"),
+        recon.alias("recon_err"),
+    )
+
+
 def pq_adc_topk(
     encoded: DataFrame,
     codebook: DataFrame,

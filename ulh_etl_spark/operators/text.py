@@ -168,6 +168,67 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+def vocab_coverage(
+    df,
+    text_col: str,
+    id_col: str,
+    vocab_size: int = 256,
+):
+    """Per-document vocabulary coverage / OOV rate against the
+    corpus's own top-``vocab_size`` token vocabulary — the tokenizer-
+    fit audit run before committing a vocab: a rising OOV rate on a
+    new source means the tokenizer will shred it into bytes/unknowns
+    and its effective sequence length explodes. Vocabulary = the
+    ``vocab_size`` most frequent lowercased whitespace tokens
+    (count desc, token asc tiebreak — fully deterministic, so the
+    SQL oracle derives the identical set).
+
+    Scale: one token explode + partial-aggregated count shuffle for
+    the vocabulary, a global top-K (TakeOrdered on K rows — never a
+    single-partition window), then the coverage pass re-explodes with
+    the vocab BROADCAST and one per-doc agg. Token-less docs pass
+    through with n_tokens = 0 / oov_rate 0 (explode_outer).
+
+    Output: (id, n_tokens, n_oov, oov_rate round 6)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            whitespace_tokens(F.lower(F.col(text_col)))
+        ).alias("_t"),
+    )
+    vocab = (
+        toks.filter(F.col("_t").isNotNull())
+        .groupBy("_t")
+        .agg(F.count("*").alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col("_t"))
+        .limit(vocab_size)
+        .select("_t", F.lit(True).alias("_inv"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "_t", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("_t").alias("n_tokens"),
+            F.coalesce(
+                F.sum(
+                    (
+                        F.col("_t").isNotNull() & F.col("_inv").isNull()
+                    ).cast("long")
+                ),
+                F.lit(0),
+            ).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.round(
+                F.col("n_oov")
+                / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+                6,
+            ),
+        )
+    )
+
+
 # Tiny per-language training corpora for the hashed char-n-gram
 # profile classifier (lang_id_ngram). Everyday prose, written for
 # this repo — enough trigram signal to separate the four languages'

@@ -315,6 +315,30 @@ def q109_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONT_DF_MAX = 8
+_CONT_THRESHOLD = 0.6
+
+
+def q153_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-containment dedup: ordered (contained_id,
+    container_id) pairs whose gram containment |A∩B|/|A| >= 0.6 — the
+    quote/subset/aggregator relation whose Jaccard is tiny whenever
+    the sizes differ, so the symmetric dedup family (q34-q38)
+    structurally misses it. Rare-gram blocking (distinct-gram df in
+    [2, 8]) bounds every candidate clique at C(df_max, 2); the oracle
+    reproduces the identical blocking rule
+    (operators.dedup.gram_containment_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.gram_containment_pairs(
+        docs,
+        "text",
+        "doc_id",
+        n=_SHINGLE_N,
+        df_max=_CONT_DF_MAX,
+        threshold=_CONT_THRESHOLD,
+    )
+
+
 QUERIES = {
     "q34_dedup_exact": q34_dedup_exact,
     "q35_minhash_signature": q35_minhash_signature,
@@ -333,6 +357,7 @@ QUERIES = {
     "q107_incremental_dedup": q107_incremental_dedup,
     "q109_minhash_estimate": q109_minhash_estimate,
     "q145_incremental_neardup": q145_incremental_neardup,
+    "q153_containment_pairs": q153_containment_pairs,
 }
 
 _CC_CTE = f"""WITH RECURSIVE hashed AS (
@@ -362,6 +387,57 @@ _CC_CTE = f"""WITH RECURSIVE hashed AS (
         )"""
 
 ORACLES = {
+    # q153: identical rare-gram blocking (raw-gram df — the engine's
+    # xxhash64 gram sets are hash-invariant per the two-hash policy),
+    # exact containment both directions, thresholded on the ROUNDED
+    # value exactly like the engine
+    "q153_containment_pairs": f"""
+        WITH g AS (
+            SELECT doc_id, list_distinct({O.grams('text', _SHINGLE_N)}) AS gs
+            FROM documents
+        ), posts AS (
+            SELECT doc_id, t AS gram FROM g, unnest(gs) AS u(t)
+        ), rare AS (
+            SELECT gram FROM (
+                SELECT gram, COUNT(*) AS c FROM posts GROUP BY gram
+            ) WHERE c BETWEEN 2 AND {_CONT_DF_MAX}
+        ), rp AS (
+            SELECT p.doc_id, p.gram
+            FROM posts p JOIN rare r ON p.gram = r.gram
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM rp a JOIN rp b
+              ON a.gram = b.gram AND a.doc_id < b.doc_id
+        ), sc AS (
+            SELECT p.id1, p.id2,
+                   len(list_intersect(ga.gs, gb.gs)) AS i,
+                   len(ga.gs) AS na, len(gb.gs) AS nb
+            FROM pairs p
+            JOIN g ga ON ga.doc_id = p.id1
+            JOIN g gb ON gb.doc_id = p.id2
+        ), j AS (
+            SELECT id1, id2, i, na, nb,
+                   ROUND(CAST(i AS DOUBLE)
+                         / CAST(GREATEST(na + nb - i, 1) AS DOUBLE),
+                         6) AS jaccard
+            FROM sc
+        )
+        SELECT id1 AS contained_id, id2 AS container_id,
+               ROUND(CAST(i AS DOUBLE) / CAST(GREATEST(na, 1) AS DOUBLE),
+                     6) AS containment,
+               jaccard
+        FROM j
+        WHERE ROUND(CAST(i AS DOUBLE) / CAST(GREATEST(na, 1) AS DOUBLE),
+                    6) >= {_CONT_THRESHOLD}
+        UNION ALL
+        SELECT id2 AS contained_id, id1 AS container_id,
+               ROUND(CAST(i AS DOUBLE) / CAST(GREATEST(nb, 1) AS DOUBLE),
+                     6) AS containment,
+               jaccard
+        FROM j
+        WHERE ROUND(CAST(i AS DOUBLE) / CAST(GREATEST(nb, 1) AS DOUBLE),
+                    6) >= {_CONT_THRESHOLD}
+    """,
     "q34_dedup_exact": f"""
         SELECT md5({O.norm_text('text')}) AS fp,
                MIN(doc_id) AS keep_id,

@@ -289,6 +289,27 @@ def q111_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q151_sq8_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar quantization (FAISS's SQ8, the 4x-compression
+    sibling of q111's PQ): exact per-dimension corpus [min, max]
+    bounds (one partial-aggregated posexplode pass, driver-small
+    result), then every vector's 64 dims linearly quantized to 8-bit
+    codes with the midpoint-decode reconstruction error — the audit
+    that decides whether 4x compression is usable before reaching
+    for PQ's 64x. Encode is a pure narrow map with the bounds as
+    plan-literal arrays: zero shuffles at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    enc = S.sq8_encode(emb, S.sq8_bounds(emb))
+    return enc.select(
+        "vec_id",
+        *[
+            F.col("codes")[s].cast("int").alias(f"code_{s}")
+            for s in range(4)
+        ],
+        F.round("recon_err", 6).alias("recon_err"),
+    )
+
+
 def q112_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC quality audit: per-query recall@k of asymmetric-distance
     top-k over PQ codes against exact brute-force squared-L2 — the
@@ -409,6 +430,7 @@ QUERIES = {
     "q100_semantic_dedup": q100_semantic_dedup,
     "q106_hard_negatives": q106_hard_negatives,
     "q111_pq_encode": q111_pq_encode,
+    "q151_sq8_encode": q151_sq8_encode,
     "q112_pq_adc_recall": q112_pq_adc_recall,
     "q119_ivfpq_topk": q119_ivfpq_topk,
     "q136_multiprobe_recall": q136_multiprobe_recall,
@@ -890,6 +912,57 @@ ORACLES = {
         SELECT query_id, vec_id, ROUND(adc_dist, 6) AS adc_dist,
                CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= {_K}
+    """,
+    # q151: exact per-dim bounds from the same float32 values (min/
+    # max have no accumulation, so both engines compute identical
+    # doubles); encode/decode arithmetic mirrors sq8_encode's exact
+    # op order, d * d not pow
+    "q151_sq8_encode": f"""
+        WITH dims AS (
+            SELECT i FROM generate_series(1, {_EMB_DIM_PQ}) AS g(i)
+        ), b AS (
+            SELECT d.i AS pos,
+                   MIN(CAST(e.embedding[d.i] AS DOUBLE)) AS mn,
+                   MAX(CAST(e.embedding[d.i] AS DOUBLE)) AS mx
+            FROM embeddings e CROSS JOIN dims d
+            GROUP BY d.i
+        ), bl AS (
+            SELECT list(mn ORDER BY pos) AS mns,
+                   list(mx ORDER BY pos) AS mxs
+            FROM b
+        ), enc AS (
+            SELECT e.vec_id,
+                   list_transform(generate_series(1, {_EMB_DIM_PQ}), i ->
+                       CASE WHEN bl.mxs[i] > bl.mns[i]
+                            THEN CAST(LEAST(FLOOR(
+                                 (CAST(e.embedding[i] AS DOUBLE) - bl.mns[i])
+                                 * 255.0 / (bl.mxs[i] - bl.mns[i])), 255)
+                                 AS INT)
+                            ELSE 0 END) AS codes,
+                   list_sum(list_transform(generate_series(1, {_EMB_DIM_PQ}), i ->
+                       CASE WHEN bl.mxs[i] > bl.mns[i]
+                            THEN (CAST(e.embedding[i] AS DOUBLE)
+                                  - (bl.mns[i]
+                                     + (CAST(CAST(LEAST(FLOOR(
+                                          (CAST(e.embedding[i] AS DOUBLE) - bl.mns[i])
+                                          * 255.0 / (bl.mxs[i] - bl.mns[i])), 255)
+                                          AS INT) AS DOUBLE) + 0.5)
+                                       * (bl.mxs[i] - bl.mns[i]) / 256.0))
+                                 * (CAST(e.embedding[i] AS DOUBLE)
+                                  - (bl.mns[i]
+                                     + (CAST(CAST(LEAST(FLOOR(
+                                          (CAST(e.embedding[i] AS DOUBLE) - bl.mns[i])
+                                          * 255.0 / (bl.mxs[i] - bl.mns[i])), 255)
+                                          AS INT) AS DOUBLE) + 0.5)
+                                       * (bl.mxs[i] - bl.mns[i]) / 256.0))
+                            ELSE 0.0 END)) AS recon_err
+            FROM embeddings e, bl
+        )
+        SELECT vec_id,
+               codes[1] AS code_0, codes[2] AS code_1,
+               codes[3] AS code_2, codes[4] AS code_3,
+               ROUND(recon_err, 6) AS recon_err
+        FROM enc
     """,
     "q111_pq_encode": f"""
         WITH {_PQ_CTE}, hm AS (

@@ -298,6 +298,21 @@ def q150_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VOCAB_SIZE = 256
+
+
+def q152_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fit audit: per document, how much of it the corpus's
+    own top-256 token vocabulary covers (n_tokens, n_oov, oov_rate) —
+    the measurement run before committing a vocab, because a source
+    with rising OOV shreds into unknowns and its effective sequence
+    length explodes (operators.text.vocab_coverage; deterministic
+    count-desc/token-asc vocabulary, so the oracle derives the
+    identical set)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.vocab_coverage(docs, "text", "doc_id", _VOCAB_SIZE)
+
+
 def q148_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-crawl text extraction: each doc is wrapped in a
     deterministic HTML page (title from its source, a per-doc script
@@ -959,6 +974,7 @@ QUERIES = {
     "q148_html_extract": q148_html_extract,
     "q149_sft_render": q149_sft_render,
     "q150_lang_id_ngram": q150_lang_id_ngram,
+    "q152_vocab_coverage": q152_vocab_coverage,
     "q124_span_pairs": q124_span_pairs,
     "q135_length_buckets": q135_length_buckets,
     "q137_needle_insertion": q137_needle_insertion,
@@ -1116,6 +1132,33 @@ ORACLES = {
                END AS predicted_lang,
                score_en, score_es, score_de, score_fr
         FROM s
+    """,
+    # q152: identical deterministic vocabulary (count desc, token asc,
+    # LIMIT K) then per-doc OOV tally; LEFT JOIN from documents keeps
+    # token-less docs with n_tokens = 0 like the engine's explode_outer
+    "q152_vocab_coverage": f"""
+        WITH tok AS (
+            SELECT doc_id, t
+            FROM documents, unnest({_LOW_TOKS}) AS u(t)
+        ), v AS (
+            SELECT t FROM (
+                SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+                ORDER BY c DESC, t LIMIT {_VOCAB_SIZE}
+            )
+        ), cov AS (
+            SELECT tok.doc_id,
+                   COUNT(*) AS n_tokens,
+                   SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS n_oov
+            FROM tok LEFT JOIN v ON tok.t = v.t
+            GROUP BY tok.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(cov.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(cov.n_oov, 0) AS BIGINT) AS n_oov,
+               ROUND(CAST(COALESCE(cov.n_oov, 0) AS DOUBLE)
+                     / CAST(GREATEST(COALESCE(cov.n_tokens, 0), 1) AS DOUBLE),
+                     6) AS oov_rate
+        FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id
     """,
     "q32_lang_id": f"""
         SELECT doc_id,
