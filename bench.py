@@ -373,13 +373,30 @@ def main() -> None:
         json.dump(payload, fh, indent=1)
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1900:
+        # qNN prefixes must stay unique or the dict comprehension
+        # silently collapses two queries' timings; fall back to full
+        # names on collision (ADVICE r9).
+        prefixes = [n.split("_", 1)[0] for n in timings]
+        shorten = (
+            (lambda n: n.split("_", 1)[0])
+            if len(set(prefixes)) == len(prefixes)
+            else (lambda n: n)
+        )
         compact = dict(payload)
-        compact["queries"] = {n.split("_", 1)[0]: s
-                              for n, s in timings.items()}
+        compact["queries"] = {shorten(n): s for n, s in timings.items()}
         if errors:
-            compact["errors"] = {n.split("_", 1)[0]: "see bench_full.json"
+            compact["errors"] = {shorten(n): "see bench_full.json"
                                  for n in errors}
         line = json.dumps(compact, separators=(",", ":"))
+        if len(line) > 1900:
+            # still over the driver's tail window: drop per-query
+            # detail rather than ship a line it cannot parse — the
+            # sidecar bench_full.json keeps everything
+            compact["queries"] = {"_truncated": len(timings)}
+            compact.pop("errors", None)
+            compact["note"] = "per-query detail in bench_full.json"
+            line = json.dumps(compact, separators=(",", ":"))
+        assert len(line) <= 1900, f"bench line still {len(line)} chars"
     print(line)
     if errors:
         raise SystemExit(1)
