@@ -117,6 +117,7 @@ HEADLINE = (
     "q151_sq8_encode",
     "q152_vocab_coverage",
     "q153_containment_pairs",
+    "q154_hybrid_rrf",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",
@@ -244,6 +245,7 @@ ANCHOR = {
     "q151_sq8_encode": 1.001,
     "q152_vocab_coverage": 0.710,
     "q153_containment_pairs": 1.566,
+    "q154_hybrid_rrf": 1.203,
     # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's
     # cost is the in-order pair fan-out (O(sum basket²), baskets ~4).
     "q128_event_transitions": 0.735,

@@ -1290,3 +1290,53 @@ def test_vocab_coverage_model(spark):
     assert out[2] == (3, 1, round(1 / 3, 6))  # cc OOV
     assert out[3] == (2, 1, 0.5)        # cc OOV, AA covered
     assert out[4] == (0, 0, 0.0)        # token-less passthrough
+
+
+def test_rrf_fuse_model(spark):
+    """RRF arithmetic on hand-built legs: overlapping items sum both
+    reciprocal ranks, single-leg items contribute one term, ranking
+    orders by rounded score then item id, topk truncates."""
+    from ulh_etl_spark.operators.similarity import rrf_fuse
+
+    dense = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, item_id long, rank int",
+    )
+    lex = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        "query_id long, item_id long, rank int",
+    )
+    out = {
+        r.item_id: (r.rrf_score, r.rank)
+        for r in rrf_fuse([dense, lex], k_const=60, topk=3).collect()
+    }
+    # item 11: both legs 1/62 + 1/61; item 10: dense only 1/61;
+    # item 13: lex only 1/62; item 12 (1/63) falls off at topk=3
+    assert out[11] == (round(1 / 62 + 1 / 61, 6), 1)
+    assert out[10] == (round(1 / 61, 6), 2)
+    assert out[13] == (round(1 / 62, 6), 3)
+    assert 12 not in out
+
+
+def test_token_overlap_topk_model(spark):
+    """Deterministic lexical leg: overlap counts distinct shared
+    lowercase tokens, self excluded, desc/id tiebreak."""
+    from ulh_etl_spark.operators.similarity import token_overlap_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),
+            (1, "alpha beta delta"),
+            (2, "ALPHA beta gamma extra"),
+            (3, "omega psi"),
+        ],
+        "doc_id long, text string",
+    )
+    q = docs.filter("doc_id = 0")
+    out = {
+        r.item_id: (r.overlap, r.rank)
+        for r in token_overlap_topk(docs, q, k=3).collect()
+    }
+    assert out[2] == (3, 1)   # case-folded full overlap
+    assert out[1] == (2, 2)
+    assert out[3] == (0, 3)   # zero overlap still ranked (k=3)

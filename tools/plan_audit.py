@@ -64,6 +64,13 @@ SHUFFLE_BUDGET = {
     # id-keyed gram-array verify joins (6, 7). Each shuffles a new
     # key; none re-partitions one already in place.
     "q153_containment_pairs": 7,
+    # q154 composes TWO full retrieval legs plus fusion: the dense
+    # leg's per-query top-k window (1), the lexical leg's (2), the
+    # full-outer fusion join on (query, item) (3, 4 — both top-k
+    # relations re-partition onto the composite join key; each is
+    # q x k rows, trivially bounded), and the fused ranking's window
+    # (5). One exchange per stage of a genuinely multi-stage ensemble.
+    "q154_hybrid_rrf": 5,
     # q145 runs the signature pipeline on BOTH relations (q85's
     # budget rationale): store fan-out (1) + signature agg (2),
     # batch fan-out (3) + signature agg (4), store band distinct (5;

@@ -203,6 +203,109 @@ def hard_negatives(
     )
 
 
+def token_overlap_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Lexical retrieval leg: per query document, the top-k corpus
+    documents by DISTINCT shared lowercase whitespace-token count
+    (score desc, id asc tiebreak; self-matches excluded) — the
+    deterministic set-overlap ranking that pairs with a dense leg in
+    hybrid retrieval (see :func:`rrf_fuse`). Overlap counting (not
+    BM25) keeps the leg closed-form for the oracle while exercising
+    the identical plan shape a BM25 leg would.
+
+    Scale: cosine_topk's exact contract — token sets are computed
+    once per side, queries broadcast, the corpus never shuffles for
+    the scoring join; the only shuffle is the per-query top-k
+    window."""
+    from ulh_etl_spark.operators.text import whitespace_tokens
+
+    toks = lambda c: F.array_distinct(whitespace_tokens(F.lower(c)))  # noqa: E731
+    q = queries.select(
+        F.col(id_col).alias("query_id"), toks(F.col(text_col)).alias("_qt")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("item_id"), toks(F.col(text_col)).alias("_ct")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("item_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "item_id",
+            F.size(F.array_intersect(F.col("_qt"), F.col("_ct"))).alias(
+                "overlap"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("overlap").desc(), F.col("item_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "item_id", "overlap", "rank")
+    )
+
+
+def rrf_fuse(
+    legs: "list[DataFrame]",
+    k_const: int = 60,
+    topk: int = 10,
+    query_col: str = "query_id",
+    item_col: str = "item_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009): fuse any number
+    of per-query rankings into one — score(q, d) = sum over legs of
+    1 / (k + rank_leg(q, d)), items missing from a leg contribute 0.
+    The standard hybrid-search combiner: rank-based, so a leg's score
+    SCALE (cosine vs token counts vs BM25) never needs calibrating.
+
+    Determinism contract: the fused ranking orders by the ROUNDED
+    (6 dp) score then item id, so engine and oracle rank identical
+    doubles identically. Each leg's rank must itself be deterministic
+    (every leg in this repo tie-breaks on id).
+
+    Scale: legs are already per-query top-k relations (tiny — q x k
+    rows), so the outer joins and the final window are trivially
+    bounded; fusion cost never touches the corpus."""
+    fused = None
+    for i, leg in enumerate(legs):
+        contrib = leg.select(
+            F.col(query_col),
+            F.col(item_col),
+            (
+                F.lit(1.0)
+                / (F.lit(k_const).cast("double") + F.col(rank_col).cast("double"))
+            ).alias(f"_s{i}"),
+        )
+        fused = (
+            contrib
+            if fused is None
+            else fused.join(contrib, [query_col, item_col], "full_outer")
+        )
+    n = len(legs)
+    score = None
+    for i in range(n):
+        term = F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+        score = term if score is None else score + term
+    scored = fused.select(
+        query_col, item_col, F.round(score, 6).alias("rrf_score")
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_score").desc(), F.col(item_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+    )
+
+
 def _centroid_literal(
     centroids: DataFrame, centroid_id: str, centroid_vec: str
 ) -> Column:

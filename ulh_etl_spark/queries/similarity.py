@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ulh_etl_spark.operators import similarity as S
+from ulh_etl_spark.queries import _oracle_fragments as O
 from ulh_etl_spark.session import load_table
 
 _N_QUERIES = 5
@@ -24,6 +25,28 @@ def q39_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return S.cosine_topk(emb, queries, k=_K)
+
+
+def q154_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of a DENSE leg
+    (exact cosine top-10 over embeddings — q39's ranking) and a
+    LEXICAL leg (distinct-token-overlap top-10 over the same-id
+    documents) for the first 5 query ids — the standard two-tower +
+    keyword ensemble, rank-based so neither leg's score scale needs
+    calibrating (operators.similarity.rrf_fuse, Cormack et al.
+    2009). Both legs tie-break on id and fusion ranks on the rounded
+    score, so the oracle reproduces the fused ranking exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    qv = emb.filter(F.col("vec_id") < _N_QUERIES)
+    qd = docs.filter(F.col("doc_id") < _N_QUERIES)
+    dense = S.cosine_topk(emb, qv, k=_K).select(
+        "query_id", F.col("neighbor_id").alias("item_id"), "rank"
+    )
+    lex = S.token_overlap_topk(docs, qd, "text", "doc_id", k=_K).select(
+        "query_id", "item_id", "rank"
+    )
+    return S.rrf_fuse([dense, lex], k_const=60, topk=_K)
 
 
 def q106_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -431,6 +454,7 @@ QUERIES = {
     "q106_hard_negatives": q106_hard_negatives,
     "q111_pq_encode": q111_pq_encode,
     "q151_sq8_encode": q151_sq8_encode,
+    "q154_hybrid_rrf": q154_hybrid_rrf,
     "q112_pq_adc_recall": q112_pq_adc_recall,
     "q119_ivfpq_topk": q119_ivfpq_topk,
     "q136_multiprobe_recall": q136_multiprobe_recall,
@@ -912,6 +936,52 @@ ORACLES = {
         SELECT query_id, vec_id, ROUND(adc_dist, 6) AS adc_dist,
                CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= {_K}
+    """,
+    # q154: dense leg nests _Q39_SQL verbatim (lockstep with q39 by
+    # construction); lexical leg = distinct-token overlap with the
+    # identical desc/id tiebreak; fusion sums dense-then-lex 1/(60+r)
+    # and ranks on the ROUNDED score exactly like rrf_fuse
+    "q154_hybrid_rrf": f"""
+        WITH dense AS (
+            SELECT query_id, neighbor_id AS item_id, rank
+            FROM ({_Q39_SQL})
+        ), lexq AS (
+            SELECT doc_id AS query_id,
+                   list_distinct({O.ws_tokens('lower(text)')}) AS qt
+            FROM documents WHERE doc_id < {_N_QUERIES}
+        ), lexc AS (
+            SELECT doc_id AS item_id,
+                   list_distinct({O.ws_tokens('lower(text)')}) AS ct
+            FROM documents
+        ), lexs AS (
+            SELECT q.query_id, c.item_id,
+                   len(list_intersect(q.qt, c.ct)) AS ov
+            FROM lexq q, lexc c
+            WHERE c.item_id <> q.query_id
+        ), lexr AS (
+            SELECT query_id, item_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY ov DESC, item_id) AS rank
+            FROM lexs
+        ), lex AS (
+            SELECT query_id, item_id, rank FROM lexr WHERE rank <= {_K}
+        ), fused AS (
+            SELECT COALESCE(d.query_id, l.query_id) AS query_id,
+                   COALESCE(d.item_id, l.item_id) AS item_id,
+                   ROUND(COALESCE(1.0 / (60.0 + d.rank), 0.0)
+                         + COALESCE(1.0 / (60.0 + l.rank), 0.0),
+                         6) AS rrf_score
+            FROM dense d FULL OUTER JOIN lex l
+              ON d.query_id = l.query_id AND d.item_id = l.item_id
+        )
+        SELECT query_id, item_id, rrf_score, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT query_id, item_id, rrf_score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY rrf_score DESC, item_id)
+                       AS rank
+            FROM fused
+        ) WHERE rank <= {_K}
     """,
     # q151: exact per-dim bounds from the same float32 values (min/
     # max have no accumulation, so both engines compute identical
