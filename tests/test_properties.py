@@ -560,3 +560,115 @@ def test_duplicate_span_removal_matches_model(spark, docs, k):
         clean = " ".join(t for q, t in enumerate(toks) if q not in covered)
         want[i] = (len(toks), len(covered), clean)
     assert got == want
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.lists(st.floats(min_value=-100, max_value=100,
+                       allow_nan=False, allow_infinity=False,
+                       width=32),
+             min_size=3, max_size=3),
+    min_size=2, max_size=12))
+def test_sq8_encode_properties(spark, vecs):
+    """SQ8 invariants for arbitrary float32 vectors: codes in
+    [0, 255]; boundary values map to the extreme codes; per-dim
+    reconstruction error bounded by half a quantization cell; flat
+    dims contribute zero error; bounds match the python min/max."""
+    from ulh_etl_spark.operators.similarity import sq8_bounds, sq8_encode
+
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<float>"
+    )
+    import struct as _struct
+
+    f32 = lambda x: _struct.unpack("f", _struct.pack("f", x))[0]  # noqa: E731
+    pyv = [[f32(x) for x in v] for v in vecs]
+    mns, mxs = sq8_bounds(df)
+    assert mns == [min(v[d] for v in pyv) for d in range(3)]
+    assert mxs == [max(v[d] for v in pyv) for d in range(3)]
+    out = {
+        r.vec_id: (list(r.codes), r.recon_err)
+        for r in sq8_encode(df, (mns, mxs)).collect()
+    }
+    for vid, v in enumerate(pyv):
+        codes, err = out[vid]
+        bound = 0.0
+        for d in range(3):
+            assert 0 <= codes[d] <= 255
+            if mxs[d] > mns[d]:
+                if v[d] == mns[d]:
+                    assert codes[d] == 0
+                if v[d] == mxs[d]:
+                    assert codes[d] == 255
+                cell = (mxs[d] - mns[d]) / 255.0
+                bound += cell * cell  # (full cell)^2 slack: floor+mid
+            else:
+                assert codes[d] == 0
+        assert err <= bound + 1e-9
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=30),
+                min_size=2, max_size=10))
+def test_vocab_coverage_properties(spark, texts):
+    """vocab_coverage invariants: every doc appears exactly once;
+    0 <= n_oov <= n_tokens; with the vocabulary >= distinct-token
+    count, OOV is zero everywhere; n_tokens matches the python
+    tokenization."""
+    from ulh_etl_spark.operators.text import vocab_coverage
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    distinct_all = {t for s in texts for t in s.lower().split()}
+    out = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate)
+        for r in vocab_coverage(
+            df, "text", "doc_id", vocab_size=max(len(distinct_all), 1)
+        ).collect()
+    }
+    assert set(out) == {d for d, _ in docs}
+    for did, text in docs:
+        n_tok, n_oov, rate = out[did]
+        assert n_tok == len(text.lower().split())
+        assert n_oov == 0 and rate == 0.0  # full-coverage vocab
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(min_value=0, max_value=30), min_size=1,
+                max_size=15, unique=True),
+       st.lists(st.integers(min_value=0, max_value=30), min_size=1,
+                max_size=15, unique=True))
+def test_rrf_fuse_matches_model(spark, leg1_items, leg2_items):
+    """rrf_fuse equals the python RRF model for arbitrary two-leg
+    rankings of one query: scores, ordering (rounded-score desc then
+    item id), and top-k truncation."""
+    from ulh_etl_spark.operators.similarity import rrf_fuse
+
+    l1 = spark.createDataFrame(
+        [(0, item, r + 1) for r, item in enumerate(leg1_items)],
+        "query_id long, item_id long, rank int",
+    )
+    l2 = spark.createDataFrame(
+        [(0, item, r + 1) for r, item in enumerate(leg2_items)],
+        "query_id long, item_id long, rank int",
+    )
+    got = [
+        (r.item_id, r.rrf_score, r.rank)
+        for r in rrf_fuse([l1, l2], k_const=60, topk=5)
+        .orderBy("rank")
+        .collect()
+    ]
+    model = {}
+    for r, item in enumerate(leg1_items):
+        model[item] = model.get(item, 0.0) + 1.0 / (60 + r + 1)
+    for r, item in enumerate(leg2_items):
+        model[item] = model.get(item, 0.0) + 1.0 / (60 + r + 1)
+    ranked = sorted(
+        ((round(s, 6), item) for item, s in model.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:5]
+    want = [(item, s, i + 1) for i, (s, item) in enumerate(ranked)]
+    assert got == want

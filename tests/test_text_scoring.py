@@ -1251,7 +1251,7 @@ def test_sq8_encode_model(spark):
     ]
 
     def err(v, mn, mx, code):
-        return (v - (mn + (code + 0.5) * (mx - mn) / 256.0)) ** 2
+        return (v - (mn + (code + 0.5) * (mx - mn) / 255.0)) ** 2
 
     import math
 
@@ -1264,8 +1264,9 @@ def test_sq8_encode_model(spark):
         )
         assert math.isclose(got, want, rel_tol=1e-12), (vid, got, want)
     # flat dim contributed nothing; each live dim's error is bounded
-    # by half a quantization cell squared: (span / 512)^2
-    assert out[1][1] <= (2 / 512.0) ** 2 + (20 / 512.0) ** 2 + 1e-12
+    # by half a quantization cell squared: (span / 510)^2 — vec 1
+    # sits exactly at both dims' minima, so it ACHIEVES the bound
+    assert out[1][1] <= (2 / 510.0) ** 2 + (20 / 510.0) ** 2 + 1e-12
 
 
 def test_vocab_coverage_model(spark):

@@ -969,7 +969,7 @@ def sq8_encode(
     an 8-bit code against the corpus [min, max] range —
     ``code_d = clamp(floor((v - mn) * 255 / (mx - mn)), 0, 255)`` —
     plus the reconstruction error of the midpoint decode
-    ``mn + (code + 0.5) * (mx - mn) / 256``. The 4x-compression
+    ``mn + (code + 0.5) * (mx - mn) / 255`` (the encode step is span/255, so the decode grid must match — a /256 decode drifts by c*span/65280 and the error bound breaks mid-range). The 4x-compression
     sibling of :func:`pq_encode` (FAISS's SQ8): no codebook training,
     per-dimension independence, and the same audit contract —
     ``recon_err`` is what sizes bits-per-dim for a target distortion.
@@ -1009,7 +1009,7 @@ def sq8_encode(
         x = F.element_at(v, i).cast("double")
         d = x - (
             mn + (code_at(i).cast("double") + F.lit(0.5))
-            * (mx - mn) / F.lit(256.0)
+            * (mx - mn) / F.lit(255.0)
         )
         return F.when(mx > mn, d * d).otherwise(F.lit(0.0))
 

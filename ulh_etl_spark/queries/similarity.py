@@ -1017,14 +1017,14 @@ ORACLES = {
                                           (CAST(e.embedding[i] AS DOUBLE) - bl.mns[i])
                                           * 255.0 / (bl.mxs[i] - bl.mns[i])), 255)
                                           AS INT) AS DOUBLE) + 0.5)
-                                       * (bl.mxs[i] - bl.mns[i]) / 256.0))
+                                       * (bl.mxs[i] - bl.mns[i]) / 255.0))
                                  * (CAST(e.embedding[i] AS DOUBLE)
                                   - (bl.mns[i]
                                      + (CAST(CAST(LEAST(FLOOR(
                                           (CAST(e.embedding[i] AS DOUBLE) - bl.mns[i])
                                           * 255.0 / (bl.mxs[i] - bl.mns[i])), 255)
                                           AS INT) AS DOUBLE) + 0.5)
-                                       * (bl.mxs[i] - bl.mns[i]) / 256.0))
+                                       * (bl.mxs[i] - bl.mns[i]) / 255.0))
                             ELSE 0.0 END)) AS recon_err
             FROM embeddings e, bl
         )
