@@ -118,6 +118,7 @@ HEADLINE = (
     "q152_vocab_coverage",
     "q153_containment_pairs",
     "q154_hybrid_rrf",
+    "q155_rerank_topk",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",
@@ -246,6 +247,7 @@ ANCHOR = {
     "q152_vocab_coverage": 0.710,
     "q153_containment_pairs": 1.566,
     "q154_hybrid_rrf": 1.203,
+    "q155_rerank_topk": 1.658,
     # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's
     # cost is the in-order pair fan-out (O(sum basket²), baskets ~4).
     "q128_event_transitions": 0.735,

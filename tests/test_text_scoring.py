@@ -1341,3 +1341,42 @@ def test_token_overlap_topk_model(spark):
     assert out[2] == (3, 1)   # case-folded full overlap
     assert out[1] == (2, 2)
     assert out[3] == (0, 3)   # zero overlap still ranked (k=3)
+
+
+def test_rerank_topk_model(spark):
+    """Two-stage rerank against the python scorer model: scores are
+    the portable md5 uniform over (q_text, d_text), top-k truncates
+    with rounded-score-desc/id tiebreak, and candidates missing from
+    the corpus text relation drop (inner join semantics)."""
+    from ulh_etl_spark.operators.similarity import (
+        portable_cross_scorer,
+        rerank_topk,
+    )
+
+    texts = spark.createDataFrame(
+        [(i, f"document body number {i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (0, 99)],  # 99: no text row
+        "query_id long, item_id long",
+    )
+    got = [
+        (r.item_id, r.score, r.rank)
+        for r in rerank_topk(cand, texts, portable_cross_scorer, k=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    q = "document body number 0"
+    model = sorted(
+        (
+            (
+                round(portable_cross_scorer(q, f"document body number {i}"), 6),
+                i,
+            )
+            for i in (1, 2, 3, 4)
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[:3]
+    assert got == [(i, s, r + 1) for r, (s, i) in enumerate(model)]
+    assert all(i != 99 for i, _, _ in got)

@@ -306,6 +306,86 @@ def rrf_fuse(
     )
 
 
+def portable_cross_scorer(q_text: str, d_text: str) -> float:
+    """Deterministic stand-in for a cross-encoder relevance model:
+    md5-uniform in [0, 1) over the (query, doc) TEXT pair (unit
+    separator joined, so no concatenation ambiguity). SQL-reproducible
+    (md5 of the same UTF-8 bytes), which is what makes the rerank
+    stage oracle-checkable; a real cross-encoder (e.g. a miniLM
+    ONNX session opened per executor) plugs into rerank_topk's
+    scorer slot unchanged — nothing about the plan depends on where
+    the score comes from."""
+    import hashlib
+
+    h = hashlib.md5((q_text + "\x1f" + d_text).encode()).hexdigest()
+    return int(h[:8], 16) / 4294967296.0
+
+
+def rerank_topk(
+    candidates: DataFrame,
+    texts: DataFrame,
+    scorer,
+    query_col: str = "query_id",
+    item_col: str = "item_id",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Second-stage RERANK of first-stage candidates — the standard
+    two-stage retrieval shape (ANN recall stage -> cross-encoder
+    precision stage): join each (query, candidate) pair with BOTH
+    texts, score the pair in an Arrow ``mapInPandas`` stage (the
+    model crossing — one Python call per pair over columnar batches,
+    never per-row JVM<->Python chatter), keep the top ``k`` per query
+    by (rounded score desc, item id).
+
+    Scale: the candidate relation is queries x first-stage-k rows —
+    driver-tiny by construction — so BOTH text joins broadcast the
+    pair side and the corpus never shuffles; the scorer stage then
+    touches only |candidates| rows no matter the corpus size, which
+    is the entire economics of two-stage retrieval (the expensive
+    model runs on thousands of pairs, not billions). The only
+    shuffle is the final per-query top-k window."""
+    import pandas as pd
+
+    # BOTH text joins broadcast the PAIR side (queries x k rows) —
+    # never the corpus: the corpus text relation stays scan-side and
+    # shuffle-free in each join, and only matched pair rows survive
+    # into the next stage
+    with_d = texts.select(
+        F.col(id_col).alias(item_col), F.col(text_col).alias("_dt")
+    ).join(F.broadcast(candidates.select(query_col, item_col)), item_col)
+    pairs = texts.select(
+        F.col(id_col).alias(query_col), F.col(text_col).alias("_qt")
+    ).join(F.broadcast(with_d), query_col)
+
+    def _score(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    query_col: pdf[query_col].values,
+                    item_col: pdf[item_col].values,
+                    "score": [
+                        scorer(q, d)
+                        for q, d in zip(pdf["_qt"], pdf["_dt"])
+                    ],
+                }
+            )
+
+    scored = pairs.mapInPandas(
+        _score, schema=f"{query_col} long, {item_col} long, score double"
+    ).select(
+        query_col, item_col, F.round("score", 6).alias("score")
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("score").desc(), F.col(item_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _centroid_literal(
     centroids: DataFrame, centroid_id: str, centroid_vec: str
 ) -> Column:

@@ -49,6 +49,27 @@ def q154_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.rrf_fuse([dense, lex], k_const=60, topk=_K)
 
 
+def q155_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: q42's IVF probe supplies the candidate
+    set (recall stage, partition-prunable at scale), then an
+    Arrow-batched cross-encoder RERANK stage scores each (query,
+    candidate) TEXT pair and keeps the top 5 (precision stage) —
+    the economics of production search: the expensive pairwise model
+    touches queries x k rows, never the corpus. The scorer is the
+    deterministic md5 stand-in (operators.similarity.
+    portable_cross_scorer) so the oracle reproduces the score
+    arithmetic; a real cross-encoder drops into the same
+    mapInPandas slot. The oracle nests q42's SQL verbatim, so the
+    candidate stage stays in lockstep by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    candidates = q42_ivf_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("item_id")
+    )
+    return S.rerank_topk(
+        candidates, docs, S.portable_cross_scorer, k=5
+    )
+
+
 def q106_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (DPR recipe): per query, top-10 cosine
     neighbors EXCLUDING its labeled positives (synthetic qrels:
@@ -455,6 +476,7 @@ QUERIES = {
     "q111_pq_encode": q111_pq_encode,
     "q151_sq8_encode": q151_sq8_encode,
     "q154_hybrid_rrf": q154_hybrid_rrf,
+    "q155_rerank_topk": q155_rerank_topk,
     "q112_pq_adc_recall": q112_pq_adc_recall,
     "q119_ivfpq_topk": q119_ivfpq_topk,
     "q136_multiprobe_recall": q136_multiprobe_recall,
@@ -936,6 +958,32 @@ ORACLES = {
         SELECT query_id, vec_id, ROUND(adc_dist, 6) AS adc_dist,
                CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= {_K}
+    """,
+    # q155: candidate stage nests _Q42_SQL verbatim (lockstep with
+    # q42); the rerank scorer is md5('0x' 8-nibble)/2^32 over
+    # q_text || US || d_text — the exact bytes portable_cross_scorer
+    # hashes (chr(31) = the \\x1f unit separator)
+    "q155_rerank_topk": f"""
+        WITH cand AS (
+            SELECT query_id, neighbor_id AS item_id FROM ({_Q42_SQL})
+        ), scored AS (
+            SELECT c.query_id, c.item_id,
+                   ROUND(CAST('0x' || substr(md5(dq.text || chr(31)
+                                             || dd.text), 1, 8)
+                              AS BIGINT) / 4294967296.0,
+                         6) AS score
+            FROM cand c
+            JOIN documents dq ON dq.doc_id = c.query_id
+            JOIN documents dd ON dd.doc_id = c.item_id
+        )
+        SELECT query_id, item_id, score, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT query_id, item_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, item_id)
+                       AS rank
+            FROM scored
+        ) WHERE rank <= 5
     """,
     # q154: dense leg nests _Q39_SQL verbatim (lockstep with q39 by
     # construction); lexical leg = distinct-token overlap with the
