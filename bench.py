@@ -119,6 +119,7 @@ HEADLINE = (
     "q153_containment_pairs",
     "q154_hybrid_rrf",
     "q155_rerank_topk",
+    "q156_lang_agreement",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",
@@ -248,6 +249,7 @@ ANCHOR = {
     "q153_containment_pairs": 1.566,
     "q154_hybrid_rrf": 1.203,
     "q155_rerank_topk": 1.658,
+    "q156_lang_agreement": 2.269,
     # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's
     # cost is the in-order pair fan-out (O(sum basket²), baskets ~4).
     "q128_event_transitions": 0.735,

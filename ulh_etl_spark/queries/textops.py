@@ -298,6 +298,45 @@ def q150_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q156_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-vs-model agreement audit: the confusion matrix of the
+    documents table's declared ``lang`` column against q150's hashed
+    char-trigram classifier — the check run before TRUSTING either
+    side for per-language curation (q114/q140 slice by language; a
+    systematic disagreement cell means one of the two is wrong for
+    that slice). One narrow classification pass + one two-key
+    count groupBy; output is |langs|^2-bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucketed = docs.select(
+        "lang",
+        T.lang_gram_buckets(F.col("text"), _LANG_N, _LANG_K).alias("_b"),
+        "text",
+    )
+    scored = bucketed.select(
+        "lang",
+        "text",
+        *[
+            T.lang_score_from_buckets(F.col("_b"), _LANG_W[lang]).alias(
+                f"score_{lang}"
+            )
+            for lang in ("en", "es", "de", "fr")
+        ],
+    )
+    scores = {
+        lang: F.col(f"score_{lang}") for lang in ("en", "es", "de", "fr")
+    }
+    return (
+        scored.select(
+            "lang",
+            T.lang_pred_from_scores(scores, F.col("text")).alias(
+                "predicted_lang"
+            ),
+        )
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 _VOCAB_SIZE = 256
 
 
@@ -975,6 +1014,7 @@ QUERIES = {
     "q149_sft_render": q149_sft_render,
     "q150_lang_id_ngram": q150_lang_id_ngram,
     "q152_vocab_coverage": q152_vocab_coverage,
+    "q156_lang_agreement": q156_lang_agreement,
     "q124_span_pairs": q124_span_pairs,
     "q135_length_buckets": q135_length_buckets,
     "q137_needle_insertion": q137_needle_insertion,
@@ -1048,6 +1088,38 @@ _W_SQL = "[" + ", ".join(repr(w) for w in _QMODEL_W) + "]::DOUBLE[]"
 LEET_FROM_SQL = T.LEET_FROM
 BL_SQL = "[" + ", ".join(f"'{t}'" for t in BLOCKLIST) + "]"
 
+_LANG_SCORED_CTES = f"""w AS (
+            SELECT {", ".join(
+                "[" + ", ".join(repr(x) for x in _LANG_W[lang])
+                + f"]::DOUBLE[] AS w_{lang}"
+                for lang in ('en', 'es', 'de', 'fr')
+            )}
+        ), t AS (
+            SELECT doc_id, lang, text,
+                   {O.grams('lower(text)', _LANG_N)} AS g
+            FROM documents
+        ), s AS (
+            SELECT doc_id, lang, text,
+                   {", ".join(
+                       "ROUND(list_sum(list_transform(g, t -> "
+                       f"w.w_{lang}"
+                       f"[CAST({O.md5h('t')} % {_LANG_K} AS INT) + 1])) "
+                       f"/ CAST(len(g) AS DOUBLE), 6) AS score_{lang}"
+                       for lang in ('en', 'es', 'de', 'fr')
+                   )}
+            FROM t, w
+        )"""
+
+_LANG_PRED_SQL = """CASE
+                 WHEN length(trim(text)) = 0 THEN 'unknown'
+                 WHEN score_en >= score_es AND score_en >= score_de
+                      AND score_en >= score_fr THEN 'en'
+                 WHEN score_es >= score_de AND score_es >= score_fr
+                      THEN 'es'
+                 WHEN score_de >= score_fr THEN 'de'
+                 ELSE 'fr'
+               END"""
+
 ORACLES = {
     # q84: identical hashed-bucket linear model, weights inlined
     "q84_model_quality_score": f"""
@@ -1094,44 +1166,27 @@ ORACLES = {
                , 6) AS quality
         FROM documents
     """,
-    # q150: identical hashed char-trigram NB profiles; the weight
-    # arrays are materialized ONCE in a 1-row CTE and cross-joined —
-    # inlining a 512-element list literal inside the lambda (q84's
-    # pattern, fine at K=64) makes DuckDB rebuild the list per gram
-    # evaluation: measured 60 s vs 0.6 s for 500 docs
+    # q150/q156 shared chain: identical hashed char-trigram NB
+    # profiles; the weight arrays are materialized ONCE in a 1-row
+    # CTE and cross-joined — inlining a 512-element list literal
+    # inside the lambda (q84's pattern, fine at K=64) makes DuckDB
+    # rebuild the list per gram evaluation: measured 60 s vs 0.6 s
+    # for 500 docs. The s CTE carries lang/text through so the q156
+    # confusion rollup groups the SAME scored relation q150 emits.
     "q150_lang_id_ngram": f"""
-        WITH w AS (
-            SELECT {", ".join(
-                "[" + ", ".join(repr(x) for x in _LANG_W[lang])
-                + f"]::DOUBLE[] AS w_{lang}"
-                for lang in ('en', 'es', 'de', 'fr')
-            )}
-        ), t AS (
-            SELECT doc_id, text, {O.grams('lower(text)', _LANG_N)} AS g
-            FROM documents
-        ), s AS (
-            SELECT doc_id, text,
-                   {", ".join(
-                       "ROUND(list_sum(list_transform(g, t -> "
-                       f"w.w_{lang}"
-                       f"[CAST({O.md5h('t')} % {_LANG_K} AS INT) + 1])) "
-                       f"/ CAST(len(g) AS DOUBLE), 6) AS score_{lang}"
-                       for lang in ('en', 'es', 'de', 'fr')
-                   )}
-            FROM t, w
-        )
-        SELECT doc_id,
-               CASE
-                 WHEN length(trim(text)) = 0 THEN 'unknown'
-                 WHEN score_en >= score_es AND score_en >= score_de
-                      AND score_en >= score_fr THEN 'en'
-                 WHEN score_es >= score_de AND score_es >= score_fr
-                      THEN 'es'
-                 WHEN score_de >= score_fr THEN 'de'
-                 ELSE 'fr'
-               END AS predicted_lang,
+        WITH {_LANG_SCORED_CTES}
+        SELECT doc_id, {_LANG_PRED_SQL} AS predicted_lang,
                score_en, score_es, score_de, score_fr
         FROM s
+    """,
+    # q156: q150's scored relation -> declared-vs-predicted confusion
+    # matrix (lockstep by shared CTE construction)
+    "q156_lang_agreement": f"""
+        WITH {_LANG_SCORED_CTES}
+        SELECT lang, {_LANG_PRED_SQL} AS predicted_lang,
+               COUNT(*) AS n_docs
+        FROM s
+        GROUP BY 1, 2
     """,
     # q152: identical deterministic vocabulary (count desc, token asc,
     # LIMIT K) then per-doc OOV tally; LEFT JOIN from documents keeps
