@@ -437,3 +437,73 @@ def test_stream_neardup_screen_matches_batch_operator(spark, tmp_path):
         assert spark.table("neardup_stream_results").count() == 6
     finally:
         spark.sql("DROP TABLE IF EXISTS neardup_stream_results")
+
+
+def test_dedup_within_watermark_stream(spark, tmp_path):
+    """Streaming key dedup with bounded state: a re-delivery of a key
+    within the watermark delay is dropped across MICRO-BATCHES (state
+    lives in the checkpoint between AvailableNow runs); once the
+    watermark advances past a key's event time its state evicts and
+    the key is re-admitted — the documented at-least-once flip side."""
+    import os
+
+    from ulh_etl_spark.streaming.windows import dedup_within_watermark
+
+    inbound = tmp_path / "inbound"
+    inbound.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k STRING, ts TIMESTAMP"
+
+    def drain():
+        from ulh_etl_spark.streaming.file_stream import _csv_stream
+
+        stream = dedup_within_watermark(
+            _csv_stream(spark, str(inbound), schema).drop(
+                "file_name", "file_load_time"
+            ),
+            keys=("k",),
+            ts_col="ts",
+            watermark="10 minutes",
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.k, str(r.ts))
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        }
+
+    # batch 1: A twice in-batch (one survives), B once
+    with open(os.path.join(inbound, "b1.csv"), "w") as f:
+        f.write("k,ts\n")
+        f.write("A,2024-01-01 10:00:00\n")
+        f.write("A,2024-01-01 10:01:00\n")
+        f.write("B,2024-01-01 10:02:00\n")
+    out1 = drain()
+    assert {k for k, _ in out1} == {"A", "B"}
+    assert len(out1) == 2  # in-batch duplicate dropped
+
+    # batch 2: A re-delivered within the watermark -> dropped; C
+    # advances event time far past A's ts + delay
+    with open(os.path.join(inbound, "b2.csv"), "w") as f:
+        f.write("k,ts\n")
+        f.write("A,2024-01-01 10:05:00\n")
+        f.write("C,2024-01-01 11:00:00\n")
+    out2 = drain()
+    assert {k for k, _ in out2} == {"A", "B", "C"}
+    assert len(out2) == 3  # cross-batch duplicate dropped via state
+
+    # batch 3: watermark (11:00 - 10min = 10:50) passed A's 10:00
+    # state -> A re-admitted: the documented re-admission semantics
+    with open(os.path.join(inbound, "b3.csv"), "w") as f:
+        f.write("k,ts\n")
+        f.write("A,2024-01-01 11:30:00\n")
+    out3 = drain()
+    a_rows = [t for k, t in out3 if k == "A"]
+    assert len(a_rows) == 2  # original + post-eviction re-admission
+    assert len(out3) == 4

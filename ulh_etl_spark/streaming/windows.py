@@ -120,3 +120,29 @@ def streaming_session_counts(
             F.col("n_events"),
         )
     )
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    keys: "tuple[str, ...]",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """At-least-once -> effectively-once key dedup for event streams:
+    ``dropDuplicatesWithinWatermark`` keeps the FIRST row per key and
+    drops re-deliveries arriving within the watermark delay — the
+    standard defense against source re-sends (Kafka redelivery, HTTP
+    retry webhooks) where an unbounded ``dropDuplicates`` would grow
+    state forever. State per key is evicted once the watermark passes
+    its event time, so memory is bounded by keys-per-watermark-window
+    at ANY stream length — and, the flip side every consumer must
+    know, a duplicate arriving LATER than the watermark delay is
+    re-admitted (exactly-once needs an idempotent sink keyed
+    downstream, e.g. tables.merge_upsert).
+
+    Works on a streaming df (state in the checkpoint, survives
+    restarts) — batch callers should use plain dropDuplicates, which
+    is also the oracle shape for the first-batch semantics."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
