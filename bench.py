@@ -120,6 +120,7 @@ HEADLINE = (
     "q154_hybrid_rrf",
     "q155_rerank_topk",
     "q156_lang_agreement",
+    "q157_leakage_free_split",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",
@@ -250,6 +251,9 @@ ANCHOR = {
     "q154_hybrid_rrf": 1.203,
     "q155_rerank_topk": 1.658,
     "q156_lang_agreement": 2.269,
+    # components-fixpoint family: cost is the per-round loop overhead
+    # (q102's anchor rationale), amortizing at scale
+    "q157_leakage_free_split": 5.934,
     # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's
     # cost is the in-order pair fan-out (O(sum basket²), baskets ~4).
     "q128_event_transitions": 0.735,

@@ -667,3 +667,38 @@ def test_gram_containment_pairs_model(spark):
     assert not any(3 in p for p in out)
     # 4 ⊂ 2 too (the quote rides along)
     assert out[(4, 2)][0] >= 0.6
+
+
+def test_leakage_free_split_property(spark):
+    """The cluster-level split's defining property: NO minhash-LSH
+    candidate pair crosses a split boundary — near-dup families move
+    as a unit (q122's leakage audit would report zero on this split
+    by construction); singletons still split ~80/10/10 by hash."""
+    from ulh_etl_spark.operators.dedup import (
+        connected_components,
+        minhash_candidate_pairs,
+        minhash_star_edges,
+    )
+    from ulh_etl_spark.operators.text import hash_split
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base + f" family {i // 3}") for i in range(30)] + [
+        (100 + i, f"unique standalone document number {i} about topic {i}")
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    edges = minhash_star_edges(docs, "text", "doc_id")
+    labels = connected_components(edges).withColumnRenamed("node", "doc_id")
+    assigned = (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .withColumn("cluster", F.coalesce("component", "doc_id"))
+        .withColumn(
+            "split", hash_split(F.col("cluster"), salt="clustersplit")
+        )
+    )
+    split_of = {r.doc_id: r.split for r in assigned.collect()}
+    pairs = minhash_candidate_pairs(docs, "text", "doc_id").collect()
+    assert len(pairs) > 10  # families actually produce pairs
+    for p in pairs:
+        assert split_of[p.id1] == split_of[p.id2], (p.id1, p.id2)

@@ -315,6 +315,41 @@ def q109_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q157_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-FREE train/val/test split: the q75 near-dup CLUSTER
+    (not the document) is the unit of assignment — every member of a
+    near-dup family hashes to the same split, so a test document can
+    never have a train-set near-twin (the contamination q122's audit
+    measures after the fact, prevented by construction). Singleton
+    docs (no near-dup edges) cluster as themselves. Deterministic:
+    md5 hash-split of the cluster label (hash_split's engine/oracle
+    portability), components from the star-edge fixpoint whose
+    equality to the full pair closure is pinned elsewhere."""
+    from ulh_etl_spark.operators.text import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = D.minhash_star_edges(
+        docs, "text", "doc_id", _NUM_HASHES, _ROWS_PER_BAND, _SHINGLE_N
+    )
+    labels = D.connected_components(edges).withColumnRenamed(
+        "node", "doc_id"
+    )
+    return (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .withColumn(
+            "cluster", F.coalesce(F.col("component"), F.col("doc_id"))
+        )
+        .select(
+            "doc_id",
+            "cluster",
+            hash_split(F.col("cluster"), salt="clustersplit").alias(
+                "split"
+            ),
+        )
+    )
+
+
 _CONT_DF_MAX = 8
 _CONT_THRESHOLD = 0.6
 
@@ -358,6 +393,7 @@ QUERIES = {
     "q109_minhash_estimate": q109_minhash_estimate,
     "q145_incremental_neardup": q145_incremental_neardup,
     "q153_containment_pairs": q153_containment_pairs,
+    "q157_leakage_free_split": q157_leakage_free_split,
 }
 
 _CC_CTE = f"""WITH RECURSIVE hashed AS (
@@ -387,6 +423,27 @@ _CC_CTE = f"""WITH RECURSIVE hashed AS (
         )"""
 
 ORACLES = {
+    # q157: the full-pair recursive closure (same _CC_CTE as q75 —
+    # star-edge equivalence pinned there), singletons cluster as
+    # themselves, then hash_split's exact md5 bucket arithmetic on
+    # the cluster label
+    "q157_leakage_free_split": f"""
+        {_CC_CTE}, assigned AS (
+            SELECT d.doc_id,
+                   COALESCE(c.component, d.doc_id) AS cluster
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        )
+        SELECT doc_id, cluster,
+               CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id, cluster,
+                   {O.md5h("'clustersplit_' || CAST(cluster AS VARCHAR)")}
+                       % 100 AS b
+            FROM assigned
+        )
+    """,
     # q153: identical rare-gram blocking (raw-gram df — the engine's
     # xxhash64 gram sets are hash-invariant per the two-hash policy),
     # exact containment both directions, thresholded on the ROUNDED
