@@ -121,6 +121,7 @@ HEADLINE = (
     "q155_rerank_topk",
     "q156_lang_agreement",
     "q157_leakage_free_split",
+    "q158_decontamination_report",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",
@@ -254,6 +255,7 @@ ANCHOR = {
     # components-fixpoint family: cost is the per-round loop overhead
     # (q102's anchor rationale), amortizing at scale
     "q157_leakage_free_split": 5.934,
+    "q158_decontamination_report": 1.840,
     # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's
     # cost is the in-order pair fan-out (O(sum basket²), baskets ~4).
     "q128_event_transitions": 0.735,

@@ -702,3 +702,49 @@ def test_leakage_free_split_property(spark):
     assert len(pairs) > 10  # families actually produce pairs
     for p in pairs:
         assert split_of[p.id1] == split_of[p.id2], (p.id1, p.id2)
+
+
+def test_decontamination_report_tiers(spark):
+    """q158 policy on a hand-built corpus: a benchmark near-dup
+    drops, a doc quoting a 16-char span of a benchmark doc reviews,
+    an unrelated doc keeps — and fuzzy takes precedence over exact
+    (a near-dup always also shares spans)."""
+    from ulh_etl_spark.queries.dedup import q158_decontamination_report
+
+    # stub via operators directly (the catalog query reads parquet):
+    from ulh_etl_spark.operators import dedup as D
+    from ulh_etl_spark.operators import text as OT
+    from pyspark.sql import functions as F
+
+    bench_text = (
+        "the benchmark evaluation answer is forty two and the"
+        " reasoning chain follows precisely here"
+    )
+    rows = [
+        (0, bench_text),                               # benchmark (id%1==0? use explicit sets)
+        (1, bench_text + " tail"),                     # near-dup -> drop
+        (2, "my corpus doc quotes: the benchmark evaluation answer"
+            " is forty two inside other prose entirely"),  # span -> review
+        (3, "totally unrelated writing about gardening and soup"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = docs.filter("doc_id = 0")
+    corpus = docs.filter("doc_id != 0")
+    exact = OT.contamination_counts(
+        corpus, bench, "text", "doc_id", n=16, min_shared=3
+    )
+    fuzzy = D.lsh_contamination(corpus, bench, "text", "doc_id", 8, 4, 4)
+    report = (
+        corpus.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(fuzzy, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.coalesce("n_bands", F.lit(0)) > 0, "drop")
+            .when(F.coalesce("n_shared", F.lit(0)) >= 3, "review")
+            .otherwise("keep")
+            .alias("verdict"),
+        )
+    )
+    got = {r.doc_id: r.verdict for r in report.collect()}
+    assert got == {1: "drop", 2: "review", 3: "keep"}

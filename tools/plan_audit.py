@@ -71,6 +71,14 @@ SHUFFLE_BUDGET = {
     # q x k rows, trivially bounded), and the fused ranking's window
     # (5). One exchange per stage of a genuinely multi-stage ensemble.
     "q154_hybrid_rrf": 5,
+    # q158 composes BOTH decontamination legs (q85's budget
+    # rationale doubled): exact leg = corpus gram explode partial-agg
+    # (1) + bench gram distinct (2; the bench side then broadcasts)
+    # + per-doc shared-gram agg (3); fuzzy leg = corpus fan-out (4)
+    # + signature partial-agg (5) + per-doc band-hit agg (6); plus
+    # the final report's doc_id join of the two hit relations (7).
+    # Every exchange is a distinct stage of a distinct leg.
+    "q158_decontamination_report": 7,
     # q145 runs the signature pipeline on BOTH relations (q85's
     # budget rationale): store fan-out (1) + signature agg (2),
     # batch fan-out (3) + signature agg (4), store band distinct (5;

@@ -7,8 +7,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ulh_etl_spark.operators import dedup as D
+from ulh_etl_spark.operators import text as OT
 from ulh_etl_spark.queries import _oracle_fragments as O
-from ulh_etl_spark.queries.textops import _QUALITY_SQL
+from ulh_etl_spark.queries.textops import (
+    _QUALITY_SQL,
+    DECON_MIN_SHARED,
+    DECON_N,
+)
 from ulh_etl_spark.session import load_table
 
 _NUM_HASHES = 8
@@ -315,6 +320,65 @@ def q109_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q158_decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination DECISION table: one row per corpus doc
+    with the policy a curation run actually consumes — the
+    per-method queries are the evidence, this is the verdict. Tiers
+    are STRUCTURAL, not corpus-tuned thresholds:
+      - 'drop'   — shares >= 1 MinHash-LSH band bucket with a
+        benchmark doc (q85's fuzzy leg): whole-document similarity;
+      - 'review' — >= 3 shared distinct 16-char grams (q94's long
+        gram length — short grams just measure shared vocabulary;
+        at n=8 this corpus flags EVERY doc): a verbatim SPAN of a
+        benchmark doc is quoted, a human (or the span-level q142
+        machinery) decides;
+      - 'keep'   — neither. All three tiers are populated on the
+        fixture corpus (pinned by test).
+    (q113's Bloom path is the exact leg physically; no third flag.)
+
+    Scale: both legs broadcast the benchmark side and the corpus
+    never shuffles beyond its own per-leg aggregates (two gram
+    pipelines at different n — 16-gram exact, 4-shingle signature —
+    so the scans don't share; at 100 TB persist the corpus
+    projection across the legs); the report join keys on doc_id
+    against two hit relations that are small by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % _DECON_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _DECON_MOD != 0)
+    exact = OT.contamination_counts(
+        corpus, bench, "text", "doc_id", n=_REPORT_GRAM_N,
+        min_shared=DECON_MIN_SHARED,
+    )
+    fuzzy = D.lsh_contamination(
+        corpus, bench, "text", "doc_id",
+        _NUM_HASHES, _ROWS_PER_BAND, _SHINGLE_N,
+    )
+    return (
+        corpus.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(fuzzy, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shared"), F.lit(0))
+            .cast("long")
+            .alias("exact_shared"),
+            F.coalesce(F.col("n_bands"), F.lit(0))
+            .cast("long")
+            .alias("fuzzy_bands"),
+            F.when(
+                F.coalesce(F.col("n_bands"), F.lit(0)) > 0, F.lit("drop")
+            )
+            .when(
+                F.coalesce(F.col("n_shared"), F.lit(0))
+                >= DECON_MIN_SHARED,
+                F.lit("review"),
+            )
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+        )
+    )
+
+
 def q157_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-FREE train/val/test split: the q75 near-dup CLUSTER
     (not the document) is the unit of assignment — every member of a
@@ -349,6 +413,9 @@ def q157_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+_REPORT_GRAM_N = 16  # q94's long-gram length: span evidence,
+# not shared vocabulary (n=8 flags every doc of this corpus)
 
 _CONT_DF_MAX = 8
 _CONT_THRESHOLD = 0.6
@@ -394,6 +461,7 @@ QUERIES = {
     "q145_incremental_neardup": q145_incremental_neardup,
     "q153_containment_pairs": q153_containment_pairs,
     "q157_leakage_free_split": q157_leakage_free_split,
+    "q158_decontamination_report": q158_decontamination_report,
 }
 
 _CC_CTE = f"""WITH RECURSIVE hashed AS (
@@ -423,6 +491,53 @@ _CC_CTE = f"""WITH RECURSIVE hashed AS (
         )"""
 
 ORACLES = {
+    # q158: the q79 exact-gram leg and the q85 band leg verbatim
+    # (raw grams / identical band CTEs — lockstep with both parents),
+    # left-joined onto the corpus with the drop/review/keep policy
+    "q158_decontamination_report": f"""
+        WITH g AS (
+            SELECT doc_id,
+                   unnest(list_distinct({O.grams('text', _REPORT_GRAM_N)})) AS h
+            FROM documents
+        ), bset AS (
+            SELECT DISTINCT h FROM g WHERE doc_id % {_DECON_MOD} = 0
+        ), cg AS (
+            SELECT doc_id, h FROM g WHERE doc_id % {_DECON_MOD} <> 0
+        ), exact AS (
+            SELECT cg.doc_id, COUNT(*) AS n_shared
+            FROM cg JOIN bset USING (h)
+            GROUP BY cg.doc_id
+            HAVING COUNT(*) >= {DECON_MIN_SHARED}
+        ), hashed AS (
+            SELECT doc_id, {_HS} AS hs FROM documents
+        ), sigs AS (
+            SELECT doc_id,
+               {_SIG_COLS}
+            FROM hashed
+        ), bands AS (
+{_BAND_SELECTS}
+        ), bb AS (
+            SELECT DISTINCT band_idx, band_key FROM bands
+            WHERE doc_id % {_DECON_MOD} = 0
+        ), cb AS (
+            SELECT * FROM bands WHERE doc_id % {_DECON_MOD} <> 0
+        ), fuzzy AS (
+            SELECT cb.doc_id, COUNT(DISTINCT cb.band_idx) AS n_bands
+            FROM cb JOIN bb USING (band_idx, band_key)
+            GROUP BY cb.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(e.n_shared, 0) AS BIGINT) AS exact_shared,
+               CAST(COALESCE(f.n_bands, 0) AS BIGINT) AS fuzzy_bands,
+               CASE WHEN COALESCE(f.n_bands, 0) > 0 THEN 'drop'
+                    WHEN COALESCE(e.n_shared, 0) >= {DECON_MIN_SHARED}
+                        THEN 'review'
+                    ELSE 'keep' END AS verdict
+        FROM documents d
+        LEFT JOIN exact e ON e.doc_id = d.doc_id
+        LEFT JOIN fuzzy f ON f.doc_id = d.doc_id
+        WHERE d.doc_id % {_DECON_MOD} <> 0
+    """,
     # q157: the full-pair recursive closure (same _CC_CTE as q75 —
     # star-edge equivalence pinned there), singletons cluster as
     # themselves, then hash_split's exact md5 bucket arithmetic on
