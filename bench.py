@@ -122,6 +122,16 @@ HEADLINE = (
     "q156_lang_agreement",
     "q157_leakage_free_split",
     "q158_decontamination_report",
+    "q159_knn_graph",
+    "q160_semantic_clusters",
+    "q161_unimax_mix",
+    "q162_token_fertility",
+    "q163_shard_balance",
+    "q164_ewma_anomaly",
+    "q165_dirichlet_qlm",
+    "q166_posting_stats",
+    "q167_bucketed_join",
+    "q168_embedding_drift",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",
@@ -256,6 +266,18 @@ ANCHOR = {
     # (q102's anchor rationale), amortizing at scale
     "q157_leakage_free_split": 5.934,
     "q158_decontamination_report": 1.840,
+    # q109: re-anchored after the r10 endpoint-sampled audit change
+    "q109_minhash_estimate": 0.953,
+    "q159_knn_graph": 3.303,
+    "q160_semantic_clusters": 8.691,
+    "q161_unimax_mix": 0.346,
+    "q162_token_fertility": 0.317,
+    "q163_shard_balance": 0.52,
+    "q164_ewma_anomaly": 0.276,
+    "q165_dirichlet_qlm": 0.721,
+    "q166_posting_stats": 0.596,
+    "q167_bucketed_join": 1.924,
+    "q168_embedding_drift": 0.574,
     # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's
     # cost is the in-order pair fan-out (O(sum basket²), baskets ~4).
     "q128_event_transitions": 0.735,

@@ -748,3 +748,82 @@ def test_decontamination_report_tiers(spark):
     )
     got = {r.doc_id: r.verdict for r in report.collect()}
     assert got == {1: "drop", 2: "review", 3: "keep"}
+
+
+def test_knn_graph_matches_bruteforce(spark):
+    """Single-cell corpus (one centroid): the cell-blocked kNN graph
+    must equal the brute-force top-k by cosine with id tiebreak."""
+    import numpy as np
+
+    from ulh_etl_spark.operators.similarity import knn_graph
+
+    rng = np.random.RandomState(7)
+    vecs = rng.rand(12, 4).astype("float64")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [0.5, 0.5, 0.5, 0.5])],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    out = {
+        (r.vec_id, r.rank): r.neighbor_id
+        for r in knn_graph(emb, cents, k=3).collect()
+    }
+    norms = np.linalg.norm(vecs, axis=1)
+    for i in range(len(vecs)):
+        cos = vecs @ vecs[i] / (norms * norms[i])
+        order = sorted(
+            (j for j in range(len(vecs)) if j != i),
+            key=lambda j: (-cos[j], j),
+        )
+        for rank, j in enumerate(order[:3], start=1):
+            assert out[(i, rank)] == j
+
+
+def test_mutual_knn_edges_drops_oneway(spark):
+    """Only pairs present in BOTH directions survive; output is
+    canonical id1 < id2."""
+    from ulh_etl_spark.operators.similarity import mutual_knn_edges
+
+    knn = spark.createDataFrame(
+        [
+            # 1 <-> 2 mutual; 1 -> 3 one-way; 4 <-> 2 mutual
+            (1, 2), (2, 1), (1, 3), (4, 2), (2, 4),
+        ],
+        "vec_id long, neighbor_id long",
+    )
+    got = {
+        (r.id1, r.id2) for r in mutual_knn_edges(knn).collect()
+    }
+    assert got == {(1, 2), (2, 4)}
+
+
+def test_embedding_psi_drift_model(spark):
+    """Identical snapshots score exactly 0; a shifted current
+    snapshot scores positive; reference bounds define the bins, and
+    out-of-range current values clamp into the edge bins."""
+    from ulh_etl_spark.operators.profile import embedding_psi_drift
+
+    ref_rows = [(i, [float(i % 10)]) for i in range(20)]
+    ref = spark.createDataFrame(
+        ref_rows, "vec_id long, embedding array<double>"
+    )
+    same = embedding_psi_drift(ref, ref, dims=1, bins=4).collect()
+    assert len(same) == 1
+    assert same[0].dim == 0
+    assert same[0].n_ref == 20 and same[0].n_cur == 20
+    assert same[0].psi == 0.0
+
+    # current mass entirely above the reference max -> clamps into
+    # the top bin -> large positive psi
+    cur = spark.createDataFrame(
+        [(i, [100.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    drift = embedding_psi_drift(ref, cur, dims=1, bins=4).collect()[0]
+    assert drift.psi > 0.25
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        embedding_psi_drift(ref, ref, dims=0)

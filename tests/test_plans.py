@@ -558,3 +558,22 @@ def test_compact_cells_after_append(spark, tmp_path):
         (r.vec_id,) for r in spark.read.parquet(path).select("vec_id").collect()
     )
     assert after_rows == before_rows
+
+
+def test_q167_join_inputs_have_no_exchange(spark, sf_dir):
+    """The q167 catalog entry: after the bucketed writes, the ONLY
+    exchange in the plan is the final tiny priority aggregate — the
+    SortMergeJoin runs bucket-to-bucket with no shuffle on either
+    corpus-sized input."""
+    from ulh_etl_spark.queries.relational import q167_bucketed_join
+
+    df = q167_bucketed_join(spark, sf_dir)
+    facts = plan_facts(df)
+    assert exchange_count(df) == 1, facts.summary()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "SortMergeJoin" in plan
+    # both scans read bucketed tables (co-location is real, not
+    # incidental)
+    assert plan.count("Bucketed: true") == 2, plan

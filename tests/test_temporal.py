@@ -348,3 +348,36 @@ def test_rolling_zscore_large_magnitude_low_spread(spark):
     # (when var cancels <= 0); if var survives > 0 the true z is
     # tiny, also not flagged. Either leg: False, never NaN-True.
     assert got["t5"] is False
+
+
+def test_ewma_anomaly_model(spark):
+    """Window=2, alpha=0.5: weights (0.5, 0.25)/0.75 — hand-checkable.
+    First `window` points get NULL ewma and is_anomaly FALSE; a spike
+    over mult x ewma flags; series are scored independently per key."""
+    import pytest as _pytest
+
+    from ulh_etl_spark.operators.temporal import ewma_anomaly
+
+    rows = [("a", f"d{i}", float(v)) for i, v in enumerate([4, 4, 4, 4, 20])]
+    rows += [("b", f"d{i}", 100.0) for i in range(3)]  # flat, never flags
+    df = spark.createDataFrame(rows, "k string, day string, x double")
+    out = {
+        (r.k, r.day): r
+        for r in ewma_anomaly(
+            df, "x", "day", partition_col="k", alpha=0.5, window=2, mult=2.0
+        ).collect()
+    }
+    # warmup rows: no baseline yet
+    for key in [("a", "d0"), ("a", "d1"), ("b", "d0"), ("b", "d1")]:
+        assert out[key].ewma is None and out[key].is_anomaly is False
+    # (0.5*4 + 0.25*4) / 0.75 = 4
+    assert out[("a", "d2")].ewma == 4.0 and not out[("a", "d2")].is_anomaly
+    assert out[("a", "d3")].ewma == 4.0
+    # spike: 20 > 2 * 4
+    assert out[("a", "d4")].ewma == 4.0 and out[("a", "d4")].is_anomaly
+    assert out[("b", "d2")].ewma == 100.0 and not out[("b", "d2")].is_anomaly
+
+    with _pytest.raises(ValueError):
+        ewma_anomaly(df, "x", "day", alpha=1.5)
+    with _pytest.raises(ValueError):
+        ewma_anomaly(df, "x", "day", window=0)

@@ -1380,3 +1380,81 @@ def test_rerank_topk_model(spark):
     )[:3]
     assert got == [(i, s, r + 1) for r, (s, i) in enumerate(model)]
     assert all(i != 99 for i, _, _ in got)
+
+
+def test_unimax_allocation_model(spark):
+    """Waterfilling: small sources capped at their own mass, the rest
+    split the remaining budget evenly via integer DIV; a budget over
+    the cap sum caps everyone at exactly 1.0 epochs."""
+    from ulh_etl_spark.operators.text import unimax_allocation
+
+    rows = [(0, "t " * 9 + "t", "A")]                       # A: 10 tokens
+    rows += [(10 + i, "t " * 9 + "t", "B") for i in range(10)]  # B: 100
+    rows += [(30 + i, "t " * 9 + "t", "C") for i in range(10)]  # C: 100
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # budget = 210 * 19 DIV 20 = 199; fair share 66 -> A (10) capped,
+    # B and C split (199 - 10) DIV 2 = 94
+    out = {
+        r.source: r
+        for r in unimax_allocation(df, "text", "source").collect()
+    }
+    assert out["A"].alloc_tokens == 10 and out["A"].epochs == 1.0
+    assert out["B"].alloc_tokens == 94 and out["C"].alloc_tokens == 94
+    assert out["B"].cap_tokens == 100
+    # budget >= cap sum -> everyone capped, exactly 1 epoch each
+    full = {
+        r.source: r
+        for r in unimax_allocation(
+            df, "text", "source", budget_num=2, budget_den=1
+        ).collect()
+    }
+    assert all(full[s].alloc_tokens == full[s].cap_tokens for s in "ABC")
+    assert all(full[s].epochs == 1.0 for s in "ABC")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        unimax_allocation(df, "text", "source", budget_num=0)
+
+
+def test_dirichlet_qlm_model(spark):
+    """Scores match the closed form ln((tf + mu*ctf/|C|)/(dl + mu))
+    summed over query terms — including the token-less doc, which
+    still gets the finite all-smoothing score."""
+    import math
+
+    from ulh_etl_spark.operators.text import dirichlet_qlm_scores
+
+    docs = [(0, "cat dog cat"), (1, "dog fish"), (2, ""), (3, "dog dog dog")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    mu = 2000.0
+    out = {
+        r.doc_id: r.qlm_score
+        for r in dirichlet_qlm_scores(
+            df, "text", "doc_id", ("cat", "fish"), mu=mu
+        ).collect()
+    }
+    ctot = 8  # cat dog cat | dog fish | dog dog dog
+    ctf = {"cat": 2, "fish": 1}
+    tfs = {
+        0: {"cat": 2, "fish": 0},
+        1: {"cat": 0, "fish": 1},
+        2: {},
+        3: {},
+    }
+    dls = {0: 3, 1: 2, 2: 0, 3: 3}
+    for d in (0, 1, 2, 3):
+        want = sum(
+            math.log(
+                (tfs[d].get(t, 0) + mu * (ctf[t] / ctot)) / (dls[d] + mu)
+            )
+            for t in ("cat", "fish")
+        )
+        # 1e-6 tolerance, not round(want, 6) equality: Spark rounds
+        # HALF_UP, Python banker's — a .xxxxxx5 boundary would differ
+        assert abs(out[d] - want) < 1e-6
+    # at equal length, query-term hits win (doc 0 vs the same-length
+    # no-hit doc 3); and smoothing gives even hit-less docs a finite
+    # score, so the ranking is total
+    assert out[0] > out[3]
+    assert all(v == v and v != float("-inf") for v in out.values())

@@ -23,6 +23,14 @@ from ulh_etl_spark.session import get_spark  # noqa: E402
 # single-operator heuristic; a multi-stage composition legitimately
 # shuffles once per stage.
 SHUFFLE_BUDGET = {
+    # q163 nests the q93 epoch-shard assignment and joins it back to
+    # per-doc token counts: q93's range repartition for the global
+    # permutation (1) + its partition-offset exchange (2), the
+    # doc_id join of assignment to token counts — both sides
+    # corpus-sized, so both shuffle (3, 4), and the 4-row
+    # reader-shard aggregate (5). One shuffle per composition stage;
+    # none re-shuffles a key it already has.
+    "q163_shard_balance": 5,
     # q74 composes 5 pipeline stages: exact-dedup window on fp (1),
     # minhash fan-out repartition of a 1-split input (2), signature
     # partial-agg (3), LSH band self-join (4), candidate-pair distinct

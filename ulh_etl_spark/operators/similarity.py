@@ -574,6 +574,85 @@ def embedding_neardup_pairs(
     )
 
 
+def knn_graph(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+) -> DataFrame:
+    """Cell-blocked k-nearest-neighbor graph: every vector's top-k
+    same-cell neighbors by exact cosine — the candidate generation
+    step of kNN-graph clustering, graph-based label propagation, and
+    NN-Descent-style index builds. Same single-probe recall trade as
+    :func:`embedding_neardup_pairs` (neighbors across a cell boundary
+    are missed; more centroids tighten cells, probing adjacent cells
+    tightens recall).
+
+    Scale: the directed candidate relation is ``sum(cell²)``, never
+    the O(n²) cross product, and the adaptive-centroid convention
+    keeps cell size bounded, so candidates stay ~``N·cell_size``.
+    One shuffle on ``cell`` for the self-join, one on ``id1`` for
+    the per-vector rank window (both uniformly hashed keys).
+
+    Output: (vec_id, neighbor_id, cosine, rank) with rank 1..k,
+    ranked on the raw double (round only at output, so ranking parity
+    with an oracle holds wherever the raw scores are distinct)."""
+    from pyspark.sql import Window
+
+    from pyspark.storagelevel import StorageLevel
+
+    assigned = (
+        ivf_assign(corpus, centroids, id_col, vec_col)
+        .withColumn("_norm", l2_norm(F.col(vec_col)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = assigned.select(
+        F.col(id_col).alias("_qid"), F.col(vec_col).alias("v1"),
+        F.col("_norm").alias("_n1"), "cell",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_nid"), F.col(vec_col).alias("v2"),
+        F.col("_norm").alias("_n2"), "cell",
+    )
+    pairs = a.join(b, "cell").filter(F.col("_qid") != F.col("_nid"))
+    cos = _dot(F.col("v1"), F.col("v2")) / (F.col("_n1") * F.col("_n2"))
+    w = Window.partitionBy("_qid").orderBy(
+        F.col("_cos").desc(), F.col("_nid")
+    )
+    return (
+        pairs.select("_qid", "_nid", cos.alias("_cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(id_col),
+            F.col("_nid").alias("neighbor_id"),
+            F.round(F.col("_cos"), 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def mutual_knn_edges(
+    knn: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Mutual-kNN edge filter: keep the undirected pair (i, j) only
+    when i is in knn(j) AND j is in knn(i) — the standard
+    symmetrization that strips hub-induced one-way edges before
+    graph clustering (mutual edges are the high-precision core of a
+    kNN graph). One equality join on the canonical (id1 < id2) pair
+    key — never revisits the vectors.
+
+    Output: (id1, id2) with id1 < id2."""
+    fwd = knn.filter(F.col(id_col) < F.col("neighbor_id")).select(
+        F.col(id_col).alias("id1"), F.col("neighbor_id").alias("id2")
+    )
+    rev = knn.filter(F.col("neighbor_id") < F.col(id_col)).select(
+        F.col("neighbor_id").alias("id1"), F.col(id_col).alias("id2")
+    )
+    return fwd.join(rev, ["id1", "id2"])
+
+
 def semantic_dedup(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -292,3 +292,63 @@ def rolling_zscore_anomalies(
             .otherwise(F.lit(False)),
         )
     )
+
+
+def ewma_anomaly(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    partition_col: str | None = None,
+    alpha: float = 0.5,
+    window: int = 6,
+    mult: float = 2.0,
+) -> DataFrame:
+    """EWMA spike detection over a series: each point is compared
+    against the exponentially-weighted moving average of its
+    ``window`` PRIOR observations (current point excluded — a spike
+    must not inflate its own baseline). Weight of the j-th prior
+    point is alpha*(1-alpha)^(j-1), normalized over the truncated
+    window; a point is anomalous when value > mult * ewma. The EWMA
+    reacts to level shifts faster than the rolling-zscore baseline
+    (:func:`rolling_zscore_anomalies`) and needs no variance, so it
+    has no flat-baseline degeneracy at all.
+
+    Bit-stable by construction with the default alpha=0.5: the
+    weights are exact binary fractions (2^-1 .. 2^-window) and the
+    normalizer 1 - 2^-window is exact, so both engines fold the
+    identical literal into an explicit lag-sum — no recursive state,
+    no float summation-order ambiguity (the lag terms are added in
+    one fixed literal order). Points with fewer than ``window``
+    prior observations get a NULL ewma and is_anomaly = FALSE.
+
+    "Prior observations" are ROWS, not calendar offsets: feed a
+    dense series (gap-filled if days can be empty) when calendar
+    semantics matter.
+
+    Scale: one shuffle on ``partition_col``, bounded lag frames; the
+    same global-window caveat as rolling_zscore_anomalies applies to
+    the unpartitioned form (time-bucketed series only).
+
+    Adds (ewma, is_anomaly); input rows pass through."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    w = (
+        Window.partitionBy(partition_col) if partition_col else Window
+    ).orderBy(order_col)
+    x = F.col(value_col)
+    weights = [alpha * (1.0 - alpha) ** (j - 1) for j in range(1, window + 1)]
+    norm = sum(weights)
+    num = F.lit(0.0)
+    for j, wt in enumerate(weights, start=1):
+        num = num + F.lit(wt) * F.lag(x, j).over(w)
+    ewma = num / F.lit(norm)
+    full = F.lag(x, window).over(w).isNotNull()
+    return (
+        df.withColumn("ewma", F.when(full, F.round(ewma, 6)))
+        .withColumn(
+            "is_anomaly",
+            F.when(full, x > F.lit(mult) * ewma).otherwise(F.lit(False)),
+        )
+    )

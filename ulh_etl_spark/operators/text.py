@@ -2365,6 +2365,147 @@ def bm25_scores(
     return joined.select(F.col(id_col), F.round(score, 6).alias("bm25"))
 
 
+def dirichlet_qlm_scores(
+    df,
+    text_col: str,
+    id_col: str,
+    query_terms: tuple[str, ...],
+    mu: float = 2000.0,
+):
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty 2001) — the language-modeling sibling of
+    :func:`bm25_scores`: score = sum over query terms of
+    ln((tf + mu * ctf/|C|) / (dl + mu)). Smoothing gives every
+    document a finite score even with zero term hits, so the ranking
+    is total (BM25 collapses all no-hit docs to 0).
+
+    Same fixed-query-bag shape as bm25_scores: per-term tf is an
+    array expression per document (pure narrow map, no explode), the
+    only shuffle is the one partial-aggregated global stats row
+    (collection tf per term + total collection tokens) broadcast
+    back over the corpus. Two passes, one 1-row shuffle, any scale.
+    """
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq_pred(t))).alias(f"_tf_{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    stats = base.agg(
+        F.sum("dl").alias("_ctot"),
+        *[
+            F.sum(f"_tf_{i}").alias(f"_ctf_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    joined = base.join(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        tf = F.col(f"_tf_{i}").cast("double")
+        p_c = F.col(f"_ctf_{i}").cast("double") / F.col("_ctot").cast("double")
+        score = score + F.log(
+            (tf + F.lit(mu) * p_c) / (F.col("dl").cast("double") + F.lit(mu))
+        )
+    return joined.select(F.col(id_col), F.round(score, 6).alias("qlm_score"))
+
+
+def unimax_allocation(
+    df,
+    text_col: str,
+    group_col: str,
+    budget_num: int = 19,
+    budget_den: int = 20,
+    epoch_cap: int = 1,
+):
+    """UniMax source mixing (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): distribute a token budget UNIFORMLY over sources,
+    capping each source at ``epoch_cap`` epochs of its own mass —
+    waterfilling. Sources below the waterline contribute everything
+    they have; the rest split the remaining budget evenly. The
+    budget is ``total_mass * budget_num DIV budget_den`` so the
+    allocation is scale-free.
+
+    Bit-stable closed form (same integer-math discipline as
+    :func:`temperature_budget_mix`): sort sources by cap ascending
+    with prefix sums P_i; source i is capped iff
+    ``cap_i * (S - i) <= B - P_i`` (the capped set is a prefix), k =
+    the largest such i, waterline = ``(B - P_k) DIV (S - k)``. Every
+    comparison and the waterline are integer ops — no float
+    summation order anywhere; only the reported ``epochs`` ratio
+    divides doubles (one division, IEEE-identical cross-engine).
+
+    Shape: one partial-agged groupBy collapses the corpus to the
+    PER-SOURCE relation (bounded by source count — dozens to a few
+    thousand sources/languages in practice, never corpus-sized);
+    the whole waterfill then runs as window functions over that one
+    small relation in a single pass — one corpus scan, one corpus
+    shuffle, one single-partition window on the tiny aggregate (the
+    global sort the waterfill needs, over #sources rows only).
+
+    Output per source: (group, token_mass, cap_tokens, alloc_tokens,
+    epochs)."""
+    from pyspark.sql import Window
+
+    if budget_num <= 0 or budget_den <= 0 or epoch_cap <= 0:
+        raise ValueError("budget_num, budget_den, epoch_cap must be positive")
+    masses = df.select(
+        F.col(group_col), token_count(F.col(text_col)).cast("long").alias("_t")
+    ).groupBy(group_col).agg(F.sum("_t").alias("token_mass"))
+    wall = Window.partitionBy()
+    ordw = Window.orderBy("cap_tokens", group_col)
+    flagged = (
+        masses.withColumn(
+            "cap_tokens", (F.col("token_mass") * epoch_cap).cast("long")
+        )
+        .withColumn("_s", F.count("*").over(wall).cast("long"))
+        .withColumn(
+            "_b",
+            F.expr(
+                f"CAST(SUM(token_mass) OVER () * {budget_num} "
+                f"DIV {budget_den} AS BIGINT)"
+            ),
+        )
+        .withColumn("_i", F.row_number().over(ordw).cast("long"))
+        .withColumn("_p", F.sum("cap_tokens").over(ordw))
+        .withColumn(
+            "_capped",
+            F.col("cap_tokens") * (F.col("_s") - F.col("_i"))
+            <= F.col("_b") - F.col("_p"),
+        )
+    )
+    out = flagged.withColumn(
+        "_k",
+        F.max(F.when(F.col("_capped"), F.col("_i")).otherwise(F.lit(0)))
+        .over(wall)
+        .cast("long"),
+    ).withColumn(
+        "_pk",
+        F.max(F.when(F.col("_capped"), F.col("_p")).otherwise(F.lit(0)))
+        .over(wall)
+        .cast("long"),
+    ).withColumn(
+        "alloc_tokens",
+        F.when(F.col("_i") <= F.col("_k"), F.col("cap_tokens")).otherwise(
+            F.expr("CAST((_b - _pk) DIV (_s - _k) AS BIGINT)")
+        ),
+    )
+    return out.select(
+        group_col,
+        "token_mass",
+        "cap_tokens",
+        "alloc_tokens",
+        F.round(
+            F.col("alloc_tokens").cast("double")
+            / F.col("token_mass").cast("double"),
+            6,
+        ).alias("epochs"),
+    )
+
+
 # PII redaction patterns, applied in order (email first: its local
 # part may contain digit runs the later numeric patterns would
 # otherwise see). Java regex (Spark) and RE2 (DuckDB) agree on this

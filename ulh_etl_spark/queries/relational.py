@@ -421,6 +421,52 @@ def q25_unpivot_survey(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- K5 parity: IS_NEW flag semantics == watermark anti-join ---
+_BUCKETS = 8
+
+
+def q167_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via bucketed layout: orders and
+    lineitem are written as bucketBy(8, orderkey).sortBy(orderkey)
+    managed tables (sinks.tables.write_bucketed — K-family sink,
+    here exercised as the read-side join accelerator), then joined
+    bucket-to-bucket — the read-side plan has NO Exchange on either
+    join input (pinned in tests/test_plans.py; the merge hint keeps
+    the demo on SortMergeJoin, which is what the bucket+sort layout
+    feeds shuffle-free and sort-free). THE pay-once strategy for
+    repeated fact-fact joins at 100 TB: one shuffle at write time,
+    amortized over every later join on the key. Result is the plain
+    revenue-per-priority join-agg, which is exactly the oracle."""
+    from ulh_etl_spark.sinks.tables import write_bucketed
+
+    tag = _md5_tag(sf_dir)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o_name, l_name = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    write_bucketed(orders, o_name, ["o_orderkey"], num_buckets=_BUCKETS)
+    write_bucketed(li, l_name, ["l_orderkey"], num_buckets=_BUCKETS)
+    bo = spark.table(o_name)
+    bl = spark.table(l_name)
+    joined = bl.hint("merge").join(
+        bo, bl.l_orderkey == bo.o_orderkey
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def _md5_tag(s: str) -> str:
+    import hashlib
+
+    return hashlib.md5(s.encode()).hexdigest()[:8]
+
+
 def q26_flag_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked proof of the documented IS_NEW/IS_VALID parity
     claim (state.py module doc; SURVEY §7.4): the production watermark
@@ -506,9 +552,18 @@ QUERIES = {
     "q23_like_filters": q23_like_filters,
     "q24_leaf_dir_extract": q24_leaf_dir_extract,
     "q26_flag_parity": q26_flag_parity,
+    "q167_bucketed_join": q167_bucketed_join,
 }
 
 ORACLES = {
+    "q167_bucketed_join": """
+        SELECT o.o_orderpriority,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+                   AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2) AS sum_qty,

@@ -198,6 +198,120 @@ def q46_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KNN_K = 4
+
+
+def q159_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-blocked k-NN graph: every vector's top-4 same-cell
+    neighbors by exact cosine (operators.similarity.knn_graph) — the
+    candidate-generation step under graph clustering, label
+    propagation, and NN-Descent index builds. Adaptive centroids keep
+    cell size (and so the candidate relation) bounded as the corpus
+    grows; ranking is on the raw double with a neighbor-id tiebreak,
+    so the same algorithm in SQL is an exact oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_graph(emb, _adaptive_centroids(emb), k=_KNN_K)
+
+
+def q160_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space cluster report: q159's kNN graph -> MUTUAL
+    edge filter (i in knn(j) and j in knn(i) — strips hub-induced
+    one-way edges, the high-precision core of a kNN graph) -> exact
+    connected components (the q75 pointer-jumping machinery) -> one
+    row per semantic cluster. The embedding-side twin of the lexical
+    near-dup clustering: catches paraphrase families that share no
+    surface grams. Components is O(log diameter) rounds; everything
+    else is one equality join per step."""
+    from ulh_etl_spark.operators.dedup import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = S.knn_graph(emb, _adaptive_centroids(emb), k=_KNN_K)
+    edges = S.mutual_knn_edges(knn)
+    comp = connected_components(edges)
+    return comp.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+
+
+_DRIFT_DIMS = 8
+_DRIFT_BINS = 4
+
+
+def q168_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: PSI per dimension
+    between the at-rest snapshot (even vec_ids — the reference) and
+    the incoming batch (odd vec_ids), over the 8 leading dims —
+    the production check that an encoder change or upstream shift
+    hasn't silently moved the embedding distribution that ANN
+    indexes and semantic dedup were built on
+    (operators.profile.embedding_psi_drift). Bins pivot to columns
+    via conditional aggregation, so every float step is a
+    fixed-order expression — no float-sum ordering anywhere."""
+    from ulh_etl_spark.operators.profile import embedding_psi_drift
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    cur = emb.filter(F.col("vec_id") % 2 == 1)
+    return embedding_psi_drift(
+        ref, cur, dims=_DRIFT_DIMS, bins=_DRIFT_BINS
+    )
+
+
+def _psi_oracle_sql() -> str:
+    """The q168 oracle: identical binning and fixed-order PSI chain."""
+    dims, bins = _DRIFT_DIMS, _DRIFT_BINS
+    counts = ",\n                   ".join(
+        f"CAST(SUM(CASE WHEN snap = {s} AND bin = {b} THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS {tag}{b}"
+        for s, tag in ((0, "r"), (1, "c"))
+        for b in range(bins)
+    )
+
+    def _p(tag: str, b: int, n: str) -> str:
+        return (
+            f"((CAST({tag}{b} AS DOUBLE) + 1.0) "
+            f"/ (CAST({n} AS DOUBLE) + {float(bins)!r}))"
+        )
+
+    terms = " + ".join(
+        f"({_p('r', b, 'n_ref')} - {_p('c', b, 'n_cur')})"
+        f" * ln({_p('r', b, 'n_ref')} / {_p('c', b, 'n_cur')})"
+        for b in range(bins)
+    )
+    return f"""
+        WITH expl AS (
+            SELECT CAST(vec_id % 2 AS INT) AS snap,
+                   CAST(g.i - 1 AS INT) AS dim,
+                   CAST(embedding[g.i] AS DOUBLE) AS x
+            FROM embeddings CROSS JOIN generate_series(1, {dims}) AS g(i)
+        ), bounds AS (
+            SELECT dim, MIN(x) AS mn, MAX(x) AS mx
+            FROM expl WHERE snap = 0 GROUP BY dim
+        ), binned AS (
+            SELECT e.dim, e.snap,
+                   CAST(CASE WHEN b.mx = b.mn THEN 0
+                        ELSE GREATEST(0, LEAST({bins - 1},
+                             CAST(FLOOR((e.x - b.mn)
+                                  / ((b.mx - b.mn) / {float(bins)!r}))
+                                  AS BIGINT)))
+                   END AS INT) AS bin
+            FROM expl e JOIN bounds b USING (dim)
+        ), per AS (
+            SELECT dim,
+                   {counts}
+            FROM binned GROUP BY dim
+        ), tot AS (
+            SELECT *,
+                   {" + ".join(f"r{b}" for b in range(bins))} AS n_ref,
+                   {" + ".join(f"c{b}" for b in range(bins))} AS n_cur
+            FROM per
+        )
+        SELECT dim, n_ref, n_cur,
+               ROUND(0.0 + {terms}, 6) AS psi
+        FROM tot
+    """
+
+
 def q47_kmeans_refined_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd iteration over the IVF cells: grouped applyInPandas
     (numpy per-cell mean). One iteration is SQL-expressible, so the
@@ -481,6 +595,9 @@ QUERIES = {
     "q119_ivfpq_topk": q119_ivfpq_topk,
     "q136_multiprobe_recall": q136_multiprobe_recall,
     "q138_kcenter_coreset": q138_kcenter_coreset,
+    "q159_knn_graph": q159_knn_graph,
+    "q160_semantic_clusters": q160_semantic_clusters,
+    "q168_embedding_drift": q168_embedding_drift,
 }
 
 
@@ -642,7 +759,65 @@ def _rp_cols_sql() -> str:
     return ",\n               ".join(cols)
 
 
+# q159's full SELECT as a standalone string: q160 nests it, so the
+# kNN graph and the cluster report stay in lockstep by construction.
+_Q159_SQL = f"""
+        WITH c AS (
+            SELECT vec_id AS centroid_id, embedding AS centroid_vec
+            FROM embeddings WHERE vec_id < {_ADAPTIVE_C_SQL}
+        ), assigned AS (
+            SELECT vec_id, embedding, cell FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {_SQDIST}, c.centroid_id) AS rn
+                FROM embeddings e, c
+            ) WHERE rn = 1
+        ), scored AS (
+            SELECT a.vec_id, b.vec_id AS neighbor_id,
+                   list_sum(list_transform(generate_series(1, len(a.embedding)),
+                       i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                   AS cos_raw
+            FROM assigned a JOIN assigned b
+              ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        ), ranked AS (
+            SELECT vec_id, neighbor_id, cos_raw,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos_raw DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT vec_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
+               CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {_KNN_K}
+"""
+
 ORACLES = {
+    "q168_embedding_drift": _psi_oracle_sql(),
+    "q159_knn_graph": _Q159_SQL,
+    "q160_semantic_clusters": f"""
+        WITH RECURSIVE knn AS (
+            {_Q159_SQL}
+        ), mut AS (
+            SELECT f.vec_id AS id1, f.neighbor_id AS id2
+            FROM knn f JOIN knn r
+              ON f.vec_id = r.neighbor_id AND f.neighbor_id = r.vec_id
+            WHERE f.vec_id < f.neighbor_id
+        ), edges AS (
+            SELECT id1 AS a, id2 AS b FROM mut
+            UNION
+            SELECT id2, id1 FROM mut
+        ), reach(src, dst) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        ), comp AS (
+            SELECT src AS node, MIN(dst) AS component
+            FROM reach GROUP BY src
+        )
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM comp GROUP BY component
+    """,
     "q146_random_projection": f"""
         SELECT vec_id,
                {_rp_cols_sql()}

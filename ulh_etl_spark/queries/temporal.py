@@ -181,8 +181,73 @@ def q139_event_type_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("n_events", F.col("n_events").cast("long"))
 
 
+_EWMA_WINDOW = 6
+_EWMA_MULT = 2.0
+
+
+def q164_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA spike monitoring: daily event counts per event_type, each
+    point compared against the exponentially-weighted average of its
+    6 prior days (alpha=0.5 — exact binary-fraction weights, so both
+    engines fold identical literals), flagged when count > 2x EWMA.
+    The fast-reacting companion of q139's rolling z-score: no
+    variance, so no flat-baseline degeneracy; level shifts pull the
+    baseline within ~1/alpha points. One shuffle on the series key,
+    bounded lag frames (operators.temporal.ewma_anomaly)."""
+    from ulh_etl_spark.operators.temporal import ewma_anomaly
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+                .alias("day"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .withColumn("n_events", F.col("n_events").cast("double"))
+    )
+    return ewma_anomaly(
+        daily, "n_events", "day",
+        partition_col="event_type",
+        alpha=0.5, window=_EWMA_WINDOW, mult=_EWMA_MULT,
+    ).withColumn("n_events", F.col("n_events").cast("long"))
+
+
+def _ewma_oracle_sql() -> str:
+    """The q164 oracle: the identical lag-sum with the identical
+    weight literals (repr round-trips the exact doubles)."""
+    alpha, window = 0.5, _EWMA_WINDOW
+    weights = [alpha * (1.0 - alpha) ** (j - 1) for j in range(1, window + 1)]
+    norm = repr(sum(weights))
+    lags = ",\n                   ".join(
+        f"lag(n, {j}) OVER w AS l{j}" for j in range(1, window + 1)
+    )
+    num = " + ".join(f"{w!r} * l{j}" for j, w in enumerate(weights, start=1))
+    return f"""
+        WITH daily AS (
+            SELECT event_type,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   CAST(COUNT(*) AS DOUBLE) AS n
+            FROM events GROUP BY 1, 2
+        ), lagged AS (
+            SELECT event_type, day, n,
+                   {lags}
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        )
+        SELECT event_type, day, CAST(n AS BIGINT) AS n_events,
+               CASE WHEN l{window} IS NOT NULL
+                    THEN ROUND(({num}) / {norm}, 6) END AS ewma,
+               CASE WHEN l{window} IS NOT NULL
+                    THEN n > {_EWMA_MULT!r} * (({num}) / {norm})
+                    ELSE FALSE END AS is_anomaly
+        FROM lagged
+    """
+
+
 QUERIES = {
     "q132_weekly_anomalies": q132_weekly_anomalies,
+    "q164_ewma_anomaly": q164_ewma_anomaly,
     "q139_event_type_anomalies": q139_event_type_anomalies,
     "q52_asof_join": q52_asof_join,
     "q53_event_pairs_within_hour": q53_event_pairs_within_hour,
@@ -190,6 +255,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q164_ewma_anomaly": _ewma_oracle_sql(),
     "q139_event_type_anomalies": f"""
         WITH daily AS (
             SELECT event_type,

@@ -973,6 +973,151 @@ def q97_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNIMAX_NUM, _UNIMAX_DEN, _UNIMAX_EPOCHS = 19, 20, 1
+
+
+def q161_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax source mixing (Chung et al. 2023): a token budget (95%
+    of the corpus) spread UNIFORMLY over sources, each capped at 1
+    epoch of its own mass — waterfilling, so small sources contribute
+    everything and large sources split the remainder evenly. The
+    uniform-with-cap counterpart of q143's temperature mixing; all
+    comparisons and the waterline are integer ops (integer prefix
+    sums + DIV), so both engines derive bit-identical allocations
+    (operators.text.unimax_allocation). The waterfill window runs
+    over the per-SOURCE relation — bounded by source count, never
+    corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.unimax_allocation(
+        docs, "text", "source",
+        budget_num=_UNIMAX_NUM, budget_den=_UNIMAX_DEN,
+        epoch_cap=_UNIMAX_EPOCHS,
+    )
+
+
+def q162_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit: per language, BPE-ish tokens per
+    whitespace word and characters per BPE-ish token — the standard
+    measurement of how unevenly a tokenizer prices different
+    languages (high fertility = more tokens per word = that
+    language pays more context budget). One partial-aggregated
+    groupBy over integer sums; the two ratios are single double
+    divisions of exact integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        T.token_count(F.col("text")).cast("long").alias("_ws"),
+        T.bpe_ish_token_count(F.col("text")).cast("long").alias("_bpe"),
+        F.col("n_chars").alias("_ch"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_ws").alias("ws_tokens"),
+        F.sum("_bpe").alias("bpe_tokens"),
+        F.sum("_ch").alias("n_chars"),
+    )
+    return agg.select(
+        "lang", "n_docs", "ws_tokens", "bpe_tokens", "n_chars",
+        F.round(
+            F.col("bpe_tokens").cast("double") / F.col("ws_tokens").cast("double"),
+            6,
+        ).alias("fertility"),
+        F.round(
+            F.col("n_chars").cast("double") / F.col("bpe_tokens").cast("double"),
+            6,
+        ).alias("chars_per_token"),
+    )
+
+
+def q163_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-balance audit over q93's epoch shards: per reader shard,
+    doc count, token mass, and skew = shard mass / ideal-even mass —
+    the check that a training reader fleet gets even work (round-
+    robin on a hashed permutation should land within noise of 1.0;
+    a skewed shard starves its reader). Nests q93's assignment, one
+    groupBy on the shard id, 1-row grand total broadcast back."""
+    docs = load_table(spark, sf_dir, "documents")
+    shards = q93_corpus_shuffle_shards(spark, sf_dir).select(
+        "doc_id", "reader_shard"
+    )
+    tk = docs.select(
+        "doc_id", T.token_count(F.col("text")).cast("long").alias("_t")
+    )
+    per = shards.join(tk, "doc_id").groupBy("reader_shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_t").alias("token_mass"),
+    )
+    grand = per.agg(F.sum("token_mass").alias("_tot"))
+    return per.crossJoin(F.broadcast(grand)).select(
+        "reader_shard", "n_docs", "token_mass",
+        F.round(
+            F.col("token_mass").cast("double")
+            * F.lit(EPOCH_SHARDS)
+            / F.col("_tot").cast("double"),
+            6,
+        ).alias("skew"),
+    )
+
+
+_QLM_MU = 2000.0
+
+
+def q165_dirichlet_qlm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty 2001) against the q58 query bag — the language-modeling
+    ranking function next to BM25: smoothing scores every doc
+    finitely, so the ranking is total where BM25 collapses no-hit
+    docs to 0. Same fixed-query-bag shape as q58: per-term tf as
+    narrow array expressions, ONE 1-row stats shuffle broadcast back
+    (operators.text.dirichlet_qlm_scores)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.dirichlet_qlm_scores(
+        docs, "text", "doc_id", BM25_QUERY, mu=_QLM_MU
+    )
+
+
+_POSTING_MIN_DF = 5
+
+
+def q166_posting_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build statistics: per term (df >= 5), document
+    frequency, total term frequency, and the top posting (argmax tf,
+    doc_id tiebreak) — the profile that sizes posting lists and
+    picks stopword cutoffs before building a lexical index. Explode
+    -> partial-agged (term, doc) counts -> one window on the term
+    key; work is linear in corpus tokens, keys are terms (Zipf-hot
+    head handled by AQE skew splits on the first shuffle; the window
+    relation is (term, doc) pairs, already collapsed)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            T.whitespace_tokens(F.lower(F.col("text")))
+        ).alias("term"),
+    )
+    tf = tok.groupBy("term", "doc_id").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    w = Window.partitionBy("term")
+    ranked = tf.select(
+        "term", "doc_id", "tf",
+        F.row_number()
+        .over(w.orderBy(F.col("tf").desc(), F.col("doc_id")))
+        .alias("_rn"),
+        F.count("*").over(w).cast("long").alias("df"),
+        F.sum("tf").over(w).alias("total_tf"),
+    )
+    return ranked.filter(
+        (F.col("_rn") == 1) & (F.col("df") >= _POSTING_MIN_DF)
+    ).select(
+        "term", "df", "total_tf",
+        F.col("doc_id").alias("top_doc_id"),
+        F.col("tf").alias("top_tf"),
+    )
+
+
 _TOKS = O.ws_tokens("text")
 _LOW_TOKS = O.ws_tokens("lower(text)")
 _BM25_IN = ", ".join(f"'{t}'" for t in BM25_QUERY)
@@ -986,6 +1131,11 @@ def _score(markers: tuple[str, ...]) -> str:
 _S = {lang: _score(m) for lang, m in T.LANG_MARKERS.items()}
 
 QUERIES = {
+    "q161_unimax_mix": q161_unimax_mix,
+    "q162_token_fertility": q162_token_fertility,
+    "q163_shard_balance": q163_shard_balance,
+    "q165_dirichlet_qlm": q165_dirichlet_qlm,
+    "q166_posting_stats": q166_posting_stats,
     "q30_token_counts": q30_token_counts,
     "q31_quality_score": q31_quality_score,
     "q32_lang_id": q32_lang_id,
@@ -1120,7 +1270,154 @@ _LANG_PRED_SQL = """CASE
                  ELSE 'fr'
                END"""
 
+# q93's full SELECT as a standalone string: q163 nests it, so the
+# shard assignment and the balance audit stay in lockstep.
+_Q93_SQL = f"""
+        WITH keyed AS (
+            SELECT doc_id,
+                   md5('epoch0_' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+            FROM documents
+        ), pos AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY shuffle_key, doc_id)
+                       AS position
+            FROM keyed
+        )
+        SELECT doc_id,
+               CAST(position AS BIGINT) AS position,
+               CAST((position - 1) % {EPOCH_SHARDS} AS INT) AS reader_shard
+        FROM pos
+"""
+
+_QLM_TERM_SQL = " + ".join(
+    f"""ln((CAST(tf{i} AS DOUBLE) + {_QLM_MU!r} *
+            (CAST(ctf{i} AS DOUBLE) / CAST(ctot AS DOUBLE)))
+           / (CAST(dl AS DOUBLE) + {_QLM_MU!r}))"""
+    for i in range(len(BM25_QUERY))
+)
+
 ORACLES = {
+    "q161_unimax_mix": f"""
+        WITH m AS (
+            SELECT source,
+                   CAST(SUM(len({O.ws_tokens('text')})) AS BIGINT) AS token_mass
+            FROM documents GROUP BY source
+        ), c AS (
+            SELECT source, token_mass,
+                   CAST(token_mass * {_UNIMAX_EPOCHS} AS BIGINT) AS cap_tokens
+            FROM m
+        ), g AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS s,
+                   CAST(CAST(SUM(token_mass) AS BIGINT)
+                        * {_UNIMAX_NUM} // {_UNIMAX_DEN} AS BIGINT) AS b
+            FROM c
+        ), w AS (
+            SELECT c.source, c.token_mass, c.cap_tokens, g.s, g.b,
+                   CAST(row_number() OVER ord AS BIGINT) AS i,
+                   CAST(SUM(cap_tokens) OVER ord AS BIGINT) AS p
+            FROM c, g
+            WINDOW ord AS (ORDER BY cap_tokens, source)
+        ), f AS (
+            SELECT *, (cap_tokens * (s - i) <= b - p) AS capped FROM w
+        ), k AS (
+            SELECT CAST(MAX(CASE WHEN capped THEN i ELSE 0 END) AS BIGINT) AS k,
+                   CAST(MAX(CASE WHEN capped THEN p ELSE 0 END) AS BIGINT) AS pk
+            FROM f
+        ), a AS (
+            SELECT f.source, f.token_mass, f.cap_tokens,
+                   CAST(CASE WHEN f.i <= k.k THEN f.cap_tokens
+                             ELSE (f.b - k.pk) // (f.s - k.k)
+                        END AS BIGINT) AS alloc_tokens
+            FROM f, k
+        )
+        SELECT source, token_mass, cap_tokens, alloc_tokens,
+               ROUND(CAST(alloc_tokens AS DOUBLE)
+                     / CAST(token_mass AS DOUBLE), 6) AS epochs
+        FROM a
+    """,
+    "q162_token_fertility": f"""
+        WITH per AS (
+            SELECT lang,
+                   len({O.ws_tokens('text')}) AS ws,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9{T.WS_CHARS}]')) AS bpe,
+                   n_chars AS ch
+            FROM documents
+        ), agg AS (
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+                   CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+                   CAST(SUM(ch) AS BIGINT) AS n_chars
+            FROM per GROUP BY lang
+        )
+        SELECT lang, n_docs, ws_tokens, bpe_tokens, n_chars,
+               ROUND(CAST(bpe_tokens AS DOUBLE)
+                     / CAST(ws_tokens AS DOUBLE), 6) AS fertility,
+               ROUND(CAST(n_chars AS DOUBLE)
+                     / CAST(bpe_tokens AS DOUBLE), 6) AS chars_per_token
+        FROM agg
+    """,
+    "q163_shard_balance": f"""
+        WITH shards AS (
+            {_Q93_SQL}
+        ), tk AS (
+            SELECT doc_id,
+                   CAST(len({O.ws_tokens('text')}) AS BIGINT) AS n_tokens
+            FROM documents
+        ), per AS (
+            SELECT reader_shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS token_mass
+            FROM shards JOIN tk USING (doc_id)
+            GROUP BY reader_shard
+        ), g AS (
+            SELECT CAST(SUM(token_mass) AS BIGINT) AS tot FROM per
+        )
+        SELECT reader_shard, n_docs, token_mass,
+               ROUND(CAST(token_mass AS DOUBLE) * {EPOCH_SHARDS}
+                     / CAST(tot AS DOUBLE), 6) AS skew
+        FROM per, g
+    """,
+    "q165_dirichlet_qlm": f"""
+        WITH base AS (
+            SELECT doc_id, len({O.ws_tokens('lower(text)')}) AS dl,
+                   {", ".join(
+                       f"len(list_filter({O.ws_tokens('lower(text)')}, "
+                       f"t -> t = '{t}')) AS tf{i}"
+                       for i, t in enumerate(BM25_QUERY)
+                   )}
+            FROM documents
+        ), stats AS (
+            SELECT CAST(SUM(dl) AS BIGINT) AS ctot,
+                   {", ".join(
+                       f"CAST(SUM(tf{i}) AS BIGINT) AS ctf{i}"
+                       for i in range(len(BM25_QUERY))
+                   )}
+            FROM base
+        )
+        SELECT doc_id,
+               ROUND(0.0 + {_QLM_TERM_SQL}, 6) AS qlm_score
+        FROM base, stats
+    """,
+    "q166_posting_stats": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({O.ws_tokens('lower(text)')}) AS term
+            FROM documents
+        ), tf AS (
+            SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tok GROUP BY term, doc_id
+        ), ranked AS (
+            SELECT term, doc_id, tf,
+                   row_number() OVER (PARTITION BY term
+                                      ORDER BY tf DESC, doc_id) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+                   CAST(SUM(tf) OVER (PARTITION BY term) AS BIGINT) AS total_tf
+            FROM tf
+        )
+        SELECT term, df, total_tf, doc_id AS top_doc_id, tf AS top_tf
+        FROM ranked WHERE rn = 1 AND df >= {_POSTING_MIN_DF}
+    """,
     # q84: identical hashed-bucket linear model, weights inlined
     "q84_model_quality_score": f"""
         WITH t AS (
@@ -1401,22 +1698,7 @@ ORACLES = {
                ROUND(MIN(mean_logprob), 6) AS worst_logprob
         FROM tiled GROUP BY tier
     """,
-    "q93_corpus_shuffle_shards": f"""
-        WITH keyed AS (
-            SELECT doc_id,
-                   md5('epoch0_' || CAST(doc_id AS VARCHAR)) AS shuffle_key
-            FROM documents
-        ), pos AS (
-            SELECT doc_id,
-                   row_number() OVER (ORDER BY shuffle_key, doc_id)
-                       AS position
-            FROM keyed
-        )
-        SELECT doc_id,
-               CAST(position AS BIGINT) AS position,
-               CAST((position - 1) % {EPOCH_SHARDS} AS INT) AS reader_shard
-        FROM pos
-    """,
+    "q93_corpus_shuffle_shards": _Q93_SQL,
     "q92_pii_redact": f"""
         WITH seeded AS (
             SELECT doc_id,

@@ -73,6 +73,21 @@ def write_bucketed(
     and drops the Exchange). The 100 TB play: bucket the big fact
     tables on their join key once, join shuffle-free forever after.
     Sorted within buckets for sort-merge-friendly probes."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # A managed table's LOCATION outlives an in-memory catalog: files
+    # from a previous session block re-creation under the same name
+    # (LOCATION_ALREADY_EXISTS) because the fresh catalog has no table
+    # entry for DROP to clean. Clear the orphaned directory; under a
+    # persistent metastore the DROP above already handled it and this
+    # is a no-op.
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    loc = jvm.org.apache.hadoop.fs.Path(warehouse, name.lower())
+    fs = loc.getFileSystem(conf)
+    if fs.exists(loc) and not fs.delete(loc, True):
+        raise IOError(f"failed to clear orphaned table location {loc}")
     (
         df.write.mode(mode)
         .bucketBy(num_buckets, *bucket_cols)
