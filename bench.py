@@ -132,6 +132,17 @@ HEADLINE = (
     "q166_posting_stats",
     "q167_bucketed_join",
     "q168_embedding_drift",
+    "q169_knn_pagerank",
+    "q170_knn_triangles",
+    "q171_cms_heavy_hitters",
+    "q172_salted_priority_totals",
+    "q173_merged_event_stats",
+    "q174_embedding_ks_drift",
+    "q175_label_propagation",
+    "q176_fm_user_registers",
+    "q177_bloom_join_reduction",
+    "q178_gap_fill_daily",
+    "q179_pmi_bigrams",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",
@@ -278,6 +289,20 @@ ANCHOR = {
     "q166_posting_stats": 0.596,
     "q167_bucketed_join": 1.924,
     "q168_embedding_drift": 0.574,
+    # graph batch: q169/q170 rebuild the q159 kNN graph (its 3.3 s
+    # anchor covers the cell join); pagerank adds 3 bounded
+    # join+agg rounds, triangles one wedge self-join
+    "q169_knn_pagerank": 2.674,
+    "q170_knn_triangles": 4.42,
+    "q171_cms_heavy_hitters": 1.594,
+    "q172_salted_priority_totals": 1.738,
+    "q173_merged_event_stats": 0.411,
+    "q174_embedding_ks_drift": 0.408,
+    "q175_label_propagation": 4.394,
+    "q176_fm_user_registers": 0.611,
+    "q177_bloom_join_reduction": 3.036,
+    "q178_gap_fill_daily": 0.522,
+    "q179_pmi_bigrams": 0.826,
     # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's
     # cost is the in-order pair fan-out (O(sum basket²), baskets ~4).
     "q128_event_transitions": 0.735,

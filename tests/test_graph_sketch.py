@@ -1,0 +1,324 @@
+"""Model tests for the round-10 graph / sketch / state-merge
+operators: each is checked against a hand-computable or numpy-derived
+reference on graphs and streams small enough to reason about, plus
+the structural invariants that must survive any input (CMS never
+undercounts; state merge is slicing-invariant)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ulh_etl_spark.operators.graph import pagerank, triangle_stats
+from ulh_etl_spark.operators.profile import (
+    algebraic_state,
+    embedding_ks_drift,
+    merge_states,
+)
+from ulh_etl_spark.operators.sketch import cms_counters, cms_estimates
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "id1 long, id2 long"
+    )
+
+
+# ---------------------------------------------------------------- graph
+
+
+def _ref_pagerank(pairs, iters=3, d=0.85):
+    nodes = sorted({x for p in pairs for x in p})
+    nbrs = {v: [] for v in nodes}
+    for a, b in pairs:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        r = {
+            v: (1.0 - d) / n + d * sum(r[u] / len(nbrs[u]) for u in nbrs[v])
+            for v in nodes
+        }
+    return r, {v: len(nbrs[v]) for v in nodes}
+
+
+def test_pagerank_matches_reference_model(spark):
+    # a path 1-2-3-4 plus a triangle 4-5-6: asymmetric degrees, so
+    # ranks separate and the dangling-free update is exercised fully
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (4, 6), (5, 6)]
+    got = {
+        r.node: (r.degree, r.pagerank)
+        for r in pagerank(_edges(spark, pairs)).collect()
+    }
+    want_r, want_d = _ref_pagerank(pairs)
+    assert set(got) == set(want_r)
+    for v in want_r:
+        assert got[v][0] == want_d[v]
+        assert got[v][1] == pytest.approx(want_r[v], abs=2e-6)
+
+
+def test_pagerank_mass_conserved_and_uniform_on_regular(spark):
+    # a 4-cycle is 2-regular: PageRank must stay exactly uniform
+    pairs = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    rows = pagerank(_edges(spark, pairs), iterations=5).collect()
+    for r in rows:
+        assert r.pagerank == pytest.approx(0.25, abs=1e-9)
+    assert sum(r.pagerank for r in rows) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_triangle_stats_hand_graph(spark):
+    # K4 minus edge (3,4), plus pendant 5 off node 1:
+    # triangles = {1,2,3} and {1,2,4}
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (1, 5)]
+    got = {
+        r.node: (r.degree, r.n_triangles, r.clustering)
+        for r in triangle_stats(_edges(spark, pairs)).collect()
+    }
+    assert got[1] == (4, 2, pytest.approx(2 * 2 / (4 * 3), abs=1e-6))
+    assert got[2] == (3, 2, pytest.approx(2 * 2 / (3 * 2), abs=1e-6))
+    assert got[3] == (2, 1, pytest.approx(1.0, abs=1e-9))
+    assert got[4] == (2, 1, pytest.approx(1.0, abs=1e-9))
+    assert got[5] == (1, 0, 0.0)
+
+
+def test_triangle_stats_counts_each_triangle_once_on_clique(spark):
+    # K5: every node sits in C(4,2) = 6 triangles, clustering 1.0
+    pairs = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    rows = triangle_stats(_edges(spark, pairs)).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert (r.degree, r.n_triangles, r.clustering) == (4, 6, 1.0)
+
+
+def test_triangle_free_graph_has_zero_everywhere(spark):
+    # bipartite 4-cycle: no triangles despite every node in a cycle
+    rows = triangle_stats(
+        _edges(spark, [(1, 2), (2, 3), (3, 4), (1, 4)])
+    ).collect()
+    assert all(r.n_triangles == 0 and r.clustering == 0.0 for r in rows)
+
+
+# --------------------------------------------------------------- sketch
+
+
+def _tokens(spark, counts):
+    rows = [(t,) for t, c in counts.items() for _ in range(c)]
+    return spark.createDataFrame(rows, "token string")
+
+
+def test_cms_never_undercounts_and_is_exact_when_wide(spark):
+    counts = {f"tok{i}": (i % 7) + 1 for i in range(50)}
+    toks = _tokens(spark, counts)
+    counters = cms_counters(toks, depth=4, width=4096)
+    cand = spark.createDataFrame([(t,) for t in counts], "token string")
+    est = {
+        r.token: r.cms_estimate
+        for r in cms_estimates(counters, cand, depth=4, width=4096).collect()
+    }
+    # one-sided error always; 50 tokens into 4096 buckets x 4 rows
+    # makes a same-bucket collision in ALL rows vanishingly unlikely
+    assert all(est[t] >= c for t, c in counts.items())
+    assert est == {t: c for t, c in counts.items()}
+
+
+def test_cms_narrow_sketch_overcounts_only(spark):
+    counts = {f"w{i}": 3 for i in range(40)}
+    toks = _tokens(spark, counts)
+    counters = cms_counters(toks, depth=2, width=8)
+    cand = spark.createDataFrame([(t,) for t in counts], "token string")
+    est = cms_estimates(counters, cand, depth=2, width=8)
+    rows = est.collect()
+    assert all(r.cms_estimate >= 3 for r in rows)  # never under
+    total = sum(r.cnt for r in counters.collect())
+    assert total == 2 * 120  # every occurrence lands in every row
+
+
+def test_cms_counter_relation_is_bounded(spark):
+    toks = _tokens(spark, {f"t{i}": 5 for i in range(200)})
+    counters = cms_counters(toks, depth=3, width=16)
+    assert counters.count() <= 3 * 16
+
+
+# ----------------------------------------------------------- state merge
+
+
+def test_merge_states_equals_direct_scan(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vals = rng.normal(50.0, 12.0, size=300)
+    rows = [
+        (int(i), ["a", "b", "c"][i % 3], float(v)) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "rid long, grp string, value double")
+    slices = [
+        algebraic_state(df.filter(F.col("rid") % 3 == k), ["grp"], "value")
+        for k in range(3)
+    ]
+    got = {r.grp: r for r in merge_states(slices, ["grp"]).collect()}
+    for g in ("a", "b", "c"):
+        sel = [v for i, v in enumerate(vals) if ["a", "b", "c"][i % 3] == g]
+        assert got[g].cnt == len(sel)
+        assert got[g].avg_value == pytest.approx(
+            sum(sel) / len(sel), abs=1e-5
+        )
+        mean = sum(sel) / len(sel)
+        std = math.sqrt(sum((x - mean) ** 2 for x in sel) / (len(sel) - 1))
+        assert got[g].std_value == pytest.approx(std, abs=1e-4)
+        assert got[g].min_value == pytest.approx(min(sel), abs=1e-6)
+        assert got[g].max_value == pytest.approx(max(sel), abs=1e-6)
+
+
+def test_merge_states_is_slicing_invariant(spark):
+    rows = [(int(i), "g", float(i * i % 97)) for i in range(100)]
+    df = spark.createDataFrame(rows, "rid long, grp string, value double")
+    one = merge_states([algebraic_state(df, ["grp"], "value")], ["grp"])
+    two = merge_states(
+        [
+            algebraic_state(df.filter(F.col("rid") < 37), ["grp"], "value"),
+            algebraic_state(df.filter(F.col("rid") >= 37), ["grp"], "value"),
+        ],
+        ["grp"],
+    )
+    assert one.collect() == two.collect()
+
+
+def test_merge_states_constant_group_has_zero_std(spark):
+    # the catastrophic-cancellation clamp: a large-magnitude constant
+    # group must give std exactly 0.0, never NaN or a sqrt error
+    rows = [(i, "k", 1.0e15 + 0.1) for i in range(10)]
+    df = spark.createDataFrame(rows, "rid long, grp string, value double")
+    out = merge_states(
+        [algebraic_state(df, ["grp"], "value")], ["grp"]
+    ).collect()[0]
+    assert out.std_value == 0.0 and not math.isnan(out.std_value)
+
+
+def test_merge_states_single_row_group_has_null_std(spark):
+    df = spark.createDataFrame([(1, "k", 5.0)], "rid long, grp string, value double")
+    out = merge_states(
+        [algebraic_state(df, ["grp"], "value")], ["grp"]
+    ).collect()[0]
+    assert out.cnt == 1 and out.std_value is None
+
+
+# ------------------------------------------------------------------- KS
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ks_zero_on_identical_samples(spark):
+    rows = [(i, [float(i % 10)]) for i in range(40)]
+    ref = _emb(spark, rows)
+    out = embedding_ks_drift(ref, ref, dims=1).collect()[0]
+    assert out.ks == 0.0 and out.n_ref == 40 and out.n_cur == 40
+
+
+def test_ks_one_on_disjoint_supports(spark):
+    ref = _emb(spark, [(i, [float(i)]) for i in range(10)])
+    cur = _emb(spark, [(i, [float(i + 100)]) for i in range(10)])
+    assert embedding_ks_drift(ref, cur, dims=1).collect()[0].ks == 1.0
+
+
+def test_ks_matches_hand_ecdf(spark):
+    # ref {0,1,2,3}, cur {2,3,4,5}: max |F_r - F_c| is at x in [1,2):
+    # F_r = 0.5, F_c = 0 -> 0.5
+    ref = _emb(spark, [(i, [float(v)]) for i, v in enumerate([0, 1, 2, 3])])
+    cur = _emb(spark, [(i, [float(v)]) for i, v in enumerate([2, 3, 4, 5])])
+    assert embedding_ks_drift(ref, cur, dims=1).collect()[0].ks == pytest.approx(
+        0.5, abs=1e-9
+    )
+
+
+# ------------------------------------------------------- label propagation
+
+
+def test_label_propagation_hand_graph(spark):
+    # path 1-2-3-4-5 with seeds at the ends: 1 -> label 10, 5 -> 20.
+    # round 1: 2<-10, 4<-20, 3 unreached; round 2: 3 sees {10, 20}
+    # (from 2 and 4, synchronous) -> tie -> min label 10.
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    seeds = spark.createDataFrame([(1, 10), (5, 20)], "node long, label int")
+    from ulh_etl_spark.operators.graph import label_propagation
+
+    got = {
+        r.node: (r.label, r.is_seed)
+        for r in label_propagation(edges, seeds, rounds=2).collect()
+    }
+    assert got == {
+        1: (10, True),
+        2: (10, False),
+        3: (10, False),
+        4: (20, False),
+        5: (20, True),
+    }
+
+
+def test_label_propagation_seeds_never_flip(spark):
+    # seed 1 surrounded by opposite-label neighbors keeps its label
+    edges = _edges(spark, [(1, 2), (1, 3), (2, 3)])
+    seeds = spark.createDataFrame(
+        [(1, 7), (2, 9), (3, 9)], "node long, label int"
+    )
+    from ulh_etl_spark.operators.graph import label_propagation
+
+    got = {
+        r.node: r.label
+        for r in label_propagation(edges, seeds, rounds=3).collect()
+    }
+    assert got == {1: 7, 2: 9, 3: 9}
+
+
+def test_label_propagation_unreached_stays_null(spark):
+    edges = _edges(spark, [(1, 2), (3, 4)])
+    seeds = spark.createDataFrame([(1, 5)], "node long, label int")
+    from ulh_etl_spark.operators.graph import label_propagation
+
+    got = {
+        r.node: r.label
+        for r in label_propagation(edges, seeds, rounds=2).collect()
+    }
+    assert got[1] == 5 and got[2] == 5
+    assert got[3] is None and got[4] is None
+
+
+# ---------------------------------------------------------- FM registers
+
+
+def test_fm_registers_estimate_within_bound(spark):
+    from ulh_etl_spark.operators.sketch import fm_registers
+
+    n_true = 5000
+    rows = [(f"user{i}",) for i in range(n_true) for _ in (0, 1)]  # dup rows
+    df = spark.createDataFrame(rows, "uid string")
+    regs = fm_registers(df, "uid", n_registers=64).collect()
+    assert sum(r.n_keys for r in regs) == n_true  # audit column exact
+    # HLL harmonic estimate from the register table
+    m = 64
+    by_reg = {r.register: r.max_rho for r in regs}
+    z = sum(2.0 ** -by_reg.get(j, 0) for j in range(m))
+    est = 0.709 * m * m / z
+    assert abs(est - n_true) / n_true < 0.15
+
+
+def test_fm_registers_merge_by_max_is_exact(spark):
+    from pyspark.sql import functions as SF
+
+    from ulh_etl_spark.operators.sketch import fm_registers
+
+    rows = [(f"k{i}",) for i in range(2000)]
+    df = spark.createDataFrame(rows, "uid string")
+    whole = {
+        r.register: r.max_rho
+        for r in fm_registers(df, "uid", n_registers=32).collect()
+    }
+    h = SF.abs(SF.xxhash64("uid")) % 2
+    part0 = fm_registers(df.filter(h == 0), "uid", n_registers=32).collect()
+    part1 = fm_registers(df.filter(h == 1), "uid", n_registers=32).collect()
+    merged = {}
+    for r in list(part0) + list(part1):
+        merged[r.register] = max(merged.get(r.register, 0), r.max_rho)
+    assert merged == whole

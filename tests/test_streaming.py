@@ -507,3 +507,74 @@ def test_dedup_within_watermark_stream(spark, tmp_path):
     a_rows = [t for k, t in out3 if k == "A"]
     assert len(a_rows) == 2  # original + post-eviction re-admission
     assert len(out3) == 4
+
+
+def test_stream_fm_registers_matches_batch_sketch(spark, tmp_path):
+    from ulh_etl_spark.operators.sketch import fm_registers
+    from ulh_etl_spark.streaming.file_stream import (
+        stream_fm_registers_available_now,
+    )
+
+    inbound = tmp_path / "fm_in"
+    inbound.mkdir()
+    all_rows = [(f"user{i}",) for i in range(500)]
+    # two files -> (at least) two input splits across micro-batches
+    spark.createDataFrame(all_rows[:250], "uid string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(inbound / "f1"))
+    spark.createDataFrame(all_rows[250:], "uid string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(inbound / "f2"))
+
+    store = str(tmp_path / "fm_store")
+    stats = stream_fm_registers_available_now(
+        spark,
+        str(inbound) + "/*",
+        "uid string",
+        "uid",
+        store,
+        str(tmp_path / "fm_ckpt"),
+        n_registers=32,
+    )
+    assert stats["keys_seen"] == 500
+
+    merged = {
+        r.register: r.max_rho for r in spark.read.parquet(store).collect()
+    }
+    batch = {
+        r.register: r.max_rho
+        for r in fm_registers(
+            spark.createDataFrame(all_rows, "uid string"), "uid", 32
+        ).collect()
+    }
+    assert merged == batch  # max-monoid: any slicing == one shot
+
+
+def test_stream_fm_registers_replay_is_idempotent(spark, tmp_path):
+    from ulh_etl_spark.streaming.file_stream import (
+        stream_fm_registers_available_now,
+    )
+
+    inbound = tmp_path / "fm_in2"
+    inbound.mkdir()
+    spark.createDataFrame(
+        [(f"k{i}",) for i in range(100)], "uid string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(inbound / "f1"))
+    store = str(tmp_path / "fm_store2")
+
+    first = stream_fm_registers_available_now(
+        spark, str(inbound) + "/*", "uid string", "uid",
+        store, str(tmp_path / "ck_a"), n_registers=16,
+    )
+    snap = sorted(
+        (r.register, r.max_rho) for r in spark.read.parquet(store).collect()
+    )
+    # fresh checkpoint -> the same files replay -> same store
+    again = stream_fm_registers_available_now(
+        spark, str(inbound) + "/*", "uid string", "uid",
+        store, str(tmp_path / "ck_b"), n_registers=16,
+    )
+    assert first["keys_seen"] == again["keys_seen"] == 100
+    assert snap == sorted(
+        (r.register, r.max_rho) for r in spark.read.parquet(store).collect()
+    )

@@ -381,3 +381,41 @@ def test_ewma_anomaly_model(spark):
         ewma_anomaly(df, "x", "day", alpha=1.5)
     with _pytest.raises(ValueError):
         ewma_anomaly(df, "x", "day", window=0)
+
+
+def test_gap_fill_daily_fills_and_flags(spark):
+    from datetime import datetime
+
+    from ulh_etl_spark.operators.temporal import gap_fill_daily
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 5), 10.0),
+        ("a", datetime(2024, 1, 1, 9), 2.5),
+        # Jan 2-3 missing
+        ("a", datetime(2024, 1, 4, 1), 7.0),
+        ("b", datetime(2024, 1, 2, 3), 1.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {
+        (r.event_type, r.day): (r.observed, r.day_total, r.filled)
+        for r in gap_fill_daily(df, "ts", "event_type", "value").collect()
+    }
+    assert out[("a", "2024-01-01")] == (True, 12.5, 12.5)
+    assert out[("a", "2024-01-02")] == (False, None, 12.5)
+    assert out[("a", "2024-01-03")] == (False, None, 12.5)
+    assert out[("a", "2024-01-04")] == (True, 7.0, 7.0)
+    assert out[("b", "2024-01-02")] == (True, 1.0, 1.0)
+    assert len(out) == 5  # scaffold never extends past per-key bounds
+
+
+def test_gap_fill_daily_single_day_key(spark):
+    from datetime import datetime
+
+    from ulh_etl_spark.operators.temporal import gap_fill_daily
+
+    df = spark.createDataFrame(
+        [("x", datetime(2024, 6, 1), 3.0)],
+        "event_type string, ts timestamp, value double",
+    )
+    rows = gap_fill_daily(df, "ts", "event_type", "value").collect()
+    assert len(rows) == 1 and rows[0].observed and rows[0].filled == 3.0

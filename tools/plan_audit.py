@@ -30,6 +30,46 @@ SHUFFLE_BUDGET = {
     # corpus-sized, so both shuffle (3, 4), and the 4-row
     # reader-shard aggregate (5). One shuffle per composition stage;
     # none re-shuffles a key it already has.
+    # q169 composes the q159 kNN build (cell join + rank window on
+    # the persisted assignment — the lineage the persist cuts) with
+    # 3 unrolled PageRank rounds: each round is ONE gather shuffle
+    # (adj join ranks -> groupBy dst) + ONE apply join back to deg.
+    # 2 exchanges/round x 3 + the degree aggregate = 7 runtime
+    # exchanges; every round must move rank mass across the edge
+    # relation — that's the algorithm, not a plan defect. The BUDGET
+    # is higher than 7 because the static formatted plan re-renders
+    # the persisted adj/deg subtrees per consumer (and the render
+    # count shifts with what the audit session already cached);
+    # runtime executes them once from cache.
+    "q169_knn_pagerank": 14,
+    # q170's static plan re-renders the PERSISTED `oriented` and
+    # `deg` subtrees once per consumer (wedge left arm, wedge right
+    # arm, closing-edge semi-side, and the final degree join) — the
+    # formatted plan triples the kNN-build exchanges that execute
+    # exactly once from cache at runtime (4.4 s sf0.1 anchor
+    # confirms single materialization). Genuinely distinct runtime
+    # exchanges: kNN build (cell join + rank window), degree agg,
+    # orientation joins, wedge self-join, closure join, corner
+    # count, final left join — ~8; the other 14 are the audit's
+    # static render of cached reuse.
+    "q170_knn_triangles": 26,
+    # q175 = the q159 kNN build + 2 synchronous label-propagation
+    # rounds, each ONE vote shuffle (adj join assignment ->
+    # groupBy(dst, label)) + ONE rank window on dst; the seed/mode
+    # joins broadcast (seed set is a fixed fraction of nodes here,
+    # label relation deg-bounded). Same static-render caveat as
+    # q169/q170: the budget covers re-renders of the persisted adj
+    # subtree, which executes once from cache.
+    "q175_label_propagation": 14,
+    # q179 needs two count relations and two scalar totals from the
+    # same token stream: unigram explode partial-agg (1), bigram
+    # explode partial-agg (2), the two 1-row totals (3, 4 — each a
+    # single-scalar exchange, broadcast back), and the two
+    # vocabulary-keyed count joins w1/w2 (5, 6; AQE broadcasts the
+    # unigram side when it fits — the audit counts the pre-AQE
+    # plan) plus the min-count filter's reuse exchange (7). One
+    # exchange per distinct model relation, the q78/q118 class.
+    "q179_pmi_bigrams": 7,
     "q163_shard_balance": 5,
     # q74 composes 5 pipeline stages: exact-dedup window on fp (1),
     # minhash fan-out repartition of a 1-split input (2), signature

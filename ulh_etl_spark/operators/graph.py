@@ -1,0 +1,247 @@
+"""Graph analytics over an undirected edge relation — the consumers
+of the kNN / near-dup graphs the dedup and similarity operators emit
+(``similarity.mutual_knn_edges``, ``dedup.lsh_candidate_pairs``):
+PageRank picks the representative/central member of a semantic
+cluster; triangle counts / clustering coefficients separate genuine
+dense paraphrase families from hub-induced star artifacts.
+
+Both take the canonical (id1 < id2) pair relation that every pair
+emitter in this repo produces.
+
+Scale notes:
+- PageRank is the canonical iterative-Spark shape: per round, ONE
+  join of the (persisted) adjacency against the current rank vector
+  on ``src`` and one partial-aggregated groupBy on ``dst``. The edge
+  relation here is degree-bounded (mutual kNN has deg <= k), so no
+  key is hot; on a power-law graph the groupBy side would salt or
+  rely on AQE skew splitting exactly like connected_components.
+  Fixed iteration counts keep the lineage linear; past ~10 rounds
+  checkpoint per round (same rationale as
+  dedup.connected_components).
+- Triangle counting uses the degree-orientation trick: direct every
+  edge from its lower-(degree, id) endpoint to the higher one, so
+  each wedge is enumerated at its LOWEST-degree vertex — the
+  standard bound (Suri & Vassilvitskii, WWW'11 "Counting triangles
+  and the curse of the last reducer") that turns the worst hub's
+  O(deg^2) wedge fan-out into O(m^{3/2}) total work. One self-join
+  on the wedge pivot + one semi-join back to the edge set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def _undirect(edges: DataFrame, id1: str, id2: str) -> DataFrame:
+    """(id1<id2) pair relation -> both-direction (src, dst) adjacency."""
+    fwd = edges.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
+    return fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank restricted to the nodes of an undirected edge
+    relation. Every endpoint has degree >= 1 by construction, so
+    there are no dangling nodes and the per-round update is exactly
+
+        r'(v) = (1 - d)/N + d * sum_{u ~ v} r(u) / deg(u)
+
+    — each float step a fixed single expression except the neighbor
+    sum, whose partial order is engine-dependent; callers round at
+    output (the catalog convention for float aggregates).
+
+    Output: (node, degree, pagerank) — pagerank rounded to 6.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    adj = _undirect(edges, id1, id2).persist(StorageLevel.MEMORY_AND_DISK)
+    deg = adj.groupBy("src").agg(F.count("*").alias("deg"))
+    n = deg.count()  # also materializes adj for the loop
+    base = F.lit((1.0 - damping) / n)
+    # rank/deg is what every round emits; carry it instead of rank.
+    ranks = deg.select(
+        "src",
+        "deg",
+        (F.lit(1.0 / n) / F.col("deg").cast("double")).alias("contrib"),
+    )
+    for _ in range(iterations):
+        gathered = (
+            adj.join(ranks, "src")
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("gathered"))
+        )
+        ranks = (
+            deg.join(gathered, deg.src == gathered.dst)
+            .select(
+                "src",
+                "deg",
+                (
+                    (base + F.lit(damping) * F.col("gathered"))
+                    / F.col("deg").cast("double")
+                ).alias("contrib"),
+            )
+        )
+    return ranks.select(
+        F.col("src").alias("node"),
+        F.col("deg").cast("bigint").alias("degree"),
+        F.round(
+            F.col("contrib") * F.col("deg").cast("double"), 6
+        ).alias("pagerank"),
+    )
+
+
+def triangle_stats(
+    edges: DataFrame, id1: str = "id1", id2: str = "id2"
+) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient over
+    an undirected (id1 < id2) edge relation.
+
+    Orientation: each edge points from its lower-(degree, id)
+    endpoint to the higher one; wedges are enumerated by self-joining
+    the oriented list on its source (the wedge pivot) and closed by
+    an inner join back to the oriented edge set. Every triangle is
+    found exactly once, pivoted at its minimum-(degree, id) vertex.
+
+    Output: (node, degree, n_triangles, clustering) for every
+    endpoint; clustering = 2T / (deg * (deg - 1)), 0.0 when deg < 2,
+    rounded to 6 (one fixed-order division — exact cross-engine).
+    """
+    adj = _undirect(edges, id1, id2)
+    deg = adj.groupBy("src").agg(F.count("*").alias("deg")).select(
+        F.col("src").alias("node"), "deg"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    d1 = deg.select(F.col("node").alias("_a"), F.col("deg").alias("_da"))
+    d2 = deg.select(F.col("node").alias("_b"), F.col("deg").alias("_db"))
+    lower_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("_a") < F.col("_b"))
+    )
+    oriented = (
+        edges.select(F.col(id1).alias("_a"), F.col(id2).alias("_b"))
+        .join(d1, "_a")
+        .join(d2, "_b")
+        .select(
+            F.when(lower_first, F.col("_a")).otherwise(F.col("_b")).alias("lo"),
+            F.when(lower_first, F.col("_b")).otherwise(F.col("_a")).alias("hi"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    w1 = oriented.select(F.col("lo").alias("pivot"), F.col("hi").alias("u"))
+    w2 = oriented.select(F.col("lo").alias("pivot"), F.col("hi").alias("v"))
+    wedges = w1.join(w2, "pivot").filter(F.col("u") < F.col("v"))
+    # close the wedge: (u, v) must itself be an oriented edge in ONE
+    # of the two directions (orientation is by degree, not id)
+    closer = oriented.select(
+        F.least("lo", "hi").alias("u"), F.greatest("lo", "hi").alias("v")
+    )
+    tris = wedges.join(closer, ["u", "v"])
+    per_node = (
+        tris.select(F.col("pivot").alias("node"))
+        .union(tris.select(F.col("u").alias("node")))
+        .union(tris.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    out = deg.join(per_node, "node", "left").select(
+        "node",
+        F.col("deg").cast("bigint").alias("degree"),
+        F.coalesce(F.col("n_triangles"), F.lit(0))
+        .cast("bigint")
+        .alias("n_triangles"),
+        F.round(
+            F.when(F.col("deg") < 2, F.lit(0.0)).otherwise(
+                2.0
+                * F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double")
+                / (
+                    F.col("deg").cast("double")
+                    * (F.col("deg").cast("double") - 1.0)
+                )
+            ),
+            6,
+        ).alias("clustering"),
+    )
+    return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    rounds: int = 2,
+) -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002 shape,
+    synchronous updates): seed nodes carry a fixed label; each round,
+    every NON-seed node takes the MODE of its neighbors'
+    previous-round labels (ties broken by the smaller label — a total
+    order, so the fixpoint is deterministic and SQL-replayable).
+    Unreached nodes stay NULL. The curation use: spread a small set
+    of human topic/quality labels across the mutual-kNN graph to
+    pre-label the corpus.
+
+    Per round: ONE join of the adjacency against the previous
+    assignment on ``src`` + one (dst, label) count + one rank window
+    on dst — all keys degree-bounded on a kNN graph. Synchronous
+    rounds (not propagating within a round) keep the result
+    order-independent, which is what makes the oracle exact.
+
+    ``seeds``: (node, label). Output: (node, label, is_seed) for
+    every edge endpoint; label NULL when no labeled node is within
+    ``rounds`` hops."""
+    from pyspark.sql import Window
+
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    adj = _undirect(edges, id1, id2).persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = adj.select("src").distinct().withColumnRenamed("src", "node")
+    seed = F.broadcast(
+        seeds.select(F.col("node"), F.col("label").alias("_seed_label"))
+    )
+    # assignment_i: (node, label) — seeds fixed, non-seeds from round i
+    assign = nodes.join(seed, "node", "left").select(
+        "node", F.col("_seed_label").alias("label")
+    )
+    w = Window.partitionBy("dst").orderBy(
+        F.col("_n").desc(), F.col("label")
+    )
+    for _ in range(rounds):
+        votes = (
+            adj.join(
+                assign.withColumnRenamed("node", "src"), "src"
+            )
+            .filter(F.col("label").isNotNull())
+            .groupBy("dst", "label")
+            .agg(F.count("*").alias("_n"))
+        )
+        mode = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("dst").alias("node"), F.col("label").alias("_prop"))
+        )
+        assign = (
+            nodes.join(seed, "node", "left")
+            .join(mode, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_seed_label"), F.col("_prop")).alias(
+                    "label"
+                ),
+            )
+        )
+    return (
+        assign.join(seed, "node", "left")
+        .select(
+            "node",
+            "label",
+            F.col("_seed_label").isNotNull().alias("is_seed"),
+        )
+    )

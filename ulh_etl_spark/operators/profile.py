@@ -14,7 +14,7 @@ exact."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -136,4 +136,136 @@ def embedding_psi_drift(
         psi = psi + (p_r - p_c) * F.log(p_r / p_c)
     return per.select(
         "dim", "n_ref", "n_cur", F.round(psi, 6).alias("psi")
+    )
+
+
+def embedding_ks_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str = "embedding",
+    dims: int = 8,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift between two embedding
+    snapshots, per dimension: KS = max over the pooled sample of
+    |ECDF_ref(x) - ECDF_cur(x)|. The binning-free companion of
+    :func:`embedding_psi_drift` — PSI's fixed reference-range bins
+    go blind to shifts inside one bin and saturate on mass outside
+    the reference range; KS sees any distributional move, at the
+    cost of a per-dim sort instead of a per-dim groupBy.
+
+    Bit-stable cross-engine by construction: the two running ECDFs
+    are cumulative INTEGER counts over a RANGE window (ties share the
+    frame, so every row sees count(values <= x) exactly), each diff
+    is one integer-ratio subtraction, and the per-dim reduce is MAX —
+    order-independent, unlike a float SUM. No rounding is needed for
+    parity; output rounds to 6 for display.
+
+    Shape: slice to ``dims`` leading dims before exploding, then one
+    window sort partitioned by dim — dims partitions of (n_ref +
+    n_cur) rows each. At corpus scale the per-dim sort is the cost;
+    shard it by pre-bucketing x and computing per-bucket offsets if
+    a single dim's sample exceeds a task (the standard distributed-
+    ECDF decomposition).
+
+    Output: (dim, n_ref, n_cur, ks)."""
+    if dims < 1:
+        raise ValueError("dims must be >= 1")
+
+    def _expl(df: DataFrame, snap: int) -> DataFrame:
+        return df.select(
+            F.lit(snap).alias("snap"),
+            F.posexplode(F.slice(F.col(vec_col), 1, dims)).alias("dim", "x"),
+        )
+
+    expl = _expl(ref, 0).unionByName(_expl(cur, 1)).select(
+        "snap", "dim", F.col("x").cast("double").alias("x")
+    )
+    w = Window.partitionBy("dim").orderBy("x")
+    full = Window.partitionBy("dim")
+    cum_r = F.sum((F.col("snap") == 0).cast("long")).over(w)
+    cum_c = F.sum((F.col("snap") == 1).cast("long")).over(w)
+    n_r = F.sum((F.col("snap") == 0).cast("long")).over(full)
+    n_c = F.sum((F.col("snap") == 1).cast("long")).over(full)
+    diff = F.abs(
+        cum_r.cast("double") / n_r.cast("double")
+        - cum_c.cast("double") / n_c.cast("double")
+    )
+    scored = expl.select(
+        "dim",
+        n_r.alias("n_ref"),
+        n_c.alias("n_cur"),
+        diff.alias("_d"),
+    )
+    return scored.groupBy("dim").agg(
+        F.max("n_ref").cast("bigint").alias("n_ref"),
+        F.max("n_cur").cast("bigint").alias("n_cur"),
+        F.round(F.max("_d"), 6).alias("ks"),
+    )
+
+
+def algebraic_state(
+    df: DataFrame, keys: list, val_col: str
+) -> DataFrame:
+    """The mergeable per-group aggregate state (count, sum, sum of
+    squares, min, max) for one slice of a relation — the map-side
+    half of every algebraic aggregate, made explicit so it can be
+    PERSISTED: an incremental rollup stores this state per
+    (group, slice) and folds new slices in with
+    :func:`merge_states`, never rescanning history. The state is
+    a commutative monoid, so slicing is arbitrary (by arrival batch,
+    by partition, by day) and merge order never matters.
+
+    Output: keys + (cnt, s, sumsq, mn, mx)."""
+    v = F.col(val_col).cast("double")
+    return df.groupBy(*keys).agg(
+        F.count(v).cast("bigint").alias("cnt"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("sumsq"),
+        F.min(v).alias("mn"),
+        F.max(v).alias("mx"),
+    )
+
+
+def merge_states(states: list, keys: list) -> DataFrame:
+    """Fold any number of :func:`algebraic_state` slices into final
+    per-group statistics: count, mean, sample stddev, min, max —
+    exactly what a full rescan would produce, from state alone.
+
+    Stddev uses the closed form sqrt((sumsq - s^2/cnt) / (cnt - 1))
+    clamped at zero — the clamp absorbs the catastrophic-cancellation
+    sign flip on near-constant groups (the q132 z-score lesson:
+    engines fold the same expression to opposite-sign roundoff, and
+    sqrt of a negative residue is NaN poison downstream). NULL when
+    cnt < 2.
+
+    Output: keys + (cnt, avg_value, std_value, min_value,
+    max_value); floats rounded to 6 (the merge re-sums slice sums,
+    so the final adds are fixed-order only after the groupBy —
+    rounding is the parity boundary, as everywhere in the catalog).
+    """
+    if not states:
+        raise ValueError("states must be non-empty")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    merged = u.groupBy(*keys).agg(
+        F.sum("cnt").cast("bigint").alias("cnt"),
+        F.sum("s").alias("s"),
+        F.sum("sumsq").alias("sumsq"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+    cnt = F.col("cnt").cast("double")
+    var = F.greatest(
+        F.lit(0.0), (F.col("sumsq") - F.col("s") * F.col("s") / cnt)
+    ) / (cnt - F.lit(1.0))
+    return merged.select(
+        *keys,
+        "cnt",
+        F.round(F.col("s") / cnt, 6).alias("avg_value"),
+        F.round(
+            F.when(F.col("cnt") >= 2, F.sqrt(var)), 6
+        ).alias("std_value"),
+        F.round(F.col("mn"), 6).alias("min_value"),
+        F.round(F.col("mx"), 6).alias("max_value"),
     )

@@ -1,0 +1,154 @@
+"""Count-min sketch over a token stream (Cormode & Muthukrishnan
+2005) — the fixed-memory frequency summary a 100 TB curation run
+keeps when the exact term-frequency table itself no longer fits:
+depth x width counters answer "how often did token t appear?" with
+a one-sided error (never an undercount, overcount <= N / width with
+probability 1 - 2^-depth).
+
+The sketch is ONE partial-aggregated groupBy over (row, bucket) —
+depth * width counters total (a few KiB) regardless of corpus size —
+and estimation is a broadcast join of the candidate tokens against
+those counters. Hashes are the repo's portable md5 scheme
+(operators.text.md5_hash32) with a per-row seed prefix, so the DuckDB
+oracle replays the identical sketch bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ulh_etl_spark.operators.text import md5_hash32
+
+
+def cms_bucket(token: Column, row: int, width: int) -> Column:
+    """Row ``row``'s bucket for a token: md5_hash32 of the seeded
+    token, mod width. The seed prefix makes the depth rows
+    independent hash functions over the same md5 primitive."""
+    return F.pmod(
+        md5_hash32(F.concat(F.lit(f"cms{row}_"), token)), F.lit(width)
+    )
+
+
+def cms_counters(
+    tokens: DataFrame,
+    token_col: str = "token",
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Build the sketch from a one-row-per-occurrence token relation.
+
+    Each occurrence lands in one bucket per row (a ``depth``-element
+    explode), then one groupBy over (row, bucket) — map-side partial
+    aggregation collapses each task's stream to <= depth * width
+    counters before the shuffle, so the exchanged volume is constant
+    in the corpus size.
+
+    Output: (row, bucket, cnt), depth * width rows (absent
+    combinations are zero and omitted)."""
+    if depth < 1 or width < 2:
+        raise ValueError("depth must be >= 1 and width >= 2")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                cms_bucket(F.col(token_col), r, width).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        tokens.select(F.explode(cells).alias("_c"))
+        .groupBy(F.col("_c.row").alias("row"), F.col("_c.bucket").alias("bucket"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def cms_estimates(
+    counters: DataFrame,
+    candidates: DataFrame,
+    token_col: str = "token",
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-query the sketch for each candidate token: the estimate
+    is the MIN over the depth rows of the candidate's bucket counter.
+    The counter relation is depth * width rows — always broadcast —
+    so estimation never shuffles the candidate side.
+
+    Output: (token, cms_estimate)."""
+    probes = candidates.select(
+        F.col(token_col).alias("token"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        cms_bucket(F.col(token_col), r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("_p"),
+    ).select("token", F.col("_p.row").alias("row"), F.col("_p.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(counters), ["row", "bucket"])
+        .groupBy("token")
+        .agg(F.min("cnt").cast("bigint").alias("cms_estimate"))
+    )
+
+
+def fm_registers(
+    df: DataFrame,
+    key_col: str,
+    n_registers: int = 64,
+) -> DataFrame:
+    """Flajolet-Martin / HLL register table for a distinct-count
+    sketch: each key hashes once (portable 60-bit md5); the LOW bits
+    pick one of ``n_registers`` registers, the REMAINING bits'
+    trailing-zero run (+1) is the rho value, and the register keeps
+    the MAX rho seen. The register table is the mergeable sketch —
+    max-combine register tables from any slicing of the data and the
+    estimate is unchanged, the same monoid contract as
+    profile.algebraic_state. This is the oracle-checkable companion
+    of the opaque-binary HLL++ behind approx_count_distinct (q62):
+    every column here is an integer, so a SQL engine replays the
+    sketch bit-for-bit.
+
+    One partial-aggregated groupBy: each task combines its stream to
+    <= n_registers rows before the shuffle — constant exchange volume
+    at any corpus size. The harmonic-mean estimate is driver-side
+    arithmetic on n_registers integers (pinned by pytest, not shipped
+    as a float column — the register table IS the artifact).
+
+    rho extraction avoids bit-scan builtins neither engine shares:
+    lowbit = h & -h isolates the lowest set bit (a power of two),
+    and log2 of an exact power of two is exact in ieee754, so
+    round(log2(lowbit)) + 1 is integer-exact in both engines.
+
+    Output: (register, max_rho, n_keys) — n_keys = exact distinct
+    keys landing in the register (the audit column; at 100 TB it
+    runs on a sample or is dropped)."""
+    if n_registers < 2 or n_registers & (n_registers - 1):
+        raise ValueError("n_registers must be a power of two >= 2")
+    from ulh_etl_spark.operators.text import md5_hash60
+
+    h = md5_hash60(F.col(key_col).cast("string"))
+    # shiftright, NOT `/`: float division of a 60-bit hash rounds
+    # away the low bits that carry the trailing-zero run
+    rest = F.shiftright(h, n_registers.bit_length() - 1)
+    lowbit = rest.bitwiseAND(-rest)
+    # all-zero remainder -> rho = (#remaining bits) + 1, HLL convention
+    rho_max = 60 - (n_registers.bit_length() - 1) + 1
+    rho = F.when(rest == 0, F.lit(rho_max)).otherwise(
+        F.round(F.log2(lowbit.cast("double")), 0).cast("int") + F.lit(1)
+    )
+    keyed = df.select(
+        F.pmod(h, F.lit(n_registers)).cast("int").alias("register"),
+        rho.alias("_rho"),
+        F.col(key_col).alias("_k"),
+    )
+    return keyed.groupBy("register").agg(
+        F.max("_rho").cast("int").alias("max_rho"),
+        F.countDistinct("_k").cast("bigint").alias("n_keys"),
+    )

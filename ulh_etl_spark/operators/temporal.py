@@ -352,3 +352,59 @@ def ewma_anomaly(
             F.when(full, x > F.lit(mult) * ewma).otherwise(F.lit(False)),
         )
     )
+
+
+def gap_fill_daily(
+    df,
+    ts_col: str,
+    partition_col: str,
+    val_col: str,
+):
+    """Calendar gap-filling with forward-fill — the densification
+    step before any rolling/EWMA monitor (q132/q139/q164 all assume
+    a dense series; a silent missing day shifts every lag frame):
+    per series key, scaffold EVERY day between the key's first and
+    last observation (sequence + explode — the scaffold relation is
+    days x keys, never touches the event rows), left-join the
+    observed daily totals, and carry the last observed total forward
+    (last_value IGNORE NULLS over an unbounded-preceding ROWS
+    frame). Day 1 of every key is observed by construction, so the
+    fill never reads NULL.
+
+    Bit-stability: the daily total (a float SUM whose partial order
+    floats) is ROUNDED before the fill copies it, so observed and
+    filled values are identical doubles in both engines.
+
+    Scale: one groupBy on (key, day), one tiny per-key bounds agg
+    (broadcast back), explode fan-out = calendar days per key, one
+    ROWS window per key. Linear in events + days.
+
+    Output: (partition_col, day 'yyyy-MM-dd', observed, day_total
+    NULL on gap days, filled)."""
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    daily = (
+        df.groupBy(F.col(partition_col), day.alias("_day"))
+        .agg(F.round(F.sum(F.col(val_col)), 6).alias("day_total"))
+    )
+    bounds = daily.groupBy(partition_col).agg(
+        F.min("_day").alias("_mn"), F.max("_day").alias("_mx")
+    )
+    scaffold = bounds.select(
+        partition_col,
+        F.explode(
+            F.sequence(F.col("_mn"), F.col("_mx"), F.expr("interval 1 day"))
+        ).alias("_day"),
+    )
+    joined = scaffold.join(daily, [partition_col, "_day"], "left")
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy("_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        partition_col,
+        F.date_format(F.col("_day"), "yyyy-MM-dd").alias("day"),
+        F.col("day_total").isNotNull().alias("observed"),
+        "day_total",
+        F.last("day_total", ignorenulls=True).over(w).alias("filled"),
+    )

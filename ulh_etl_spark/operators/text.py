@@ -2536,3 +2536,192 @@ def pii_count(text) -> "F.Column":
     for _tag, pattern in PII_PATTERNS:
         total = total + F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
     return total
+
+
+def pmi_bigrams(df, text_col: str, min_count: int = 5):
+    """Pointwise mutual information of adjacent word pairs — the
+    collocation statistic behind phrase detection (word2vec-style
+    "new_york" merging) and boilerplate-phrase discovery; raw bigram
+    counts (top_ngrams) rank frequency, PMI ranks ASSOCIATION:
+    pmi(a,b) = ln( (c_ab / N_bi) / ((c_a/N_uni) * (c_b/N_uni)) ).
+
+    All inputs are integer counts; the PMI itself is ONE fixed-order
+    double expression — written as
+    ln((c_ab * N_uni * N_uni) / (N_bi * c_a * c_b)) in exactly this
+    association order engine- and oracle-side — so the only float
+    step is replayed bit-for-bit.
+
+    Scale: tokenize once, two partial-agged groupBys (unigrams,
+    bigrams), two scalar totals computed as 1-row aggregates
+    cross-joined back (never collected), and two vocabulary-keyed
+    joins of the (min_count-filtered) bigram relation against the
+    unigram relation — AQE broadcasts the unigram side when it
+    fits, shuffles on the Zipf-hot term key otherwise (skew split).
+
+    Output: (w1, w2, n_pair, pmi) for bigrams with
+    n_pair >= min_count."""
+    with_t = df.select(
+        whitespace_tokens(F.lower(F.col(text_col))).alias("_toks")
+    )
+    toks = F.col("_toks")
+    uni = (
+        with_t.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("_c"))
+    )
+    n_uni = uni.agg(F.sum("_c").cast("double").alias("_nu"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+    )
+    # short-doc guard + explode_outer/isnotnull: the top_ngrams
+    # pattern — sequence(1, 0) counts DOWN and 0 faults ANSI
+    # element_at; plain explode would let InferFiltersFromGenerate
+    # re-inline the tokenizer as a pushed per-row filter
+    pairs = with_t.select(
+        F.explode_outer(
+            F.when(F.size(toks) >= 2, grams).otherwise(F.array())
+        ).alias("_p")
+    ).filter(F.col("_p").isNotNull())
+    bi = (
+        pairs.select("_p.w1", "_p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+    )
+    n_bi = bi.agg(F.sum("n_pair").cast("double").alias("_nb"))
+    kept = bi.filter(F.col("n_pair") >= min_count)
+    c1 = uni.select(F.col("w").alias("w1"), F.col("_c").alias("_c1"))
+    c2 = uni.select(F.col("w").alias("w2"), F.col("_c").alias("_c2"))
+    joined = (
+        kept.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+    )
+    pmi = F.log(
+        (F.col("n_pair").cast("double") * F.col("_nu") * F.col("_nu"))
+        / (F.col("_nb") * F.col("_c1").cast("double") * F.col("_c2").cast("double"))
+    )
+    return joined.select(
+        "w1",
+        "w2",
+        F.col("n_pair").cast("bigint").alias("n_pair"),
+        F.round(pmi, 6).alias("pmi"),
+    )
+
+
+def sparse_lexical_topk(
+    df,
+    text_col: str,
+    id_col: str,
+    df_min: int = 2,
+    df_max: int = 10,
+    k: int = 3,
+):
+    """Sparse TF-IDF document-to-document top-k similarity join — the
+    lexical kNN graph (the BoW twin of similarity.knn_graph's dense
+    one): find each document's k most cosine-similar peers WITHOUT
+    the O(n²) cross product. Candidate generation is rare-term
+    blocking (the q153 containment policy): only pairs sharing a
+    term with df in [df_min, df_max] are scored — a pair must share
+    at least one corpus-rare term to be a near-neighbor candidate;
+    stopword-grade terms (df > df_max) generate no candidates, which
+    is exactly the inverted-index pruning every sparse retrieval
+    engine applies (Bayardo et al. 2007 WWW, "Scaling up all pairs
+    similarity search").
+
+    The SCORE, however, is the full cosine over ALL shared terms of
+    a candidate pair (not just the blocking terms): two joins of the
+    candidate pairs against the (doc, term, weight) relation, then
+    one per-pair sum. Per-doc L2 norms are computed once from the
+    raw weights; ranking is on the ROUNDED cosine with a neighbor-id
+    tiebreak, so rank order is engine-independent wherever rounded
+    scores tie.
+
+    Scale: candidate volume = sum over rare terms of C(df, 2)
+    (bounded by df_max choose 2 per term); the scoring joins move
+    pairs x doc-terms, never the corpus square. One shuffle per
+    stage: tf agg, df agg, rare-block self-join, two weight joins,
+    pair sum, rank window.
+
+    Output: (doc_id, neighbor_id, n_shared, cosine, rank <= k)."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    tf = term_frequencies(df, text_col, id_col)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    n_docs = df.select(F.count("*").alias("_n"))
+    w = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            F.col(id_col).alias("_id"),
+            "term",
+            (
+                F.col("tf")
+                * F.log((F.col("_n") + 1.0) / (F.col("_df") + 1.0))
+            ).alias("_w"),
+            "_df",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    norms = w.groupBy("_id").agg(
+        F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_norm")
+    )
+    rare = w.filter(
+        (F.col("_df") >= df_min) & (F.col("_df") <= df_max)
+    ).select("_id", "term")
+    cand = (
+        rare.select(F.col("_id").alias("id1"), "term")
+        .join(rare.select(F.col("_id").alias("id2"), "term"), "term")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    w1 = w.select(F.col("_id").alias("id1"), "term", F.col("_w").alias("_w1"))
+    w2 = w.select(F.col("_id").alias("id2"), "term", F.col("_w").alias("_w2"))
+    scored = (
+        cand.join(w1, "id1")
+        .join(w2, ["id2", "term"])
+        .groupBy("id1", "id2")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shared"),
+            F.sum(F.col("_w1") * F.col("_w2")).alias("_dot"),
+        )
+    )
+    n1 = norms.select(F.col("_id").alias("id1"), F.col("_norm").alias("_n1"))
+    n2 = norms.select(F.col("_id").alias("id2"), F.col("_norm").alias("_n2"))
+    pairs = scored.join(n1, "id1").join(n2, "id2").select(
+        "id1",
+        "id2",
+        "n_shared",
+        F.round(F.col("_dot") / (F.col("_n1") * F.col("_n2")), 6).alias(
+            "cosine"
+        ),
+    )
+    # symmetric view: each doc ranks all its candidate peers
+    both = pairs.unionByName(
+        pairs.select(
+            F.col("id2").alias("id1"),
+            F.col("id1").alias("id2"),
+            "n_shared",
+            "cosine",
+        )
+    )
+    rw = Window.partitionBy("id1").orderBy(
+        F.col("cosine").desc(), F.col("id2")
+    )
+    return (
+        both.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id1").alias(id_col),
+            F.col("id2").alias("neighbor_id"),
+            "n_shared",
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -491,7 +491,57 @@ def q125_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(li, PROFILE_COLS)
 
 
+
+
+def q173_merged_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-rollup correctness kernel: per event_type stats
+    (count/mean/stddev/min/max) computed NOT by scanning the whole
+    relation, but by building the mergeable algebraic state (count,
+    sum, sum-of-squares, min, max) on two disjoint slices (even /
+    odd event_id — standing in for \"at-rest history\" and \"today's
+    batch\") and folding the states (operators.profile.algebraic_state
+    / merge_states). The oracle replays the same two-slice merge, so
+    the catalog pins the contract that makes 100 TB rollups
+    incremental: state(old) + state(new) == scan(all), no history
+    rescan ever. Stddev uses the clamped closed form (the q132
+    cancellation lesson)."""
+    from ulh_etl_spark.operators.profile import algebraic_state, merge_states
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = algebraic_state(
+        ev.filter(F.col("event_id") % 2 == 0), ["event_type"], "value"
+    )
+    batch = algebraic_state(
+        ev.filter(F.col("event_id") % 2 == 1), ["event_type"], "value"
+    )
+    return merge_states([hist, batch], ["event_type"])
+
+
+
+
+_FM_REGISTERS = 64
+
+
+def q176_fm_user_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flajolet-Martin / HLL register table over events.user_id
+    (operators.sketch.fm_registers, 64 registers): the
+    oracle-checkable distinct-count sketch next to q62's opaque
+    HLL++ binary — every column is an integer derived from the
+    portable md5 hash, so DuckDB replays the sketch bit-for-bit.
+    The register table is the mergeable production artifact (MAX-
+    combine across days/slices); the harmonic estimate derived from
+    it is pinned within 15% of exact in tests/test_graph_sketch.py.
+    One partial-aggregated groupBy — constant shuffle volume at any
+    corpus size."""
+    from ulh_etl_spark.operators.sketch import fm_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    return fm_registers(ev, "user_id", n_registers=_FM_REGISTERS)
+
+
 QUERIES = {
+    "q176_fm_user_registers": q176_fm_user_registers,
+    "q173_merged_event_stats": q173_merged_event_stats,
     "q125_column_profile": q125_column_profile,
     "q128_event_transitions": q128_event_transitions,
     "q131_copurchase_pairs": q131_copurchase_pairs,
@@ -514,6 +564,56 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q176_fm_user_registers": f"""
+        WITH h AS (
+            SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) AS h,
+                   user_id
+            FROM events
+        ), k AS (
+            SELECT CAST(h % {_FM_REGISTERS} AS INT) AS register,
+                   (h >> {_FM_REGISTERS.bit_length() - 1}) AS rest,
+                   user_id
+            FROM h
+        ), r AS (
+            SELECT register,
+                   CASE WHEN rest = 0 THEN {60 - (_FM_REGISTERS.bit_length() - 1) + 1}
+                        ELSE CAST(round(log2(CAST((rest & -rest) AS DOUBLE)), 0)
+                                  AS INT) + 1 END AS rho,
+                   user_id
+            FROM k
+        )
+        SELECT register, CAST(MAX(rho) AS INT) AS max_rho,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys
+        FROM r GROUP BY register
+    """,
+    "q173_merged_event_stats": """
+        WITH s0 AS (
+            SELECT event_type, COUNT(value) AS cnt, SUM(value) AS s,
+                   SUM(value * value) AS sumsq,
+                   MIN(value) AS mn, MAX(value) AS mx
+            FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+        ), s1 AS (
+            SELECT event_type, COUNT(value) AS cnt, SUM(value) AS s,
+                   SUM(value * value) AS sumsq,
+                   MIN(value) AS mn, MAX(value) AS mx
+            FROM events WHERE event_id % 2 = 1 GROUP BY event_type
+        ), u AS (
+            SELECT * FROM s0 UNION ALL SELECT * FROM s1
+        ), m AS (
+            SELECT event_type, SUM(cnt) AS cnt, SUM(s) AS s,
+                   SUM(sumsq) AS sumsq, MIN(mn) AS mn, MAX(mx) AS mx
+            FROM u GROUP BY event_type
+        )
+        SELECT event_type, CAST(cnt AS BIGINT) AS cnt,
+               ROUND(s / CAST(cnt AS DOUBLE), 6) AS avg_value,
+               ROUND(CASE WHEN cnt >= 2 THEN
+                   sqrt(GREATEST(0.0, sumsq - s * s / CAST(cnt AS DOUBLE))
+                        / (CAST(cnt AS DOUBLE) - 1.0)) END, 6) AS std_value,
+               ROUND(mn, 6) AS min_value,
+               ROUND(mx, 6) AS max_value
+        FROM m
+    """,
     "q133_rfm_segments": """
         WITH pc AS (
             SELECT o_custkey,

@@ -525,7 +525,102 @@ def q26_flag_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return path_a.unionByName(path_b)
 
 
+
+
+_SALT_N = 8
+
+
+def q172_salted_priority_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-resilient fact/dim join (operators.skew.salted_join):
+    lineitem joins orders on orderkey through the SALTED path — fact
+    rows get a deterministic salt in [0, 8), the dim side replicates
+    8x, and the join key becomes (orderkey, salt) — then rolls up to
+    per-priority totals. On THIS data orderkey is uniform and AQE
+    alone suffices; the catalog entry pins the invariant that makes
+    salting deployable against the 100 TB null-key/default-value
+    hotspot AQE cannot split further: the salted plan's RESULT is
+    bit-identical to the plain join the oracle runs. Aggregate
+    rounding follows q01 (sums to 2, avg to 4)."""
+    from ulh_etl_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        "l_extendedprice",
+        "l_quantity",
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, ["orderkey"], num_salts=_SALT_N)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        )
+        .withColumnRenamed("o_orderpriority", "priority")
+    )
+
+
+
+
+_BLOOM_JOIN_BITS = 1 << 17
+_BLOOM_JOIN_HASHES = 5
+
+
+def q177_bloom_join_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered fact/dim join: the urgent-orders key set
+    compresses to a fixed 16 KiB bitmap (operators.bloom) that
+    broadcasts once; lineitem probes it VECTORIZED and only the
+    survivors (members + a bounded false-positive tail) enter the
+    shuffle join whose exact equality kills the FPs — so the result
+    is bit-identical to the plain join the oracle runs, while the
+    shuffled fact volume drops to ~the matching fraction. This is
+    the semi-join reduction that matters at 100 TB when the dim key
+    set is too large to broadcast raw but its BITMAP is not (the
+    q113 decontamination economics, applied to a relational join).
+    Keys pre-hash through the portable md5 (sequential orderkeys
+    would otherwise degenerate the double-hash scheme)."""
+    from ulh_etl_spark.operators.bloom import bloom_probe, build_bloom
+    from ulh_etl_spark.operators.text import md5_hash60
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    members = orders.select(
+        md5_hash60(F.col("o_orderkey").cast("string")).alias("_bkey")
+    )
+    bits = build_bloom(
+        members, "_bkey", n_bits=_BLOOM_JOIN_BITS, n_hashes=_BLOOM_JOIN_HASHES
+    )
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "_bkey", md5_hash60(F.col("l_orderkey").cast("string"))
+    )
+    survivors = (
+        bloom_probe(li, "_bkey", bits, n_hashes=_BLOOM_JOIN_HASHES)
+        .filter(F.col("_in_bloom"))
+        .drop("_bkey", "_in_bloom")
+    )
+    joined = survivors.join(
+        orders, survivors.l_orderkey == orders.o_orderkey
+    )
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        )
+        .withColumnRenamed("l_returnflag", "returnflag")
+    )
+
+
 QUERIES = {
+    "q177_bloom_join_reduction": q177_bloom_join_reduction,
+    "q172_salted_priority_totals": q172_salted_priority_totals,
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
     "q03_record_type_classify": q03_record_type_classify,
@@ -556,6 +651,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q177_bloom_join_reduction": """
+        SELECT l.l_returnflag AS returnflag,
+               COUNT(*) AS n_items,
+               ROUND(SUM(l.l_extendedprice), 2) AS sum_price,
+               ROUND(AVG(l.l_quantity), 4) AS avg_qty
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+        GROUP BY l.l_returnflag
+    """,
+    "q172_salted_priority_totals": """
+        SELECT o.o_orderpriority AS priority,
+               COUNT(*) AS n_items,
+               ROUND(SUM(l.l_extendedprice), 2) AS sum_price,
+               ROUND(AVG(l.l_quantity), 4) AS avg_qty
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
     "q167_bucketed_join": """
         SELECT o.o_orderpriority,
                ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)

@@ -573,7 +573,97 @@ def q146_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PR_ITER = 3
+_PR_DAMPING = 0.85
+
+
+def q169_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the mutual-kNN graph (q160's edge relation,
+    operators.graph.pagerank, 3 rounds, d=0.85): ranks the most
+    central member of every semantic neighborhood — the exemplar a
+    curation run keeps when a near-dup family collapses, and the
+    seed-selection score for active labeling. Degree-bounded edges
+    (mutual kNN has deg <= k) keep every round's join/groupBy skew-
+    free; the fixed iteration count makes the whole recursion one
+    unrolled SQL oracle."""
+    from ulh_etl_spark.operators.graph import pagerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = S.knn_graph(emb, _adaptive_centroids(emb), k=_KNN_K)
+    edges = S.mutual_knn_edges(knn)
+    return pagerank(edges, iterations=_PR_ITER, damping=_PR_DAMPING)
+
+
+def q170_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over
+    the mutual-kNN graph (operators.graph.triangle_stats): separates
+    genuinely dense paraphrase families (high clustering — every
+    member near every other) from hub artifacts (high degree, zero
+    closure). Degree-ordered edge orientation bounds wedge fan-out at
+    the lowest-degree endpoint — the O(m^1.5) MapReduce triangle
+    bound — so the plan survives power-law degree graphs, not just
+    the k-bounded one it runs on here."""
+    from ulh_etl_spark.operators.graph import triangle_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = S.knn_graph(emb, _adaptive_centroids(emb), k=_KNN_K)
+    edges = S.mutual_knn_edges(knn)
+    return triangle_stats(edges)
+
+
+_KS_DIMS = 8
+
+
+def q174_embedding_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov drift per embedding dimension between the
+    at-rest snapshot (even vec_ids) and the incoming batch (odd),
+    over the 8 leading dims — the binning-free twin of q168's PSI:
+    KS sees any CDF separation, including shifts PSI's four fixed
+    reference-range bins cannot resolve
+    (operators.profile.embedding_ks_drift). Integer ECDF counts +
+    an order-independent MAX make it bit-stable with no rounding
+    dependence."""
+    from ulh_etl_spark.operators.profile import embedding_ks_drift
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    cur = emb.filter(F.col("vec_id") % 2 == 1)
+    return embedding_ks_drift(ref, cur, dims=_KS_DIMS)
+
+
+
+
+_LP_ROUNDS = 2
+_LP_SEED_MOD = 5
+
+
+def q175_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label spread over the mutual-kNN graph
+    (operators.graph.label_propagation, 2 synchronous rounds): nodes
+    with vec_id % 5 == 0 act as human-labeled seeds (their
+    ``label`` column is ground truth); every other node takes the
+    neighbor-mode label, ties to the smaller label. The curation
+    move this pins: amplify a small labeled set across the
+    embedding graph to pre-label the corpus for mixture decisions.
+    Synchronous rounds + a total tie order make the fixpoint
+    deterministic — the oracle replays both rounds exactly."""
+    from ulh_etl_spark.operators.graph import label_propagation
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = S.knn_graph(emb, _adaptive_centroids(emb), k=_KNN_K)
+    edges = S.mutual_knn_edges(knn)
+    seeds = (
+        emb.filter(F.col("vec_id") % _LP_SEED_MOD == 0)
+        .select(F.col("vec_id").alias("node"), F.col("label").cast("int").alias("label"))
+    )
+    return label_propagation(edges, seeds, rounds=_LP_ROUNDS)
+
+
 QUERIES = {
+    "q175_label_propagation": q175_label_propagation,
+    "q169_knn_pagerank": q169_knn_pagerank,
+    "q170_knn_triangles": q170_knn_triangles,
+    "q174_embedding_ks_drift": q174_embedding_ks_drift,
     "q39_cosine_topk": q39_cosine_topk,
     "q146_random_projection": q146_random_projection,
     "q40_embedding_norms": q40_embedding_norms,
@@ -792,7 +882,177 @@ _Q159_SQL = f"""
         FROM ranked WHERE rank <= {_KNN_K}
 """
 
+# Shared graph CTE chain: q159's kNN -> mutual edges -> both-direction
+# adjacency -> degrees (the exact relations operators.graph consumes).
+_GRAPH_CTES = f"""
+        WITH knn AS (
+            {_Q159_SQL}
+        ), mut AS (
+            SELECT f.vec_id AS id1, f.neighbor_id AS id2
+            FROM knn f JOIN knn r
+              ON f.vec_id = r.neighbor_id AND f.neighbor_id = r.vec_id
+            WHERE f.vec_id < f.neighbor_id
+        ), adj AS (
+            SELECT id1 AS src, id2 AS dst FROM mut
+            UNION ALL
+            SELECT id2, id1 FROM mut
+        ), deg AS (
+            SELECT src, COUNT(*) AS deg FROM adj GROUP BY src
+        )"""
+
+
+def _pagerank_oracle_sql() -> str:
+    """q169's oracle: the engine's recursion unrolled — every float
+    step written as the same operation sequence (base and init
+    divisions included) so the only cross-engine slack is the
+    neighbor-SUM partial order, absorbed by the final round."""
+    d = repr(_PR_DAMPING)
+    ctes = [
+        "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg)",
+        "r0 AS (SELECT src, deg, (1.0 / n.n) / CAST(deg AS DOUBLE)"
+        " AS contrib FROM deg CROSS JOIN n)",
+    ]
+    for i in range(1, _PR_ITER + 1):
+        ctes.append(
+            f"g{i} AS (SELECT a.dst, SUM(r.contrib) AS gathered"
+            f" FROM adj a JOIN r{i - 1} r ON a.src = r.src GROUP BY a.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT dd.src, dd.deg,"
+            f" (((1.0 - {d}) / n.n) + {d} * g.gathered)"
+            f" / CAST(dd.deg AS DOUBLE) AS contrib"
+            f" FROM deg dd JOIN g{i} g ON dd.src = g.dst CROSS JOIN n)"
+        )
+    return f"""
+        {_GRAPH_CTES},
+        {", ".join(ctes)}
+        SELECT src AS node, CAST(deg AS BIGINT) AS degree,
+               ROUND(contrib * CAST(deg AS DOUBLE), 6) AS pagerank
+        FROM r{_PR_ITER}
+    """
+
+
+_TRIANGLE_SQL = f"""
+        {_GRAPH_CTES},
+        oriented AS (
+            SELECT CASE WHEN (da.deg < db.deg)
+                          OR (da.deg = db.deg AND m.id1 < m.id2)
+                        THEN m.id1 ELSE m.id2 END AS lo,
+                   CASE WHEN (da.deg < db.deg)
+                          OR (da.deg = db.deg AND m.id1 < m.id2)
+                        THEN m.id2 ELSE m.id1 END AS hi
+            FROM mut m
+            JOIN deg da ON m.id1 = da.src
+            JOIN deg db ON m.id2 = db.src
+        ), wedges AS (
+            SELECT w1.lo AS pv, w1.hi AS u, w2.hi AS v
+            FROM oriented w1 JOIN oriented w2 ON w1.lo = w2.lo
+            WHERE w1.hi < w2.hi
+        ), tris AS (
+            SELECT w.pv, w.u, w.v
+            FROM wedges w
+            JOIN (SELECT LEAST(lo, hi) AS u, GREATEST(lo, hi) AS v
+                  FROM oriented) c
+              ON w.u = c.u AND w.v = c.v
+        ), corners AS (
+            SELECT pv AS node FROM tris
+            UNION ALL SELECT u FROM tris
+            UNION ALL SELECT v FROM tris
+        ), per AS (
+            SELECT node, COUNT(*) AS t FROM corners GROUP BY node
+        )
+        SELECT d.src AS node, CAST(d.deg AS BIGINT) AS degree,
+               CAST(COALESCE(p.t, 0) AS BIGINT) AS n_triangles,
+               ROUND(CASE WHEN d.deg < 2 THEN 0.0
+                     ELSE 2.0 * CAST(COALESCE(p.t, 0) AS DOUBLE)
+                          / (CAST(d.deg AS DOUBLE)
+                             * (CAST(d.deg AS DOUBLE) - 1.0)) END,
+                     6) AS clustering
+        FROM deg d LEFT JOIN per p ON d.src = p.node
+"""
+
+
+_KS_SQL = f"""
+        WITH expl AS (
+            SELECT CAST(vec_id % 2 AS INT) AS snap,
+                   CAST(g.i - 1 AS INT) AS dim,
+                   CAST(embedding[g.i] AS DOUBLE) AS x
+            FROM embeddings CROSS JOIN generate_series(1, {_KS_DIMS}) AS g(i)
+        ), scored AS (
+            SELECT dim,
+                   SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY dim ORDER BY x) AS cum_r,
+                   SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY dim ORDER BY x) AS cum_c,
+                   SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY dim) AS n_ref,
+                   SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY dim) AS n_cur
+            FROM expl
+        )
+        SELECT dim,
+               CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+               CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+               ROUND(MAX(ABS(CAST(cum_r AS DOUBLE) / CAST(n_ref AS DOUBLE)
+                             - CAST(cum_c AS DOUBLE) / CAST(n_cur AS DOUBLE))),
+                     6) AS ks
+        FROM scored GROUP BY dim
+"""
+
+
 ORACLES = {
+    "q175_label_propagation": f"""
+        {_GRAPH_CTES},
+        seeds AS (
+            SELECT d.src AS node, CAST(e.label AS INT) AS seed_label
+            FROM deg d JOIN embeddings e ON d.src = e.vec_id
+            WHERE e.vec_id % 5 = 0
+        ), a0 AS (
+            SELECT d.src AS node, s.seed_label AS label
+            FROM deg d LEFT JOIN seeds s ON d.src = s.node
+        ), v1 AS (
+            SELECT a.dst, x.label, COUNT(*) AS n
+            FROM adj a JOIN a0 x ON a.src = x.node
+            WHERE x.label IS NOT NULL
+            GROUP BY a.dst, x.label
+        ), m1 AS (
+            SELECT dst AS node, label FROM (
+                SELECT dst, label,
+                       row_number() OVER (PARTITION BY dst
+                                          ORDER BY n DESC, label) AS rn
+                FROM v1
+            ) WHERE rn = 1
+        ), a1 AS (
+            SELECT d.src AS node,
+                   COALESCE(s.seed_label, m.label) AS label
+            FROM deg d
+            LEFT JOIN seeds s ON d.src = s.node
+            LEFT JOIN m1 m ON d.src = m.node
+        ), v2 AS (
+            SELECT a.dst, x.label, COUNT(*) AS n
+            FROM adj a JOIN a1 x ON a.src = x.node
+            WHERE x.label IS NOT NULL
+            GROUP BY a.dst, x.label
+        ), m2 AS (
+            SELECT dst AS node, label FROM (
+                SELECT dst, label,
+                       row_number() OVER (PARTITION BY dst
+                                          ORDER BY n DESC, label) AS rn
+                FROM v2
+            ) WHERE rn = 1
+        ), a2 AS (
+            SELECT d.src AS node,
+                   COALESCE(s.seed_label, m.label) AS label
+            FROM deg d
+            LEFT JOIN seeds s ON d.src = s.node
+            LEFT JOIN m2 m ON d.src = m.node
+        )
+        SELECT a.node, a.label, (s.node IS NOT NULL) AS is_seed
+        FROM a2 a LEFT JOIN seeds s ON a.node = s.node
+    """,
+    "q169_knn_pagerank": _pagerank_oracle_sql(),
+    "q170_knn_triangles": _TRIANGLE_SQL,
+    "q174_embedding_ks_drift": _KS_SQL,
     "q168_embedding_drift": _psi_oracle_sql(),
     "q159_knn_graph": _Q159_SQL,
     "q160_semantic_clusters": f"""

@@ -245,7 +245,25 @@ def _ewma_oracle_sql() -> str:
     """
 
 
+
+
+def q178_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification + forward-fill of the per-type daily
+    value series (operators.temporal.gap_fill_daily): every day
+    between a type's first and last observation gets a row; missing
+    days carry the last observed total forward and are flagged. The
+    prerequisite of every lag-frame monitor in the catalog —
+    q132/q139/q164 silently mis-align their windows on a sparse
+    series. Scaffold = sequence-explode on the per-key bounds (never
+    touches event rows); fill = one ROWS window per key."""
+    from ulh_etl_spark.operators.temporal import gap_fill_daily
+
+    ev = load_table(spark, sf_dir, "events")
+    return gap_fill_daily(ev, "ts", "event_type", "value")
+
+
 QUERIES = {
+    "q178_gap_fill_daily": q178_gap_fill_daily,
     "q132_weekly_anomalies": q132_weekly_anomalies,
     "q164_ewma_anomaly": q164_ewma_anomaly,
     "q139_event_type_anomalies": q139_event_type_anomalies,
@@ -255,6 +273,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q178_gap_fill_daily": """
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   ROUND(SUM(value), 6) AS day_total
+            FROM events GROUP BY 1, 2
+        ), bounds AS (
+            SELECT event_type, MIN(d) AS mn, MAX(d) AS mx
+            FROM daily GROUP BY event_type
+        ), scaffold AS (
+            SELECT b.event_type, CAST(g.d AS DATE) AS d
+            FROM bounds b
+            CROSS JOIN unnest(generate_series(b.mn, b.mx,
+                                              INTERVAL 1 DAY)) AS g(d)
+        )
+        SELECT s.event_type,
+               strftime(s.d, '%Y-%m-%d') AS day,
+               (dl.day_total IS NOT NULL) AS observed,
+               dl.day_total,
+               last_value(dl.day_total IGNORE NULLS)
+                   OVER (PARTITION BY s.event_type ORDER BY s.d
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS filled
+        FROM scaffold s
+        LEFT JOIN daily dl ON s.event_type = dl.event_type AND s.d = dl.d
+    """,
     "q164_ewma_anomaly": _ewma_oracle_sql(),
     "q139_event_type_anomalies": f"""
         WITH daily AS (

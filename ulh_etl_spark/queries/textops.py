@@ -1130,7 +1130,104 @@ def _score(markers: tuple[str, ...]) -> str:
 
 _S = {lang: _score(m) for lang, m in T.LANG_MARKERS.items()}
 
+
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 512
+_CMS_TOPK = 30
+
+
+def q171_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency audit (operators.sketch): build a
+    4 x 512 CMS over the corpus token stream, then compare the
+    sketch's estimate against the exact count for the 30 most
+    frequent tokens — the overcount column IS the sketch's collision
+    error, surfaced. At 100 TB the exact side of this audit is run
+    on a sample; the SKETCH side is the production artifact: one
+    partial-aggregated groupBy whose shuffle volume is depth x width
+    counters per task regardless of corpus size, mergeable across
+    days the same way the algebraic-state rollup (q173) is.
+
+    Two passes over the token stream (sketch + exact candidates) —
+    deliberate: persisting an exploded token relation costs more
+    than re-reading the pruned text column."""
+    from ulh_etl_spark.operators import sketch as SK
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            T.whitespace_tokens(F.lower(F.col("text")))
+        ).alias("token")
+    )
+    counters = SK.cms_counters(
+        toks, token_col="token", depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+    exact = toks.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("exact_cnt")
+    )
+    cand = exact.orderBy(F.col("exact_cnt").desc(), "token").limit(_CMS_TOPK)
+    est = SK.cms_estimates(
+        counters,
+        cand.select("token"),
+        token_col="token",
+        depth=_CMS_DEPTH,
+        width=_CMS_WIDTH,
+    )
+    return cand.join(est, "token").select(
+        "token",
+        "exact_cnt",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_cnt"))
+        .cast("bigint")
+        .alias("overcount"),
+    )
+
+
+
+
+_PMI_MIN = 5
+
+
+def q179_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: PMI of adjacent word pairs with support
+    >= 5 (operators.text.pmi_bigrams) — the association statistic
+    behind phrase-merging tokenizer preprocessing and boilerplate
+    phrase discovery; q83 ranks bigrams by frequency, this ranks by
+    how much MORE often a pair co-occurs than its parts predict.
+    Integer counts end-to-end; the single ln() is written in the
+    same association order in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.pmi_bigrams(docs, "text", min_count=_PMI_MIN)
+
+
+
+
+_SPARSE_DF_MIN = 2
+_SPARSE_DF_MAX = 10
+_SPARSE_K = 3
+
+
+def q180_sparse_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical document kNN: each doc's top-3 most TF-IDF-cosine-
+    similar peers via rare-term blocking + full-overlap scoring
+    (operators.text.sparse_lexical_topk) — the sparse/BoW twin of
+    q159's dense kNN graph and the candidate generator for lexical
+    near-dup review queues. Candidates require a shared df-in-[2,10]
+    term (inverted-index pruning — stopwords generate no pairs);
+    the score is the exact cosine over ALL shared terms. Ranking on
+    the rounded score + id tiebreak keeps rank order engine-
+    independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.sparse_lexical_topk(
+        docs, "text", "doc_id",
+        df_min=_SPARSE_DF_MIN, df_max=_SPARSE_DF_MAX, k=_SPARSE_K,
+    )
+
+
 QUERIES = {
+    "q180_sparse_lexical_topk": q180_sparse_lexical_topk,
+    "q179_pmi_bigrams": q179_pmi_bigrams,
+    "q171_cms_heavy_hitters": q171_cms_heavy_hitters,
     "q161_unimax_mix": q161_unimax_mix,
     "q162_token_fertility": q162_token_fertility,
     "q163_shard_balance": q163_shard_balance,
@@ -1297,6 +1394,108 @@ _QLM_TERM_SQL = " + ".join(
 )
 
 ORACLES = {
+    "q180_sparse_lexical_topk": f"""
+        WITH toks AS (
+            SELECT doc_id, t AS term
+            FROM documents, unnest({_LOW_TOKS}) AS u(t)
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        ), dfreq AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        w AS (
+            SELECT tf.doc_id AS id, tf.term,
+                   tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) AS w,
+                   dfreq.df
+            FROM tf JOIN dfreq USING (term), n
+        ), norms AS (
+            SELECT id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY id
+        ), rare AS (
+            SELECT id, term FROM w
+            WHERE df >= {_SPARSE_DF_MIN} AND df <= {_SPARSE_DF_MAX}
+        ), cand AS (
+            SELECT DISTINCT a.id AS id1, b.id AS id2
+            FROM rare a JOIN rare b ON a.term = b.term AND a.id < b.id
+        ), scored AS (
+            SELECT c.id1, c.id2,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared,
+                   SUM(w1.w * w2.w) AS dot
+            FROM cand c
+            JOIN w w1 ON w1.id = c.id1
+            JOIN w w2 ON w2.id = c.id2 AND w2.term = w1.term
+            GROUP BY c.id1, c.id2
+        ), pairs AS (
+            SELECT s.id1, s.id2, s.n_shared,
+                   ROUND(s.dot / (n1.nrm * n2.nrm), 6) AS cosine
+            FROM scored s
+            JOIN norms n1 ON n1.id = s.id1
+            JOIN norms n2 ON n2.id = s.id2
+        ), sym AS (
+            SELECT id1, id2, n_shared, cosine FROM pairs
+            UNION ALL
+            SELECT id2, id1, n_shared, cosine FROM pairs
+        ), ranked AS (
+            SELECT id1, id2, n_shared, cosine,
+                   row_number() OVER (PARTITION BY id1
+                                      ORDER BY cosine DESC, id2) AS rank
+            FROM sym
+        )
+        SELECT id1 AS doc_id, id2 AS neighbor_id, n_shared, cosine,
+               CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {_SPARSE_K}
+    """,
+    "q179_pmi_bigrams": f"""
+        WITH t AS (
+            SELECT {_LOW_TOKS} AS tk FROM documents
+        ), uni AS (
+            SELECT u.t AS w, COUNT(*) AS c FROM t, unnest(tk) AS u(t)
+            GROUP BY 1
+        ), nu AS (
+            SELECT CAST(SUM(c) AS DOUBLE) AS nu FROM uni
+        ), bi AS (
+            SELECT tk[g.i] AS w1, tk[g.i + 1] AS w2, COUNT(*) AS n_pair
+            FROM t CROSS JOIN unnest(generate_series(1, len(tk) - 1)) AS g(i)
+            WHERE len(tk) >= 2
+            GROUP BY 1, 2
+        ), nb AS (
+            SELECT CAST(SUM(n_pair) AS DOUBLE) AS nb FROM bi
+        )
+        SELECT b.w1, b.w2, CAST(b.n_pair AS BIGINT) AS n_pair,
+               ROUND(ln((CAST(b.n_pair AS DOUBLE) * nu.nu * nu.nu)
+                        / (nb.nb * CAST(u1.c AS DOUBLE)
+                           * CAST(u2.c AS DOUBLE))), 6) AS pmi
+        FROM bi b
+        JOIN uni u1 ON b.w1 = u1.w
+        JOIN uni u2 ON b.w2 = u2.w
+        CROSS JOIN nu CROSS JOIN nb
+        WHERE b.n_pair >= {_PMI_MIN}
+    """,
+    "q171_cms_heavy_hitters": f"""
+        WITH toks AS (
+            SELECT u.t AS token FROM documents, unnest({_LOW_TOKS}) AS u(t)
+        ), exact AS (
+            SELECT token, COUNT(*) AS exact_cnt FROM toks GROUP BY token
+        ), cand AS (
+            SELECT token, exact_cnt FROM exact
+            ORDER BY exact_cnt DESC, token LIMIT {_CMS_TOPK}
+        ), counters AS (
+            SELECT g.r AS rw,
+                   CAST('0x' || substr(md5('cms' || CAST(g.r AS VARCHAR) || '_' || token), 1, 8) AS BIGINT) % {_CMS_WIDTH} AS bucket,
+                   COUNT(*) AS cnt
+            FROM toks CROSS JOIN generate_series(0, {_CMS_DEPTH - 1}) AS g(r)
+            GROUP BY 1, 2
+        ), probes AS (
+            SELECT token, exact_cnt, g.r AS rw,
+                   CAST('0x' || substr(md5('cms' || CAST(g.r AS VARCHAR) || '_' || token), 1, 8) AS BIGINT) % {_CMS_WIDTH} AS bucket
+            FROM cand CROSS JOIN generate_series(0, {_CMS_DEPTH - 1}) AS g(r)
+        )
+        SELECT p.token,
+               CAST(MIN(p.exact_cnt) AS BIGINT) AS exact_cnt,
+               CAST(MIN(c.cnt) AS BIGINT) AS cms_estimate,
+               CAST(MIN(c.cnt) - MIN(p.exact_cnt) AS BIGINT) AS overcount
+        FROM probes p JOIN counters c ON p.rw = c.rw AND p.bucket = c.bucket
+        GROUP BY p.token
+    """,
     "q161_unimax_mix": f"""
         WITH m AS (
             SELECT source,

@@ -272,3 +272,80 @@ def stream_neardup_screen_available_now(
     )
     q.awaitTermination()
     return stats
+
+
+def stream_fm_registers_available_now(
+    spark,
+    inbound_dir: str,
+    schema: str,
+    key_col: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    n_registers: int = 64,
+) -> dict:
+    """Streaming distinct-count maintenance: drain the inbound
+    directory exactly-once (AvailableNow + checkpoint) and, per
+    micro-batch via ``foreachBatch``, MAX-merge the batch's FM/HLL
+    register table (operators.sketch.fm_registers) into the at-rest
+    store — the registers are a max-monoid, so the merged store after
+    any batch slicing equals the one-shot batch sketch over the same
+    rows (pinned by test against the batch operator). The history is
+    never re-read: each merge touches <= n_registers store rows plus
+    the batch.
+
+    The per-batch distinct audit column is dropped before the store
+    merge — exact distincts do NOT max-merge (that is the point of
+    the sketch); the store carries only (register, max_rho).
+
+    At-least-once note: a replayed micro-batch re-merges the same
+    registers — MAX is idempotent, so unlike the band-store append
+    (stream_neardup_screen_available_now) the FM store is safe under
+    replay with a plain parquet overwrite-swap.
+
+    Returns {"batches": n, "keys_seen": n} accumulated across
+    drained batches."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ulh_etl_spark.operators.sketch import fm_registers
+
+    stats = {"batches": 0, "keys_seen": 0}
+
+    def _merge(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        regs = (
+            fm_registers(batch_df, key_col, n_registers)
+            .select("register", "max_rho")
+        )
+        if os.path.isdir(store_dir):
+            old = sess.read.parquet(store_dir)
+            regs = (
+                old.unionByName(regs)
+                .groupBy("register")
+                .agg(F.max("max_rho").cast("int").alias("max_rho"))
+            )
+        # write-then-swap (the parquet MERGE staging pattern from
+        # sinks/tables.py): never overwrite the dir being read
+        tmp = store_dir.rstrip("/") + f"._stage_{batch_id}"
+        regs.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        if os.path.isdir(store_dir):
+            shutil.rmtree(store_dir)
+        os.replace(tmp, store_dir)
+        stats["batches"] += 1
+        stats["keys_seen"] += batch_df.count()
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(inbound_dir)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_merge)
+        .start()
+    )
+    q.awaitTermination()
+    return stats
