@@ -143,6 +143,11 @@ HEADLINE = (
     "q177_bloom_join_reduction",
     "q178_gap_fill_daily",
     "q179_pmi_bigrams",
+    "q180_sparse_lexical_topk",
+    "q181_embedding_outliers",
+    "q182_partition_pruned_totals",
+    "q183_peak_concurrency",
+    "q184_mad_anomalies",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",
@@ -303,6 +308,12 @@ ANCHOR = {
     "q177_bloom_join_reduction": 3.036,
     "q178_gap_fill_daily": 0.522,
     "q179_pmi_bigrams": 0.826,
+    "q180_sparse_lexical_topk": 1.635,
+    "q181_embedding_outliers": 1.521,
+    # q182 includes the partitioned WRITE (150 dirs) + pruned read
+    "q182_partition_pruned_totals": 2.955,
+    "q183_peak_concurrency": 1.23,
+    "q184_mad_anomalies": 0.863,
     # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's
     # cost is the in-order pair fan-out (O(sum basket²), baskets ~4).
     "q128_event_transitions": 0.735,

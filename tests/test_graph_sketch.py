@@ -322,3 +322,47 @@ def test_fm_registers_merge_by_max_is_exact(spark):
     for r in list(part0) + list(part1):
         merged[r.register] = max(merged.get(r.register, 0), r.max_rho)
     assert merged == whole
+
+
+# ------------------------------------------------------- cell outliers
+
+
+def test_cell_distance_outliers_flags_the_far_point(spark):
+    from ulh_etl_spark.operators.similarity import cell_distance_outliers
+
+    # one cell (single centroid): 7 points near origin, 1 far out
+    near = [(i, [0.1 * (i % 3), 0.1]) for i in range(1, 8)]
+    rows = [(0, [0.0, 0.0])] + near + [(99, [50.0, 50.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = emb.filter("vec_id = 0").selectExpr(
+        "vec_id AS centroid_id", "embedding AS centroid_vec"
+    )
+    out = {r.vec_id: r for r in cell_distance_outliers(emb, cents).collect()}
+    assert out[99].is_outlier
+    assert not any(out[i].is_outlier for i in range(8))
+    assert out[99].z is not None and out[99].z > 2.0
+
+
+def test_cell_distance_outliers_constant_cell_is_safe(spark):
+    from ulh_etl_spark.operators.similarity import cell_distance_outliers
+
+    # every member identical -> min==max guard: NULL z, no flag, no NaN
+    rows = [(i, [1.0, 1.0]) for i in range(1, 8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = emb.limit(1).selectExpr(
+        "vec_id AS centroid_id", "array(0.0, 0.0) AS centroid_vec"
+    )
+    for r in cell_distance_outliers(emb, cents).collect():
+        assert r.z is None and r.is_outlier is False
+
+
+def test_cell_distance_outliers_small_cell_never_scored(spark):
+    from ulh_etl_spark.operators.similarity import cell_distance_outliers
+
+    rows = [(0, [0.0]), (1, [1.0]), (2, [9.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = emb.filter("vec_id = 0").selectExpr(
+        "vec_id AS centroid_id", "embedding AS centroid_vec"
+    )
+    out = cell_distance_outliers(emb, cents, min_cell=5).collect()
+    assert all(r.z is None and not r.is_outlier for r in out)

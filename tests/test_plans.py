@@ -577,3 +577,25 @@ def test_q167_join_inputs_have_no_exchange(spark, sf_dir):
     # both scans read bucketed tables (co-location is real, not
     # incidental)
     assert plan.count("Bucketed: true") == 2, plan
+
+
+def test_q182_scan_is_partition_pruned(spark, sf_dir):
+    """q182's read-back scan must prune on BOTH partition columns at
+    plan time — the PartitionFilters list carries event_type and day
+    predicates, and the row filter never reaches the data scan."""
+    from ulh_etl_spark.plans.inspect import formatted_plan
+    from ulh_etl_spark.queries.relational import (
+        _md5_tag,
+        q182_partition_pruned_totals,
+    )
+
+    try:
+        q = q182_partition_pruned_totals(spark, sf_dir)
+        plan = formatted_plan(q)
+        assert "PartitionFilters" in plan
+        pf = plan.split("PartitionFilters")[1].split("]")[0]
+        assert "event_type" in pf and "day" in pf
+    finally:
+        spark.sql(
+            f"DROP TABLE IF EXISTS part_events_{_md5_tag(sf_dir)}"
+        )

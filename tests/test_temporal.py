@@ -419,3 +419,78 @@ def test_gap_fill_daily_single_day_key(spark):
     )
     rows = gap_fill_daily(df, "ts", "event_type", "value").collect()
     assert len(rows) == 1 and rows[0].observed and rows[0].filled == 3.0
+
+
+def test_peak_concurrency_hand_intervals(spark):
+    from datetime import datetime
+
+    from ulh_etl_spark.operators.temporal import peak_concurrency_daily
+
+    d = datetime
+    rows = [
+        # three overlapping on Jan 1 (peak 3), one isolated later
+        (d(2024, 1, 1, 10, 0), d(2024, 1, 1, 11, 0)),
+        (d(2024, 1, 1, 10, 30), d(2024, 1, 1, 12, 0)),
+        (d(2024, 1, 1, 10, 45), d(2024, 1, 1, 10, 50)),
+        (d(2024, 1, 1, 20, 0), d(2024, 1, 1, 20, 5)),
+        # cross-midnight: active at Jan 2 00:00, ends 01:00
+        (d(2024, 1, 1, 23, 0), d(2024, 1, 2, 1, 0)),
+        # Jan 2 day session overlapping the carry-over
+        (d(2024, 1, 2, 0, 30), d(2024, 1, 2, 0, 45)),
+    ]
+    df = spark.createDataFrame(
+        rows, "session_start timestamp, session_end timestamp"
+    )
+    got = {
+        r.day: (r.n_started, r.peak_concurrency)
+        for r in peak_concurrency_daily(df).collect()
+    }
+    # Jan 1: peak 3 mid-morning; 5 sessions started
+    assert got["2024-01-01"] == (5, 3)
+    # Jan 2: baseline 1 (the cross-midnight session) + the 00:30 one
+    assert got["2024-01-02"] == (1, 2)
+
+
+def test_peak_concurrency_touching_endpoints_are_concurrent(spark):
+    from datetime import datetime
+
+    from ulh_etl_spark.operators.temporal import peak_concurrency_daily
+
+    d = datetime
+    # B starts exactly when A ends: inclusive semantics -> peak 2
+    df = spark.createDataFrame(
+        [
+            (d(2024, 3, 1, 9, 0), d(2024, 3, 1, 10, 0)),
+            (d(2024, 3, 1, 10, 0), d(2024, 3, 1, 11, 0)),
+        ],
+        "session_start timestamp, session_end timestamp",
+    )
+    rows = peak_concurrency_daily(df).collect()
+    assert rows[0].peak_concurrency == 2
+
+
+def test_mad_anomalies_hand_series(spark):
+    from ulh_etl_spark.operators.temporal import mad_anomalies
+
+    # series: 10,10,10,12,100 -> med 10, adevs 0,0,0,2,90 -> mad 0... 
+    # use 9,10,10,11,12,100: med 10.5, adevs 1.5,.5,.5,.5,1.5,89.5
+    # -> mad 1.0; threshold 3*1.4826*1.0 = 4.4478: only 100 flags
+    rows = [("a", f"d{i}", v) for i, v in enumerate([9, 10, 10, 11, 12, 100])]
+    daily = spark.createDataFrame(rows, "k string, day string, n long")
+    got = {r.day: (r.med, r.mad, r.is_anomaly) for r in
+           mad_anomalies(daily, "n", "k").collect()}
+    assert got["d5"] == (10.5, 1.0, True)
+    assert all(not got[f"d{i}"][2] for i in range(5))
+
+
+def test_mad_anomalies_constant_series_division_free(spark):
+    from ulh_etl_spark.operators.temporal import mad_anomalies
+
+    # constant series: mad 0 -> threshold 0 -> only deviants flag,
+    # and nothing NaNs/crashes (there is no division to poison)
+    rows = [("k", f"d{i}", 7) for i in range(6)] + [("k", "dx", 8)]
+    daily = spark.createDataFrame(rows, "k string, day string, n long")
+    got = {r.day: r.is_anomaly for r in
+           mad_anomalies(daily, "n", "k").collect()}
+    assert got["dx"] is True
+    assert all(got[f"d{i}"] is False for i in range(6))

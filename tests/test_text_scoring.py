@@ -1458,3 +1458,70 @@ def test_dirichlet_qlm_model(spark):
     # score, so the ranking is total
     assert out[0] > out[3]
     assert all(v == v and v != float("-inf") for v in out.values())
+
+
+def test_pmi_bigrams_hand_counts(spark):
+    from math import log
+
+    from ulh_etl_spark.operators.text import pmi_bigrams
+
+    # "a b" appears 3x, "b c" 1x; unigrams a=3 b=3 c=1 x=1; N_uni=8,
+    # N_bi=5 (doc1 emits 3 adjacent pairs, doc2 emits 2)
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")],  # 1-token doc guarded
+        "doc_id long, text string",
+    )
+    # doc1 bigrams: (a,b),(b,a),(a,b); doc2: (a,b),(b,c); doc3: none
+    got = {
+        (r.w1, r.w2): (r.n_pair, r.pmi)
+        for r in pmi_bigrams(docs, "text", min_count=2).collect()
+    }
+    n_uni, n_bi = 8.0, 5.0
+    c = {"a": 3, "b": 3, "c": 1, "x": 1}
+    want = round(log((3 * n_uni * n_uni) / (n_bi * c["a"] * c["b"])), 6)
+    assert got == {("a", "b"): (3, want)}
+
+
+def test_sparse_lexical_topk_finds_the_similar_pair(spark):
+    from ulh_etl_spark.operators.text import sparse_lexical_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "quantum flux capacitor energy"),
+            (2, "quantum flux capacitor power"),
+            (3, "banana smoothie recipe"),
+            (4, "banana smoothie manual"),
+            (5, "the the the the"),
+        ],
+        "doc_id long, text string",
+    )
+    out = sparse_lexical_topk(
+        docs, "text", "doc_id", df_min=2, df_max=4, k=2
+    ).collect()
+    top = {r.doc_id: r.neighbor_id for r in out if r.rank == 1}
+    # rare shared terms pair 1<->2 and 3<->4; doc 5 shares nothing
+    assert top[1] == 2 and top[2] == 1
+    assert top[3] == 4 and top[4] == 3
+    assert 5 not in top
+    by_pair = {(r.doc_id, r.neighbor_id): r for r in out}
+    r12 = by_pair[(1, 2)]
+    assert r12.n_shared == 3  # quantum, flux, capacitor
+    assert 0.0 < r12.cosine < 1.0
+    # symmetric scores
+    assert by_pair[(2, 1)].cosine == r12.cosine
+
+
+def test_sparse_lexical_topk_identical_docs_score_one(spark):
+    from ulh_etl_spark.operators.text import sparse_lexical_topk
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta x")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.neighbor_id): r.cosine
+        for r in sparse_lexical_topk(
+            docs, "text", "doc_id", df_min=2, df_max=3, k=1
+        ).collect()
+    }
+    assert out[(1, 2)] == 1.0 and out[(2, 1)] == 1.0

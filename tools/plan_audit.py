@@ -70,6 +70,35 @@ SHUFFLE_BUDGET = {
     # plan) plus the min-count filter's reuse exchange (7). One
     # exchange per distinct model relation, the q78/q118 class.
     "q179_pmi_bigrams": 7,
+    # q180 composes the q153 blocking shape with scored ranking:
+    # tf explode partial-agg (1), df agg (2), the 1-row doc count
+    # (3), per-doc norm agg (4), rare-term candidate self-join (5),
+    # pair distinct (6), the two (id, term)-keyed weight joins (7,
+    # 8), the per-pair dot agg (9), the two norm joins (10 — norms
+    # relation is doc-count-sized, exchanges for the SMJ), and the
+    # per-doc rank window (11). One exchange per stage of a
+    # genuinely 7-stage sparse-similarity pipeline; the persisted
+    # weight relation is re-rendered statically (q169/q170 caveat).
+    "q180_sparse_lexical_topk": 13,
+    # q183 composes sessionization (user_id window shuffle) with the
+    # decomposed sweep: boundary union re-uses the session relation
+    # twice (static re-render), the day-partitioned running-sum
+    # window (1 exchange), the per-day start/end count aggregates
+    # (2), the O(days) baseline window (single-partition BY DESIGN —
+    # the days relation is calendar-bounded), and the final day
+    # joins (AQE-broadcast at runtime). One exchange per stage;
+    # the 11 static count includes the session subtree re-renders.
+    "q183_peak_concurrency": 12,
+    # q184 needs two EXACT percentile aggregates over the same daily
+    # relation (median, then median-of-deviations — the second is
+    # definitionally downstream of the first): daily groupBy (1),
+    # median agg (2), MAD agg over the deviation join (3), plus the
+    # static re-render of the daily subtree feeding both percentile
+    # legs and the final scored join (the med/mad relations
+    # broadcast — they are series-key-sized). Sort-based exact
+    # percentile is the oracle-parity choice; approx_percentile
+    # collapses legs 2-3 to mergeable sketches at 100 TB.
+    "q184_mad_anomalies": 8,
     "q163_shard_balance": 5,
     # q74 composes 5 pipeline stages: exact-dedup window on fp (1),
     # minhash fan-out repartition of a 1-split input (2), signature

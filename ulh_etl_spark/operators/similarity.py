@@ -1691,3 +1691,76 @@ def kcenter_coreset(
         )
     finally:
         base.unpersist()
+
+
+def cell_distance_outliers(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    z_threshold: float = 2.0,
+    min_cell: int = 5,
+) -> DataFrame:
+    """Embedding outlier pruning: flag vectors whose squared-L2
+    distance to their assigned centroid is a z-score outlier within
+    the cell — the cheap mislabeled/garbage-embedding filter run
+    before ANN index builds and semantic dedup (a corrupt encoder
+    output sits far from every centroid; inside its cell it is the
+    distance-distribution tail). Literature shape: the per-cluster
+    distance filter of DataComp/SemDeDup-style curation.
+
+    The z-score reuses the q132 flat-baseline discipline: the clamped
+    closed-form variance ((sq - s*s/cnt)/(cnt-1), GREATEST 0) and a
+    min!=max guard, so a constant-distance cell (duplicated vectors)
+    yields NULL z and FALSE flag instead of NaN poison, in BOTH
+    engines.
+
+    Scale: the assignment is the ivf_assign narrow map (centroid
+    literal, zero shuffles); stats are ONE partial-agged groupBy on
+    cell; the join back is cell-keyed (AQE-broadcast at C cells).
+    Cells below ``min_cell`` members are never scored (a 2-member
+    cell's std is noise, and flagging half of it is not pruning).
+
+    Output: (vec_id, cell, dist, z, is_outlier) — dist/z rounded 6."""
+    cell_type = centroids.schema["centroid_id"].dataType.simpleString()
+    cells = _centroid_literal(centroids, "centroid_id", "centroid_vec")
+    scored = F.transform(
+        cells,
+        lambda c: F.struct(
+            _sq_dist_to(vec_col, c["cvec"]).alias("dist"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    best = F.array_min(scored)
+    assigned = corpus.select(
+        F.col(id_col),
+        best["cell"].cast(cell_type).alias("cell"),
+        best["dist"].alias("_d"),
+    )
+    stats = assigned.groupBy("cell").agg(
+        F.count("*").alias("_cnt"),
+        F.sum("_d").alias("_s"),
+        F.sum(F.col("_d") * F.col("_d")).alias("_sq"),
+        F.min("_d").alias("_mn"),
+        F.max("_d").alias("_mx"),
+    )
+    cnt = F.col("_cnt").cast("double")
+    var = F.greatest(
+        F.lit(0.0), (F.col("_sq") - F.col("_s") * F.col("_s") / cnt)
+    ) / (cnt - F.lit(1.0))
+    mean = F.col("_s") / cnt
+    scoreable = (
+        (F.col("_cnt") >= min_cell)
+        & (F.col("_mn") != F.col("_mx"))
+        & (var > 0)
+    )
+    z = F.when(scoreable, (F.col("_d") - mean) / F.sqrt(var))
+    return assigned.join(stats, "cell").select(
+        id_col,
+        "cell",
+        F.round(F.col("_d"), 6).alias("dist"),
+        F.round(z, 6).alias("z"),
+        F.coalesce(z > F.lit(z_threshold), F.lit(False)).alias(
+            "is_outlier"
+        ),
+    )

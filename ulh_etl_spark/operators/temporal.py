@@ -408,3 +408,134 @@ def gap_fill_daily(
         "day_total",
         F.last("day_total", ignorenulls=True).over(w).alias("filled"),
     )
+
+
+def peak_concurrency_daily(
+    sessions: DataFrame,
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+) -> DataFrame:
+    """Peak concurrent sessions per day — the sweep-line interval
+    aggregate (capacity planning / rate-limit sizing over q51's
+    sessionization), decomposed so the sweep NEVER needs a global
+    single-partition window:
+
+    1. boundary events (+1 at start, -1 at end, INCLUSIVE overlap —
+       +1 sorts before -1 at an equal timestamp) swept per DAY with
+       a day-partitioned ROWS window;
+    2. the cross-midnight carry is an O(days) side relation: the
+       baseline active count at each day's midnight =
+       cumulative starts before the day - cumulative ends before it
+       (both from tiny per-day counts; the days relation is bounded
+       by the calendar, so its window is a non-issue at any corpus
+       size — this is the standard distributed sweep decomposition,
+       same shape as a bucketed ECDF).
+
+    Peak(day) = baseline(day) + max over the day's boundary rows of
+    the within-day running sum. All integers — exact cross-engine.
+    Equal-timestamp boundary groups are same-signed after the
+    (ts, delta DESC) sort, so the per-day MAX is invariant to the
+    residual tie order.
+
+    Output: (day 'yyyy-MM-dd', n_started, peak_concurrency)."""
+    s = F.col(start_col)
+    e = F.col(end_col)
+    bounds = sessions.select(
+        s.alias("ts"), F.lit(1).alias("delta")
+    ).unionByName(sessions.select(e.alias("ts"), F.lit(-1).alias("delta")))
+    bounds = bounds.withColumn(
+        "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("ts"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = bounds.select(
+        "day", F.sum("delta").over(w).alias("_run")
+    ).groupBy("day").agg(F.max("_run").alias("_peak_within"))
+
+    per_day = sessions.select(
+        F.date_format(F.date_trunc("day", s), "yyyy-MM-dd").alias("_sd"),
+        F.date_format(F.date_trunc("day", e), "yyyy-MM-dd").alias("_ed"),
+    )
+    starts = per_day.groupBy(F.col("_sd").alias("day")).agg(
+        F.count("*").alias("_ns")
+    )
+    ends = per_day.groupBy(F.col("_ed").alias("day")).agg(
+        F.count("*").alias("_ne")
+    )
+    days = within.select("day").join(
+        starts, "day", "left"
+    ).join(ends, "day", "left").select(
+        "day",
+        F.coalesce(F.col("_ns"), F.lit(0)).alias("_ns"),
+        F.coalesce(F.col("_ne"), F.lit(0)).alias("_ne"),
+    )
+    dw = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    base = days.select(
+        "day",
+        F.col("_ns"),
+        (
+            (F.sum("_ns").over(dw) - F.col("_ns"))
+            - (F.sum("_ne").over(dw) - F.col("_ne"))
+        ).alias("_base"),
+    )
+    return base.join(within, "day").select(
+        "day",
+        F.col("_ns").cast("bigint").alias("n_started"),
+        (F.col("_base") + F.col("_peak_within"))
+        .cast("bigint")
+        .alias("peak_concurrency"),
+    )
+
+
+def mad_anomalies(
+    daily: DataFrame,
+    val_col: str,
+    partition_col: str,
+    mult: float = 3.0,
+) -> DataFrame:
+    """Median-absolute-deviation anomaly flags — the ROBUST member of
+    the monitoring family (rolling z-score q132/q139 is wrecked by
+    the very outliers it hunts; EWMA q164 chases level shifts; MAD's
+    breakdown point is 50%): per series key, med = median(x),
+    MAD = median(|x - med|), flag when
+    |x - med| > mult * 1.4826 * MAD (1.4826 scales MAD to sigma
+    under normality).
+
+    Division-free by construction — a constant series gives MAD 0
+    and threshold 0 (any deviation flags); there is NO divide, so
+    the q132 NaN/ANSI-crash class cannot exist here. Exactness:
+    medians of integer counts are exact binary fractions ((a+b)/2),
+    so both engines compute identical doubles with no rounding
+    dependence; the output rounds for display only.
+
+    Scale: two percentile aggregates per key (Spark's exact
+    sort-based percentile; swap approx_percentile at 100 TB — same
+    call shape) + two broadcast-size joins back. Keys are series
+    names — tiny relations everywhere except the daily scan.
+
+    Output: (partition_col, day-or-order cols from ``daily``...,
+    val, med, mad, is_anomaly)."""
+    med = daily.groupBy(partition_col).agg(
+        F.expr(f"percentile({val_col}, 0.5)").alias("_med")
+    )
+    dev = daily.join(F.broadcast(med), partition_col).withColumn(
+        "_adev", F.abs(F.col(val_col).cast("double") - F.col("_med"))
+    )
+    mad = dev.groupBy(partition_col).agg(
+        F.expr("percentile(_adev, 0.5)").alias("_mad")
+    )
+    scored = dev.join(F.broadcast(mad), partition_col)
+    thresh = F.lit(mult) * F.lit(1.4826) * F.col("_mad")
+    return scored.select(
+        partition_col,
+        *[c for c in daily.columns if c not in (partition_col, val_col)],
+        F.col(val_col),
+        F.round(F.col("_med"), 6).alias("med"),
+        F.round(F.col("_mad"), 6).alias("mad"),
+        (F.col("_adev") > thresh).alias("is_anomaly"),
+    )

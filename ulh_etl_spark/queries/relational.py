@@ -618,7 +618,41 @@ def q177_bloom_join_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q182_partition_pruned_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned layout read: events land as a managed table
+    partitioned by (event_type, day) (sinks.tables.write_partitioned
+    — the zone-table layout), then the purchase-only mid-month query
+    reads it back — the scan's PartitionFilters prune to ~11 of 150
+    directories at PLAN time, before any I/O (pinned in
+    tests/test_plans.py). THE layout decision that turns a 100 TB
+    full-scan query into a per-day touch; the oracle runs the same
+    filter over the raw relation, so the result also pins that the
+    partition columns round-trip losslessly through the directory
+    encoding."""
+    from ulh_etl_spark.sinks.tables import write_partitioned
+
+    tag = _md5_tag(sf_dir)
+    name = f"part_events_{tag}"
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    )
+    write_partitioned(ev, name, ["event_type", "day"])
+    t = spark.table(name).filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("day") >= "2024-01-10")
+        & (F.col("day") <= "2024-01-20")
+    )
+    return t.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 QUERIES = {
+    "q182_partition_pruned_totals": q182_partition_pruned_totals,
     "q177_bloom_join_reduction": q177_bloom_join_reduction,
     "q172_salted_priority_totals": q172_salted_priority_totals,
     "q01_pricing_summary": q01_pricing_summary,
@@ -651,6 +685,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q182_partition_pruned_totals": """
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events
+        WHERE event_type = 'purchase'
+          AND strftime(date_trunc('day', ts), '%Y-%m-%d') >= '2024-01-10'
+          AND strftime(date_trunc('day', ts), '%Y-%m-%d') <= '2024-01-20'
+        GROUP BY 1
+    """,
     "q177_bloom_join_reduction": """
         SELECT l.l_returnflag AS returnflag,
                COUNT(*) AS n_items,

@@ -659,7 +659,31 @@ def q175_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, seeds, rounds=_LP_ROUNDS)
 
 
+
+
+_OUT_Z = 2.0
+_OUT_MIN_CELL = 5
+
+
+def q181_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier pruning: per IVF cell, flag vectors
+    whose centroid distance is a > 2-sigma z-score outlier
+    (operators.similarity.cell_distance_outliers) — the garbage/
+    mislabeled-embedding filter run before index builds and semantic
+    dedup. Assignment is the zero-shuffle centroid-literal narrow
+    map; stats are one cell-keyed groupBy; the z-score carries the
+    q132 flat-baseline discipline (clamped closed-form variance +
+    min!=max guard) so duplicate-heavy cells degrade to NULL z, not
+    NaN."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cell_distance_outliers(
+        emb, _centroids(emb),
+        z_threshold=_OUT_Z, min_cell=_OUT_MIN_CELL,
+    )
+
+
 QUERIES = {
+    "q181_embedding_outliers": q181_embedding_outliers,
     "q175_label_propagation": q175_label_propagation,
     "q169_knn_pagerank": q169_knn_pagerank,
     "q170_knn_triangles": q170_knn_triangles,
@@ -1001,6 +1025,41 @@ _KS_SQL = f"""
 
 
 ORACLES = {
+    "q181_embedding_outliers": f"""
+        WITH c AS (
+            SELECT vec_id AS centroid_id, embedding AS centroid_vec
+            FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+        ), d AS (
+            SELECT e.vec_id, c.centroid_id AS cell, {_SQDIST} AS dist
+            FROM embeddings e, c
+        ), assigned AS (
+            SELECT vec_id, cell, dist,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cell) AS rn
+            FROM d
+        ), a AS (
+            SELECT vec_id, cell, dist FROM assigned WHERE rn = 1
+        ), st AS (
+            SELECT cell, COUNT(*) AS cnt, SUM(dist) AS s,
+                   SUM(dist * dist) AS sq,
+                   MIN(dist) AS mn, MAX(dist) AS mx
+            FROM a GROUP BY cell
+        ), j AS (
+            SELECT a.vec_id, a.cell, a.dist, st.cnt, st.s, st.mn, st.mx,
+                   GREATEST(0.0, st.sq - st.s * st.s / CAST(st.cnt AS DOUBLE))
+                       / (CAST(st.cnt AS DOUBLE) - 1.0) AS var
+            FROM a JOIN st USING (cell)
+        )
+        SELECT vec_id, cell, ROUND(dist, 6) AS dist,
+               ROUND(CASE WHEN cnt >= {_OUT_MIN_CELL} AND mn <> mx AND var > 0
+                     THEN (dist - s / CAST(cnt AS DOUBLE)) / sqrt(var)
+                     END, 6) AS z,
+               COALESCE(CASE WHEN cnt >= {_OUT_MIN_CELL} AND mn <> mx AND var > 0
+                     THEN (dist - s / CAST(cnt AS DOUBLE)) / sqrt(var)
+                          > {_OUT_Z!r}
+                     END, FALSE) AS is_outlier
+        FROM j
+    """,
     "q175_label_propagation": f"""
         {_GRAPH_CTES},
         seeds AS (

@@ -43,13 +43,95 @@ def q67_event_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q183_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day over q51's 30-min-gap
+    sessionization (operators.temporal.peak_concurrency_daily): the
+    sweep-line interval aggregate, decomposed into day-partitioned
+    running sums plus an O(days) midnight-baseline relation — no
+    global single-partition window at any corpus size. Capacity
+    answer ("how many users at once") next to q50's volume answer
+    ("how many events per hour"). Integers end-to-end. Output
+    covers days with at least one session boundary (a session
+    fully spanning a silent day cannot exist under gap
+    sessionization)."""
+    from ulh_etl_spark.operators.temporal import peak_concurrency_daily
+
+    events = load_table(spark, sf_dir, "events")
+    s = sessionize(events, "user_id", "ts", gap_minutes=30)
+    return peak_concurrency_daily(s)
+
+
 QUERIES = {
+    "q183_peak_concurrency": q183_peak_concurrency,
     "q50_event_window_counts": q50_event_window_counts,
     "q51_event_sessionize": q51_event_sessionize,
     "q67_event_sliding_counts": q67_event_sliding_counts,
 }
 
 ORACLES = {
+    "q183_peak_concurrency": """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch(ts) - epoch(
+                            lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                        > 1800 THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), idx AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_idx
+            FROM flagged
+        ), sess AS (
+            SELECT user_id, session_idx,
+                   MIN(ts) AS s, MAX(ts) AS e
+            FROM idx GROUP BY 1, 2
+        ), bounds AS (
+            SELECT s AS ts, 1 AS delta,
+                   strftime(date_trunc('day', s), '%Y-%m-%d') AS day
+            FROM sess
+            UNION ALL
+            SELECT e, -1, strftime(date_trunc('day', e), '%Y-%m-%d')
+            FROM sess
+        ), win AS (
+            SELECT day,
+                   MAX(run) AS peak_within
+            FROM (
+                SELECT day,
+                       SUM(delta) OVER (PARTITION BY day
+                                        ORDER BY ts, delta DESC
+                                        ROWS UNBOUNDED PRECEDING) AS run
+                FROM bounds
+            ) GROUP BY day
+        ), starts AS (
+            SELECT strftime(date_trunc('day', s), '%Y-%m-%d') AS day,
+                   COUNT(*) AS ns
+            FROM sess GROUP BY 1
+        ), ends AS (
+            SELECT strftime(date_trunc('day', e), '%Y-%m-%d') AS day,
+                   COUNT(*) AS ne
+            FROM sess GROUP BY 1
+        ), days AS (
+            SELECT w.day,
+                   COALESCE(st.ns, 0) AS ns,
+                   COALESCE(en.ne, 0) AS ne
+            FROM win w
+            LEFT JOIN starts st ON w.day = st.day
+            LEFT JOIN ends en ON w.day = en.day
+        ), based AS (
+            SELECT day, ns,
+                   (SUM(ns) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) - ns)
+                 - (SUM(ne) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) - ne)
+                   AS base
+            FROM days
+        )
+        SELECT b.day,
+               CAST(b.ns AS BIGINT) AS n_started,
+               CAST(b.base + w.peak_within AS BIGINT) AS peak_concurrency
+        FROM based b JOIN win w ON b.day = w.day
+    """,
     # time_bucket == Spark's tumbling window for aligned fixed widths
     "q50_event_window_counts": """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

@@ -262,7 +262,34 @@ def q178_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill_daily(ev, "ts", "event_type", "value")
 
 
+
+
+_MAD_MULT = 3.0
+
+
+def q184_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume anomalies per event type: median/MAD
+    flags (operators.temporal.mad_anomalies) — the outlier monitor
+    that outliers cannot poison (50% breakdown vs the rolling
+    z-score whose mean/std the spike itself inflates). Medians of
+    integer day-counts are exact binary fractions, so engine and
+    oracle compute identical doubles; the operator is division-free,
+    closing the whole q132 NaN class by construction."""
+    from ulh_etl_spark.operators.temporal import mad_anomalies
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+            .alias("day"),
+    ).agg(F.count("*").cast("bigint").alias("n_events"))
+    return mad_anomalies(
+        daily, "n_events", "event_type", mult=_MAD_MULT
+    )
+
+
 QUERIES = {
+    "q184_mad_anomalies": q184_mad_anomalies,
     "q178_gap_fill_daily": q178_gap_fill_daily,
     "q132_weekly_anomalies": q132_weekly_anomalies,
     "q164_ewma_anomaly": q164_ewma_anomaly,
@@ -273,6 +300,30 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q184_mad_anomalies": f"""
+        WITH daily AS (
+            SELECT event_type,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ), med AS (
+            SELECT event_type,
+                   quantile_cont(n_events, 0.5) AS med
+            FROM daily GROUP BY event_type
+        ), dev AS (
+            SELECT d.*, m.med,
+                   ABS(CAST(d.n_events AS DOUBLE) - m.med) AS adev
+            FROM daily d JOIN med m USING (event_type)
+        ), mad AS (
+            SELECT event_type, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type, d.day, d.n_events,
+               ROUND(d.med, 6) AS med,
+               ROUND(a.mad, 6) AS mad,
+               (d.adev > {_MAD_MULT!r} * 1.4826 * a.mad) AS is_anomaly
+        FROM dev d JOIN mad a USING (event_type)
+    """,
     "q178_gap_fill_daily": """
         WITH daily AS (
             SELECT event_type,

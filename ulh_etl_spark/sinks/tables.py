@@ -74,13 +74,24 @@ def write_bucketed(
     tables on their join key once, join shuffle-free forever after.
     Sorted within buckets for sort-merge-friendly probes."""
     spark = df.sparkSession
+    _drop_with_orphaned_location(spark, name)
+    (
+        df.write.mode(mode)
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .saveAsTable(name)
+    )
+
+
+def _drop_with_orphaned_location(spark: SparkSession, name: str) -> None:
+    """DROP plus orphaned-directory cleanup. A managed table's
+    LOCATION outlives an in-memory catalog: files from a previous
+    session block re-creation under the same name
+    (LOCATION_ALREADY_EXISTS) because the fresh catalog has no table
+    entry for DROP to clean. Clear the orphaned directory; under a
+    persistent metastore the DROP already handled it and the delete
+    is a no-op."""
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    # A managed table's LOCATION outlives an in-memory catalog: files
-    # from a previous session block re-creation under the same name
-    # (LOCATION_ALREADY_EXISTS) because the fresh catalog has no table
-    # entry for DROP to clean. Clear the orphaned directory; under a
-    # persistent metastore the DROP above already handled it and this
-    # is a no-op.
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
@@ -88,12 +99,6 @@ def write_bucketed(
     fs = loc.getFileSystem(conf)
     if fs.exists(loc) and not fs.delete(loc, True):
         raise IOError(f"failed to clear orphaned table location {loc}")
-    (
-        df.write.mode(mode)
-        .bucketBy(num_buckets, *bucket_cols)
-        .sortBy(*bucket_cols)
-        .saveAsTable(name)
-    )
 
 
 def write_partitioned(
@@ -105,7 +110,12 @@ def write_partitioned(
     """Partitioned write: one directory per partition value, so
     filters on partition columns prune entire directories at plan
     time (PartitionFilters in the scan) — the layout for zone tables
-    keyed by practice/ingest-date."""
+    keyed by practice/ingest-date. Overwrites drop through
+    ``_drop_with_orphaned_location`` first — a prior session's
+    managed-table directory otherwise blocks re-creation under a
+    fresh in-memory catalog (the q182 cross-session bench failure)."""
+    if mode == "overwrite":
+        _drop_with_orphaned_location(df.sparkSession, name)
     df.write.mode(mode).partitionBy(*partition_cols).saveAsTable(name)
 
 
