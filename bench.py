@@ -148,6 +148,7 @@ HEADLINE = (
     "q182_partition_pruned_totals",
     "q183_peak_concurrency",
     "q184_mad_anomalies",
+    "q185_join_size_sketch",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",
@@ -314,6 +315,7 @@ ANCHOR = {
     "q182_partition_pruned_totals": 2.955,
     "q183_peak_concurrency": 1.23,
     "q184_mad_anomalies": 0.863,
+    "q185_join_size_sketch": 2.697,
     # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's
     # cost is the in-order pair fan-out (O(sum basket²), baskets ~4).
     "q128_event_transitions": 0.735,

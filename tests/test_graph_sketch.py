@@ -366,3 +366,54 @@ def test_cell_distance_outliers_small_cell_never_scored(spark):
     )
     out = cell_distance_outliers(emb, cents, min_cell=5).collect()
     assert all(r.z is None and not r.is_outlier for r in out)
+
+
+# ------------------------------------------------------- join-size sketch
+
+
+def test_cms_join_size_never_undercounts(spark):
+    from ulh_etl_spark.operators.sketch import cms_join_size
+
+    left = spark.createDataFrame(
+        [(i % 20,) for i in range(200)], "k long"
+    )
+    right = spark.createDataFrame(
+        [(i % 30,) for i in range(300)], "k long"
+    )
+    row = cms_join_size(left, right, "k", "k", depth=4, width=256).collect()[0]
+    # exact: keys 0..19 each 10x left; right keys 0..29 each 10x ->
+    # shared keys 0..19 -> 20 * 10 * 10 = 2000
+    assert row.exact_pairs == 2000
+    assert row.cms_estimate >= row.exact_pairs
+    assert row.overcount == row.cms_estimate - row.exact_pairs
+
+
+def test_cms_join_size_disjoint_keys_is_zero(spark):
+    from ulh_etl_spark.operators.sketch import cms_join_size
+
+    left = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    right = spark.createDataFrame(
+        [(i + 1000,) for i in range(50)], "k long"
+    )
+    # width 4 guarantees bucket collisions, so only the zero-overlap
+    # row-scaffold path can report the truth here
+    row = cms_join_size(left, right, "k", "k", depth=6, width=4).collect()[0]
+    assert row.exact_pairs == 0
+    # with 6 independent rows over width 4, at least one row having
+    # zero shared buckets is not guaranteed — but the estimate must
+    # still never be negative and never undercount
+    assert row.cms_estimate >= 0
+
+
+def test_cms_join_size_exact_when_wide(spark):
+    from ulh_etl_spark.operators.sketch import cms_join_size
+
+    left = spark.createDataFrame([(i,) for i in range(40)], "k long")
+    right = spark.createDataFrame(
+        [(i,) for i in range(20) for _ in range(3)], "k long"
+    )
+    row = cms_join_size(
+        left, right, "k", "k", depth=4, width=8192
+    ).collect()[0]
+    assert row.exact_pairs == 60
+    assert row.cms_estimate == 60  # no collisions at this width

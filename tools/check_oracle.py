@@ -52,6 +52,15 @@ def main() -> int:
 
     spark = get_spark("check_oracle")
     con = duckdb.connect()
+    # spill instead of OOM: the unrolled graph oracles (q175's two
+    # label-propagation rounds over the kNN CTE chain) exceed RAM at
+    # sf0.1 — with a temp_directory DuckDB offloads and finishes.
+    # Fixed path OUTSIDE the repo: tempfile.gettempdir() follows
+    # TMPDIR, which in some harness shells points INSIDE the repo —
+    # an interrupted run then leaves tens of GB of spill files that
+    # stall every later `git add`.
+    con.execute("SET temp_directory = '/var/tmp/duckdb_oracle_spill'")
+    con.execute("SET max_temp_directory_size = '64GiB'")
     for t in TABLES:
         p = table_path(sf_dir, t)
         con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}')")

@@ -99,6 +99,15 @@ SHUFFLE_BUDGET = {
     # percentile is the oracle-parity choice; approx_percentile
     # collapses legs 2-3 to mergeable sketches at 100 TB.
     "q184_mad_anomalies": 8,
+    # q185 builds TWO sketches and TWO exact count relations over
+    # two scans: per side one constant-volume counter partial-agg
+    # (1, 2) and one per-key count partial-agg (3, 4), the counter
+    # dot join + per-row agg (5 — a depth x width relation, trivially
+    # small), the exact count join (6; both sides key-counted, AQE
+    # broadcasts the smaller), and the two 1-row final aggregates
+    # (7). The exact legs are the AUDIT columns — at scale only the
+    # two counter aggregates ship.
+    "q185_join_size_sketch": 8,
     "q163_shard_balance": 5,
     # q74 composes 5 pipeline stages: exact-dedup window on fp (1),
     # minhash fan-out repartition of a 1-split input (2), signature

@@ -152,3 +152,70 @@ def fm_registers(
         F.max("_rho").cast("int").alias("max_rho"),
         F.countDistinct("_k").cast("bigint").alias("n_keys"),
     )
+
+
+def cms_join_size(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Join-cardinality estimation from count-min sketches — the
+    optimizer statistic that decides whether a join is runnable AT
+    ALL before paying for it (a 100 TB self-join whose true output is
+    10^15 rows must be caught from sketches, not discovered at
+    shuffle time). The CMS inner-product estimate (Cormode &
+    Muthukrishnan §4.2): per hash row, sum over buckets of
+    cnt_left * cnt_right; take the MIN across rows. One-sided like
+    the point query — never an undercount, expected overcount
+    <= N_left * N_right / width per row.
+
+    Each side's sketch is the constant-volume ``cms_counters``
+    aggregate; the estimate touches depth x width counter rows total.
+    The exact cardinality (the audit column — sum over keys of
+    count_left * count_right) costs a per-key count join; at real
+    scale you ship only the sketch term.
+
+    Output: one row (exact_pairs, cms_estimate, overcount) — all
+    integers, so the oracle replays the sketch bit-for-bit."""
+    lk = left.select(F.col(left_key).cast("string").alias("token"))
+    rk = right.select(F.col(right_key).cast("string").alias("token"))
+    cl = cms_counters(lk, "token", depth, width).withColumnRenamed(
+        "cnt", "_cl"
+    )
+    cr = cms_counters(rk, "token", depth, width).withColumnRenamed(
+        "cnt", "_cr"
+    )
+    # rows scaffold + coalesce-0: a hash row whose sketches share NO
+    # bucket has dot = 0 (disjoint key sets) — dropping it from the
+    # MIN would report a huge estimate for an empty join, the exact
+    # failure this operator exists to catch
+    rows = left.sparkSession.range(depth).select(
+        F.col("id").cast("int").alias("row")
+    )
+    dots = (
+        cl.join(cr, ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("_cl") * F.col("_cr")).alias("_dot"))
+    )
+    est = (
+        rows.join(dots, "row", "left")
+        .select(F.coalesce(F.col("_dot"), F.lit(0)).alias("_dot"))
+        .agg(F.min("_dot").cast("bigint").alias("cms_estimate"))
+    )
+    la = lk.groupBy("token").agg(F.count("*").alias("_a"))
+    rb = rk.groupBy("token").agg(F.count("*").alias("_b"))
+    exact = la.join(rb, "token").agg(
+        F.coalesce(F.sum(F.col("_a") * F.col("_b")), F.lit(0))
+        .cast("bigint")
+        .alias("exact_pairs")
+    )
+    return exact.crossJoin(est).select(
+        "exact_pairs",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_pairs"))
+        .cast("bigint")
+        .alias("overcount"),
+    )

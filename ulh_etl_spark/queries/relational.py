@@ -651,7 +651,35 @@ def q182_partition_pruned_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+_JS_DEPTH = 4
+_JS_WIDTH = 512
+
+
+def q185_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation before the join runs: CMS
+    inner-product estimate of |orders JOIN lineitem ON orderkey| next
+    to the exact cardinality (operators.sketch.cms_join_size) — the
+    optimizer statistic that catches a 10^15-row blow-up from two
+    KiB-scale sketches instead of at shuffle time. One-sided by
+    construction (never undercounts); the overcount column IS the
+    collision error. Sketches are the constant-volume cms_counters
+    aggregates; a zero-overlap hash row short-circuits the estimate
+    to 0 via the rows scaffold (disjoint key sets report 0, not a
+    collision artifact)."""
+    from ulh_etl_spark.operators.sketch import cms_join_size
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return cms_join_size(
+        orders, li, "o_orderkey", "l_orderkey",
+        depth=_JS_DEPTH, width=_JS_WIDTH,
+    )
+
+
 QUERIES = {
+    "q185_join_size_sketch": q185_join_size_sketch,
     "q182_partition_pruned_totals": q182_partition_pruned_totals,
     "q177_bloom_join_reduction": q177_bloom_join_reduction,
     "q172_salted_priority_totals": q172_salted_priority_totals,
@@ -685,6 +713,42 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q185_join_size_sketch": f"""
+        WITH lk AS (
+            SELECT CAST(o_orderkey AS VARCHAR) AS token FROM orders
+        ), rk AS (
+            SELECT CAST(l_orderkey AS VARCHAR) AS token FROM lineitem
+        ), cl AS (
+            SELECT g.r AS rw, CAST('0x' || substr(md5('cms' || CAST(g.r AS VARCHAR) || '_' || token), 1, 8) AS BIGINT) % {_JS_WIDTH} AS bucket,
+                   COUNT(*) AS ca
+            FROM lk CROSS JOIN generate_series(0, {_JS_DEPTH - 1}) AS g(r)
+            GROUP BY 1, 2
+        ), cr AS (
+            SELECT g.r AS rw, CAST('0x' || substr(md5('cms' || CAST(g.r AS VARCHAR) || '_' || token), 1, 8) AS BIGINT) % {_JS_WIDTH} AS bucket,
+                   COUNT(*) AS cb
+            FROM rk CROSS JOIN generate_series(0, {_JS_DEPTH - 1}) AS g(r)
+            GROUP BY 1, 2
+        ), dots AS (
+            SELECT cl.rw, SUM(cl.ca * cr.cb) AS dot
+            FROM cl JOIN cr ON cl.rw = cr.rw AND cl.bucket = cr.bucket
+            GROUP BY cl.rw
+        ), est AS (
+            SELECT CAST(MIN(COALESCE(d.dot, 0)) AS BIGINT) AS cms_estimate
+            FROM generate_series(0, {_JS_DEPTH - 1}) AS rows_(r)
+            LEFT JOIN dots d ON d.rw = rows_.r
+        ), la AS (
+            SELECT token, COUNT(*) AS a FROM lk GROUP BY token
+        ), rb AS (
+            SELECT token, COUNT(*) AS b FROM rk GROUP BY token
+        ), ex AS (
+            SELECT CAST(COALESCE(SUM(la.a * rb.b), 0) AS BIGINT)
+                       AS exact_pairs
+            FROM la JOIN rb USING (token)
+        )
+        SELECT ex.exact_pairs, est.cms_estimate,
+               CAST(est.cms_estimate - ex.exact_pairs AS BIGINT) AS overcount
+        FROM ex CROSS JOIN est
+    """,
     "q182_partition_pruned_totals": """
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                COUNT(*) AS n_events,

@@ -908,19 +908,24 @@ _Q159_SQL = f"""
 
 # Shared graph CTE chain: q159's kNN -> mutual edges -> both-direction
 # adjacency -> degrees (the exact relations operators.graph consumes).
+# AS MATERIALIZED: DuckDB inlines CTEs by default, so every later
+# reference to ``adj`` (one per PageRank round / vote round) would
+# re-evaluate the whole kNN cross-join — at sf0.1 that multiplied
+# the working set past RAM (OOM in the sweep). Materializing pins
+# each relation to ONE evaluation, mirroring the engine's persist().
 _GRAPH_CTES = f"""
-        WITH knn AS (
+        WITH knn AS MATERIALIZED (
             {_Q159_SQL}
-        ), mut AS (
+        ), mut AS MATERIALIZED (
             SELECT f.vec_id AS id1, f.neighbor_id AS id2
             FROM knn f JOIN knn r
               ON f.vec_id = r.neighbor_id AND f.neighbor_id = r.vec_id
             WHERE f.vec_id < f.neighbor_id
-        ), adj AS (
+        ), adj AS MATERIALIZED (
             SELECT id1 AS src, id2 AS dst FROM mut
             UNION ALL
             SELECT id2, id1 FROM mut
-        ), deg AS (
+        ), deg AS MATERIALIZED (
             SELECT src, COUNT(*) AS deg FROM adj GROUP BY src
         )"""
 
