@@ -417,3 +417,17 @@ def test_cms_join_size_exact_when_wide(spark):
     ).collect()[0]
     assert row.exact_pairs == 60
     assert row.cms_estimate == 60  # no collisions at this width
+
+
+def test_cms_estimates_absent_token_reports_zero(spark):
+    """r10 ADVICE pin: a candidate token with an untouched bucket in
+    any row estimates 0 via left-join + coalesce — never dropped from
+    the output, never inflated by the inner-join MIN."""
+    toks = _tokens(spark, {"present": 7})
+    counters = cms_counters(toks, depth=4, width=4096)
+    cand = spark.createDataFrame([("present",), ("ghost",)], "token string")
+    est = {
+        r.token: r.cms_estimate
+        for r in cms_estimates(counters, cand, depth=4, width=4096).collect()
+    }
+    assert est == {"present": 7, "ghost": 0}

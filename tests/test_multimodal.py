@@ -893,3 +893,26 @@ def test_wav_roundtrip_and_energy_fingerprint():
 
     # empty stream: fingerprint 0, no crash
     assert audio_energy_fingerprint(encode_wav_pcm16([])) == 0
+
+
+def test_audio_fingerprint_default_width_is_sign_safe():
+    """r10 ADVICE pin: default n_bits=60 (the widest width that fits
+    a signed LongType phash column); widths past 63 refuse."""
+    import inspect
+
+    import pytest
+
+    from ulh_etl_spark.operators.multimodal import (
+        audio_energy_fingerprint,
+        encode_wav_pcm16,
+    )
+
+    sig = inspect.signature(audio_energy_fingerprint)
+    assert sig.parameters["n_bits"].default == 60
+    loud = [20000, -20000] * (25 * 64)
+    blob = encode_wav_pcm16(loud)
+    fp = audio_energy_fingerprint(blob)  # all frames loud -> all bits
+    assert fp == (1 << 60) - 1
+    assert 0 <= fp < 2**63
+    with pytest.raises(ValueError, match="overflow"):
+        audio_energy_fingerprint(blob, n_bits=64)

@@ -599,3 +599,32 @@ def test_q182_scan_is_partition_pruned(spark, sf_dir):
         spark.sql(
             f"DROP TABLE IF EXISTS part_events_{_md5_tag(sf_dir)}"
         )
+
+
+def test_write_bucketed_append_preserves_existing_rows(spark):
+    """r10 ADVICE pin: the drop-and-clear runs ONLY for
+    mode='overwrite' — append extends the bucketed table, error
+    semantics survive, overwrite still replaces."""
+    from pyspark.errors import AnalysisException
+
+    from ulh_etl_spark.sinks.tables import write_bucketed
+
+    try:
+        write_bucketed(spark.range(0, 100), "bkt_app", ["id"], num_buckets=4)
+        write_bucketed(
+            spark.range(100, 150), "bkt_app", ["id"], num_buckets=4,
+            mode="append",
+        )
+        assert spark.table("bkt_app").count() == 150
+        with pytest.raises(AnalysisException):
+            write_bucketed(
+                spark.range(5), "bkt_app", ["id"], num_buckets=4,
+                mode="error",
+            )
+        write_bucketed(
+            spark.range(100, 150), "bkt_app", ["id"], num_buckets=4,
+            mode="overwrite",
+        )
+        assert spark.table("bkt_app").count() == 50
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_app")

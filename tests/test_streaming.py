@@ -578,3 +578,40 @@ def test_stream_fm_registers_replay_is_idempotent(spark, tmp_path):
     assert snap == sorted(
         (r.register, r.max_rho) for r in spark.read.parquet(store).collect()
     )
+
+
+def test_stream_fm_registers_swap_is_crash_safe(spark, tmp_path):
+    """r10 ADVICE pin: the store swap renames the old store aside,
+    swaps the staged dir in, then deletes the .bak — every
+    intermediate state keeps a recoverable store on disk. A stale
+    .bak from a crashed prior attempt is cleaned, and a successful
+    run leaves no _stage_/_bak_ residue."""
+    import os
+
+    from ulh_etl_spark.streaming.file_stream import (
+        stream_fm_registers_available_now,
+    )
+
+    inbound = tmp_path / "fm_in"
+    inbound.mkdir()
+    spark.createDataFrame(
+        [(f"k{i}",) for i in range(100)], "uid string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(inbound / "f1"))
+
+    store = str(tmp_path / "fm_store")
+    # simulate a prior attempt that crashed after the rename-aside
+    stale = tmp_path / "fm_store._bak_0"
+    stale.mkdir()
+    (stale / "marker").write_text("stale")
+
+    stream_fm_registers_available_now(
+        spark, str(inbound) + "/*", "uid string", "uid",
+        store, str(tmp_path / "fm_ckpt"), n_registers=16,
+    )
+    assert os.path.isdir(store)
+    assert spark.read.parquet(store).count() <= 16
+    residue = [
+        d for d in os.listdir(tmp_path)
+        if "._bak_" in d or "._stage_" in d
+    ]
+    assert residue == []

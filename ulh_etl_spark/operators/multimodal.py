@@ -294,7 +294,7 @@ def decode_wav_pcm16(content: bytes) -> dict:
 
 
 def audio_energy_fingerprint(
-    content: bytes, n_bits: int = 64, threshold: float = 8000.0
+    content: bytes, n_bits: int = 60, threshold: float = 8000.0
 ) -> int:
     """Energy-envelope audio fingerprint over REAL WAV bytes: the
     stream splits into ``n_bits`` equal frames; bit i is set iff
@@ -307,8 +307,10 @@ def audio_energy_fingerprint(
     Width matters at corpus scale: a 16-bit space saturates once the
     corpus passes ~2^16 distinct streams (hamming-<=3 base-rate
     collisions ~1% of pairs — measured 13 M spurious pairs at sf1 in
-    the r9 catalog), so the default is the full 64 bits of the long;
-    q147 uses 60 to stay sign-safe in the DuckDB oracle twin.
+    the r9 catalog). The default is 60 bits, the widest SIGN-SAFE
+    width for the LongType phash column (bit 63 would overflow the
+    signed 64-bit long; q147 and the DuckDB oracle twin share the
+    same 60). Callers may pass up to 63.
 
     Decodes with stdlib ``wave`` straight into a numpy int16 view
     (same real-codec path as decode_wav_pcm16, minus the per-sample
@@ -319,6 +321,10 @@ def audio_energy_fingerprint(
 
     import numpy as np
 
+    if n_bits > 63:
+        raise ValueError(
+            f"n_bits={n_bits} would overflow a signed 64-bit phash column"
+        )
     with wave.open(io.BytesIO(content), "rb") as w:
         if w.getsampwidth() != 2:
             raise ValueError(

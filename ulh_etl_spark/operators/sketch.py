@@ -76,6 +76,12 @@ def cms_estimates(
     The counter relation is depth * width rows — always broadcast —
     so estimation never shuffles the candidate side.
 
+    Probes LEFT-join the counters and absent buckets count as 0
+    (true CMS semantics: a bucket no element hashed into has counter
+    0, so a never-seen token estimates 0 instead of vanishing or
+    inflating the MIN) — the same rows scaffold + coalesce-0 shape
+    as ``cms_join_size``.
+
     Output: (token, cms_estimate)."""
     probes = candidates.select(
         F.col(token_col).alias("token"),
@@ -92,9 +98,13 @@ def cms_estimates(
         ).alias("_p"),
     ).select("token", F.col("_p.row").alias("row"), F.col("_p.bucket").alias("bucket"))
     return (
-        probes.join(F.broadcast(counters), ["row", "bucket"])
+        probes.join(F.broadcast(counters), ["row", "bucket"], "left")
         .groupBy("token")
-        .agg(F.min("cnt").cast("bigint").alias("cms_estimate"))
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("bigint")
+            .alias("cms_estimate")
+        )
     )
 
 

@@ -1491,9 +1491,9 @@ ORACLES = {
         )
         SELECT p.token,
                CAST(MIN(p.exact_cnt) AS BIGINT) AS exact_cnt,
-               CAST(MIN(c.cnt) AS BIGINT) AS cms_estimate,
-               CAST(MIN(c.cnt) - MIN(p.exact_cnt) AS BIGINT) AS overcount
-        FROM probes p JOIN counters c ON p.rw = c.rw AND p.bucket = c.bucket
+               CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cms_estimate,
+               CAST(MIN(COALESCE(c.cnt, 0)) - MIN(p.exact_cnt) AS BIGINT) AS overcount
+        FROM probes p LEFT JOIN counters c ON p.rw = c.rw AND p.bucket = c.bucket
         GROUP BY p.token
     """,
     "q161_unimax_mix": f"""

@@ -72,9 +72,14 @@ def write_bucketed(
     columns skip their shuffle entirely (Catalyst sees the bucketing
     and drops the Exchange). The 100 TB play: bucket the big fact
     tables on their join key once, join shuffle-free forever after.
-    Sorted within buckets for sort-merge-friendly probes."""
+    Sorted within buckets for sort-merge-friendly probes.
+
+    The drop-and-clear only runs for ``mode='overwrite'`` (mirroring
+    ``write_partitioned``) — an append must extend the existing
+    buckets, and error/ignore semantics rely on the table surviving."""
     spark = df.sparkSession
-    _drop_with_orphaned_location(spark, name)
+    if mode == "overwrite":
+        _drop_with_orphaned_location(spark, name)
     (
         df.write.mode(mode)
         .bucketBy(num_buckets, *bucket_cols)

@@ -328,14 +328,24 @@ def stream_fm_registers_available_now(
                 .agg(F.max("max_rho").cast("int").alias("max_rho"))
             )
         # write-then-swap (the parquet MERGE staging pattern from
-        # sinks/tables.py): never overwrite the dir being read
+        # sinks/tables.py): never overwrite the dir being read.
+        # Rename-aside, swap in, THEN drop the .bak — a crash at any
+        # point leaves either the old store or the new store on disk
+        # (never neither), so checkpoint replay always re-merges into
+        # a complete history instead of silently resetting it.
         tmp = store_dir.rstrip("/") + f"._stage_{batch_id}"
+        bak = store_dir.rstrip("/") + f"._bak_{batch_id}"
         regs.write.mode("overwrite").parquet(tmp)
         import shutil
 
-        if os.path.isdir(store_dir):
-            shutil.rmtree(store_dir)
+        if os.path.isdir(bak):
+            shutil.rmtree(bak)
+        had_old = os.path.isdir(store_dir)
+        if had_old:
+            os.replace(store_dir, bak)
         os.replace(tmp, store_dir)
+        if had_old:
+            shutil.rmtree(bak)
         stats["batches"] += 1
         stats["keys_seen"] += batch_df.count()
 
