@@ -149,6 +149,8 @@ HEADLINE = (
     "q183_peak_concurrency",
     "q184_mad_anomalies",
     "q185_join_size_sketch",
+    "q186_knn_graph_multiprobe",
+    "q187_knn_recall_uplift",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",

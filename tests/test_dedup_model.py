@@ -827,3 +827,54 @@ def test_embedding_psi_drift_model(spark):
 
     with _pytest.raises(ValueError):
         embedding_psi_drift(ref, ref, dims=0)
+
+
+def test_knn_graph_multiprobe_recovers_boundary_neighbors(spark):
+    """Two tight point groups straddling a centroid boundary: the
+    single-probe graph misses cross-cell true neighbors; nprobe=2
+    equals brute force here, and recall is monotone in nprobe. A
+    (q, n) candidate pair is never duplicated at any nprobe (each
+    neighbor lives in exactly one index cell)."""
+    import numpy as np
+
+    from ulh_etl_spark.operators.similarity import knn_graph
+
+    # centroids at x=0 and x=1; points cluster around x=0.45 / 0.55
+    # so each point's TRUE nearest neighbors sit across the boundary
+    pts = [
+        (0, [0.44, 0.00]), (1, [0.46, 0.02]),  # cell 0
+        (2, [0.54, 0.01]), (3, [0.56, 0.03]),  # cell 1
+        (4, [0.10, 0.90]),                      # far, cell 0
+        (5, [0.90, 0.95]),                      # far, cell 1
+    ]
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0])],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    k = 2
+
+    def edges(nprobe):
+        rows = knn_graph(emb, cents, k=k, nprobe=nprobe).collect()
+        assert len({(r.vec_id, r.neighbor_id) for r in rows}) == len(rows)
+        return {(r.vec_id, r.rank): r.neighbor_id for r in rows}
+
+    single, multi = edges(1), edges(2)
+
+    vecs = np.array([p[1] for p in pts])
+    norms = np.linalg.norm(vecs, axis=1)
+    brute = {}
+    for i in range(len(pts)):
+        cos = vecs @ vecs[i] / (norms * norms[i])
+        order = sorted(
+            (j for j in range(len(pts)) if j != i),
+            key=lambda j: (-cos[j], j),
+        )
+        for rank, j in enumerate(order[:k], start=1):
+            brute[(i, rank)] = j
+
+    assert multi == brute  # nprobe = C here: exact
+    hits = lambda got: sum(  # noqa: E731
+        1 for kk, v in brute.items() if got.get(kk) == v
+    )
+    assert hits(single) < hits(multi)

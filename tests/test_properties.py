@@ -672,3 +672,22 @@ def test_rrf_fuse_matches_model(spark, leg1_items, leg2_items):
     )[:5]
     want = [(item, s, i + 1) for i, (s, item) in enumerate(ranked)]
     assert got == want
+
+
+def test_sq8_encode_clamps_below_train_min(spark):
+    """r10 ADVICE pin: a vector below the stored per-dim min (the
+    normal train-bounds/apply-batch split) clamps to code 0 on both
+    sides, matching the documented clamp(floor(...), 0, 255)."""
+    from ulh_etl_spark.operators.similarity import sq8_encode
+
+    df = spark.createDataFrame(
+        [(1, [0.5, 2.0]), (2, [-3.0, 10.0])],
+        "vec_id int, embedding array<float>",
+    )
+    rows = {
+        r.vec_id: r
+        for r in sq8_encode(df, ([0.0, 0.0], [1.0, 1.0])).collect()
+    }
+    assert rows[2].codes == [0, 255]
+    assert rows[1].codes == [127, 255]
+    assert all(0 <= c <= 255 for r in rows.values() for c in r.codes)

@@ -580,20 +580,32 @@ def knn_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 4,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Cell-blocked k-nearest-neighbor graph: every vector's top-k
-    same-cell neighbors by exact cosine — the candidate generation
-    step of kNN-graph clustering, graph-based label propagation, and
-    NN-Descent-style index builds. Same single-probe recall trade as
-    :func:`embedding_neardup_pairs` (neighbors across a cell boundary
-    are missed; more centroids tighten cells, probing adjacent cells
-    tightens recall).
+    neighbors by exact cosine among candidates drawn from its
+    ``nprobe`` nearest cells — the candidate generation step of
+    kNN-graph clustering, graph-based label propagation, and
+    NN-Descent-style index builds.
 
-    Scale: the directed candidate relation is ``sum(cell²)``, never
-    the O(n²) cross product, and the adaptive-centroid convention
-    keeps cell size bounded, so candidates stay ~``N·cell_size``.
-    One shuffle on ``cell`` for the self-join, one on ``id1`` for
-    the per-vector rank window (both uniformly hashed keys).
+    ``nprobe=1`` is the classic single-probe blocking (same recall
+    trade as :func:`embedding_neardup_pairs`: neighbors across a cell
+    boundary are missed). ``nprobe>1`` probes each vector's next-
+    nearest cells too (the :func:`ivf_assign_queries` sorted-slice
+    expansion — zero extra shuffles on the probe side), recovering
+    exactly the boundary-straddling neighbors single-probe drops;
+    recall is monotone in nprobe because the probe set always
+    contains the own cell. A candidate pair is never duplicated:
+    each neighbor lives in ONE index cell, so (q, n) meets at most
+    once however many cells q probes.
+
+    Scale: the directed candidate relation is ``nprobe ·
+    sum(cell²)``-bounded, never the O(n²) cross product, and the
+    adaptive-centroid convention keeps cell size bounded, so
+    candidates stay ~``N·nprobe·cell_size``. One shuffle on ``cell``
+    for the join, one on ``id1`` for the per-vector rank window
+    (both uniformly hashed keys) — identical plan shape at any
+    nprobe.
 
     Output: (vec_id, neighbor_id, cosine, rank) with rank 1..k,
     ranked on the raw double (round only at output, so ranking parity
@@ -607,10 +619,21 @@ def knn_graph(
         .withColumn("_norm", l2_norm(F.col(vec_col)))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    a = assigned.select(
-        F.col(id_col).alias("_qid"), F.col(vec_col).alias("v1"),
-        F.col("_norm").alias("_n1"), "cell",
-    )
+    if nprobe == 1:
+        a = assigned.select(
+            F.col(id_col).alias("_qid"), F.col(vec_col).alias("v1"),
+            F.col("_norm").alias("_n1"), "cell",
+        )
+    else:
+        a = (
+            ivf_assign_queries(corpus, centroids, id_col, vec_col, nprobe)
+            .select(
+                F.col("query_id").alias("_qid"),
+                F.col("q_vec").alias("v1"),
+                l2_norm(F.col("q_vec")).alias("_n1"),
+                "cell",
+            )
+        )
     b = assigned.select(
         F.col(id_col).alias("_nid"), F.col(vec_col).alias("v2"),
         F.col("_norm").alias("_n2"), "cell",
@@ -1155,8 +1178,11 @@ def sq8_encode(
         mx = F.element_at(mx_lit, i)
         return F.when(
             mx > mn,
-            F.least(
-                F.floor((x - mn) * F.lit(255.0) / (mx - mn)), F.lit(255)
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.floor((x - mn) * F.lit(255.0) / (mx - mn)), F.lit(255)
+                ),
             ).cast("int"),
         ).otherwise(F.lit(0))
 

@@ -214,23 +214,95 @@ def q159_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q160_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space cluster report: q159's kNN graph -> MUTUAL
-    edge filter (i in knn(j) and j in knn(i) — strips hub-induced
-    one-way edges, the high-precision core of a kNN graph) -> exact
-    connected components (the q75 pointer-jumping machinery) -> one
-    row per semantic cluster. The embedding-side twin of the lexical
-    near-dup clustering: catches paraphrase families that share no
-    surface grams. Components is O(log diameter) rounds; everything
-    else is one equality join per step."""
+    """Embedding-space cluster report: the MULTI-PROBE kNN graph
+    (q186 — each vector's candidates come from its nprobe=2 nearest
+    cells, recovering the boundary-straddling neighbors single-probe
+    q159 drops) -> MUTUAL edge filter (i in knn(j) and j in knn(i) —
+    strips hub-induced one-way edges, the high-precision core of a
+    kNN graph) -> exact connected components (the q75
+    pointer-jumping machinery) -> one row per semantic cluster. The
+    embedding-side twin of the lexical near-dup clustering: catches
+    paraphrase families that share no surface grams. Components is
+    O(log diameter) rounds; everything else is one equality join per
+    step. (The q169/q170/q175 graph-analytics family deliberately
+    stays on the single-probe q159 graph — their subject is the
+    graph algorithm, not candidate recall.)"""
     from ulh_etl_spark.operators.dedup import connected_components
 
     emb = load_table(spark, sf_dir, "embeddings")
-    knn = S.knn_graph(emb, _adaptive_centroids(emb), k=_KNN_K)
+    knn = S.knn_graph(
+        emb, _adaptive_centroids(emb), k=_KNN_K, nprobe=_KNN_NPROBE
+    )
     edges = S.mutual_knn_edges(knn)
     comp = connected_components(edges)
     return comp.groupBy("component").agg(
         F.count("*").cast("bigint").alias("n_members")
     )
+
+
+_KNN_NPROBE = 2
+_KNN_AUDIT_Q = 64
+
+
+def q186_knn_graph_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe kNN graph: q159's cell-blocked top-k, with each
+    vector's candidate pool widened to its nprobe=2 nearest cells
+    (operators.similarity.knn_graph(nprobe=2)) — the closure of the
+    single-probe recall hole: a true neighbor sitting just across
+    the Voronoi boundary is in the second-nearest cell far more
+    often than in a random one, so probing it recovers most of the
+    lost edges for 2x candidate cost (q187 measures exactly how
+    much). Plan shape is IDENTICAL to q159 — one shuffle on cell,
+    one rank window — only the probe-side row count doubles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_graph(
+        emb, _adaptive_centroids(emb), k=_KNN_K, nprobe=_KNN_NPROBE
+    )
+
+
+def q187_knn_recall_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-graph recall audit (the q86 shape, pointed at q159/q186):
+    per audited query, recall@k of the single-probe and the
+    multi-probe graph against EXACT brute-force top-k — the
+    measurement that justifies the nprobe=2 default feeding q160's
+    clusters and prices further probes. The brute leg runs on a
+    fixed query sample (vec_id < 64), so its cost is |corpus| x 64
+    narrow rows — linear in N; both graph legs push the query filter
+    below their rank window (partition-key predicate), so each scans
+    only the sampled queries' candidate cells.
+
+    Output: (query_id, recall_single, recall_multi); recall_multi
+    >= recall_single per query by construction (the probe set always
+    contains the own cell), pinned by pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _adaptive_centroids(emb)
+    queries = emb.filter(F.col("vec_id") < _KNN_AUDIT_Q)
+    bf = S.cosine_topk(emb, queries, k=_KNN_K).select(
+        "query_id", "neighbor_id"
+    )
+    legs = []
+    for name, nprobe in (
+        ("recall_single", 1),
+        ("recall_multi", _KNN_NPROBE),
+    ):
+        knn = (
+            S.knn_graph(emb, cents, k=_KNN_K, nprobe=nprobe)
+            .filter(F.col("vec_id") < _KNN_AUDIT_Q)
+            .select(F.col("vec_id").alias("query_id"), "neighbor_id")
+            .withColumn("_hit", F.lit(1))
+        )
+        legs.append(
+            bf.join(F.broadcast(knn), ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.round(
+                    F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                    / F.lit(float(_KNN_K)),
+                    6,
+                ).alias(name)
+            )
+        )
+    return legs[0].join(legs[1], "query_id")
 
 
 _DRIFT_DIMS = 8
@@ -711,6 +783,8 @@ QUERIES = {
     "q138_kcenter_coreset": q138_kcenter_coreset,
     "q159_knn_graph": q159_knn_graph,
     "q160_semantic_clusters": q160_semantic_clusters,
+    "q186_knn_graph_multiprobe": q186_knn_graph_multiprobe,
+    "q187_knn_recall_uplift": q187_knn_recall_uplift,
     "q168_embedding_drift": q168_embedding_drift,
 }
 
@@ -894,6 +968,52 @@ _Q159_SQL = f"""
                       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
                    AS cos_raw
             FROM assigned a JOIN assigned b
+              ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        ), ranked AS (
+            SELECT vec_id, neighbor_id, cos_raw,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos_raw DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT vec_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
+               CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {_KNN_K}
+"""
+
+# q186/q187/q160: the multi-probe variants. _COS_AB is the exact
+# cosine written once for (a, b)-aliased relations — the same op
+# order as _Q159_SQL's scored CTE and the engine's _dot / (n1 * n2).
+_COS_AB = (
+    "list_sum(list_transform(generate_series(1, len(a.embedding)),\n"
+    "                       i -> CAST(a.embedding[i] AS DOUBLE)"
+    " * CAST(b.embedding[i] AS DOUBLE)))\n"
+    "                   / (sqrt(list_sum(list_transform(a.embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))\n"
+    "                      * sqrt(list_sum(list_transform(b.embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+# Multi-probe kNN: identical to _Q159_SQL except the probe side keeps
+# each vector's top-nprobe cells (rn <= nprobe) while the index side
+# stays rn = 1 — a (q, n) candidate meets at most once because n has
+# exactly one index cell. rc is MATERIALIZED: both sides read it.
+_Q186_SQL = f"""
+        WITH c AS (
+            SELECT vec_id AS centroid_id, embedding AS centroid_vec
+            FROM embeddings WHERE vec_id < {_ADAPTIVE_C_SQL}
+        ), rc AS MATERIALIZED (
+            SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_SQDIST}, c.centroid_id) AS rn
+            FROM embeddings e, c
+        ), assigned AS (
+            SELECT vec_id, embedding, cell FROM rc WHERE rn = 1
+        ), probes AS (
+            SELECT vec_id, embedding, cell FROM rc WHERE rn <= {_KNN_NPROBE}
+        ), scored AS (
+            SELECT a.vec_id, b.vec_id AS neighbor_id,
+                   {_COS_AB} AS cos_raw
+            FROM probes a JOIN assigned b
               ON a.cell = b.cell AND a.vec_id <> b.vec_id
         ), ranked AS (
             SELECT vec_id, neighbor_id, cos_raw,
@@ -1119,9 +1239,72 @@ ORACLES = {
     "q174_embedding_ks_drift": _KS_SQL,
     "q168_embedding_drift": _psi_oracle_sql(),
     "q159_knn_graph": _Q159_SQL,
+    "q186_knn_graph_multiprobe": _Q186_SQL,
+    "q187_knn_recall_uplift": f"""
+        WITH c AS (
+            SELECT vec_id AS centroid_id, embedding AS centroid_vec
+            FROM embeddings WHERE vec_id < {_ADAPTIVE_C_SQL}
+        ), rc AS MATERIALIZED (
+            SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_SQDIST}, c.centroid_id) AS rn
+            FROM embeddings e, c
+        ), assigned AS MATERIALIZED (
+            SELECT vec_id, embedding, cell FROM rc WHERE rn = 1
+        ), bs AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   {_COS_AB} AS cos_raw
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id < {_KNN_AUDIT_Q}
+        ), brute AS MATERIALIZED (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos_raw DESC, neighbor_id) AS rank
+                FROM bs
+            ) WHERE rank <= {_KNN_K}
+        ), s1 AS (
+            SELECT a.vec_id, b.vec_id AS neighbor_id, {_COS_AB} AS cos_raw
+            FROM assigned a JOIN assigned b
+              ON a.cell = b.cell AND a.vec_id <> b.vec_id
+            WHERE a.vec_id < {_KNN_AUDIT_Q}
+        ), knn1 AS (
+            SELECT vec_id, neighbor_id FROM (
+                SELECT vec_id, neighbor_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cos_raw DESC, neighbor_id) AS rank
+                FROM s1
+            ) WHERE rank <= {_KNN_K}
+        ), s2 AS (
+            SELECT a.vec_id, b.vec_id AS neighbor_id, {_COS_AB} AS cos_raw
+            FROM (SELECT vec_id, embedding, cell FROM rc
+                  WHERE rn <= {_KNN_NPROBE} AND vec_id < {_KNN_AUDIT_Q}) a
+            JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        ), knn2 AS (
+            SELECT vec_id, neighbor_id FROM (
+                SELECT vec_id, neighbor_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cos_raw DESC, neighbor_id) AS rank
+                FROM s2
+            ) WHERE rank <= {_KNN_K}
+        )
+        SELECT br.query_id,
+               ROUND(CAST(SUM(CASE WHEN k1.vec_id IS NOT NULL
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                     / {float(_KNN_K)!r}, 6) AS recall_single,
+               ROUND(CAST(SUM(CASE WHEN k2.vec_id IS NOT NULL
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                     / {float(_KNN_K)!r}, 6) AS recall_multi
+        FROM brute br
+        LEFT JOIN knn1 k1 ON br.query_id = k1.vec_id
+                         AND br.neighbor_id = k1.neighbor_id
+        LEFT JOIN knn2 k2 ON br.query_id = k2.vec_id
+                         AND br.neighbor_id = k2.neighbor_id
+        GROUP BY br.query_id
+    """,
     "q160_semantic_clusters": f"""
         WITH RECURSIVE knn AS (
-            {_Q159_SQL}
+            {_Q186_SQL}
         ), mut AS (
             SELECT f.vec_id AS id1, f.neighbor_id AS id2
             FROM knn f JOIN knn r
@@ -1551,25 +1734,25 @@ ORACLES = {
             SELECT e.vec_id,
                    list_transform(generate_series(1, {_EMB_DIM_PQ}), i ->
                        CASE WHEN bl.mxs[i] > bl.mns[i]
-                            THEN CAST(LEAST(FLOOR(
+                            THEN CAST(GREATEST(0, LEAST(FLOOR(
                                  (CAST(e.embedding[i] AS DOUBLE) - bl.mns[i])
-                                 * 255.0 / (bl.mxs[i] - bl.mns[i])), 255)
+                                 * 255.0 / (bl.mxs[i] - bl.mns[i])), 255))
                                  AS INT)
                             ELSE 0 END) AS codes,
                    list_sum(list_transform(generate_series(1, {_EMB_DIM_PQ}), i ->
                        CASE WHEN bl.mxs[i] > bl.mns[i]
                             THEN (CAST(e.embedding[i] AS DOUBLE)
                                   - (bl.mns[i]
-                                     + (CAST(CAST(LEAST(FLOOR(
+                                     + (CAST(CAST(GREATEST(0, LEAST(FLOOR(
                                           (CAST(e.embedding[i] AS DOUBLE) - bl.mns[i])
-                                          * 255.0 / (bl.mxs[i] - bl.mns[i])), 255)
+                                          * 255.0 / (bl.mxs[i] - bl.mns[i])), 255))
                                           AS INT) AS DOUBLE) + 0.5)
                                        * (bl.mxs[i] - bl.mns[i]) / 255.0))
                                  * (CAST(e.embedding[i] AS DOUBLE)
                                   - (bl.mns[i]
-                                     + (CAST(CAST(LEAST(FLOOR(
+                                     + (CAST(CAST(GREATEST(0, LEAST(FLOOR(
                                           (CAST(e.embedding[i] AS DOUBLE) - bl.mns[i])
-                                          * 255.0 / (bl.mxs[i] - bl.mns[i])), 255)
+                                          * 255.0 / (bl.mxs[i] - bl.mns[i])), 255))
                                           AS INT) AS DOUBLE) + 0.5)
                                        * (bl.mxs[i] - bl.mns[i]) / 255.0))
                             ELSE 0.0 END)) AS recon_err
