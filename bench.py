@@ -151,6 +151,8 @@ HEADLINE = (
     "q185_join_size_sketch",
     "q186_knn_graph_multiprobe",
     "q187_knn_recall_uplift",
+    "q188_nn_descent",
+    "q189_nn_descent_recall",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",

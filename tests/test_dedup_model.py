@@ -878,3 +878,61 @@ def test_knn_graph_multiprobe_recovers_boundary_neighbors(spark):
         1 for kk, v in brute.items() if got.get(kk) == v
     )
     assert hits(single) < hits(multi)
+
+
+def test_nn_descent_round_recovers_via_pivot(spark):
+    """A suboptimal seed edge gets replaced by a true neighbor
+    reached through a 2-hop pivot; current edges always ride in the
+    candidate set so recall never regresses."""
+    from ulh_etl_spark.operators.similarity import nn_descent_round
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),    # a: true nearest is b
+            (1, [0.9, 0.1]),    # b
+            (2, [0.8, 0.2]),    # c
+            (3, [0.0, 1.0]),    # d: far from all
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    seed = spark.createDataFrame(
+        # a -> c (suboptimal); c -> b; b -> a; d -> a
+        [(0, 2), (2, 1), (1, 0), (3, 0)],
+        "vec_id long, neighbor_id long",
+    )
+    out = {
+        r.vec_id: r.neighbor_id
+        for r in nn_descent_round(seed, emb, k=1).collect()
+    }
+    # a reaches b through pivot c (a-c, c-b) and b beats c on cosine
+    assert out[0] == 1
+    # b keeps its already-optimal edge
+    assert out[1] == 0
+
+
+def test_nn_descent_round_is_noop_on_single_probe_seed(spark):
+    """Documented property: the single-probe cell-blocked graph has
+    no cross-cell undirected edge, so every 2-hop candidate is a
+    cell-mate the exhaustive in-cell top-k already scored — the
+    refinement returns the identical graph."""
+    from ulh_etl_spark.operators.similarity import (
+        knn_graph,
+        nn_descent_round,
+    )
+
+    pts = [
+        (0, [0.44, 0.00]), (1, [0.46, 0.02]),
+        (2, [0.54, 0.01]), (3, [0.56, 0.03]),
+        (4, [0.10, 0.90]), (5, [0.90, 0.95]),
+    ]
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0])],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    single = knn_graph(emb, cents, k=2, nprobe=1)
+    refined = nn_descent_round(single, emb, k=2)
+    key = lambda df: {  # noqa: E731
+        (r.vec_id, r.rank): (r.neighbor_id, r.cosine) for r in df.collect()
+    }
+    assert key(refined) == key(single)

@@ -61,6 +61,20 @@ SHUFFLE_BUDGET = {
     # q169/q170: the budget covers re-renders of the persisted adj
     # subtree, which executes once from cache.
     "q175_label_propagation": 14,
+    # q188 = the q186 multi-probe kNN build (cell join + rank
+    # window over the persisted assignment) feeding one NN-Descent
+    # round: undirected-edge distinct (1), the two-hop pivot join
+    # (2), candidate distinct (3), the two id-keyed vector-fetch
+    # joins (4, 5), and the final rank window (6) — one exchange
+    # per refinement stage, each over a degree-bounded (<= N(2k)^2)
+    # relation, plus the kNN build's own pair. The static count
+    # also re-renders the persisted assigned subtree per consumer
+    # (the q169/q170 caveat); runtime executes it once from cache.
+    "q188_nn_descent": 12,
+    # q189 runs q188's chain PLUS the brute-force leg (one rank
+    # window over the 64-query sample) and two broadcast recall
+    # joins; same static-re-render caveat on the persisted seed.
+    "q189_nn_descent_recall": 12,
     # q179 needs two count relations and two scalar totals from the
     # same token stream: unigram explode partial-agg (1), bigram
     # explode partial-agg (2), the two 1-row totals (3, 4 — each a

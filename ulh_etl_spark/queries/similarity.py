@@ -305,6 +305,71 @@ def q187_knn_recall_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return legs[0].join(legs[1], "query_id")
 
 
+def q188_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NN-Descent refinement of the multi-probe kNN graph
+    (operators.similarity.nn_descent_round, Dong et al. WWW 2011):
+    one neighbors-of-neighbors round over the q186 seed. The seed
+    MUST carry cross-cell edges for the round to buy anything — from
+    the single-probe q159 graph the round is provably a no-op (its
+    undirected edges never leave a cell, and in-cell top-k is
+    already exhaustive); from the nprobe=2 seed the pivot hops reach
+    cells NEITHER endpoint probed, lifting recall@4 0.52 -> 0.60
+    (q189 measures it). Candidate volume is degree-bounded
+    (<= N(2k)^2 + Nk), never all-pairs; output is the knn_graph
+    schema so every downstream graph consumer plugs in unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = S.knn_graph(
+        emb, _adaptive_centroids(emb), k=_KNN_K, nprobe=_KNN_NPROBE
+    )
+    return S.nn_descent_round(seed, emb, k=_KNN_K)
+
+
+def q189_nn_descent_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit for the NN-Descent round (the q187 shape): per
+    audited query, recall@k of the q186 multi-probe seed and the
+    q188 refined graph against exact brute force. Refined recall is
+    monotone >= seed recall per query by construction — the current
+    edges ride in the candidate set, and only true top-k members can
+    displace a true top-k member — pinned by pytest. Together with
+    q187 this prices the THREE recall levers on one yardstick:
+    probe wider (0.32 -> 0.52 for 2x candidates), hop farther
+    (0.52 -> 0.60 for a degree-bounded round), or both again."""
+    from pyspark.storagelevel import StorageLevel
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _adaptive_centroids(emb)
+    queries = emb.filter(F.col("vec_id") < _KNN_AUDIT_Q)
+    bf = S.cosine_topk(emb, queries, k=_KNN_K).select(
+        "query_id", "neighbor_id"
+    )
+    # persist the seed: it feeds both its own recall leg and the
+    # refinement round — without it the cell join + rank window of
+    # the kNN build would execute once per consumer.
+    seed = S.knn_graph(
+        emb, cents, k=_KNN_K, nprobe=_KNN_NPROBE
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    refined = S.nn_descent_round(seed, emb, k=_KNN_K)
+    legs = []
+    for name, g in (("recall_seed", seed), ("recall_refined", refined)):
+        hits = (
+            g.filter(F.col("vec_id") < _KNN_AUDIT_Q)
+            .select(F.col("vec_id").alias("query_id"), "neighbor_id")
+            .withColumn("_hit", F.lit(1))
+        )
+        legs.append(
+            bf.join(F.broadcast(hits), ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.round(
+                    F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                    / F.lit(float(_KNN_K)),
+                    6,
+                ).alias(name)
+            )
+        )
+    return legs[0].join(legs[1], "query_id")
+
+
 _DRIFT_DIMS = 8
 _DRIFT_BINS = 4
 
@@ -785,6 +850,8 @@ QUERIES = {
     "q160_semantic_clusters": q160_semantic_clusters,
     "q186_knn_graph_multiprobe": q186_knn_graph_multiprobe,
     "q187_knn_recall_uplift": q187_knn_recall_uplift,
+    "q188_nn_descent": q188_nn_descent,
+    "q189_nn_descent_recall": q189_nn_descent_recall,
     "q168_embedding_drift": q168_embedding_drift,
 }
 
@@ -1300,6 +1367,96 @@ ORACLES = {
                          AND br.neighbor_id = k1.neighbor_id
         LEFT JOIN knn2 k2 ON br.query_id = k2.vec_id
                          AND br.neighbor_id = k2.neighbor_id
+        GROUP BY br.query_id
+    """,
+    "q188_nn_descent": f"""
+        WITH seed AS MATERIALIZED (
+            {_Q186_SQL}
+        ), fwd AS (
+            SELECT vec_id AS src, neighbor_id AS dst FROM seed
+        ), und AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM fwd
+                UNION ALL SELECT dst, src FROM fwd
+            ) AS t
+        ), cand AS MATERIALIZED (
+            SELECT DISTINCT q, n FROM (
+                SELECT x.src AS q, y.dst AS n
+                FROM und x JOIN und y ON x.dst = y.src
+                WHERE x.src <> y.dst
+                UNION ALL
+                SELECT src, dst FROM fwd
+            ) AS t
+        ), scored AS (
+            SELECT c.q AS vec_id, c.n AS neighbor_id, {_COS_AB} AS cos_raw
+            FROM cand c
+            JOIN embeddings a ON c.q = a.vec_id
+            JOIN embeddings b ON c.n = b.vec_id
+        ), ranked AS (
+            SELECT vec_id, neighbor_id, cos_raw,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos_raw DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT vec_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
+               CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {_KNN_K}
+    """,
+    "q189_nn_descent_recall": f"""
+        WITH seed AS MATERIALIZED (
+            {_Q186_SQL}
+        ), fwd AS (
+            SELECT vec_id AS src, neighbor_id AS dst FROM seed
+        ), und AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM fwd
+                UNION ALL SELECT dst, src FROM fwd
+            ) AS t
+        ), cand AS MATERIALIZED (
+            SELECT DISTINCT q, n FROM (
+                SELECT x.src AS q, y.dst AS n
+                FROM und x JOIN und y ON x.dst = y.src
+                WHERE x.src <> y.dst AND x.src < {_KNN_AUDIT_Q}
+                UNION ALL
+                SELECT src, dst FROM fwd WHERE src < {_KNN_AUDIT_Q}
+            ) AS t
+        ), rscored AS (
+            SELECT c.q AS vec_id, c.n AS neighbor_id, {_COS_AB} AS cos_raw
+            FROM cand c
+            JOIN embeddings a ON c.q = a.vec_id
+            JOIN embeddings b ON c.n = b.vec_id
+        ), refined AS MATERIALIZED (
+            SELECT vec_id, neighbor_id FROM (
+                SELECT vec_id, neighbor_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cos_raw DESC, neighbor_id) AS rank
+                FROM rscored
+            ) WHERE rank <= {_KNN_K}
+        ), bs AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   {_COS_AB} AS cos_raw
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id < {_KNN_AUDIT_Q}
+        ), brute AS MATERIALIZED (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos_raw DESC, neighbor_id) AS rank
+                FROM bs
+            ) WHERE rank <= {_KNN_K}
+        )
+        SELECT br.query_id,
+               ROUND(CAST(SUM(CASE WHEN s.vec_id IS NOT NULL
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                     / {float(_KNN_K)!r}, 6) AS recall_seed,
+               ROUND(CAST(SUM(CASE WHEN r.vec_id IS NOT NULL
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                     / {float(_KNN_K)!r}, 6) AS recall_refined
+        FROM brute br
+        LEFT JOIN seed s ON br.query_id = s.vec_id
+                        AND br.neighbor_id = s.neighbor_id
+        LEFT JOIN refined r ON br.query_id = r.vec_id
+                           AND br.neighbor_id = r.neighbor_id
         GROUP BY br.query_id
     """,
     "q160_semantic_clusters": f"""
