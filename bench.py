@@ -153,6 +153,8 @@ HEADLINE = (
     "q187_knn_recall_uplift",
     "q188_nn_descent",
     "q189_nn_descent_recall",
+    "q190_unigram_vocab",
+    "q191_unigram_fertility",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",

@@ -1525,3 +1525,122 @@ def test_sparse_lexical_topk_identical_docs_score_one(spark):
         ).collect()
     }
     assert out[(1, 2)] == 1.0 and out[(2, 1)] == 1.0
+
+
+def _ref_unigram(texts, vocab_size, rounds, W=12, L=4):
+    """Pure-Python replica of operators.text.unigram_lm_train."""
+    import math
+    from collections import Counter
+
+    hist = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            hist[w] += 1
+    words = {w: (c, w[:W], min(len(w), W)) for w, (c) in hist.items()}
+
+    def spans(wt, n):
+        for e in range(1, n + 1):
+            for s in range(max(0, e - L), e):
+                yield s, e, wt[s:e]
+
+    c0 = Counter()
+    for w, (c, wt, n) in words.items():
+        for s, e, p in spans(wt, n):
+            c0[p] += c
+    chars = {p for p in c0 if len(p) == 1}
+    multi = sorted(
+        (p for p in c0 if len(p) >= 2), key=lambda p: (-c0[p], p)
+    )[:vocab_size]
+    vocab = {p: c0[p] for p in chars | set(multi)}
+
+    def laplace(v):
+        t, n = sum(v.values()), len(v)
+        return {p: math.log((c + 1) / (t + n)) for p, c in v.items()}
+
+    logp = laplace(vocab)
+
+    def viterbi(wt, n, lp):
+        best = [0.0] + [None] * n
+        back = [None] * (n + 1)
+        for e in range(1, n + 1):
+            for s in range(max(0, e - L), e):
+                p = wt[s:e]
+                if p in lp and best[s] is not None:
+                    cand = best[s] + lp[p]
+                    if best[e] is None or cand > best[e]:
+                        best[e], back[e] = cand, s
+        pieces, pos = [], n
+        while pos > 0:
+            s = back[pos]
+            pieces.append(wt[s:pos])
+            pos = s
+        return pieces
+
+    counts = None
+    for _ in range(rounds - 1):
+        counts = Counter()
+        for w, (c, wt, n) in words.items():
+            for p in viterbi(wt, n, logp):
+                counts[p] += c
+        vocab = {p: counts.get(p, 0) for p in set(counts) | chars}
+        logp = laplace(vocab)
+    final = Counter()
+    per_word = {}
+    for w, (c, wt, n) in words.items():
+        ps = viterbi(wt, n, logp)
+        per_word[w] = len(ps)
+        for p in ps:
+            final[p] += c
+    return (
+        {
+            p: (len(p), final.get(p, 0), round(lp, 6))
+            for p, lp in logp.items()
+        },
+        per_word,
+    )
+
+
+def test_unigram_lm_train_matches_reference_model(spark):
+    """unigram_lm_train == a pure-Python hard-EM unigram trainer on a
+    small corpus (same seed, same Viterbi tie-breaks, same Laplace),
+    including a word whose best split needs the DP (not greedy)."""
+    from ulh_etl_spark.operators.text import unigram_lm_train
+
+    texts = [
+        "abab abab abab cd cd ababcd",
+        "abc abc ab ab ab cd",
+        "xy xy xyz zzz abab",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        r.piece: (r.piece_len, r.viterbi_count, r.logp)
+        for r in unigram_lm_train(
+            df, "text", vocab_size=8, rounds=2
+        ).collect()
+    }
+    want, _ = _ref_unigram(texts, vocab_size=8, rounds=2)
+    assert got == want
+
+
+def test_unigram_fertility_matches_reference_model(spark):
+    from ulh_etl_spark.operators.text import unigram_fertility
+
+    texts = ["abab cd abab", "xy zzz ababcd", "abc ab cd cd"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_ws_tokens, r.n_unigram_tokens)
+        for r in unigram_fertility(
+            df, "text", "doc_id", vocab_size=8, rounds=2
+        ).collect()
+    }
+    _, per_word = _ref_unigram(texts, vocab_size=8, rounds=2)
+    want = {}
+    for i, t in enumerate(texts):
+        ws = t.lower().split()
+        want[i] = (len(ws), sum(per_word[w] for w in ws))
+    assert got == want
+    # every word is segmentable: piece counts at least 1 per word
+    assert all(uni >= ws for ws, uni in got.values())

@@ -75,6 +75,22 @@ SHUFFLE_BUDGET = {
     # window over the 64-query sample) and two broadcast recall
     # joins; same static-re-render caveat on the persisted seed.
     "q189_nn_descent_recall": 12,
+    # q190's unigram-LM trainer is a 2-round EM chain over the
+    # PERSISTED span relation: runtime exchanges are the word
+    # histogram (1), one vocab-pivot groupBy + one piece-count
+    # groupBy per round (4), the three Laplace 1-row totals (3,
+    # single-scalar exchanges broadcast back), the seed top-K
+    # (TakeOrdered, no full exchange), the refresh full-outer join
+    # (2) and the final vocab join — ~11; the static plan re-renders
+    # the persisted spans subtree once per consumer (seed, chars,
+    # and both rounds' pivots — the q169/q170 caveat), tripling the
+    # count. Every relation after the histogram is |distinct words|
+    # x 42 spans or fixed-vocab-bounded.
+    "q190_unigram_vocab": 40,
+    # q191 = q190's chain through the final vocabulary plus the
+    # corpus re-join (token explode + per-doc aggregate): the same
+    # static spans re-renders plus 2 genuine corpus-side exchanges.
+    "q191_unigram_fertility": 26,
     # q179 needs two count relations and two scalar totals from the
     # same token stream: unigram explode partial-agg (1), bigram
     # explode partial-agg (2), the two 1-row totals (3, 4 — each a

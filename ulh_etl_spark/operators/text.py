@@ -2181,6 +2181,330 @@ def apply_bpe(df, text_col: str, id_col: str, merges):
     )
 
 
+# ------------------------------------------------ unigram-LM tokenizer
+
+# Word-analysis window and max piece length for the unigram trainer.
+# Words are truncated to _UNI_W chars for segmentation (SentencePiece's
+# max-sentence-length analogue); pieces span at most _UNI_L chars. The
+# (s, e) span grid below is the complete candidate-edge set — generated
+# once so the engine expressions and the SQL oracle enumerate the SAME
+# spans in the SAME order.
+_UNI_W = 12
+_UNI_L = 4
+_UNI_SPAN_COMBOS = tuple(
+    (s, e)
+    for e in range(1, _UNI_W + 1)
+    for s in range(max(0, e - _UNI_L), e)
+)
+
+
+def _unigram_words(df, text_col: str):
+    """Word histogram with the truncated analysis form: (w, cnt, wt,
+    n). ONE corpus-scale pass (the same base as bpe_merge_steps);
+    everything downstream is vocabulary-bounded."""
+    return (
+        df.select(
+            F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("wt", F.substring("w", 1, _UNI_W))
+        .withColumn("n", F.least(F.length("w"), F.lit(_UNI_W)))
+    )
+
+
+def _unigram_spans(words):
+    """All candidate piece spans of every distinct word: (w, cnt, wt,
+    n, s, e, piece) with 1 <= e - s <= _UNI_L, e <= n. The span grid
+    is a compile-time literal; out-of-range spans null out and drop.
+    explode_outer, not explode: InferFiltersFromGenerate would turn a
+    plain explode into a size() > 0 pre-filter re-evaluating the span
+    array per row (the ivf_assign_queries pattern); the array is
+    never empty (e=1 always valid)."""
+    structs = [
+        F.when(
+            F.lit(e) <= F.col("n"),
+            F.struct(
+                F.lit(s).alias("s"),
+                F.lit(e).alias("e"),
+                F.substring(F.col("wt"), s + 1, e - s).alias("piece"),
+            ),
+        )
+        for s, e in _UNI_SPAN_COMBOS
+    ]
+    return (
+        words.select(
+            "w", "cnt", "wt", "n",
+            F.explode_outer(F.array(*structs)).alias("_sp"),
+        )
+        .filter(F.col("_sp").isNotNull())
+        .select(
+            "w", "cnt", "wt", "n",
+            F.col("_sp.s").alias("s"),
+            F.col("_sp.e").alias("e"),
+            F.col("_sp.piece").alias("piece"),
+        )
+    )
+
+
+def _laplace_logp(counts):
+    """Laplace-smoothed piece log-probs: logp = ln((c + 1) / (total +
+    |V|)). Integer counts in, one division + one ln in a fixed order —
+    the doubles are bit-identical in any SQL engine. The 1-row total
+    rides the plan as a broadcast (lazy, no driver action)."""
+    tot = counts.agg(
+        F.sum("c").cast("long").alias("_t"),
+        F.count("*").cast("long").alias("_v"),
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        "c",
+        F.log(
+            (F.col("c") + F.lit(1)).cast("double")
+            / (F.col("_t") + F.col("_v")).cast("double")
+        ).alias("logp"),
+    )
+
+
+def _unigram_seed(spans, vocab_size: int):
+    """Seed vocabulary: every single char (coverage guarantee — a
+    word is always segmentable) plus the top ``vocab_size``
+    multi-char substrings by weighted occurrence count (cnt DESC,
+    piece ASC tie-break; TakeOrdered, no global shuffle). The FIXED
+    piece budget is what keeps the trainer scale-safe: vocabulary
+    size never grows with the corpus."""
+    c0 = spans.groupBy("piece").agg(F.sum("cnt").cast("long").alias("c"))
+    chars = c0.filter(F.length("piece") == 1)
+    multi = (
+        c0.filter(F.length("piece") >= 2)
+        .orderBy(F.col("c").desc(), "piece")
+        .limit(vocab_size)
+    )
+    return _laplace_logp(chars.unionByName(multi))
+
+
+def _uni_lp_index(s, e):
+    """1-based index of span (s, e) in the _UNI_SPAN_COMBOS order
+    (sorted by e then s), as a Column formula over runtime s/e:
+    base(e) = e(e-1)/2 for e <= L+1, else L(L+1)/2 + L(e-L-1);
+    offset = s - max(e - L, 0). Shared by the fold below; the oracle
+    never needs it (its spans stay relational)."""
+    L = _UNI_L
+    base = F.when(
+        e <= L + 1, ((e - 1) * e / F.lit(2)).cast("int")
+    ).otherwise(
+        F.lit(L * (L + 1) // 2) + F.lit(L) * (e - F.lit(L + 1))
+    )
+    return (base + (s - F.greatest(e - F.lit(L), F.lit(0))) + 1).cast("int")
+
+
+def _viterbi_segmented(spans, vocab):
+    """Hard-EM E-step: Viterbi-segment every distinct word under the
+    current piece log-probs. Span scores aggregate into ONE
+    _UNI_SPAN_COMBOS-ordered array column (one vocab broadcast join +
+    one vocab-bounded groupBy — the round's ONLY exchange); the DP
+    and the backtrace are then two ``F.aggregate`` folds over the
+    analysis positions — a single LINEAR-size expression per word.
+    (The unrolled-column formulation OOMed the optimizer:
+    CollapseProject inlines each best_e into its four consumers, and
+    a branching-4 depth-12 DP explodes to ~4^12 expression nodes.)
+
+    DP fold: acc = (b: best scores with b[p+1] = best_p, so b[1] is
+    the 0.0 base case; k: backpointers with k[e] = best split s for
+    position e). Candidates at position e are s in [max(0, e-L),
+    e-1]; cand = b[s+1] + lp[(s,e)]; null candidates (absent piece /
+    past end of word) are filtered and array_max picks (score DESC,
+    s ASC) via the (c, -s) struct ordering. Backtrace fold walks
+    k from n down, emitting substr(wt, s+1, pos-s) per step.
+
+    NULL arithmetic does the guarding end-to-end, with identical
+    semantics in DuckDB — the oracle replays the same program as
+    materialized CTE layers.
+
+    Output: (w, cnt, pieces array<string>)."""
+    sp = spans.join(F.broadcast(vocab.select("piece", "logp")), "piece")
+    aggs = [
+        F.max(
+            F.when((F.col("s") == s) & (F.col("e") == e), F.col("logp"))
+        ).alias(f"_lp{i}")
+        for i, (s, e) in enumerate(_UNI_SPAN_COMBOS)
+    ]
+    seg = sp.groupBy("w", "cnt", "wt", "n").agg(*aggs)
+    lp_arr = F.array(
+        *[F.col(f"_lp{i}") for i in range(len(_UNI_SPAN_COMBOS))]
+    )
+
+    def dp_step(acc, e):
+        cands = F.filter(
+            F.transform(
+                F.sequence(F.greatest(e - F.lit(_UNI_L), F.lit(0)), e - 1),
+                lambda s: F.struct(
+                    (
+                        F.element_at(acc["b"], (s + 1).cast("int"))
+                        + F.element_at(lp_arr, _uni_lp_index(s, e))
+                    ).alias("c"),
+                    (-s).cast("int").alias("g"),
+                ),
+            ),
+            lambda st: st["c"].isNotNull(),
+        )
+        top = F.array_max(cands)
+        return F.struct(
+            F.concat(acc["b"], F.array(top["c"])).alias("b"),
+            F.concat(
+                acc["k"], F.array((-top["g"]).cast("int"))
+            ).alias("k"),
+        )
+
+    dp_init = F.struct(
+        F.array(F.lit(0.0)).alias("b"),
+        F.expr("array()").cast("array<int>").alias("k"),
+    )
+    seg = seg.withColumn(
+        "_dp",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(_UNI_W)).cast("array<int>"),
+            dp_init,
+            dp_step,
+        ),
+    )
+
+    def bt_step(acc, _):
+        s = F.element_at(F.col("_dp")["k"], acc["p"])
+        return F.when(
+            acc["p"] > 0,
+            F.struct(
+                s.cast("int").alias("p"),
+                F.concat(
+                    acc["ps"],
+                    F.array(
+                        F.col("wt").substr(s + F.lit(1), acc["p"] - s)
+                    ),
+                ).alias("ps"),
+            ),
+        ).otherwise(acc)
+
+    bt_init = F.struct(
+        F.col("n").cast("int").alias("p"),
+        F.expr("array()").cast("array<string>").alias("ps"),
+    )
+    seg = seg.withColumn(
+        "_bt",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(_UNI_W)).cast("array<int>"),
+            bt_init,
+            bt_step,
+        ),
+    )
+    return seg.select("w", "cnt", F.col("_bt")["ps"].alias("pieces"))
+
+
+def _viterbi_counts(segmented):
+    return (
+        segmented.select("cnt", F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("long").alias("c"))
+    )
+
+
+def _refresh_vocab(counts, chars):
+    """M-step + prune: pieces the Viterbi pass used keep their counts;
+    unused pieces drop EXCEPT single chars (kept at count 0 for
+    coverage); probabilities re-estimate with the same Laplace
+    smoothing."""
+    base = counts.join(chars, "piece", "full_outer").select(
+        "piece", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c")
+    )
+    return _laplace_logp(base)
+
+
+def unigram_lm_train(df, text_col: str, vocab_size: int = 512, rounds: int = 2):
+    """Unigram-LM tokenizer trainer (Kudo 2018, "Subword
+    regularization" — the SentencePiece unigram model), hard-EM
+    variant: seed a substring vocabulary from one corpus pass, then
+    alternate Viterbi segmentation of the word histogram (E-step)
+    with count re-estimation + pruning (M-step) for a fixed number of
+    rounds. The Viterbi DP is exact maximum-likelihood segmentation
+    under the current unigram probabilities; hard (1-best) counts
+    instead of the paper's forward-backward expectations keep every
+    number integer-or-fixed-expression so a SQL oracle replays the
+    training bit-for-bit. Completes the tokenizer pair next to
+    bpe_merge_steps — BPE grows a vocab bottom-up by merging, unigram
+    shrinks one top-down by pruning, the duality dominant in practice.
+
+    Scale: ONE corpus-scale shuffle (the word histogram — same base
+    as BPE); the span grid, pivots, DP columns, and per-round count
+    aggregations are all bounded by |distinct words| x 42 spans and a
+    FIXED vocab budget, regardless of corpus size. No driver-side
+    collect anywhere — the whole training is one lazy plan (the
+    rounds are plan layers, not jobs), unlike BPE's per-merge top-1
+    collect.
+
+    Output: (piece, piece_len, viterbi_count, logp) — the final
+    vocabulary with its last-round Viterbi usage counts and smoothed
+    log-probs (the trained artifact a unigram tokenizer loads).
+    ``rounds`` counts E-steps: rounds=2 = seed -> segment -> reprune
+    -> segment."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    from pyspark.storagelevel import StorageLevel
+
+    words = _unigram_words(df, text_col)
+    spans = _unigram_spans(words).persist(StorageLevel.MEMORY_AND_DISK)
+    chars = spans.filter(F.length("piece") == 1).select("piece").distinct()
+    vocab = _unigram_seed(spans, vocab_size)
+    for _ in range(rounds - 1):
+        seg = _viterbi_segmented(spans, vocab)
+        vocab = _refresh_vocab(_viterbi_counts(seg), chars)
+    final_counts = _viterbi_counts(_viterbi_segmented(spans, vocab)).select(
+        "piece", F.col("c").alias("_fc")
+    )
+    return vocab.join(final_counts, "piece", "left").select(
+        "piece",
+        F.length("piece").cast("int").alias("piece_len"),
+        F.coalesce(F.col("_fc"), F.lit(0)).cast("long").alias("viterbi_count"),
+        F.round("logp", 6).alias("logp"),
+    )
+
+
+def unigram_fertility(
+    df, text_col: str, id_col: str, vocab_size: int = 512, rounds: int = 2
+):
+    """Tokenize the corpus with the trained unigram vocabulary:
+    per-doc whitespace vs unigram-piece token counts — apply_bpe's
+    exact shape, so fertility is directly comparable across the two
+    trained tokenizers (q116 vs this). Segmentation happens once per
+    DISTINCT word (the Viterbi relation); docs re-join on the word."""
+    from pyspark.storagelevel import StorageLevel
+
+    words = _unigram_words(df, text_col)
+    spans = _unigram_spans(words).persist(StorageLevel.MEMORY_AND_DISK)
+    chars = spans.filter(F.length("piece") == 1).select("piece").distinct()
+    vocab = _unigram_seed(spans, vocab_size)
+    for _ in range(rounds - 1):
+        seg = _viterbi_segmented(spans, vocab)
+        vocab = _refresh_vocab(_viterbi_counts(seg), chars)
+    per_word = _viterbi_segmented(spans, vocab).select(
+        "w", F.size("pieces").cast("long").alias("_np")
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("w"),
+    )
+    agg = (
+        toks.join(per_word, "w")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_ws"), F.sum("_np").alias("_uni"))
+    )
+    return df.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("_ws"), F.lit(0)).cast("long").alias("n_ws_tokens"),
+        F.coalesce(F.col("_uni"), F.lit(0))
+        .cast("long")
+        .alias("n_unigram_tokens"),
+    )
+
+
 def repetition_signals(df, text_col: str, id_col: str):
     """Gopher-style within-document repetition signals:
 

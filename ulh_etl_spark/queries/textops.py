@@ -1029,6 +1029,41 @@ def q162_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+UNI_VOCAB = 256
+UNI_ROUNDS = 2
+
+
+def q190_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (Kudo 2018 / SentencePiece's
+    unigram model, hard-EM variant — operators.text.unigram_lm_train):
+    seed a substring vocabulary from the word histogram, then
+    alternate exact Viterbi segmentation with count re-estimation +
+    pruning. Completes the tokenizer-trainer pair next to q115's BPE
+    — BPE grows a vocab bottom-up by merging, unigram shrinks one
+    top-down by pruning. ONE corpus-scale shuffle (the word
+    histogram); every later relation is |distinct words| x 42 spans
+    or FIXED-vocab-bounded, and the whole training is one lazy plan
+    (no per-round driver collect, unlike BPE's top-1). The Viterbi
+    DP runs as two linear F.aggregate folds; the oracle replays the
+    identical program as materialized CTE layers."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.unigram_lm_train(
+        docs, "text", vocab_size=UNI_VOCAB, rounds=UNI_ROUNDS
+    )
+
+
+def q191_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the q190-trained unigram vocabulary:
+    per-doc whitespace vs unigram-piece counts — q116's exact shape,
+    so the two trained tokenizers' fertility is directly comparable
+    doc-for-doc. Segmentation cost is per DISTINCT word; docs
+    re-join on the word (the BPE-apply pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.unigram_fertility(
+        docs, "text", "doc_id", vocab_size=UNI_VOCAB, rounds=UNI_ROUNDS
+    )
+
+
 def q163_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard-balance audit over q93's epoch shards: per reader shard,
     doc count, token mass, and skew = shard mass / ideal-even mass —
@@ -1230,6 +1265,8 @@ QUERIES = {
     "q171_cms_heavy_hitters": q171_cms_heavy_hitters,
     "q161_unimax_mix": q161_unimax_mix,
     "q162_token_fertility": q162_token_fertility,
+    "q190_unigram_vocab": q190_unigram_vocab,
+    "q191_unigram_fertility": q191_unigram_fertility,
     "q163_shard_balance": q163_shard_balance,
     "q165_dirichlet_qlm": q165_dirichlet_qlm,
     "q166_posting_stats": q166_posting_stats,
@@ -2656,3 +2693,201 @@ def _bpe_apply_oracle_sql(n_merges: int) -> str:
 
 ORACLES["q115_bpe_merges"] = _bpe_oracle_sql(BPE_MERGES)
 ORACLES["q116_bpe_tokenize"] = _bpe_apply_oracle_sql(BPE_MERGES)
+
+
+def _unigram_cte_chain(vocab_size: int, rounds: int) -> str:
+    """The unigram-LM trainer unrolled as DuckDB CTE layers — the
+    exact program of operators.text.unigram_lm_train: word histogram
+    -> span grid -> Laplace seed -> per round (pivot lp columns ->
+    12 DP layers -> 12 backtrace layers -> counts -> refresh).
+    Every DP/backtrace layer is AS MATERIALIZED: best_e is referenced
+    by up to 4 later candidates plus the back CASE, and DuckDB's
+    default CTE inlining would re-expand the whole prefix per
+    reference (the r10 graph-oracle lesson); the layers are
+    |distinct words| rows, so materializing all of them is free.
+    Ends with cnt{rounds} (final Viterbi counts) and v{rounds - 1}
+    (the final vocabulary) in scope."""
+    from ulh_etl_spark.operators.text import (
+        _UNI_L,
+        _UNI_SPAN_COMBOS,
+        _UNI_W,
+    )
+
+    combos_sql = ", ".join(f"({s}, {e})" for s, e in _UNI_SPAN_COMBOS)
+    ctes = [
+        f"""wh AS MATERIALIZED (
+            SELECT w, COUNT(*) AS cnt, substr(w, 1, {_UNI_W}) AS wt,
+                   least(length(w), {_UNI_W}) AS n
+            FROM (SELECT unnest({_LOW_TOKS}) AS w FROM documents)
+            GROUP BY w
+        )""",
+        f"""sp AS MATERIALIZED (
+            SELECT wh.w, wh.cnt, wh.wt, wh.n, sv.s, sv.e,
+                   substr(wh.wt, sv.s + 1, sv.e - sv.s) AS piece
+            FROM wh, (VALUES {combos_sql}) AS sv(s, e)
+            WHERE sv.e <= wh.n
+        )""",
+        """c0 AS (
+            SELECT piece, CAST(SUM(cnt) AS BIGINT) AS c
+            FROM sp GROUP BY piece
+        )""",
+        f"""seed AS MATERIALIZED (
+            SELECT piece, c FROM c0 WHERE length(piece) = 1
+            UNION ALL
+            SELECT piece, c FROM (
+                SELECT piece, c FROM c0 WHERE length(piece) >= 2
+                ORDER BY c DESC, piece LIMIT {vocab_size}
+            ) AS tm
+        )""",
+        """v0 AS MATERIALIZED (
+            SELECT piece, c,
+                   ln(CAST(c + 1 AS DOUBLE)
+                      / CAST(t._t + t._v AS DOUBLE)) AS logp
+            FROM seed CROSS JOIN (
+                SELECT CAST(SUM(c) AS BIGINT) AS _t,
+                       CAST(COUNT(*) AS BIGINT) AS _v FROM seed) t
+        )""",
+        """chars AS MATERIALIZED (
+            SELECT DISTINCT piece FROM sp WHERE length(piece) = 1
+        )""",
+    ]
+    back_list = "list_value(" + ", ".join(
+        f"back_{e}" for e in range(1, _UNI_W + 1)
+    ) + ")"
+    pc_list = "[" + ", ".join(
+        f"pc_{i}" for i in range(1, _UNI_W + 1)
+    ) + "]"
+    for r in range(1, rounds + 1):
+        lp_cols = ",\n                   ".join(
+            f"MAX(CASE WHEN sp.s = {s} AND sp.e = {e} "
+            f"THEN v.logp END) AS lp_{s}_{e}"
+            for s, e in _UNI_SPAN_COMBOS
+        )
+        ctes.append(
+            f"""g{r} AS MATERIALIZED (
+            SELECT sp.w, sp.cnt, sp.wt, sp.n,
+                   {lp_cols}
+            FROM sp JOIN v{r - 1} v ON sp.piece = v.piece
+            GROUP BY sp.w, sp.cnt, sp.wt, sp.n
+        )"""
+        )
+        prev = f"g{r}"
+        for e in range(1, _UNI_W + 1):
+            cands = []
+            for s in range(max(0, e - _UNI_L), e):
+                base = "0.0" if s == 0 else f"best_{s}"
+                cands.append(f"({base} + lp_{s}_{e})")
+            best = (
+                cands[0]
+                if len(cands) == 1
+                else "greatest(" + ", ".join(cands) + ")"
+            )
+            whens = " ".join(
+                f"WHEN {cand} = best_{e} THEN {s}"
+                for cand, s in zip(
+                    cands, range(max(0, e - _UNI_L), e)
+                )
+            )
+            ctes.append(
+                f"""d{r}_{e} AS MATERIALIZED (
+            SELECT *, {best} AS best_{e},
+                   CAST(CASE {whens} END AS INT) AS back_{e}
+            FROM {prev}
+        )"""
+            )
+            prev = f"d{r}_{e}"
+        ctes.append(
+            f"""bt{r}_0 AS (
+            SELECT *, CAST(n AS INT) AS pos_0 FROM d{r}_{_UNI_W}
+        )"""
+        )
+        for i in range(1, _UNI_W + 1):
+            ctes.append(
+                f"""bt{r}_{i} AS MATERIALIZED (
+            SELECT *,
+                   CASE WHEN pos_{i - 1} > 0
+                        THEN {back_list}[pos_{i - 1}] END AS s_{i},
+                   CASE WHEN pos_{i - 1} > 0
+                        THEN substr(wt, s_{i} + 1, pos_{i - 1} - s_{i})
+                   END AS pc_{i},
+                   CAST(CASE WHEN pos_{i - 1} > 0 THEN s_{i}
+                             ELSE pos_{i - 1} END AS INT) AS pos_{i}
+            FROM bt{r}_{i - 1}
+        )"""
+            )
+        ctes.append(
+            f"""cnt{r} AS MATERIALIZED (
+            SELECT piece, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+                SELECT cnt,
+                       unnest(list_filter({pc_list},
+                              x -> x IS NOT NULL)) AS piece
+                FROM bt{r}_{_UNI_W}
+            ) GROUP BY piece
+        )"""
+        )
+        if r < rounds:
+            ctes.append(
+                f"""b{r} AS MATERIALIZED (
+            SELECT COALESCE(cn.piece, ch.piece) AS piece,
+                   CAST(COALESCE(cn.c, 0) AS BIGINT) AS c
+            FROM cnt{r} cn FULL OUTER JOIN chars ch
+              ON cn.piece = ch.piece
+        )"""
+            )
+            ctes.append(
+                f"""v{r} AS MATERIALIZED (
+            SELECT piece, c,
+                   ln(CAST(c + 1 AS DOUBLE)
+                      / CAST(t._t + t._v AS DOUBLE)) AS logp
+            FROM b{r} CROSS JOIN (
+                SELECT CAST(SUM(c) AS BIGINT) AS _t,
+                       CAST(COUNT(*) AS BIGINT) AS _v FROM b{r}) t
+        )"""
+            )
+    return "WITH " + ",\n        ".join(ctes)
+
+
+def _unigram_vocab_oracle_sql(vocab_size: int, rounds: int) -> str:
+    chain = _unigram_cte_chain(vocab_size, rounds)
+    return f"""
+        {chain}
+        SELECT v.piece, CAST(length(v.piece) AS INT) AS piece_len,
+               CAST(COALESCE(c2.c, 0) AS BIGINT) AS viterbi_count,
+               ROUND(v.logp, 6) AS logp
+        FROM v{rounds - 1} v LEFT JOIN cnt{rounds} c2
+          ON v.piece = c2.piece
+    """
+
+
+def _unigram_fertility_oracle_sql(vocab_size: int, rounds: int) -> str:
+    from ulh_etl_spark.operators.text import _UNI_W
+
+    chain = _unigram_cte_chain(vocab_size, rounds)
+    pc_list = "[" + ", ".join(
+        f"pc_{i}" for i in range(1, _UNI_W + 1)
+    ) + "]"
+    return f"""
+        {chain},
+        pw AS (
+            SELECT w, CAST(len(list_filter({pc_list},
+                           x -> x IS NOT NULL)) AS BIGINT) AS np
+            FROM bt{rounds}_{_UNI_W}
+        ), tok AS (
+            SELECT doc_id, unnest({_LOW_TOKS}) AS w FROM documents
+        ), agg AS (
+            SELECT t.doc_id, COUNT(*) AS ws, SUM(p.np) AS uni
+            FROM tok t JOIN pw p ON t.w = p.w GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(a.ws, 0) AS BIGINT) AS n_ws_tokens,
+               CAST(COALESCE(a.uni, 0) AS BIGINT) AS n_unigram_tokens
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """
+
+
+ORACLES["q190_unigram_vocab"] = _unigram_vocab_oracle_sql(
+    UNI_VOCAB, UNI_ROUNDS
+)
+ORACLES["q191_unigram_fertility"] = _unigram_fertility_oracle_sql(
+    UNI_VOCAB, UNI_ROUNDS
+)
