@@ -523,11 +523,12 @@ def test_batch_upsert_post_batch_retries_on_429(spark, tmp_path):
     assert all(op["method"] == "POST" for op in flat)
 
 
-def test_batch_upsert_mixed_batch_is_non_idempotent(spark, tmp_path):
-    """One POST among keyed PATCHes poisons the whole batch's
-    idempotency: an ambiguous 5xx must fail ALL its ops fast (the
-    batch is atomic on the wire — re-sending would re-create). The
-    keyed PATCH rows in a SEPARATE batch keep their retry budget."""
+def test_batch_upsert_segregates_posts_into_own_batches(spark, tmp_path):
+    """POST creates get their OWN $batch requests (r10 ADVICE): mixed
+    input yields separate all-PATCH and all-POST batches on the wire,
+    the PATCH batch keeps its ambiguous-5xx retry budget, and the
+    POST batch still fails fast — one create no longer disables
+    retry for the idempotent ops it used to share a batch with."""
     rows = spark.createDataFrame(
         [
             ("K1", "v1", "create", None),
@@ -535,37 +536,38 @@ def test_batch_upsert_mixed_batch_is_non_idempotent(spark, tmp_path):
         ],
         "k string, val string, _op string, _guid string",
     ).coalesce(1)
+
+    # clean path: two homogeneous batches, one per method
     spool = tmp_path / "spool"
     markers = tmp_path / "markers"
     spool.mkdir()
     markers.mkdir()
-    transport = make_flaky_transport(spool, markers, fail_times=1, mode="503")
+    transport = make_flaky_transport(spool, markers, fail_times=0)
     res = batch_upsert_http(
         rows, "https://dv/$batch", "contacts", ["k"],
         transport_factory=lambda: transport, batch_size=10,
         retries=3, sleeper=lambda s: None,
     )
-    # single mixed batch: fail-fast, no retries, nothing delivered
-    assert res.failed == 2 and res.succeeded == 0
-    assert res.retried == 0
-    assert read_spool(spool) == []
+    assert res.succeeded == 2 and res.failed == 0
+    assert res.batches == 2
+    batches = read_spool(spool)
+    assert len(batches) == 2
+    assert all(len({op["method"] for op in b}) == 1 for b in batches)
+    assert {b[0]["method"] for b in batches} == {"PATCH", "POST"}
 
-    # control: the same PATCH alone IS idempotent and survives the 503
+    # flaky path: every batch's FIRST attempt 503s. The PATCH batch
+    # retries and lands; the POST batch fails fast, never delivered.
     spool2 = tmp_path / "spool2"
     markers2 = tmp_path / "markers2"
     spool2.mkdir()
     markers2.mkdir()
-    patch_only = spark.createDataFrame(
-        [("K2", "v2", "update", "G-2")],
-        "k string, val string, _op string, _guid string",
-    ).coalesce(1)
     t2 = make_flaky_transport(spool2, markers2, fail_times=1, mode="503")
     res2 = batch_upsert_http(
-        patch_only, "https://dv/$batch", "contacts", ["k"],
+        rows, "https://dv/$batch", "contacts", ["k"],
         transport_factory=lambda: t2, batch_size=10,
         retries=3, sleeper=lambda s: None,
     )
-    assert res2.succeeded == 1 and res2.failed == 0
+    assert res2.succeeded == 1 and res2.failed == 1
     assert res2.retried == 1
     flat = [op for b in read_spool(spool2) for op in b]
     assert len(flat) == 1 and flat[0]["method"] == "PATCH"

@@ -205,10 +205,12 @@ def batch_upsert_http(
     rejected it before processing. A transport exception or 5xx is
     AMBIGUOUS (the batch may have been applied before the response was
     lost), so those retry only batches composed entirely of keyed
-    PATCH/DELETE ops, which are idempotent under re-send; a batch
-    containing any POST create fails immediately on an ambiguous
-    error rather than risk silently duplicating created records
-    (reference :540-585 create-intent semantics). A batch that
+    PATCH/DELETE ops, which are idempotent under re-send. POST
+    creates are segregated into their OWN batches (r10 ADVICE): a
+    POST batch fails immediately on an ambiguous error rather than
+    risk silently duplicating created records (reference :540-585
+    create-intent semantics), while the PATCH/DELETE batches it no
+    longer shares keep their full retry budget. A batch that
     exhausts the budget counts its ops as failed and the stream
     continues (continue-on-error, like the reference's per-batch
     logging); ``BatchResult.retried`` reports total retry attempts.
@@ -233,13 +235,21 @@ def batch_upsert_http(
 
         wait = sleeper if sleeper is not None else _time.sleep
         transport = transport_factory()
-        ops: list[dict] = []
+        # POST creates are SEGREGATED into their own batches: one POST
+        # in a mixed batch would disable the whole batch's ambiguous-
+        # failure retry budget (see flush), so keyed PATCH/DELETE ops
+        # — idempotent under re-send — batch separately and keep their
+        # 5xx retries. Cross-op ordering between a create and an
+        # update was never guaranteed (continue-on-error batches are
+        # unordered server-side), so the split loses nothing.
+        ops: list[dict] = []      # keyed PATCH/DELETE (idempotent)
+        creates: list[dict] = []  # POST creates (fail-fast)
 
         def attempt_once(payload: str):
             return transport("POST", batch_url, headers=hdrs,
                              json_body=None, data=payload)
 
-        def flush() -> None:
+        def flush(ops: list) -> None:
             if not ops:
                 return
             payload = build_batch_payload(ops)
@@ -292,13 +302,18 @@ def batch_upsert_http(
                             "url": f"{entity_set}({guid})",
                             "headers": {"If-Match": "*"}, "body": d})
             elif op == "create":
-                ops.append({"method": "POST", "url": entity_set, "body": d})
+                creates.append(
+                    {"method": "POST", "url": entity_set, "body": d}
+                )
             else:  # alternate-key upsert
                 ops.append({"method": "PATCH",
                             "url": f"{entity_set}({key_filter(row)})", "body": d})
             if len(ops) >= batch_size:
-                flush()
-        flush()
+                flush(ops)
+            if len(creates) >= batch_size:
+                flush(creates)
+        flush(ops)
+        flush(creates)
 
     rows.foreachPartition(send)
     return BatchResult(
