@@ -155,6 +155,8 @@ HEADLINE = (
     "q189_nn_descent_recall",
     "q190_unigram_vocab",
     "q191_unigram_fertility",
+    "q192_quantile_registers",
+    "q193_quantile_estimates",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",

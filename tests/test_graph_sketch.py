@@ -431,3 +431,78 @@ def test_cms_estimates_absent_token_reports_zero(spark):
         for r in cms_estimates(counters, cand, depth=4, width=4096).collect()
     }
     assert est == {"present": 7, "ghost": 0}
+
+
+# ------------------------------------------------- quantile sketch
+
+
+def test_quantile_registers_merge_is_slicing_invariant(spark):
+    """The bottom-k register table is a mergeable sketch: union any
+    slicing's register tables and re-take the bottom k == the
+    one-shot sketch over all rows (the FM max-merge contract, in
+    min-rank form)."""
+    from ulh_etl_spark.operators.sketch import quantile_sample_registers
+
+    rows = [(i, float((i * 37) % 1000)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    whole = quantile_sample_registers(df, "value", "event_id", k=64)
+    s1 = quantile_sample_registers(
+        df.filter(F.col("event_id") % 2 == 0), "value", "event_id", k=64
+    )
+    s2 = quantile_sample_registers(
+        df.filter(F.col("event_id") % 2 == 1), "value", "event_id", k=64
+    )
+    merged = (
+        s1.unionByName(s2).orderBy("h", "key").limit(64)
+    )
+    key = lambda d: sorted(  # noqa: E731
+        (r.h, r.key, r.value) for r in d.collect()
+    )
+    assert key(merged) == key(whole)
+
+
+def test_quantile_estimates_within_rank_bound(spark):
+    """Estimates from a k=256 sample: true CDF of each estimate
+    within 3/sqrt(k) of the requested p, and the estimate is an
+    actual data value (no interpolation)."""
+    from ulh_etl_spark.operators.sketch import (
+        quantile_sample_registers,
+        quantile_sketch_estimates,
+    )
+
+    n = 5000
+    rows = [(i, float((i * 997) % 10007)) for i in range(n)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    reg = quantile_sample_registers(df, "value", "event_id", k=256)
+    probs = (0.1, 0.5, 0.9)
+    est = {
+        r.p: r.estimate
+        for r in quantile_sketch_estimates(reg, probs).collect()
+    }
+    values = sorted(v for _, v in rows)
+    bound = 3.0 / (256 ** 0.5)
+    for p in probs:
+        e = est[p]
+        assert e in set(values)
+        true_cdf = sum(1 for v in values if v <= e) / n
+        assert abs(true_cdf - p) <= bound, (p, true_cdf)
+
+
+def test_quantile_estimates_exact_when_sample_is_whole(spark):
+    """k >= N degenerates to exact quantiles: rank ceil(p * N) of the
+    sorted data."""
+    from ulh_etl_spark.operators.sketch import (
+        quantile_sample_registers,
+        quantile_sketch_estimates,
+    )
+
+    rows = [(i, float(v)) for i, v in enumerate([5, 1, 9, 3, 7, 2, 8])]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    reg = quantile_sample_registers(df, "value", "event_id", k=100)
+    est = {
+        r.p: r.estimate
+        for r in quantile_sketch_estimates(reg, (0.5, 1.0)).collect()
+    }
+    svals = sorted(v for _, v in rows)  # [1,2,3,5,7,8,9]
+    assert est[0.5] == svals[3]  # ceil(0.5*7)=4th -> 5.0
+    assert est[1.0] == svals[6]  # max

@@ -229,3 +229,86 @@ def cms_join_size(
         .cast("bigint")
         .alias("overcount"),
     )
+
+
+# ------------------------------------------------- quantile sketch
+
+
+def quantile_sample_registers(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Mergeable quantile-sketch register table: the ``k`` rows whose
+    portable md5 hash-of-key ranks smallest (ties by key) — a
+    bottom-k hash sample (the KMV construction, Bar-Yossef et al.
+    2002). The hash rank IS the uniform random order, so this is a
+    k-row uniform sample of the stream with NO RNG anywhere — which
+    is what makes the register table a sketch a SQL engine replays
+    exactly, where KLL's randomized compactor coin-flips could not
+    be. Quantile estimates from a k-sample carry the standard
+    eps ~ 1/sqrt(k) rank error (pinned by pytest), the same accuracy
+    class as a KLL sketch of comparable size.
+
+    Mergeable like the FM registers (q176 pattern): union any
+    slicing's register tables and re-take the bottom k — the result
+    equals the one-shot sketch over all rows (a row is in the merged
+    bottom-k iff its hash rank is globally smallest; slicing
+    invariance pinned by pytest). The at-rest table supports
+    incremental maintenance: merge each batch's k rows into the
+    store, never re-reading history.
+
+    Scale: TakeOrdered (orderBy + limit) — each task keeps its local
+    bottom-k, one k-row exchange to the driver-side heap, constant
+    memory at any corpus size.
+
+    Output: (h, key, value), k rows."""
+    from ulh_etl_spark.operators.text import md5_hash32
+
+    h = md5_hash32(
+        F.concat(F.lit("qs_"), F.col(key_col).cast("string"))
+    )
+    return (
+        df.select(
+            h.alias("h"),
+            F.col(key_col).cast("long").alias("key"),
+            F.col(value_col).cast("double").alias("value"),
+        )
+        .orderBy("h", "key")
+        .limit(k)
+    )
+
+
+def quantile_sketch_estimates(registers: DataFrame, probs) -> DataFrame:
+    """Quantile point queries from the register table: the estimate
+    for probability p is the value ranked ceil(p * m) (at least 1)
+    among the m register values, ordered (value, key) — exact
+    integer rank selection inside the sample, no interpolation, so
+    both engines pick the identical row. The registers are k
+    driver-small rows; the single-partition rank window is the
+    sketch's point-query cost, independent of the corpus.
+
+    Output: (p, estimate) — one row per requested probability."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("value", "key")
+    m = registers.agg(F.count("*").cast("long").alias("_m"))
+    ranked = registers.select(
+        "value", "key", F.row_number().over(w).alias("_r")
+    ).crossJoin(F.broadcast(m))
+    pl = registers.sparkSession.range(1).select(
+        F.explode(
+            F.array(*[F.lit(float(p)).cast("double") for p in probs])
+        ).alias("p")
+    )
+    return (
+        pl.crossJoin(F.broadcast(ranked))
+        .filter(
+            F.col("_r")
+            == F.greatest(
+                F.ceil(F.col("p") * F.col("_m")).cast("long"), F.lit(1)
+            )
+        )
+        .select("p", F.col("value").alias("estimate"))
+    )

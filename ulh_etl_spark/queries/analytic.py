@@ -539,8 +539,70 @@ def q176_fm_user_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fm_registers(ev, "user_id", n_registers=_FM_REGISTERS)
 
 
+_QS_K = 256
+_QS_PROBS = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def q192_quantile_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile-sketch register table over events.value
+    (operators.sketch.quantile_sample_registers, k=256): the bottom-k
+    hash sample — the KMV construction with the portable md5 rank as
+    the no-RNG uniform order, completing the sketch family
+    (CMS counts q171, FM distincts q176, now quantiles) with the same
+    contract: integer/hash-deterministic register table, mergeable by
+    union + re-take (slicing invariance pinned by pytest), constant
+    exchange volume (TakeOrdered keeps per-task bottom-k)."""
+    from ulh_etl_spark.operators.sketch import quantile_sample_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    return quantile_sample_registers(ev, "value", "event_id", k=_QS_K)
+
+
+def q193_quantile_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile point queries from the q192 register table, audited
+    against the corpus (the q171 overcount-audit shape): per
+    requested p, the sketch estimate (exact rank selection inside
+    the sample — no interpolation), the TRUE number of corpus values
+    at or below it, and the CDF error |n_le/N - p| — the 1/sqrt(k)
+    rank-error bound surfaced as a column (pinned <= 3/sqrt(k) by
+    pytest). At 100 TB the audit legs run on a sample; the SKETCH
+    leg is the production artifact."""
+    from ulh_etl_spark.operators.sketch import (
+        quantile_sample_registers,
+        quantile_sketch_estimates,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    reg = quantile_sample_registers(ev, "value", "event_id", k=_QS_K)
+    est = quantile_sketch_estimates(reg, _QS_PROBS)
+    n = ev.agg(F.count("*").cast("long").alias("_n"))
+    audited = (
+        est.crossJoin(ev.select(F.col("value").alias("_v")))
+        .groupBy("p", "estimate")
+        .agg(
+            F.sum(F.when(F.col("_v") <= F.col("estimate"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_le")
+        )
+    )
+    return audited.crossJoin(F.broadcast(n)).select(
+        "p",
+        F.round("estimate", 6).alias("estimate"),
+        "n_le",
+        F.round(
+            F.abs(
+                F.col("n_le").cast("double") / F.col("_n").cast("double")
+                - F.col("p")
+            ),
+            6,
+        ).alias("cdf_err"),
+    )
+
+
 QUERIES = {
     "q176_fm_user_registers": q176_fm_user_registers,
+    "q192_quantile_registers": q192_quantile_registers,
+    "q193_quantile_estimates": q193_quantile_estimates,
     "q173_merged_event_stats": q173_merged_event_stats,
     "q125_column_profile": q125_column_profile,
     "q128_event_transitions": q128_event_transitions,
@@ -563,7 +625,49 @@ QUERIES = {
     "q73_price_deciles": q73_price_deciles,
 }
 
+_QS_REG_SQL = f"""
+            SELECT CAST('0x' || substr(md5('qs_' || CAST(event_id AS VARCHAR)),
+                        1, 8) AS BIGINT) AS h,
+                   CAST(event_id AS BIGINT) AS key,
+                   CAST(value AS DOUBLE) AS value
+            FROM events
+            ORDER BY h, key LIMIT {_QS_K}
+"""
+
+_QS_PROBS_SQL = ", ".join(f"(CAST({p!r} AS DOUBLE))" for p in _QS_PROBS)
+
 ORACLES = {
+    "q192_quantile_registers": _QS_REG_SQL,
+    "q193_quantile_estimates": f"""
+        WITH reg AS MATERIALIZED (
+            {_QS_REG_SQL}
+        ), m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS m FROM reg
+        ), ranked AS (
+            SELECT value,
+                   row_number() OVER (ORDER BY value, key) AS r
+            FROM reg
+        ), probs(p) AS (
+            VALUES {_QS_PROBS_SQL}
+        ), est AS MATERIALIZED (
+            SELECT pr.p, rk.value AS estimate
+            FROM probs pr CROSS JOIN m
+            JOIN ranked rk
+              ON rk.r = greatest(CAST(ceil(pr.p * m.m) AS BIGINT), 1)
+        ), n AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events
+        ), audited AS (
+            SELECT e.p, e.estimate,
+                   CAST(SUM(CASE WHEN ev.value <= e.estimate
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_le
+            FROM est e CROSS JOIN events ev
+            GROUP BY e.p, e.estimate
+        )
+        SELECT a.p, ROUND(a.estimate, 6) AS estimate, a.n_le,
+               ROUND(abs(CAST(a.n_le AS DOUBLE) / CAST(n.n AS DOUBLE)
+                         - a.p), 6) AS cdf_err
+        FROM audited a CROSS JOIN n
+    """,
     "q176_fm_user_registers": f"""
         WITH h AS (
             SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
