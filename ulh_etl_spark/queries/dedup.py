@@ -466,20 +466,25 @@ QUERIES = {
     "q158_decontamination_report": q158_decontamination_report,
 }
 
+# bands (self-joined) and edges (recursion base + step) are each
+# referenced twice: AS MATERIALIZED pins them to one evaluation —
+# DuckDB's default CTE inlining re-evaluates a shared CTE per
+# reference (the r10 graph-oracle OOM lesson, applied retroactively
+# per the r10 verdict #9).
 _CC_CTE = f"""WITH RECURSIVE hashed AS (
             SELECT doc_id, {_HS} AS hs FROM documents
         ), sigs AS (
             SELECT doc_id,
                {_SIG_COLS}
             FROM hashed
-        ), bands AS (
+        ), bands AS MATERIALIZED (
 {_BAND_SELECTS}
         ), pairs AS (
             SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
             FROM bands a JOIN bands b
               ON a.band_idx = b.band_idx AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id
-        ), edges AS (
+        ), edges AS MATERIALIZED (
             SELECT id1 AS a, id2 AS b FROM pairs
             UNION
             SELECT id2, id1 FROM pairs

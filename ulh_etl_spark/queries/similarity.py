@@ -1460,14 +1460,14 @@ ORACLES = {
         GROUP BY br.query_id
     """,
     "q160_semantic_clusters": f"""
-        WITH RECURSIVE knn AS (
+        WITH RECURSIVE knn AS MATERIALIZED (
             {_Q186_SQL}
         ), mut AS (
             SELECT f.vec_id AS id1, f.neighbor_id AS id2
             FROM knn f JOIN knn r
               ON f.vec_id = r.neighbor_id AND f.neighbor_id = r.vec_id
             WHERE f.vec_id < f.neighbor_id
-        ), edges AS (
+        ), edges AS MATERIALIZED (
             SELECT id1 AS a, id2 AS b FROM mut
             UNION
             SELECT id2, id1 FROM mut
