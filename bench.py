@@ -157,6 +157,9 @@ HEADLINE = (
     "q191_unigram_fertility",
     "q192_quantile_registers",
     "q193_quantile_estimates",
+    "q194_group_sample",
+    "q195_char_entropy",
+    "q196_length_batches",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",

@@ -506,3 +506,42 @@ def test_quantile_estimates_exact_when_sample_is_whole(spark):
     svals = sorted(v for _, v in rows)  # [1,2,3,5,7,8,9]
     assert est[0.5] == svals[3]  # ceil(0.5*7)=4th -> 5.0
     assert est[1.0] == svals[6]  # max
+
+
+def test_group_bottomk_sample_fixed_budget_and_mergeable(spark):
+    """Exactly min(k, group size) rows per group regardless of skew;
+    per-group merge of slicings equals the one-shot sample."""
+    from ulh_etl_spark.operators.sketch import group_bottomk_sample
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string")
+    out = group_bottomk_sample(df, "event_type", "event_id", k=8).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.event_type, []).append((r.h, r.event_id))
+    assert len(by_grp["big"]) == 8 and len(by_grp["small"]) == 8
+
+    s1 = group_bottomk_sample(
+        df.filter(F.col("event_id") % 2 == 0), "event_type", "event_id", k=8
+    )
+    s2 = group_bottomk_sample(
+        df.filter(F.col("event_id") % 2 == 1), "event_type", "event_id", k=8
+    )
+    from pyspark.sql import Window
+
+    merged = (
+        s1.unionByName(s2)
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("h", "event_id")
+            ),
+        )
+        .filter(F.col("r") <= 8)
+    )
+    key = lambda d: sorted(  # noqa: E731
+        (r.event_type, r.h, r.event_id) for r in d.collect()
+    )
+    assert key(merged) == key(
+        group_bottomk_sample(df, "event_type", "event_id", k=8)
+    )

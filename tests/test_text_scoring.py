@@ -1644,3 +1644,54 @@ def test_unigram_fertility_matches_reference_model(spark):
     assert got == want
     # every word is segmentable: piece counts at least 1 per word
     assert all(uni >= ws for ws, uni in got.values())
+
+
+def test_char_entropy_known_distributions(spark):
+    """Uniform alphabet -> log2(|alphabet|); constant char -> 0;
+    empty doc -> NULL; general case matches the closed form."""
+    import math
+
+    from ulh_etl_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "abcdabcdabcd"),   # uniform over 4 chars -> 2.0
+            (2, "aaaaaa"),          # constant -> 0.0
+            (3, ""),                # empty -> NULL
+            (4, "aab"),             # 2/3, 1/3
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_chars_counted, r.entropy_bits)
+        for r in char_entropy(df, "text", "doc_id").collect()
+    }
+    assert out[1] == (12, 2.0)
+    assert out[2] == (6, 0.0)
+    assert out[3] == (None, None)
+    h = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert out[4][0] == 3 and abs(out[4][1] - h) < 1e-6
+
+
+def test_length_bucket_batches_shape(spark):
+    """Buckets are monotone in token count, every batch holds at most
+    batch_size docs, batch ids are dense from 0 per bucket."""
+    from ulh_etl_spark.operators.text import length_bucket_batches
+
+    rows = [(i, "w " * ((i % 40) + 1)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = length_bucket_batches(
+        df, "text", "doc_id", probs=(0.5,), sketch_k=500, batch_size=16
+    ).collect()
+    assert len(out) == 200
+    assert {r.bucket for r in out} <= {0, 1}
+    max_b0 = max(r.n_tokens for r in out if r.bucket == 0)
+    min_b1 = min(r.n_tokens for r in out if r.bucket == 1)
+    assert max_b0 <= min_b1  # monotone buckets
+    from collections import Counter
+
+    sizes = Counter((r.bucket, r.batch_id) for r in out)
+    assert all(v <= 16 for v in sizes.values())
+    for b in {r.bucket for r in out}:
+        ids = sorted(bid for (bb, bid) in sizes if bb == b)
+        assert ids == list(range(len(ids)))  # dense from 0

@@ -312,3 +312,45 @@ def quantile_sketch_estimates(registers: DataFrame, probs) -> DataFrame:
         )
         .select("p", F.col("value").alias("estimate"))
     )
+
+
+def group_bottomk_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 16,
+    salt: str = "gs",
+) -> DataFrame:
+    """Fixed-budget per-group uniform sample: each group's k rows
+    with the smallest portable md5 rank (ties by key) —
+    :func:`quantile_sample_registers`' bottom-k construction,
+    stratified. Where q65's rate sample scales each stratum's output
+    with its size, this pins EXACTLY k rows per group however skewed
+    the group sizes — the eval-set builder's contract ("256 docs per
+    language") and, like every bottom-k sketch, mergeable per group
+    (union two slicings' samples, re-take the per-group bottom k).
+
+    Scale: ONE shuffle on the group key for the rank window; the
+    window scans each group once and emits k rows. For a group count
+    small enough to broadcast, the same semantics could run as a
+    TakeOrdered per group, but the window form needs no group
+    enumeration.
+
+    Output: (group_col, key_col, h, grank), k rows per group."""
+    from pyspark.sql import Window
+
+    from ulh_etl_spark.operators.text import md5_hash32
+
+    h = md5_hash32(
+        F.concat(F.lit(f"{salt}_"), F.col(key_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy("h", key_col)
+    return (
+        df.select(
+            F.col(group_col),
+            F.col(key_col),
+            h.alias("h"),
+        )
+        .withColumn("grank", F.row_number().over(w).cast("int"))
+        .filter(F.col("grank") <= k)
+    )

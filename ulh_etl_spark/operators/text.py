@@ -1580,6 +1580,57 @@ def kneser_ney_bigram_scores(
     return df.select(id_col).join(per_doc, id_col, "left")
 
 
+def char_entropy(df, text_col: str, id_col: str):
+    """Exact Shannon entropy (bits/char) of each document's character
+    distribution — the information-density quality signal next to the
+    zlib proxy (:func:`compression_ratio`): templated/repetitive text
+    sits far below natural prose (~4 bits/char English), key-mashing
+    noise above it. Unlike the zlib leg this is PURE SQL, so it is
+    fully oracle-checkable.
+
+    Float determinism: H = log2(n) - (sum_c count_c * log2(count_c))
+    / n, and the sum folds over the per-char counts SORTED BY
+    CHARACTER (array_sort + sequential F.aggregate), so both engines
+    accumulate the identical doubles in the identical order — the
+    same discipline as every dot-product oracle in the repo.
+
+    Scale: explode chars -> one (id, char) groupBy -> one id groupBy
+    (both uniform keys); the fold runs over <= |alphabet| entries per
+    doc. Empty documents report NULL entropy (no distribution to
+    measure).
+
+    Output: (id_col, n_chars_counted, entropy_bits)."""
+    chars = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "")).alias("_ch"),
+    ).filter(F.col("_ch") != "")
+    counts = chars.groupBy(id_col, "_ch").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("_n"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_ch"), F.col("_c")))
+        ).alias("_arr"),
+    )
+    term_sum = F.aggregate(
+        F.col("_arr"),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + s["_c"].cast("double") * F.log2(s["_c"].cast("double")),
+    )
+    scored = per_doc.select(
+        F.col(id_col),
+        F.col("_n").alias("n_chars_counted"),
+        F.round(
+            F.log2(F.col("_n").cast("double"))
+            - term_sum / F.col("_n").cast("double"),
+            6,
+        ).alias("entropy_bits"),
+    )
+    return df.select(id_col).join(scored, id_col, "left")
+
+
 def compression_ratio(df, text_col: str, id_col: str, level: int = 6):
     """zlib compression ratio per document (compressed bytes / raw
     bytes) — the cheap entropy proxy quality pipelines use alongside
@@ -2502,6 +2553,67 @@ def unigram_fertility(
         F.coalesce(F.col("_uni"), F.lit(0))
         .cast("long")
         .alias("n_unigram_tokens"),
+    )
+
+
+def length_bucket_batches(
+    df,
+    text_col: str,
+    id_col: str,
+    probs=(0.25, 0.5, 0.75),
+    sketch_k: int = 256,
+    batch_size: int = 32,
+):
+    """Length-bucketed inference batching: bucket documents by token
+    count at the corpus quantiles, then chunk each bucket into
+    fixed-size batches in deterministic id order — the standard
+    padding-minimization layout for batched inference/embedding jobs
+    (a batch of like-length docs pads to its own max, not the corpus
+    max). The bucket BOUNDARIES come from the mergeable quantile
+    sketch (sketch.quantile_sample_registers + estimates over the
+    per-doc token counts), so at 100 TB the boundary pass reads k
+    sample rows from the at-rest register table instead of sorting
+    the corpus — and the whole layout is reproducible because the
+    sketch is hash-deterministic.
+
+    bucket(doc) = number of boundary estimates strictly below the
+    doc's token count (0..len(probs)); batch_id = 0-based chunk index
+    of row_number within the bucket ordered by id. One shuffle for
+    the bucket window (len(probs)+1 partitions x even hash spread —
+    for heavy skew raise len(probs)).
+
+    Output: (id_col, n_tokens, bucket, batch_id)."""
+    from ulh_etl_spark.operators.sketch import (
+        quantile_sample_registers,
+        quantile_sketch_estimates,
+    )
+    from pyspark.sql import Window
+
+    per = df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    reg = quantile_sample_registers(per, "n_tokens", id_col, k=sketch_k)
+    est = quantile_sketch_estimates(reg, probs)
+    bucketed = (
+        per.crossJoin(F.broadcast(est))
+        .groupBy(id_col, "n_tokens")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("n_tokens").cast("double") > F.col("estimate"), 1
+                ).otherwise(0)
+            )
+            .cast("int")
+            .alias("bucket")
+        )
+    )
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    return bucketed.withColumn(
+        "batch_id",
+        F.floor(
+            (F.row_number().over(w) - F.lit(1)) / F.lit(batch_size)
+        ).cast("long"),
     )
 
 

@@ -599,10 +599,28 @@ def q193_quantile_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GS_K = 16
+
+
+def q194_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget per-group uniform sample: each event type's 16
+    events with the smallest md5 rank (operators.sketch.
+    group_bottomk_sample) — q192's bottom-k sketch, stratified.
+    Where q65's rate sample scales output with stratum size, this
+    pins EXACTLY k rows per group however skewed the groups (the
+    "256 eval docs per language" contract), stays mergeable per
+    group, and costs one rank-window shuffle on the group key."""
+    from ulh_etl_spark.operators.sketch import group_bottomk_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    return group_bottomk_sample(ev, "event_type", "event_id", k=_GS_K)
+
+
 QUERIES = {
     "q176_fm_user_registers": q176_fm_user_registers,
     "q192_quantile_registers": q192_quantile_registers,
     "q193_quantile_estimates": q193_quantile_estimates,
+    "q194_group_sample": q194_group_sample,
     "q173_merged_event_stats": q173_merged_event_stats,
     "q125_column_profile": q125_column_profile,
     "q128_event_transitions": q128_event_transitions,
@@ -637,6 +655,20 @@ _QS_REG_SQL = f"""
 _QS_PROBS_SQL = ", ".join(f"(CAST({p!r} AS DOUBLE))" for p in _QS_PROBS)
 
 ORACLES = {
+    "q194_group_sample": f"""
+        WITH hh AS (
+            SELECT event_type, CAST(event_id AS BIGINT) AS event_id,
+                   CAST('0x' || substr(md5('gs_' ||
+                        CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+            FROM events
+        )
+        SELECT event_type, event_id, h, CAST(rn AS INT) AS grank
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY event_type
+                                         ORDER BY h, event_id) AS rn
+            FROM hh
+        ) WHERE rn <= {_GS_K}
+    """,
     "q192_quantile_registers": _QS_REG_SQL,
     "q193_quantile_estimates": f"""
         WITH reg AS MATERIALIZED (

@@ -1029,6 +1029,38 @@ def q162_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q195_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shannon entropy (bits/char) per document
+    (operators.text.char_entropy) — the fully-SQL-checkable
+    information-density quality signal next to q97's zlib proxy:
+    templated text scores low, natural prose ~4 bits, noise high.
+    The per-char term sum folds in sorted-character order so both
+    engines accumulate identical doubles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.char_entropy(docs, "text", "doc_id")
+
+
+_LB_PROBS = (0.25, 0.5, 0.75)
+_LB_BATCH = 32
+_LB_SKETCH_K = 256
+
+
+def q196_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed inference batching (operators.text.
+    length_bucket_batches): bucket docs by token count at the
+    quartiles, then chunk each bucket into 32-doc batches in id
+    order — the padding-minimization layout for batched embedding /
+    inference jobs. The quartile boundaries come from the q192
+    mergeable quantile sketch over token counts, so the boundary
+    pass reads k register rows, never sorts the corpus — the sketch
+    family composing into a layout decision."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.length_bucket_batches(
+        docs, "text", "doc_id",
+        probs=_LB_PROBS, sketch_k=_LB_SKETCH_K, batch_size=_LB_BATCH,
+    )
+
+
 UNI_VOCAB = 256
 UNI_ROUNDS = 2
 
@@ -1267,6 +1299,8 @@ QUERIES = {
     "q162_token_fertility": q162_token_fertility,
     "q190_unigram_vocab": q190_unigram_vocab,
     "q191_unigram_fertility": q191_unigram_fertility,
+    "q195_char_entropy": q195_char_entropy,
+    "q196_length_batches": q196_length_batches,
     "q163_shard_balance": q163_shard_balance,
     "q165_dirichlet_qlm": q165_dirichlet_qlm,
     "q166_posting_stats": q166_posting_stats,
@@ -2891,3 +2925,65 @@ ORACLES["q190_unigram_vocab"] = _unigram_vocab_oracle_sql(
 ORACLES["q191_unigram_fertility"] = _unigram_fertility_oracle_sql(
     UNI_VOCAB, UNI_ROUNDS
 )
+
+
+ORACLES["q195_char_entropy"] = """
+        WITH ch AS (
+            SELECT doc_id, u.c AS ch
+            FROM documents, unnest(string_split(text, '')) AS u(c)
+            WHERE u.c <> ''
+        ), cnts AS (
+            SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+            FROM ch GROUP BY doc_id, ch
+        ), per AS (
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+                   list_sum(list_transform(
+                       list({'ch': ch, 'c': c} ORDER BY ch, c),
+                       s -> CAST(s.c AS DOUBLE)
+                            * log2(CAST(s.c AS DOUBLE)))) AS ts
+            FROM cnts GROUP BY doc_id
+        )
+        SELECT d.doc_id, p.n AS n_chars_counted,
+               ROUND(log2(CAST(p.n AS DOUBLE))
+                     - p.ts / CAST(p.n AS DOUBLE), 6) AS entropy_bits
+        FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+"""
+
+_LB_PROBS_SQL = ", ".join(f"(CAST({p!r} AS DOUBLE))" for p in _LB_PROBS)
+
+ORACLES["q196_length_batches"] = f"""
+        WITH per AS MATERIALIZED (
+            SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+            FROM documents
+        ), reg AS MATERIALIZED (
+            SELECT CAST('0x' || substr(md5('qs_' ||
+                        CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h,
+                   CAST(doc_id AS BIGINT) AS key,
+                   CAST(n_tokens AS DOUBLE) AS value
+            FROM per ORDER BY h, key LIMIT {_LB_SKETCH_K}
+        ), m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS m FROM reg
+        ), ranked AS (
+            SELECT value, row_number() OVER (ORDER BY value, key) AS r
+            FROM reg
+        ), probs(p) AS (
+            VALUES {_LB_PROBS_SQL}
+        ), est AS MATERIALIZED (
+            SELECT pr.p, rk.value AS estimate
+            FROM probs pr CROSS JOIN m
+            JOIN ranked rk
+              ON rk.r = greatest(CAST(ceil(pr.p * m.m) AS BIGINT), 1)
+        ), b AS (
+            SELECT per.doc_id, per.n_tokens,
+                   CAST(SUM(CASE WHEN CAST(per.n_tokens AS DOUBLE)
+                                      > e.estimate
+                                 THEN 1 ELSE 0 END) AS INT) AS bucket
+            FROM per CROSS JOIN est e
+            GROUP BY per.doc_id, per.n_tokens
+        )
+        SELECT doc_id, n_tokens, bucket,
+               CAST((row_number() OVER (PARTITION BY bucket
+                                        ORDER BY doc_id) - 1)
+                    // {_LB_BATCH} AS BIGINT) AS batch_id
+        FROM b
+"""
