@@ -297,7 +297,11 @@ ANCHOR = {
     # q109: re-anchored after the r10 endpoint-sampled audit change
     "q109_minhash_estimate": 0.953,
     "q159_knn_graph": 3.303,
-    "q160_semantic_clusters": 8.691,
+    # r11 re-anchor: q160's mutual edges now come from the nprobe=2
+    # multi-probe graph (2x candidate relation, denser mutual edges
+    # into the components rounds) — the recall fix the r10 verdict
+    # asked for, paid for once here.
+    "q160_semantic_clusters": 17.817,
     "q161_unimax_mix": 0.346,
     "q162_token_fertility": 0.317,
     "q163_shard_balance": 0.52,
@@ -327,6 +331,18 @@ ANCHOR = {
     "q183_peak_concurrency": 1.23,
     "q184_mad_anomalies": 0.863,
     "q185_join_size_sketch": 2.697,
+    # r11 batch (min-of-3 warm, quiet box, post single-pass nprobe fix)
+    "q186_knn_graph_multiprobe": 8.995,
+    "q187_knn_recall_uplift": 2.508,
+    "q188_nn_descent": 10.488,
+    "q189_nn_descent_recall": 2.901,
+    "q190_unigram_vocab": 7.259,
+    "q191_unigram_fertility": 5.018,
+    "q192_quantile_registers": 0.216,
+    "q193_quantile_estimates": 0.559,
+    "q194_group_sample": 0.342,
+    "q195_char_entropy": 0.702,
+    "q196_length_batches": 0.542,
     # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's
     # cost is the in-order pair fan-out (O(sum basket²), baskets ~4).
     "q128_event_transitions": 0.735,
