@@ -226,7 +226,7 @@ ANCHOR = {
     # the per-round fixed overhead of the loop (lazy checkpoint +
     # convergence scalar), which amortizes at scale; the q102 value
     # is the post-pointer-jump measurement (5.56 s before it).
-    "q102_neardup_collapse": 4.972,
+    "q102_neardup_collapse": 3.941,  # r11: star-contraction CC
     "q103_phash_neardup_pairs": 0.928,
     "q104_dsir_importance": 1.363,
     "q105_phash_neardup_clusters": 2.380,
@@ -292,16 +292,17 @@ ANCHOR = {
     "q156_lang_agreement": 2.269,
     # components-fixpoint family: cost is the per-round loop overhead
     # (q102's anchor rationale), amortizing at scale
-    "q157_leakage_free_split": 5.934,
+    "q157_leakage_free_split": 3.534,  # r11: star-contraction CC
     "q158_decontamination_report": 1.840,
     # q109: re-anchored after the r10 endpoint-sampled audit change
     "q109_minhash_estimate": 0.953,
     "q159_knn_graph": 3.303,
-    # r11 re-anchor: q160's mutual edges now come from the nprobe=2
-    # multi-probe graph (2x candidate relation, denser mutual edges
-    # into the components rounds) — the recall fix the r10 verdict
-    # asked for, paid for once here.
-    "q160_semantic_clusters": 17.817,
+    # r11 re-anchor: mutual edges now come from the nprobe=2
+    # multi-probe graph (the r10 verdict's recall fix), and the
+    # components engine is the O(log n) star contraction + the kNN
+    # build is persisted under the mutual join — net FASTER than the
+    # r10 single-probe 8.691 despite 2x candidates.
+    "q160_semantic_clusters": 4.283,
     "q161_unimax_mix": 0.346,
     "q162_token_fertility": 0.317,
     "q163_shard_balance": 0.52,
@@ -314,12 +315,12 @@ ANCHOR = {
     # anchor covers the cell join); pagerank adds 3 bounded
     # join+agg rounds, triangles one wedge self-join
     "q169_knn_pagerank": 2.674,
-    "q170_knn_triangles": 4.42,
+    "q170_knn_triangles": 3.138,  # r11: mutual-edge persist
     "q171_cms_heavy_hitters": 1.594,
     "q172_salted_priority_totals": 1.738,
     "q173_merged_event_stats": 0.411,
     "q174_embedding_ks_drift": 0.408,
-    "q175_label_propagation": 4.394,
+    "q175_label_propagation": 2.073,  # r11: mutual-edge persist
     "q176_fm_user_registers": 0.611,
     "q177_bloom_join_reduction": 3.036,
     "q178_gap_fill_daily": 0.522,
@@ -332,9 +333,9 @@ ANCHOR = {
     "q184_mad_anomalies": 0.863,
     "q185_join_size_sketch": 2.697,
     # r11 batch (min-of-3 warm, quiet box, post single-pass nprobe fix)
-    "q186_knn_graph_multiprobe": 8.995,
+    "q186_knn_graph_multiprobe": 6.539,
     "q187_knn_recall_uplift": 2.508,
-    "q188_nn_descent": 10.488,
+    "q188_nn_descent": 8.557,
     "q189_nn_descent_recall": 2.901,
     "q190_unigram_vocab": 7.259,
     "q191_unigram_fertility": 5.018,

@@ -788,28 +788,36 @@ def connected_components(
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair relation via
-    min-label propagation — the exact grouping for near-duplicate
-    clusters (the single-pass keep-lowest rule in curation only
-    approximates this; transitive chains A~B~C need the fixpoint).
+    alternating large-star / small-star contraction (Kiveris,
+    Lattanzi, Mirrokni, Rastogi & Vassilvitskii, SoCC'14 "Connected
+    components in MapReduce and beyond") — the exact grouping for
+    near-duplicate clusters (the single-pass keep-lowest rule in
+    curation only approximates this; transitive chains A~B~C need
+    the fixpoint).
 
-    Algorithm: every node starts labeled with itself; each round a
-    node takes the min of its own and its neighbors' labels, then
-    POINTER-JUMPS — replaces its label with its label's label (labels
-    are node ids, so one self-join compresses every chain by half);
-    stop when a round changes nothing. Rounds = O(log diameter)
-    (plain neighbor-min is O(diameter): measured on the sf0.1 minhash
-    candidate graph, whose chains reach depth ~12, jumping converges
-    in 7 rounds vs 13 — wall-neutral locally where per-round job
-    overhead dominates, and strictly fewer full-label shuffles at
-    cluster scale, where rounds are the cost). Each round is two
-    joins + one partial-aggregated groupBy on uniformly hashed node
-    ids; the jump join's probe side is many-to-one onto component
-    roots — a giant component makes that key hot, which AQE skew-join
-    splits (it is a plain join, not a window). The driver loop holds
-    only a changed-count per round (same shape as kmeans_refine's
-    iteration). GraphFrames' large-star/small-star is the same family
-    of contraction; min-propagation + jumping keeps this
-    dependency-free.
+    Per round, two phases over the current edge set E:
+
+    - large-star(u): every neighbor v > u re-attaches to
+      m = min(N(u) ∪ {u}) — hooks high nodes downward.
+    - small-star(u): every neighbor v <= u, and u itself, attaches
+      to m — contracts the low side into the local minimum.
+
+    The fixpoint is a forest of stars whose centers are each
+    component's MIN node id, reached in O(log n) rounds REGARDLESS
+    of component diameter. That diameter independence is why this
+    replaced the previous min-label-propagation + pointer-jump loop
+    (r11): label flooding travels O(1) hops per round, so a 457-node
+    near-tree component in the sparse mutual-kNN graph needed 40+
+    rounds (466 s at sf0.1) where star contraction needs ~6. A kNN
+    or minhash-band graph at 100 TB has exactly those long thin
+    chains, so round count — each a full shuffle barrier — is the
+    scale cost that matters.
+
+    Each phase is one partial-aggregated min per node + one join +
+    one distinct, all on uniformly hashed node ids; a giant
+    component's root is a hot JOIN key late in the contraction,
+    which AQE skew-join splits (plain joins, no windows). The driver
+    loop holds only a changed-flag per round.
 
     Output: (node, component) — component = min node id reachable.
 
@@ -818,11 +826,9 @@ def connected_components(
     ``localCheckpoint`` — local checkpoint blocks live on executors,
     so one lost executor aborts a long iterative job; reliable
     checkpoint survives it. Default stays local (no extra I/O) for
-    short local runs.
-    """
-    # eager=False: the changed-count agg right after each checkpoint
-    # is the materializing action, so a lazy checkpoint saves one
-    # full job per round with identical semantics.
+    short local runs. Checkpointing per phase also cuts the doubling
+    lineage (each phase reads its predecessor twice: the undirected
+    union)."""
     if checkpoint_dir is not None:
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
@@ -834,79 +840,89 @@ def connected_components(
         def _ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=False)
 
-    edges = pairs.select(
-        F.col(id1).alias("src"), F.col(id2).alias("dst")
-    )
-    # undirected: propagate both ways
-    edges = (
-        edges.union(
-            edges.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            )
+    def _star_min(und: DataFrame) -> DataFrame:
+        # m(u) = min(N(u) + {u}) — the local attachment target
+        return (
+            und.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least(F.col("u"), F.col("_mn")).alias("m"))
         )
+
+    def _undirected(e: DataFrame) -> DataFrame:
+        return e.select(
+            F.col("hi").alias("u"), F.col("lo").alias("v")
+        ).union(e.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
+
+    edges = _ckpt(
+        pairs.select(
+            F.greatest(F.col(id1), F.col(id2)).alias("hi"),
+            F.least(F.col(id1), F.col(id2)).alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    # Checkpoint per round, NOT just persist: the labels frame feeds
-    # the next round twice (neighbor join + carry-over), so the
-    # un-truncated lineage doubles every iteration and the analyzer
-    # OOMs around round 15. Checkpointing materializes the round and
-    # cuts the plan — the standard iterative-Spark shape.
-    labels = _ckpt(
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
     )
 
     converged = False
     prev = None
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("component").alias("nbr_min"))
+        # large-star: (v, m(u)) for v in N(u), v > u
+        und = _undirected(edges)
+        ls = _ckpt(
+            und.join(_star_min(und), "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
         )
-        tent = labels.join(neighbor_min, "node", "left").select(
-            "node",
-            F.least(
-                F.col("component"),
-                F.coalesce(F.col("nbr_min"), F.col("component")),
-            ).alias("_c1"),
-            F.col("component").alias("_old"),
-        )
-        # Pointer jump: component <- tent-label OF the tentative
-        # label. Labels only ever hold node ids with l[x] <= x, so
-        # the parent row always exists (inner join) and the jumped
-        # label stays within the component while halving chain depth.
-        parent = tent.select(
-            F.col("node").alias("_pn"), F.col("_c1").alias("_pc")
-        )
-        new_labels = _ckpt(
-            tent.join(parent, tent["_c1"] == parent["_pn"]).select(
-                "node",
-                F.col("_pc").alias("component"),
-                (F.col("_pc") < F.col("_old")).cast("long").alias("_changed"),
+        # small-star: (v, m(u)) for v in N(u) + {u}, v <= u
+        und1 = _undirected(ls)
+        mins1 = _star_min(und1)
+        ss = _ckpt(
+            und1.join(mins1, "u")
+            .filter(F.col("v") <= F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .union(
+                mins1.select(
+                    F.col("u").alias("hi"), F.col("m").alias("lo")
+                )
             )
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
         )
-        changed = new_labels.agg(F.sum("_changed")).collect()[0][0] or 0
-        # release the previous round's checkpoint blocks — they'd
-        # otherwise accumulate O(rounds x nodes) dead storage across
-        # a long-lived session
+        same = (
+            ss.count() == edges.count()
+            and ss.join(edges, ["hi", "lo"], "left_anti").isEmpty()
+        )
         if prev is not None:
             prev.unpersist()
-        prev, labels = new_labels, new_labels.drop("_changed")
-        if changed == 0:
+        ls.unpersist()
+        prev, edges = edges, ss
+        if same:
             converged = True
             break
-    edges.unpersist()
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            "(a component's diameter exceeds max_iter); raise max_iter — "
-            "returning partial labels would silently split clusters."
+            "(star contraction needs O(log n) — this graph would need "
+            "a higher max_iter); returning partial labels would "
+            "silently split clusters."
         )
+    nodes = (
+        pairs.select(F.col(id1).alias("node"))
+        .union(pairs.select(F.col(id2).alias("node")))
+        .distinct()
+    )
+    labels = nodes.join(
+        edges.select(
+            F.col("hi").alias("node"), F.col("lo").alias("component")
+        ),
+        "node",
+        "left",
+    ).select(
+        "node",
+        F.coalesce(F.col("component"), F.col("node")).alias("component"),
+    )
     return labels
-
 
 def collapse_neardup_best(
     labels: DataFrame,

@@ -804,7 +804,17 @@ def mutual_knn_edges(
     kNN graph). One equality join on the canonical (id1 < id2) pair
     key — never revisits the vectors.
 
+    The kNN input is persisted here: the fwd/rev legs would otherwise
+    each re-evaluate the ENTIRE kNN build (cell join + rank window),
+    and downstream graph consumers (_undirect's union, the components
+    rounds) multiply the references further — the r11 sf10 probe
+    caught q169 paying the kNN build 4x (the single most expensive
+    subtree in the graph family) before this persist.
+
     Output: (id1, id2) with id1 < id2."""
+    from pyspark.storagelevel import StorageLevel
+
+    knn = knn.persist(StorageLevel.MEMORY_AND_DISK)
     fwd = knn.filter(F.col(id_col) < F.col("neighbor_id")).select(
         F.col(id_col).alias("id1"), F.col("neighbor_id").alias("id2")
     )

@@ -28,11 +28,13 @@ _SIMHASH_BITS = 16
 # id) — uniform 1/K^2 inclusion per pair, and the filter lands BELOW
 # the band join so the clique enumeration shrinks ~K^2 (a per-pair
 # key still enumerates the full output-bound relation: 53 s full /
-# 20 s pair-keyed / ~2 s endpoint-keyed at sf1). 9 leaves ~6 gate
-# rows at sf0.01 and ~0.6M audited pairs at sf1 (r10 verdict: MOD=6
-# measured 7.0 s at sf1 vs the declared <5 s bar; the error
-# DISTRIBUTION is unchanged — inclusion stays uniform per pair).
-_PAIR_SAMPLE_MOD = 9
+# 20 s pair-keyed / ~2 s endpoint-keyed at sf1). 12 leaves 5 gate
+# rows at sf0.01 and ~0.3M audited pairs at sf1 (r10 verdict: MOD=6
+# measured 7.0 s at sf1 vs the declared <5 s bar; MOD=9 still 5.4 s —
+# the floor is the signature+band build, which the modulus cannot
+# shrink. The error DISTRIBUTION is unchanged at any modulus —
+# inclusion stays uniform per pair).
+_PAIR_SAMPLE_MOD = 12
 
 
 def q34_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -106,13 +106,27 @@ def _centroids(emb: DataFrame) -> DataFrame:
     )
 
 
-# Within-cell SELF-JOIN queries (q46/q100) must grow the cell count
-# with the corpus: a FIXED C leaves cell size ∝ N and within-cell
-# pairs ∝ N²/C — measured at 10x sf0.1, q100 ran 15.1 s (exponent
-# 0.85) with C=8 vs 3.0 s near-linear with C = N/250. Probe-style
-# queries (q42/q86/q96/q119) keep the fixed seed: their per-query
-# work is ∝ cell size (linear in N), and their scale story is
-# partition pruning, not pair volume.
+# Within-cell SELF-JOIN queries (q46/q100/the kNN-graph family) must
+# grow the cell count with the corpus: a FIXED C leaves cell size
+# ∝ N and within-cell pairs ∝ N²/C — measured at 10x sf0.1, q100 ran
+# 15.1 s (exponent 0.85) with C=8 vs 3.0 s near-linear with
+# C = N/250. Probe-style queries (q42/q86/q96/q119) keep the fixed
+# seed: their per-query work is ∝ cell size, and their scale story
+# is partition pruning, not pair volume.
+#
+# The cell-count choice has TWO cost terms — assignment is N·C
+# centroid distances, candidate pairs are N·cell_size = N²/C — so
+# the sum-balanced choice would be C = sqrt(rN) with r the
+# pair:assignment unit-cost ratio. r11 MEASURED that trade: at
+# C = sqrt(N) (70 cells at sf0.1 vs 20) q169 ran 8.0 s vs 3.5 s —
+# locally r < 1 (one interpreted-HOF centroid distance costs about
+# as much as one joined-pair cosine), so N/250 stays optimal until
+# N approaches 250² x r⁻¹ per the crossover. Past that, the right
+# move is NOT a bigger flat C (the literal-array argmin would pay
+# N·C regardless) but a TWO-LEVEL coarse quantizer — sqrt(C) coarse
+# cells, then fine argmin within the coarse cell — the standard IVF
+# sizing. Documented here so the next scale decade changes the
+# assignment STRUCTURE, not this constant.
 _TARGET_CELL_SIZE = 250
 
 
