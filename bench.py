@@ -160,6 +160,7 @@ HEADLINE = (
     "q194_group_sample",
     "q195_char_entropy",
     "q196_length_batches",
+    "q197_cell_skew_canary",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",
@@ -344,6 +345,7 @@ ANCHOR = {
     "q194_group_sample": 0.342,
     "q195_char_entropy": 0.702,
     "q196_length_batches": 0.542,
+    "q197_cell_skew_canary": 0.709,
     # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's
     # cost is the in-order pair fan-out (O(sum basket²), baskets ~4).
     "q128_event_transitions": 0.735,

@@ -833,7 +833,35 @@ def q181_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q197_cell_skew_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-size skew canary for every cell-blocked pair stage: one
+    groupBy over the adaptive IVF assignment reporting cell count,
+    avg/max cell size, and the exact within-cell candidate-pair total
+    (sum of cell²) — the number that decides whether a near-dup /
+    kNN / SemDeDup job is runnable BEFORE paying for it. The r11
+    second-decade probe motivated it: at sf10 the id-ordered seed
+    left one cell with 46% of the corpus (max 91,325 vs avg 250) and
+    8.6e9 candidate pairs — a >80-minute wall that this one-shuffle
+    report would have predicted in seconds. Max/avg is the skew
+    signal; candidate_pairs is the cost forecast (SCALE.md r11)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sizes = (
+        S.ivf_assign(emb, _adaptive_centroids(emb))
+        .groupBy("cell")
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    return sizes.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.round(F.avg(F.col("_n").cast("double")), 6).alias("avg_cell"),
+        F.max("_n").cast("long").alias("max_cell"),
+        F.sum(F.col("_n") * F.col("_n")).cast("long").alias(
+            "candidate_pairs"
+        ),
+    )
+
+
 QUERIES = {
+    "q197_cell_skew_canary": q197_cell_skew_canary,
     "q181_embedding_outliers": q181_embedding_outliers,
     "q175_label_propagation": q175_label_propagation,
     "q169_knn_pagerank": q169_knn_pagerank,
@@ -1320,6 +1348,27 @@ ORACLES = {
     "q174_embedding_ks_drift": _KS_SQL,
     "q168_embedding_drift": _psi_oracle_sql(),
     "q159_knn_graph": _Q159_SQL,
+    "q197_cell_skew_canary": f"""
+        WITH c AS (
+            SELECT vec_id AS centroid_id, embedding AS centroid_vec
+            FROM embeddings WHERE vec_id < {_ADAPTIVE_C_SQL}
+        ), assigned AS (
+            SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.centroid_id AS cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {_SQDIST}, c.centroid_id) AS rn
+                FROM embeddings e, c
+            ) WHERE rn = 1
+        ), sizes AS (
+            SELECT cell, CAST(COUNT(*) AS BIGINT) AS n
+            FROM assigned GROUP BY cell
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               ROUND(AVG(CAST(n AS DOUBLE)), 6) AS avg_cell,
+               CAST(MAX(n) AS BIGINT) AS max_cell,
+               CAST(SUM(n * n) AS BIGINT) AS candidate_pairs
+        FROM sizes
+    """,
     "q186_knn_graph_multiprobe": _Q186_SQL,
     "q187_knn_recall_uplift": f"""
         WITH c AS (
