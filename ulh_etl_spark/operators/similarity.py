@@ -718,8 +718,8 @@ def nn_descent_round(
     (measured: zero recall change at every SF). Seed from a graph
     with cross-cell edges — the nprobe>=2 graph (a neighbor's OTHER
     probed cell becomes reachable) or the paper's random init. On
-    the synthetic corpus the nprobe=2 seed refines 0.52 -> 0.60
-    recall@4 in one round (q189); random init converges 0.01 ->
+    the synthetic corpus the nprobe=2 seed refines 0.37 -> 0.45
+    recall@4 in one round (q189, threshold-seeded cells); random init converges 0.01 ->
     0.14 -> 0.21 -> 0.25 over three.
 
     Scale: the undirected relation is <= 2Nk rows, the two-hop

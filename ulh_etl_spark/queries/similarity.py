@@ -131,24 +131,50 @@ _TARGET_CELL_SIZE = 250
 
 
 def _adaptive_centroids(emb: DataFrame) -> DataFrame:
-    """Centroid seed sized to the corpus: C = max(_N_CENTROIDS,
-    N // _TARGET_CELL_SIZE) first vectors. LAZY: C is a broadcast
-    1-row aggregate inside the returned plan, not a driver-side
-    count() — constructing this DataFrame runs no job, honoring the
-    catalog's lazy-construction contract; the count executes inside
-    ivf_assign's one existing centroid-literal collect. The oracle
-    derives the identical C with a scalar subquery."""
-    c = emb.agg(
+    """Centroid seed sized to the corpus AND following its
+    distribution: a vector seeds iff its portable md5 hash falls
+    under p = max(1/_TARGET_CELL_SIZE, _N_CENTROIDS/N) — a
+    density-proportional uniform sample, so every region gets ~1
+    seed per _TARGET_CELL_SIZE vectors REGARDLESS of where the mass
+    sits. The r11 sf10 probe showed why distribution-blind seeding
+    (previously: the first C vec_ids) fails: corpus drift left one
+    cell holding 46% of the corpus (max 91,325 vs avg 250) and
+    8.6e9 within-cell candidate pairs. A threshold filter needs no
+    global rank window, and the expected seed count N·p reproduces
+    the old C = max(_N_CENTROIDS, N/_TARGET_CELL_SIZE) sizing.
+
+    The argmin-(hash, id) vector always seeds — the deterministic
+    non-empty guard (P[empty] ~ e^-_N_CENTROIDS would otherwise be a
+    silent dataset-shaped landmine).
+
+    LAZY: p and the guard row are one broadcast 1-row aggregate
+    inside the returned plan, not a driver-side count() —
+    constructing this DataFrame runs no job (the r10 contract); the
+    aggregate executes inside ivf_assign's one existing
+    centroid-literal collect. The oracle applies the identical
+    threshold rule."""
+    from ulh_etl_spark.operators.text import md5_hash32
+
+    hcol = md5_hash32(
+        F.concat(F.lit("cseed_"), F.col("vec_id").cast("string"))
+    )
+    stats = emb.select(hcol.alias("_h"), "vec_id").agg(
         F.greatest(
-            F.floor(F.count("*") / _TARGET_CELL_SIZE),
-            F.lit(_N_CENTROIDS),
-        )
-        .cast("long")
-        .alias("_c")
+            F.lit(1.0 / _TARGET_CELL_SIZE),
+            F.lit(float(_N_CENTROIDS)) / F.count("*").cast("double"),
+        ).alias("_p"),
+        F.min(F.struct(F.col("_h"), F.col("vec_id"))).alias("_m"),
     )
     return (
-        emb.crossJoin(F.broadcast(c))
-        .filter(F.col("vec_id") < F.col("_c"))
+        emb.withColumn("_h", hcol)
+        .crossJoin(F.broadcast(stats))
+        .filter(
+            (F.col("_h").cast("double") / F.lit(4294967296.0) < F.col("_p"))
+            | (
+                (F.col("_h") == F.col("_m._h"))
+                & (F.col("vec_id") == F.col("_m.vec_id"))
+            )
+        )
         .select(
             F.col("vec_id").alias("centroid_id"),
             F.col("embedding").alias("centroid_vec"),
@@ -156,10 +182,28 @@ def _adaptive_centroids(emb: DataFrame) -> DataFrame:
     )
 
 
-_ADAPTIVE_C_SQL = (
-    f"(SELECT greatest(count(*) // {_TARGET_CELL_SIZE}, {_N_CENTROIDS}) "
-    "FROM embeddings)"
-)
+# The oracle twin of _adaptive_centroids: identical hash, identical
+# threshold arithmetic (greatest of two doubles), identical
+# argmin-(hash, id) guard row.
+_ADAPTIVE_SEED_SQL = f"""(
+                WITH hh AS (
+                    SELECT vec_id, embedding,
+                           {O.md5h("'cseed_' || CAST(vec_id AS VARCHAR)")} AS _h
+                    FROM embeddings
+                ), st AS (
+                    SELECT greatest(1.0 / {_TARGET_CELL_SIZE},
+                                    CAST({_N_CENTROIDS} AS DOUBLE)
+                                    / CAST(COUNT(*) AS DOUBLE)) AS _p
+                    FROM hh
+                ), gv AS (
+                    SELECT _h AS gh, vec_id AS gid FROM hh
+                    ORDER BY _h, vec_id LIMIT 1
+                )
+                SELECT vec_id AS centroid_id, embedding AS centroid_vec
+                FROM hh CROSS JOIN st CROSS JOIN gv
+                WHERE CAST(_h AS DOUBLE) / 4294967296.0 < _p
+                   OR (_h = gh AND vec_id = gid)
+            )"""
 
 
 def q41_ivf_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,7 +310,7 @@ def q186_knn_graph_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Voronoi boundary is in the second-nearest cell far more
     often than in a random one, so probing it recovers most of the
     lost edges for 2x candidate cost (q187 measures exactly how
-    much). Plan shape is IDENTICAL to q159 — one shuffle on cell,
+    much: 0.23 -> 0.37 mean recall@4 at sf0.01). Plan shape is IDENTICAL to q159 — one shuffle on cell,
     one rank window — only the probe-side row count doubles."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.knn_graph(
@@ -327,7 +371,7 @@ def q188_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single-probe q159 graph the round is provably a no-op (its
     undirected edges never leave a cell, and in-cell top-k is
     already exhaustive); from the nprobe=2 seed the pivot hops reach
-    cells NEITHER endpoint probed, lifting recall@4 0.52 -> 0.60
+    cells NEITHER endpoint probed, lifting recall@4 0.37 -> 0.45
     (q189 measures it). Candidate volume is degree-bounded
     (<= N(2k)^2 + Nk), never all-pairs; output is the knn_graph
     schema so every downstream graph consumer plugs in unchanged."""
@@ -346,8 +390,8 @@ def q189_nn_descent_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges ride in the candidate set, and only true top-k members can
     displace a true top-k member — pinned by pytest. Together with
     q187 this prices the THREE recall levers on one yardstick:
-    probe wider (0.32 -> 0.52 for 2x candidates), hop farther
-    (0.52 -> 0.60 for a degree-bounded round), or both again."""
+    probe wider (0.23 -> 0.37 for 2x candidates), hop farther
+    (0.37 -> 0.45 for a degree-bounded round), or both again."""
     from pyspark.storagelevel import StorageLevel
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1060,8 +1104,7 @@ def _rp_cols_sql() -> str:
 # kNN graph and the cluster report stay in lockstep by construction.
 _Q159_SQL = f"""
         WITH c AS (
-            SELECT vec_id AS centroid_id, embedding AS centroid_vec
-            FROM embeddings WHERE vec_id < {_ADAPTIVE_C_SQL}
+            SELECT centroid_id, centroid_vec FROM {_ADAPTIVE_SEED_SQL}
         ), assigned AS (
             SELECT vec_id, embedding, cell FROM (
                 SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
@@ -1108,8 +1151,7 @@ _COS_AB = (
 # exactly one index cell. rc is MATERIALIZED: both sides read it.
 _Q186_SQL = f"""
         WITH c AS (
-            SELECT vec_id AS centroid_id, embedding AS centroid_vec
-            FROM embeddings WHERE vec_id < {_ADAPTIVE_C_SQL}
+            SELECT centroid_id, centroid_vec FROM {_ADAPTIVE_SEED_SQL}
         ), rc AS MATERIALIZED (
             SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
                    row_number() OVER (PARTITION BY e.vec_id
@@ -1350,8 +1392,7 @@ ORACLES = {
     "q159_knn_graph": _Q159_SQL,
     "q197_cell_skew_canary": f"""
         WITH c AS (
-            SELECT vec_id AS centroid_id, embedding AS centroid_vec
-            FROM embeddings WHERE vec_id < {_ADAPTIVE_C_SQL}
+            SELECT centroid_id, centroid_vec FROM {_ADAPTIVE_SEED_SQL}
         ), assigned AS (
             SELECT vec_id, cell FROM (
                 SELECT e.vec_id, c.centroid_id AS cell,
@@ -1372,8 +1413,7 @@ ORACLES = {
     "q186_knn_graph_multiprobe": _Q186_SQL,
     "q187_knn_recall_uplift": f"""
         WITH c AS (
-            SELECT vec_id AS centroid_id, embedding AS centroid_vec
-            FROM embeddings WHERE vec_id < {_ADAPTIVE_C_SQL}
+            SELECT centroid_id, centroid_vec FROM {_ADAPTIVE_SEED_SQL}
         ), rc AS MATERIALIZED (
             SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
                    row_number() OVER (PARTITION BY e.vec_id
@@ -1706,8 +1746,7 @@ ORACLES = {
     "q42_ivf_topk": _Q42_SQL,
     "q46_embedding_neardup": f"""
         WITH c AS (
-            SELECT vec_id AS centroid_id, embedding AS centroid_vec
-            FROM embeddings WHERE vec_id < {_ADAPTIVE_C_SQL}
+            SELECT centroid_id, centroid_vec FROM {_ADAPTIVE_SEED_SQL}
         ), assigned AS (
             SELECT vec_id, embedding, cell FROM (
                 SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
@@ -1774,8 +1813,7 @@ ORACLES = {
     "q96_ivf_pruned_probe": _Q42_SQL,
     "q100_semantic_dedup": f"""
         WITH c AS (
-            SELECT vec_id AS centroid_id, embedding AS centroid_vec
-            FROM embeddings WHERE vec_id < {_ADAPTIVE_C_SQL}
+            SELECT centroid_id, centroid_vec FROM {_ADAPTIVE_SEED_SQL}
         ), assigned AS (
             SELECT vec_id, embedding, cell FROM (
                 SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
