@@ -16,6 +16,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from ulh_etl_spark.cache import release_persisted
 from ulh_etl_spark.queries import all_queries
 from ulh_etl_spark.session import get_spark
 
@@ -161,6 +162,12 @@ HEADLINE = (
     "q195_char_entropy",
     "q196_length_batches",
     "q197_cell_skew_canary",
+    "q198_two_level_cells",
+    "q199_knn_graph_two_level",
+    "q200_knn_pagerank_two_level",
+    "q201_nn_descent_plateau",
+    "q202_quantile_incremental",
+    "q203_group_quantiles",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",
@@ -346,6 +353,15 @@ ANCHOR = {
     "q195_char_entropy": 0.702,
     "q196_length_batches": 0.542,
     "q197_cell_skew_canary": 0.709,
+    # r12 anchors, recorded on a measurably slower host than the
+    # r8-r11 anchor era (raw sf0.1 lineitem scan 0.56 s vs the ~0.27 s
+    # implied by old anchors) — conservative by construction.
+    "q198_two_level_cells": 0.586,
+    "q199_knn_graph_two_level": 4.774,
+    "q200_knn_pagerank_two_level": 2.608,
+    "q201_nn_descent_plateau": 12.864,
+    "q202_quantile_incremental": 0.485,
+    "q203_group_quantiles": 0.205,
     # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's
     # cost is the in-order pair fan-out (O(sum basket²), baskets ~4).
     "q128_event_transitions": 0.735,
@@ -405,6 +421,7 @@ def main() -> None:
     # blocks fill storage memory and squeeze execution memory for
     # later queries (measured: q38 6.5 s late in the suite vs 1.1 s
     # alone). Clear between queries so each pays only its own cache.
+    release_persisted()
     spark.catalog.clearCache()
 
     # Three CONSECUTIVE measured passes per query, keep the MIN:
@@ -436,6 +453,7 @@ def main() -> None:
             # finally, not after the loop: a throwing query must not
             # leak its cached intermediates into the next query's
             # timed passes.
+            release_persisted()
             spark.catalog.clearCache()
         timings[name] = best
 

@@ -461,6 +461,21 @@ def test_quantile_registers_merge_is_slicing_invariant(spark):
     assert key(merged) == key(whole)
 
 
+def test_quantile_registers_reject_non_numeric_key(spark):
+    """r11 ADVICE pin: a non-numeric key would silently cast to NULL
+    and break the (h, key) tie-break / merge invariance — the
+    operator refuses it up front."""
+    import pytest
+
+    from ulh_etl_spark.operators.sketch import quantile_sample_registers
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "name string, value double"
+    )
+    with pytest.raises(TypeError, match="numeric key column"):
+        quantile_sample_registers(df, "value", "name", k=8)
+
+
 def test_quantile_estimates_within_rank_bound(spark):
     """Estimates from a k=256 sample: true CDF of each estimate
     within 3/sqrt(k) of the requested p, and the estimate is an
@@ -545,3 +560,74 @@ def test_group_bottomk_sample_fixed_budget_and_mergeable(spark):
     assert key(merged) == key(
         group_bottomk_sample(df, "event_type", "event_id", k=8)
     )
+
+
+def test_group_quantile_registers_merge_invariant_per_group(spark):
+    """Per-group bottom-k registers are mergeable per group: union
+    two slicings, re-take each group's bottom k == one-shot."""
+    from pyspark.sql import Window
+
+    from ulh_etl_spark.operators.sketch import group_quantile_registers
+
+    rows = [
+        (i, f"g{i % 3}", float((i * 17) % 500)) for i in range(900)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    whole = group_quantile_registers(df, "v", "id", "grp", k=16)
+    s1 = group_quantile_registers(
+        df.filter(F.col("id") % 2 == 0), "v", "id", "grp", k=16
+    )
+    s2 = group_quantile_registers(
+        df.filter(F.col("id") % 2 == 1), "v", "id", "grp", k=16
+    )
+    w = Window.partitionBy("grp").orderBy("h", "key")
+    merged = (
+        s1.unionByName(s2)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 16)
+        .drop("_rn")
+    )
+    key = lambda d: sorted(  # noqa: E731
+        (r.grp, r.h, r.key, r.value) for r in d.collect()
+    )
+    assert key(merged) == key(whole)
+
+
+def test_group_quantile_estimates_match_per_group_selection(spark):
+    """Each group's estimate is the value at rank ceil(p*m) (>=1)
+    among ITS registers ordered (value, key) — groups don't bleed."""
+    from ulh_etl_spark.operators.sketch import (
+        group_quantile_estimates,
+        group_quantile_registers,
+    )
+
+    rows = [(i, "a" if i < 400 else "b", float(i)) for i in range(600)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    regs = group_quantile_registers(df, "v", "id", "grp", k=32)
+    reg_rows = regs.collect()
+    est = {
+        (r.grp, r.p): r.estimate
+        for r in group_quantile_estimates(regs, (0.5, 0.95)).collect()
+    }
+    import math
+
+    for g in ("a", "b"):
+        vals = sorted(
+            (r.value, r.key) for r in reg_rows if r.grp == g
+        )
+        m = len(vals)
+        for p in (0.5, 0.95):
+            want = vals[max(math.ceil(p * m), 1) - 1][0]
+            assert est[(g, p)] == want
+
+
+def test_group_quantile_registers_reject_non_numeric_key(spark):
+    import pytest
+
+    from ulh_etl_spark.operators.sketch import group_quantile_registers
+
+    df = spark.createDataFrame(
+        [("x", "a", 1.0)], "name string, grp string, v double"
+    )
+    with pytest.raises(TypeError, match="numeric key column"):
+        group_quantile_registers(df, "v", "name", "grp", k=4)

@@ -580,12 +580,14 @@ def test_stream_fm_registers_replay_is_idempotent(spark, tmp_path):
     )
 
 
-def test_stream_fm_registers_swap_is_crash_safe(spark, tmp_path):
-    """r10 ADVICE pin: the store swap renames the old store aside,
-    swaps the staged dir in, then deletes the .bak — every
-    intermediate state keeps a recoverable store on disk. A stale
-    .bak from a crashed prior attempt is cleaned, and a successful
-    run leaves no _stage_/_bak_ residue."""
+def test_stream_fm_registers_swap_window_crash_restores_bak(
+    spark, tmp_path
+):
+    """r11 ADVICE pin: a crash BETWEEN os.replace(store, bak) and
+    os.replace(tmp, store) leaves the store path absent and the
+    ._bak_ sibling holding the only complete history — the next merge
+    must restore the bak before merging instead of silently resetting
+    history, and a successful run leaves no _stage_/_bak_ residue."""
     import os
 
     from ulh_etl_spark.streaming.file_stream import (
@@ -599,17 +601,74 @@ def test_stream_fm_registers_swap_is_crash_safe(spark, tmp_path):
     ).coalesce(1).write.mode("overwrite").parquet(str(inbound / "f1"))
 
     store = str(tmp_path / "fm_store")
-    # simulate a prior attempt that crashed after the rename-aside
-    stale = tmp_path / "fm_store._bak_0"
-    stale.mkdir()
-    (stale / "marker").write_text("stale")
+    # simulate the swap-window crash: store absent, bak = the real
+    # prior store, with a sentinel register no 100-key batch reaches
+    spark.createDataFrame(
+        [(0, 31)], "register int, max_rho int"
+    ).write.parquet(store + "._bak_7")
+    # plus a stale stage dir from the same crashed attempt
+    stale_stage = tmp_path / "fm_store._stage_7"
+    stale_stage.mkdir()
+    (stale_stage / "marker").write_text("stale")
 
     stream_fm_registers_available_now(
         spark, str(inbound) + "/*", "uid string", "uid",
         store, str(tmp_path / "fm_ckpt"), n_registers=16,
     )
     assert os.path.isdir(store)
-    assert spark.read.parquet(store).count() <= 16
+    merged = {
+        r.register: r.max_rho for r in spark.read.parquet(store).collect()
+    }
+    # the bak's history survived the recovery (MAX-merged in)
+    assert merged[0] == 31
+    residue = [
+        d for d in os.listdir(tmp_path)
+        if "._bak_" in d or "._stage_" in d
+    ]
+    assert residue == []
+
+
+def test_stream_fm_registers_stale_bak_beside_live_store_is_gcd(
+    spark, tmp_path
+):
+    """A leftover ._bak_/._stage_ from a crash that happened OUTSIDE
+    the swap window (live store intact) is garbage-collected without
+    touching the live store."""
+    import os
+
+    from ulh_etl_spark.streaming.file_stream import (
+        stream_fm_registers_available_now,
+    )
+
+    inbound = tmp_path / "fm_in"
+    inbound.mkdir()
+    spark.createDataFrame(
+        [(f"k{i}",) for i in range(100)], "uid string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(inbound / "f1"))
+
+    store = str(tmp_path / "fm_store")
+    first = stream_fm_registers_available_now(
+        spark, str(inbound) + "/*", "uid string", "uid",
+        store, str(tmp_path / "ck_a"), n_registers=16,
+    )
+    assert first["batches"] >= 1
+    snap = sorted(
+        (r.register, r.max_rho) for r in spark.read.parquet(store).collect()
+    )
+
+    # stale residue beside a LIVE store: must be GC'd, store untouched
+    for stale in ("fm_store._bak_3", "fm_store._stage_3"):
+        d = tmp_path / stale
+        d.mkdir()
+        (d / "marker").write_text("stale")
+
+    stream_fm_registers_available_now(
+        spark, str(inbound) + "/*", "uid string", "uid",
+        store, str(tmp_path / "ck_b"), n_registers=16,
+    )
+    assert snap == sorted(
+        (r.register, r.max_rho) for r in spark.read.parquet(store).collect()
+    )
     residue = [
         d for d in os.listdir(tmp_path)
         if "._bak_" in d or "._stage_" in d

@@ -1673,6 +1673,24 @@ def test_char_entropy_known_distributions(spark):
     assert out[4][0] == 3 and abs(out[4][1] - h) < 1e-6
 
 
+def test_char_entropy_counts_code_points_not_utf16_units(spark):
+    """r11 ADVICE pin: Spark's split(col, "") yields CODE POINTS on
+    this engine — a non-BMP char (emoji, outside the BMP, 2 UTF-16
+    units) counts as ONE character, matching DuckDB's
+    string_split(text, ''). Under surrogate-half splitting this doc
+    would report n=4 and a different entropy."""
+    import math
+
+    from ulh_etl_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a\U0001F600b")], "doc_id long, text string"
+    )
+    out = char_entropy(df, "text", "doc_id").collect()[0]
+    assert out.n_chars_counted == 3
+    assert abs(out.entropy_bits - math.log2(3)) < 1e-6
+
+
 def test_length_bucket_batches_shape(spark):
     """Buckets are monotone in token count, every batch holds at most
     batch_size docs, batch ids are dense from 0 per bucket."""

@@ -19,6 +19,7 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
+from ulh_etl_spark.cache import release_persisted  # noqa: E402
 from ulh_etl_spark.session import TABLES, get_spark, table_path  # noqa: E402
 
 
@@ -70,6 +71,10 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+        # drop the previous query's escaping persists (cache.track):
+        # 192 queries in one session would otherwise accumulate every
+        # band/assignment cache and squeeze execution memory.
+        release_persisted()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception:

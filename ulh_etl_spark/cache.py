@@ -1,0 +1,45 @@
+"""Tracked-persist registry (r11 ADVICE).
+
+Several operators persist an intermediate that ESCAPES the call —
+the returned lazy DataFrame keeps reading the cached blocks, so the
+operator cannot unpersist before returning (``mutual_knn_edges``'s
+kNN input, the cell-assignment frames behind the pair/kNN builders,
+the LSH band tables). In a one-query job the session exits and the
+blocks die with it; in a long-lived session (bench loops, notebooks)
+each invocation leaks its blocks for the session lifetime and the
+stale storage memory squeezes execution memory for later queries
+(measured in bench.py: q38 6.5 s late in a suite vs 1.1 s alone).
+
+Every such escaping persist is registered here via ``track``;
+callers that run many queries in one session release them between
+queries with ``release_persisted()`` — surgical, unlike
+``spark.catalog.clearCache()`` which also drops caches the caller
+built deliberately. ``unpersist`` on an already-released or
+never-materialized frame is a safe no-op, so releasing is always
+safe; the only cost is recomputation if the frame is used again.
+"""
+
+from __future__ import annotations
+
+_TRACKED: list = []
+
+
+def track(df):
+    """Register an escaping persisted DataFrame; returns it."""
+    _TRACKED.append(df)
+    return df
+
+
+def release_persisted(blocking: bool = False) -> int:
+    """Unpersist every tracked frame; returns how many were
+    released. Safe to call at any time — frames still referenced by
+    un-executed lazy plans simply recompute on next use."""
+    n = 0
+    while _TRACKED:
+        df = _TRACKED.pop()
+        try:
+            df.unpersist(blocking)
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n

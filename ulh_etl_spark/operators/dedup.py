@@ -31,6 +31,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ulh_etl_spark.cache import track
+
 from ulh_etl_spark.operators.text import (
     MERSENNE31,
     char_ngrams,
@@ -134,6 +136,7 @@ def minhash_estimate_pairs(
             )
         ).alias("_gs"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    track(feats)
     bands = lsh_bands(feats, id_col, num_hashes, rows_per_band)
     ba, bb = bands.alias("ba"), bands.alias("bb")
     pairs = (
@@ -335,6 +338,7 @@ def gram_containment_pairs(
             )
         ).alias("_g"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    track(g)
     posts = g.select(F.col(id_col), F.explode("_g").alias("_gram"))
     rare = (
         posts.groupBy("_gram")
@@ -526,8 +530,10 @@ def minhash_candidate_pairs(
     # the whole shingle-hash pipeline for BOTH sides. The band table is
     # 2 short rows per doc — far cheaper to materialize than recompute
     # (spills to disk at scale; this is the canonical LSH shape).
-    bands = lsh_bands(sigs, id_col, num_hashes, rows_per_band).persist(
-        StorageLevel.MEMORY_AND_DISK
+    bands = track(
+        lsh_bands(sigs, id_col, num_hashes, rows_per_band).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
     if max_bucket_size is not None:
         counts = bands.groupBy("band_idx", "band_key").agg(
@@ -729,6 +735,7 @@ def ngram_jaccard_pairs_blocked(
             )
         ).alias("_g"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    track(g)
     # Single join via probe replication: side a probes its own bucket
     # AND the next one (explode to 2 rows), so same-bucket and
     # adjacent-bucket candidates come out of ONE equi-join — half the

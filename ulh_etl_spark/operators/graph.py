@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ulh_etl_spark.cache import track
+
 
 def _undirect(edges: DataFrame, id1: str, id2: str) -> DataFrame:
     """(id1<id2) pair relation -> both-direction (src, dst) adjacency."""
@@ -63,7 +65,7 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    adj = _undirect(edges, id1, id2).persist(StorageLevel.MEMORY_AND_DISK)
+    adj = track(_undirect(edges, id1, id2).persist(StorageLevel.MEMORY_AND_DISK))
     deg = adj.groupBy("src").agg(F.count("*").alias("deg"))
     n = deg.count()  # also materializes adj for the loop
     base = F.lit((1.0 - damping) / n)
@@ -119,6 +121,7 @@ def triangle_stats(
     deg = adj.groupBy("src").agg(F.count("*").alias("deg")).select(
         F.col("src").alias("node"), "deg"
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    track(deg)
 
     d1 = deg.select(F.col("node").alias("_a"), F.col("deg").alias("_da"))
     d2 = deg.select(F.col("node").alias("_b"), F.col("deg").alias("_db"))
@@ -135,6 +138,7 @@ def triangle_stats(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    track(oriented)
     w1 = oriented.select(F.col("lo").alias("pivot"), F.col("hi").alias("u"))
     w2 = oriented.select(F.col("lo").alias("pivot"), F.col("hi").alias("v"))
     wedges = w1.join(w2, "pivot").filter(F.col("u") < F.col("v"))
@@ -201,7 +205,7 @@ def label_propagation(
 
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
-    adj = _undirect(edges, id1, id2).persist(StorageLevel.MEMORY_AND_DISK)
+    adj = track(_undirect(edges, id1, id2).persist(StorageLevel.MEMORY_AND_DISK))
     nodes = adj.select("src").distinct().withColumnRenamed("src", "node")
     seed = F.broadcast(
         seeds.select(F.col("node"), F.col("label").alias("_seed_label"))

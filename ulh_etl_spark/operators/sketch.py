@@ -264,7 +264,19 @@ def quantile_sample_registers(
     memory at any corpus size.
 
     Output: (h, key, value), k rows."""
+    from pyspark.sql.types import NumericType
+
     from ulh_etl_spark.operators.text import md5_hash32
+
+    # The output key is cast to long for the deterministic (h, key)
+    # tie-break and merge invariance; a non-numeric key would cast to
+    # NULL silently and break both (r11 ADVICE) — refuse it instead.
+    ktype = df.schema[key_col].dataType
+    if not isinstance(ktype, NumericType):
+        raise TypeError(
+            f"quantile_sample_registers requires a numeric key column;"
+            f" {key_col!r} is {ktype.simpleString()}"
+        )
 
     h = md5_hash32(
         F.concat(F.lit("qs_"), F.col(key_col).cast("string"))
@@ -311,6 +323,92 @@ def quantile_sketch_estimates(registers: DataFrame, probs) -> DataFrame:
             )
         )
         .select("p", F.col("value").alias("estimate"))
+    )
+
+
+def group_quantile_registers(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    group_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group quantile-sketch register tables:
+    :func:`quantile_sample_registers`' bottom-k KMV construction,
+    stratified by ``group_col`` — each group keeps its k rows with
+    the smallest portable md5 hash-of-key (ties by key), carrying
+    the VALUE so per-group quantiles can be asked of the registers
+    (the "token-length p95 per language" shape). Same contracts as
+    the global sketch: no RNG anywhere, mergeable per group (union
+    two slicings' register tables, re-take each group's bottom k).
+
+    Scale: ONE shuffle on the group key for the rank window; each
+    group's window scans its rows once and emits k. The register
+    table is |groups| * k rows — the per-group analogue of the
+    constant-memory TakeOrdered.
+
+    Output: (group_col, h, key, value), <= k rows per group."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import NumericType
+
+    from ulh_etl_spark.operators.text import md5_hash32
+
+    ktype = df.schema[key_col].dataType
+    if not isinstance(ktype, NumericType):
+        raise TypeError(
+            f"group_quantile_registers requires a numeric key column;"
+            f" {key_col!r} is {ktype.simpleString()}"
+        )
+
+    h = md5_hash32(
+        F.concat(F.lit("qs_"), F.col(key_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy("h", "key")
+    return (
+        df.select(
+            F.col(group_col),
+            h.alias("h"),
+            F.col(key_col).cast("long").alias("key"),
+            F.col(value_col).cast("double").alias("value"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def group_quantile_estimates(registers: DataFrame, probs) -> DataFrame:
+    """Per-group quantile point queries from a
+    :func:`group_quantile_registers` table: within each group the
+    estimate for p is the value ranked ceil(p * m_g) (at least 1)
+    among that group's m_g register values, ordered (value, key) —
+    :func:`quantile_sketch_estimates`' exact integer rank selection,
+    stratified. The rank window and the per-group count share ONE
+    shuffle on the group key (same partitioning, no second
+    exchange); the probe list is a literal explode.
+
+    Output: (group_col, p, estimate) — |groups| x |probs| rows."""
+    from pyspark.sql import Window
+
+    gcol = registers.columns[0]
+    w = Window.partitionBy(gcol).orderBy("value", "key")
+    ranked = registers.select(
+        F.col(gcol), "value", "key",
+        F.row_number().over(w).alias("_r"),
+        F.count("*").over(Window.partitionBy(gcol)).alias("_m"),
+    )
+    pl = F.explode(
+        F.array(*[F.lit(float(p)).cast("double") for p in probs])
+    )
+    return (
+        ranked.select(F.col(gcol), "value", "_r", "_m", pl.alias("p"))
+        .filter(
+            F.col("_r")
+            == F.greatest(
+                F.ceil(F.col("p") * F.col("_m")).cast("long"), F.lit(1)
+            )
+        )
+        .select(F.col(gcol), "p", F.col("value").alias("estimate"))
     )
 
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ulh_etl_spark.cache import track
+
 # 32-bit integer space for md5-derived hashes; fits products with
 # small multipliers far inside int64 (no overflow divergence between
 # engines — DuckDB errors on BIGINT overflow, Spark wraps).
@@ -1599,6 +1601,12 @@ def char_entropy(df, text_col: str, id_col: str):
     doc. Empty documents report NULL entropy (no distribution to
     measure).
 
+    Unicode: Spark's ``split(col, "")`` yields CODE POINTS on this
+    engine (a non-BMP char like an emoji stays one element, verified
+    empirically and pinned by test), matching DuckDB's
+    ``string_split(text, '')`` — no surrogate-half divergence
+    (r11 ADVICE).
+
     Output: (id_col, n_chars_counted, entropy_bits)."""
     chars = df.select(
         F.col(id_col),
@@ -2501,7 +2509,7 @@ def unigram_lm_train(df, text_col: str, vocab_size: int = 512, rounds: int = 2):
     from pyspark.storagelevel import StorageLevel
 
     words = _unigram_words(df, text_col)
-    spans = _unigram_spans(words).persist(StorageLevel.MEMORY_AND_DISK)
+    spans = track(_unigram_spans(words).persist(StorageLevel.MEMORY_AND_DISK))
     chars = spans.filter(F.length("piece") == 1).select("piece").distinct()
     vocab = _unigram_seed(spans, vocab_size)
     for _ in range(rounds - 1):
@@ -2529,7 +2537,7 @@ def unigram_fertility(
     from pyspark.storagelevel import StorageLevel
 
     words = _unigram_words(df, text_col)
-    spans = _unigram_spans(words).persist(StorageLevel.MEMORY_AND_DISK)
+    spans = track(_unigram_spans(words).persist(StorageLevel.MEMORY_AND_DISK))
     chars = spans.filter(F.length("piece") == 1).select("piece").distinct()
     vocab = _unigram_seed(spans, vocab_size)
     for _ in range(rounds - 1):
@@ -3104,6 +3112,7 @@ def sparse_lexical_topk(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    track(w)
     norms = w.groupBy("_id").agg(
         F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_norm")
     )

@@ -17,6 +17,8 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ulh_etl_spark.cache import track
+
 from ulh_etl_spark.operators.multimodal import (
     decode_media,
     media_metadata,
@@ -131,6 +133,7 @@ def q76_media_embed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedder=_portable_embedder,
         vec_type="double",
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    track(emb)
     cents = emb.filter(F.col("media_id") < 8).select(
         F.col("media_id").alias("centroid_id"),
         F.col("embedding").alias("centroid_vec"),

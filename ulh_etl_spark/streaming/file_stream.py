@@ -312,9 +312,42 @@ def stream_fm_registers_available_now(
 
     stats = {"batches": 0, "keys_seen": 0}
 
+    def _recover_store() -> None:
+        # Crash-window recovery (ADVICE r11): between
+        # os.replace(store, bak) and os.replace(tmp, store) the store
+        # path is ABSENT — if we crashed there, the ._bak_* sibling IS
+        # the latest complete store, so restore it before merging
+        # (the interrupted batch replays and re-merges; MAX is
+        # idempotent). Then GC every leftover ._stage_*/._bak_*
+        # regardless of batch_id so stale dirs from other batches
+        # can't shadow a future swap.
+        import shutil
+
+        base = store_dir.rstrip("/")
+        parent, name = os.path.dirname(base) or ".", os.path.basename(base)
+        if not os.path.isdir(parent):
+            return
+
+        def _siblings(prefix):
+            out = []
+            for f in os.listdir(parent):
+                if f.startswith(name + prefix):
+                    try:
+                        out.append((int(f[len(name + prefix):]), f))
+                    except ValueError:
+                        continue
+            return sorted(out)
+
+        baks = _siblings("._bak_")
+        if not os.path.isdir(base) and baks:
+            os.replace(os.path.join(parent, baks[-1][1]), base)
+        for _, f in _siblings("._bak_") + _siblings("._stage_"):
+            shutil.rmtree(os.path.join(parent, f), ignore_errors=True)
+
     def _merge(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        _recover_store()
         sess = batch_df.sparkSession
         regs = (
             fm_registers(batch_df, key_col, n_registers)
@@ -329,10 +362,12 @@ def stream_fm_registers_available_now(
             )
         # write-then-swap (the parquet MERGE staging pattern from
         # sinks/tables.py): never overwrite the dir being read.
-        # Rename-aside, swap in, THEN drop the .bak — a crash at any
-        # point leaves either the old store or the new store on disk
-        # (never neither), so checkpoint replay always re-merges into
-        # a complete history instead of silently resetting it.
+        # Rename-aside, swap in, THEN drop the .bak — a crash leaves
+        # a complete store at either the live path or the ._bak_
+        # sibling (the swap window itself leaves only the .bak, which
+        # _recover_store restores on the next merge), so checkpoint
+        # replay always re-merges into a complete history instead of
+        # silently resetting it.
         tmp = store_dir.rstrip("/") + f"._stage_{batch_id}"
         bak = store_dir.rstrip("/") + f"._bak_{batch_id}"
         regs.write.mode("overwrite").parquet(tmp)
