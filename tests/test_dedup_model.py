@@ -936,3 +936,96 @@ def test_nn_descent_round_is_noop_on_single_probe_seed(spark):
         (r.vec_id, r.rank): (r.neighbor_id, r.cosine) for r in df.collect()
     }
     assert key(refined) == key(single)
+
+
+def test_two_level_structure_model():
+    """Driver-side two-level structure: ceil(sqrt(C)) coarse picks by
+    (md5('co_'+cell), cell); every fine centroid lands in exactly one
+    group, at its nearest coarse (lowest-id tie-break); every coarse
+    contains itself (distance 0)."""
+    import hashlib
+    import math
+
+    from ulh_etl_spark.operators.similarity import two_level_structure
+
+    rows = [
+        {"cell": i, "cvec": [float(i % 5), float(i // 5), 1.0]}
+        for i in range(10)
+    ]
+    coarse, groups = two_level_structure(rows)
+    assert len(coarse) == math.ceil(math.sqrt(10))
+
+    def h(c):
+        return int(
+            hashlib.md5(f"co_{c}".encode()).hexdigest()[:8], 16
+        )
+
+    want = sorted(
+        (r["cell"] for r in rows), key=lambda c: (h(c), c)
+    )[: len(coarse)]
+    assert sorted(c["cell"] for c in coarse) == sorted(want)
+    # partition: every fine in exactly one group
+    members = [r["cell"] for fines in groups.values() for r in fines]
+    assert sorted(members) == list(range(10))
+    # self-containment: each coarse is in its own group
+    for co in groups:
+        assert co in [r["cell"] for r in groups[co]]
+
+
+def test_ivf_assign_two_level_matches_python_model(spark):
+    """Spark two-level assignment == the pure-Python two-level rule
+    (coarse argmin then within-group fine argmin, id tie-breaks) for
+    every vector."""
+    import numpy as np
+
+    from ulh_etl_spark.operators.similarity import (
+        _py_sqdist,
+        ivf_assign_two_level,
+        two_level_structure,
+    )
+
+    rng = np.random.RandomState(11)
+    vecs = rng.rand(40, 6).astype("float64")
+    cvecs = rng.rand(9, 6).astype("float64")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(j, [float(x) for x in cvecs[j]]) for j in range(len(cvecs))],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    got = {
+        r.vec_id: r.cell
+        for r in ivf_assign_two_level(emb, cents).collect()
+    }
+
+    rows = [
+        {"cell": j, "cvec": [float(x) for x in cvecs[j]]}
+        for j in range(len(cvecs))
+    ]
+    coarse, groups = two_level_structure(rows)
+    for i in range(len(vecs)):
+        v = [float(x) for x in vecs[i]]
+        co = min(
+            coarse, key=lambda c: (_py_sqdist(v, c["cvec"]), c["cell"])
+        )["cell"]
+        fine = min(
+            groups[co], key=lambda r: (_py_sqdist(v, r["cvec"]), r["cell"])
+        )["cell"]
+        assert got[i] == fine, f"vec {i}: {got[i]} != {fine}"
+
+
+def test_knn_graph_two_level_rejects_multiprobe(spark):
+    import pytest
+
+    from ulh_etl_spark.operators.similarity import knn_graph
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "centroid_id long, centroid_vec array<double>"
+    )
+    with pytest.raises(ValueError, match="nprobe=1"):
+        knn_graph(emb, cents, k=2, nprobe=2, two_level=True)

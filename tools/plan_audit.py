@@ -53,6 +53,26 @@ SHUFFLE_BUDGET = {
     # count, final left join — ~8; the other 14 are the audit's
     # static render of cached reuse.
     "q170_knn_triangles": 26,
+    # q200 = q169 on the two-level assignment: identical downstream
+    # plan (3 PageRank rounds x 2 exchanges + degree agg + kNN
+    # build), same static re-render caveat on the persisted adj.
+    "q200_knn_pagerank_two_level": 14,
+    # The connected-components consumers (star-contraction CC over a
+    # candidate-pair relation): the returned labels plan joins the
+    # last checkpointed round with the node set, and the STATIC
+    # render inlines the pair-builder subtree (bands/pairs distinct,
+    # 2-4 exchanges) plus the node union/distinct and the final join
+    # — whether those render as InMemoryTableScan or in full depends
+    # on what the audit session happens to still hold in cache (the
+    # r10 audit note: counts VARY with cache state; r11 rendered
+    # these at 0-2, r12 at 8-12 from the same code). Runtime
+    # executes the checkpointed rounds once. Budgets sized to the
+    # full uncached render with headroom.
+    "q75_neardup_components": 14,
+    "q102_neardup_collapse": 17,
+    "q105_phash_neardup_clusters": 15,
+    "q121_cluster_size_histogram": 18,
+    "q157_leakage_free_split": 17,
     # q175 = the q159 kNN build + 2 synchronous label-propagation
     # rounds, each ONE vote shuffle (adj join assignment ->
     # groupBy(dst, label)) + ONE rank window on dst; the seed/mode

@@ -73,6 +73,16 @@ def main() -> int:
         out = {}
     for name in names:
         fn = qs[name]
+        # isolate queries like bench.py does: without this, queries
+        # sharing a persisted subplan (the graph family's kNN build)
+        # read the PREVIOUS query's cache via CacheManager plan
+        # matching — the r12 sf10 run measured q186 at 0.74 s because
+        # q160 had just cached the same multiprobe kNN (real cold
+        # cost ~10x). Each probe should pay its own full plan.
+        from ulh_etl_spark.cache import release_persisted
+
+        release_persisted()
+        spark.catalog.clearCache()
         try:
             timed(fn, spark, SF01)  # warm (codegen + page cache)
             t01 = min(timed(fn, spark, SF01)[0], timed(fn, spark, SF01)[0])

@@ -18,6 +18,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ulh_etl_spark.cache import track
+
 
 def _dot(a: Column, b: Column) -> Column:
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
@@ -386,19 +388,14 @@ def rerank_topk(
     )
 
 
-def _centroid_literal(
+def _centroid_rows(
     centroids: DataFrame, centroid_id: str, centroid_vec: str
-) -> Column:
-    """Collect the (driver-small by construction) centroid set and fold
-    it into an ``array<struct<cell, cvec array<double>>>`` literal,
-    sorted by cell id ascending so that min/sort tie-breaks land on the
-    lowest cell — the same determinism the crossJoin + row_number
-    formulation had, without materializing |corpus| x C rows.
-
-    The collected rows are memoized on the DataFrame object so a query
+) -> list:
+    """Collect the (driver-small by construction) centroid set, sorted
+    by cell id ascending. Memoized on the DataFrame object so a query
     that feeds the same centroid set to both the build (``ivf_assign``)
-    and probe (``ivf_assign_queries``) sides pays one driver job, not
-    two."""
+    and probe (``ivf_assign_queries``) sides — or to the two-level
+    structure builder — pays one driver job, not two."""
     cache = centroids.__dict__.setdefault("_ulh_centroid_cache", {})
     key = (centroid_id, centroid_vec)
     if key not in cache:
@@ -407,21 +404,26 @@ def _centroid_literal(
         ).collect()
         rows.sort(key=lambda r: r["cell"])
         cache[key] = rows
-    rows = cache[key]
+    return cache[key]
 
-    # One F.expr over a generated SQL string, not C x dim F.lit calls:
-    # per-element Column construction costs a py4j round-trip each
-    # (~1s of driver time at C=8, dim=64); a single parsed expression
-    # is milliseconds and constant-folds identically. CAST from repr()
-    # keeps every double bit-exact (repr round-trips).
-    def _cell_sql(v) -> str:
-        if isinstance(v, bool) or not isinstance(v, (int, float)):
-            escaped = str(v).replace("'", "''")
-            return f"'{escaped}'"
-        if isinstance(v, int):
-            return f"CAST({v} AS BIGINT)"
-        return f"CAST('{v!r}' AS DOUBLE)"
 
+def _cell_sql(v) -> str:
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        escaped = str(v).replace("'", "''")
+        return f"'{escaped}'"
+    if isinstance(v, int):
+        return f"CAST({v} AS BIGINT)"
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def _rows_struct_sql(rows) -> str:
+    """SQL text for an ``array<struct<cell, cvec>>`` literal over the
+    given centroid rows. One F.expr over a generated SQL string, not
+    C x dim F.lit calls: per-element Column construction costs a py4j
+    round-trip each (~1s of driver time at C=8, dim=64); a single
+    parsed expression is milliseconds and constant-folds identically.
+    CAST from repr() keeps every double bit-exact (repr
+    round-trips)."""
     elems = ", ".join(
         "named_struct('cell', {}, 'cvec', array({}))".format(
             _cell_sql(r["cell"]),
@@ -429,7 +431,20 @@ def _centroid_literal(
         )
         for r in rows
     )
-    return F.expr(f"array({elems})")
+    return f"array({elems})"
+
+
+def _centroid_literal(
+    centroids: DataFrame, centroid_id: str, centroid_vec: str
+) -> Column:
+    """Fold the collected centroid set into an
+    ``array<struct<cell, cvec array<double>>>`` literal, sorted by
+    cell id ascending so that min/sort tie-breaks land on the lowest
+    cell — the same determinism the crossJoin + row_number formulation
+    had, without materializing |corpus| x C rows."""
+    return F.expr(
+        _rows_struct_sql(_centroid_rows(centroids, centroid_id, centroid_vec))
+    )
 
 
 def _sq_dist_to(vec_col: str, cvec: Column) -> Column:
@@ -481,6 +496,126 @@ def ivf_assign(
         ),
     )
     best = F.array_min(scored)
+    return corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        best["cell"].cast(cell_type).alias("cell"),
+    )
+
+
+def _py_md5h32(s: str) -> int:
+    """Driver-side twin of text.md5_hash32 (first 8 md5 hex chars as
+    an int) — the portable hash all three engines share."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+
+def _py_sqdist(a, b) -> float:
+    """Driver-side twin of _sq_dist_to: sequential left-to-right
+    double fold in index order, bit-identical to the Spark
+    F.aggregate and the DuckDB list_sum over generate_series."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        d = float(x) - float(y)
+        acc += d * d
+    return acc
+
+
+def two_level_structure(rows) -> tuple:
+    """Driver-side two-level quantizer structure over the collected
+    fine-centroid rows: pick ceil(sqrt(C)) COARSE centroids (the fine
+    centroids with the smallest portable md5 of ``'co_' + cell``,
+    ties by cell — the same no-RNG selection style as the
+    density-proportional seed), then assign every fine centroid to
+    its nearest coarse centroid (squared L2, lowest-coarse-id
+    tie-break). C * sqrt(C) double ops on the driver — driver-small
+    by the same argument that lets the centroid set collect at all.
+
+    Because every coarse centroid IS one of the fine centroids, each
+    coarse group contains at least its own coarse member (distance
+    0), so the per-vector fine argmin is never over an empty array.
+
+    Returns (coarse_rows, groups) with groups[coarse_cell] = list of
+    fine rows, insertion-ordered by fine cell id (rows arrive sorted
+    from _centroid_rows)."""
+    import math
+
+    n_coarse = max(1, math.ceil(math.sqrt(len(rows))))
+    coarse = sorted(
+        rows, key=lambda r: (_py_md5h32(f"co_{r['cell']}"), r["cell"])
+    )[:n_coarse]
+    coarse.sort(key=lambda r: r["cell"])
+    groups: dict = {c["cell"]: [] for c in coarse}
+    for r in rows:
+        best_d, best_c = None, None
+        for c in coarse:
+            d = _py_sqdist(r["cvec"], c["cvec"])
+            if best_d is None or d < best_d:
+                best_d, best_c = d, c["cell"]
+        groups[best_c].append(r)
+    return coarse, groups
+
+
+def ivf_assign_two_level(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+) -> DataFrame:
+    """Two-level IVF assignment — the next-decade replacement for
+    :func:`ivf_assign`'s flat argmin. The flat form pays N·C centroid
+    distances per scan; with the adaptive sizing C = N/250 that term
+    is N²/250 — QUADRATIC in the corpus, and the measured cause of
+    the r12 sf1→sf10 probe's superlinear exponents (q169 exp +1.48:
+    2e5 vectors × 800 centroids = 1.6e8 interpreted-HOF distance
+    folds). Standard IVF sizing fixes the STRUCTURE: ceil(sqrt(C))
+    coarse cells, fine argmin only within the chosen coarse group, so
+    assignment drops to ~N·2·sqrt(C) distances — back to ~linear per
+    decade (sqrt grows 3.2x per 10x).
+
+    The approximation is the usual IVF one: a vector whose true
+    nearest fine centroid lands in a DIFFERENT coarse group gets its
+    best same-group fine cell instead. Fully deterministic (hash
+    coarse pick + id tie-breaks), so the identical two-level rule in
+    SQL is an exact oracle.
+
+    Plan shape: still ZERO shuffles — one coarse literal argmin
+    (sqrt(C) structs), then ``element_at`` into a literal
+    map<coarse, array<fine struct>> and a fine argmin over that
+    group. Everything narrow, whole-stage-codegen'd, partition-
+    prunable on the output ``cell`` exactly like ivf_assign.
+
+    Output: (id_col, vec_col, cell) — same schema as ivf_assign."""
+    cell_type = centroids.schema[centroid_id].dataType.simpleString()
+    rows = _centroid_rows(centroids, centroid_id, centroid_vec)
+    coarse, groups = two_level_structure(rows)
+
+    coarse_lit = F.expr(_rows_struct_sql(coarse))
+    entries = ", ".join(
+        f"{_cell_sql(co)}, {_rows_struct_sql(fines)}"
+        for co, fines in groups.items()
+    )
+    group_map = F.expr(f"map({entries})")
+
+    co_scored = F.transform(
+        coarse_lit,
+        lambda c: F.struct(
+            _sq_dist_to(vec_col, c["cvec"]).alias("dist"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    fines = F.element_at(group_map, F.array_min(co_scored)["cell"])
+    fine_scored = F.transform(
+        fines,
+        lambda c: F.struct(
+            _sq_dist_to(vec_col, c["cvec"]).alias("dist"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    best = F.array_min(fine_scored)
     return corpus.select(
         F.col(id_col),
         F.col(vec_col),
@@ -558,6 +693,7 @@ def embedding_neardup_pairs(
         .withColumn("_norm", l2_norm(F.col(vec_col)))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    track(assigned)
     a = assigned.select(
         F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"),
         F.col("_norm").alias("_n1"), "cell",
@@ -581,6 +717,7 @@ def knn_graph(
     vec_col: str = "embedding",
     k: int = 4,
     nprobe: int = 1,
+    two_level: bool = False,
 ) -> DataFrame:
     """Cell-blocked k-nearest-neighbor graph: every vector's top-k
     neighbors by exact cosine among candidates drawn from its
@@ -614,12 +751,23 @@ def knn_graph(
 
     from pyspark.storagelevel import StorageLevel
 
+    if two_level and nprobe != 1:
+        raise ValueError(
+            "two_level kNN currently supports nprobe=1 only (multi-"
+            "probe would need the per-coarse-group fine ranking)"
+        )
     if nprobe == 1:
+        # two_level routes the cell assignment through the
+        # ivf_assign_two_level quantizer (N·2·sqrt(C) distances
+        # instead of N·C) — the join/rank plan downstream is
+        # identical; only the cell labels differ.
+        assign = ivf_assign_two_level if two_level else ivf_assign
         assigned = (
-            ivf_assign(corpus, centroids, id_col, vec_col)
+            assign(corpus, centroids, id_col, vec_col)
             .withColumn("_norm", l2_norm(F.col(vec_col)))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        track(assigned)
         a = assigned.select(
             F.col(id_col).alias("_qid"), F.col(vec_col).alias("v1"),
             F.col("_norm").alias("_n1"), "cell",
@@ -658,6 +806,7 @@ def knn_graph(
             l2_norm(F.col(vec_col)).alias("_norm"),
             probed.alias("_cells"),
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        track(assigned)
         b = assigned.select(
             F.col(id_col).alias("_nid"), F.col(vec_col).alias("v2"),
             F.col("_norm").alias("_n2"),
@@ -814,7 +963,7 @@ def mutual_knn_edges(
     Output: (id1, id2) with id1 < id2."""
     from pyspark.storagelevel import StorageLevel
 
-    knn = knn.persist(StorageLevel.MEMORY_AND_DISK)
+    knn = track(knn.persist(StorageLevel.MEMORY_AND_DISK))
     fwd = knn.filter(F.col(id_col) < F.col("neighbor_id")).select(
         F.col(id_col).alias("id1"), F.col("neighbor_id").alias("id2")
     )
@@ -862,6 +1011,7 @@ def semantic_dedup(
         .withColumn("_norm", l2_norm(F.col(vec_col)))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    track(assigned)
     a = assigned.select(
         F.col(id_col).alias("_id1"),
         F.col(vec_col).alias("_v1"),
@@ -1017,6 +1167,7 @@ def hyperplane_candidate_pairs(
         F.col("band.band_idx").alias("band_idx"),
         F.col("band.band_val").alias("band_val"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    track(bands)
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -616,8 +616,70 @@ def q194_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_bottomk_sample(ev, "event_type", "event_id", k=_GS_K)
 
 
+_QS_BATCHES = 4
+
+
+def q202_quantile_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the q192 quantile register table —
+    the at-rest store pattern the FM family exercises in streaming
+    (stream_fm_registers_available_now): events arrive in 4
+    deterministic batches (event_id % 4); each batch's k-row register
+    table is merged into the store by union + re-take-bottom-k,
+    NEVER re-reading event history — every merge touches <= 2k rows
+    whatever the corpus size. By the KMV merge invariance (pinned by
+    pytest) the final store equals the one-shot q192 sketch, but the
+    oracle REPLAYS the sequential merges (unrolled CTEs, the
+    fold-vs-unrolled pattern) so the merge rule itself is what gets
+    hash-checked, not just the endpoint."""
+    from ulh_etl_spark.operators.sketch import quantile_sample_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    store = None
+    for b in range(_QS_BATCHES):
+        regs = quantile_sample_registers(
+            ev.filter(F.col("event_id") % _QS_BATCHES == b),
+            "value",
+            "event_id",
+            k=_QS_K,
+        )
+        store = (
+            regs
+            if store is None
+            else store.unionByName(regs).orderBy("h", "key").limit(_QS_K)
+        )
+    return store
+
+
+_GQ_K = 64
+_GQ_PROBS = (0.5, 0.95)
+
+
+def q203_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile estimates from per-group registers — the
+    "doc-length p50/p95 per language" shape every mixture report
+    needs (operators.sketch.group_quantile_registers +
+    group_quantile_estimates): each language keeps its own bottom-k
+    KMV sample of documents.n_chars, and the estimate for p is the
+    exact rank selection inside that group's sample. ONE shuffle on
+    the group key builds the registers; the estimate window reuses
+    the same partitioning. Mergeable per group like every bottom-k
+    sketch."""
+    from ulh_etl_spark.operators.sketch import (
+        group_quantile_estimates,
+        group_quantile_registers,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    regs = group_quantile_registers(
+        docs, "n_chars", "doc_id", "lang", k=_GQ_K
+    )
+    return group_quantile_estimates(regs, _GQ_PROBS)
+
+
 QUERIES = {
     "q176_fm_user_registers": q176_fm_user_registers,
+    "q202_quantile_incremental": q202_quantile_incremental,
+    "q203_group_quantiles": q203_group_quantiles,
     "q192_quantile_registers": q192_quantile_registers,
     "q193_quantile_estimates": q193_quantile_estimates,
     "q194_group_sample": q194_group_sample,
@@ -670,6 +732,53 @@ ORACLES = {
         ) WHERE rn <= {_GS_K}
     """,
     "q192_quantile_registers": _QS_REG_SQL,
+    "q202_quantile_incremental": f"""
+        WITH {", ".join(
+            f'''b{b} AS MATERIALIZED (
+            SELECT CAST('0x' || substr(md5('qs_' ||
+                        CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) AS h,
+                   CAST(event_id AS BIGINT) AS key,
+                   CAST(value AS DOUBLE) AS value
+            FROM events WHERE event_id % {_QS_BATCHES} = {b}
+            ORDER BY h, key LIMIT {_QS_K}
+        )''' for b in range(_QS_BATCHES)
+        )}, {", ".join(
+            f'''s{b} AS MATERIALIZED (
+            SELECT h, key, value FROM (
+                SELECT * FROM {"b0" if b == 1 else f"s{b - 1}"}
+                UNION ALL SELECT * FROM b{b}
+            ) ORDER BY h, key LIMIT {_QS_K}
+        )''' for b in range(1, _QS_BATCHES)
+        )}
+        SELECT h, key, value FROM s{_QS_BATCHES - 1}
+    """,
+    "q203_group_quantiles": f"""
+        WITH hh AS (
+            SELECT lang,
+                   CAST('0x' || substr(md5('qs_' ||
+                        CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h,
+                   CAST(doc_id AS BIGINT) AS key,
+                   CAST(n_chars AS DOUBLE) AS value
+            FROM documents
+        ), reg AS MATERIALIZED (
+            SELECT lang, h, key, value FROM (
+                SELECT *, row_number() OVER (PARTITION BY lang
+                                             ORDER BY h, key) AS rn
+                FROM hh
+            ) WHERE rn <= {_GQ_K}
+        ), ranked AS (
+            SELECT lang, value,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY value, key) AS r,
+                   COUNT(*) OVER (PARTITION BY lang) AS m
+            FROM reg
+        ), probs(p) AS (
+            VALUES {", ".join(f"(CAST({p!r} AS DOUBLE))" for p in _GQ_PROBS)}
+        )
+        SELECT rk.lang, pr.p, rk.value AS estimate
+        FROM ranked rk CROSS JOIN probs pr
+        WHERE rk.r = greatest(CAST(ceil(pr.p * rk.m) AS BIGINT), 1)
+    """,
     "q193_quantile_estimates": f"""
         WITH reg AS MATERIALIZED (
             {_QS_REG_SQL}

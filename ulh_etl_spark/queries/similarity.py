@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ulh_etl_spark.cache import track
+
 from ulh_etl_spark.operators import similarity as S
 from ulh_etl_spark.queries import _oracle_fragments as O
 from ulh_etl_spark.session import load_table
@@ -406,6 +408,7 @@ def q189_nn_descent_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = S.knn_graph(
         emb, cents, k=_KNN_K, nprobe=_KNN_NPROBE
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    track(seed)
     refined = S.nn_descent_round(seed, emb, k=_KNN_K)
     legs = []
     for name, g in (("recall_seed", seed), ("recall_refined", refined)):
@@ -904,7 +907,144 @@ def q197_cell_skew_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q198_two_level_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q197's skew canary over the TWO-LEVEL assignment
+    (operators.similarity.ivf_assign_two_level): same one-shuffle
+    n_cells/avg/max/candidate-pairs report, but cells come from the
+    sqrt(C)-coarse-then-fine argmin instead of the flat N·C scan.
+    The r12 sf1→sf10 probes measured the flat assignment's cost
+    going superlinear (q169 exp +1.48, q160 +1.63: 2e5 vectors x 800
+    centroids = 1.6e8 interpreted distance folds per scan); the
+    two-level structure pays N·~2·sqrt(C) instead. This canary is
+    the pre-flight for any pair stage run on two-level cells — it
+    shows what the quantization error does to the cell-size
+    histogram (slightly lumpier than flat; candidate_pairs is the
+    number that matters)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sizes = (
+        S.ivf_assign_two_level(emb, _adaptive_centroids(emb))
+        .groupBy("cell")
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    return sizes.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.round(F.avg(F.col("_n").cast("double")), 6).alias("avg_cell"),
+        F.max("_n").cast("long").alias("max_cell"),
+        F.sum(F.col("_n") * F.col("_n")).cast("long").alias(
+            "candidate_pairs"
+        ),
+    )
+
+
+def q199_knn_graph_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q159's cell-blocked kNN graph built on the two-level
+    quantizer: identical join + rank plan downstream, only the cell
+    assignment changes (N·2·sqrt(C) distances instead of N·C). The
+    assignment approximation (a vector whose nearest fine centroid
+    sits in another coarse group takes its best same-group cell) is
+    deterministic, so the two-level rule written in SQL is an exact
+    oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_graph(
+        emb, _adaptive_centroids(emb), k=_KNN_K, two_level=True
+    )
+
+
+def q200_knn_pagerank_two_level(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q169's PageRank over the mutual-kNN graph, with the kNN built
+    on the two-level assignment — the query that demonstrates the
+    assignment fix end-to-end: q169's sf1→sf10 exponent was +1.48
+    because the flat N·C argmin dominates; this twin's probe is the
+    'after' measurement."""
+    from ulh_etl_spark.operators.graph import pagerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = S.knn_graph(
+        emb, _adaptive_centroids(emb), k=_KNN_K, two_level=True
+    )
+    edges = S.mutual_knn_edges(knn)
+    return pagerank(edges, iterations=_PR_ITER, damping=_PR_DAMPING)
+
+
+_NND_ROUNDS = 3
+
+
+def q201_nn_descent_plateau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NN-Descent recall curve: mean recall@k of the q186
+    multi-probe seed and of each of three composed refinement
+    rounds against exact brute force — where the ladder tops out and
+    what each round buys. Rounds compose because nn_descent_round's
+    output is its own input shape (operators/similarity.py), and
+    per-query recall is monotone non-decreasing per round (current
+    edges ride in the candidate set), so the curve is monotone by
+    construction; the plateau is where hopping farther stops paying
+    and probe width (nprobe) or centroid count become the remaining
+    levers. Each round is persisted — round i+1 references its
+    predecessor ~3 times (the undirected union + candidate union).
+
+    Mean recall = total hits / (n_queries * k), computed as ONE
+    integer hit sum over the brute relation then a single fixed-order
+    double division — bit-stable cross-engine.
+
+    Output: (round, mean_recall), rounds 0..3."""
+    from pyspark.storagelevel import StorageLevel
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _adaptive_centroids(emb)
+    queries = emb.filter(F.col("vec_id") < _KNN_AUDIT_Q)
+    bf = S.cosine_topk(emb, queries, k=_KNN_K).select(
+        "query_id", "neighbor_id"
+    )
+    cur = track(
+        S.knn_graph(emb, cents, k=_KNN_K, nprobe=_KNN_NPROBE).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
+    legs = []
+    graphs = [(0, cur)]
+    for r in range(1, _NND_ROUNDS + 1):
+        cur = track(
+            S.nn_descent_round(cur, emb, k=_KNN_K).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        )
+        graphs.append((r, cur))
+    for r, g in graphs:
+        hits = (
+            g.filter(F.col("vec_id") < _KNN_AUDIT_Q)
+            .select(F.col("vec_id").alias("query_id"), "neighbor_id")
+            .withColumn("_hit", F.lit(1))
+        )
+        legs.append(
+            bf.join(F.broadcast(hits), ["query_id", "neighbor_id"], "left")
+            .agg(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                .cast("long")
+                .alias("_hits"),
+                F.count("*").cast("long").alias("_total"),
+            )
+            .select(
+                F.lit(r).cast("int").alias("round"),
+                F.round(
+                    F.col("_hits").cast("double")
+                    / F.col("_total").cast("double"),
+                    6,
+                ).alias("mean_recall"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
 QUERIES = {
+    "q198_two_level_cells": q198_two_level_cells,
+    "q201_nn_descent_plateau": q201_nn_descent_plateau,
+    "q199_knn_graph_two_level": q199_knn_graph_two_level,
+    "q200_knn_pagerank_two_level": q200_knn_pagerank_two_level,
     "q197_cell_skew_canary": q197_cell_skew_canary,
     "q181_embedding_outliers": q181_embedding_outliers,
     "q175_label_propagation": q175_label_propagation,
@@ -1132,6 +1272,63 @@ _Q159_SQL = f"""
         FROM ranked WHERE rank <= {_KNN_K}
 """
 
+def _sqd(a: str, b: str) -> str:
+    """Squared-L2 between two array expressions — the same
+    sequential index-order fold as the engine's _sq_dist_to and the
+    driver-side _py_sqdist, so all three agree bit-for-bit."""
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+    )
+
+
+# Two-level assignment CTE chain (oracle twin of
+# operators.similarity.ivf_assign_two_level + two_level_structure):
+# coarse = the ceil(sqrt(C)) seed centroids with the smallest
+# md5('co_' || id) (ties by id); every fine centroid joins its
+# nearest coarse (f2c); every vector picks its coarse (v2c) then the
+# best fine WITHIN that coarse group (assigned2). All tie-breaks by
+# id; distances are the shared sequential fold.
+_TWO_LEVEL_CTES = f"""seed AS MATERIALIZED (
+            SELECT centroid_id, centroid_vec FROM {_ADAPTIVE_SEED_SQL}
+        ), coarse AS MATERIALIZED (
+            SELECT centroid_id AS co_id, centroid_vec AS co_vec
+            FROM (
+                SELECT s.*,
+                       row_number() OVER (ORDER BY
+                           {O.md5h("'co_' || CAST(centroid_id AS VARCHAR)")},
+                           centroid_id) AS hrn,
+                       COUNT(*) OVER () AS c_total
+                FROM seed s
+            ) WHERE hrn <= GREATEST(
+                CAST(CEIL(SQRT(CAST(c_total AS DOUBLE))) AS BIGINT), 1)
+        ), f2c AS MATERIALIZED (
+            SELECT centroid_id, centroid_vec, co_id FROM (
+                SELECT s.centroid_id, s.centroid_vec, c.co_id,
+                       row_number() OVER (PARTITION BY s.centroid_id
+                           ORDER BY {_sqd("s.centroid_vec", "c.co_vec")},
+                                    c.co_id) AS rn
+                FROM seed s, coarse c
+            ) WHERE rn = 1
+        ), v2c AS MATERIALIZED (
+            SELECT vec_id, embedding, co_id FROM (
+                SELECT e.vec_id, e.embedding, c.co_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {_sqd("e.embedding", "c.co_vec")},
+                                    c.co_id) AS rn
+                FROM embeddings e, coarse c
+            ) WHERE rn = 1
+        ), assigned2 AS MATERIALIZED (
+            SELECT vec_id, embedding, cell FROM (
+                SELECT v.vec_id, v.embedding, f.centroid_id AS cell,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY {_sqd("v.embedding", "f.centroid_vec")},
+                                    f.centroid_id) AS rn
+                FROM v2c v JOIN f2c f ON v.co_id = f.co_id
+            ) WHERE rn = 1
+        )"""
+
 # q186/q187/q160: the multi-probe variants. _COS_AB is the exact
 # cosine written once for (a, b)-aliased relations — the same op
 # order as _Q159_SQL's scored CTE and the engine's _dot / (n1 * n2).
@@ -1144,6 +1341,36 @@ _COS_AB = (
     "                      * sqrt(list_sum(list_transform(b.embedding,"
     " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
 )
+
+_Q198_SQL = f"""
+        WITH {_TWO_LEVEL_CTES}, sizes AS (
+            SELECT cell, CAST(COUNT(*) AS BIGINT) AS n
+            FROM assigned2 GROUP BY cell
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               ROUND(AVG(CAST(n AS DOUBLE)), 6) AS avg_cell,
+               CAST(MAX(n) AS BIGINT) AS max_cell,
+               CAST(SUM(n * n) AS BIGINT) AS candidate_pairs
+        FROM sizes
+"""
+
+# q199: _Q159_SQL's scored/ranked tail over the two-level assignment.
+_Q199_SQL = f"""
+        WITH {_TWO_LEVEL_CTES}, scored AS (
+            SELECT a.vec_id, b.vec_id AS neighbor_id,
+                   {_COS_AB} AS cos_raw
+            FROM assigned2 a JOIN assigned2 b
+              ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        ), ranked AS (
+            SELECT vec_id, neighbor_id, cos_raw,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos_raw DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT vec_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
+               CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {_KNN_K}
+"""
 
 # Multi-probe kNN: identical to _Q159_SQL except the probe side keeps
 # each vector's top-nprobe cells (rn <= nprobe) while the index side
@@ -1184,9 +1411,12 @@ _Q186_SQL = f"""
 # re-evaluate the whole kNN cross-join — at sf0.1 that multiplied
 # the working set past RAM (OOM in the sweep). Materializing pins
 # each relation to ONE evaluation, mirroring the engine's persist().
-_GRAPH_CTES = f"""
+def _graph_ctes(knn_sql: str) -> str:
+    """The graph CTE chain over any kNN SELECT (q159's flat
+    assignment or q199's two-level)."""
+    return f"""
         WITH knn AS MATERIALIZED (
-            {_Q159_SQL}
+            {knn_sql}
         ), mut AS MATERIALIZED (
             SELECT f.vec_id AS id1, f.neighbor_id AS id2
             FROM knn f JOIN knn r
@@ -1201,11 +1431,15 @@ _GRAPH_CTES = f"""
         )"""
 
 
-def _pagerank_oracle_sql() -> str:
+_GRAPH_CTES = _graph_ctes(_Q159_SQL)
+
+
+def _pagerank_oracle_sql(graph_ctes: str = _GRAPH_CTES) -> str:
     """q169's oracle: the engine's recursion unrolled — every float
     step written as the same operation sequence (base and init
     divisions included) so the only cross-engine slack is the
-    neighbor-SUM partial order, absorbed by the final round."""
+    neighbor-SUM partial order, absorbed by the final round.
+    q200 passes the two-level graph chain instead."""
     d = repr(_PR_DAMPING)
     ctes = [
         "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg)",
@@ -1224,7 +1458,7 @@ def _pagerank_oracle_sql() -> str:
             f" FROM deg dd JOIN g{i} g ON dd.src = g.dst CROSS JOIN n)"
         )
     return f"""
-        {_GRAPH_CTES},
+        {graph_ctes},
         {", ".join(ctes)}
         SELECT src AS node, CAST(deg AS BIGINT) AS degree,
                ROUND(contrib * CAST(deg AS DOUBLE), 6) AS pagerank
@@ -1298,6 +1532,77 @@ _KS_SQL = f"""
                      6) AS ks
         FROM scored GROUP BY dim
 """
+
+
+
+def _nnd_plateau_oracle_sql() -> str:
+    """q201's oracle: the q186 seed, then _NND_ROUNDS NN-Descent
+    rounds unrolled (the q115/q190 fold-vs-unrolled pattern — each
+    round is the q188 CTE chain reading the previous round's g{i}),
+    then one recall row per graph level against brute force."""
+    rounds = ", ".join(
+        f"""fwd{i} AS (
+            SELECT vec_id AS src, neighbor_id AS dst FROM g{i - 1}
+        ), und{i} AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM fwd{i}
+                UNION ALL SELECT dst, src FROM fwd{i}
+            ) AS t
+        ), cand{i} AS MATERIALIZED (
+            SELECT DISTINCT q, n FROM (
+                SELECT x.src AS q, y.dst AS n
+                FROM und{i} x JOIN und{i} y ON x.dst = y.src
+                WHERE x.src <> y.dst
+                UNION ALL
+                SELECT src, dst FROM fwd{i}
+            ) AS t
+        ), scored{i} AS (
+            SELECT c.q AS vec_id, c.n AS neighbor_id, {_COS_AB} AS cos_raw
+            FROM cand{i} c
+            JOIN embeddings a ON c.q = a.vec_id
+            JOIN embeddings b ON c.n = b.vec_id
+        ), g{i} AS MATERIALIZED (
+            SELECT vec_id, neighbor_id FROM (
+                SELECT vec_id, neighbor_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cos_raw DESC, neighbor_id) AS rank
+                FROM scored{i}
+            ) WHERE rank <= {_KNN_K}
+        )"""
+        for i in range(1, _NND_ROUNDS + 1)
+    )
+    recalls = "\nUNION ALL\n".join(
+        f"""
+        SELECT CAST({i} AS INT) AS round,
+               ROUND(CAST(SUM(CASE WHEN g.vec_id IS NOT NULL
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS mean_recall
+        FROM brute br
+        LEFT JOIN g{i} g ON br.query_id = g.vec_id
+                        AND br.neighbor_id = g.neighbor_id
+        """
+        for i in range(_NND_ROUNDS + 1)
+    )
+    return f"""
+        WITH seed AS MATERIALIZED (
+            {_Q186_SQL}
+        ), g0 AS MATERIALIZED (
+            SELECT vec_id, neighbor_id FROM seed
+        ), {rounds}, bs AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   {_COS_AB} AS cos_raw
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id < {_KNN_AUDIT_Q}
+        ), brute AS MATERIALIZED (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos_raw DESC, neighbor_id) AS rank
+                FROM bs
+            ) WHERE rank <= {_KNN_K}
+        )
+        {recalls}
+    """
 
 
 ORACLES = {
@@ -1387,6 +1692,11 @@ ORACLES = {
     """,
     "q169_knn_pagerank": _pagerank_oracle_sql(),
     "q170_knn_triangles": _TRIANGLE_SQL,
+    "q198_two_level_cells": _Q198_SQL,
+    "q199_knn_graph_two_level": _Q199_SQL,
+    "q200_knn_pagerank_two_level": _pagerank_oracle_sql(
+        _graph_ctes(_Q199_SQL)
+    ),
     "q174_embedding_ks_drift": _KS_SQL,
     "q168_embedding_drift": _psi_oracle_sql(),
     "q159_knn_graph": _Q159_SQL,
@@ -1472,6 +1782,7 @@ ORACLES = {
                          AND br.neighbor_id = k2.neighbor_id
         GROUP BY br.query_id
     """,
+    "q201_nn_descent_plateau": _nnd_plateau_oracle_sql(),
     "q188_nn_descent": f"""
         WITH seed AS MATERIALIZED (
             {_Q186_SQL}
