@@ -356,9 +356,11 @@ ANCHOR = {
     # r12 anchors, recorded on a measurably slower host than the
     # r8-r11 anchor era (raw sf0.1 lineitem scan 0.56 s vs the ~0.27 s
     # implied by old anchors) — conservative by construction.
-    "q198_two_level_cells": 0.586,
-    "q199_knn_graph_two_level": 4.774,
-    "q200_knn_pagerank_two_level": 2.608,
+    # q198-q200 re-anchored after the coarse_nprobe=2 iteration
+    # (sf0.1 min-of-3 warm from the probe runs).
+    "q198_two_level_cells": 1.31,
+    "q199_knn_graph_two_level": 3.16,
+    "q200_knn_pagerank_two_level": 4.08,
     "q201_nn_descent_plateau": 12.864,
     "q202_quantile_incremental": 0.485,
     "q203_group_quantiles": 0.205,

@@ -974,8 +974,9 @@ def test_two_level_structure_model():
 
 def test_ivf_assign_two_level_matches_python_model(spark):
     """Spark two-level assignment == the pure-Python two-level rule
-    (coarse argmin then within-group fine argmin, id tie-breaks) for
-    every vector."""
+    (top-coarse_nprobe coarse groups, fine argmin over their union,
+    id tie-breaks) for every vector — at both coarse_nprobe=1 and
+    the default 2."""
     import numpy as np
 
     from ulh_etl_spark.operators.similarity import (
@@ -995,25 +996,31 @@ def test_ivf_assign_two_level_matches_python_model(spark):
         [(j, [float(x) for x in cvecs[j]]) for j in range(len(cvecs))],
         "centroid_id long, centroid_vec array<double>",
     )
-    got = {
-        r.vec_id: r.cell
-        for r in ivf_assign_two_level(emb, cents).collect()
-    }
-
     rows = [
         {"cell": j, "cvec": [float(x) for x in cvecs[j]]}
         for j in range(len(cvecs))
     ]
     coarse, groups = two_level_structure(rows)
-    for i in range(len(vecs)):
-        v = [float(x) for x in vecs[i]]
-        co = min(
-            coarse, key=lambda c: (_py_sqdist(v, c["cvec"]), c["cell"])
-        )["cell"]
-        fine = min(
-            groups[co], key=lambda r: (_py_sqdist(v, r["cvec"]), r["cell"])
-        )["cell"]
-        assert got[i] == fine, f"vec {i}: {got[i]} != {fine}"
+
+    for nprobe in (1, 2):
+        got = {
+            r.vec_id: r.cell
+            for r in ivf_assign_two_level(
+                emb, cents, coarse_nprobe=nprobe
+            ).collect()
+        }
+        for i in range(len(vecs)):
+            v = [float(x) for x in vecs[i]]
+            cos = sorted(
+                coarse,
+                key=lambda c: (_py_sqdist(v, c["cvec"]), c["cell"]),
+            )[:nprobe]
+            cand = [r for c in cos for r in groups[c["cell"]]]
+            fine = min(
+                cand,
+                key=lambda r: (_py_sqdist(v, r["cvec"]), r["cell"]),
+            )["cell"]
+            assert got[i] == fine, f"nprobe={nprobe} vec {i}"
 
 
 def test_knn_graph_two_level_rejects_multiprobe(spark):

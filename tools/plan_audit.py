@@ -57,6 +57,14 @@ SHUFFLE_BUDGET = {
     # plan (3 PageRank rounds x 2 exchanges + degree agg + kNN
     # build), same static re-render caveat on the persisted adj.
     "q200_knn_pagerank_two_level": 14,
+    # q201 composes the q186 seed build with THREE NN-Descent rounds
+    # (each: undirected distinct + candidate distinct + two id-keyed
+    # vector-fetch joins + rank window — the q188 chain, x3) plus
+    # four brute-force recall legs unioned. One exchange per
+    # refinement stage over degree-bounded relations; the static
+    # count re-renders each persisted round per consumer (the
+    # q169/q170 caveat) — runtime reads each round's cache once.
+    "q201_nn_descent_plateau": 30,
     # The connected-components consumers (star-contraction CC over a
     # candidate-pair relation): the returned labels plan joins the
     # last checkpointed round with the node set, and the STATIC

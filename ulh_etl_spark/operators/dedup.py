@@ -113,7 +113,6 @@ def minhash_estimate_pairs(
     would run the per-gram md5 HOFs on ONE core (measured 12.8 s vs
     0.9 s for the identical projection at sf0.1).
     """
-    df = _fan_out(df)
     if sample_mod is not None:
         # deterministic endpoint keep/drop AT THE SOURCE (see
         # docstring): band keys are per-doc functions, so dropping
@@ -121,12 +120,19 @@ def minhash_estimate_pairs(
         # the band table — and the signature/gram pipeline, persist,
         # and every join shrink by K with it. 15 md5 nibbles = the
         # sign-safe 60-bit BIGINT DuckDB reproduces (md5_hash60).
+        # Filter BEFORE _fan_out: the repartition is a full exchange
+        # of the document TEXT, and Catalyst does not push filters
+        # through a user-requested repartition — the r12 floor
+        # measurement found the full-corpus text shuffle (not the
+        # signature build, 0.8 s at sf1) was most of the sampled
+        # audit's ~5 s; filtering first ships only the 1/K sample.
         doc_key = F.conv(
             F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
             16,
             10,
         ).cast("long")
         df = df.filter(doc_key % sample_mod == 0)
+    df = _fan_out(df)
     feats = df.select(
         F.col(id_col),
         *minhash_columns(F.col(text_col), num_hashes, shingle_n),

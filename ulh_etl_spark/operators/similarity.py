@@ -564,6 +564,7 @@ def ivf_assign_two_level(
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
     centroid_vec: str = "centroid_vec",
+    coarse_nprobe: int = 2,
 ) -> DataFrame:
     """Two-level IVF assignment — the next-decade replacement for
     :func:`ivf_assign`'s flat argmin. The flat form pays N·C centroid
@@ -576,19 +577,30 @@ def ivf_assign_two_level(
     assignment drops to ~N·2·sqrt(C) distances — back to ~linear per
     decade (sqrt grows 3.2x per 10x).
 
-    The approximation is the usual IVF one: a vector whose true
-    nearest fine centroid lands in a DIFFERENT coarse group gets its
-    best same-group fine cell instead. Fully deterministic (hash
-    coarse pick + id tie-breaks), so the identical two-level rule in
-    SQL is an exact oracle.
+    The approximation is the usual IVF one: a vector considers only
+    the fine centroids of its ``coarse_nprobe`` nearest coarse
+    groups. Single-coarse-probe was MEASURED too lumpy (r12, sf10:
+    max cell 1976 vs the flat argmin's 933, candidate pairs +40% —
+    boundary vectors pile into their group's edge cells and the
+    within-cell pair stage pays it back); probing the 2 nearest
+    coarse groups costs ~N·3·sqrt(C) distances — still ~sqrt(C)/3
+    cheaper than flat (measured 12x at sf10 for the assignment
+    scan) — and restores a near-flat cell histogram. Fully
+    deterministic (hash coarse pick + id tie-breaks), so the
+    identical two-level rule in SQL is an exact oracle.
 
-    Plan shape: still ZERO shuffles — one coarse literal argmin
-    (sqrt(C) structs), then ``element_at`` into a literal
-    map<coarse, array<fine struct>> and a fine argmin over that
-    group. Everything narrow, whole-stage-codegen'd, partition-
-    prunable on the output ``cell`` exactly like ivf_assign.
+    Plan shape: still ZERO shuffles — one coarse literal scoring
+    (sqrt(C) structs), a sorted slice of the top coarse_nprobe
+    groups, ``element_at`` into a literal map<coarse, array<fine
+    struct>>, and a fine argmin over the flattened union (a fine
+    cell lives in exactly ONE group, so the union has no
+    duplicates). Everything narrow, whole-stage-codegen'd,
+    partition-prunable on the output ``cell`` exactly like
+    ivf_assign.
 
     Output: (id_col, vec_col, cell) — same schema as ivf_assign."""
+    if coarse_nprobe < 1:
+        raise ValueError("coarse_nprobe must be >= 1")
     cell_type = centroids.schema[centroid_id].dataType.simpleString()
     rows = _centroid_rows(centroids, centroid_id, centroid_vec)
     coarse, groups = two_level_structure(rows)
@@ -607,7 +619,10 @@ def ivf_assign_two_level(
             c["cell"].alias("cell"),
         ),
     )
-    fines = F.element_at(group_map, F.array_min(co_scored)["cell"])
+    probed = F.slice(F.array_sort(co_scored), 1, coarse_nprobe)
+    fines = F.flatten(
+        F.transform(probed, lambda s: F.element_at(group_map, s["cell"]))
+    )
     fine_scored = F.transform(
         fines,
         lambda c: F.struct(

@@ -1287,9 +1287,13 @@ def _sqd(a: str, b: str) -> str:
 # operators.similarity.ivf_assign_two_level + two_level_structure):
 # coarse = the ceil(sqrt(C)) seed centroids with the smallest
 # md5('co_' || id) (ties by id); every fine centroid joins its
-# nearest coarse (f2c); every vector picks its coarse (v2c) then the
-# best fine WITHIN that coarse group (assigned2). All tie-breaks by
-# id; distances are the shared sequential fold.
+# nearest coarse (f2c); every vector keeps its _COARSE_NPROBE
+# nearest coarse groups (v2c) and the best fine across their UNION
+# wins (assigned2 — a fine lives in exactly one group, so the join
+# never duplicates a candidate). All tie-breaks by id; distances are
+# the shared sequential fold.
+_COARSE_NPROBE = 2
+
 _TWO_LEVEL_CTES = f"""seed AS MATERIALIZED (
             SELECT centroid_id, centroid_vec FROM {_ADAPTIVE_SEED_SQL}
         ), coarse AS MATERIALIZED (
@@ -1318,7 +1322,7 @@ _TWO_LEVEL_CTES = f"""seed AS MATERIALIZED (
                            ORDER BY {_sqd("e.embedding", "c.co_vec")},
                                     c.co_id) AS rn
                 FROM embeddings e, coarse c
-            ) WHERE rn = 1
+            ) WHERE rn <= {_COARSE_NPROBE}
         ), assigned2 AS MATERIALIZED (
             SELECT vec_id, embedding, cell FROM (
                 SELECT v.vec_id, v.embedding, f.centroid_id AS cell,
