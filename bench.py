@@ -310,7 +310,7 @@ ANCHOR = {
     # components engine is the O(log n) star contraction + the kNN
     # build is persisted under the mutual join — net FASTER than the
     # r10 single-probe 8.691 despite 2x candidates.
-    "q160_semantic_clusters": 4.283,
+    "q160_semantic_clusters": 6.11,
     "q161_unimax_mix": 0.346,
     "q162_token_fertility": 0.317,
     "q163_shard_balance": 0.52,
@@ -322,13 +322,13 @@ ANCHOR = {
     # graph batch: q169/q170 rebuild the q159 kNN graph (its 3.3 s
     # anchor covers the cell join); pagerank adds 3 bounded
     # join+agg rounds, triangles one wedge self-join
-    "q169_knn_pagerank": 2.674,
-    "q170_knn_triangles": 3.138,  # r11: mutual-edge persist
+    "q169_knn_pagerank": 4.47,
+    "q170_knn_triangles": 7.05,  # r11: mutual-edge persist
     "q171_cms_heavy_hitters": 1.594,
     "q172_salted_priority_totals": 1.738,
     "q173_merged_event_stats": 0.411,
     "q174_embedding_ks_drift": 0.408,
-    "q175_label_propagation": 2.073,  # r11: mutual-edge persist
+    "q175_label_propagation": 5.21,  # r11: mutual-edge persist
     "q176_fm_user_registers": 0.611,
     "q177_bloom_join_reduction": 3.036,
     "q178_gap_fill_daily": 0.522,
@@ -343,7 +343,7 @@ ANCHOR = {
     # r11 batch (min-of-3 warm, quiet box, post single-pass nprobe fix)
     "q186_knn_graph_multiprobe": 6.539,
     "q187_knn_recall_uplift": 2.508,
-    "q188_nn_descent": 8.557,
+    "q188_nn_descent": 7.06,
     "q189_nn_descent_recall": 2.901,
     "q190_unigram_vocab": 7.259,
     "q191_unigram_fertility": 5.018,
@@ -361,7 +361,7 @@ ANCHOR = {
     "q198_two_level_cells": 1.31,
     "q199_knn_graph_two_level": 3.16,
     "q200_knn_pagerank_two_level": 4.08,
-    "q201_nn_descent_plateau": 12.864,
+    "q201_nn_descent_plateau": 19.82,
     "q202_quantile_incremental": 0.485,
     "q203_group_quantiles": 0.205,
     # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's

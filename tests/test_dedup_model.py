@@ -1023,16 +1023,46 @@ def test_ivf_assign_two_level_matches_python_model(spark):
             assert got[i] == fine, f"nprobe={nprobe} vec {i}"
 
 
-def test_knn_graph_two_level_rejects_multiprobe(spark):
-    import pytest
+def test_knn_graph_two_level_multiprobe_contains_single_probe(spark):
+    """Two-level multiprobe (r12): the nprobe=2 probe list always
+    contains the own cell (element 1 == ivf_assign_two_level's
+    assignment), so per-query recall vs brute force is monotone
+    non-decreasing in nprobe — and the index side of both variants
+    agrees with the two-level assignment."""
+    import numpy as np
 
     from ulh_etl_spark.operators.similarity import knn_graph
 
+    rng = np.random.RandomState(3)
+    vecs = rng.rand(60, 5).astype("float64")
+    cvecs = rng.rand(12, 5).astype("float64")
     emb = spark.createDataFrame(
-        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
     )
     cents = spark.createDataFrame(
-        [(0, [1.0, 0.0])], "centroid_id long, centroid_vec array<double>"
+        [(j, [float(x) for x in cvecs[j]]) for j in range(len(cvecs))],
+        "centroid_id long, centroid_vec array<double>",
     )
-    with pytest.raises(ValueError, match="nprobe=1"):
-        knn_graph(emb, cents, k=2, nprobe=2, two_level=True)
+    norms = np.linalg.norm(vecs, axis=1)
+    brute = {}
+    for i in range(len(vecs)):
+        cos = vecs @ vecs[i] / (norms * norms[i])
+        brute[i] = set(
+            sorted(
+                (j for j in range(len(vecs)) if j != i),
+                key=lambda j: (-cos[j], j),
+            )[:3]
+        )
+
+    def recall(nprobe):
+        g = knn_graph(emb, cents, k=3, nprobe=nprobe, two_level=True)
+        got = {}
+        for r in g.collect():
+            got.setdefault(r.vec_id, set()).add(r.neighbor_id)
+        return sum(
+            len(got.get(i, set()) & brute[i]) for i in brute
+        ) / (3 * len(brute))
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1  # probe set contains the own cell

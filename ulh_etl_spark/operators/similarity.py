@@ -638,6 +638,54 @@ def ivf_assign_two_level(
     )
 
 
+def two_level_probe_expr(
+    centroids: DataFrame,
+    vec_col: str,
+    nprobe: int,
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+    coarse_nprobe: int = 2,
+) -> Column:
+    """The two-level analogue of ivf_assign_queries' sorted-slice
+    expansion: per row, the top-``nprobe`` (dist, cell) structs among
+    the fine centroids of the row's ``coarse_nprobe`` nearest coarse
+    groups — ~N·3·sqrt(C) distances instead of N·C, same narrow
+    zero-shuffle shape. Element 1 of the returned array is exactly
+    ivf_assign_two_level's cell (same tie-breaks), so one evaluation
+    serves both the index side (element_at 1) and the probe side
+    (explode) — the single-pass persist pattern the r11 bench
+    forced."""
+    rows = _centroid_rows(centroids, centroid_id, centroid_vec)
+    coarse, groups = two_level_structure(rows)
+    coarse_lit = F.expr(_rows_struct_sql(coarse))
+    entries = ", ".join(
+        f"{_cell_sql(co)}, {_rows_struct_sql(fines)}"
+        for co, fines in groups.items()
+    )
+    group_map = F.expr(f"map({entries})")
+    co_scored = F.transform(
+        coarse_lit,
+        lambda c: F.struct(
+            _sq_dist_to(vec_col, c["cvec"]).alias("dist"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    probed_coarse = F.slice(F.array_sort(co_scored), 1, coarse_nprobe)
+    fines = F.flatten(
+        F.transform(
+            probed_coarse, lambda s: F.element_at(group_map, s["cell"])
+        )
+    )
+    fine_scored = F.transform(
+        fines,
+        lambda c: F.struct(
+            _sq_dist_to(vec_col, c["cvec"]).alias("dist"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    return F.slice(F.array_sort(fine_scored), 1, nprobe)
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: DataFrame,
@@ -766,11 +814,6 @@ def knn_graph(
 
     from pyspark.storagelevel import StorageLevel
 
-    if two_level and nprobe != 1:
-        raise ValueError(
-            "two_level kNN currently supports nprobe=1 only (multi-"
-            "probe would need the per-coarse-group fine ranking)"
-        )
     if nprobe == 1:
         # two_level routes the cell assignment through the
         # ivf_assign_two_level quantizer (N·2·sqrt(C) distances
@@ -806,15 +849,23 @@ def knn_graph(
             else ("centroid_id", "centroid_vec")
         )
         cell_type = centroids.schema[cid].dataType.simpleString()
-        cells = _centroid_literal(centroids, cid, cvec)
-        scored = F.transform(
-            cells,
-            lambda c: F.struct(
-                _sq_dist_to(vec_col, c["cvec"]).alias("dist"),
-                c["cell"].alias("cell"),
-            ),
-        )
-        probed = F.slice(F.array_sort(scored), 1, nprobe)
+        if two_level:
+            # same sorted-slice contract, fine candidates drawn from
+            # the coarse_nprobe=2 nearest coarse groups' union —
+            # element 1 still equals ivf_assign_two_level's cell.
+            probed = two_level_probe_expr(
+                centroids, vec_col, nprobe, cid, cvec
+            )
+        else:
+            cells = _centroid_literal(centroids, cid, cvec)
+            scored = F.transform(
+                cells,
+                lambda c: F.struct(
+                    _sq_dist_to(vec_col, c["cvec"]).alias("dist"),
+                    c["cell"].alias("cell"),
+                ),
+            )
+            probed = F.slice(F.array_sort(scored), 1, nprobe)
         assigned = corpus.select(
             F.col(id_col),
             F.col(vec_col),
@@ -882,8 +933,9 @@ def nn_descent_round(
     (measured: zero recall change at every SF). Seed from a graph
     with cross-cell edges — the nprobe>=2 graph (a neighbor's OTHER
     probed cell becomes reachable) or the paper's random init. On
-    the synthetic corpus the nprobe=2 seed refines 0.37 -> 0.45
-    recall@4 in one round (q189, threshold-seeded cells); random init converges 0.01 ->
+    the synthetic corpus the nprobe=2 seed refines recall@4 by
+    ~0.05 per early round (q189/q201: flat cells 0.37 -> 0.45,
+    two-level cells 0.332 -> 0.383, plateauing at 0.438 by round 3); random init converges 0.01 ->
     0.14 -> 0.21 -> 0.25 over three.
 
     Scale: the undirected relation is <= 2Nk rows, the two-hop

@@ -275,7 +275,7 @@ def q159_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q160_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space cluster report: the MULTI-PROBE kNN graph
-    (q186 — each vector's candidates come from its nprobe=2 nearest
+    (two-level assigner since r12; q186 keeps the flat baseline — each vector's candidates come from its nprobe=2 nearest
     cells, recovering the boundary-straddling neighbors single-probe
     q159 drops) -> MUTUAL edge filter (i in knn(j) and j in knn(i) —
     strips hub-induced one-way edges, the high-precision core of a
@@ -291,7 +291,8 @@ def q160_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     knn = S.knn_graph(
-        emb, _adaptive_centroids(emb), k=_KNN_K, nprobe=_KNN_NPROBE
+        emb, _adaptive_centroids(emb), k=_KNN_K, nprobe=_KNN_NPROBE,
+        two_level=True,
     )
     edges = S.mutual_knn_edges(knn)
     comp = connected_components(edges)
@@ -368,25 +369,28 @@ def q187_knn_recall_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q188_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NN-Descent refinement of the multi-probe kNN graph
     (operators.similarity.nn_descent_round, Dong et al. WWW 2011):
-    one neighbors-of-neighbors round over the q186 seed. The seed
+    one neighbors-of-neighbors round over the multi-probe TWO-LEVEL
+    seed (r12; q186 keeps the flat baseline). The seed
     MUST carry cross-cell edges for the round to buy anything — from
     the single-probe q159 graph the round is provably a no-op (its
     undirected edges never leave a cell, and in-cell top-k is
     already exhaustive); from the nprobe=2 seed the pivot hops reach
-    cells NEITHER endpoint probed, lifting recall@4 0.37 -> 0.45
-    (q189 measures it). Candidate volume is degree-bounded
+    cells NEITHER endpoint probed, lifting recall@4 0.332 -> 0.383
+    on the two-level cells (q189 measures it; the flat-cell ladder
+    read 0.37 -> 0.45). Candidate volume is degree-bounded
     (<= N(2k)^2 + Nk), never all-pairs; output is the knn_graph
     schema so every downstream graph consumer plugs in unchanged."""
     emb = load_table(spark, sf_dir, "embeddings")
     seed = S.knn_graph(
-        emb, _adaptive_centroids(emb), k=_KNN_K, nprobe=_KNN_NPROBE
+        emb, _adaptive_centroids(emb), k=_KNN_K, nprobe=_KNN_NPROBE,
+        two_level=True,
     )
     return S.nn_descent_round(seed, emb, k=_KNN_K)
 
 
 def q189_nn_descent_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall audit for the NN-Descent round (the q187 shape): per
-    audited query, recall@k of the q186 multi-probe seed and the
+    audited query, recall@k of the two-level multi-probe seed and the
     q188 refined graph against exact brute force. Refined recall is
     monotone >= seed recall per query by construction — the current
     edges ride in the candidate set, and only true top-k members can
@@ -406,7 +410,7 @@ def q189_nn_descent_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # refinement round — without it the cell join + rank window of
     # the kNN build would execute once per consumer.
     seed = S.knn_graph(
-        emb, cents, k=_KNN_K, nprobe=_KNN_NPROBE
+        emb, cents, k=_KNN_K, nprobe=_KNN_NPROBE, two_level=True
     ).persist(StorageLevel.MEMORY_AND_DISK)
     track(seed)
     refined = S.nn_descent_round(seed, emb, k=_KNN_K)
@@ -776,7 +780,10 @@ _PR_DAMPING = 0.85
 
 
 def q169_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the mutual-kNN graph (q160's edge relation,
+    """PageRank over the mutual-kNN graph (built on the TWO-LEVEL
+    assigner since r12 — the flat N·C argmin measured exp +1.48
+    sf1→sf10; q200 keeps the single-probe two-level twin)
+    (q160's edge relation,
     operators.graph.pagerank, 3 rounds, d=0.85): ranks the most
     central member of every semantic neighborhood — the exemplar a
     curation run keeps when a near-dup family collapses, and the
@@ -787,7 +794,9 @@ def q169_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ulh_etl_spark.operators.graph import pagerank
 
     emb = load_table(spark, sf_dir, "embeddings")
-    knn = S.knn_graph(emb, _adaptive_centroids(emb), k=_KNN_K)
+    knn = S.knn_graph(
+        emb, _adaptive_centroids(emb), k=_KNN_K, two_level=True
+    )
     edges = S.mutual_knn_edges(knn)
     return pagerank(edges, iterations=_PR_ITER, damping=_PR_DAMPING)
 
@@ -800,11 +809,14 @@ def q170_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure). Degree-ordered edge orientation bounds wedge fan-out at
     the lowest-degree endpoint — the O(m^1.5) MapReduce triangle
     bound — so the plan survives power-law degree graphs, not just
-    the k-bounded one it runs on here."""
+    the k-bounded one it runs on here. Runs on the two-level
+    assignment since r12 (the oracle mirrors the identical rule)."""
     from ulh_etl_spark.operators.graph import triangle_stats
 
     emb = load_table(spark, sf_dir, "embeddings")
-    knn = S.knn_graph(emb, _adaptive_centroids(emb), k=_KNN_K)
+    knn = S.knn_graph(
+        emb, _adaptive_centroids(emb), k=_KNN_K, two_level=True
+    )
     edges = S.mutual_knn_edges(knn)
     return triangle_stats(edges)
 
@@ -844,11 +856,14 @@ def q175_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     move this pins: amplify a small labeled set across the
     embedding graph to pre-label the corpus for mixture decisions.
     Synchronous rounds + a total tie order make the fixpoint
-    deterministic — the oracle replays both rounds exactly."""
+    deterministic — the oracle replays both rounds exactly (on the
+    two-level kNN graph since r12)."""
     from ulh_etl_spark.operators.graph import label_propagation
 
     emb = load_table(spark, sf_dir, "embeddings")
-    knn = S.knn_graph(emb, _adaptive_centroids(emb), k=_KNN_K)
+    knn = S.knn_graph(
+        emb, _adaptive_centroids(emb), k=_KNN_K, two_level=True
+    )
     edges = S.mutual_knn_edges(knn)
     seeds = (
         emb.filter(F.col("vec_id") % _LP_SEED_MOD == 0)
@@ -998,7 +1013,9 @@ def q201_nn_descent_plateau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     cur = track(
-        S.knn_graph(emb, cents, k=_KNN_K, nprobe=_KNN_NPROBE).persist(
+        S.knn_graph(
+            emb, cents, k=_KNN_K, nprobe=_KNN_NPROBE, two_level=True
+        ).persist(
             StorageLevel.MEMORY_AND_DISK
         )
     )
@@ -1323,14 +1340,14 @@ _TWO_LEVEL_CTES = f"""seed AS MATERIALIZED (
                                     c.co_id) AS rn
                 FROM embeddings e, coarse c
             ) WHERE rn <= {_COARSE_NPROBE}
+        ), rc2 AS MATERIALIZED (
+            SELECT v.vec_id, v.embedding, f.centroid_id AS cell,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY {_sqd("v.embedding", "f.centroid_vec")},
+                                f.centroid_id) AS rn
+            FROM v2c v JOIN f2c f ON v.co_id = f.co_id
         ), assigned2 AS MATERIALIZED (
-            SELECT vec_id, embedding, cell FROM (
-                SELECT v.vec_id, v.embedding, f.centroid_id AS cell,
-                       row_number() OVER (PARTITION BY v.vec_id
-                           ORDER BY {_sqd("v.embedding", "f.centroid_vec")},
-                                    f.centroid_id) AS rn
-                FROM v2c v JOIN f2c f ON v.co_id = f.co_id
-            ) WHERE rn = 1
+            SELECT vec_id, embedding, cell FROM rc2 WHERE rn = 1
         )"""
 
 # q186/q187/q160: the multi-probe variants. _COS_AB is the exact
@@ -1356,6 +1373,30 @@ _Q198_SQL = f"""
                CAST(MAX(n) AS BIGINT) AS max_cell,
                CAST(SUM(n * n) AS BIGINT) AS candidate_pairs
         FROM sizes
+"""
+
+# Two-level MULTI-probe kNN (the q186 shape on the two-level
+# quantizer): probe side keeps each vector's top-nprobe fine cells
+# WITHIN its 2-coarse-group union (rc2, rn <= nprobe — exactly the
+# engine's sorted fine slice), index side stays rn = 1.
+_Q186TL_SQL = f"""
+        WITH {_TWO_LEVEL_CTES}, probes AS MATERIALIZED (
+            SELECT vec_id, embedding, cell FROM rc2
+            WHERE rn <= {_KNN_NPROBE}
+        ), scored AS (
+            SELECT a.vec_id, b.vec_id AS neighbor_id,
+                   {_COS_AB} AS cos_raw
+            FROM probes a JOIN assigned2 b
+              ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        ), ranked AS (
+            SELECT vec_id, neighbor_id, cos_raw,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos_raw DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT vec_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
+               CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {_KNN_K}
 """
 
 # q199: _Q159_SQL's scored/ranked tail over the two-level assignment.
@@ -1470,8 +1511,12 @@ def _pagerank_oracle_sql(graph_ctes: str = _GRAPH_CTES) -> str:
     """
 
 
-_TRIANGLE_SQL = f"""
-        {_GRAPH_CTES},
+_GRAPH_CTES_TL = _graph_ctes(_Q199_SQL)
+
+
+def _triangle_sql(graph_ctes: str = _GRAPH_CTES) -> str:
+    return f"""
+        {graph_ctes},
         oriented AS (
             SELECT CASE WHEN (da.deg < db.deg)
                           OR (da.deg = db.deg AND m.id1 < m.id2)
@@ -1589,7 +1634,7 @@ def _nnd_plateau_oracle_sql() -> str:
     )
     return f"""
         WITH seed AS MATERIALIZED (
-            {_Q186_SQL}
+            {_Q186TL_SQL}
         ), g0 AS MATERIALIZED (
             SELECT vec_id, neighbor_id FROM seed
         ), {rounds}, bs AS (
@@ -1646,7 +1691,7 @@ ORACLES = {
         FROM j
     """,
     "q175_label_propagation": f"""
-        {_GRAPH_CTES},
+        {_GRAPH_CTES_TL},
         seeds AS (
             SELECT d.src AS node, CAST(e.label AS INT) AS seed_label
             FROM deg d JOIN embeddings e ON d.src = e.vec_id
@@ -1694,8 +1739,8 @@ ORACLES = {
         SELECT a.node, a.label, (s.node IS NOT NULL) AS is_seed
         FROM a2 a LEFT JOIN seeds s ON a.node = s.node
     """,
-    "q169_knn_pagerank": _pagerank_oracle_sql(),
-    "q170_knn_triangles": _TRIANGLE_SQL,
+    "q169_knn_pagerank": _pagerank_oracle_sql(_GRAPH_CTES_TL),
+    "q170_knn_triangles": _triangle_sql(_GRAPH_CTES_TL),
     "q198_two_level_cells": _Q198_SQL,
     "q199_knn_graph_two_level": _Q199_SQL,
     "q200_knn_pagerank_two_level": _pagerank_oracle_sql(
@@ -1789,7 +1834,7 @@ ORACLES = {
     "q201_nn_descent_plateau": _nnd_plateau_oracle_sql(),
     "q188_nn_descent": f"""
         WITH seed AS MATERIALIZED (
-            {_Q186_SQL}
+            {_Q186TL_SQL}
         ), fwd AS (
             SELECT vec_id AS src, neighbor_id AS dst FROM seed
         ), und AS MATERIALIZED (
@@ -1822,7 +1867,7 @@ ORACLES = {
     """,
     "q189_nn_descent_recall": f"""
         WITH seed AS MATERIALIZED (
-            {_Q186_SQL}
+            {_Q186TL_SQL}
         ), fwd AS (
             SELECT vec_id AS src, neighbor_id AS dst FROM seed
         ), und AS MATERIALIZED (
@@ -1879,7 +1924,7 @@ ORACLES = {
     """,
     "q160_semantic_clusters": f"""
         WITH RECURSIVE knn AS MATERIALIZED (
-            {_Q186_SQL}
+            {_Q186TL_SQL}
         ), mut AS (
             SELECT f.vec_id AS id1, f.neighbor_id AS id2
             FROM knn f JOIN knn r
