@@ -168,6 +168,8 @@ HEADLINE = (
     "q201_nn_descent_plateau",
     "q202_quantile_incremental",
     "q203_group_quantiles",
+    "q204_recall_cost_curve",
+    "q205_nn_descent_random_init",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",
@@ -385,6 +387,37 @@ ANCHOR = {
     "q141_deletion_impact": 1.182,
 }
 
+# Raw-scan floor (r12 VERDICT item #4): the anchor table above was
+# recorded across rounds on a host whose I/O floor has since drifted
+# (r12 adjudication: raw sf0.1 lineitem scan 0.557 s vs the ~0.27 s
+# the r5-r11 anchors imply — a 2.1x floor shift, independently
+# confirmed). A plain secs/anchor ratio therefore flags untouched
+# narrow-map queries at 1.5-1.9x on a slow day, and — worse — a real
+# 1.3x regression hides inside that band. Each bench run now measures
+# the floor itself (min-of-3 warm materialized lineitem scan, zero
+# query logic) and flags on the NET-of-floor ratio:
+#   net = (secs / anchor) / max(1, floor_now / FLOOR_ANCHOR_S)
+# The max(1, ...) keeps a faster-than-anchor host from masking real
+# regressions. The raw ratio still prints for continuity.
+FLOOR_ANCHOR_S = 0.27
+
+
+def _measure_floor(spark, sf_dir: str) -> float:
+    """Min-of-3 warm wall time of a fully materialized raw lineitem
+    scan — pure I/O + row shipping, no query logic, the yardstick
+    every anchor ratio is normalized by."""
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    best = None
+    for _pass in range(4):  # pass 0 = warm-up (page cache, codegen)
+        t0 = time.time()
+        spark.read.parquet(path).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.time() - t0
+        if _pass and (best is None or dt < best):
+            best = dt
+    return round(best, 3)
+
 
 def main() -> None:
     # Bench-scoped (NOT a library default): shuffle/spill on tmpfs to
@@ -460,15 +493,25 @@ def main() -> None:
         timings[name] = best
 
     total = round(sum(timings.values()), 3)
+    floor_s = _measure_floor(spark, sf_dir)
+    floor_ratio = max(1.0, floor_s / FLOOR_ANCHOR_S)
     if sf == ANCHOR_SF:
+        print(
+            f"  raw-scan floor: {floor_s:.3f}s vs anchor-era "
+            f"{FLOOR_ANCHOR_S:.3f}s (floor_ratio {floor_ratio:.2f}x; "
+            f"REGRESSION flags are net of this)",
+            file=sys.stderr,
+        )
         for name, secs in timings.items():
             base = ANCHOR.get(name)
             if base:
                 ratio = secs / base
-                flag = " REGRESSION" if ratio > 1.5 else (
+                net = ratio / floor_ratio
+                flag = " REGRESSION" if net > 1.5 else (
                     " improved" if ratio < 0.7 else "")
                 print(f"  {name}: {secs:.3f}s vs anchor {base:.3f}s "
-                      f"({ratio:.2f}x){flag}", file=sys.stderr)
+                      f"({ratio:.2f}x raw, {net:.2f}x net){flag}",
+                      file=sys.stderr)
         print(f"  total: {total:.3f}s vs anchor {sum(ANCHOR.values()):.3f}s",
               file=sys.stderr)
     payload = {
@@ -479,6 +522,8 @@ def main() -> None:
         "sf": sf,
         "warmup": "full-pass",
         "passes": "min-of-3",
+        "floor_scan_s": floor_s,
+        "floor_ratio": round(floor_ratio, 2),
     }
     if errors:
         payload["errors"] = errors

@@ -1066,3 +1066,110 @@ def test_knn_graph_two_level_multiprobe_contains_single_probe(spark):
 
     r1, r2 = recall(1), recall(2)
     assert r2 >= r1  # probe set contains the own cell
+
+
+def test_two_level_blas_sql_kernel_parity(spark):
+    """The BLAS mapInPandas kernel and the literal-folded SQL kernel
+    compute the IDENTICAL cell function — assignment cells AND the
+    full nprobe=2 probe-cell sequence — including on exact-duplicate
+    corpus vectors (distance ties resolved by the (dist, cell)
+    tie-break either way). This is the invariant that lets the r13
+    kernel swap keep every two-level oracle unchanged."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from ulh_etl_spark.operators.similarity import (
+        ivf_assign_two_level,
+        two_level_cells_blas,
+        two_level_probe_expr,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.rand(50, 6).astype("float64")
+    vecs[17] = vecs[3]  # exact duplicate vector
+    vecs[29] = vecs[3]
+    cvecs = rng.rand(10, 6).astype("float64")
+    cvecs[7] = vecs[3]  # a corpus vector that IS a centroid
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(j, [float(x) for x in cvecs[j]]) for j in range(len(cvecs))],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    sql_cells = {
+        r.vec_id: r.cell
+        for r in ivf_assign_two_level(emb, cents, impl="sql").collect()
+    }
+    blas_cells = {
+        r.vec_id: r.cell
+        for r in ivf_assign_two_level(emb, cents, impl="blas").collect()
+    }
+    assert sql_cells == blas_cells
+
+    probe_sql = {
+        r.vec_id: r.cells
+        for r in emb.select(
+            "vec_id",
+            F.transform(
+                two_level_probe_expr(cents, "embedding", 2),
+                lambda s: s["cell"],
+            ).alias("cells"),
+        ).collect()
+    }
+    probe_blas = {
+        r.vec_id: list(r._cells)
+        for r in two_level_cells_blas(emb, cents, nprobe=2).collect()
+    }
+    assert {k: list(v) for k, v in probe_sql.items()} == probe_blas
+
+
+def test_two_level_structure_rejects_duplicate_coarse(spark):
+    """Duplicate centroid VECTORS among the coarse picks empty the
+    higher-id group (distance-0 tie sends both members to the lower
+    id) — the structure builder fails loudly instead of letting the
+    group map embed an untyped empty array (r12 ADVICE)."""
+    import pytest
+
+    from ulh_etl_spark.operators.similarity import two_level_structure
+
+    # 4 centroids -> 2 coarse picks; make ALL vectors identical so
+    # whichever 2 cells the hash picks collide at distance 0.
+    rows = [{"cell": i, "cvec": [1.0, 2.0]} for i in range(4)]
+    with pytest.raises(ValueError, match="empty"):
+        two_level_structure(rows)
+
+
+def test_hash_ring_seed_graph_matches_python_model(spark):
+    """The global hash-ring random seed == the pure-Python rule:
+    rank ids by (md5('rnd_'+id), id) on one ring; edge d connects
+    each vector to the position stride_d = 1 + md5('rnds_d') % (N-1)
+    ahead (mod N); self-hits excluded, edges distinct."""
+    import hashlib
+
+    from ulh_etl_spark.operators.similarity import hash_ring_seed_graph
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    n, k = 37, 4
+    emb = spark.createDataFrame(
+        [(i, [float(i)]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    order = sorted(range(n), key=lambda i: (h32(f"rnd_{i}"), i))
+    pos = {vid: p for p, vid in enumerate(order)}  # 0-based ring pos
+    strides = [1 + h32(f"rnds_{d}") % (n - 1) for d in range(1, k + 1)]
+    want = set()
+    for vid in range(n):
+        for s in strides:
+            tgt = order[(pos[vid] + s) % n]
+            if tgt != vid:
+                want.add((vid, tgt))
+    got = {
+        (r.vec_id, r.neighbor_id)
+        for r in hash_ring_seed_graph(emb, k=k).collect()
+    }
+    assert got == want

@@ -674,3 +674,130 @@ def test_stream_fm_registers_stale_bak_beside_live_store_is_gcd(
         if "._bak_" in d or "._stage_" in d
     ]
     assert residue == []
+
+
+def test_stream_kmv_quantile_store_matches_batch_sketch(spark, tmp_path):
+    """The streamed KMV quantile store after draining N files equals
+    the one-shot batch sketch over the same rows — the KMV merge
+    invariance, exercised through the shared streaming.store swap."""
+    from ulh_etl_spark.operators.sketch import quantile_sample_registers
+    from ulh_etl_spark.streaming.file_stream import (
+        stream_kmv_quantile_store_available_now,
+    )
+
+    inbound = tmp_path / "kmv_in"
+    inbound.mkdir()
+    all_rows = [(i, float(i % 97)) for i in range(500)]
+    spark.createDataFrame(
+        all_rows[:250], "event_id long, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(str(inbound / "f1"))
+    spark.createDataFrame(
+        all_rows[250:], "event_id long, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(str(inbound / "f2"))
+
+    store = str(tmp_path / "kmv_store")
+    stats = stream_kmv_quantile_store_available_now(
+        spark,
+        str(inbound) + "/*",
+        "event_id long, value double",
+        "value",
+        "event_id",
+        store,
+        str(tmp_path / "kmv_ckpt"),
+        k=32,
+    )
+    assert stats["rows_seen"] == 500
+
+    merged = sorted(
+        (r.h, r.key, r.value)
+        for r in spark.read.parquet(store).collect()
+    )
+    batch = sorted(
+        (r.h, r.key, r.value)
+        for r in quantile_sample_registers(
+            spark.createDataFrame(all_rows, "event_id long, value double"),
+            "value",
+            "event_id",
+            k=32,
+        ).collect()
+    )
+    assert merged == batch
+
+
+def test_stream_kmv_quantile_store_replay_is_idempotent(spark, tmp_path):
+    """Replaying the same files against an existing store is a no-op:
+    the merge distincts on (h, key) before the bottom-k — the KMV
+    analogue of FM's MAX idempotence."""
+    from ulh_etl_spark.streaming.file_stream import (
+        stream_kmv_quantile_store_available_now,
+    )
+
+    inbound = tmp_path / "kmv_in2"
+    inbound.mkdir()
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "event_id long, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(str(inbound / "f1"))
+    store = str(tmp_path / "kmv_store2")
+
+    stream_kmv_quantile_store_available_now(
+        spark, str(inbound) + "/*", "event_id long, value double",
+        "value", "event_id", store, str(tmp_path / "ck_a"), k=16,
+    )
+    snap = sorted(
+        (r.h, r.key, r.value)
+        for r in spark.read.parquet(store).collect()
+    )
+    stream_kmv_quantile_store_available_now(
+        spark, str(inbound) + "/*", "event_id long, value double",
+        "value", "event_id", store, str(tmp_path / "ck_b"), k=16,
+    )
+    assert snap == sorted(
+        (r.h, r.key, r.value)
+        for r in spark.read.parquet(store).collect()
+    )
+
+
+def test_stream_kmv_quantile_store_swap_window_crash_restores_bak(
+    spark, tmp_path
+):
+    """The shared streaming.store recovery protocol, exercised
+    through the KMV store: a crash inside the swap window leaves only
+    the ._bak_ sibling; the next merge restores it (its registers
+    survive into the merged bottom-k) and leaves no residue."""
+    import os
+
+    from ulh_etl_spark.streaming.file_stream import (
+        stream_kmv_quantile_store_available_now,
+    )
+
+    inbound = tmp_path / "kmv_in"
+    inbound.mkdir()
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "event_id long, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(str(inbound / "f1"))
+
+    store = str(tmp_path / "kmv_store")
+    # simulate the swap-window crash: store absent, bak = the real
+    # prior store, holding a sentinel register with hash 0 — nothing
+    # outranks it, so it MUST survive the recovered merge.
+    spark.createDataFrame(
+        [(0, -1, 123.0)], "h long, key long, value double"
+    ).write.parquet(store + "._bak_5")
+    stale_stage = tmp_path / "kmv_store._stage_5"
+    stale_stage.mkdir()
+    (stale_stage / "marker").write_text("stale")
+
+    stream_kmv_quantile_store_available_now(
+        spark, str(inbound) + "/*", "event_id long, value double",
+        "value", "event_id", store, str(tmp_path / "kmv_ckpt"), k=16,
+    )
+    assert os.path.isdir(store)
+    rows = {
+        (r.h, r.key): r.value for r in spark.read.parquet(store).collect()
+    }
+    assert rows[(0, -1)] == 123.0  # bak history survived
+    residue = [
+        d for d in os.listdir(tmp_path)
+        if "._bak_" in d or "._stage_" in d
+    ]
+    assert residue == []

@@ -21,22 +21,42 @@ safe; the only cost is recomputation if the frame is used again.
 
 from __future__ import annotations
 
+import threading
+
+# Process-global registry, guarded by _LOCK so concurrent callers
+# (foreachBatch micro-batches, threaded query runners) can track and
+# release without interleaving (r12 ADVICE). The registry holds a
+# strong reference per tracked frame — the CONTRACT is that
+# long-lived consumers call release_persisted() between queries;
+# a consumer that never releases accumulates one entry per operator
+# call for the session lifetime (bounded by the session, not by GC).
 _TRACKED: list = []
+_LOCK = threading.Lock()
 
 
 def track(df):
-    """Register an escaping persisted DataFrame; returns it."""
-    _TRACKED.append(df)
+    """Register an escaping persisted DataFrame; returns it.
+
+    Callers that run many queries in one session MUST pair operator
+    invocations with a ``release_persisted()`` between queries (the
+    check_oracle/bench/scale_probe loops all do) — tracking alone
+    never frees anything."""
+    with _LOCK:
+        _TRACKED.append(df)
     return df
 
 
 def release_persisted(blocking: bool = False) -> int:
     """Unpersist every tracked frame; returns how many were
     released. Safe to call at any time — frames still referenced by
-    un-executed lazy plans simply recompute on next use."""
+    un-executed lazy plans simply recompute on next use. The drain
+    is atomic against concurrent track() calls: frames tracked
+    during the drain land in the next release."""
+    with _LOCK:
+        drained = _TRACKED[:]
+        del _TRACKED[: len(drained)]
     n = 0
-    while _TRACKED:
-        df = _TRACKED.pop()
+    for df in drained:
         try:
             df.unpersist(blocking)
             n += 1

@@ -554,7 +554,37 @@ def two_level_structure(rows) -> tuple:
             if best_d is None or d < best_d:
                 best_d, best_c = d, c["cell"]
         groups[best_c].append(r)
+    # Duplicate-centroid precondition (r12 ADVICE): if two coarse
+    # picks share an identical vector, the distance-0 tie sends BOTH
+    # coarse members to the lower id and the higher group comes out
+    # empty — downstream the group map would embed an untyped
+    # array() literal and a vector probing only empty groups would
+    # get a silent NULL cell. Centroid seeds are distinct corpus
+    # vectors in every catalog query, so fail loudly instead.
+    empty = [co for co, fines in groups.items() if not fines]
+    if empty:
+        raise ValueError(
+            "two_level_structure: coarse group(s) %r are empty — "
+            "duplicate centroid vectors in the seed; deduplicate the "
+            "centroid set before the two-level build" % (empty,)
+        )
     return coarse, groups
+
+
+def _resolve_impl(impl: str) -> str:
+    """Resolve the two-level distance-kernel choice: ``auto`` means
+    BLAS when numpy imports (it is baked into every target
+    environment), else the pure-SQL fold."""
+    if impl not in ("auto", "blas", "sql"):
+        raise ValueError("impl must be one of auto/blas/sql")
+    if impl == "auto":
+        try:
+            import numpy  # noqa: F401
+
+            return "blas"
+        except ImportError:  # pragma: no cover — numpy is baked in
+            return "sql"
+    return impl
 
 
 def ivf_assign_two_level(
@@ -565,6 +595,7 @@ def ivf_assign_two_level(
     centroid_id: str = "centroid_id",
     centroid_vec: str = "centroid_vec",
     coarse_nprobe: int = 2,
+    impl: str = "auto",
 ) -> DataFrame:
     """Two-level IVF assignment — the next-decade replacement for
     :func:`ivf_assign`'s flat argmin. The flat form pays N·C centroid
@@ -598,9 +629,39 @@ def ivf_assign_two_level(
     partition-prunable on the output ``cell`` exactly like
     ivf_assign.
 
+    ``impl`` selects the distance kernel — the CELL FUNCTION is
+    identical either way (tie-break-exact, pinned by pytest parity):
+
+    - ``"blas"`` — :func:`two_level_cells_blas`, one dgemm per coarse
+      group per Arrow batch (~100× cheaper per distance than the
+      interpreted fold; the r13 fix for the residual sf1→sf10
+      exponent).
+    - ``"sql"`` — the original literal-folded HOF expression; zero
+      Python, useful as the kernel baseline and where Arrow workers
+      are unavailable.
+    - ``"auto"`` (default) — ``"blas"`` when numpy imports, else
+      ``"sql"``.
+
     Output: (id_col, vec_col, cell) — same schema as ivf_assign."""
     if coarse_nprobe < 1:
         raise ValueError("coarse_nprobe must be >= 1")
+    impl = _resolve_impl(impl)
+    if impl == "blas":
+        cell_type = centroids.schema[centroid_id].dataType.simpleString()
+        return two_level_cells_blas(
+            corpus,
+            centroids,
+            id_col,
+            vec_col,
+            centroid_id,
+            centroid_vec,
+            nprobe=1,
+            coarse_nprobe=coarse_nprobe,
+        ).select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.element_at(F.col("_cells"), 1).cast(cell_type).alias("cell"),
+        )
     cell_type = centroids.schema[centroid_id].dataType.simpleString()
     rows = _centroid_rows(centroids, centroid_id, centroid_vec)
     coarse, groups = two_level_structure(rows)
@@ -684,6 +745,206 @@ def two_level_probe_expr(
         ),
     )
     return F.slice(F.array_sort(fine_scored), 1, nprobe)
+
+
+def _two_level_blas_payload(rows, coarse_nprobe: int) -> dict:
+    """Driver-side numpy payload for the BLAS-batched two-level
+    assignment: the same structure :func:`two_level_structure` builds,
+    laid out as contiguous float64 matrices so each Arrow batch pays
+    one GEMM per coarse group instead of an interpreted HOF fold per
+    (vector, centroid) pair. Fine cells are addressed by CODE = index
+    into the cell-id-sorted row list, so (dist, code) ordering is
+    (dist, cell) ordering — the exact tie-break the SQL rule and the
+    DuckDB oracle use."""
+    import numpy as np
+
+    coarse, groups = two_level_structure(rows)
+    code = {r["cell"]: i for i, r in enumerate(rows)}
+    Cc = np.array(
+        [[float(v) for v in r["cvec"]] for r in coarse], dtype=np.float64
+    )
+    grp_vecs, grp_sq, grp_codes = [], [], []
+    for c in coarse:
+        fines = groups[c["cell"]]
+        V = np.array(
+            [[float(v) for v in r["cvec"]] for r in fines], dtype=np.float64
+        )
+        grp_vecs.append(np.ascontiguousarray(V.T))
+        grp_sq.append(np.einsum("ij,ij->i", V, V))
+        grp_codes.append(
+            np.array([code[r["cell"]] for r in fines], dtype=np.int64)
+        )
+    fine_vecs = [[float(v) for v in r["cvec"]] for r in rows]
+    return {
+        "CcT": np.ascontiguousarray(Cc.T),
+        "csq_c": np.einsum("ij,ij->i", Cc, Cc),
+        "coarse_vecs": [[float(v) for v in r["cvec"]] for r in coarse],
+        "grp_vecs": grp_vecs,
+        "grp_sq": grp_sq,
+        "grp_codes": grp_codes,
+        "fine_vecs": fine_vecs,
+        "all_cells": [r["cell"] for r in rows],
+        "cnp": int(coarse_nprobe),
+        # tolerance scale: max squared norm over the centroid set —
+        # combined with the per-row ||x||^2 it bounds every term in
+        # the expansion ||x-c||^2 = x.x - 2x.c + c.c, so
+        # 1e-9 * (1 + x.x + sqmax) exceeds the f64 rounding gap
+        # between the GEMM expansion and the sequential fold by ~5
+        # orders of magnitude while staying ~6 orders below genuine
+        # inter-centroid distance gaps.
+        "sqmax": float(max(s.max() for s in grp_sq)) if grp_sq else 0.0,
+    }
+
+
+def _np_two_level_topk(X, pl, nprobe: int) -> list:
+    """Exact top-``nprobe`` fine-cell codes per row of ``X`` under the
+    two-level rule, computed with BLAS but guaranteed to equal the
+    sequential-fold (dist, cell) ordering: rows whose decisive gaps —
+    coarse-set boundary, fine top-1, fine top-nprobe boundary — fall
+    inside the f64 tolerance band are re-scored with the exact
+    left-to-right fold (:func:`_py_sqdist`). The band is ~5 orders of
+    magnitude wider than the summation-order error and ~6 narrower
+    than real distance gaps, so refinement fires only on genuine
+    ties (duplicate vectors), never in the hot path."""
+    import numpy as np
+
+    B = X.shape[0]
+    nc = pl["CcT"].shape[1]
+    cnp = min(pl["cnp"], nc)
+    xsq = np.einsum("ij,ij->i", X, X)
+    tol = 1e-9 * (1.0 + xsq + pl["sqmax"])
+    Dc = xsq[:, None] - 2.0 * (X @ pl["CcT"]) + pl["csq_c"][None, :]
+    ordc = np.argsort(Dc, axis=1, kind="stable")
+    if nc > cnp:
+        dsort = np.take_along_axis(Dc, ordc, axis=1)
+        # coarse ORDER inside the probed set never matters (the fine
+        # union is symmetric); only membership at the cnp boundary
+        # does.
+        for i in np.nonzero(dsort[:, cnp] - dsort[:, cnp - 1] < tol)[0]:
+            xs = X[i].tolist()
+            exact = sorted(
+                (_py_sqdist(xs, cv), g)
+                for g, cv in enumerate(pl["coarse_vecs"])
+            )
+            ordc[i, :cnp] = [g for _, g in exact[:cnp]]
+    pmask = np.zeros((B, nc), dtype=bool)
+    pmask[np.arange(B)[:, None], ordc[:, :cnp]] = True
+    rparts, dparts, cparts = [], [], []
+    for g in range(nc):
+        ridx = np.nonzero(pmask[:, g])[0]
+        if ridx.size == 0:
+            continue
+        VT = pl["grp_vecs"][g]
+        D = xsq[ridx, None] - 2.0 * (X[ridx] @ VT) + pl["grp_sq"][g][None, :]
+        rparts.append(np.repeat(ridx, VT.shape[1]))
+        dparts.append(D.ravel())
+        cparts.append(np.tile(pl["grp_codes"][g], ridx.size))
+    rows_all = np.concatenate(rparts)
+    dist_all = np.concatenate(dparts)
+    code_all = np.concatenate(cparts)
+    order = np.lexsort((code_all, dist_all, rows_all))
+    rows_s = rows_all[order]
+    dist_s = dist_all[order]
+    code_s = code_all[order]
+    idx = np.arange(B)
+    starts = np.searchsorted(rows_s, idx, side="left")
+    ends = np.searchsorted(rows_s, idx, side="right")
+    out = []
+    for i in range(B):
+        s, e = int(starts[i]), int(ends[i])
+        m = e - s
+        take = min(nprobe, m)
+        ti = tol[i]
+        # decisive gaps: position 1 (the assignment cell — element 1
+        # of the slice is the index-side cell) and the set boundary
+        # at `take`; order anywhere else never changes semantics.
+        ambiguous = (m > 1 and dist_s[s + 1] - dist_s[s] < ti) or (
+            m > take and dist_s[s + take] - dist_s[s + take - 1] < ti
+        )
+        if ambiguous:
+            xs = X[i].tolist()
+            exact = sorted(
+                (_py_sqdist(xs, pl["fine_vecs"][int(c)]), int(c))
+                for c in code_s[s:e]
+            )
+            out.append([c for _, c in exact[:take]])
+        else:
+            out.append([int(c) for c in code_s[s : s + take]])
+    return out
+
+
+def two_level_cells_blas(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+    nprobe: int = 1,
+    coarse_nprobe: int = 2,
+) -> DataFrame:
+    """BLAS-batched two-level assignment: (id, vec, ``_cells``) where
+    ``_cells`` is each vector's top-``nprobe`` fine cells — element 1
+    is exactly :func:`ivf_assign_two_level`'s cell, the full array is
+    exactly the cell sequence of :func:`two_level_probe_expr`'s
+    sorted slice (same structure, same tie-breaks, proven by the
+    tolerance-refined kernel), so every existing two-level oracle
+    stays valid unchanged.
+
+    Why this exists (r12 SCALE.md): the interpreted-HOF fold pays
+    ~1 µs per (vector, centroid) distance, and with adaptive sizing
+    C = N/250 the two-level N·3·sqrt(C) distance count still grew
+    the sf1→sf10 probes at exp +1.18…+1.34 — the sqrt(C)-growth ×
+    interpreted-constant term. Arrow-batched numpy turns the same
+    arithmetic into one dgemm per coarse group per batch (~100×
+    cheaper per distance), flattening the per-decade constant while
+    keeping the identical cell function.
+
+    Plan shape: ``ArrowEvalPython``-style mapInPandas over a 2-column
+    projection — still ZERO shuffles, still partition-prunable on the
+    derived cell. The embedding column round-trips Arrow bit-exactly
+    (float32 both ways), so downstream cosine arithmetic hashes
+    identically."""
+    import numpy as np  # noqa: F401 — hard requirement of this path
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    if coarse_nprobe < 1:
+        raise ValueError("coarse_nprobe must be >= 1")
+    if nprobe < 1:
+        raise ValueError("nprobe must be >= 1")
+    rows = _centroid_rows(centroids, centroid_id, centroid_vec)
+    payload = _two_level_blas_payload(rows, coarse_nprobe)
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, corpus.schema[id_col].dataType),
+            T.StructField(vec_col, corpus.schema[vec_col].dataType),
+            T.StructField(
+                "_cells",
+                T.ArrayType(centroids.schema[centroid_id].dataType),
+            ),
+        ]
+    )
+    all_cells = payload["all_cells"]
+
+    def assign(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = _np_two_level_topk(X, payload, nprobe)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: pdf[vec_col].to_numpy(),
+                    "_cells": [[all_cells[c] for c in cs] for cs in codes],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(assign, out_schema)
 
 
 def ivf_topk(
@@ -781,6 +1042,8 @@ def knn_graph(
     k: int = 4,
     nprobe: int = 1,
     two_level: bool = False,
+    assign_impl: str = "auto",
+    coarse_nprobe: int = 2,
 ) -> DataFrame:
     """Cell-blocked k-nearest-neighbor graph: every vector's top-k
     neighbors by exact cosine among candidates drawn from its
@@ -817,11 +1080,18 @@ def knn_graph(
     if nprobe == 1:
         # two_level routes the cell assignment through the
         # ivf_assign_two_level quantizer (N·2·sqrt(C) distances
-        # instead of N·C) — the join/rank plan downstream is
-        # identical; only the cell labels differ.
-        assign = ivf_assign_two_level if two_level else ivf_assign
+        # instead of N·C; assign_impl picks the BLAS or SQL kernel —
+        # identical cells either way) — the join/rank plan downstream
+        # is identical; only the cell labels differ.
+        if two_level:
+            assigned = ivf_assign_two_level(
+                corpus, centroids, id_col, vec_col,
+                coarse_nprobe=coarse_nprobe, impl=assign_impl,
+            )
+        else:
+            assigned = ivf_assign(corpus, centroids, id_col, vec_col)
         assigned = (
-            assign(corpus, centroids, id_col, vec_col)
+            assigned
             .withColumn("_norm", l2_norm(F.col(vec_col)))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -849,34 +1119,51 @@ def knn_graph(
             else ("centroid_id", "centroid_vec")
         )
         cell_type = centroids.schema[cid].dataType.simpleString()
-        if two_level:
-            # same sorted-slice contract, fine candidates drawn from
-            # the coarse_nprobe=2 nearest coarse groups' union —
-            # element 1 still equals ivf_assign_two_level's cell.
-            probed = two_level_probe_expr(
-                centroids, vec_col, nprobe, cid, cvec
-            )
+        if two_level and _resolve_impl(assign_impl) == "blas":
+            # BLAS kernel: _cells is already the bare cell array in
+            # exact (dist, cell) slice order — same contract as the
+            # SQL probe expr (element 1 == ivf_assign_two_level's
+            # cell), ~100x cheaper per distance. _norm stays a JVM
+            # l2_norm so the cosine arithmetic downstream is
+            # bit-identical to every other kNN path.
+            assigned = two_level_cells_blas(
+                corpus, centroids, id_col, vec_col, cid, cvec,
+                nprobe=nprobe, coarse_nprobe=coarse_nprobe,
+            ).withColumn("_norm", l2_norm(F.col(vec_col)))
+            probe_cell = lambda c: c  # noqa: E731 — bare cells
         else:
-            cells = _centroid_literal(centroids, cid, cvec)
-            scored = F.transform(
-                cells,
-                lambda c: F.struct(
-                    _sq_dist_to(vec_col, c["cvec"]).alias("dist"),
-                    c["cell"].alias("cell"),
-                ),
+            if two_level:
+                # same sorted-slice contract, fine candidates drawn
+                # from the coarse_nprobe=2 nearest coarse groups'
+                # union — element 1 still equals
+                # ivf_assign_two_level's cell.
+                probed = two_level_probe_expr(
+                    centroids, vec_col, nprobe, cid, cvec,
+                    coarse_nprobe=coarse_nprobe,
+                )
+            else:
+                cells = _centroid_literal(centroids, cid, cvec)
+                scored = F.transform(
+                    cells,
+                    lambda c: F.struct(
+                        _sq_dist_to(vec_col, c["cvec"]).alias("dist"),
+                        c["cell"].alias("cell"),
+                    ),
+                )
+                probed = F.slice(F.array_sort(scored), 1, nprobe)
+            assigned = corpus.select(
+                F.col(id_col),
+                F.col(vec_col),
+                l2_norm(F.col(vec_col)).alias("_norm"),
+                probed.alias("_cells"),
             )
-            probed = F.slice(F.array_sort(scored), 1, nprobe)
-        assigned = corpus.select(
-            F.col(id_col),
-            F.col(vec_col),
-            l2_norm(F.col(vec_col)).alias("_norm"),
-            probed.alias("_cells"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+            probe_cell = lambda c: c["cell"]  # noqa: E731 — structs
+        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
         track(assigned)
         b = assigned.select(
             F.col(id_col).alias("_nid"), F.col(vec_col).alias("v2"),
             F.col("_norm").alias("_n2"),
-            F.element_at(F.col("_cells"), 1)["cell"]
+            probe_cell(F.element_at(F.col("_cells"), 1))
             .cast(cell_type)
             .alias("cell"),
         )
@@ -886,7 +1173,7 @@ def knn_graph(
             F.explode_outer(F.col("_cells")).alias("_p"),
         ).select(
             "_qid", "v1", "_n1",
-            F.col("_p.cell").cast(cell_type).alias("cell"),
+            probe_cell(F.col("_p")).cast(cell_type).alias("cell"),
         )
     pairs = a.join(b, "cell").filter(F.col("_qid") != F.col("_nid"))
     cos = _dot(F.col("v1"), F.col("v2")) / (F.col("_n1") * F.col("_n2"))
@@ -903,6 +1190,103 @@ def knn_graph(
             F.round(F.col("_cos"), 6).alias("cosine"),
             F.col("rank").cast("int").alias("rank"),
         )
+    )
+
+
+def hash_ring_seed_graph(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    k: int = 4,
+    salt: str = "rnd_",
+) -> DataFrame:
+    """Deterministic RANDOM-init seed graph for NN-Descent (Dong et
+    al. WWW 2011 start from a random k-NN guess): every vector gets
+    exactly ``k`` pseudo-random neighbors with ZERO geometric
+    information — the counterfactual that prices what cell-blocked
+    seeding buys.
+
+    Construction (no RNG state, portable to any engine): rank every
+    id on ONE global ring ordered by (md5 hash, id); edge ``d``
+    (d = 1..k) connects each vector to the ring position
+    ``stride_d`` ahead (mod N), where ``stride_d = 1 +
+    md5('rnds_<d>') % (N-1)`` — k pseudo-random LARGE strides shared
+    by all vectors. Hash order is uncorrelated with embedding
+    geometry, so the seed is "random" in the sense that matters, yet
+    exactly reproducible by the same rule in SQL.
+
+    Two designs were measured and rejected (r13):
+    - bucketed rings plateau at the in-bucket exhaustive top-k
+      (0.051@4 at sf0.01) — every 2-hop candidate stays a
+      bucket-mate forever;
+    - consecutive ring successors (strides 1..k) keep the frontier
+      open but nearly closed — the k neighbors are ADJACENT ring
+      positions, so the 2-hop union collapses to ~2k distinct
+      candidates and round recall crawls (0.047@4 after 3 rounds).
+    Spread strides give ~k² distinct 2-hop offsets, the candidate
+    diversity the Dong et al. random init assumes.
+
+    Scale: the global rank is the range-partitioned
+    :func:`~ulh_etl_spark.operators.rank.global_row_number` (no
+    unpartitioned window); the k stride targets are an explode + ONE
+    rank-keyed equi-join, <= N·k rows. N and the strides are a lazy
+    1-row aggregate folded in-plan (no driver count job). The ranked
+    relation is persisted — both join sides read it. Requires N > k
+    (self-wrap otherwise); stride collisions (md5 ties mod N-1) are
+    deduped, so degree is k minus any collision.
+
+    Output: (id_col, neighbor_id) DISTINCT directed edges."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ulh_etl_spark.operators.rank import global_row_number
+    from ulh_etl_spark.operators.text import md5_hash32
+
+    h = md5_hash32(
+        F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    )
+    ranked = track(
+        global_row_number(
+            corpus.select(F.col(id_col), h.alias("_h")),
+            ["_h", id_col],
+            out_col="_rn",
+        )
+        .select(id_col, "_rn")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ncnt = ranked.agg(F.count("*").cast("long").alias("_N"))
+    strides = F.explode(
+        F.array(
+            *[
+                F.pmod(
+                    md5_hash32(F.lit(f"rnds_{d}")).cast("long"),
+                    F.col("_N") - 1,
+                )
+                + 1
+                for d in range(1, k + 1)
+            ]
+        )
+    )
+    probes = (
+        ranked.crossJoin(F.broadcast(ncnt))
+        .select(
+            F.col(id_col).alias("_src"),
+            "_rn",
+            "_N",
+            strides.alias("_s"),
+        )
+        .select(
+            "_src",
+            (F.pmod(F.col("_rn") - 1 + F.col("_s"), F.col("_N")) + 1)
+            .alias("_trn"),
+        )
+    )
+    b = ranked.select(
+        F.col(id_col).alias("neighbor_id"), F.col("_rn").alias("_trn")
+    )
+    return (
+        probes.join(b, "_trn")
+        .filter(F.col("_src") != F.col("neighbor_id"))
+        .select(F.col("_src").alias(id_col), "neighbor_id")
+        .distinct()
     )
 
 
@@ -935,8 +1319,11 @@ def nn_descent_round(
     probed cell becomes reachable) or the paper's random init. On
     the synthetic corpus the nprobe=2 seed refines recall@4 by
     ~0.05 per early round (q189/q201: flat cells 0.37 -> 0.45,
-    two-level cells 0.332 -> 0.383, plateauing at 0.438 by round 3); random init converges 0.01 ->
-    0.14 -> 0.21 -> 0.25 over three.
+    two-level cells 0.332 -> 0.383, plateauing at 0.438 by round 3);
+    the random hash-ring init (q205, cataloged r13) converges
+    0.004 -> 0.074 -> 0.137 -> 0.188 over three rounds at sf0.01 —
+    still climbing where the seeded ladder has plateaued: the
+    counterfactual that prices what cell-blocked seeding buys.
 
     Scale: the undirected relation is <= 2Nk rows, the two-hop
     candidate relation <= N(2k)^2 — degree-bounded, never all-pairs.

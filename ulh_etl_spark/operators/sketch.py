@@ -377,7 +377,9 @@ def group_quantile_registers(
     )
 
 
-def group_quantile_estimates(registers: DataFrame, probs) -> DataFrame:
+def group_quantile_estimates(
+    registers: DataFrame, probs, group_col: str | None = None
+) -> DataFrame:
     """Per-group quantile point queries from a
     :func:`group_quantile_registers` table: within each group the
     estimate for p is the value ranked ceil(p * m_g) (at least 1)
@@ -387,10 +389,23 @@ def group_quantile_estimates(registers: DataFrame, probs) -> DataFrame:
     shuffle on the group key (same partitioning, no second
     exchange); the probe list is a literal explode.
 
+    ``group_col`` names the grouping column explicitly (r12 ADVICE:
+    a caller that re-selected the register columns would otherwise
+    silently partition by the wrong one); it defaults to the first
+    column only for the canonical untouched register table, and the
+    default rejects any frame whose first column is one of the
+    register payload columns.
+
     Output: (group_col, p, estimate) — |groups| x |probs| rows."""
     from pyspark.sql import Window
 
-    gcol = registers.columns[0]
+    gcol = group_col or registers.columns[0]
+    if group_col is None and gcol in ("h", "key", "value"):
+        raise ValueError(
+            "group_quantile_estimates: first column %r looks like a "
+            "register payload column — pass group_col explicitly"
+            % gcol
+        )
     w = Window.partitionBy(gcol).orderBy("value", "key")
     ranked = registers.select(
         F.col(gcol), "value", "key",

@@ -673,7 +673,7 @@ def q203_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     regs = group_quantile_registers(
         docs, "n_chars", "doc_id", "lang", k=_GQ_K
     )
-    return group_quantile_estimates(regs, _GQ_PROBS)
+    return group_quantile_estimates(regs, _GQ_PROBS, group_col="lang")
 
 
 QUERIES = {

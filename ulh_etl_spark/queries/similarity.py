@@ -1057,7 +1057,170 @@ def q201_nn_descent_plateau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_RVC_CONFIGS = ((2, 2), (2, 4), (3, 2), (3, 4))
+
+
+def q204_recall_cost_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-cost curve for the two-level ANN ladder (r12 verdict
+    item #2): one row per (coarse_nprobe, nprobe) config with the
+    mean recall@4 of that config's kNN graph against exact brute
+    force AND its deterministic cost — the within-cell candidate-pair
+    count (sum over probe rows of the index-cell size, minus the N
+    self-pairs; q197/q198's forecast number). The sweep prices the
+    two remaining recall levers after the q201 plateau: probing a
+    third coarse group (recovers fine cells the 2-group union
+    misses) and probing more fine cells (the q186 lever) — so "what
+    does recall X cost" reads off one table instead of being
+    re-measured ad hoc. Centroid count C stays the adaptive default
+    (the third lever; its sweep would re-seed the index itself).
+
+    Scale: the brute leg is |corpus| x 64 rows (shared across
+    configs, persisted); each config is one BLAS assignment pass
+    (persisted — the pair-count agg and the probe explode read it)
+    plus the standard cell join + rank window. All joins keyed on
+    uniform cells; nothing all-pairs."""
+    from pyspark.storagelevel import StorageLevel
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _adaptive_centroids(emb)
+    queries = emb.filter(F.col("vec_id") < _KNN_AUDIT_Q)
+    bf = track(
+        S.cosine_topk(emb, queries, k=_KNN_K)
+        .select("query_id", "neighbor_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ncnt = emb.agg(F.count("*").cast("long").alias("_N"))
+    legs = []
+    for cnp, np_ in _RVC_CONFIGS:
+        probes = track(
+            S.two_level_cells_blas(
+                emb, cents, nprobe=np_, coarse_nprobe=cnp
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        sizes = (
+            probes.select(F.element_at("_cells", 1).alias("cell"))
+            .groupBy("cell")
+            .agg(F.count("*").alias("_n"))
+        )
+        pairs = (
+            probes.select(F.explode("_cells").alias("cell"))
+            .join(sizes, "cell")
+            .agg(F.sum("_n").alias("_s"))
+            .crossJoin(F.broadcast(ncnt))
+            .select(
+                (F.col("_s") - F.col("_N"))
+                .cast("long")
+                .alias("candidate_pairs")
+            )
+        )
+        g = S.knn_graph(
+            emb, cents, k=_KNN_K, nprobe=np_, two_level=True,
+            coarse_nprobe=cnp,
+        )
+        hits = (
+            g.filter(F.col("vec_id") < _KNN_AUDIT_Q)
+            .select(F.col("vec_id").alias("query_id"), "neighbor_id")
+            .withColumn("_hit", F.lit(1))
+        )
+        rec = (
+            bf.join(F.broadcast(hits), ["query_id", "neighbor_id"], "left")
+            .agg(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                .cast("long")
+                .alias("_hits"),
+                F.count("*").cast("long").alias("_total"),
+            )
+            .select(
+                F.round(
+                    F.col("_hits").cast("double")
+                    / F.col("_total").cast("double"),
+                    6,
+                ).alias("mean_recall")
+            )
+        )
+        legs.append(
+            rec.crossJoin(pairs).select(
+                F.lit(cnp).cast("int").alias("coarse_nprobe"),
+                F.lit(np_).cast("int").alias("nprobe"),
+                "mean_recall",
+                "candidate_pairs",
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def q205_nn_descent_random_init(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NN-Descent from a RANDOM seed (the Dong et al. WWW 2011 paper
+    init, r11/r12 verdict carry-over): recall@4 of a geometry-blind
+    hash-ring seed graph (operators.similarity.hash_ring_seed_graph —
+    ~k pseudo-random neighbors per vector, zero embedding
+    information) and of three composed refinement rounds — the
+    counterfactual that pins the no-op theorem's other side: seeded
+    with NO cell structure at all, the neighbors-of-neighbors hops
+    still converge (measured ladder in SCALE.md r13), they just start
+    from nothing; cell-blocked seeding buys the head start. Same
+    output shape and recall arithmetic as q201, so the two ladders
+    compare row-for-row.
+
+    Output: (round, mean_recall), rounds 0..3."""
+    from pyspark.storagelevel import StorageLevel
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _KNN_AUDIT_Q)
+    bf = S.cosine_topk(emb, queries, k=_KNN_K).select(
+        "query_id", "neighbor_id"
+    )
+    cur = track(
+        S.hash_ring_seed_graph(emb, k=_KNN_K).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
+    graphs = [(0, cur)]
+    for r in range(1, _NND_ROUNDS + 1):
+        cur = track(
+            S.nn_descent_round(cur, emb, k=_KNN_K).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        )
+        graphs.append((r, cur))
+    legs = []
+    for r, g in graphs:
+        hits = (
+            g.filter(F.col("vec_id") < _KNN_AUDIT_Q)
+            .select(F.col("vec_id").alias("query_id"), "neighbor_id")
+            .withColumn("_hit", F.lit(1))
+        )
+        legs.append(
+            bf.join(F.broadcast(hits), ["query_id", "neighbor_id"], "left")
+            .agg(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                .cast("long")
+                .alias("_hits"),
+                F.count("*").cast("long").alias("_total"),
+            )
+            .select(
+                F.lit(r).cast("int").alias("round"),
+                F.round(
+                    F.col("_hits").cast("double")
+                    / F.col("_total").cast("double"),
+                    6,
+                ).alias("mean_recall"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
 QUERIES = {
+    "q204_recall_cost_curve": q204_recall_cost_curve,
+    "q205_nn_descent_random_init": q205_nn_descent_random_init,
     "q198_two_level_cells": q198_two_level_cells,
     "q201_nn_descent_plateau": q201_nn_descent_plateau,
     "q199_knn_graph_two_level": q199_knn_graph_two_level,
@@ -1311,7 +1474,13 @@ def _sqd(a: str, b: str) -> str:
 # the shared sequential fold.
 _COARSE_NPROBE = 2
 
-_TWO_LEVEL_CTES = f"""seed AS MATERIALIZED (
+
+def _two_level_ctes(coarse_nprobe: int = _COARSE_NPROBE) -> str:
+    """The two-level CTE chain, parameterized by how many coarse
+    groups each vector probes — q204's recall-vs-cost sweep needs
+    the identical rule at coarse_nprobe 2 AND 3; everything else
+    uses the default via the _TWO_LEVEL_CTES constant."""
+    return f"""seed AS MATERIALIZED (
             SELECT centroid_id, centroid_vec FROM {_ADAPTIVE_SEED_SQL}
         ), coarse AS MATERIALIZED (
             SELECT centroid_id AS co_id, centroid_vec AS co_vec
@@ -1339,7 +1508,7 @@ _TWO_LEVEL_CTES = f"""seed AS MATERIALIZED (
                            ORDER BY {_sqd("e.embedding", "c.co_vec")},
                                     c.co_id) AS rn
                 FROM embeddings e, coarse c
-            ) WHERE rn <= {_COARSE_NPROBE}
+            ) WHERE rn <= {coarse_nprobe}
         ), rc2 AS MATERIALIZED (
             SELECT v.vec_id, v.embedding, f.centroid_id AS cell,
                    row_number() OVER (PARTITION BY v.vec_id
@@ -1349,6 +1518,9 @@ _TWO_LEVEL_CTES = f"""seed AS MATERIALIZED (
         ), assigned2 AS MATERIALIZED (
             SELECT vec_id, embedding, cell FROM rc2 WHERE rn = 1
         )"""
+
+
+_TWO_LEVEL_CTES = _two_level_ctes()
 
 # q186/q187/q160: the multi-probe variants. _COS_AB is the exact
 # cosine written once for (a, b)-aliased relations — the same op
@@ -1584,12 +1756,13 @@ _KS_SQL = f"""
 
 
 
-def _nnd_plateau_oracle_sql() -> str:
-    """q201's oracle: the q186 seed, then _NND_ROUNDS NN-Descent
-    rounds unrolled (the q115/q190 fold-vs-unrolled pattern — each
-    round is the q188 CTE chain reading the previous round's g{i}),
-    then one recall row per graph level against brute force."""
-    rounds = ", ".join(
+def _nnd_rounds_ctes(n_rounds: int) -> str:
+    """The unrolled NN-Descent round CTEs (the q115/q190
+    fold-vs-unrolled pattern — each round is the q188 CTE chain
+    reading the previous round's g{i}); shared by the q201 plateau
+    oracle and the q205 random-init oracle. Expects a g0 CTE with
+    (vec_id, neighbor_id)."""
+    return ", ".join(
         f"""fwd{i} AS (
             SELECT vec_id AS src, neighbor_id AS dst FROM g{i - 1}
         ), und{i} AS MATERIALIZED (
@@ -1618,9 +1791,15 @@ def _nnd_plateau_oracle_sql() -> str:
                 FROM scored{i}
             ) WHERE rank <= {_KNN_K}
         )"""
-        for i in range(1, _NND_ROUNDS + 1)
+        for i in range(1, n_rounds + 1)
     )
-    recalls = "\nUNION ALL\n".join(
+
+
+def _nnd_recall_union(n_rounds: int) -> str:
+    """One recall row per unrolled graph level g0..g{n} against the
+    ``brute`` CTE — the integer-hit-sum + single-division arithmetic
+    q201 pinned (bit-stable cross-engine)."""
+    return "\nUNION ALL\n".join(
         f"""
         SELECT CAST({i} AS INT) AS round,
                ROUND(CAST(SUM(CASE WHEN g.vec_id IS NOT NULL
@@ -1630,14 +1809,11 @@ def _nnd_plateau_oracle_sql() -> str:
         LEFT JOIN g{i} g ON br.query_id = g.vec_id
                         AND br.neighbor_id = g.neighbor_id
         """
-        for i in range(_NND_ROUNDS + 1)
+        for i in range(n_rounds + 1)
     )
-    return f"""
-        WITH seed AS MATERIALIZED (
-            {_Q186TL_SQL}
-        ), g0 AS MATERIALIZED (
-            SELECT vec_id, neighbor_id FROM seed
-        ), {rounds}, bs AS (
+
+
+_BRUTE_CTES = f"""bs AS (
             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                    {_COS_AB} AS cos_raw
             FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
@@ -1649,8 +1825,109 @@ def _nnd_plateau_oracle_sql() -> str:
                                           ORDER BY cos_raw DESC, neighbor_id) AS rank
                 FROM bs
             ) WHERE rank <= {_KNN_K}
+        )"""
+
+
+def _nnd_plateau_oracle_sql() -> str:
+    """q201's oracle: the q186 seed, then _NND_ROUNDS NN-Descent
+    rounds unrolled, then one recall row per graph level against
+    brute force."""
+    return f"""
+        WITH seed AS MATERIALIZED (
+            {_Q186TL_SQL}
+        ), g0 AS MATERIALIZED (
+            SELECT vec_id, neighbor_id FROM seed
+        ), {_nnd_rounds_ctes(_NND_ROUNDS)}, {_BRUTE_CTES}
+        {_nnd_recall_union(_NND_ROUNDS)}
+    """
+
+
+def _q204_oracle_sql() -> str:
+    """q204's oracle: one parenthesized WITH-block per
+    (coarse_nprobe, nprobe) config — the two-level chain at that
+    coarse_nprobe, the top-nprobe probe set, the exact pair-count
+    formula (sum of probed index-cell sizes minus the N self-pairs),
+    the q186-shaped kNN tail, and the shared recall arithmetic."""
+    blocks = []
+    for cnp, np_ in _RVC_CONFIGS:
+        blocks.append(f"""(
+        WITH {_two_level_ctes(cnp)}, probes AS MATERIALIZED (
+            SELECT vec_id, embedding, cell FROM rc2 WHERE rn <= {np_}
+        ), sizes AS (
+            SELECT cell, COUNT(*) AS n FROM assigned2 GROUP BY cell
+        ), pairs AS (
+            SELECT CAST(SUM(s.n) AS BIGINT)
+                   - (SELECT COUNT(*) FROM embeddings)
+                   AS candidate_pairs
+            FROM probes p JOIN sizes s ON p.cell = s.cell
+        ), scored AS (
+            SELECT a.vec_id, b.vec_id AS neighbor_id,
+                   {_COS_AB} AS cos_raw
+            FROM probes a JOIN assigned2 b
+              ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        ), g AS (
+            SELECT vec_id, neighbor_id FROM (
+                SELECT vec_id, neighbor_id,
+                       row_number() OVER (PARTITION BY vec_id
+                           ORDER BY cos_raw DESC, neighbor_id) AS rank
+                FROM scored
+            ) WHERE rank <= {_KNN_K}
+        ), {_BRUTE_CTES}, rec AS (
+            SELECT ROUND(CAST(SUM(CASE WHEN g.vec_id IS NOT NULL
+                                        THEN 1 ELSE 0 END) AS BIGINT)
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS mean_recall
+            FROM brute br
+            LEFT JOIN g ON br.query_id = g.vec_id
+                       AND br.neighbor_id = g.neighbor_id
         )
-        {recalls}
+        SELECT CAST({cnp} AS INT) AS coarse_nprobe,
+               CAST({np_} AS INT) AS nprobe,
+               rec.mean_recall,
+               CAST(pairs.candidate_pairs AS BIGINT) AS candidate_pairs
+        FROM rec CROSS JOIN pairs
+        )""")
+    return "\nUNION ALL\n".join(blocks)
+
+
+def _q205_oracle_sql() -> str:
+    """q205's oracle: the GLOBAL hash-ring random seed (one cycle
+    over all N ids ordered by (md5 hash, id); edge d connects each
+    vector to the ring position stride_d = 1 + md5('rnds_d') % (N-1)
+    ahead, mod N), then the shared unrolled NN-Descent rounds and
+    recall union. Global ring + spread strides on purpose — the
+    bucketed and consecutive-successor variants were measured as
+    (near-)closed candidate worlds (operator docstring)."""
+    stride_rows = "\n            UNION ALL ".join(
+        "SELECT ({h} % (n - 1)) + 1 AS s FROM nstats".format(
+            h=O.md5h("'rnds_%d'" % d)
+        )
+        for d in range(1, _KNN_K + 1)
+    )
+    ring = f"""rb AS (
+            SELECT vec_id,
+                   {O.md5h("'rnd_' || CAST(vec_id AS VARCHAR)")} AS h
+            FROM embeddings
+        ), rr AS MATERIALIZED (
+            SELECT vec_id,
+                   row_number() OVER (ORDER BY h, vec_id) AS rn
+            FROM rb
+        ), nstats AS (
+            SELECT COUNT(*) AS n FROM embeddings
+        ), strides AS (
+            {stride_rows}
+        ), tgt AS (
+            SELECT a.vec_id, ((a.rn - 1 + st.s) % s2.n) + 1 AS trn
+            FROM rr a
+            CROSS JOIN strides st
+            CROSS JOIN nstats s2
+        ), g0 AS MATERIALIZED (
+            SELECT DISTINCT t.vec_id, b.vec_id AS neighbor_id
+            FROM tgt t JOIN rr b ON b.rn = t.trn
+            WHERE t.vec_id <> b.vec_id
+        )"""
+    return f"""
+        WITH {ring}, {_nnd_rounds_ctes(_NND_ROUNDS)}, {_BRUTE_CTES}
+        {_nnd_recall_union(_NND_ROUNDS)}
     """
 
 
@@ -1832,6 +2109,8 @@ ORACLES = {
         GROUP BY br.query_id
     """,
     "q201_nn_descent_plateau": _nnd_plateau_oracle_sql(),
+    "q204_recall_cost_curve": _q204_oracle_sql(),
+    "q205_nn_descent_random_init": _q205_oracle_sql(),
     "q188_nn_descent": f"""
         WITH seed AS MATERIALIZED (
             {_Q186TL_SQL}

@@ -309,45 +309,22 @@ def stream_fm_registers_available_now(
     from pyspark.sql import functions as F
 
     from ulh_etl_spark.operators.sketch import fm_registers
+    from ulh_etl_spark.streaming.store import recover_store, swap_store
 
     stats = {"batches": 0, "keys_seen": 0}
-
-    def _recover_store() -> None:
-        # Crash-window recovery (ADVICE r11): between
-        # os.replace(store, bak) and os.replace(tmp, store) the store
-        # path is ABSENT — if we crashed there, the ._bak_* sibling IS
-        # the latest complete store, so restore it before merging
-        # (the interrupted batch replays and re-merges; MAX is
-        # idempotent). Then GC every leftover ._stage_*/._bak_*
-        # regardless of batch_id so stale dirs from other batches
-        # can't shadow a future swap.
-        import shutil
-
-        base = store_dir.rstrip("/")
-        parent, name = os.path.dirname(base) or ".", os.path.basename(base)
-        if not os.path.isdir(parent):
-            return
-
-        def _siblings(prefix):
-            out = []
-            for f in os.listdir(parent):
-                if f.startswith(name + prefix):
-                    try:
-                        out.append((int(f[len(name + prefix):]), f))
-                    except ValueError:
-                        continue
-            return sorted(out)
-
-        baks = _siblings("._bak_")
-        if not os.path.isdir(base) and baks:
-            os.replace(os.path.join(parent, baks[-1][1]), base)
-        for _, f in _siblings("._bak_") + _siblings("._stage_"):
-            shutil.rmtree(os.path.join(parent, f), ignore_errors=True)
 
     def _merge(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        _recover_store()
+        # crash-window recovery + write-then-swap live in
+        # streaming.store (shared with the KMV quantile store): the
+        # swap never overwrites the dir being read, and a crash
+        # leaves a complete store at either the live path or the
+        # ._bak_ sibling (recover_store restores the swap window) —
+        # so checkpoint replay always re-merges into a complete
+        # history instead of silently resetting it. MAX is the
+        # idempotent merge rule replay relies on.
+        recover_store(store_dir)
         sess = batch_df.sparkSession
         regs = (
             fm_registers(batch_df, key_col, n_registers)
@@ -360,29 +337,76 @@ def stream_fm_registers_available_now(
                 .groupBy("register")
                 .agg(F.max("max_rho").cast("int").alias("max_rho"))
             )
-        # write-then-swap (the parquet MERGE staging pattern from
-        # sinks/tables.py): never overwrite the dir being read.
-        # Rename-aside, swap in, THEN drop the .bak — a crash leaves
-        # a complete store at either the live path or the ._bak_
-        # sibling (the swap window itself leaves only the .bak, which
-        # _recover_store restores on the next merge), so checkpoint
-        # replay always re-merges into a complete history instead of
-        # silently resetting it.
-        tmp = store_dir.rstrip("/") + f"._stage_{batch_id}"
-        bak = store_dir.rstrip("/") + f"._bak_{batch_id}"
-        regs.write.mode("overwrite").parquet(tmp)
-        import shutil
-
-        if os.path.isdir(bak):
-            shutil.rmtree(bak)
-        had_old = os.path.isdir(store_dir)
-        if had_old:
-            os.replace(store_dir, bak)
-        os.replace(tmp, store_dir)
-        if had_old:
-            shutil.rmtree(bak)
+        swap_store(regs, store_dir, batch_id)
         stats["batches"] += 1
         stats["keys_seen"] += batch_df.count()
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(inbound_dir)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_merge)
+        .start()
+    )
+    q.awaitTermination()
+    return stats
+
+
+def stream_kmv_quantile_store_available_now(
+    spark,
+    inbound_dir: str,
+    schema: str,
+    value_col: str,
+    key_col: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    k: int = 64,
+) -> dict:
+    """Streaming quantile-sketch maintenance — the q202 incremental
+    KMV merge as an AvailableNow stream: drain the inbound directory
+    exactly-once and, per micro-batch via ``foreachBatch``, merge the
+    batch's bottom-k register table
+    (operators.sketch.quantile_sample_registers) into the at-rest
+    store by distinct-union + re-take-bottom-(h, key). The KMV merge
+    invariance (pinned by pytest on the batch operator) makes the
+    merged store after ANY batch slicing equal the one-shot sketch
+    over the same rows; history is never re-read — each merge
+    touches <= 2k rows whatever the corpus size.
+
+    Crash safety is the shared streaming.store swap protocol (same
+    as the FM register store): write-stage, rename-aside, swap,
+    recover-from-bak at the top of every merge. Replay safety is the
+    merge rule: the union DISTINCTs on (h, key) before the bottom-k,
+    so a replayed micro-batch re-merging the same registers is a
+    no-op (set-union idempotence — the KMV analogue of FM's MAX).
+
+    Returns {"batches": n, "rows_seen": n} accumulated across
+    drained batches."""
+    import os
+
+    from ulh_etl_spark.operators.sketch import quantile_sample_registers
+    from ulh_etl_spark.streaming.store import recover_store, swap_store
+
+    stats = {"batches": 0, "rows_seen": 0}
+
+    def _merge(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        recover_store(store_dir)
+        sess = batch_df.sparkSession
+        regs = quantile_sample_registers(batch_df, value_col, key_col, k=k)
+        if os.path.isdir(store_dir):
+            old = sess.read.parquet(store_dir)
+            regs = (
+                old.unionByName(regs)
+                .dropDuplicates(["h", "key"])
+                .orderBy("h", "key")
+                .limit(k)
+            )
+        swap_store(regs, store_dir, batch_id)
+        stats["batches"] += 1
+        stats["rows_seen"] += batch_df.count()
 
     q = (
         spark.readStream.schema(schema)
