@@ -170,6 +170,8 @@ HEADLINE = (
     "q203_group_quantiles",
     "q204_recall_cost_curve",
     "q205_nn_descent_random_init",
+    "q206_prefix_filter_pairs",
+    "q207_pca_top_component",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",

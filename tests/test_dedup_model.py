@@ -1173,3 +1173,82 @@ def test_hash_ring_seed_graph_matches_python_model(spark):
         for r in hash_ring_seed_graph(emb, k=k).collect()
     }
     assert got == want
+
+
+def test_prefix_filter_pairs_equal_bruteforce(spark):
+    """Prefix filtering is LOSSLESS: operator output == brute-force
+    all-pairs exact Jaccard at the threshold — including identical
+    docs (J=1), sub-n-length docs (whole text as the single gram),
+    and pairs whose sizes straddle the size-filter boundary."""
+    from ulh_etl_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # == 0
+        (3, "a completely different sentence with other words"),
+        (4, "the quick brown fox leaps over the lazy dog"),
+        (5, "qbf"),  # shorter than n -> single whole-text gram
+        (6, "qbf"),  # J=1 with 5
+        (7, "the quick brown fox jumps over the lazy dog again and again"),
+    ]
+    n, t = 5, 0.6
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def gset(s):
+        if len(s) < n:
+            return {s}
+        return {s[i : i + n] for i in range(len(s) - n + 1)}
+
+    want = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = gset(docs[i][1]), gset(docs[j][1])
+            jac = len(a & b) / len(a | b)
+            if round(jac, 6) >= t:
+                want[(docs[i][0], docs[j][0])] = round(jac, 6)
+
+    got = {
+        (r.id1, r.id2): r.jaccard5
+        for r in prefix_filter_jaccard_pairs(
+            df, "text", "doc_id", n=n, threshold=t
+        ).collect()
+    }
+    assert got == want
+    assert got[(0, 2)] == 1.0 and got[(5, 6)] == 1.0
+
+
+def test_power_iteration_pca_matches_numpy(spark):
+    """Power iteration converges to numpy's top covariance
+    eigenvector (up to sign) on an anisotropic cloud, and
+    var_explained approaches lambda_1 / trace."""
+    import numpy as np
+
+    from ulh_etl_spark.operators.similarity import power_iteration_pca
+
+    rng = np.random.RandomState(7)
+    d = 8
+    direction = rng.randn(d)
+    direction /= np.linalg.norm(direction)
+    pts = (
+        np.outer(rng.randn(300) * 5.0, direction)
+        + rng.randn(300, d) * 0.5
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = power_iteration_pca(df, "embedding", dim=d, rounds=6).collect()
+    assert len(rows) == d
+    v = np.zeros(d)
+    for r in rows:
+        v[r.dim_idx - 1] = r.loading
+        # iterates round to 7 decimals — the cross-engine contract
+        assert r.loading == round(r.loading, 7)
+    cov = np.cov(pts.T, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, -1]
+    assert abs(float(np.dot(v, top))) > 0.999
+    ratio = evals[-1] / evals.sum()
+    got_ratio = rows[0].var_explained
+    assert abs(got_ratio - ratio) < 0.02

@@ -91,6 +91,14 @@ SHUFFLE_BUDGET = {
     # these at 0-2, r12 at 8-12 from the same code). Runtime
     # executes the checkpointed rounds once. Budgets sized to the
     # full uncached render with headroom.
+    # q206 prefix-filter join: one exchange per composition stage,
+    # none re-keyed — the fan_out repartition of the gram build (1),
+    # the gram-frequency groupBy (2), the token->frequency join (3),
+    # the per-doc row_number window on doc_id (4), and the candidate
+    # DISTINCT after the prefix self-join (5). The verify joins read
+    # the persisted gram relation broadcast/id-keyed. Every relation
+    # past the explode is prefix-sized (~(1-t) of the gram stream).
+    "q206_prefix_filter_pairs": 6,
     "q75_neardup_components": 14,
     "q102_neardup_collapse": 17,
     "q105_phash_neardup_clusters": 15,

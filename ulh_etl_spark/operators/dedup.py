@@ -784,6 +784,124 @@ def ngram_jaccard_pairs_blocked(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    AllPairs / PPJoin candidate rule — Chaudhuri et al. ICDE'06,
+    Bayardo et al. WWW'07): every pair with n-gram Jaccard >=
+    ``threshold``, with NO false negatives and no LSH probability
+    knob — the lossless alternative to MinHash banding when the
+    pipeline needs a guarantee, not a recall estimate.
+
+    Candidate rule: order each doc's distinct gram set by a global
+    total order (ascending corpus frequency, rarest first — ties by
+    the gram hash); keep each doc's first ``|g| - ceil(t*|g|) + 1``
+    grams (the *prefix*). Two sets with Jaccard >= t must overlap in
+    >= ceil(t*|g|) grams, so by pigeonhole a qualifying partner hits
+    the prefix — joining prefixes on the gram is COMPLETE. The size
+    filter (t <= |A|/|B| <= 1/t, another Jaccard necessity) is pushed
+    into the same join. Candidates then verify with one exact
+    array_intersect over the full (persisted) gram sets.
+
+    Scale: the prefix join shuffles one row per PREFIX gram (a
+    ~(1-t) fraction of the gram explode), keyed by the gram — and
+    because prefixes keep the RAREST grams, bucket sizes are the
+    frequency tail, not the head: the hot grams that would make a
+    plain gram-join quadratic never enter the join. Verification
+    cost is |candidates|, bounded by the prefix co-occurrence; on a
+    natural Zipf vocabulary the prefix rule prunes orders of
+    magnitude. (On this repo's small-vocab synthetic corpus the
+    measured pruning is ~4.2x at sf0.01 — 124,750 all-pairs ->
+    29,551 candidates, size filter doing most of the work because
+    every doc shares the head grams; the completeness guarantee is
+    what the oracle checks, brute-force all-pairs ground truth.)
+
+    Internal hash policy: gram_hash64 (output carries no hash
+    values; the oracle verifies raw-gram Jaccard — two-hash policy,
+    text.gram_hash64 docstring). The global order differs from the
+    oracle's (hash vs raw-gram tie-break) — harmless, the theorem
+    holds for ANY fixed total order and the verified output is
+    order-invariant.
+
+    Output: (id1, id2, jaccard{n}) — jaccard rounded to 6 (one
+    fixed-order division, exact cross-engine).
+    """
+    df = _fan_out(df)
+    g = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(
+                F.array_distinct(char_ngrams(F.col(text_col), n)),
+                lambda s: gram_hash64(s),
+            )
+        ).alias("_g"),
+    ).withColumn("_ng", F.size("_g")).persist(StorageLevel.MEMORY_AND_DISK)
+    track(g)
+
+    tok = g.select(F.col(id_col), "_ng", F.explode("_g").alias("_h"))
+    freq = tok.groupBy("_h").agg(F.count("*").alias("_cnt"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("_cnt").asc(), F.col("_h").asc())
+    prefix_len = (
+        F.col("_ng")
+        - F.ceil(F.lit(threshold) * F.col("_ng")).cast("long")
+        + F.lit(1)
+    )
+    pref = (
+        tok.join(freq, "_h")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= prefix_len)
+        .select(F.col(id_col), "_ng", "_h")
+    )
+    a = pref.select(
+        F.col(id_col).alias("_ida"), F.col("_ng").alias("_nga"), "_h"
+    )
+    b = pref.select(
+        F.col(id_col).alias("_idb"), F.col("_ng").alias("_ngb"), "_h"
+    )
+    cand = (
+        a.join(b, "_h")
+        .filter(
+            (F.col("_ida") < F.col("_idb"))
+            # size filter: J >= t forces t <= |A|/|B| <= 1/t
+            & (F.col("_ngb") >= F.ceil(F.lit(threshold) * F.col("_nga")))
+            & (
+                F.col("_ngb")
+                <= F.floor(F.col("_nga") / F.lit(threshold))
+            )
+        )
+        .select(F.col("_ida").alias("id1"), F.col("_idb").alias("id2"))
+        .distinct()
+    )
+    g1 = g.select(F.col(id_col).alias("id1"), F.col("_g").alias("_g1"))
+    g2 = g.select(F.col(id_col).alias("id2"), F.col("_g").alias("_g2"))
+    ver = (
+        cand.join(g1, "id1")
+        .join(g2, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.size(F.array_intersect("_g1", "_g2")).alias("_i"),
+            F.size("_g1").alias("_la"),
+            F.size("_g2").alias("_lb"),
+        )
+    )
+    jac = F.round(
+        F.col("_i").cast("double")
+        / (F.col("_la") + F.col("_lb") - F.col("_i")).cast("double"),
+        6,
+    )
+    return ver.select("id1", "id2", jac.alias(f"jaccard{n}")).filter(
+        F.col(f"jaccard{n}") >= threshold
+    )
+
+
 def ngram_jaccard(text1: Column, text2: Column, n: int = 3) -> Column:
     """Exact Jaccard similarity of distinct character n-gram sets."""
     g1 = F.array_distinct(char_ngrams(text1, n))

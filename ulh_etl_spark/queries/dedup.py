@@ -445,6 +445,26 @@ def q153_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PFX_N = 5
+_PFX_T = 0.8
+
+
+def q206_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS set-similarity self-join (AllPairs/PPJoin prefix
+    filtering): every pair with 5-gram Jaccard >= 0.8, exactly — no
+    LSH recall knob, no false negatives. The candidate join keys on
+    each doc's RAREST grams only (the (1-t) prefix of its
+    frequency-ordered gram set) plus the Jaccard size filter; exact
+    verification runs on candidates only. The oracle is brute-force
+    all-pairs ground truth, so a hash match PROVES the prefix rule
+    lost no pair (operators.dedup.prefix_filter_jaccard_pairs has
+    the pigeonhole argument and the measured candidate counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.prefix_filter_jaccard_pairs(
+        docs, "text", "doc_id", n=_PFX_N, threshold=_PFX_T
+    )
+
+
 QUERIES = {
     "q34_dedup_exact": q34_dedup_exact,
     "q35_minhash_signature": q35_minhash_signature,
@@ -466,6 +486,7 @@ QUERIES = {
     "q153_containment_pairs": q153_containment_pairs,
     "q157_leakage_free_split": q157_leakage_free_split,
     "q158_decontamination_report": q158_decontamination_report,
+    "q206_prefix_filter_pairs": q206_prefix_filter_pairs,
 }
 
 # bands (self-joined) and edges (recursion base + step) are each
@@ -500,6 +521,25 @@ _CC_CTE = f"""WITH RECURSIVE hashed AS (
         )"""
 
 ORACLES = {
+    # q206: brute-force all-pairs exact Jaccard — deliberately NOT a
+    # twin of the Spark plan: ground truth, so a hash match proves
+    # the prefix-filter candidate rule is complete (no lost pair)
+    "q206_prefix_filter_pairs": f"""
+        WITH g AS (
+            SELECT doc_id,
+                   list_distinct({O.grams('text', _PFX_N)}) AS gs
+            FROM documents
+        ), p AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   len(list_intersect(a.gs, b.gs)) AS inter,
+                   len(a.gs) AS n1, len(b.gs) AS n2
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+        )
+        SELECT id1, id2,
+               round(inter * 1.0 / (n1 + n2 - inter), 6) AS jaccard{_PFX_N}
+        FROM p
+        WHERE round(inter * 1.0 / (n1 + n2 - inter), 6) >= {_PFX_T}
+    """,
     # q158: the q79 exact-gram leg and the q85 band leg verbatim
     # (raw grams / identical band CTEs — lockstep with both parents),
     # left-joined onto the corpus with the drop/review/keep policy

@@ -1218,7 +1218,97 @@ def q205_nn_descent_random_init(
     return out
 
 
+_PCA_DIM = 64
+_PCA_ROUNDS = 6
+_PCA_RD = 7
+
+
+def q207_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by power
+    iteration (operators.similarity.power_iteration_pca) — the
+    whitening/rotation step in front of PQ codebooks. Six corpus
+    passes in ONE lazy plan (persisted projection, no per-round
+    collect); per-pass shuffle volume is one 64-double partial-agg
+    row per task. Iterates round to 7 decimals after each normalize,
+    so the DuckDB oracle walks bit-identical vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.power_iteration_pca(
+        emb, "embedding", dim=_PCA_DIM, rounds=_PCA_ROUNDS,
+        round_digits=_PCA_RD,
+    )
+
+
+def _q207_oracle_sql() -> str:
+    dim, rounds, rd = _PCA_DIM, _PCA_ROUNDS, _PCA_RD
+    idx = range(1, dim + 1)
+    v0 = repr(1.0 / (dim ** 0.5))
+    # every CTE is AS MATERIALIZED: DuckDB inlines plain CTEs at
+    # each reference, and v{r}/u{r} are each referenced twice — the
+    # optimizer re-expands the whole chain per reference, exploding
+    # exponentially in rounds (the r10 graph-oracle lesson; without
+    # this the 6-round plan never finishes PLANNING)
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        "st AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n, "
+        + ", ".join(f"sum(v[{i}]) AS sx{i}" for i in idx)
+        + ", "
+        + ", ".join(f"sum(v[{i}]*v[{i}]) AS ss{i}" for i in idx)
+        + " FROM e)",
+        "mu AS MATERIALIZED (SELECT n, "
+        + ", ".join(f"sx{i}/n AS mu{i}" for i in idx)
+        + ", "
+        + ", ".join(f"ss{i}" for i in idx)
+        + " FROM st)",
+        "v0 AS MATERIALIZED (SELECT " + ", ".join(f"{v0} AS pv{i}" for i in idx) + ")",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        dot = " + ".join(f"e.v[{i}]*p.pv{i}" for i in idx)
+        parts.append(
+            f"t{r} AS MATERIALIZED (SELECT e.v AS v, ({dot}) AS d FROM e, v{p} p)"
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT "
+            + ", ".join(f"sum(v[{i}]*d) AS s{i}" for i in idx)
+            + f" FROM t{r})"
+        )
+        md = " + ".join(f"mu.mu{i}*p.pv{i}" for i in idx)
+        parts.append(f"m{r} AS MATERIALIZED (SELECT ({md}) AS md FROM mu, v{p} p)")
+        parts.append(
+            f"u{r} AS MATERIALIZED (SELECT "
+            + ", ".join(
+                f"s{i} - mu.n*mu.mu{i}*m{r}.md AS wc{i}" for i in idx
+            )
+            + f" FROM s{r}, mu, m{r})"
+        )
+        nsq = " + ".join(f"wc{i}*wc{i}" for i in idx)
+        parts.append(f"n{r} AS MATERIALIZED (SELECT sqrt({nsq}) AS nrm FROM u{r})")
+        parts.append(
+            f"v{r} AS MATERIALIZED (SELECT "
+            + ", ".join(f"round(wc{i}/nrm, {rd}) AS pv{i}" for i in idx)
+            + f", nrm AS lam FROM u{r}, n{r})"
+        )
+    trace = " + ".join(f"(ss{i} - n*mu{i}*mu{i})" for i in idx)
+    parts.append(f"tr AS MATERIALIZED (SELECT ({trace}) AS trace FROM mu)")
+    parts.append(
+        "fin AS (SELECT ["
+        + ", ".join(f"pv{i}" for i in idx)
+        + f"] AS pv, lam FROM v{rounds})"
+    )
+    parts.append(
+        f"ix AS (SELECT unnest(generate_series(1, {dim})) AS di, "
+        "pv, lam, trace FROM fin, tr)"
+    )
+    return (
+        ",\n".join(parts)
+        + "\nSELECT CAST(di AS INTEGER) AS dim_idx, pv[di] AS loading, "
+        "round(lam/trace, 6) AS var_explained FROM ix"
+    )
+
+
 QUERIES = {
+    "q207_pca_top_component": q207_pca_top_component,
     "q204_recall_cost_curve": q204_recall_cost_curve,
     "q205_nn_descent_random_init": q205_nn_descent_random_init,
     "q198_two_level_cells": q198_two_level_cells,
@@ -1932,6 +2022,7 @@ def _q205_oracle_sql() -> str:
 
 
 ORACLES = {
+    "q207_pca_top_component": _q207_oracle_sql(),
     "q181_embedding_outliers": f"""
         WITH c AS (
             SELECT vec_id AS centroid_id, embedding AS centroid_vec
