@@ -172,6 +172,8 @@ HEADLINE = (
     "q205_nn_descent_random_init",
     "q206_prefix_filter_pairs",
     "q207_pca_top_component",
+    "q208_sliding_distinct_users",
+    "q209_kcore_peel",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",

@@ -631,3 +631,94 @@ def test_group_quantile_registers_reject_non_numeric_key(spark):
     )
     with pytest.raises(TypeError, match="numeric key column"):
         group_quantile_registers(df, "v", "name", "grp", k=4)
+
+
+def test_kcore_peel_triangle_with_tail(spark):
+    """Triangle (dense core) + a 3-node tail: k=2 peels the tail one
+    node per round and keeps the triangle forever."""
+    from ulh_etl_spark.operators.graph import kcore_peel
+
+    # triangle 1-2-3; tail 3-4, 4-5, 5-6
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (5, 6)],
+        "id1 long, id2 long",
+    )
+    rows = {
+        r.round: (r.nodes_remaining, r.edges_remaining)
+        for r in kcore_peel(edges, k=2, rounds=3).collect()
+    }
+    # round 0: the input graph
+    assert rows[0] == (6, 6)
+    # peel 1: node 6 has deg 1 -> drops, edge 5-6 goes
+    assert rows[1] == (5, 5)
+    # peel 2: node 5 now deg 1 -> drops, edge 4-5 goes
+    assert rows[2] == (4, 4)
+    # peel 3: node 4 drops, 3-4 goes; triangle remains
+    assert rows[3] == (3, 3)
+
+
+def test_kcore_peel_converged_rounds_agree(spark):
+    """Once the survivor set is a k-core, further rounds are no-ops."""
+    from ulh_etl_spark.operators.graph import kcore_peel
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "id1 long, id2 long"
+    )
+    rows = {
+        r.round: (r.nodes_remaining, r.edges_remaining)
+        for r in kcore_peel(edges, k=2, rounds=2).collect()
+    }
+    assert rows[0] == rows[1] == rows[2] == (3, 3)
+
+
+def test_sliding_distinct_windows_exact_and_merge(spark):
+    """Window set = every window containing an observed hour; exact
+    counts match a hand count; the merged registers equal
+    fm_registers run directly on each window's rows (the monoid
+    contract along the time axis)."""
+    import datetime as dt
+
+    from ulh_etl_spark.operators.sketch import (
+        fm_registers,
+        sliding_distinct_windows,
+    )
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # (ts offset hours+minutes, user)
+        (0, 0, 1), (0, 30, 2), (1, 0, 2), (1, 15, 3), (4, 0, 9),
+    ]
+    df = spark.createDataFrame(
+        [
+            (base + dt.timedelta(hours=h, minutes=m), u)
+            for h, m, u in rows
+        ],
+        "ts timestamp, user_id long",
+    )
+    out = {
+        r.window_start.hour: (r.exact_keys, r.registers_hit, r.est_keys)
+        for r in sliding_distinct_windows(
+            df, "user_id", "ts", window_hours=3, n_registers=32
+        ).collect()
+    }
+    # observed hours 10, 11, 14 -> window starts 8..11 and 12..14
+    assert set(out) == {8, 9, 10, 11, 12, 13, 14}
+    assert out[8][0] == 2   # hour 10 only: users {1,2}
+    assert out[9][0] == 3   # hours 10-11: users {1,2,3}
+    assert out[10][0] == 3
+    assert out[11][0] == 2  # window 11 covers hours 11-13: users {2,3}
+    assert out[14][0] == 1  # hour 14: {9}
+
+    # merge property: window-9 registers == direct sketch of its rows
+    direct = {
+        (r.register, r.max_rho)
+        for r in fm_registers(
+            df.filter(
+                (F.col("ts") >= dt.datetime(2024, 1, 1, 9))
+                & (F.col("ts") < dt.datetime(2024, 1, 1, 12))
+            ),
+            "user_id",
+            n_registers=32,
+        ).collect()
+    }
+    assert out[9][1] == len(direct)

@@ -91,6 +91,19 @@ SHUFFLE_BUDGET = {
     # these at 0-2, r12 at 8-12 from the same code). Runtime
     # executes the checkpointed rounds once. Budgets sized to the
     # full uncached render with headroom.
+    # q208 sliding HLL: the hourly register cube groupBy (1, the only
+    # corpus-sized partial-agg), the window MAX-merge over the
+    # exploded CUBE (2 — constant <=64 rows/hour input), the per-
+    # window estimate agg (3), and the exact-audit explode +
+    # countDistinct (4, 5 — the audit column, dropped at scale).
+    # Re-windowing reads the cube only; nothing re-keys.
+    "q208_sliding_distinct_users": 6,
+    # q209 k-core: 3 synchronous peel rounds x (degree groupBy + two
+    # survivor semi-joins) over the localCheckpoint'ed edge relation
+    # (9), plus the per-round 1-row snapshot aggregates and the kNN
+    # build's own exchanges (the q199 chain) — every relation is
+    # degree-bounded (deg <= kNN k), each round strictly shrinks it.
+    "q209_kcore_peel": 14,
     # q206 prefix-filter join: one exchange per composition stage,
     # none re-keyed — the fan_out repartition of the gram build (1),
     # the gram-frequency groupBy (2), the token->frequency join (3),

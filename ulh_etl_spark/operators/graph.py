@@ -249,3 +249,73 @@ def label_propagation(
             F.col("_seed_label").isNotNull().alias("is_seed"),
         )
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 3,
+    id1: str = "id1",
+    id2: str = "id2",
+) -> DataFrame:
+    """``rounds`` synchronous peel rounds toward the k-core
+    (Matula & Beck 1983 / Seidman 1983): each round drops every node
+    whose CURRENT degree is < k, then discards edges touching a
+    dropped node. The k-core separates genuinely dense paraphrase /
+    near-dup families from the chains and stars that survive mutual
+    kNN by accident; a fixed round count (the label_propagation
+    precedent) keeps the lineage linear and the output
+    SQL-replayable — on a degree-bounded kNN graph the peel
+    converges in a handful of rounds anyway (each survivor set is a
+    subset of the last; report the per-round sizes and STOP reading
+    when two rounds agree).
+
+    Per round: one degree groupBy over the surviving edge relation +
+    two semi-joins (each endpoint against the survivor set) — all
+    keys degree-bounded (deg <= kNN k), nothing corpus-quadratic.
+    Rounds localCheckpoint (the connected_components lineage rule:
+    each round reads its predecessor three times).
+
+    Output: (round, nodes_remaining, edges_remaining) for round
+    0..rounds — round 0 is the input graph."""
+    if k < 1 or rounds < 1:
+        raise ValueError("k and rounds must be >= 1")
+    e = (
+        edges.select(F.col(id1).alias("id1"), F.col(id2).alias("id2"))
+        .localCheckpoint(eager=False)
+    )
+    counts = []
+
+    def _snapshot(rnd: int, ecur: DataFrame, nodes: DataFrame) -> DataFrame:
+        return nodes.agg(
+            F.lit(rnd).cast("int").alias("round"),
+            F.count("*").cast("bigint").alias("nodes_remaining"),
+        ).crossJoin(
+            ecur.agg(F.count("*").cast("bigint").alias("edges_remaining"))
+        )
+
+    nodes = (
+        e.select(F.col("id1").alias("node"))
+        .union(e.select("id2"))
+        .distinct()
+    )
+    counts.append(_snapshot(0, e, nodes))
+    for r in range(1, rounds + 1):
+        deg = (
+            e.select(F.col("id1").alias("node"))
+            .union(e.select("id2"))
+            .groupBy("node")
+            .agg(F.count("*").alias("_deg"))
+        )
+        alive = deg.filter(F.col("_deg") >= k).select("node")
+        e = (
+            e.join(alive.withColumnRenamed("node", "id1"), "id1", "left_semi")
+            .join(alive.withColumnRenamed("node", "id2"), "id2", "left_semi")
+            .select("id1", "id2")
+            .localCheckpoint(eager=False)
+        )
+        counts.append(_snapshot(r, e, alive))
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out

@@ -112,6 +112,7 @@ def fm_registers(
     df: DataFrame,
     key_col: str,
     n_registers: int = 64,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Flajolet-Martin / HLL register table for a distinct-count
     sketch: each key hashes once (portable 60-bit md5); the LOW bits
@@ -136,9 +137,12 @@ def fm_registers(
     and log2 of an exact power of two is exact in ieee754, so
     round(log2(lowbit)) + 1 is integer-exact in both engines.
 
-    Output: (register, max_rho, n_keys) — n_keys = exact distinct
-    keys landing in the register (the audit column; at 100 TB it
-    runs on a sample or is dropped)."""
+    Output: (*group_cols, register, max_rho, n_keys) — n_keys = exact
+    distinct keys landing in the register (the audit column; at
+    100 TB it runs on a sample or is dropped). ``group_cols``
+    (explicit names, never positional — the q203 ADVICE rule) yields
+    one independent sketch per group: the pre-aggregated cube the
+    sliding-window merge reads."""
     if n_registers < 2 or n_registers & (n_registers - 1):
         raise ValueError("n_registers must be a power of two >= 2")
     from ulh_etl_spark.operators.text import md5_hash60
@@ -154,11 +158,12 @@ def fm_registers(
         F.round(F.log2(lowbit.cast("double")), 0).cast("int") + F.lit(1)
     )
     keyed = df.select(
+        *[F.col(c) for c in group_cols],
         F.pmod(h, F.lit(n_registers)).cast("int").alias("register"),
         rho.alias("_rho"),
         F.col(key_col).alias("_k"),
     )
-    return keyed.groupBy("register").agg(
+    return keyed.groupBy(*group_cols, "register").agg(
         F.max("_rho").cast("int").alias("max_rho"),
         F.countDistinct("_k").cast("bigint").alias("n_keys"),
     )
@@ -228,6 +233,96 @@ def cms_join_size(
         (F.col("cms_estimate") - F.col("exact_pairs"))
         .cast("bigint")
         .alias("overcount"),
+    )
+
+
+def sliding_distinct_windows(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window_hours: int = 3,
+    n_registers: int = 64,
+) -> DataFrame:
+    """Distinct keys per sliding window from PRE-AGGREGATED hourly
+    sketches — the "sketch once, answer every window" pattern: build
+    one FM/HLL register cube per hour (constant <= n_registers rows
+    per hour regardless of corpus size), then answer every
+    ``window_hours``-hour hopping window by MAX-merging the member
+    hours' registers. The raw stream is touched ONCE; re-windowing
+    (3 h -> 24 h -> 7 d) re-reads only the cube. At 100 TB this is
+    the difference between one pass and one pass per window length —
+    the register monoid (fm_registers contract) makes the merged
+    estimate equal the estimate a from-scratch window scan would
+    produce, which is exactly what the oracle twin checks.
+
+    Window set: every window containing at least one observed hour
+    (starts h-(W-1) .. h per observed hour h — same rule generates
+    the exact audit, so the sets agree by construction).
+
+    Estimate: standard HLL two-branch — linear counting
+    m*ln(m/zeros) when zeros > 0 and the raw harmonic estimate
+    alpha*m^2/Z is <= 2.5m, else the raw estimate. All constants are
+    Python-computed literals shared with the oracle SQL; the
+    estimate rounds to 3 (sums of <= n_registers exact powers of two
+    — cross-engine noise ~1e-16, absorbed).
+
+    Shuffle budget: hourly cube groupBy (partial-agged, constant
+    volume), window merge groupBy over the exploded CUBE (x W rows
+    of <= 64/hour — still constant), and the exact-audit
+    countDistinct (the only corpus-sized exchange; it is the audit
+    column, dropped at scale).
+
+    Output: (window_start, exact_keys, est_keys, registers_hit,
+    rel_err) — rel_err = |est-exact|/exact rounded to 6."""
+    hours = df.select(
+        F.date_trunc("hour", F.col(ts_col)).alias("_hr"),
+        F.col(key_col).alias("_k"),
+    )
+    regs = fm_registers(hours, "_k", n_registers, group_cols=("_hr",))
+    offs = list(range(window_hours))
+    wins = F.explode(
+        F.array(
+            *[
+                F.col("_hr") - F.expr(f"INTERVAL {i} HOURS")
+                for i in offs
+            ]
+        )
+    ).alias("window_start")
+    merged = (
+        regs.select(wins, "register", "max_rho")
+        .groupBy("window_start", "register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    m = n_registers
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    per_win = merged.groupBy("window_start").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("_zp"),
+        F.count("*").cast("int").alias("registers_hit"),
+    )
+    zeros = F.lit(m) - F.col("registers_hit")
+    raw = F.lit(alpha * m * m) / (F.col("_zp") + zeros.cast("double"))
+    est = F.round(
+        F.when(
+            (zeros > 0) & (raw <= F.lit(2.5 * m)),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+        ).otherwise(raw),
+        3,
+    )
+    exact = (
+        hours.select(wins, "_k")
+        .groupBy("window_start")
+        .agg(F.countDistinct("_k").cast("bigint").alias("exact_keys"))
+    )
+    return exact.join(per_win, "window_start").select(
+        "window_start",
+        "exact_keys",
+        est.alias("est_keys"),
+        "registers_hit",
+        F.round(
+            F.abs(est - F.col("exact_keys").cast("double"))
+            / F.col("exact_keys").cast("double"),
+            6,
+        ).alias("rel_err"),
     )
 
 

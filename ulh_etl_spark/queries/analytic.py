@@ -539,6 +539,89 @@ def q176_fm_user_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fm_registers(ev, "user_id", n_registers=_FM_REGISTERS)
 
 
+_SWD_HOURS = 3
+_SWD_ALPHA = repr(0.7213 / (1.0 + 1.079 / _FM_REGISTERS))
+
+
+def q208_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per 3-hour sliding window answered from the
+    HOURLY FM/HLL register cube (operators.sketch.
+    sliding_distinct_windows): the raw stream is scanned once into
+    <= 64 integer rows per hour; every window is a MAX-merge of its
+    member hours' registers — re-windowing never re-reads history
+    (the sketch-mergeability contract q176 pins, now exercised along
+    the time axis). exact_keys is the audit column (the only
+    corpus-sized exchange; dropped at scale)."""
+    from ulh_etl_spark.operators.sketch import sliding_distinct_windows
+
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_distinct_windows(
+        ev, "user_id", "ts", window_hours=_SWD_HOURS,
+        n_registers=_FM_REGISTERS,
+    )
+
+
+def _q208_oracle_sql() -> str:
+    m = _FM_REGISTERS
+    shift = m.bit_length() - 1
+    rho_max = 60 - shift + 1
+    offs = ", ".join(f"({i})" for i in range(_SWD_HOURS))
+    return f"""
+        WITH hrs AS (
+            SELECT date_trunc('hour', ts) AS hr, user_id AS k FROM events
+        ), h AS (
+            SELECT hr, k,
+                   CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)
+                        AS BIGINT) AS h
+            FROM hrs
+        ), r AS (
+            SELECT hr,
+                   CAST(h % {m} AS INT) AS register,
+                   CASE WHEN (h >> {shift}) = 0 THEN {rho_max}
+                        ELSE CAST(round(log2(CAST(((h >> {shift}) &
+                                  -(h >> {shift})) AS DOUBLE)), 0)
+                                  AS INT) + 1 END AS rho,
+                   k
+            FROM h
+        ), reg AS (
+            SELECT hr, register, MAX(rho) AS max_rho
+            FROM r GROUP BY hr, register
+        ), merged AS (
+            SELECT reg.hr - to_hours(CAST(o.i AS BIGINT)) AS window_start,
+                   register, MAX(max_rho) AS max_rho
+            FROM reg CROSS JOIN (VALUES {offs}) AS o(i)
+            GROUP BY 1, register
+        ), per_win AS (
+            SELECT window_start,
+                   SUM(power(2.0, -max_rho)) AS zp,
+                   CAST(COUNT(*) AS INT) AS registers_hit
+            FROM merged GROUP BY window_start
+        ), est AS (
+            SELECT window_start, registers_hit,
+                   round(CASE WHEN ({m} - registers_hit) > 0
+                              AND (CAST({_SWD_ALPHA} AS DOUBLE) * {m} * {m})
+                                  / (zp + ({m} - registers_hit))
+                                  <= 2.5 * {m}
+                         THEN CAST({float(m)!r} AS DOUBLE) * ln(CAST({float(m)!r} AS DOUBLE) /
+                              CAST({m} - registers_hit AS DOUBLE))
+                         ELSE (CAST({_SWD_ALPHA} AS DOUBLE) * {m} * {m})
+                              / (zp + ({m} - registers_hit)) END,
+                         3) AS est_keys
+            FROM per_win
+        ), exact AS (
+            SELECT hrs.hr - to_hours(CAST(o.i AS BIGINT)) AS window_start,
+                   CAST(COUNT(DISTINCT k) AS BIGINT) AS exact_keys
+            FROM hrs CROSS JOIN (VALUES {offs}) AS o(i)
+            GROUP BY 1
+        )
+        SELECT e.window_start, e.exact_keys, s.est_keys,
+               s.registers_hit,
+               round(abs(s.est_keys - CAST(e.exact_keys AS DOUBLE))
+                     / CAST(e.exact_keys AS DOUBLE), 6) AS rel_err
+        FROM exact e JOIN est s USING (window_start)
+    """
+
+
 _QS_K = 256
 _QS_PROBS = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
 
@@ -678,6 +761,7 @@ def q203_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q176_fm_user_registers": q176_fm_user_registers,
+    "q208_sliding_distinct_users": q208_sliding_distinct_users,
     "q202_quantile_incremental": q202_quantile_incremental,
     "q203_group_quantiles": q203_group_quantiles,
     "q192_quantile_registers": q192_quantile_registers,
@@ -809,6 +893,7 @@ ORACLES = {
                          - a.p), 6) AS cdf_err
         FROM audited a CROSS JOIN n
     """,
+    "q208_sliding_distinct_users": _q208_oracle_sql(),
     "q176_fm_user_registers": f"""
         WITH h AS (
             SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)

@@ -874,6 +874,31 @@ def q175_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def q209_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling over the mutual two-level kNN graph
+    (operators.graph.kcore_peel, k=3, 3 synchronous rounds): the
+    density filter that separates real paraphrase/near-dup families
+    (every member keeps >= 3 mutual neighbors no matter how many
+    rounds peel) from the kNN chains and hub stars that evaporate in
+    one or two peels. Reports (round, nodes_remaining,
+    edges_remaining) — when two consecutive rounds agree the peel
+    has converged. Fixed rounds keep the plan linear (the q175
+    precedent); the oracle unrolls the identical peels over the
+    two-level kNN CTE chain."""
+    from ulh_etl_spark.operators.graph import kcore_peel
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = S.knn_graph(
+        emb, _adaptive_centroids(emb), k=_KNN_K, two_level=True
+    )
+    edges = S.mutual_knn_edges(knn)
+    return kcore_peel(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
 _OUT_Z = 2.0
 _OUT_MIN_CELL = 5
 
@@ -1309,6 +1334,7 @@ def _q207_oracle_sql() -> str:
 
 QUERIES = {
     "q207_pca_top_component": q207_pca_top_component,
+    "q209_kcore_peel": q209_kcore_peel,
     "q204_recall_cost_curve": q204_recall_cost_curve,
     "q205_nn_descent_random_init": q205_nn_descent_random_init,
     "q198_two_level_cells": q198_two_level_cells,
@@ -1846,6 +1872,51 @@ _KS_SQL = f"""
 
 
 
+def _kcore_oracle_sql() -> str:
+    """Unrolled k-core peels over the two-level kNN graph chain —
+    the same synchronous rule as operators.graph.kcore_peel: degree
+    from the surviving edges, drop deg < k, drop touched edges."""
+    k, rounds = _KCORE_K, _KCORE_ROUNDS
+    ctes = [
+        "e0 AS MATERIALIZED (SELECT id1, id2 FROM mut)",
+        "n0 AS (SELECT COUNT(DISTINCT node) AS nn FROM "
+        "(SELECT id1 AS node FROM e0 UNION ALL SELECT id2 FROM e0))",
+    ]
+    rows = [
+        "SELECT CAST(0 AS INT) AS round, "
+        "CAST((SELECT nn FROM n0) AS BIGINT) AS nodes_remaining, "
+        "CAST((SELECT COUNT(*) FROM e0) AS BIGINT) AS edges_remaining"
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM "
+            f"(SELECT id1 AS node FROM e{p} UNION ALL "
+            f"SELECT id2 FROM e{p}) GROUP BY node)"
+        )
+        ctes.append(
+            f"a{r} AS MATERIALIZED "
+            f"(SELECT node FROM d{r} WHERE deg >= {k})"
+        )
+        ctes.append(
+            f"e{r} AS MATERIALIZED (SELECT id1, id2 FROM e{p} "
+            f"WHERE id1 IN (SELECT node FROM a{r}) "
+            f"AND id2 IN (SELECT node FROM a{r}))"
+        )
+        rows.append(
+            f"SELECT CAST({r} AS INT), "
+            f"CAST((SELECT COUNT(*) FROM a{r}) AS BIGINT), "
+            f"CAST((SELECT COUNT(*) FROM e{r}) AS BIGINT)"
+        )
+    return (
+        _GRAPH_CTES_TL
+        + ",\n        "
+        + ",\n        ".join(ctes)
+        + "\n        "
+        + "\n        UNION ALL ".join(rows)
+    )
+
+
 def _nnd_rounds_ctes(n_rounds: int) -> str:
     """The unrolled NN-Descent round CTEs (the q115/q190
     fold-vs-unrolled pattern — each round is the q188 CTE chain
@@ -2023,6 +2094,7 @@ def _q205_oracle_sql() -> str:
 
 ORACLES = {
     "q207_pca_top_component": _q207_oracle_sql(),
+    "q209_kcore_peel": _kcore_oracle_sql(),
     "q181_embedding_outliers": f"""
         WITH c AS (
             SELECT vec_id AS centroid_id, embedding AS centroid_vec
