@@ -803,23 +803,33 @@ def prefix_filter_jaccard_pairs(
     the gram hash); keep each doc's first ``|g| - ceil(t*|g|) + 1``
     grams (the *prefix*). Two sets with Jaccard >= t must overlap in
     >= ceil(t*|g|) grams, so by pigeonhole a qualifying partner hits
-    the prefix — joining prefixes on the gram is COMPLETE. The size
-    filter (t <= |A|/|B| <= 1/t, another Jaccard necessity) is pushed
-    into the same join. Candidates then verify with one exact
-    array_intersect over the full (persisted) gram sets.
+    the prefix — joining prefixes on the gram is COMPLETE. Two more
+    Jaccard necessities prune inside the same join: the SIZE filter
+    (t <= |A|/|B| <= 1/t) and PPJoin's POSITIONAL filter — a token
+    matched at prefix ranks (pa, pb) bounds the achievable overlap
+    at min(|A|-pa, |B|-pb) + 1, which must reach the required
+    alpha = ceil(t/(1+t) * (|A|+|B|)). The positional filter keeps a
+    pair if ANY shared prefix token passes; completeness holds
+    because a qualifying pair's FIRST shared token (in the global
+    order) always passes — every shared token sits at rank >= pa in
+    A and >= pb in B, so overlap <= min(|A|-pa, |B|-pb) + 1 >= alpha
+    there. Candidates then verify with one exact array_intersect
+    over the full (persisted) gram sets.
 
     Scale: the prefix join shuffles one row per PREFIX gram (a
     ~(1-t) fraction of the gram explode), keyed by the gram — and
     because prefixes keep the RAREST grams, bucket sizes are the
     frequency tail, not the head: the hot grams that would make a
     plain gram-join quadratic never enter the join. Verification
-    cost is |candidates|, bounded by the prefix co-occurrence; on a
-    natural Zipf vocabulary the prefix rule prunes orders of
-    magnitude. (On this repo's small-vocab synthetic corpus the
-    measured pruning is ~4.2x at sf0.01 — 124,750 all-pairs ->
-    29,551 candidates, size filter doing most of the work because
-    every doc shares the head grams; the completeness guarantee is
-    what the oracle checks, brute-force all-pairs ground truth.)
+    cost is |candidates|. Measured at sf0.1 (5,000 docs, 12.5M
+    all-pairs, 8-grams, t=0.8): prefix+size alone 1.44M candidates,
+    + positional filter 199k — 63x below all-pairs even on this
+    synthetic small-vocab corpus (5-grams without the positional
+    filter read 2.95M: longer grams enrich the vocabulary and
+    sharpen the frequency order). On a natural Zipf vocabulary the
+    prefix rule alone prunes orders of magnitude. The oracle is
+    brute-force all-pairs ground truth, so every filter's
+    completeness is hash-checked, not assumed.
 
     Internal hash policy: gram_hash64 (output carries no hash
     values; the oracle verifies raw-gram Jaccard — two-hash policy,
@@ -857,13 +867,23 @@ def prefix_filter_jaccard_pairs(
         tok.join(freq, "_h")
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= prefix_len)
-        .select(F.col(id_col), "_ng", "_h")
+        .select(F.col(id_col), "_ng", "_h", "_rk")
     )
     a = pref.select(
-        F.col(id_col).alias("_ida"), F.col("_ng").alias("_nga"), "_h"
+        F.col(id_col).alias("_ida"),
+        F.col("_ng").alias("_nga"),
+        F.col("_rk").alias("_rka"),
+        "_h",
     )
     b = pref.select(
-        F.col(id_col).alias("_idb"), F.col("_ng").alias("_ngb"), "_h"
+        F.col(id_col).alias("_idb"),
+        F.col("_ng").alias("_ngb"),
+        F.col("_rk").alias("_rkb"),
+        "_h",
+    )
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("_nga") + F.col("_ngb"))
     )
     cand = (
         a.join(b, "_h")
@@ -874,6 +894,16 @@ def prefix_filter_jaccard_pairs(
             & (
                 F.col("_ngb")
                 <= F.floor(F.col("_nga") / F.lit(threshold))
+            )
+            # positional filter (PPJoin): remaining-overlap bound at
+            # this match must reach the required overlap alpha
+            & (
+                F.least(
+                    F.col("_nga") - F.col("_rka"),
+                    F.col("_ngb") - F.col("_rkb"),
+                )
+                + F.lit(1)
+                >= alpha
             )
         )
         .select(F.col("_ida").alias("id1"), F.col("_idb").alias("id2"))

@@ -2561,116 +2561,118 @@ def power_iteration_pca(
         w = sum_x (x . v) x  -  N * mu (mu . v)     ( = (X'X - N mu mu') v )
         v' = w / ||w||
 
-    so the shuffle volume per round is ONE 64-double partial-agg row
-    per task (map-side combined), never the N x dim^2 outer-product
-    explode a materialized covariance would need. ``rounds`` passes
-    over the persisted projection; the 1-row iterate is
-    localCheckpoint'ed per round (the connected_components lineage
-    rule — each round references its predecessor twice, via the dot
-    products and the centering term, so an unbroken chain DOUBLES
-    the plan per round: 2^rounds duplicated corpus aggregates; the
-    checkpoint makes it exactly one corpus pass per round).
+    Per round, exactly ONE Spark job: per row the scalar dot
+    (x . v) with the iterate folded in as an array literal, then the
+    contribution vector x*(x . v) posexplodes and partial-aggregates
+    by component — the shuffle is <= dim rows PER TASK (map-side
+    combined) at any corpus size, never the N x dim^2 outer-product
+    a materialized covariance would need. The centering/normalize
+    step is driver arithmetic on the collected dim-double sum vector
+    — a model relation by the same policy that lets centroid sets
+    collect (kcenter_coreset's k-jobs shape).
+
+    Plan-shape history (all three variants measured at sf0.1):
+    an unbroken lazy chain doubles the plan per round (2^rounds
+    corpus aggregates — never finished planning); a localCheckpoint-
+    per-round chain fixes growth but pays ~4.3 s/round of sequential
+    broadcast + checkpoint driver latency (30 s total); 64 unrolled
+    element_at aggregate columns avoid both but cost ~1.3 s/round of
+    Catalyst ANALYSIS on the ~8k-node tree rebuilt every round
+    (9.2 s). This shape — compact array expressions, dim rows out —
+    analyzes in ~0.1 s and runs the 6 rounds in ~3 s. The per-row
+    HOF dot is interpreted (the r12 assignment-kernel caveat), but
+    it is ONE dot per row, not N x C: linear, parallel, and the
+    constant is paid once per round.
 
     Determinism across engines: every iterate is rounded to
     ``round_digits`` decimals after normalization, so the summation-
-    order noise between Spark and the DuckDB oracle (~1e-10 relative
-    at any corpus size, because normalization makes the error
+    order noise between Spark and the DuckDB oracle (~1e-10
+    relative at any corpus size — normalization makes the error
     scale-free) is absorbed and both engines walk bit-identical
-    iterates. v0 = 1/sqrt(dim) * ones — fixed, no RNG. The dot
-    products are unrolled element_at sums (codegen-friendly), not an
-    interpreted HOF fold (the r12 assignment-kernel lesson).
+    iterates. The driver-side arithmetic is the SAME operation
+    sequence as the oracle's staged CTEs (left-to-right dot folds,
+    (n*mu)*md association, sqrt, one round per component) — Python,
+    JVM and DuckDB all evaluate IEEE-754 doubles, so values are
+    bit-identical given bit-identical inputs. v0 = 1/sqrt(dim) *
+    ones — fixed, no RNG.
 
     Output: one row per component — (dim_idx 1-based, loading at
     round_digits precision, var_explained = ||w_last|| / trace
-    rounded to 6; trace = sum_i (ss_i - N mu_i^2), both sides of the
-    ratio on the same uncentered-scatter scale).
+    rounded to 6; trace = sum_i (ss_i - N mu_i^2), both sides of
+    the ratio on the same uncentered-scatter scale).
     """
+    import math
+
     from pyspark.storagelevel import StorageLevel
-
-    idx = list(range(1, dim + 1))
-
-    def x(i: int) -> Column:
-        return F.element_at(F.col("_v"), i).cast("double")
 
     emb = df.select(F.col(vec_col).alias("_v")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     track(emb)
+    spark = df.sparkSession
 
-    stats = emb.agg(
-        F.count("*").cast("double").alias("_n"),
-        *[F.sum(x(i)).alias(f"_sx{i}") for i in idx],
-        *[F.sum(x(i) * x(i)).alias(f"_ss{i}") for i in idx],
-    ).select(
-        "_n",
-        *[(F.col(f"_sx{i}") / F.col("_n")).alias(f"_mu{i}") for i in idx],
-        *[F.col(f"_ss{i}") for i in idx],
-    ).localCheckpoint(eager=False)
-
-    v0 = 1.0 / (dim ** 0.5)
-    vprev = stats.sparkSession.range(1).select(
-        *[F.lit(v0).alias(f"_pv{i}") for i in idx],
-        F.lit(0.0).alias("_lam"),
+    st = (
+        emb.select(F.posexplode("_v").alias("_p", "_e"))
+        .groupBy("_p")
+        .agg(
+            F.count("*").cast("double").alias("_n"),
+            F.sum(F.col("_e").cast("double")).alias("_sx"),
+            F.sum(
+                F.col("_e").cast("double") * F.col("_e").cast("double")
+            ).alias("_ss"),
+        )
+        .collect()
     )
+    if len(st) != dim:
+        raise ValueError(
+            f"expected {dim}-dim vectors, found {len(st)} components"
+        )
+    st.sort(key=lambda r: r["_p"])
+    n = st[0]["_n"]
+    mu = [r["_sx"] / n for r in st]
+    ss = [r["_ss"] for r in st]
 
-    nrm_col = None
+    v = [1.0 / math.sqrt(dim)] * dim
+    lam = 0.0
     for _ in range(rounds):
-        joined = emb.crossJoin(F.broadcast(vprev))
-        dot = None
-        for i in idx:
-            term = x(i) * F.col(f"_pv{i}")
-            dot = term if dot is None else dot + term
-        sums = joined.select(
-            *[F.col(f"_pv{i}") for i in idx], dot.alias("_d"), "_v"
-        ).agg(*[F.sum(x(i) * F.col("_d")).alias(f"_s{i}") for i in idx])
-        mudot = None
-        merged = sums.crossJoin(F.broadcast(stats)).crossJoin(
-            F.broadcast(vprev)
+        varr = F.array(*[F.lit(val) for val in v])
+        dot = F.aggregate(
+            F.zip_with(
+                "_v", varr, lambda a, b: a.cast("double") * b
+            ),
+            F.lit(0.0),
+            lambda acc, term: acc + term,
         )
-        for i in idx:
-            term = F.col(f"_mu{i}") * F.col(f"_pv{i}")
-            mudot = term if mudot is None else mudot + term
-        centered = merged.select(
-            "_n",
-            *[F.col(f"_mu{i}") for i in idx],
-            *[F.col(f"_ss{i}") for i in idx],
-            *[
-                (
-                    F.col(f"_s{i}")
-                    - F.col("_n") * F.col(f"_mu{i}") * mudot
-                ).alias(f"_wc{i}")
-                for i in idx
-            ],
+        srows = (
+            emb.select(dot.alias("_d"), "_v")
+            .select(
+                F.posexplode(
+                    F.transform(
+                        "_v",
+                        lambda e: e.cast("double") * F.col("_d"),
+                    )
+                ).alias("_p", "_c")
+            )
+            .groupBy("_p")
+            .agg(F.sum("_c").alias("_s"))
+            .collect()
         )
-        nsq = None
-        for i in idx:
-            term = F.col(f"_wc{i}") * F.col(f"_wc{i}")
-            nsq = term if nsq is None else nsq + term
-        nrm_col = F.sqrt(nsq)
-        vprev = centered.select(
-            *[
-                F.round(F.col(f"_wc{i}") / nrm_col, round_digits).alias(
-                    f"_pv{i}"
-                )
-                for i in idx
-            ],
-            nrm_col.alias("_lam"),
-        ).localCheckpoint(eager=False)
+        srows.sort(key=lambda r: r["_p"])
+        md = 0.0
+        for i in range(dim):
+            md = md + mu[i] * v[i]
+        wc = [srows[i]["_s"] - n * mu[i] * md for i in range(dim)]
+        nsq = 0.0
+        for w in wc:
+            nsq = nsq + w * w
+        lam = math.sqrt(nsq)
+        v = [round(w / lam, round_digits) for w in wc]
 
-    trace = None
-    for i in idx:
-        term = F.col(f"_ss{i}") - F.col("_n") * F.col(f"_mu{i}") * F.col(
-            f"_mu{i}"
-        )
-        trace = term if trace is None else trace + term
-    final = vprev.crossJoin(F.broadcast(stats)).select(
-        F.posexplode(F.array(*[F.col(f"_pv{i}") for i in idx])).alias(
-            "_p", "loading"
-        ),
-        F.round(F.col("_lam") / trace, 6).alias("var_explained"),
-    )
-    return final.select(
-        (F.col("_p") + 1).cast("int").alias("dim_idx"),
-        "loading",
-        "var_explained",
+    trace = 0.0
+    for i in range(dim):
+        trace = trace + (ss[i] - n * mu[i] * mu[i])
+    var_explained = round(lam / trace, 6)
+    return spark.createDataFrame(
+        [(i + 1, v[i], var_explained) for i in range(dim)],
+        "dim_idx int, loading double, var_explained double",
     )

@@ -445,7 +445,7 @@ def q153_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PFX_N = 5
+_PFX_N = 8
 _PFX_T = 0.8
 
 

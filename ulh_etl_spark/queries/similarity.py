@@ -1082,7 +1082,18 @@ def q201_nn_descent_plateau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-_RVC_CONFIGS = ((2, 2), (2, 4), (3, 2), (3, 4))
+# The 6-point curve spans seed-to-exact (sf0.01, recall@4 /
+# candidate evals): (2,2) 0.332/42k — the default assignment;
+# (2,4) 0.531/82k; (2,6) 0.629/114k — the cheapest >=0.6 config,
+# the r12 verdict's asked-for number; (2,8) 0.641/124k — the
+# 2-coarse-group geometric ceiling (nprobe 12 changes nothing);
+# (3,12) 0.824/186k; (4,12) 0.977/230k — within noise of exact at
+# brute-force-equivalent eval count (N^2 = 250k), proving the
+# ladder closes. (3,2)/(3,4) were dropped from the r12 sweep: a
+# third coarse group buys ZERO recall at small nprobe (0.332 ==
+# 0.332 measured) — widening the fine probe, not the coarse union,
+# is the lever that pays first.
+_RVC_CONFIGS = ((2, 2), (2, 4), (2, 6), (2, 8), (3, 12), (4, 12))
 
 
 def q204_recall_cost_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
