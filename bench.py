@@ -174,6 +174,7 @@ HEADLINE = (
     "q207_pca_top_component",
     "q208_sliding_distinct_users",
     "q209_kcore_peel",
+    "q210_kmeans_parallel_init",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",

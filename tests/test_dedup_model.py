@@ -1252,3 +1252,62 @@ def test_power_iteration_pca_matches_numpy(spark):
     ratio = evals[-1] / evals.sum()
     got_ratio = rows[0].var_explained
     assert abs(got_ratio - ratio) < 0.02
+
+
+def test_kmeans_parallel_init_matches_python_replica(spark):
+    """The derandomized k-means|| rounds == a pure-Python replay of
+    the same md5 rule: same seed, same per-round selections, same
+    nearest-seed weights."""
+    import hashlib
+
+    from ulh_etl_spark.operators.similarity import kmeans_parallel_init
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    n, rounds, l, salt = 40, 2, 4.0, "kmtest"
+    vecs = {i: [float((i * 7) % 13), float((i * 3) % 5)] for i in range(n)}
+    df = spark.createDataFrame(
+        [(i, vecs[i]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def sqd(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            d = x - y
+            acc += d * d
+        return acc
+
+    first = min(range(n), key=lambda i: (h32(f"{salt}_seed_{i}"), i))
+    seeds = [(first, 0)]
+    for r in range(1, rounds + 1):
+        d2 = {
+            i: min(sqd(vecs[i], vecs[s]) for s, _ in seeds)
+            for i in range(n)
+        }
+        phi = sum(d2.values())
+        for i in range(n):
+            u = h60(f"{salt}_sel_{r}_{i}") / float(2 ** 60)
+            if u < (l * d2[i]) / phi:
+                seeds.append((i, r))
+        seeds.sort(key=lambda s: (s[1], s[0]))
+    want_weights = {}
+    for i in range(n):
+        sid = min(
+            (s for s, _ in seeds), key=lambda s: (sqd(vecs[i], vecs[s]), s)
+        )
+        want_weights[sid] = want_weights.get(sid, 0) + 1
+    want = {
+        (s, r, want_weights.get(s, 0)) for s, r in seeds
+    }
+    got = {
+        (r.seed_id, r.round_selected, r.weight)
+        for r in kmeans_parallel_init(
+            df, rounds=rounds, oversample=l, salt=salt
+        ).collect()
+    }
+    assert got == want

@@ -65,15 +65,16 @@ SHUFFLE_BUDGET = {
     # count re-renders each persisted round per consumer (the
     # q169/q170 caveat) — runtime reads each round's cache once.
     "q201_nn_descent_plateau": 30,
-    # q204 sweeps 4 (coarse_nprobe, nprobe) configs; per config the
-    # static plan renders the persisted probe frame's consumers (pair
-    # explode + size groupBy + the kNN cell join + rank window,
-    # ~4 exchanges) plus the shared brute-force leg's window — the
-    # q201 caveat applies (persisted subtrees re-render in the
-    # formatted plan; runtime reads each cache once). Budget = 4
-    # configs x 5 + brute leg + final unions, with the CC-family
-    # audit-session variance headroom (r12 memory note).
-    "q204_recall_cost_curve": 28,
+    # q204 sweeps 6 (coarse_nprobe, nprobe) configs (r13: widened to
+    # span seed-to-exact); per config the static plan renders the
+    # persisted probe frame's consumers (pair explode + size groupBy
+    # + the kNN cell join + rank window, ~4-5 exchanges) plus the
+    # shared brute-force leg's window — the q201 caveat applies
+    # (persisted subtrees re-render in the formatted plan; runtime
+    # reads each cache once). Budget = 6 configs x 5 + brute leg +
+    # final unions, with the CC-family audit-session variance
+    # headroom (r12 memory note).
+    "q204_recall_cost_curve": 38,
     # q205 = the q201 shape with the hash-ring seed: the seed's
     # global row_number costs a range repartition + rank exchange,
     # the stride join one more, then 3 NN-Descent rounds (each ~2

@@ -2676,3 +2676,128 @@ def power_iteration_pca(
         [(i + 1, v[i], var_explained) for i in range(dim)],
         "dim_idx int, loading double, var_explained double",
     )
+
+
+def kmeans_parallel_init(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rounds: int = 3,
+    oversample: float = 8.0,
+    salt: str = "kmpar",
+) -> DataFrame:
+    """k-means|| initialization (Bahmani et al., VLDB 2012 — the
+    scalable k-means++ replacement Spark MLlib itself uses): one
+    deterministic first seed, then ``rounds`` passes that each
+    select, IN PARALLEL, every point x with probability
+    min(1, l * d^2(x, C) / phi(C)) — here derandomized with the
+    portable md5 uniform u(x) = md5_60('{salt}_sel_{r}_' + id) / 2^60
+    (the hash_split determinism rationale: no RNG state, identical
+    in Spark, DuckDB and Python), so the selected set is a FIXED
+    function of the corpus and the catalog oracle can replay it.
+    k-means++ needs k sequential passes (one new center per pass);
+    k-means|| gets an O(log n)-competitive seed set in a CONSTANT
+    number of passes by oversampling l candidates per round — the
+    difference between k corpus scans and ~3 at 100 TB.
+
+    Per round, exactly ONE corpus job: d^2 to the current seed set
+    is an array_min over the seed literal (the ivf_assign zero-
+    shuffle narrow map; seeds are driver-small by construction,
+    ~1 + l*rounds), phi is the same job's map-side-combined SUM, and
+    the selected rows collect (model relation — expected l rows per
+    round). The final weight pass is one more narrow-map argmin +
+    groupBy (weights feed the driver-side k-means++ reclustering in
+    the full algorithm; the weighted candidate set IS this
+    operator's output).
+
+    Selection threshold parity: the strict inequality
+    u < (l * d^2) / phi compares IEEE doubles computed in identical
+    operation order in both engines; phi carries ~1e-12 relative
+    summation-order noise, so a row flips only if u lands within
+    that band of the threshold — probability ~N * 1e-12, negligible
+    at any testable scale (the q63 hash-split argument).
+
+    Output: (seed_id, round_selected 0-based, weight) — weight =
+    |{x : nearest(C_final, x) = seed}| with the (dist, seed_id)
+    lexicographic tie-break; a seed whose vector duplicates a
+    lower-id seed carries weight 0.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from ulh_etl_spark.operators.text import md5_hash32, md5_hash60
+
+    emb = df.select(F.col(id_col), F.col(vec_col).alias("_v")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    track(emb)
+
+    first = (
+        emb.select(
+            id_col,
+            "_v",
+            md5_hash32(
+                F.concat(
+                    F.lit(f"{salt}_seed_"), F.col(id_col).cast("string")
+                )
+            ).alias("_h"),
+        )
+        .orderBy("_h", id_col)
+        .limit(1)
+        .collect()[0]
+    )
+    seeds = [(int(first[id_col]), list(first["_v"]), 0)]
+
+    two60 = float(2 ** 60)
+    for r in range(1, rounds + 1):
+        carr = F.expr(
+            _rows_struct_sql(
+                [{"cell": s[0], "cvec": s[1]} for s in seeds]
+            )
+        )
+        d2 = F.array_min(
+            F.transform(carr, lambda c: _sq_dist_to("_v", c["cvec"]))
+        )
+        scored = emb.select(id_col, "_v", d2.alias("_d2")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        track(scored)
+        phi = scored.agg(F.sum("_d2").alias("_phi")).collect()[0]["_phi"]
+        u = md5_hash60(
+            F.concat(
+                F.lit(f"{salt}_sel_{r}_"), F.col(id_col).cast("string")
+            )
+        ).cast("double") / F.lit(two60)
+        picked = (
+            scored.filter(
+                u < (F.lit(float(oversample)) * F.col("_d2")) / F.lit(float(phi))
+            )
+            .select(id_col, "_v")
+            .collect()
+        )
+        for row in sorted(picked, key=lambda x: int(x[id_col])):
+            seeds.append((int(row[id_col]), list(row["_v"]), r))
+
+    warr = F.expr(
+        _rows_struct_sql([{"cell": s[0], "cvec": s[1]} for s in seeds])
+    )
+    best = F.array_min(
+        F.transform(
+            warr,
+            lambda c: F.struct(
+                _sq_dist_to("_v", c["cvec"]).alias("dist"),
+                c["cell"].alias("cell"),
+            ),
+        )
+    )["cell"]
+    wrows = (
+        emb.select(best.alias("_sid"))
+        .groupBy("_sid")
+        .agg(F.count("*").alias("_w"))
+        .collect()
+    )
+    wmap = {int(r["_sid"]): int(r["_w"]) for r in wrows}
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(sid, rsel, wmap.get(sid, 0)) for sid, _vec, rsel in seeds],
+        "seed_id bigint, round_selected int, weight bigint",
+    )

@@ -874,6 +874,85 @@ def q175_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+_KMP_ROUNDS = 3
+_KMP_L = 8.0
+_KMP_SALT = "kmpar"
+
+
+def q210_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means|| seeding over the embedding corpus
+    (operators.similarity.kmeans_parallel_init, 3 rounds, l=8):
+    the constant-pass scalable k-means++ replacement (Bahmani
+    VLDB'12), derandomized with portable md5 uniforms so the
+    selected candidate set and its nearest-seed weights are an exact
+    function of the corpus — the oracle unrolls the identical
+    rounds. Complements the density-proportional and k-center seeds
+    already cataloged: this is the one with the O(log n)
+    approximation guarantee behind it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.kmeans_parallel_init(
+        emb, rounds=_KMP_ROUNDS, oversample=_KMP_L, salt=_KMP_SALT
+    )
+
+
+def _q210_oracle_sql() -> str:
+    l = f"{float(_KMP_L)!r}"
+    two60 = "CAST(1152921504606846976 AS BIGINT)"
+    seed_key = f"'{_KMP_SALT}_seed_' || CAST(vec_id AS VARCHAR)"
+    sqd = _sqd("e.embedding", "s.embedding")
+    parts = [
+        "e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings)",
+        f"""seeds0 AS MATERIALIZED (
+            SELECT vec_id, embedding, 0 AS rsel FROM (
+                SELECT vec_id, embedding,
+                       row_number() OVER (ORDER BY {O.md5h(seed_key)},
+                                          vec_id) AS rn
+                FROM e
+            ) WHERE rn = 1)""",
+    ]
+    for r in range(1, _KMP_ROUNDS + 1):
+        p = r - 1
+        u = (
+            f"CAST(CAST('0x' || substr(md5('{_KMP_SALT}_sel_{r}_' || "
+            f"CAST(d.vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)"
+            f" / CAST({two60} AS DOUBLE)"
+        )
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT e.vec_id, e.embedding, "
+            f"MIN({sqd}) AS d2 FROM e, seeds{p} s "
+            f"GROUP BY e.vec_id, e.embedding)"
+        )
+        parts.append(f"p{r} AS (SELECT SUM(d2) AS phi FROM d{r})")
+        parts.append(
+            f"sel{r} AS MATERIALIZED (SELECT d.vec_id, d.embedding, "
+            f"{r} AS rsel FROM d{r} d, p{r} "
+            f"WHERE {u} < ({l} * d.d2) / p{r}.phi)"
+        )
+        parts.append(
+            f"seeds{r} AS MATERIALIZED (SELECT * FROM seeds{p} "
+            f"UNION ALL SELECT * FROM sel{r})"
+        )
+    R = _KMP_ROUNDS
+    joined = ",\n        ".join(parts)
+    return f"""
+        WITH {joined},
+        assigned AS (
+            SELECT vec_id, sid FROM (
+                SELECT e.vec_id, s.vec_id AS sid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {sqd}, s.vec_id) AS rn
+                FROM e, seeds{R} s
+            ) WHERE rn = 1
+        ), w AS (
+            SELECT sid, CAST(COUNT(*) AS BIGINT) AS weight
+            FROM assigned GROUP BY sid
+        )
+        SELECT s.vec_id AS seed_id, CAST(s.rsel AS INT) AS round_selected,
+               COALESCE(w.weight, 0) AS weight
+        FROM seeds{R} s LEFT JOIN w ON s.vec_id = w.sid
+    """
+
+
 _KCORE_K = 3
 _KCORE_ROUNDS = 3
 
@@ -1346,6 +1425,7 @@ def _q207_oracle_sql() -> str:
 QUERIES = {
     "q207_pca_top_component": q207_pca_top_component,
     "q209_kcore_peel": q209_kcore_peel,
+    "q210_kmeans_parallel_init": q210_kmeans_parallel_init,
     "q204_recall_cost_curve": q204_recall_cost_curve,
     "q205_nn_descent_random_init": q205_nn_descent_random_init,
     "q198_two_level_cells": q198_two_level_cells,
@@ -2106,6 +2186,7 @@ def _q205_oracle_sql() -> str:
 ORACLES = {
     "q207_pca_top_component": _q207_oracle_sql(),
     "q209_kcore_peel": _kcore_oracle_sql(),
+    "q210_kmeans_parallel_init": _q210_oracle_sql(),
     "q181_embedding_outliers": f"""
         WITH c AS (
             SELECT vec_id AS centroid_id, embedding AS centroid_vec
