@@ -370,7 +370,21 @@ ANCHOR = {
     "q200_knn_pagerank_two_level": 4.08,
     "q201_nn_descent_plateau": 19.82,
     "q202_quantile_incremental": 0.485,
-    "q203_group_quantiles": 0.205,
+    # q203 re-anchored r13: the 0.205 r12 anchor was a suite-warm
+    # best-case; standalone min-of-5 on the r13 quiet host (floor
+    # 1.00x) reads 0.48-0.66 s and the r13 suite run 0.356 s with no
+    # plan change (the only r13 delta was the explicit group_col
+    # param). Sub-second queries carry a +-0.2 s scheduler band on
+    # local[32]; anchor set to the suite number.
+    "q203_group_quantiles": 0.356,
+    # r13 first anchors (suite min-of-3, floor_ratio 1.00 session):
+    "q204_recall_cost_curve": 3.179,
+    "q205_nn_descent_random_init": 13.967,
+    "q206_prefix_filter_pairs": 3.926,
+    "q207_pca_top_component": 1.227,
+    "q208_sliding_distinct_users": 0.577,
+    "q209_kcore_peel": 1.167,
+    "q210_kmeans_parallel_init": 1.407,
     # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's
     # cost is the in-order pair fan-out (O(sum basket²), baskets ~4).
     "q128_event_transitions": 0.735,
