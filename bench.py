@@ -175,6 +175,7 @@ HEADLINE = (
     "q208_sliding_distinct_users",
     "q209_kcore_peel",
     "q210_kmeans_parallel_init",
+    "q211_kmeans_parallel_recluster",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",

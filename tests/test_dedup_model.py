@@ -1311,3 +1311,90 @@ def test_kmeans_parallel_init_matches_python_replica(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_kmeans_parallel_recluster_matches_python_replica(spark):
+    """The driver-side weighted greedy recluster + corpus assignment
+    == a pure-Python replay: same first pick, same argmax sequence,
+    same per-center counts and mean squared distances."""
+    import hashlib
+
+    from ulh_etl_spark.operators.similarity import (
+        kmeans_parallel_recluster,
+    )
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    n, rounds, l, k, salt = 60, 2, 6.0, 4, "kmrtest"
+    vecs = {
+        i: [float((i * 11) % 17), float((i * 5) % 7)] for i in range(n)
+    }
+    df = spark.createDataFrame(
+        [(i, vecs[i]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def sqd(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            d = x - y
+            acc += d * d
+        return acc
+
+    # candidate phase replica (same rule as the init test)
+    first = min(range(n), key=lambda i: (h32(f"{salt}_seed_{i}"), i))
+    seeds = [first]
+    for r in range(1, rounds + 1):
+        d2 = {
+            i: min(sqd(vecs[i], vecs[s]) for s in seeds)
+            for i in range(n)
+        }
+        phi = sum(d2.values())
+        picked = [
+            i
+            for i in range(n)
+            if h60(f"{salt}_sel_{r}_{i}") / float(2 ** 60)
+            < (l * d2[i]) / phi
+        ]
+        seeds.extend(sorted(picked))
+    weights = {}
+    for i in range(n):
+        sid = min(seeds, key=lambda s: (sqd(vecs[i], vecs[s]), s))
+        weights[sid] = weights.get(sid, 0) + 1
+
+    fc = min(seeds, key=lambda s: (h32(f"{salt}_final_{s}"), s))
+    centers = [fc]
+    while len(centers) < k:
+        best = None
+        for s in seeds:
+            if s in centers:
+                continue
+            score = weights.get(s, 0) * min(
+                sqd(vecs[s], vecs[c]) for c in centers
+            )
+            if best is None or score > best[0] or (
+                score == best[0] and s < best[1]
+            ):
+                best = (score, s)
+        centers.append(best[1])
+    want = {}
+    stats = {c: [0, 0.0] for c in centers}
+    for i in range(n):
+        cid = min(centers, key=lambda c: (sqd(vecs[i], vecs[c]), c))
+        stats[cid][0] += 1
+        stats[cid][1] += sqd(vecs[i], vecs[cid])
+    for order, c in enumerate(centers):
+        cnt, sd = stats[c]
+        want[c] = (order, cnt, round(sd / cnt, 6) if cnt else 0.0)
+
+    got = {
+        r.center_id: (r.pick_order, r.n_assigned, r.mean_sqdist)
+        for r in kmeans_parallel_recluster(
+            df, rounds=rounds, oversample=l, k=k, salt=salt
+        ).collect()
+    }
+    assert got == want

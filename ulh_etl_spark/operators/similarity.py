@@ -2678,50 +2678,19 @@ def power_iteration_pca(
     )
 
 
-def kmeans_parallel_init(
+def _kmpar_candidates(
     df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    rounds: int = 3,
-    oversample: float = 8.0,
-    salt: str = "kmpar",
-) -> DataFrame:
-    """k-means|| initialization (Bahmani et al., VLDB 2012 — the
-    scalable k-means++ replacement Spark MLlib itself uses): one
-    deterministic first seed, then ``rounds`` passes that each
-    select, IN PARALLEL, every point x with probability
-    min(1, l * d^2(x, C) / phi(C)) — here derandomized with the
-    portable md5 uniform u(x) = md5_60('{salt}_sel_{r}_' + id) / 2^60
-    (the hash_split determinism rationale: no RNG state, identical
-    in Spark, DuckDB and Python), so the selected set is a FIXED
-    function of the corpus and the catalog oracle can replay it.
-    k-means++ needs k sequential passes (one new center per pass);
-    k-means|| gets an O(log n)-competitive seed set in a CONSTANT
-    number of passes by oversampling l candidates per round — the
-    difference between k corpus scans and ~3 at 100 TB.
-
-    Per round, exactly ONE corpus job: d^2 to the current seed set
-    is an array_min over the seed literal (the ivf_assign zero-
-    shuffle narrow map; seeds are driver-small by construction,
-    ~1 + l*rounds), phi is the same job's map-side-combined SUM, and
-    the selected rows collect (model relation — expected l rows per
-    round). The final weight pass is one more narrow-map argmin +
-    groupBy (weights feed the driver-side k-means++ reclustering in
-    the full algorithm; the weighted candidate set IS this
-    operator's output).
-
-    Selection threshold parity: the strict inequality
-    u < (l * d^2) / phi compares IEEE doubles computed in identical
-    operation order in both engines; phi carries ~1e-12 relative
-    summation-order noise, so a row flips only if u lands within
-    that band of the threshold — probability ~N * 1e-12, negligible
-    at any testable scale (the q63 hash-split argument).
-
-    Output: (seed_id, round_selected 0-based, weight) — weight =
-    |{x : nearest(C_final, x) = seed}| with the (dist, seed_id)
-    lexicographic tie-break; a seed whose vector duplicates a
-    lower-id seed carries weight 0.
-    """
+    id_col: str,
+    vec_col: str,
+    rounds: int,
+    oversample: float,
+    salt: str,
+):
+    """Shared k-means|| candidate phase: returns (seeds, wmap) —
+    seeds = [(id, vec, round_selected)], wmap = nearest-seed
+    weights. Driver-small by construction (expected 1 + l*rounds
+    candidates at ANY corpus size — the per-round expected pick
+    count is l, independent of N)."""
     from pyspark.storagelevel import StorageLevel
 
     from ulh_etl_spark.operators.text import md5_hash32, md5_hash60
@@ -2796,8 +2765,155 @@ def kmeans_parallel_init(
         .collect()
     )
     wmap = {int(r["_sid"]): int(r["_w"]) for r in wrows}
-    spark = df.sparkSession
-    return spark.createDataFrame(
+    return seeds, wmap
+
+
+def kmeans_parallel_init(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rounds: int = 3,
+    oversample: float = 8.0,
+    salt: str = "kmpar",
+) -> DataFrame:
+    """k-means|| initialization (Bahmani et al., VLDB 2012 — the
+    scalable k-means++ replacement Spark MLlib itself uses): one
+    deterministic first seed, then ``rounds`` passes that each
+    select, IN PARALLEL, every point x with probability
+    min(1, l * d^2(x, C) / phi(C)) — here derandomized with the
+    portable md5 uniform u(x) = md5_60('{salt}_sel_{r}_' + id) / 2^60
+    (the hash_split determinism rationale: no RNG state, identical
+    in Spark, DuckDB and Python), so the selected set is a FIXED
+    function of the corpus and the catalog oracle can replay it.
+    k-means++ needs k sequential passes (one new center per pass);
+    k-means|| gets an O(log n)-competitive seed set in a CONSTANT
+    number of passes by oversampling l candidates per round — the
+    difference between k corpus scans and ~3 at 100 TB.
+
+    Per round, exactly ONE corpus job: d^2 to the current seed set
+    is an array_min over the seed literal (the ivf_assign zero-
+    shuffle narrow map; seeds are driver-small by construction,
+    ~1 + l*rounds), phi is the same job's map-side-combined SUM, and
+    the selected rows collect (model relation — expected l rows per
+    round). The final weight pass is one more narrow-map argmin +
+    groupBy (weights feed the driver-side k-means++ reclustering in
+    the full algorithm; the weighted candidate set IS this
+    operator's output).
+
+    Selection threshold parity: the strict inequality
+    u < (l * d^2) / phi compares IEEE doubles computed in identical
+    operation order in both engines; phi carries ~1e-12 relative
+    summation-order noise, so a row flips only if u lands within
+    that band of the threshold — probability ~N * 1e-12, negligible
+    at any testable scale (the q63 hash-split argument).
+
+    Output: (seed_id, round_selected 0-based, weight) — weight =
+    |{x : nearest(C_final, x) = seed}| with the (dist, seed_id)
+    lexicographic tie-break; a seed whose vector duplicates a
+    lower-id seed carries weight 0.
+    """
+    seeds, wmap = _kmpar_candidates(
+        df, id_col, vec_col, rounds, oversample, salt
+    )
+    return df.sparkSession.createDataFrame(
         [(sid, rsel, wmap.get(sid, 0)) for sid, _vec, rsel in seeds],
         "seed_id bigint, round_selected int, weight bigint",
+    )
+
+
+def kmeans_parallel_recluster(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rounds: int = 3,
+    oversample: float = 8.0,
+    k: int = 8,
+    salt: str = "kmpar",
+) -> DataFrame:
+    """The second half of k-means|| (Bahmani VLDB 2012 §3.3): the
+    oversampled candidate set from :func:`kmeans_parallel_init` is
+    reclustered DRIVER-SIDE down to ``k`` final centers by weighted
+    greedy selection — first center by md5 pick, each further center
+    the not-yet-picked candidate maximizing weight * d^2(c, centers)
+    (the deterministic argmax variant of the weighted k-means++
+    step; ties to the lower id). The candidate set is driver-small
+    (expected 1 + l*rounds at ANY corpus size), so the recluster
+    costs zero Spark jobs; the corpus then assigns to the k final
+    centers in ONE zero-shuffle narrow-map pass (centers literal,
+    (dist, id)-struct argmin) feeding a k-row aggregate.
+
+    This is the full production init pipeline: ~rounds+2 corpus
+    passes total, vs k passes for sequential k-means++ — at 100 TB
+    and k=1024 that is the whole argument for the algorithm.
+
+    Output: one row per final center — (center_id, pick_order
+    0-based, n_assigned, mean_sqdist rounded to 6). Raises if the
+    candidate phase yields fewer than k candidates (the oracle
+    unrolls exactly k-1 picks and cannot adapt silently).
+    """
+    seeds, wmap = _kmpar_candidates(
+        df, id_col, vec_col, rounds, oversample, salt
+    )
+    cands = [(sid, vec, wmap.get(sid, 0)) for sid, vec, _r in seeds]
+    if len(cands) < k:
+        raise ValueError(
+            f"k-means|| produced {len(cands)} candidates < k={k}; "
+            "raise oversample or rounds"
+        )
+    first = min(
+        cands, key=lambda c: (_py_md5h32(f"{salt}_final_{c[0]}"), c[0])
+    )
+    centers = [first]
+    chosen = {first[0]}
+    while len(centers) < k:
+        best = None
+        for sid, vec, w in cands:
+            if sid in chosen:
+                continue
+            d2 = min(_py_sqdist(vec, cv) for _cid, cv, _w in centers)
+            score = w * d2
+            if best is None or score > best[0] or (
+                score == best[0] and sid < best[1]
+            ):
+                best = (score, sid, vec, w)
+        centers.append((best[1], best[2], best[3]))
+        chosen.add(best[1])
+
+    emb = df.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    carr = F.expr(
+        _rows_struct_sql(
+            [{"cell": cid, "cvec": cv} for cid, cv, _w in centers]
+        )
+    )
+    best_c = F.array_min(
+        F.transform(
+            carr,
+            lambda c: F.struct(
+                _sq_dist_to("_v", c["cvec"]).alias("dist"),
+                c["cell"].alias("cell"),
+            ),
+        )
+    )
+    agg = (
+        emb.select(
+            best_c["cell"].alias("_cid"), best_c["dist"].alias("_d2")
+        )
+        .groupBy("_cid")
+        .agg(
+            F.count("*").cast("bigint").alias("_n"),
+            F.sum("_d2").alias("_sd"),
+        )
+        .collect()
+    )
+    amap = {int(r["_cid"]): (int(r["_n"]), float(r["_sd"])) for r in agg}
+    rows = []
+    for order, (cid, _cv, _w) in enumerate(centers):
+        cnt, sd = amap.get(cid, (0, 0.0))
+        rows.append(
+            (cid, order, cnt, round(sd / cnt, 6) if cnt else 0.0)
+        )
+    return df.sparkSession.createDataFrame(
+        rows,
+        "center_id bigint, pick_order int, n_assigned bigint, "
+        "mean_sqdist double",
     )

@@ -895,7 +895,10 @@ def q210_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q210_oracle_sql() -> str:
+def _kmpar_parts() -> list:
+    """The k-means|| candidate-phase CTE chain (through seeds{R} and
+    the weight relation w) — shared by the q210 and q211 oracles so
+    the two stay in lockstep by construction."""
     l = f"{float(_KMP_L)!r}"
     two60 = "CAST(1152921504606846976 AS BIGINT)"
     seed_key = f"'{_KMP_SALT}_seed_' || CAST(vec_id AS VARCHAR)"
@@ -933,23 +936,128 @@ def _q210_oracle_sql() -> str:
             f"UNION ALL SELECT * FROM sel{r})"
         )
     R = _KMP_ROUNDS
-    joined = ",\n        ".join(parts)
-    return f"""
-        WITH {joined},
-        assigned AS (
+    parts.append(
+        f"""assigned AS (
             SELECT vec_id, sid FROM (
                 SELECT e.vec_id, s.vec_id AS sid,
                        row_number() OVER (PARTITION BY e.vec_id
                            ORDER BY {sqd}, s.vec_id) AS rn
                 FROM e, seeds{R} s
             ) WHERE rn = 1
-        ), w AS (
+        )"""
+    )
+    parts.append(
+        """w AS (
             SELECT sid, CAST(COUNT(*) AS BIGINT) AS weight
             FROM assigned GROUP BY sid
-        )
+        )"""
+    )
+    return parts
+
+
+def _q210_oracle_sql() -> str:
+    R = _KMP_ROUNDS
+    joined = ",\n        ".join(_kmpar_parts())
+    return f"""
+        WITH {joined}
         SELECT s.vec_id AS seed_id, CAST(s.rsel AS INT) AS round_selected,
                COALESCE(w.weight, 0) AS weight
         FROM seeds{R} s LEFT JOIN w ON s.vec_id = w.sid
+    """
+
+
+_KMP_K = 8
+
+
+def q211_kmeans_parallel_recluster(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full k-means|| pipeline end-to-end
+    (operators.similarity.kmeans_parallel_recluster): q210's
+    oversampled weighted candidates reclustered driver-side to k=8
+    final centers (deterministic weighted greedy picks), then ONE
+    zero-shuffle corpus assignment to the final centers with
+    per-center counts and mean squared distance. ~rounds+2 corpus
+    passes total vs k for sequential k-means++ — the 100 TB argument
+    for the algorithm, now oracle-checked end to end (the oracle
+    unrolls the candidate rounds AND the k-1 greedy picks)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.kmeans_parallel_recluster(
+        emb, rounds=_KMP_ROUNDS, oversample=_KMP_L, k=_KMP_K,
+        salt=_KMP_SALT,
+    )
+
+
+def _q211_oracle_sql() -> str:
+    R = _KMP_ROUNDS
+    sqd_cf = _sqd("c.embedding", "f.embedding")
+    sqd_ef = _sqd("e.embedding", "f.embedding")
+    parts = _kmpar_parts()
+    parts.append(
+        f"""cand AS MATERIALIZED (
+            SELECT s.vec_id, s.embedding, COALESCE(w.weight, 0) AS weight
+            FROM seeds{R} s LEFT JOIN w ON s.vec_id = w.sid
+        )"""
+    )
+    first_key = (
+        f"'{_KMP_SALT}_final_' || CAST(vec_id AS VARCHAR)"
+    )
+    parts.append(
+        f"""fs0 AS MATERIALIZED (
+            SELECT vec_id, embedding, weight, 0 AS pick_order FROM (
+                SELECT c.*, row_number() OVER (
+                    ORDER BY {O.md5h(first_key)}, vec_id) AS rn
+                FROM cand c
+            ) WHERE rn = 1
+        )"""
+    )
+    for j in range(1, _KMP_K):
+        p = j - 1
+        parts.append(
+            f"""sc{j} AS MATERIALIZED (
+            SELECT c.vec_id, c.embedding, c.weight,
+                   c.weight * MIN({sqd_cf}) AS score
+            FROM cand c, fs{p} f
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM fs{p})
+            GROUP BY c.vec_id, c.embedding, c.weight
+        )"""
+        )
+        parts.append(
+            f"""fs{j} AS MATERIALIZED (
+            SELECT * FROM fs{p}
+            UNION ALL
+            SELECT vec_id, embedding, weight, {j} AS pick_order FROM (
+                SELECT sc.*, row_number() OVER (
+                    ORDER BY score DESC, vec_id) AS rn
+                FROM sc{j} sc
+            ) WHERE rn = 1
+        )"""
+        )
+    K = _KMP_K - 1
+    parts.append(
+        f"""fassign AS (
+            SELECT vec_id, cid, d2 FROM (
+                SELECT e.vec_id, f.vec_id AS cid, {sqd_ef} AS d2,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {sqd_ef}, f.vec_id) AS rn
+                FROM e, fs{K} f
+            ) WHERE rn = 1
+        )"""
+    )
+    parts.append(
+        """aggd AS (
+            SELECT cid, CAST(COUNT(*) AS BIGINT) AS n, SUM(d2) AS sd
+            FROM fassign GROUP BY cid
+        )"""
+    )
+    joined = ",\n        ".join(parts)
+    return f"""
+        WITH {joined}
+        SELECT f.vec_id AS center_id,
+               CAST(f.pick_order AS INT) AS pick_order,
+               COALESCE(a.n, 0) AS n_assigned,
+               COALESCE(round(a.sd / a.n, 6), 0.0) AS mean_sqdist
+        FROM fs{K} f LEFT JOIN aggd a ON f.vec_id = a.cid
     """
 
 
@@ -1426,6 +1534,7 @@ QUERIES = {
     "q207_pca_top_component": q207_pca_top_component,
     "q209_kcore_peel": q209_kcore_peel,
     "q210_kmeans_parallel_init": q210_kmeans_parallel_init,
+    "q211_kmeans_parallel_recluster": q211_kmeans_parallel_recluster,
     "q204_recall_cost_curve": q204_recall_cost_curve,
     "q205_nn_descent_random_init": q205_nn_descent_random_init,
     "q198_two_level_cells": q198_two_level_cells,
@@ -2187,6 +2296,7 @@ ORACLES = {
     "q207_pca_top_component": _q207_oracle_sql(),
     "q209_kcore_peel": _kcore_oracle_sql(),
     "q210_kmeans_parallel_init": _q210_oracle_sql(),
+    "q211_kmeans_parallel_recluster": _q211_oracle_sql(),
     "q181_embedding_outliers": f"""
         WITH c AS (
             SELECT vec_id AS centroid_id, embedding AS centroid_vec
