@@ -176,6 +176,7 @@ HEADLINE = (
     "q209_kcore_peel",
     "q210_kmeans_parallel_init",
     "q211_kmeans_parallel_recluster",
+    "q212_sliding_cube_incremental",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",

@@ -722,3 +722,52 @@ def test_sliding_distinct_windows_exact_and_merge(spark):
         ).collect()
     }
     assert out[9][1] == len(direct)
+
+
+def test_incremental_cube_equals_oneshot(spark):
+    """Max-merge invariance along the batch axis: the incrementally
+    maintained hourly register cube (per-batch cubes merged
+    sequentially) equals the one-shot cube over all rows — the
+    monoid contract q212 relies on."""
+    import datetime as dt
+
+    from ulh_etl_spark.operators.sketch import fm_registers
+
+    base = dt.datetime(2024, 3, 1, 8, 0, 0)
+    rows = [
+        (base + dt.timedelta(hours=i % 5, minutes=i % 50), i % 17, i)
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, user_id long, event_id long"
+    )
+    hours = df.select(
+        F.date_trunc("hour", F.col("ts")).alias("_hr"),
+        F.col("user_id").alias("_k"),
+        "event_id",
+    )
+    oneshot = {
+        (r["_hr"], r.register): r.max_rho
+        for r in fm_registers(
+            hours, "_k", 32, group_cols=("_hr",)
+        ).collect()
+    }
+    store = None
+    for b in range(3):
+        cube = fm_registers(
+            hours.filter(F.col("event_id") % 3 == b),
+            "_k",
+            32,
+            group_cols=("_hr",),
+        ).select("_hr", "register", "max_rho")
+        store = (
+            cube
+            if store is None
+            else store.unionByName(cube)
+            .groupBy("_hr", "register")
+            .agg(F.max("max_rho").alias("max_rho"))
+        )
+    merged = {
+        (r["_hr"], r.register): r.max_rho for r in store.collect()
+    }
+    assert merged == oneshot

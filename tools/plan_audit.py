@@ -99,6 +99,13 @@ SHUFFLE_BUDGET = {
     # countDistinct (4, 5 — the audit column, dropped at scale).
     # Re-windowing reads the cube only; nothing re-keys.
     "q208_sliding_distinct_users": 6,
+    # q212 incremental cube: one partial-agged cube groupBy per batch
+    # (4 — each over its 1/4 event slice, constant <=64 rows/hour
+    # out), the sequential max-merge groupBys run on CUBE-sized
+    # relations only, and the final window merge + estimate aggs (2).
+    # Never re-reads history; nothing corpus-sized past the batch
+    # cubes.
+    "q212_sliding_cube_incremental": 8,
     # q209 k-core: 3 synchronous peel rounds x (degree groupBy + two
     # survivor semi-joins) over the localCheckpoint'ed edge relation
     # (9), plus the per-round 1-row snapshot aggregates and the kNN

@@ -98,6 +98,18 @@ def main() -> int:
             "exponent": round(exp, 3),
         }
         print(f"{name:34s} {t01:7.2f}s -> {t1:8.2f}s  exp={exp:+.2f}")
+    # merge-on-write: reload the file and overlay this run's keys —
+    # two concurrent probe processes each load-modify-write, and the
+    # r13 @sf10 run lost six entries to a concurrently-finishing
+    # run's stale snapshot. Reloading narrows the race to the dump
+    # itself (serial runs are still the rule; this is a backstop).
+    try:
+        with open("/root/repo/SCALE_PROBE.json") as f:
+            merged = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        merged = {}
+    merged.update(out)
+    out = merged
     with open("/root/repo/SCALE_PROBE.json", "w") as f:
         json.dump(out, f, indent=2)
     print("wrote SCALE_PROBE.json")

@@ -280,9 +280,17 @@ def kcore_peel(
     0..rounds — round 0 is the input graph."""
     if k < 1 or rounds < 1:
         raise ValueError("k and rounds must be >= 1")
+    # EAGER checkpoints, unlike connected_components' lazy ones: the
+    # output unions TWO snapshot aggregates per round, all consumed
+    # by ONE final action — with eager=False the checkpoint only
+    # completes after the first job, so every snapshot branch
+    # RECOMPUTES the full pre-checkpoint lineage (the kNN build)
+    # inside that action: measured 121 s at sf10 vs ~40 s for the
+    # build itself (exp +1.39). Eager materialization runs the build
+    # exactly once, at construction time.
     e = (
         edges.select(F.col(id1).alias("id1"), F.col(id2).alias("id2"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     counts = []
 
@@ -312,7 +320,7 @@ def kcore_peel(
             e.join(alive.withColumnRenamed("node", "id1"), "id1", "left_semi")
             .join(alive.withColumnRenamed("node", "id2"), "id2", "left_semi")
             .select("id1", "id2")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
         counts.append(_snapshot(r, e, alive))
     out = counts[0]

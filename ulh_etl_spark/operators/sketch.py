@@ -279,15 +279,54 @@ def sliding_distinct_windows(
         F.col(key_col).alias("_k"),
     )
     regs = fm_registers(hours, "_k", n_registers, group_cols=("_hr",))
-    offs = list(range(window_hours))
-    wins = F.explode(
+    per_win, est = sliding_window_estimates(
+        regs, window_hours, n_registers
+    )
+    wins = _window_starts("_hr", window_hours)
+    exact = (
+        hours.select(wins, "_k")
+        .groupBy("window_start")
+        .agg(F.countDistinct("_k").cast("bigint").alias("exact_keys"))
+    )
+    return exact.join(per_win, "window_start").select(
+        "window_start",
+        "exact_keys",
+        est.alias("est_keys"),
+        "registers_hit",
+        F.round(
+            F.abs(est - F.col("exact_keys").cast("double"))
+            / F.col("exact_keys").cast("double"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+def _window_starts(hr_col: str, window_hours: int):
+    """Explode a truncated-hour column to every window start whose
+    window contains it (starts h-(W-1) .. h)."""
+    return F.explode(
         F.array(
             *[
-                F.col("_hr") - F.expr(f"INTERVAL {i} HOURS")
-                for i in offs
+                F.col(hr_col) - F.expr(f"INTERVAL {i} HOURS")
+                for i in range(window_hours)
             ]
         )
     ).alias("window_start")
+
+
+def sliding_window_estimates(
+    regs: DataFrame, window_hours: int, n_registers: int
+):
+    """Answer every ``window_hours`` hopping window from an hourly
+    register cube (``(_hr, register, max_rho)`` — fm_registers with
+    group_cols=("_hr",) or any max-merged equivalent): explode each
+    hour's registers to its member windows, MAX-merge per (window,
+    register), then the standard HLL two-branch estimate. Returns
+    (per_window DataFrame with (window_start, _zp, registers_hit),
+    est Column) so callers attach their own audit columns. Constant
+    input volume: <= n_registers rows per hour regardless of corpus
+    size."""
+    wins = _window_starts("_hr", window_hours)
     merged = (
         regs.select(wins, "register", "max_rho")
         .groupBy("window_start", "register")
@@ -308,22 +347,7 @@ def sliding_distinct_windows(
         ).otherwise(raw),
         3,
     )
-    exact = (
-        hours.select(wins, "_k")
-        .groupBy("window_start")
-        .agg(F.countDistinct("_k").cast("bigint").alias("exact_keys"))
-    )
-    return exact.join(per_win, "window_start").select(
-        "window_start",
-        "exact_keys",
-        est.alias("est_keys"),
-        "registers_hit",
-        F.round(
-            F.abs(est - F.col("exact_keys").cast("double"))
-            / F.col("exact_keys").cast("double"),
-            6,
-        ).alias("rel_err"),
-    )
+    return per_win, est
 
 
 # ------------------------------------------------- quantile sketch

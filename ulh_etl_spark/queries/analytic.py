@@ -622,6 +622,126 @@ def _q208_oracle_sql() -> str:
     """
 
 
+_FMC_BATCHES = 4
+
+
+def q212_sliding_cube_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q208 sliding windows answered from an INCREMENTALLY
+    maintained hourly register cube — the q202 at-rest-store pattern
+    applied to the FM/HLL monoid along the time axis: events arrive
+    in 4 deterministic batches (event_id % 4); each batch's hourly
+    cube (<= 64 integer rows per touched hour) max-merges into the
+    store WITHOUT re-reading event history — every merge touches
+    only cube-sized relations whatever the corpus size. The exact
+    n_keys audit column deliberately does NOT survive incremental
+    maintenance (distinct counts are not mergeable by row — that is
+    the whole reason the register sketch exists), so the store keeps
+    only the mergeable (hour, register, max_rho). The oracle REPLAYS
+    the sequential merges (unrolled CTEs, the q202 fold-vs-unrolled
+    pattern) and then the window estimates, so the merge rule itself
+    is hash-checked, not just the endpoint."""
+    from ulh_etl_spark.operators.sketch import (
+        fm_registers,
+        sliding_window_estimates,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    store = None
+    for b in range(_FMC_BATCHES):
+        hours = ev.filter(
+            F.col("event_id") % _FMC_BATCHES == b
+        ).select(
+            F.date_trunc("hour", F.col("ts")).alias("_hr"),
+            F.col("user_id").alias("_k"),
+        )
+        cube = fm_registers(
+            hours, "_k", _FM_REGISTERS, group_cols=("_hr",)
+        ).select("_hr", "register", "max_rho")
+        store = (
+            cube
+            if store is None
+            else store.unionByName(cube)
+            .groupBy("_hr", "register")
+            .agg(F.max("max_rho").alias("max_rho"))
+        )
+    per_win, est = sliding_window_estimates(
+        store, _SWD_HOURS, _FM_REGISTERS
+    )
+    return per_win.select(
+        "window_start", est.alias("est_keys"), "registers_hit"
+    )
+
+
+def _q212_oracle_sql() -> str:
+    m = _FM_REGISTERS
+    shift = m.bit_length() - 1
+    rho_max = 60 - shift + 1
+    offs = ", ".join(f"({i})" for i in range(_SWD_HOURS))
+    parts = []
+    for b in range(_FMC_BATCHES):
+        parts.append(
+            f"""c{b} AS MATERIALIZED (
+            SELECT hr, register, MAX(rho) AS max_rho FROM (
+                SELECT date_trunc('hour', ts) AS hr,
+                       CAST(h % {m} AS INT) AS register,
+                       CASE WHEN (h >> {shift}) = 0 THEN {rho_max}
+                            ELSE CAST(round(log2(CAST(((h >> {shift}) &
+                                      -(h >> {shift})) AS DOUBLE)), 0)
+                                      AS INT) + 1 END AS rho
+                FROM (
+                    SELECT ts,
+                           CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                1, 15) AS BIGINT) AS h
+                    FROM events WHERE event_id % {_FMC_BATCHES} = {b}
+                )
+            ) GROUP BY hr, register
+        )"""
+        )
+    prev = "c0"
+    for b in range(1, _FMC_BATCHES):
+        parts.append(
+            f"""m{b} AS MATERIALIZED (
+            SELECT hr, register, MAX(max_rho) AS max_rho FROM (
+                SELECT * FROM {prev} UNION ALL SELECT * FROM c{b}
+            ) GROUP BY hr, register
+        )"""
+        )
+        prev = f"m{b}"
+    parts.append(
+        f"""merged AS (
+            SELECT {prev}.hr - to_hours(CAST(o.i AS BIGINT)) AS window_start,
+                   register, MAX(max_rho) AS max_rho
+            FROM {prev} CROSS JOIN (VALUES {offs}) AS o(i)
+            GROUP BY 1, register
+        )"""
+    )
+    parts.append(
+        f"""per_win AS (
+            SELECT window_start,
+                   SUM(power(2.0, -max_rho)) AS zp,
+                   CAST(COUNT(*) AS INT) AS registers_hit
+            FROM merged GROUP BY window_start
+        )"""
+    )
+    joined = ",\n        ".join(parts)
+    return f"""
+        WITH {joined}
+        SELECT window_start,
+               round(CASE WHEN ({m} - registers_hit) > 0
+                          AND (CAST({_SWD_ALPHA} AS DOUBLE) * {m} * {m})
+                              / (zp + ({m} - registers_hit))
+                              <= 2.5 * {m}
+                     THEN CAST({float(m)!r} AS DOUBLE) *
+                          ln(CAST({float(m)!r} AS DOUBLE) /
+                             CAST({m} - registers_hit AS DOUBLE))
+                     ELSE (CAST({_SWD_ALPHA} AS DOUBLE) * {m} * {m})
+                          / (zp + ({m} - registers_hit)) END,
+                     3) AS est_keys,
+               registers_hit
+        FROM per_win
+    """
+
+
 _QS_K = 256
 _QS_PROBS = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
 
@@ -762,6 +882,7 @@ def q203_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q176_fm_user_registers": q176_fm_user_registers,
     "q208_sliding_distinct_users": q208_sliding_distinct_users,
+    "q212_sliding_cube_incremental": q212_sliding_cube_incremental,
     "q202_quantile_incremental": q202_quantile_incremental,
     "q203_group_quantiles": q203_group_quantiles,
     "q192_quantile_registers": q192_quantile_registers,
@@ -894,6 +1015,7 @@ ORACLES = {
         FROM audited a CROSS JOIN n
     """,
     "q208_sliding_distinct_users": _q208_oracle_sql(),
+    "q212_sliding_cube_incremental": _q212_oracle_sql(),
     "q176_fm_user_registers": f"""
         WITH h AS (
             SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
