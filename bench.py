@@ -387,6 +387,8 @@ ANCHOR = {
     "q208_sliding_distinct_users": 0.577,
     "q209_kcore_peel": 1.167,
     "q210_kmeans_parallel_init": 1.407,
+    "q211_kmeans_parallel_recluster": 1.773,
+    "q212_sliding_cube_incremental": 0.926,
     # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's
     # cost is the in-order pair fan-out (O(sum basket²), baskets ~4).
     "q128_event_transitions": 0.735,
