@@ -1398,3 +1398,32 @@ def test_kmeans_parallel_recluster_matches_python_replica(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_prefix_filter_alpha_boundary_pair_survives(spark):
+    """Regression for the alpha rounding bug: a pair with Jaccard
+    EXACTLY at the threshold and the positional remaining-overlap
+    bound EXACTLY at the required overlap (na+nb=63, inter=28,
+    J = 28/35 = 0.8 at t=0.8). The unguarded double t/(1+t) lands
+    above the exact 4/9, ceil'ing alpha to 29 and silently dropping
+    this pair; the s*1e-9 guard keeps it. Unique chars (freq 1) sort
+    before shared chars (freq 2) in the global order, pinning the
+    first-shared-token ranks (pa=4, pb=5) that make the bound 28."""
+    from ulh_etl_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyz" + "ABCDEFGHI"
+    )  # 35 distinct chars
+    shared = alphabet[:28]
+    a_unique = alphabet[28:31]
+    b_unique = alphabet[31:35]
+    df = spark.createDataFrame(
+        [(1, shared + a_unique), (2, shared + b_unique)],
+        "doc_id long, text string",
+    )
+    rows = prefix_filter_jaccard_pairs(
+        df, "text", "doc_id", n=1, threshold=0.8
+    ).collect()
+    assert len(rows) == 1
+    assert (rows[0].id1, rows[0].id2) == (1, 2)
+    assert rows[0].jaccard1 == 0.8

@@ -881,9 +881,21 @@ def prefix_filter_jaccard_pairs(
         F.col("_rk").alias("_rkb"),
         "_h",
     )
+    # alpha = ceil(t/(1+t) * (|A|+|B|)), computed with a DOWNWARD
+    # guard of s*1e-9: the double t/(1+t) can land ABOVE the exact
+    # rational (0.8/1.8 does), and at sums where the exact product
+    # is an integer the unguarded ceil comes out ONE TOO HIGH —
+    # measured at na+nb=63 for t=0.8 (alpha 29 vs true 28), which
+    # would silently DROP a qualifying pair with intersection
+    # exactly 28 (J = 28/35 = 0.8). The guard is ~1e6x the double
+    # error and < 1 for any realistic sum, so it can only ever
+    # ADMIT an extra candidate (harmless — exact verify follows),
+    # never lose one. Caught by boundary analysis, not the gate:
+    # the tested corpora had no pair sitting exactly on the bound.
+    ssum = F.col("_nga") + F.col("_ngb")
     alpha = F.ceil(
-        F.lit(threshold / (1.0 + threshold))
-        * (F.col("_nga") + F.col("_ngb"))
+        F.lit(threshold / (1.0 + threshold)) * ssum
+        - ssum * F.lit(1e-9)
     )
     cand = (
         a.join(b, "_h")
