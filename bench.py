@@ -177,6 +177,7 @@ HEADLINE = (
     "q210_kmeans_parallel_init",
     "q211_kmeans_parallel_recluster",
     "q212_sliding_cube_incremental",
+    "q213_kmv_source_overlap",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",

@@ -771,3 +771,44 @@ def test_incremental_cube_equals_oneshot(spark):
         (r["_hr"], r.register): r.max_rho for r in store.collect()
     }
     assert merged == oneshot
+
+
+def test_kmv_jaccard_exact_when_sets_fit_sketch(spark):
+    """Sets smaller than k: the sketch IS the set, so the estimator
+    must equal the exact Jaccard; k_eff = |union|."""
+    from ulh_etl_spark.operators.sketch import kmv_jaccard_pairs
+
+    rows = (
+        [("a", f"e{i}") for i in range(30)]
+        + [("b", f"e{i}") for i in range(15, 45)]  # |inter|=15 |union|=45
+        + [("c", f"x{i}") for i in range(10)]      # disjoint from a, b
+    )
+    df = spark.createDataFrame(rows, "g string, e string")
+    got = {
+        (r.src_a, r.src_b): (r.est_jaccard, r.exact_jaccard, r.k_eff)
+        for r in kmv_jaccard_pairs(df, "e", "g", k=256).collect()
+    }
+    assert got[("a", "b")] == (
+        round(15 / 45, 6), round(15 / 45, 6), 45
+    )
+    assert got[("a", "c")] == (0.0, 0.0, 40)
+    assert got[("b", "c")] == (0.0, 0.0, 40)
+
+
+def test_kmv_jaccard_estimates_within_tolerance_when_sketched(spark):
+    """Sets larger than k: the estimate concentrates around the true
+    Jaccard (std ~ sqrt(J(1-J)/k) ~ 0.03 at k=256, J=0.5); assert a
+    generous 6-sigma band plus k_eff == k."""
+    from ulh_etl_spark.operators.sketch import kmv_jaccard_pairs
+
+    n, shared = 2000, 1000  # J = 1000 / 3000
+    rows = [("a", f"s{i}") for i in range(n)] + [
+        ("b", f"s{i}") for i in range(n - shared, 2 * n - shared)
+    ]
+    df = spark.createDataFrame(rows, "g string, e string")
+    r = kmv_jaccard_pairs(df, "e", "g", k=256).collect()[0]
+    true_j = shared / (2 * n - shared)
+    assert r.k_eff == 256
+    assert r.exact_jaccard == round(true_j, 6)
+    assert abs(r.est_jaccard - true_j) < 0.18
+    assert r.abs_err == round(abs(r.est_jaccard - r.exact_jaccard), 6)

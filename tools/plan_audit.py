@@ -106,6 +106,16 @@ SHUFFLE_BUDGET = {
     # Never re-reads history; nothing corpus-sized past the batch
     # cubes.
     "q212_sliding_cube_incremental": 8,
+    # q213 KMV overlap: the distinct (group, hash) build (1), the
+    # per-group bottom-k rank window (2), the pair-expand joins and
+    # union groupBy over SKETCH-sized relations (<= |groups| x k
+    # rows, 3-4 exchanges that would broadcast at scale), the
+    # per-pair union rank window + estimate agg (2), and the exact
+    # AUDIT legs (sizes groupBy + the full-set intersection
+    # self-join — the corpus-scale part you drop at 100 TB). The
+    # static count re-renders the persisted el subtree per consumer
+    # (the q169/q170 caveat).
+    "q213_kmv_source_overlap": 16,
     # q209 k-core: 3 synchronous peel rounds x (degree groupBy + two
     # survivor semi-joins) over the localCheckpoint'ed edge relation
     # (9), plus the per-round 1-row snapshot aggregates and the kNN

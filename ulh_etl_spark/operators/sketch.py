@@ -586,3 +586,140 @@ def group_bottomk_sample(
         .withColumn("grank", F.row_number().over(w).cast("int"))
         .filter(F.col("grank") <= k)
     )
+
+
+def kmv_jaccard_pairs(
+    df: DataFrame,
+    element_col: str,
+    group_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Pairwise Jaccard ESTIMATION between groups from KMV set
+    sketches (Beyer et al., SIGMOD 2007 "On synopses for distinct-
+    value estimation"): each group keeps only its k smallest element
+    hashes (portable md5 rank — the same no-RNG uniform the KMV
+    quantile registers use); for a pair (A, B) the estimator takes
+    K = the k smallest hashes of the sketch UNION and reports
+    |K ∩ sketch(A) ∩ sketch(B)| / |K|. This is how cross-source
+    duplication matrices (q98's exact form) stay affordable when
+    sources stop fitting a pairwise exact join: per group the sketch
+    is k integers, every pairwise estimate touches <= 2k rows, and
+    sketches max-union-merge like every register table here.
+
+    Scale: ONE shuffle on the group key builds all sketches (rank
+    window over distinct (group, hash)); the pair stage runs on the
+    sketch relation only (|groups| x k rows). The exact audit legs
+    (distinct-set sizes + pairwise intersections over the FULL
+    element sets) are the corpus-scale part — at 100 TB you ship
+    only the sketch term; they are what the estimator is audited
+    against here.
+
+    Elements are 60-bit md5 hashes of the element strings; the
+    exact audit counts distinct HASHES, identical to distinct
+    elements up to the ~n^2/2^61 collision rate (the md5_hash60
+    width argument). Estimates and exact values round to 6.
+
+    Output: (src_a, src_b, est_jaccard, exact_jaccard, abs_err,
+    k_eff) for every unordered group pair, src_a < src_b."""
+    from pyspark.sql.window import Window
+
+    from ulh_etl_spark.operators.text import md5_hash60
+
+    el = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            md5_hash60(F.col(element_col).cast("string")).alias("_h"),
+        )
+        .distinct()
+        .persist()
+    )
+    from ulh_etl_spark.cache import track
+
+    track(el)
+    w = Window.partitionBy("_g").orderBy("_h")
+    sk = (
+        el.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("_g", "_h")
+    )
+    groups = el.select("_g").distinct()
+    pairs = (
+        groups.select(F.col("_g").alias("src_a"))
+        .crossJoin(groups.select(F.col("_g").alias("src_b")))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    pa = pairs.join(
+        sk.select(F.col("_g").alias("src_a"), "_h"), "src_a"
+    ).select("src_a", "src_b", "_h", F.lit(1).alias("_ina"), F.lit(0).alias("_inb"))
+    pb = pairs.join(
+        sk.select(F.col("_g").alias("src_b"), "_h"), "src_b"
+    ).select("src_a", "src_b", "_h", F.lit(0).alias("_ina"), F.lit(1).alias("_inb"))
+    un = (
+        pa.unionByName(pb)
+        .groupBy("src_a", "src_b", "_h")
+        .agg(F.max("_ina").alias("_ina"), F.max("_inb").alias("_inb"))
+    )
+    wp = Window.partitionBy("src_a", "src_b").orderBy("_h")
+    ranked = un.withColumn("_urk", F.row_number().over(wp))
+    est = (
+        ranked.filter(F.col("_urk") <= k)
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count("*").cast("int").alias("k_eff"),
+            F.sum(
+                (F.col("_ina") * F.col("_inb")).cast("long")
+            ).alias("_both"),
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.round(
+                F.col("_both").cast("double")
+                / F.col("k_eff").cast("double"),
+                6,
+            ).alias("est_jaccard"),
+            "k_eff",
+        )
+    )
+    sizes = el.groupBy("_g").agg(F.count("*").alias("_n"))
+    ia = el.select(F.col("_g").alias("src_a"), "_h")
+    ib = el.select(F.col("_g").alias("src_b"), "_h")
+    inter = (
+        ia.join(ib, "_h")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("_i"))
+    )
+    exact = (
+        pairs.join(
+            sizes.select(F.col("_g").alias("src_a"), F.col("_n").alias("_na")),
+            "src_a",
+        )
+        .join(
+            sizes.select(F.col("_g").alias("src_b"), F.col("_n").alias("_nb")),
+            "src_b",
+        )
+        .join(inter, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            F.round(
+                F.coalesce(F.col("_i"), F.lit(0)).cast("double")
+                / (
+                    F.col("_na") + F.col("_nb")
+                    - F.coalesce(F.col("_i"), F.lit(0))
+                ).cast("double"),
+                6,
+            ).alias("exact_jaccard"),
+        )
+    )
+    return est.join(exact, ["src_a", "src_b"]).select(
+        "src_a",
+        "src_b",
+        "est_jaccard",
+        "exact_jaccard",
+        F.round(
+            F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6
+        ).alias("abs_err"),
+        "k_eff",
+    )

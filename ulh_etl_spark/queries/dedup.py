@@ -465,6 +465,98 @@ def q206_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMVJ_K = 256
+_KMVJ_N = 8
+
+
+def q213_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication ESTIMATED from KMV set sketches
+    (operators.sketch.kmv_jaccard_pairs, Beyer et al. SIGMOD'07):
+    every source keeps the 256 smallest md5 ranks of its distinct
+    8-gram set; each source pair's Jaccard estimate reads <= 2k
+    sketch rows — the sketch-sized form of q98's exact overlap
+    matrix for when the source count or corpus makes the exact
+    pairwise join unaffordable. The exact-Jaccard audit column rides
+    along (the corpus-scale leg you drop at 100 TB), so the
+    estimator's error is on the record per pair."""
+    from ulh_etl_spark.operators.sketch import kmv_jaccard_pairs
+    from ulh_etl_spark.operators.text import char_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    el = docs.select(
+        "source",
+        F.explode(char_ngrams(F.col("text"), _KMVJ_N)).alias("gram"),
+    )
+    return kmv_jaccard_pairs(el, "gram", "source", k=_KMVJ_K)
+
+
+def _q213_oracle_sql() -> str:
+    k, n = _KMVJ_K, _KMVJ_N
+    md60 = "CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT)"
+    return f"""
+        WITH el AS MATERIALIZED (
+            SELECT DISTINCT g, h FROM (
+                SELECT source AS g, {md60} AS h FROM (
+                    SELECT source,
+                           unnest({O.grams('text', n)}) AS gram
+                    FROM documents
+                )
+            )
+        ), sk AS MATERIALIZED (
+            SELECT g, h FROM (
+                SELECT g, h,
+                       row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+                FROM el
+            ) WHERE rk <= {k}
+        ), grp AS (
+            SELECT DISTINCT g FROM el
+        ), pairs AS (
+            SELECT a.g AS src_a, b.g AS src_b
+            FROM grp a, grp b WHERE a.g < b.g
+        ), un AS MATERIALIZED (
+            SELECT p.src_a, p.src_b, s.h,
+                   MAX(CASE WHEN s.g = p.src_a THEN 1 ELSE 0 END) AS ina,
+                   MAX(CASE WHEN s.g = p.src_b THEN 1 ELSE 0 END) AS inb
+            FROM pairs p JOIN sk s ON s.g IN (p.src_a, p.src_b)
+            GROUP BY p.src_a, p.src_b, s.h
+        ), est AS (
+            SELECT src_a, src_b,
+                   CAST(COUNT(*) AS INT) AS k_eff,
+                   SUM(ina * inb) AS nboth
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY src_a, src_b ORDER BY h) AS urk
+                FROM un
+            ) WHERE urk <= {k}
+            GROUP BY src_a, src_b
+        ), sizes AS (
+            SELECT g, COUNT(*) AS nsz FROM el GROUP BY g
+        ), inter AS (
+            SELECT a.g AS src_a, b.g AS src_b, COUNT(*) AS i
+            FROM el a JOIN el b ON a.h = b.h AND a.g < b.g
+            GROUP BY 1, 2
+        ), ex AS (
+            SELECT p.src_a, p.src_b,
+                   round(COALESCE(i.i, 0) * 1.0
+                         / (sa.nsz + sb.nsz - COALESCE(i.i, 0)),
+                         6) AS exact_jaccard
+            FROM pairs p
+            JOIN sizes sa ON sa.g = p.src_a
+            JOIN sizes sb ON sb.g = p.src_b
+            LEFT JOIN inter i
+              ON i.src_a = p.src_a AND i.src_b = p.src_b
+        ), es AS (
+            SELECT src_a, src_b,
+                   round(nboth * 1.0 / k_eff, 6) AS est_jaccard, k_eff
+            FROM est
+        )
+        SELECT es.src_a, es.src_b, es.est_jaccard, ex.exact_jaccard,
+               round(abs(es.est_jaccard - ex.exact_jaccard), 6) AS abs_err,
+               es.k_eff
+        FROM es JOIN ex ON es.src_a = ex.src_a AND es.src_b = ex.src_b
+    """
+
+
 QUERIES = {
     "q34_dedup_exact": q34_dedup_exact,
     "q35_minhash_signature": q35_minhash_signature,
@@ -487,6 +579,7 @@ QUERIES = {
     "q157_leakage_free_split": q157_leakage_free_split,
     "q158_decontamination_report": q158_decontamination_report,
     "q206_prefix_filter_pairs": q206_prefix_filter_pairs,
+    "q213_kmv_source_overlap": q213_kmv_source_overlap,
 }
 
 # bands (self-joined) and edges (recursion base + step) are each
@@ -521,6 +614,7 @@ _CC_CTE = f"""WITH RECURSIVE hashed AS (
         )"""
 
 ORACLES = {
+    "q213_kmv_source_overlap": _q213_oracle_sql(),
     # q206: brute-force all-pairs exact Jaccard — deliberately NOT a
     # twin of the Spark plan: ground truth, so a hash match proves
     # the prefix-filter candidate rule is complete (no lost pair)
