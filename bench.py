@@ -178,6 +178,7 @@ HEADLINE = (
     "q211_kmeans_parallel_recluster",
     "q212_sliding_cube_incremental",
     "q213_kmv_source_overlap",
+    "q214_priority_sample_sums",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",

@@ -812,3 +812,58 @@ def test_kmv_jaccard_estimates_within_tolerance_when_sketched(spark):
     assert r.exact_jaccard == round(true_j, 6)
     assert abs(r.est_jaccard - true_j) < 0.18
     assert r.abs_err == round(abs(r.est_jaccard - r.exact_jaccard), 6)
+
+
+def test_priority_sample_sums_matches_python_replica(spark):
+    """Derandomized priority sampling == the pure-Python replay:
+    same priorities, same tau, same per-group estimates; and with
+    N <= k the estimator is exact by construction (tau = 0)."""
+    import hashlib
+
+    from ulh_etl_spark.operators.sketch import priority_sample_sums
+
+    def u(i):
+        return (
+            int(hashlib.md5(f"psamp_{i}".encode()).hexdigest()[:15], 16)
+            + 1.0
+        ) / float(2 ** 60)
+
+    n, k = 40, 8
+    rows = [(i, ["a", "b"][i % 2], float(1 + (i * 7) % 23)) for i in range(n)]
+    df = spark.createDataFrame(rows, "event_id long, grp string, value double")
+
+    pri = sorted(
+        ((w / u(i), i, g, w) for i, g, w in rows), key=lambda x: (-x[0], x[1])
+    )
+    tau = pri[k][0]
+    est = {}
+    cnt = {}
+    for q, i, g, w in pri[:k]:
+        est[g] = est.get(g, 0.0) + max(w, tau)
+        cnt[g] = cnt.get(g, 0) + 1
+    exact = {}
+    for i, g, w in rows:
+        exact[g] = exact.get(g, 0.0) + w
+
+    got = {
+        r.grp: (r.est_total, r.exact_total, r.n_sampled)
+        for r in priority_sample_sums(
+            df, "value", "event_id", "grp", k=k
+        ).collect()
+    }
+    for g in ("a", "b"):
+        assert got[g] == (
+            round(est.get(g, 0.0), 2),
+            round(exact[g], 2),
+            cnt.get(g, 0),
+        )
+
+    # N <= k: tau = 0, estimator exact for every group
+    got2 = {
+        r.grp: (r.est_total, r.exact_total, r.rel_err)
+        for r in priority_sample_sums(
+            df, "value", "event_id", "grp", k=64
+        ).collect()
+    }
+    for g in ("a", "b"):
+        assert got2[g][0] == got2[g][1] and got2[g][2] == 0.0

@@ -723,3 +723,98 @@ def kmv_jaccard_pairs(
         ).alias("abs_err"),
         "k_eff",
     )
+
+
+def priority_sample_sums(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    group_col: str,
+    k: int = 512,
+) -> DataFrame:
+    """Subset-sum estimation from ONE fixed-size priority sample
+    (Duffield, Lund & Thorup, JACM 2007): every row gets priority
+    q_i = w_i / u_i with the portable md5 uniform u_i; keep the k
+    highest-priority rows and the (k+1)-th priority as the threshold
+    tau; ANY subset's weight sum is then estimated by
+    sum(max(w_i, tau)) over its sampled members — unbiased, with
+    variance optimal up to a factor among all k-sample schemes. The
+    "sample once, answer every group-sum query" pattern: the sample
+    is drawn GLOBALLY, yet per-group totals (and any other predicate
+    subset) read off the same k rows. Derandomized uniforms make the
+    sample a fixed function of the corpus, so the oracle replays it.
+
+    Scale: the top-(k+1) is TakeOrdered (per-task partial top-k, no
+    global sort or exchange of the corpus — the
+    quantile_sample_registers argument); everything after runs on
+    <= k+1 rows. The exact per-group totals are the audit legs. When
+    the corpus has <= k rows tau = 0 and the estimator is exact by
+    construction.
+
+    Weights must be positive (priorities w/u need w > 0; enforced).
+
+    Output: (group, est_total, exact_total, rel_err, n_sampled) —
+    totals rounded to 2 (sums of <= k doubles; order noise ~1e-10),
+    rel_err to 6."""
+    from pyspark.sql.window import Window
+
+    from ulh_etl_spark.operators.text import md5_hash60
+
+    two60 = float(2 ** 60)
+    u = (
+        md5_hash60(
+            F.concat(F.lit("psamp_"), F.col(id_col).cast("string"))
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(two60)
+    w = F.col(weight_col).cast("double")
+    rows = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_grp"),
+        w.alias("_w"),
+        (w / u).alias("_q"),
+    ).filter(F.col("_w") > 0)
+    top = (
+        rows.orderBy(F.col("_q").desc(), F.col("_id"))
+        .limit(k + 1)
+        .persist()
+    )
+    from ulh_etl_spark.cache import track
+
+    track(top)
+    win = Window.orderBy(F.col("_q").desc(), F.col("_id"))
+    ranked = top.withColumn("_rk", F.row_number().over(win))
+    tau = ranked.agg(
+        F.when(F.count("*") == k + 1, F.min("_q"))
+        .otherwise(F.lit(0.0))
+        .alias("_tau")
+    )
+    sample = ranked.filter(F.col("_rk") <= k)
+    est = (
+        sample.crossJoin(F.broadcast(tau))
+        .groupBy("_grp")
+        .agg(
+            F.sum(F.greatest(F.col("_w"), F.col("_tau"))).alias("_est"),
+            F.count("*").cast("int").alias("n_sampled"),
+        )
+    )
+    exact = df.select(
+        F.col(group_col).alias("_grp"), w.alias("_w")
+    ).filter(F.col("_w") > 0).groupBy("_grp").agg(
+        F.sum("_w").alias("_exact")
+    )
+    return exact.join(est, "_grp", "left").select(
+        F.col("_grp").alias(group_col),
+        F.round(F.coalesce(F.col("_est"), F.lit(0.0)), 2).alias(
+            "est_total"
+        ),
+        F.round(F.col("_exact"), 2).alias("exact_total"),
+        F.round(
+            F.abs(
+                F.coalesce(F.col("_est"), F.lit(0.0)) - F.col("_exact")
+            )
+            / F.col("_exact"),
+            6,
+        ).alias("rel_err"),
+        F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
+    )

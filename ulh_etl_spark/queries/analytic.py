@@ -742,6 +742,67 @@ def _q212_oracle_sql() -> str:
     """
 
 
+_PS_K = 512
+
+
+def q214_priority_sample_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value totals estimated from ONE global 512-row
+    priority sample (operators.sketch.priority_sample_sums —
+    Duffield/Lund/Thorup JACM'07): sample once by w/u priority, then
+    ANY subset-sum (here each event type; equally any predicate)
+    reads off the same k rows via sum(max(w, tau)). The pattern that
+    replaces per-query scans with one TakeOrdered pass at 100 TB;
+    exact totals ride along as the audit columns, so the estimator's
+    per-group error is on the record."""
+    from ulh_etl_spark.operators.sketch import priority_sample_sums
+
+    ev = load_table(spark, sf_dir, "events")
+    return priority_sample_sums(
+        ev, "value", "event_id", "event_type", k=_PS_K
+    )
+
+
+def _q214_oracle_sql() -> str:
+    k = _PS_K
+    u = (
+        "(CAST(CAST('0x' || substr(md5('psamp_' || "
+        "CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)"
+        " + 1.0) / CAST(1152921504606846976 AS DOUBLE)"
+    )
+    return f"""
+        WITH rows_w AS MATERIALIZED (
+            SELECT event_id AS id, event_type AS grp,
+                   CAST(value AS DOUBLE) AS w,
+                   CAST(value AS DOUBLE) / ({u}) AS q
+            FROM events WHERE CAST(value AS DOUBLE) > 0
+        ), top AS MATERIALIZED (
+            SELECT id, grp, w, q,
+                   row_number() OVER (ORDER BY q DESC, id) AS rk
+            FROM rows_w
+            ORDER BY q DESC, id LIMIT {k + 1}
+        ), tau AS (
+            SELECT CASE WHEN COUNT(*) = {k + 1} THEN MIN(q)
+                        ELSE 0.0 END AS tau
+            FROM top
+        ), est AS (
+            SELECT grp,
+                   SUM(GREATEST(w, tau.tau)) AS est_raw,
+                   CAST(COUNT(*) AS INT) AS n_sampled
+            FROM top, tau WHERE rk <= {k}
+            GROUP BY grp
+        ), exact AS (
+            SELECT grp, SUM(w) AS exact_raw FROM rows_w GROUP BY grp
+        )
+        SELECT e.grp AS event_type,
+               round(COALESCE(s.est_raw, 0.0), 2) AS est_total,
+               round(e.exact_raw, 2) AS exact_total,
+               round(abs(COALESCE(s.est_raw, 0.0) - e.exact_raw)
+                     / e.exact_raw, 6) AS rel_err,
+               COALESCE(s.n_sampled, 0) AS n_sampled
+        FROM exact e LEFT JOIN est s ON e.grp = s.grp
+    """
+
+
 _QS_K = 256
 _QS_PROBS = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
 
@@ -883,6 +944,7 @@ QUERIES = {
     "q176_fm_user_registers": q176_fm_user_registers,
     "q208_sliding_distinct_users": q208_sliding_distinct_users,
     "q212_sliding_cube_incremental": q212_sliding_cube_incremental,
+    "q214_priority_sample_sums": q214_priority_sample_sums,
     "q202_quantile_incremental": q202_quantile_incremental,
     "q203_group_quantiles": q203_group_quantiles,
     "q192_quantile_registers": q192_quantile_registers,
@@ -1016,6 +1078,7 @@ ORACLES = {
     """,
     "q208_sliding_distinct_users": _q208_oracle_sql(),
     "q212_sliding_cube_incremental": _q212_oracle_sql(),
+    "q214_priority_sample_sums": _q214_oracle_sql(),
     "q176_fm_user_registers": f"""
         WITH h AS (
             SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
