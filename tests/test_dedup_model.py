@@ -1427,3 +1427,54 @@ def test_prefix_filter_alpha_boundary_pair_survives(spark):
     assert len(rows) == 1
     assert (rows[0].id1, rows[0].id2) == (1, 2)
     assert rows[0].jaccard1 == 0.8
+
+
+def test_prefix_filter_size_bound_boundary_pair_survives(spark):
+    """Regression for the SIZE-FILTER rounding twins of the alpha
+    bug (ADVICE r13): at t=0.54 with |A|=243 a strict subset of
+    |B|=450 (J = 243/450 = 0.54 exactly, passes the final filter),
+    doubles break BOTH bounds unguarded —
+
+    - 0.54*450 = 243.00000000000003, so ceil = 244 > 243 rejects
+      the pair when the big doc is _nga;
+    - 243/0.54 = 449.99999999999994, so floor = 449 < 450 rejects
+      it when the small doc is _nga;
+    - and the big doc's prefix length 450 - ceil(0.54*450) + 1
+      comes out 207 instead of 208, cutting its one shared prefix
+      token, so the candidate is never even generated.
+
+    The s*1e-9 guards (downward on both ceils, upward on the floor)
+    keep all three exact. Both id orientations run, covering each
+    bound."""
+    from ulh_etl_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    chars = [chr(0x4E00 + i) for i in range(450)]
+    big = "".join(chars)
+    small = "".join(chars[:243])
+    for big_id, small_id in ((1, 2), (2, 1)):
+        df = spark.createDataFrame(
+            [(big_id, big), (small_id, small)],
+            "doc_id long, text string",
+        )
+        rows = prefix_filter_jaccard_pairs(
+            df, "text", "doc_id", n=1, threshold=0.54
+        ).collect()
+        assert len(rows) == 1, f"pair lost with big doc as id {big_id}"
+        assert (rows[0].id1, rows[0].id2) == (1, 2)
+        assert rows[0].jaccard1 == 0.54
+
+
+def test_power_iteration_pca_rejects_ragged_vectors(spark):
+    """A corpus with one short vector must raise loudly (per-dim
+    counts diverge -> mu/ss would silently skew), not return skewed
+    loadings (ADVICE r13)."""
+    import pytest as _pytest
+
+    from ulh_etl_spark.operators.similarity import power_iteration_pca
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [4.0, 5.0, 6.0]), (2, [7.0, 8.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="ragged"):
+        power_iteration_pca(df, "embedding", dim=3, rounds=2)

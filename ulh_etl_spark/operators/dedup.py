@@ -858,9 +858,17 @@ def prefix_filter_jaccard_pairs(
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy(F.col("_cnt").asc(), F.col("_h").asc())
+    # Same downward ceil guard as alpha (below): ceil(t*_ng) computed
+    # on doubles can land one ABOVE the exact rational when t*_ng is
+    # an exact integer (e.g. t=0.54, _ng=450 -> 243.00000000000003),
+    # which would make the prefix one token SHORT — a silent lost
+    # pair. The epsilon can only LENGTHEN the prefix (extra
+    # candidates, harmless; exact verify follows).
     prefix_len = (
         F.col("_ng")
-        - F.ceil(F.lit(threshold) * F.col("_ng")).cast("long")
+        - F.ceil(
+            F.lit(threshold) * F.col("_ng") - F.col("_ng") * F.lit(1e-9)
+        ).cast("long")
         + F.lit(1)
     )
     pref = (
@@ -901,11 +909,25 @@ def prefix_filter_jaccard_pairs(
         a.join(b, "_h")
         .filter(
             (F.col("_ida") < F.col("_idb"))
-            # size filter: J >= t forces t <= |A|/|B| <= 1/t
-            & (F.col("_ngb") >= F.ceil(F.lit(threshold) * F.col("_nga")))
+            # size filter: J >= t forces t <= |A|/|B| <= 1/t. Both
+            # bounds carry the rounding guard (downward on the ceil,
+            # UPWARD on the floor): at e.g. t=0.54, nga=450 the
+            # unguarded ceil(243.00000000000003)=244 would reject the
+            # qualifying containment pair (243, 450) with J exactly
+            # 0.54. Guards only ever ADMIT extra candidates.
             & (
                 F.col("_ngb")
-                <= F.floor(F.col("_nga") / F.lit(threshold))
+                >= F.ceil(
+                    F.lit(threshold) * F.col("_nga")
+                    - F.col("_nga") * F.lit(1e-9)
+                )
+            )
+            & (
+                F.col("_ngb")
+                <= F.floor(
+                    F.col("_nga") / F.lit(threshold)
+                    + F.col("_nga") * F.lit(1e-9)
+                )
             )
             # positional filter (PPJoin): remaining-overlap bound at
             # this match must reach the required overlap alpha

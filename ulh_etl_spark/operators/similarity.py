@@ -2628,6 +2628,19 @@ def power_iteration_pca(
             f"expected {dim}-dim vectors, found {len(st)} components"
         )
     st.sort(key=lambda r: r["_p"])
+    # Ragged guard: a vector SHORTER than dim posexplodes to fewer
+    # rows for its missing high components, so per-component counts
+    # diverge and mu/ss silently skew (n is taken from component 0).
+    # Equal counts across all dim components proves every row carried
+    # a full dim-length vector.
+    cmin = min(r["_n"] for r in st)
+    cmax = max(r["_n"] for r in st)
+    if cmin != cmax:
+        raise ValueError(
+            f"ragged vectors: per-component counts range "
+            f"{cmin:.0f}..{cmax:.0f}; every row must carry a full "
+            f"{dim}-dim vector"
+        )
     n = st[0]["_n"]
     mu = [r["_sx"] / n for r in st]
     ss = [r["_ss"] for r in st]

@@ -451,7 +451,7 @@ _PFX_T = 0.8
 
 def q206_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LOSSLESS set-similarity self-join (AllPairs/PPJoin prefix
-    filtering): every pair with 5-gram Jaccard >= 0.8, exactly — no
+    filtering): every pair with 8-gram Jaccard >= 0.8, exactly — no
     LSH recall knob, no false negatives. The candidate join keys on
     each doc's RAREST grams only (the (1-t) prefix of its
     frequency-ordered gram set) plus the Jaccard size filter; exact
