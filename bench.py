@@ -520,6 +520,13 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     floor_s = _measure_floor(spark, sf_dir)
     floor_ratio = max(1.0, floor_s / FLOOR_ANCHOR_S)
+    # Flags were stderr-only through r13, and the driver keeps just a
+    # truncated stderr tail — a >1.5x net spike in the driver session
+    # (r13's q151 at 2.08x) was invisible in every committed artifact.
+    # Persist the flag list (and the full per-query net-ratio map, in
+    # the sidecar only) so spikes are adjudicable from BENCH_r{N}.json.
+    flags: list[dict] = []
+    net_ratios: dict[str, float] = {}
     if sf == ANCHOR_SF:
         print(
             f"  raw-scan floor: {floor_s:.3f}s vs anchor-era "
@@ -532,8 +539,16 @@ def main() -> None:
             if base:
                 ratio = secs / base
                 net = ratio / floor_ratio
+                net_ratios[name] = round(net, 2)
                 flag = " REGRESSION" if net > 1.5 else (
                     " improved" if ratio < 0.7 else "")
+                if net > 1.5:
+                    flags.append({
+                        "q": name,
+                        "net": round(net, 2),
+                        "raw": round(ratio, 2),
+                        "kind": "regression",
+                    })
                 print(f"  {name}: {secs:.3f}s vs anchor {base:.3f}s "
                       f"({ratio:.2f}x raw, {net:.2f}x net){flag}",
                       file=sys.stderr)
@@ -550,6 +565,12 @@ def main() -> None:
         "floor_scan_s": floor_s,
         "floor_ratio": round(floor_ratio, 2),
     }
+    if sf == ANCHOR_SF:
+        payload["flags"] = flags
+        # full map goes to the sidecar only (popped from the stdout
+        # line below — 143 entries would blow the driver's 2000-char
+        # tail window)
+        payload["net_ratios"] = net_ratios
     if errors:
         payload["errors"] = errors
         for name, msg in errors.items():
@@ -563,6 +584,7 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_full.json"), "w") as fh:
         json.dump(payload, fh, indent=1)
+    payload.pop("net_ratios", None)
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1900:
         # qNN prefixes must stay unique or the dict comprehension
@@ -586,6 +608,10 @@ def main() -> None:
             # sidecar bench_full.json keeps everything
             compact["queries"] = {"_truncated": len(timings)}
             compact.pop("errors", None)
+            if len(compact.get("flags", [])) > 5:
+                compact["flags"] = compact["flags"][:5] + [
+                    {"q": "_truncated", "kind": "see bench_full.json"}
+                ]
             compact["note"] = "per-query detail in bench_full.json"
             line = json.dumps(compact, separators=(",", ":"))
         assert len(line) <= 1900, f"bench line still {len(line)} chars"
