@@ -1478,3 +1478,50 @@ def test_power_iteration_pca_rejects_ragged_vectors(spark):
     )
     with _pytest.raises(ValueError, match="ragged"):
         power_iteration_pca(df, "embedding", dim=3, rounds=2)
+
+
+def test_knn_score_blas_bit_exact_vs_sql(spark):
+    """The r14 fold-exact scoring kernel: knn_graph's BLAS path must
+    return the EXACT row set of the SQL-fold path — same neighbors,
+    same ranks, same rounded cosines — across flat/two-level and
+    single/multi-probe configs. The kernel's per-dimension numpy
+    accumulation replays _dot's left-to-right IEEE sequence, so this
+    is equality, not tolerance."""
+    from ulh_etl_spark.operators.similarity import knn_graph
+    from ulh_etl_spark.queries.similarity import _adaptive_centroids
+    from ulh_etl_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = _adaptive_centroids(emb)
+    for nprobe, twol in ((1, False), (2, True), (3, False)):
+        blas = knn_graph(
+            emb, cents, k=4, nprobe=nprobe, two_level=twol,
+            assign_impl="blas",
+        )
+        sql = knn_graph(
+            emb, cents, k=4, nprobe=nprobe, two_level=twol,
+            assign_impl="sql",
+        )
+        assert blas.exceptAll(sql).count() == 0, (nprobe, twol)
+        assert sql.exceptAll(blas).count() == 0, (nprobe, twol)
+
+
+def test_knn_score_blas_self_exclusion_small_cell(spark):
+    """A cell smaller than k+1 (duplicated vectors included) still
+    never returns a self-pair, and returns every non-self candidate:
+    the kernel's +1 slot / re-rank bookkeeping at the m <= k edge."""
+    from ulh_etl_spark.operators.similarity import knn_graph
+
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]),
+        (4, [0.1, 0.9]), (5, [1.0, 0.05]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id int, centroid_vec array<float>",
+    )
+    got = knn_graph(emb, cents, k=4, assign_impl="blas").collect()
+    assert all(r.vec_id != r.neighbor_id for r in got)
+    sql = knn_graph(emb, cents, k=4, assign_impl="sql").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, sql))

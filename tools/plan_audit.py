@@ -73,8 +73,24 @@ SHUFFLE_BUDGET = {
     # (persisted subtrees re-render in the formatted plan; runtime
     # reads each cache once). Budget = 6 configs x 5 + brute leg +
     # final unions, with the CC-family audit-session variance
-    # headroom (r12 memory note).
-    "q204_recall_cost_curve": 38,
+    # headroom (r12 memory note). r14: +6 — the BLAS scoring
+    # kernel's cogroup renders one exchange per side where the SQL
+    # join's legs shared the persisted assigned subtree's exchange.
+    "q204_recall_cost_curve": 44,
+    # q160 (r14, BLAS scoring kernel): the kNN build's cogroup is 2
+    # exchanges (probe + index side, where the SQL join's two legs
+    # shared the persisted assigned subtree's one) + the global rank
+    # window (1) + the components label join: node-universe union
+    # distinct (1) + final left join (1) + the cluster-size groupBy
+    # (1). The contraction rounds themselves ran eagerly before this
+    # plan exists; each round is 2 phase exchanges + 1 distinct on a
+    # checkpoint-truncated lineage.
+    "q160_semantic_clusters": 6,
+    # q187 composes THREE top-k legs over the same corpus — exact
+    # brute-force window (1) + single-probe graph (cogroup 2 + window
+    # 1) + multi-probe graph (cogroup 2 + window 1) — then one
+    # broadcast-joined recall compare (1).
+    "q187_knn_recall_uplift": 8,
     # q205 = the q201 shape with the hash-ring seed: the seed's
     # global row_number costs a range repartition + rank exchange,
     # the stride join one more, then 3 NN-Descent rounds (each ~2

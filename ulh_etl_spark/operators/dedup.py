@@ -1009,10 +1009,17 @@ def connected_components(
     scale cost that matters.
 
     Each phase is one partial-aggregated min per node + one join +
-    one distinct, all on uniformly hashed node ids; a giant
-    component's root is a hot JOIN key late in the contraction,
-    which AQE skew-join splits (plain joins, no windows). The driver
-    loop holds only a changed-flag per round.
+    one distinct, all on uniformly hashed node ids; the groupBy-min
+    and the re-attachment join share ONE explicit exchange on u
+    (ReuseExchange), so a phase is 2 shuffles, not 3. Convergence is
+    a single aggregate per round — the STAR-FOREST test (each hi has
+    exactly one lo, no node is both hi and lo), which is provably
+    the fixpoint of both phases under the hi > lo edge invariant —
+    rather than the count + anti-join set comparison (r13 shape)
+    that also needed one extra full round to observe "unchanged". A
+    giant component's root is a hot JOIN key late in the
+    contraction, which AQE skew-join splits (plain joins, no
+    windows). The driver loop holds only a changed-flag per round.
 
     Output: (node, component) — component = min node id reachable.
 
@@ -1044,21 +1051,40 @@ def connected_components(
         )
 
     def _undirected(e: DataFrame) -> DataFrame:
-        return e.select(
-            F.col("hi").alias("u"), F.col("lo").alias("v")
-        ).union(e.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
+        # One explicit hash exchange on u; the phase's groupBy-min
+        # needs clustering by u and the re-attachment join needs both
+        # sides clustered by u, so BOTH reuse this single exchange
+        # (ReuseExchange collapses the two reads of the subtree) —
+        # 2 exchanges per phase (this + the output distinct) instead
+        # of 3.
+        return (
+            e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+            .union(e.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
+            .repartition("u")
+        )
+
+    # The pair relation is consumed TWICE — the initial edge set here
+    # and the node universe for the final label join — and callers
+    # hand it in as a LAZY plan (q160's is the entire mutual-kNN
+    # build). Persist the two-column projection once so the upstream
+    # lineage runs once, not twice: at sf10 the un-persisted double
+    # build was ~39 s of the probe's 83 s — HALF the query, dwarfing
+    # the contraction rounds themselves.
+    ids = track(
+        pairs.select(F.col(id1).alias("_i1"), F.col(id2).alias("_i2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     edges = _ckpt(
-        pairs.select(
-            F.greatest(F.col(id1), F.col(id2)).alias("hi"),
-            F.least(F.col(id1), F.col(id2)).alias("lo"),
+        ids.select(
+            F.greatest(F.col("_i1"), F.col("_i2")).alias("hi"),
+            F.least(F.col("_i1"), F.col("_i2")).alias("lo"),
         )
         .filter(F.col("hi") != F.col("lo"))
         .distinct()
     )
 
     converged = False
-    prev = None
     for _ in range(max_iter):
         # large-star: (v, m(u)) for v in N(u), v > u
         und = _undirected(edges)
@@ -1084,14 +1110,50 @@ def connected_components(
             .filter(F.col("hi") != F.col("lo"))
             .distinct()
         )
-        same = (
-            ss.count() == edges.count()
-            and ss.join(edges, ["hi", "lo"], "left_anti").isEmpty()
+        # STAR-FOREST fixpoint test, one aggregate job (replaces the
+        # r13 count + anti-join pair AND the redundant final round
+        # the old ss==edges comparison needed to observe "unchanged").
+        # Every edge keeps hi > lo by construction (large-star emits
+        # (v, m) with v > u >= m; small-star emits (v, m) with
+        # m = min(N(u)+{u}) <= v; both drop hi == lo), and the edge
+        # set is distinct, so ss is a fixpoint of BOTH phases iff it
+        # is a two-level star forest:
+        #   (a) each hi has exactly one lo (sum of hi-flags == 1), and
+        #   (b) no node is both an hi and a lo (a root is never a
+        #       leaf).
+        # On such a forest every star center is the minimum of its
+        # star (center < each leaf), so large-star re-attaches every
+        # leaf to its center and small-star re-emits (leaf, center) —
+        # both phases are identity, which is exactly the loop's old
+        # stopping condition one round later. Conversely a fixpoint
+        # of the round IS such a forest (Kiveris et al. SoCC'14,
+        # Thm 5.1), so the tests stop at the same edge set.
+        viol = (
+            ss.select(
+                F.col("hi").alias("n"),
+                F.lit(1).alias("ih"),
+                F.lit(0).alias("il"),
+            )
+            .union(
+                ss.select(
+                    F.col("lo").alias("n"),
+                    F.lit(0).alias("ih"),
+                    F.lit(1).alias("il"),
+                )
+            )
+            .groupBy("n")
+            .agg(F.sum("ih").alias("dh"), F.max("il").alias("al"))
+            .filter(
+                (F.col("dh") > 1)
+                | ((F.col("dh") >= 1) & (F.col("al") == 1))
+            )
         )
-        if prev is not None:
-            prev.unpersist()
+        same = viol.isEmpty()
+        # the isEmpty above materialized ss's checkpoint, so nothing
+        # reads the previous round's blocks again — release them now
         ls.unpersist()
-        prev, edges = edges, ss
+        edges.unpersist()
+        edges = ss
         if same:
             converged = True
             break
@@ -1103,8 +1165,8 @@ def connected_components(
             "silently split clusters."
         )
     nodes = (
-        pairs.select(F.col(id1).alias("node"))
-        .union(pairs.select(F.col(id2).alias("node")))
+        ids.select(F.col("_i1").alias("node"))
+        .union(ids.select(F.col("_i2").alias("node")))
         .distinct()
     )
     labels = nodes.join(

@@ -947,6 +947,143 @@ def two_level_cells_blas(
     return corpus.select(id_col, vec_col).mapInPandas(assign, out_schema)
 
 
+def _fold_norm(M):
+    """l2 norms of the rows of ``M`` (f64) by the SAME IEEE sequence
+    as :func:`l2_norm`'s SQL fold: acc = 0.0; acc += x_d * x_d for
+    d = 0..dim-1, then one sqrt — vectorized ACROSS rows (each
+    elementwise op applies the per-row add in fold order), so the
+    result is bit-identical to the JVM expression."""
+    import numpy as np
+
+    acc = np.zeros(M.shape[0])
+    for d in range(M.shape[1]):
+        acc += M[:, d] * M[:, d]
+    return np.sqrt(acc)
+
+
+def knn_score_topk_blas(
+    probe: DataFrame,
+    index: DataFrame,
+    k: int,
+    batch_rows: int = 2048,
+) -> DataFrame:
+    """FOLD-EXACT batched candidate scoring + per-cell top-k for the
+    kNN-graph build: cogroup the probe side (_qid, _v, cell — one row
+    per probed cell) with the index side (_nid, _v, cell — each
+    vector in its own cell) on ``cell`` and, per cell, compute every
+    (query, candidate) cosine in numpy and keep each query's top-k
+    WITHIN the cell. Per-cell top-k is a lossless reduction for the
+    global top-k (a query's global top-k is drawn from the union of
+    its probed cells), so the downstream global rank window sees
+    N·nprobe·k rows instead of N·nprobe·cell_size candidate pairs —
+    at sf10 that is 6.4M window rows instead of ~400M, and the
+    ~1 µs/pair interpreted-HOF cosine (the graph family's dominant
+    constant once assignment went BLAS in r13) becomes a vectorized
+    numpy loop.
+
+    EXACTNESS — no tolerance band, unlike the assignment kernel: the
+    cosine here is NOT a dgemm. It is a per-dimension accumulation
+    (``acc += X[:, d:d+1] * V[None, :, d]``) whose per-element IEEE
+    sequence — ((0.0 + x0·v0) + x1·v1) + … — is exactly
+    :func:`_dot`'s left-to-right fold, and the norms follow
+    :func:`l2_norm`'s fold + sqrt (:func:`_fold_norm`). float32
+    inputs widen to f64 exactly on both paths. So every score is
+    bit-identical to the SQL expression, ties and all; the in-cell
+    tiebreak (cos desc, then _nid asc) is a STABLE argsort over
+    columns pre-sorted by _nid. Same flops as dgemm, but each
+    per-cell matrix (~cell² doubles) stays cache-resident, so the
+    64 passes cost ~the one dgemm would.
+
+    Ordering parity notes: a NaN cosine (zero-norm vector) sorts
+    FIRST under Spark's descending double order (NaN > +Inf), so the
+    sort key maps NaN -> +Inf; self-pairs (qid == nid) are excluded
+    exactly as the SQL path's filter does.
+
+    Scale: the cogroup is ONE exchange per side on the uniformly
+    hashed ``cell`` key — the same shuffle the SQL join paid — and
+    each Arrow group is O(cell·nprobe) rows; query blocks of
+    ``batch_rows`` cap the per-task score matrix at
+    batch_rows × cell_size doubles."""
+    import numpy as np  # noqa: F401 — hard requirement of this path
+    from pyspark.sql import types as T
+
+    qt = probe.schema["_qid"].dataType
+    nt = index.schema["_nid"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("_qid", qt),
+            T.StructField("_nid", nt),
+            T.StructField("_cos", T.DoubleType()),
+        ]
+    )
+
+    def score(left, right):
+        import numpy as np
+        import pandas as pd
+
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {
+                    "_qid": left["_qid"].iloc[:0],
+                    "_nid": right["_nid"].iloc[:0],
+                    "_cos": np.array([], dtype=np.float64),
+                }
+            )
+        V = np.stack(right["_v"].to_numpy()).astype(np.float64)
+        nids = right["_nid"].to_numpy()
+        # pre-sort candidates by _nid so a STABLE score argsort
+        # breaks exact-cosine ties by _nid ascending — the SQL
+        # window's (cos desc, _nid) order without per-row lexsorts
+        ordv = np.argsort(nids, kind="stable")
+        V = V[ordv]
+        nids = nids[ordv]
+        nv = _fold_norm(V)
+        m = V.shape[0]
+        tk = min(k + 1, m)  # +1: self may occupy one slot
+        outs = []
+        for s in range(0, len(left), batch_rows):
+            blk = left.iloc[s : s + batch_rows]
+            X = np.stack(blk["_v"].to_numpy()).astype(np.float64)
+            qids = blk["_qid"].to_numpy()
+            b = X.shape[0]
+            nq = _fold_norm(X)
+            acc = np.zeros((b, m))
+            for d in range(X.shape[1]):
+                acc += X[:, d : d + 1] * V[None, :, d]
+            cos = acc / (nq[:, None] * nv[None, :])
+            skey = np.where(np.isnan(cos), np.inf, cos)
+            selfm = qids[:, None] == nids[None, :]
+            skey = np.where(selfm, -np.inf, skey)
+            ordc = np.argsort(-skey, axis=1, kind="stable")[:, :tk]
+            rows = np.repeat(np.arange(b), tk)
+            cols = ordc.ravel()
+            qv = np.repeat(qids, tk)
+            nvid = nids[cols]
+            cv = cos[rows, cols]
+            is_self = qv == nvid
+            # keep each query's first k NON-self rows (rank order is
+            # preserved within a query's tk slice)
+            sm = is_self.reshape(b, tk)
+            offset = np.cumsum(sm, axis=1) - sm
+            new_rank = np.tile(np.arange(tk), b) - offset.ravel()
+            keep = (~is_self) & (new_rank < k)
+            outs.append(
+                pd.DataFrame(
+                    {"_qid": qv[keep], "_nid": nvid[keep], "_cos": cv[keep]}
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    # an equi-join drops null keys; cogroup would group them — filter
+    # for parity (cells are never null in practice)
+    return (
+        probe.filter(F.col("cell").isNotNull())
+        .groupBy("cell")
+        .cogroup(index.filter(F.col("cell").isNotNull()).groupBy("cell"))
+        .applyInPandas(score, out_schema)
+    )
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: DataFrame,
@@ -1175,13 +1312,26 @@ def knn_graph(
             "_qid", "v1", "_n1",
             probe_cell(F.col("_p")).cast(cell_type).alias("cell"),
         )
-    pairs = a.join(b, "cell").filter(F.col("_qid") != F.col("_nid"))
-    cos = _dot(F.col("v1"), F.col("v2")) / (F.col("_n1") * F.col("_n2"))
+    if _resolve_impl(assign_impl) == "blas":
+        # fold-exact numpy scoring + per-cell top-k: the global rank
+        # window below sees N·nprobe·k rows instead of the full
+        # candidate relation, and every _cos is bit-identical to the
+        # SQL expression (knn_score_topk_blas docstring), so the
+        # ranks — and every downstream oracle — are unchanged.
+        scored = knn_score_topk_blas(
+            a.select("_qid", F.col("v1").alias("_v"), "cell"),
+            b.select("_nid", F.col("v2").alias("_v"), "cell"),
+            k=k,
+        )
+    else:
+        pairs = a.join(b, "cell").filter(F.col("_qid") != F.col("_nid"))
+        cos = _dot(F.col("v1"), F.col("v2")) / (F.col("_n1") * F.col("_n2"))
+        scored = pairs.select("_qid", "_nid", cos.alias("_cos"))
     w = Window.partitionBy("_qid").orderBy(
         F.col("_cos").desc(), F.col("_nid")
     )
     return (
-        pairs.select("_qid", "_nid", cos.alias("_cos"))
+        scored
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
@@ -1418,6 +1568,16 @@ def mutual_knn_edges(
     from pyspark.storagelevel import StorageLevel
 
     knn = track(knn.persist(StorageLevel.MEMORY_AND_DISK))
+    # EAGER materialization, not just a lazy persist: the fwd and rev
+    # legs below become two sibling shuffle-map stages of one join
+    # job, and Spark submits them CONCURRENTLY — with the persist
+    # still cold, both stages race to compute every kNN partition
+    # ("Block already exists" warnings) and the entire build runs
+    # twice. Measured at sf10 (r14): build+mutual 76.9 s lazy vs the
+    # build's own 39.6 s — the double build, not the components
+    # fixpoint, was q160's sf10 exponent (+1.27). One count() pins
+    # the blocks before the join plan ever executes.
+    knn.count()
     fwd = knn.filter(F.col(id_col) < F.col("neighbor_id")).select(
         F.col(id_col).alias("id1"), F.col("neighbor_id").alias("id2")
     )
