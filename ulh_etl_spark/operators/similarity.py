@@ -947,6 +947,108 @@ def two_level_cells_blas(
     return corpus.select(id_col, vec_col).mapInPandas(assign, out_schema)
 
 
+def flat_cells_blas(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+    nprobe: int = 1,
+) -> DataFrame:
+    """BLAS-batched FLAT multiprobe assignment: (id, vec, ``_cells``)
+    where ``_cells`` is each vector's top-``nprobe`` cells over the
+    WHOLE centroid set in exact (dist, cell) order — the flat twin of
+    :func:`two_level_cells_blas`, with the same output contract as
+    the SQL ``slice(array_sort(transform(...)), 1, nprobe)`` probe
+    expression (element 1 == :func:`ivf_assign`'s cell).
+
+    Why it exists (r14): the SQL flat-multiprobe probe expression
+    pays an interpreted array_sort over C (dist, cell) structs PER
+    ROW on top of the N·C interpreted distances — measured 108 s of
+    q186's 123 s at sf10 (C=802) once everything downstream had gone
+    BLAS. One dgemm per Arrow batch computes the same distances
+    ~100x cheaper and a stable argsort (columns pre-ordered by cell
+    id) reproduces the (dist, cell) tie-break.
+
+    Exactness: GEMM expands ||x-c||^2 = x.x - 2 x.c + c.c, which is
+    NOT the fold's IEEE sequence, so the two DECISIVE boundaries —
+    element 1 (the index cell) and the membership edge at
+    ``nprobe`` — are tolerance-checked exactly as in
+    :func:`_np_two_level_topk`; ambiguous rows re-score every cell
+    with the exact fold (:func:`_py_sqdist`). Order strictly inside
+    the probe set never changes semantics (the array is consumed as
+    element-1 + exploded set, in the engine and in the oracle's
+    ``rn <= nprobe``). Still a ZERO-shuffle narrow map."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    if nprobe < 1:
+        raise ValueError("nprobe must be >= 1")
+    rows = _centroid_rows(centroids, centroid_id, centroid_vec)
+    V = np.array([[float(v) for v in r["cvec"]] for r in rows],
+                 dtype=np.float64)
+    VT = np.ascontiguousarray(V.T)
+    vsq = np.einsum("ij,ij->i", V, V)
+    sqmax = float(vsq.max()) if len(rows) else 0.0
+    all_cells = [r["cell"] for r in rows]
+    cvecs = [[float(v) for v in r["cvec"]] for r in rows]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, corpus.schema[id_col].dataType),
+            T.StructField(vec_col, corpus.schema[vec_col].dataType),
+            T.StructField(
+                "_cells",
+                T.ArrayType(centroids.schema[centroid_id].dataType),
+            ),
+        ]
+    )
+
+    def assign(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            xsq = np.einsum("ij,ij->i", X, X)
+            tol = 1e-9 * (1.0 + xsq + sqmax)
+            D = xsq[:, None] - 2.0 * (X @ VT) + vsq[None, :]
+            take = min(nprobe, D.shape[1])
+            # stable argsort over cell-id-ordered columns == the
+            # (dist, cell) tie-break wherever distances are exact
+            ords = np.argsort(D, axis=1, kind="stable")
+            ds = np.take_along_axis(D, ords, axis=1)
+            codes = []
+            for i in range(D.shape[0]):
+                ambiguous = (
+                    D.shape[1] > 1 and ds[i, 1] - ds[i, 0] < tol[i]
+                ) or (
+                    D.shape[1] > take
+                    and ds[i, take] - ds[i, take - 1] < tol[i]
+                )
+                if ambiguous:
+                    xs = X[i].tolist()
+                    exact = sorted(
+                        (_py_sqdist(xs, cvecs[c]), c)
+                        for c in range(len(cvecs))
+                    )
+                    codes.append([c for _, c in exact[:take]])
+                else:
+                    codes.append([int(c) for c in ords[i, :take]])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: pdf[vec_col].to_numpy(),
+                    "_cells": [[all_cells[c] for c in cs] for cs in codes],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(assign, out_schema)
+
+
 def _fold_norm(M):
     """l2 norms of the rows of ``M`` (f64) by the SAME IEEE sequence
     as :func:`l2_norm`'s SQL fold: acc = 0.0; acc += x_d * x_d for
@@ -1266,6 +1368,16 @@ def knn_graph(
             assigned = two_level_cells_blas(
                 corpus, centroids, id_col, vec_col, cid, cvec,
                 nprobe=nprobe, coarse_nprobe=coarse_nprobe,
+            ).withColumn("_norm", l2_norm(F.col(vec_col)))
+            probe_cell = lambda c: c  # noqa: E731 — bare cells
+        elif _resolve_impl(assign_impl) == "blas":
+            # FLAT multiprobe on the BLAS kernel (r14): the SQL probe
+            # expression's per-row array_sort over C structs was 108
+            # of q186's 123 s at sf10 — flat_cells_blas keeps the
+            # identical (dist, cell) slice contract.
+            assigned = flat_cells_blas(
+                corpus, centroids, id_col, vec_col, cid, cvec,
+                nprobe=nprobe,
             ).withColumn("_norm", l2_norm(F.col(vec_col)))
             probe_cell = lambda c: c  # noqa: E731 — bare cells
         else:

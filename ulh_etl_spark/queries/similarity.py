@@ -275,9 +275,11 @@ def q159_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q160_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space cluster report: the MULTI-PROBE kNN graph
-    (two-level assigner since r12; q186 keeps the flat baseline — each vector's candidates come from its nprobe=2 nearest
-    cells, recovering the boundary-straddling neighbors single-probe
-    q159 drops) -> MUTUAL edge filter (i in knn(j) and j in knn(i) —
+    (two-level assigner since r12; q186 keeps the flat baseline —
+    each vector's candidates come from its nprobe=6 nearest cells,
+    recall@4 0.79 at sf0.1 per q187/q204, recovering the
+    boundary-straddling neighbors single-probe q159 drops) ->
+    MUTUAL edge filter (i in knn(j) and j in knn(i) —
     strips hub-induced one-way edges, the high-precision core of a
     kNN graph) -> exact connected components (the q75
     pointer-jumping machinery) -> one row per semantic cluster. The
@@ -301,20 +303,33 @@ def q160_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KNN_NPROBE = 2
+# The graph-family probe default. 2 through r13 — which q204's sweep
+# priced at recall 0.36@4 (sf0.1) — raised to 6 in r14 once the
+# fold-exact scoring kernel made candidates cheap: (2, 6) reads
+# recall 0.707@4 off the q204 curve, the CEILING of the
+# coarse_nprobe=2 union ((2, 8) buys nothing more; a third/fourth
+# coarse group continues the ladder to 0.84/1.0 at 1.5x/2x more
+# candidates — consumers that need it pass coarse_nprobe
+# explicitly). Every consumer's oracle interpolates this constant,
+# so both engines move together.
+_KNN_NPROBE = 6
 _KNN_AUDIT_Q = 64
 
 
 def q186_knn_graph_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe kNN graph: q159's cell-blocked top-k, with each
-    vector's candidate pool widened to its nprobe=2 nearest cells
-    (operators.similarity.knn_graph(nprobe=2)) — the closure of the
-    single-probe recall hole: a true neighbor sitting just across
-    the Voronoi boundary is in the second-nearest cell far more
-    often than in a random one, so probing it recovers most of the
-    lost edges for 2x candidate cost (q187 measures exactly how
-    much: 0.23 -> 0.37 mean recall@4 at sf0.01). Plan shape is IDENTICAL to q159 — one shuffle on cell,
-    one rank window — only the probe-side row count doubles."""
+    vector's candidate pool widened to its nprobe=6 nearest cells
+    (operators.similarity.knn_graph(nprobe=_KNN_NPROBE)) — the
+    closure of the single-probe recall hole: a true neighbor sitting
+    just across the Voronoi boundary is in a near cell far more
+    often than in a random one, so probing them recovers most of the
+    lost edges for ~6x candidate cost (q187 measures exactly how
+    much: 0.23 -> 0.72 mean recall@4 at sf0.01, 0.24 -> 0.79 at
+    sf0.1 — the coarse_nprobe=2 union's ceiling per q204's curve;
+    nprobe was 2 / recall 0.37 through r13, raised once the
+    fold-exact scoring kernel made candidates cheap). Plan shape is
+    IDENTICAL to q159 — one shuffle on cell, one rank window — only
+    the probe-side row count scales with nprobe."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.knn_graph(
         emb, _adaptive_centroids(emb), k=_KNN_K, nprobe=_KNN_NPROBE
@@ -325,8 +340,9 @@ def q187_knn_recall_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN-graph recall audit (the q86 shape, pointed at q159/q186):
     per audited query, recall@k of the single-probe and the
     multi-probe graph against EXACT brute-force top-k — the
-    measurement that justifies the nprobe=2 default feeding q160's
-    clusters and prices further probes. The brute leg runs on a
+    measurement that justifies the nprobe=6 default feeding q160's
+    clusters (recall@4 0.72 at sf0.01 / 0.79 at sf0.1 — the
+    coarse_nprobe=2 ceiling) and prices further probes. The brute leg runs on a
     fixed query sample (vec_id < 64), so its cost is |corpus| x 64
     narrow rows — linear in N; both graph legs push the query filter
     below their rank window (partition-key predicate), so each scans
@@ -374,10 +390,13 @@ def q188_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     MUST carry cross-cell edges for the round to buy anything — from
     the single-probe q159 graph the round is provably a no-op (its
     undirected edges never leave a cell, and in-cell top-k is
-    already exhaustive); from the nprobe=2 seed the pivot hops reach
-    cells NEITHER endpoint probed, lifting recall@4 0.332 -> 0.383
-    on the two-level cells (q189 measures it; the flat-cell ladder
-    read 0.37 -> 0.45). Candidate volume is degree-bounded
+    already exhaustive); from the multi-probe seed the pivot hops
+    reach cells NEITHER endpoint probed, lifting recall@4 0.63 ->
+    0.70 at sf0.01 from the nprobe=6 seed (q189 measures it; from
+    the r13 nprobe=2 seed the same round read 0.332 -> 0.383 — a
+    better seed leaves the round less to find, exactly the
+    diminishing-returns shape q204 prices). Candidate volume is
+    degree-bounded
     (<= N(2k)^2 + Nk), never all-pairs; output is the knn_graph
     schema so every downstream graph consumer plugs in unchanged."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -396,8 +415,10 @@ def q189_nn_descent_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges ride in the candidate set, and only true top-k members can
     displace a true top-k member — pinned by pytest. Together with
     q187 this prices the THREE recall levers on one yardstick:
-    probe wider (0.23 -> 0.37 for 2x candidates), hop farther
-    (0.37 -> 0.45 for a degree-bounded round), or both again."""
+    probe wider (0.23 -> 0.72 for ~6x candidates, the
+    coarse_nprobe=2 ceiling), hop farther (0.63 -> 0.70 at sf0.01
+    for a degree-bounded round), or widen the coarse union (q204's
+    (3,12)/(4,12) legs: 0.84/1.0)."""
     from pyspark.storagelevel import StorageLevel
 
     emb = load_table(spark, sf_dir, "embeddings")
