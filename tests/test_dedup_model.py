@@ -1525,3 +1525,46 @@ def test_knn_score_blas_self_exclusion_small_cell(spark):
     assert all(r.vec_id != r.neighbor_id for r in got)
     sql = knn_graph(emb, cents, k=4, assign_impl="sql").collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, sql))
+
+
+def test_prefix_filter_bloom_preverify_lossless(spark):
+    """The r14 bloom-differencing pre-verification never drops a
+    qualifying pair: bloom on == bloom off on a corpus with pairs
+    straddling the threshold, plus the boundary-pair constructions
+    from the rounding-guard tests (J exactly at t) — the cases a
+    probabilistic filter would be most tempted to lose. The bound is
+    popcount(bloomA & ~bloomB) <= |A \\ B| unconditionally, so this
+    holds for ANY bloom width; 64 bits (high collision pressure)
+    exercises the sound-but-weak regime."""
+    from ulh_etl_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    chars = [chr(0x4E00 + i) for i in range(450)]
+    rows = [
+        (1, "".join(chars)),            # big
+        (2, "".join(chars[:243])),      # J = 0.54 vs 1
+        (3, "".join(chars[:400])),      # J = 0.889 vs 1
+        (4, "".join(chars[50:450])),    # J = 0.875 vs 3 on overlap
+        (5, "".join(chars[200:430])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.54, 0.8):
+        for bits in (64, 2048):
+            on = set(
+                map(
+                    tuple,
+                    prefix_filter_jaccard_pairs(
+                        df, "text", "doc_id", n=1, threshold=t,
+                        bloom_bits=bits,
+                    ).collect(),
+                )
+            )
+            off = set(
+                map(
+                    tuple,
+                    prefix_filter_jaccard_pairs(
+                        df, "text", "doc_id", n=1, threshold=t,
+                        bloom_bits=0,
+                    ).collect(),
+                )
+            )
+            assert on == off, (t, bits)

@@ -131,7 +131,11 @@ SHUFFLE_BUDGET = {
     # self-join — the corpus-scale part you drop at 100 TB). The
     # static count re-renders the persisted el subtree per consumer
     # (the q169/q170 caveat).
-    "q213_kmv_source_overlap": 16,
+    # r14 +2: the distinct-before-hash build adds a second distinct
+    # exchange on (g, h) (the md5-after-dedup optimization), and the
+    # audit endpoint sample's aud filter renders one more semi-join
+    # leg; every added relation is <= the old el relation.
+    "q213_kmv_source_overlap": 18,
     # q209 k-core: 3 synchronous peel rounds x (degree groupBy + two
     # survivor semi-joins) over the localCheckpoint'ed edge relation
     # (9), plus the per-round 1-row snapshot aggregates and the kNN
@@ -145,7 +149,25 @@ SHUFFLE_BUDGET = {
     # DISTINCT after the prefix self-join (5). The verify joins read
     # the persisted gram relation broadcast/id-keyed. Every relation
     # past the explode is prefix-sized (~(1-t) of the gram stream).
-    "q206_prefix_filter_pairs": 6,
+    # r14 +3: the lossless bloom pre-verification — per-doc bloom
+    # build (groupBy (id, word) + groupBy id, 2 exchanges over
+    # token-explode-sized then doc-sized relations) and the
+    # pair-keyed bloom join (1) that REPLACES the full gram-array
+    # payload on the heavy exchange (the sf10 disk-envelope fix:
+    # 256 B blooms ride where 3.7 KiB arrays did; only bloom
+    # survivors reach the array verify).
+    "q206_prefix_filter_pairs": 9,
+    # q215 bloom difference matrix: distinct (g, element) (1) +
+    # distinct (g, h) (2, the hash-after-dedup pair), packed-word
+    # groupBy (3), densify left join (4), the word-keyed pair join +
+    # pair groupBy (5-6), sizes groupBy (7) — every relation past
+    # the first distinct is |groups| x W.
+    "q215_bloom_difference_matrix": 7,
+    # q217 nDCG: lexical rank window (1), relevance broadcast join is
+    # narrow, DCG fold groupBy (2), ideal rank window (3) + fold
+    # groupBy (4), final join (5) — all over queries x corpus narrow
+    # rows then queries x 10.
+    "q217_ndcg_eval": 5,
     "q75_neardup_components": 14,
     "q102_neardup_collapse": 17,
     "q105_phash_neardup_clusters": 15,

@@ -790,6 +790,7 @@ def prefix_filter_jaccard_pairs(
     id_col: str,
     n: int = 5,
     threshold: float = 0.8,
+    bloom_bits: int = 2048,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (the
     AllPairs / PPJoin candidate rule — Chaudhuri et al. ICDE'06,
@@ -837,6 +838,27 @@ def prefix_filter_jaccard_pairs(
     oracle's (hash vs raw-gram tie-break) — harmless, the theorem
     holds for ANY fixed total order and the verified output is
     order-invariant.
+
+    ``bloom_bits`` (r14, 0 disables): a LOSSLESS bloom-differencing
+    pre-verification between the candidate join and the exact
+    verify. The exact verify's pair-keyed exchange ships one full
+    gram-hash array (~|g|·8 B) per candidate — ~120 GB at sf10 on
+    the small-vocab corpus, the operator's r13 single-box envelope.
+    Instead, each doc gets a ``bloom_bits``-bit one-hash bloom of
+    its gram set (an array of longs, 256 B at the default), and the
+    pair exchange carries blooms first: every bit of
+    ``bloomA & ~bloomB`` was set by >= 1 gram of A and by NO gram of
+    B, so ``popcount(bloomA & ~bloomB) <= |A \\ B|`` UNCONDITIONALLY
+    — collisions only LOWER the count — giving the sound bound
+    ``|A∩B| <= |A| - popcount(bloomA & ~bloomB)`` (and
+    symmetrically for B). A pair is dropped only when
+    ``min(ubA, ubB) < alpha`` (the same guarded required-overlap the
+    positional filter uses), so no qualifying pair is ever lost;
+    far-from-threshold candidates — the bulk of the prefix join's
+    output — never reach the array exchange. At fill factor
+    |g|/bloom_bits ≈ 0.2 the expected detected difference is
+    ~0.8·|A\\B|, so pairs at J <~ 0.75 prune w.h.p. at t=0.8 while
+    near-misses verify exactly as before.
 
     Output: (id1, id2, jaccard{n}) — jaccard rounded to 6 (one
     fixed-order division, exact cross-engine).
@@ -940,9 +962,97 @@ def prefix_filter_jaccard_pairs(
                 >= alpha
             )
         )
-        .select(F.col("_ida").alias("id1"), F.col("_idb").alias("id2"))
+        # sizes ride along (functionally dependent on the ids, so
+        # distinct cardinality is unchanged) — the bloom stage's
+        # required-overlap needs them without another join
+        .select(
+            F.col("_ida").alias("id1"),
+            F.col("_idb").alias("id2"),
+            "_nga",
+            "_ngb",
+        )
         .distinct()
     )
+    if bloom_bits:
+        nwords = (bloom_bits + 63) // 64
+        blooms = (
+            tok.select(
+                F.col(id_col),
+                F.pmod(F.col("_h"), F.lit(bloom_bits))
+                .cast("int")
+                .alias("_i"),
+            )
+            .select(
+                F.col(id_col),
+                F.shiftright(F.col("_i"), 6).alias("_w"),
+                # shiftleft's bit count must be a column here — the
+                # pyspark wrapper only takes a literal, so SQL text
+                F.expr("shiftleft(CAST(1 AS BIGINT), _i & 63)").alias(
+                    "_m"
+                ),
+            )
+            .groupBy(id_col, "_w")
+            .agg(F.expr("bit_or(_m)").alias("_wv"))
+            .groupBy(id_col)
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("_w", "_wv"))
+                ).alias("_bm")
+            )
+            .select(
+                F.col(id_col),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(nwords - 1)),
+                    lambda i: F.coalesce(
+                        F.try_element_at("_bm", i),
+                        F.lit(0).cast("long"),
+                    ),
+                ).alias("_bl"),
+            )
+        )
+
+        def _diff_lb(a: str, b: str) -> Column:
+            # sound lower bound on |set(a) \ set(b)|: bits set by a
+            # and untouched by b (collisions only shrink it)
+            return F.aggregate(
+                F.zip_with(
+                    a,
+                    b,
+                    lambda x, y: F.bit_count(
+                        x.bitwiseAND(y.bitwiseXOR(F.lit(-1).cast("long")))
+                    ),
+                ),
+                F.lit(0),
+                lambda acc, c: acc + c,
+            )
+
+        ssum2 = F.col("_nga") + F.col("_ngb")
+        alpha2 = F.ceil(
+            F.lit(threshold / (1.0 + threshold)) * ssum2
+            - ssum2 * F.lit(1e-9)
+        )
+        cand = (
+            cand.join(
+                blooms.select(
+                    F.col(id_col).alias("id1"), F.col("_bl").alias("_b1")
+                ),
+                "id1",
+            )
+            .join(
+                blooms.select(
+                    F.col(id_col).alias("id2"), F.col("_bl").alias("_b2")
+                ),
+                "id2",
+            )
+            .filter(
+                F.least(
+                    F.col("_nga") - _diff_lb("_b1", "_b2"),
+                    F.col("_ngb") - _diff_lb("_b2", "_b1"),
+                )
+                >= alpha2
+            )
+        )
+    cand = cand.select("id1", "id2")
     g1 = g.select(F.col(id_col).alias("id1"), F.col("_g").alias("_g1"))
     g2 = g.select(F.col(id_col).alias("id2"), F.col("_g").alias("_g2"))
     ver = (

@@ -593,6 +593,7 @@ def kmv_jaccard_pairs(
     element_col: str,
     group_col: str,
     k: int = 256,
+    audit_mod: int = 1,
 ) -> DataFrame:
     """Pairwise Jaccard ESTIMATION between groups from KMV set
     sketches (Beyer et al., SIGMOD 2007 "On synopses for distinct-
@@ -619,17 +620,38 @@ def kmv_jaccard_pairs(
     elements up to the ~n^2/2^61 collision rate (the md5_hash60
     width argument). Estimates and exact values round to 6.
 
+    ``audit_mod`` (r14, default 1 = audit everything): the q109
+    endpoint-sampling pattern applied to the audit term — a group is
+    AUDITED iff md5('kmvaud_' || group) % audit_mod == 0, and the
+    exact legs (sizes + full-set intersection) run only over audited
+    groups' elements, so the intersection join's Σ df² head shrinks
+    ~audit_mod² while the deterministic predicate stays portable to
+    the SQL oracle. Estimates still cover EVERY pair;
+    exact_jaccard/abs_err are NULL for pairs with an unaudited
+    endpoint. The r13 sf1->sf10 probe read exp +0.89 for the full
+    audit — entirely the intersection legs; an audit needs the error
+    distribution, not every pair (the q109 argument verbatim).
+
     Output: (src_a, src_b, est_jaccard, exact_jaccard, abs_err,
     k_eff) for every unordered group pair, src_a < src_b."""
     from pyspark.sql.window import Window
 
     from ulh_etl_spark.operators.text import md5_hash60
 
+    # distinct BEFORE hashing: md5 of the raw element explode was 25
+    # of q213's 33 s at sf10 (450M hash calls), while the distinct
+    # (group, element) relation is ~4M rows on that corpus — dedup
+    # first (map-side partial agg either way), hash only survivors,
+    # then re-distinct on the hash so the relation is EXACTLY the
+    # oracle's distinct-(g, h) even under a 60-bit collision (two
+    # elements, one hash -> one row either way).
     el = (
         df.select(
             F.col(group_col).alias("_g"),
-            md5_hash60(F.col(element_col).cast("string")).alias("_h"),
+            F.col(element_col).cast("string").alias("_e"),
         )
+        .distinct()
+        .select("_g", md5_hash60(F.col("_e")).alias("_h"))
         .distinct()
         .persist()
     )
@@ -681,9 +703,22 @@ def kmv_jaccard_pairs(
             "k_eff",
         )
     )
-    sizes = el.groupBy("_g").agg(F.count("*").alias("_n"))
-    ia = el.select(F.col("_g").alias("src_a"), "_h")
-    ib = el.select(F.col("_g").alias("src_b"), "_h")
+    if audit_mod > 1:
+        aud = groups.filter(
+            F.pmod(
+                md5_hash60(
+                    F.concat(F.lit("kmvaud_"), F.col("_g").cast("string"))
+                ),
+                F.lit(audit_mod),
+            )
+            == 0
+        )
+        el_aud = el.join(F.broadcast(aud), "_g")
+    else:
+        el_aud = el
+    sizes = el_aud.groupBy("_g").agg(F.count("*").alias("_n"))
+    ia = el_aud.select(F.col("_g").alias("src_a"), "_h")
+    ib = el_aud.select(F.col("_g").alias("src_b"), "_h")
     inter = (
         ia.join(ib, "_h")
         .filter(F.col("src_a") < F.col("src_b"))
@@ -713,7 +748,9 @@ def kmv_jaccard_pairs(
             ).alias("exact_jaccard"),
         )
     )
-    return est.join(exact, ["src_a", "src_b"]).select(
+    # LEFT: unaudited pairs keep their estimate with NULL audit
+    # columns (inner through r13, when everything was audited)
+    return est.join(exact, ["src_a", "src_b"], "left").select(
         "src_a",
         "src_b",
         "est_jaccard",
@@ -722,6 +759,141 @@ def kmv_jaccard_pairs(
             F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6
         ).alias("abs_err"),
         "k_eff",
+    )
+
+
+def bloom_difference_matrix(
+    df: DataFrame,
+    element_col: str,
+    group_col: str,
+    bits: int = 2016,
+) -> DataFrame:
+    """Pairwise SOUND set-difference lower bounds between groups from
+    constant-size blooms — the deterministic one-sided companion to
+    :func:`kmv_jaccard_pairs`' unbiased-but-probabilistic estimates,
+    and the screening matrix a cross-source dedup runs BEFORE any
+    corpus-scale overlap join: every bit of ``bloom(A) & ~bloom(B)``
+    was set by >= 1 element of A and by NO element of B, so
+    ``popcount(bloom(A) & ~bloom(B)) <= |A \\ B|`` UNCONDITIONALLY
+    (collisions only merge A-bits, shrinking the count — same bound
+    the r14 q206 pre-verification rests on). From the two difference
+    bounds and the exact set sizes follows a sound Jaccard UPPER
+    bound: J <= ub/(|A|+|B|-ub) with ub = min(|A|-lbAB, |B|-lbBA).
+    A pair whose jaccard_ub is tiny PROVABLY cannot be near-dup —
+    no estimator error bar to argue about.
+
+    Layout: blooms are (group, word, bits) relations packed 63 bits
+    per word — bit 63 never used, because the SQL twin's
+    ``1 << 63`` overflows a signed BIGINT in DuckDB while Spark
+    wraps; 63-bit words keep every mask positive and the arithmetic
+    portable. Words are densified 0..W-1 (an absent word means
+    bits=0, which the pair join must SEE — a word present only in A
+    is pure difference evidence).
+
+    Scale: one shuffle on the group key builds all blooms
+    (|groups| x W rows total, W = ceil(bits/63)); the pair stage
+    joins the densified blooms on the word index — |pairs| x W rows,
+    constant per pair, independent of corpus size. Elements hash
+    through portable md5_hash60 (the bloom CONTENT is the output, so
+    the two-hash policy requires the portable hash).
+
+    Output: (src_a, src_b, n_a, n_b, diff_ab_lb, diff_ba_lb,
+    jaccard_ub) for every unordered pair, src_a < src_b."""
+    from ulh_etl_spark.cache import track
+    from ulh_etl_spark.operators.text import md5_hash60
+
+    nwords = (bits + 62) // 63
+    # distinct BEFORE hashing: md5 of the raw element explode was 25
+    # of q213's 33 s at sf10 (450M hash calls), while the distinct
+    # (group, element) relation is ~4M rows on that corpus — dedup
+    # first (map-side partial agg either way), hash only survivors,
+    # then re-distinct on the hash so the relation is EXACTLY the
+    # oracle's distinct-(g, h) even under a 60-bit collision (two
+    # elements, one hash -> one row either way).
+    el = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.col(element_col).cast("string").alias("_e"),
+        )
+        .distinct()
+        .select("_g", md5_hash60(F.col("_e")).alias("_h"))
+        .distinct()
+        .persist()
+    )
+    track(el)
+    packed = (
+        el.select(
+            "_g", F.pmod(F.col("_h"), F.lit(bits)).cast("int").alias("_i")
+        )
+        .select(
+            "_g",
+            (F.col("_i") / F.lit(63)).cast("int").alias("_w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), _i % 63)").alias("_m"),
+        )
+        .groupBy("_g", "_w")
+        .agg(F.expr("bit_or(_m)").alias("_bits"))
+    )
+    groups = el.select("_g").distinct()
+    dense = (
+        groups.crossJoin(
+            F.broadcast(
+                df.sparkSession.range(nwords).select(
+                    F.col("id").cast("int").alias("_w")
+                )
+            )
+        )
+        .join(packed, ["_g", "_w"], "left")
+        .select(
+            "_g", "_w", F.coalesce("_bits", F.lit(0).cast("long")).alias("_bits")
+        )
+    )
+    sizes = el.groupBy("_g").agg(F.count("*").alias("_n"))
+    a = dense.select(
+        F.col("_g").alias("src_a"), "_w", F.col("_bits").alias("_ba")
+    )
+    b = dense.select(
+        F.col("_g").alias("src_b"), "_w", F.col("_bits").alias("_bb")
+    )
+    notb = F.col("_bb").bitwiseXOR(F.lit(-1).cast("long"))
+    nota = F.col("_ba").bitwiseXOR(F.lit(-1).cast("long"))
+    diffs = (
+        a.join(b, "_w")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(F.bit_count(F.col("_ba").bitwiseAND(notb)))
+            .cast("long")
+            .alias("diff_ab_lb"),
+            F.sum(F.bit_count(F.col("_bb").bitwiseAND(nota)))
+            .cast("long")
+            .alias("diff_ba_lb"),
+        )
+    )
+    ub = F.least(
+        F.col("n_a") - F.col("diff_ab_lb"), F.col("n_b") - F.col("diff_ba_lb")
+    )
+    return (
+        diffs.join(
+            sizes.select(F.col("_g").alias("src_a"), F.col("_n").alias("n_a")),
+            "src_a",
+        )
+        .join(
+            sizes.select(F.col("_g").alias("src_b"), F.col("_n").alias("n_b")),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            "diff_ab_lb",
+            "diff_ba_lb",
+            F.round(
+                ub.cast("double")
+                / (F.col("n_a") + F.col("n_b") - ub).cast("double"),
+                6,
+            ).alias("jaccard_ub"),
+        )
     )
 
 

@@ -467,6 +467,7 @@ def q206_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KMVJ_K = 256
 _KMVJ_N = 8
+_KMVJ_AUDIT_MOD = 2
 
 
 def q213_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -476,9 +477,14 @@ def q213_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-gram set; each source pair's Jaccard estimate reads <= 2k
     sketch rows — the sketch-sized form of q98's exact overlap
     matrix for when the source count or corpus makes the exact
-    pairwise join unaffordable. The exact-Jaccard audit column rides
-    along (the corpus-scale leg you drop at 100 TB), so the
-    estimator's error is on the record per pair."""
+    pairwise join unaffordable. The exact-Jaccard audit column
+    rides along for a DETERMINISTIC endpoint sample of sources
+    (md5('kmvaud_' || source) % 2 == 0 — the q109 pattern, r14; the
+    r13 every-pair audit WAS the query's entire second-decade
+    growth, exp +0.89 over legs you'd drop at 100 TB anyway), so the
+    estimator's error distribution is on the record without the
+    corpus-scale intersection join covering every pair; unaudited
+    pairs carry NULL exact/abs_err."""
     from ulh_etl_spark.operators.sketch import kmv_jaccard_pairs
     from ulh_etl_spark.operators.text import char_ngrams
 
@@ -487,7 +493,9 @@ def q213_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(char_ngrams(F.col("text"), _KMVJ_N)).alias("gram"),
     )
-    return kmv_jaccard_pairs(el, "gram", "source", k=_KMVJ_K)
+    return kmv_jaccard_pairs(
+        el, "gram", "source", k=_KMVJ_K, audit_mod=_KMVJ_AUDIT_MOD
+    )
 
 
 def _q213_oracle_sql() -> str:
@@ -529,11 +537,17 @@ def _q213_oracle_sql() -> str:
                 FROM un
             ) WHERE urk <= {k}
             GROUP BY src_a, src_b
+        ), aud AS (
+            SELECT g FROM grp
+            WHERE CAST('0x' || substr(md5('kmvaud_' || g), 1, 15)
+                       AS BIGINT) % {_KMVJ_AUDIT_MOD} = 0
+        ), ela AS MATERIALIZED (
+            SELECT el.g, el.h FROM el JOIN aud ON el.g = aud.g
         ), sizes AS (
-            SELECT g, COUNT(*) AS nsz FROM el GROUP BY g
+            SELECT g, COUNT(*) AS nsz FROM ela GROUP BY g
         ), inter AS (
             SELECT a.g AS src_a, b.g AS src_b, COUNT(*) AS i
-            FROM el a JOIN el b ON a.h = b.h AND a.g < b.g
+            FROM ela a JOIN ela b ON a.h = b.h AND a.g < b.g
             GROUP BY 1, 2
         ), ex AS (
             SELECT p.src_a, p.src_b,
@@ -553,11 +567,90 @@ def _q213_oracle_sql() -> str:
         SELECT es.src_a, es.src_b, es.est_jaccard, ex.exact_jaccard,
                round(abs(es.est_jaccard - ex.exact_jaccard), 6) AS abs_err,
                es.k_eff
-        FROM es JOIN ex ON es.src_a = ex.src_a AND es.src_b = ex.src_b
+        FROM es LEFT JOIN ex
+          ON es.src_a = ex.src_a AND es.src_b = ex.src_b
+    """
+
+
+_BDM_BITS = 2016
+_BDM_N = 8
+
+
+def q215_bloom_difference_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-source set-DIFFERENCE screen from constant-size blooms
+    (operators.sketch.bloom_difference_matrix): per source pair, a
+    SOUND lower bound on the 8-gram sets' differences in each
+    direction and the implied Jaccard UPPER bound — the
+    deterministic companion to q213's KMV estimates (an estimate
+    can be argued with; popcount(bloomA & ~bloomB) <= |A \\ B| is a
+    theorem). The screen certifies which source pairs CANNOT overlap
+    enough to matter before any corpus-scale intersection join runs;
+    per pair it reads 2W packed words (W=32 at 2016 bits), whatever
+    the corpus size. Same machinery the r14 q206 pre-verification
+    uses per candidate pair, lifted to the source-matrix grain."""
+    from ulh_etl_spark.operators.sketch import bloom_difference_matrix
+    from ulh_etl_spark.operators.text import char_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    el = docs.select(
+        "source",
+        F.explode(char_ngrams(F.col("text"), _BDM_N)).alias("gram"),
+    )
+    return bloom_difference_matrix(el, "gram", "source", bits=_BDM_BITS)
+
+
+def _q215_oracle_sql() -> str:
+    bits, n = _BDM_BITS, _BDM_N
+    nwords = (bits + 62) // 63
+    md60 = "CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT)"
+    return f"""
+        WITH el AS MATERIALIZED (
+            SELECT DISTINCT g, h FROM (
+                SELECT source AS g, {md60} AS h FROM (
+                    SELECT source,
+                           unnest({O.grams('text', n)}) AS gram
+                    FROM documents
+                )
+            )
+        ), packed AS (
+            SELECT g, CAST((h % {bits}) // 63 AS INT) AS w,
+                   bit_or(CAST(1 AS BIGINT) << CAST((h % {bits}) % 63
+                                                    AS INT)) AS bits
+            FROM el GROUP BY 1, 2
+        ), grp AS (SELECT DISTINCT g FROM el),
+        dense AS (
+            SELECT grp.g, CAST(r.range AS INT) AS w,
+                   COALESCE(p.bits, 0) AS bits
+            FROM grp CROSS JOIN range({nwords}) r
+            LEFT JOIN packed p ON p.g = grp.g AND p.w = r.range
+        ), sizes AS (
+            SELECT g, COUNT(*) AS n FROM el GROUP BY g
+        ), diffs AS (
+            SELECT a.g AS src_a, b.g AS src_b,
+                   SUM(bit_count(a.bits & ~b.bits)) AS diff_ab_lb,
+                   SUM(bit_count(b.bits & ~a.bits)) AS diff_ba_lb
+            FROM dense a JOIN dense b ON a.w = b.w AND a.g < b.g
+            GROUP BY 1, 2
+        )
+        SELECT d.src_a, d.src_b,
+               CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+               CAST(d.diff_ab_lb AS BIGINT) AS diff_ab_lb,
+               CAST(d.diff_ba_lb AS BIGINT) AS diff_ba_lb,
+               round(least(sa.n - d.diff_ab_lb, sb.n - d.diff_ba_lb) * 1.0
+                     / (sa.n + sb.n
+                        - least(sa.n - d.diff_ab_lb,
+                                sb.n - d.diff_ba_lb)),
+                     6) AS jaccard_ub
+        FROM diffs d
+        JOIN sizes sa ON sa.g = d.src_a
+        JOIN sizes sb ON sb.g = d.src_b
     """
 
 
 QUERIES = {
+    "q215_bloom_difference_matrix": q215_bloom_difference_matrix,
     "q34_dedup_exact": q34_dedup_exact,
     "q35_minhash_signature": q35_minhash_signature,
     "q36_minhash_pairs": q36_minhash_pairs,
@@ -615,6 +708,7 @@ _CC_CTE = f"""WITH RECURSIVE hashed AS (
 
 ORACLES = {
     "q213_kmv_source_overlap": _q213_oracle_sql(),
+    "q215_bloom_difference_matrix": _q215_oracle_sql(),
     # q206: brute-force all-pairs exact Jaccard — deliberately NOT a
     # twin of the Spark plan: ground truth, so a hash match proves
     # the prefix-filter candidate rule is complete (no lost pair)

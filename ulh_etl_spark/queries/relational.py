@@ -678,7 +678,56 @@ def q185_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KANON_K = 5
+_KANON_BAL_BUCKET = 1000.0
+
+
+def q216_k_anonymity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer quasi-identifier tuple
+    (nation, market segment, account-balance bucket of 1000): the
+    privacy gate a training-data pipeline runs BEFORE releasing
+    joined/derived records — a row is re-identifiable when its
+    equivalence class (all rows sharing its quasi-identifiers) has
+    fewer than k members (Sweeney 2002, "k-anonymity: a model for
+    protecting privacy"). One row per class SIZE with the class
+    count, row count, and whether that size violates k=5 — the
+    histogram form tells you both how bad the tail is and how much
+    generalization (coarser buckets) would cost.
+
+    Scale: one groupBy on the quasi-identifier tuple (uniform
+    composite key), then a groupBy on the class size (at most
+    |distinct sizes| rows) — nothing wider than the dimension
+    table itself. 100 TB of events joined to this dimension
+    inherits the same audit by auditing the dimension."""
+    cust = load_table(spark, sf_dir, "customer")
+    classes = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / F.lit(_KANON_BAL_BUCKET))
+            .cast("long")
+            .alias("bal_bucket"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+        .agg(F.count("*").alias("_k"))
+    )
+    return (
+        classes.groupBy(F.col("_k").alias("class_size"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_classes"),
+            (F.count("*") * F.first("_k")).cast("bigint").alias("n_rows"),
+        )
+        .select(
+            F.col("class_size").cast("bigint").alias("class_size"),
+            "n_classes",
+            "n_rows",
+            (F.col("class_size") < _KANON_K).alias("violates_k5"),
+        )
+    )
+
+
 QUERIES = {
+    "q216_k_anonymity_profile": q216_k_anonymity_profile,
     "q185_join_size_sketch": q185_join_size_sketch,
     "q182_partition_pruned_totals": q182_partition_pruned_totals,
     "q177_bloom_join_reduction": q177_bloom_join_reduction,
@@ -713,6 +762,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q216_k_anonymity_profile": f"""
+        WITH classes AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(floor(c_acctbal / {_KANON_BAL_BUCKET}) AS BIGINT)
+                       AS bal_bucket,
+                   COUNT(*) AS k
+            FROM customer
+            GROUP BY 1, 2, 3
+        )
+        SELECT CAST(k AS BIGINT) AS class_size,
+               CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(COUNT(*) * k AS BIGINT) AS n_rows,
+               k < {_KANON_K} AS violates_k5
+        FROM classes GROUP BY k
+    """,
     "q185_join_size_sketch": f"""
         WITH lk AS (
             SELECT CAST(o_orderkey AS VARCHAR) AS token FROM orders

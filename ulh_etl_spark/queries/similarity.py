@@ -51,6 +51,121 @@ def q154_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.rrf_fuse([dense, lex], k_const=60, topk=_K)
 
 
+# log2 discounts for nDCG, computed ONCE driver-side and embedded as
+# the SAME double literals in the Spark plan and the oracle SQL — so
+# neither engine's log() implementation (not guaranteed bit-identical
+# across libm builds) ever runs inside the query.
+import math as _math
+
+_NDCG_W = [1.0 / _math.log2(p + 1) for p in range(1, _K + 1)]
+# grade cut points sit at the corpus's p99.9/p99/p90 cosine levels
+# (max pairwise cosine on the synthetic embeddings is ~0.40) — the
+# usual "calibrate the qrels to the score distribution" step
+_NDCG_GRADES = ((0.3, 7.0), (0.25, 3.0), (0.16, 1.0))  # (cos6 >=, 2^rel-1)
+
+
+def q217_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation: nDCG@10 of the LEXICAL retrieval
+    leg (q154's distinct-token-overlap ranking) against graded
+    relevance derived from exact embedding cosine (>= 0.9 -> grade
+    3, >= 0.75 -> 2, >= 0.6 -> 1 on the ROUNDED-to-6 cosine, so the
+    grade boundaries are engine-exact) — the eval harness a
+    retrieval pipeline runs per release: does the cheap lexical
+    stage surface what the dense ground truth says is relevant?
+    DCG = sum over positions of (2^rel - 1) / log2(pos + 1); the
+    log2 discounts are PRECOMPUTED driver-side and embedded as
+    identical double literals in both engines, and both DCG and the
+    per-query ideal DCG fold their terms in position order
+    (array_sort -> aggregate / list ORDER BY -> list_sum), so the
+    floating sums are bit-identical cross-engine.
+
+    Scale: the relevance leg is |corpus| x |queries| narrow rows
+    (the cosine_topk contract — queries broadcast, corpus never
+    shuffles); the DCG legs run on queries x 10 rows. Output:
+    (query_id, dcg, idcg, ndcg), ndcg = 0 where no relevant item
+    exists."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    qd = docs.filter(F.col("doc_id") < _N_QUERIES)
+    qv = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    lex = S.token_overlap_topk(docs, qd, "text", "doc_id", k=_K)
+    gain = F.when(F.col("_c6") >= _NDCG_GRADES[0][0], F.lit(_NDCG_GRADES[0][1]))
+    for thr, g in _NDCG_GRADES[1:]:
+        gain = gain.when(F.col("_c6") >= thr, F.lit(g))
+    gain = gain.otherwise(F.lit(0.0))
+    rel = (
+        emb.select(
+            F.col("vec_id").alias("item_id"), F.col("embedding").alias("_iv")
+        )
+        .crossJoin(F.broadcast(qv))
+        .filter(F.col("item_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "item_id",
+            F.round(S.cosine(F.col("_qv"), F.col("_iv")), 6).alias("_c6"),
+        )
+        .select("query_id", "item_id", gain.alias("_gain"))
+    )
+    warr = F.array(*[F.lit(w) for w in _NDCG_W])
+
+    def _fold_dcg(terms: DataFrame, out: str) -> DataFrame:
+        return terms.groupBy("query_id").agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("_p").alias("p"), F.col("_t").alias("t"))
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["t"],
+            ).alias(out)
+        )
+
+    dcg = _fold_dcg(
+        lex.join(rel, ["query_id", "item_id"], "left").select(
+            "query_id",
+            F.col("rank").alias("_p"),
+            (
+                F.coalesce(F.col("_gain"), F.lit(0.0))
+                * F.element_at(warr, F.col("rank"))
+            ).alias("_t"),
+        ),
+        "_dcg",
+    )
+    widl = Window.partitionBy("query_id").orderBy(
+        F.col("_gain").desc(), F.col("item_id")
+    )
+    idcg = _fold_dcg(
+        rel.filter(F.col("_gain") > 0)
+        .withColumn("_p", F.row_number().over(widl))
+        .filter(F.col("_p") <= _K)
+        .select(
+            "query_id",
+            "_p",
+            (F.col("_gain") * F.element_at(warr, F.col("_p"))).alias("_t"),
+        ),
+        "_idcg",
+    )
+    return (
+        dcg.join(idcg, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.col("_dcg"), 6).alias("dcg"),
+            F.round(F.coalesce(F.col("_idcg"), F.lit(0.0)), 6).alias("idcg"),
+            F.when(
+                F.coalesce(F.col("_idcg"), F.lit(0.0)) > 0,
+                F.round(F.col("_dcg") / F.col("_idcg"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ndcg"),
+        )
+    )
+
+
 def q155_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieval: q42's IVF probe supplies the candidate
     set (recall stage, partition-prunable at scale), then an
@@ -1584,6 +1699,7 @@ QUERIES = {
     "q111_pq_encode": q111_pq_encode,
     "q151_sq8_encode": q151_sq8_encode,
     "q154_hybrid_rrf": q154_hybrid_rrf,
+    "q217_ndcg_eval": q217_ndcg_eval,
     "q155_rerank_topk": q155_rerank_topk,
     "q112_pq_adc_recall": q112_pq_adc_recall,
     "q119_ivfpq_topk": q119_ivfpq_topk,
@@ -2954,6 +3070,71 @@ ORACLES = {
     # construction); lexical leg = distinct-token overlap with the
     # identical desc/id tiebreak; fusion sums dense-then-lex 1/(60+r)
     # and ranks on the ROUNDED score exactly like rrf_fuse
+    "q217_ndcg_eval": f"""
+        WITH qv AS (
+            SELECT vec_id AS query_id, embedding FROM embeddings
+            WHERE vec_id < {_N_QUERIES}
+        ), rel AS MATERIALIZED (
+            SELECT query_id, item_id,
+                   CASE WHEN c6 >= {_NDCG_GRADES[0][0]!r}
+                            THEN {_NDCG_GRADES[0][1]!r}
+                        WHEN c6 >= {_NDCG_GRADES[1][0]!r}
+                            THEN {_NDCG_GRADES[1][1]!r}
+                        WHEN c6 >= {_NDCG_GRADES[2][0]!r}
+                            THEN {_NDCG_GRADES[2][1]!r}
+                        ELSE 0.0 END AS gain
+            FROM (
+                SELECT b.query_id, a.vec_id AS item_id,
+                       round({_COS_AB}, 6) AS c6
+                FROM embeddings a JOIN qv b ON a.vec_id <> b.query_id
+            )
+        ), lexq AS (
+            SELECT doc_id AS query_id,
+                   list_distinct({O.ws_tokens('lower(text)')}) AS qt
+            FROM documents WHERE doc_id < {_N_QUERIES}
+        ), lexc AS (
+            SELECT doc_id AS item_id,
+                   list_distinct({O.ws_tokens('lower(text)')}) AS ct
+            FROM documents
+        ), lexr AS (
+            SELECT query_id, item_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY ov DESC, item_id) AS rank
+            FROM (
+                SELECT q.query_id, c.item_id,
+                       len(list_intersect(q.qt, c.ct)) AS ov
+                FROM lexq q, lexc c WHERE c.item_id <> q.query_id
+            )
+        ), w AS (
+            SELECT {list(_NDCG_W)!r} AS ws
+        ), dcg AS (
+            SELECT l.query_id AS query_id,
+                   list_sum(list(COALESCE(r.gain, 0.0)
+                                 * (SELECT ws FROM w)[l.rank]
+                            ORDER BY l.rank)) AS dcg
+            FROM lexr l LEFT JOIN rel r
+              ON r.query_id = l.query_id AND r.item_id = l.item_id
+            WHERE l.rank <= {_K}
+            GROUP BY l.query_id
+        ), idcg AS (
+            SELECT query_id,
+                   list_sum(list(gain * (SELECT ws FROM w)[p]
+                            ORDER BY p)) AS idcg
+            FROM (
+                SELECT query_id, gain,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY gain DESC, item_id)
+                           AS p
+                FROM rel WHERE gain > 0
+            ) WHERE p <= {_K}
+            GROUP BY query_id
+        )
+        SELECT d.query_id, round(d.dcg, 6) AS dcg,
+               round(COALESCE(i.idcg, 0.0), 6) AS idcg,
+               CASE WHEN COALESCE(i.idcg, 0.0) > 0
+                    THEN round(d.dcg / i.idcg, 6) ELSE 0.0 END AS ndcg
+        FROM dcg d LEFT JOIN idcg i ON d.query_id = i.query_id
+    """,
     "q154_hybrid_rrf": f"""
         WITH dense AS (
             SELECT query_id, neighbor_id AS item_id, rank
