@@ -179,6 +179,11 @@ HEADLINE = (
     "q212_sliding_cube_incremental",
     "q213_kmv_source_overlap",
     "q214_priority_sample_sums",
+    "q215_bloom_difference_matrix",
+    "q216_k_anonymity_profile",
+    "q217_ndcg_eval",
+    "q218_rank_biased_overlap",
+    "q219_greedy_coverage_picks",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",
@@ -353,9 +358,17 @@ ANCHOR = {
     "q185_join_size_sketch": 2.697,
     # r11 batch (min-of-3 warm, quiet box, post single-pass nprobe fix)
     "q186_knn_graph_multiprobe": 6.539,
-    "q187_knn_recall_uplift": 2.508,
+    # q187/q189/q205 re-anchored r14 (floor-1.00 min-of-3 session):
+    # the graph-family default rose nprobe 2 -> 6 (recall 0.36 ->
+    # 0.71@4, the q204-priced point), so the multi-probe legs rank
+    # ~3x the candidates — a semantics change, not a regression; the
+    # untouched-semantics family members stayed UNDER their old
+    # anchors even with 3x probes (q160 5.23 vs 6.11, q186 1.78 vs
+    # 6.54, q188 2.93 vs 7.06, q201 9.92 vs 19.82 — the r14 fold-
+    # exact scoring kernel), so those anchors are kept.
+    "q187_knn_recall_uplift": 3.665,
     "q188_nn_descent": 7.06,
-    "q189_nn_descent_recall": 2.901,
+    "q189_nn_descent_recall": 3.143,
     "q190_unigram_vocab": 7.259,
     "q191_unigram_fertility": 5.018,
     "q192_quantile_registers": 0.216,
@@ -383,7 +396,7 @@ ANCHOR = {
     "q203_group_quantiles": 0.356,
     # r13 first anchors (suite min-of-3, floor_ratio 1.00 session):
     "q204_recall_cost_curve": 3.179,
-    "q205_nn_descent_random_init": 13.967,
+    "q205_nn_descent_random_init": 17.405,  # re-anchored r14, see q187
     "q206_prefix_filter_pairs": 3.926,
     "q207_pca_top_component": 1.227,
     "q208_sliding_distinct_users": 0.577,
@@ -391,6 +404,16 @@ ANCHOR = {
     "q210_kmeans_parallel_init": 1.407,
     "q211_kmeans_parallel_recluster": 1.773,
     "q212_sliding_cube_incremental": 0.926,
+    # r14 first anchors (dedicated min-of-3, floor_ratio 1.00
+    # session). q213 carries the r14 semantics (endpoint-sampled
+    # audit legs + distinct-before-hash build).
+    "q213_kmv_source_overlap": 2.205,
+    "q214_priority_sample_sums": 0.833,
+    "q215_bloom_difference_matrix": 0.988,
+    "q216_k_anonymity_profile": 0.228,
+    "q217_ndcg_eval": 0.924,
+    "q218_rank_biased_overlap": 0.855,
+    "q219_greedy_coverage_picks": 2.032,
     # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's
     # cost is the in-order pair fan-out (O(sum basket²), baskets ~4).
     "q128_event_transitions": 0.735,

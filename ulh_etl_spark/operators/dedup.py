@@ -1696,3 +1696,81 @@ def corpus_diff(
     return o.join(n, id_col, "full_outer").select(
         id_col, status.alias("status"), "old_fp", "new_fp"
     )
+
+
+def greedy_max_coverage(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    n: int = 8,
+) -> DataFrame:
+    """Greedy maximum-coverage data selection (the classic (1-1/e)
+    submodular greedy — Nemhauser, Wolsey & Fisher 1978): pick k
+    documents one at a time, each maximizing the number of distinct
+    n-grams NOT yet covered by the picks so far — the
+    facility-location-style "most diverse k docs" primitive behind
+    coreset selection and seed-set curation for training mixes.
+    Deterministic throughout: gains are integer set sizes, ties
+    break on the lowest id, so a SQL replay of the same k rounds is
+    an exact oracle. Selection stops early if no remaining document
+    adds a single new gram (pure duplicates of the covered union).
+
+    Scale: k rounds, each ONE left-anti join of the exploded
+    (id, gram) relation against the covered-gram set (<= k x
+    |doc grams| rows — broadcastable) and one partial-aggregated
+    count per doc; the (id, gram) relation is computed once and
+    persisted. The argmax collect is 1 row/round. Never any
+    pairwise relation.
+
+    Output: (pick, doc_id, gain, covered_total) — pick is 1-based
+    selection order, covered_total the running union size."""
+    from ulh_etl_spark.cache import track
+    from ulh_etl_spark.operators.text import char_ngrams
+
+    spark = df.sparkSession
+    g = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.array_distinct(char_ngrams(F.col(text_col), n))
+            ).alias("_h"),
+        )
+        .persist()
+    )
+    track(g)
+    covered = None
+    chosen: list = []
+    rows = []
+    total = 0
+    for pick in range(1, k + 1):
+        rem = g
+        if chosen:
+            rem = rem.filter(~F.col("_id").isin(chosen))
+        if covered is not None:
+            rem = rem.join(F.broadcast(covered), "_h", "left_anti")
+        top = (
+            rem.groupBy("_id")
+            .agg(F.count("*").alias("_gain"))
+            .orderBy(F.col("_gain").desc(), F.col("_id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["_gain"] == 0:
+            break
+        doc, gain = top[0]["_id"], int(top[0]["_gain"])
+        total += gain
+        rows.append((pick, doc, gain, total))
+        chosen.append(doc)
+        new_cov = g.filter(F.col("_id") == doc).select("_h").distinct()
+        covered = (
+            new_cov if covered is None
+            else covered.union(new_cov).distinct()
+        )
+        # k is small; the covered set stays driver-broadcastable and
+        # re-derives from the persisted g, so no checkpoint needed
+    id_type = df.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(
+        rows,
+        f"pick int, doc_id {id_type}, gain bigint, covered_total bigint",
+    )

@@ -31,9 +31,78 @@ def q74_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate(docs, cfg).select("doc_id", "quality", "n_tokens", "split")
 
 
-QUERIES = {"q74_curate_corpus": q74_curate_corpus}
+_COV_K = 5
+_COV_N = 8
+
+
+def q219_greedy_coverage_picks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Submodular data selection: the greedy maximum-coverage pick of
+    the 5 documents that together cover the most distinct 8-grams
+    (operators.dedup.greedy_max_coverage — Nemhauser/Wolsey/Fisher's
+    (1-1/e) greedy). The "most diverse k docs" primitive behind
+    coreset selection and seed-set curation for training mixes; the
+    oracle replays the identical k rounds as unrolled CTEs (integer
+    gains, lowest-id ties), so every pick, gain, and running union
+    size is hash-checked."""
+    from ulh_etl_spark.operators.dedup import greedy_max_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return greedy_max_coverage(docs, "text", "doc_id", k=_COV_K, n=_COV_N)
+
+
+def _q219_oracle_sql() -> str:
+    rounds = []
+    for i in range(2, _COV_K + 1):
+        prev_picks = " UNION ALL ".join(
+            f"SELECT doc_id FROM p{j}" for j in range(1, i)
+        )
+        rounds.append(f"""
+        , p{i} AS (
+            SELECT g.doc_id, COUNT(*) AS gain FROM g
+            WHERE g.doc_id NOT IN ({prev_picks})
+              AND g.h NOT IN (SELECT h FROM c{i - 1})
+            GROUP BY 1 ORDER BY gain DESC, g.doc_id LIMIT 1
+        ), c{i} AS (
+            SELECT h FROM c{i - 1}
+            UNION
+            SELECT g.h FROM g JOIN p{i} ON g.doc_id = p{i}.doc_id
+        )""")
+        # c_i is a UNION (set) of covered grams — the running union
+    picks_union = " UNION ALL ".join(
+        f"SELECT {i} AS pick, doc_id, gain FROM p{i}"
+        for i in range(1, _COV_K + 1)
+    )
+    return f"""
+        WITH g AS MATERIALIZED (
+            SELECT DISTINCT doc_id, h FROM (
+                SELECT doc_id,
+                       unnest(list_distinct({O.grams('text', _COV_N)}))
+                           AS h
+                FROM documents
+            )
+        ), p1 AS (
+            SELECT doc_id, COUNT(*) AS gain FROM g
+            GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1
+        ), c1 AS (
+            SELECT DISTINCT g.h FROM g JOIN p1 ON g.doc_id = p1.doc_id
+        ){''.join(rounds)}
+        SELECT CAST(pick AS INT) AS pick, doc_id,
+               CAST(gain AS BIGINT) AS gain,
+               CAST(SUM(gain) OVER (ORDER BY pick) AS BIGINT)
+                   AS covered_total
+        FROM ({picks_union})
+    """
+
+
+QUERIES = {
+    "q74_curate_corpus": q74_curate_corpus,
+    "q219_greedy_coverage_picks": q219_greedy_coverage_picks,
+}
 
 ORACLES = {
+    "q219_greedy_coverage_picks": _q219_oracle_sql(),
     "q74_curate_corpus": f"""
         WITH ann AS (
             SELECT doc_id, text,

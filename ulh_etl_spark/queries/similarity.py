@@ -166,6 +166,94 @@ def q217_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# RBO weights (Webber, Moffat & Zobel, TOIS 2010): truncated
+# rank-biased overlap at depth K with persistence p — the weight of
+# depth d is (1-p)·p^(d-1), precomputed driver-side like _NDCG_W so
+# no pow() runs inside either engine.
+_RBO_P = 0.9
+_RBO_W = [(1.0 - _RBO_P) * _RBO_P ** (d - 1) for d in range(1, _K + 1)]
+
+
+def q218_rank_biased_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ranker-agreement metric: truncated rank-biased overlap (RBO@10,
+    p=0.9) between the DENSE ranking (exact cosine top-10) and the
+    LEXICAL ranking (distinct-token-overlap top-10) per query — the
+    top-weighted comparison you run when swapping retrieval stages:
+    unlike Kendall/Spearman it never needs the full permutation and
+    weights the head geometrically, so rank-1 disagreements dominate
+    (Webber et al. TOIS 2010). RBO = sum over depths d of
+    (1-p)·p^(d-1) · |prefix_d(A) ∩ prefix_d(B)| / d; both engines
+    fold depths 1..10 in order over the SAME driver-computed weight
+    literals, and the prefix intersections are integer set sizes —
+    the whole metric is exact cross-engine.
+
+    Scale: the two ranking legs are the q154 shapes (queries
+    broadcast, corpus never shuffles, one top-k window each); the
+    RBO fold runs on queries x 1 collected arrays of 10 ids.
+
+    Output: (query_id, rbo, overlap_at_k) — overlap_at_k is the raw
+    depth-K agreement |A ∩ B|/K, the un-weighted companion."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    qv = emb.filter(F.col("vec_id") < _N_QUERIES)
+    qd = docs.filter(F.col("doc_id") < _N_QUERIES)
+    dense = S.cosine_topk(emb, qv, k=_K).select(
+        "query_id", F.col("neighbor_id").alias("item_id"), "rank"
+    )
+    lex = S.token_overlap_topk(docs, qd, "text", "doc_id", k=_K).select(
+        "query_id", "item_id", "rank"
+    )
+
+    def _ranked_array(leg: DataFrame, out: str) -> DataFrame:
+        return leg.groupBy("query_id").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("rank").alias("r"),
+                            F.col("item_id").alias("i"),
+                        )
+                    )
+                ),
+                lambda x: x["i"],
+            ).alias(out)
+        )
+
+    warr = F.array(*[F.lit(w) for w in _RBO_W])
+    a = _ranked_array(dense, "_a")
+    b = _ranked_array(lex, "_b")
+    depth_term = lambda d: (  # noqa: E731
+        F.element_at(warr, d)
+        * F.size(
+            F.array_intersect(
+                F.slice(F.col("_a"), 1, d), F.slice(F.col("_b"), 1, d)
+            )
+        ).cast("double")
+        / d.cast("double")
+    )
+    return (
+        a.join(b, "query_id")
+        .select(
+            "query_id",
+            F.round(
+                F.aggregate(
+                    F.sequence(F.lit(1), F.lit(_K)),
+                    F.lit(0.0),
+                    lambda acc, d: acc + depth_term(d),
+                ),
+                6,
+            ).alias("rbo"),
+            F.round(
+                F.size(F.array_intersect("_a", "_b")).cast("double")
+                / F.lit(float(_K)),
+                6,
+            ).alias("overlap_at_k"),
+        )
+    )
+
+
 def q155_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieval: q42's IVF probe supplies the candidate
     set (recall stage, partition-prunable at scale), then an
@@ -1700,6 +1788,7 @@ QUERIES = {
     "q151_sq8_encode": q151_sq8_encode,
     "q154_hybrid_rrf": q154_hybrid_rrf,
     "q217_ndcg_eval": q217_ndcg_eval,
+    "q218_rank_biased_overlap": q218_rank_biased_overlap,
     "q155_rerank_topk": q155_rerank_topk,
     "q112_pq_adc_recall": q112_pq_adc_recall,
     "q119_ivfpq_topk": q119_ivfpq_topk,
@@ -3070,6 +3159,44 @@ ORACLES = {
     # construction); lexical leg = distinct-token overlap with the
     # identical desc/id tiebreak; fusion sums dense-then-lex 1/(60+r)
     # and ranks on the ROUNDED score exactly like rrf_fuse
+    "q218_rank_biased_overlap": f"""
+        WITH dense AS (
+            SELECT query_id, neighbor_id AS item_id, rank
+            FROM ({_Q39_SQL})
+        ), lexq AS (
+            SELECT doc_id AS query_id,
+                   list_distinct({O.ws_tokens('lower(text)')}) AS qt
+            FROM documents WHERE doc_id < {_N_QUERIES}
+        ), lexc AS (
+            SELECT doc_id AS item_id,
+                   list_distinct({O.ws_tokens('lower(text)')}) AS ct
+            FROM documents
+        ), lexr AS (
+            SELECT query_id, item_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY ov DESC, item_id) AS rank
+            FROM (
+                SELECT q.query_id, c.item_id,
+                       len(list_intersect(q.qt, c.ct)) AS ov
+                FROM lexq q, lexc c WHERE c.item_id <> q.query_id
+            )
+        ), da AS (
+            SELECT query_id, list(item_id ORDER BY rank) AS a
+            FROM dense GROUP BY query_id
+        ), db AS (
+            SELECT query_id, list(item_id ORDER BY rank) AS b
+            FROM lexr WHERE rank <= {_K} GROUP BY query_id
+        )
+        SELECT da.query_id,
+               round(list_sum(list_transform(
+                   generate_series(1, {_K}), d ->
+                       {list(_RBO_W)!r}[d]
+                       * len(list_intersect(a[1:d], b[1:d])) * 1.0
+                       / d)), 6) AS rbo,
+               round(len(list_intersect(a, b)) * 1.0 / {_K}, 6)
+                   AS overlap_at_k
+        FROM da JOIN db ON da.query_id = db.query_id
+    """,
     "q217_ndcg_eval": f"""
         WITH qv AS (
             SELECT vec_id AS query_id, embedding FROM embeddings
