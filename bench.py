@@ -184,6 +184,8 @@ HEADLINE = (
     "q217_ndcg_eval",
     "q218_rank_biased_overlap",
     "q219_greedy_coverage_picks",
+    "q220_knn_hits",
+    "q221_knn_hubness",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",
@@ -400,7 +402,12 @@ ANCHOR = {
     "q206_prefix_filter_pairs": 3.926,
     "q207_pca_top_component": 1.227,
     "q208_sliding_distinct_users": 0.577,
-    "q209_kcore_peel": 1.167,
+    # q209 re-anchored r14: mutual_knn_edges now EAGERLY materializes
+    # the kNN persist before the fwd/rev self-join (the sf10 double-
+    # build race fix, SCALE.md r14 — 51.1 -> 12.7 s at sf10). At
+    # sf0.1 that serializes ~0.8 s of build the lazy race used to
+    # overlap; dedicated floor-1.08 min-of-3 reads 2.35 s.
+    "q209_kcore_peel": 2.35,
     "q210_kmeans_parallel_init": 1.407,
     "q211_kmeans_parallel_recluster": 1.773,
     "q212_sliding_cube_incremental": 0.926,
@@ -414,6 +421,10 @@ ANCHOR = {
     "q217_ndcg_eval": 0.924,
     "q218_rank_biased_overlap": 0.855,
     "q219_greedy_coverage_picks": 2.032,
+    # q220/q221 first anchors from a floor-1.43 session — conservative
+    # by construction (the r12 precedent).
+    "q220_knn_hits": 5.291,
+    "q221_knn_hubness": 1.397,
     # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's
     # cost is the in-order pair fan-out (O(sum basket²), baskets ~4).
     "q128_event_transitions": 0.735,

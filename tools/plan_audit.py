@@ -163,6 +163,15 @@ SHUFFLE_BUDGET = {
     # pair groupBy (5-6), sizes groupBy (7) — every relation past
     # the first distinct is |groups| x W.
     "q215_bloom_difference_matrix": 7,
+    # q220 HITS: the final plan joins the node universe (union
+    # distinct, 1) with the last hub and authority gathers (each one
+    # id-keyed join + partial-agg sum over the persisted edge
+    # relation, 2 each) — earlier rounds ran eagerly behind persists.
+    "q220_knn_hits": 5,
+    # q221 hubness: the kNN build's cogroup (2) + rank window (1) +
+    # the in-degree groupBy (1) + the k-occurrence groupBy (1) — each
+    # exchange a strictly smaller relation than the last.
+    "q221_knn_hubness": 5,
     # q217 nDCG: lexical rank window (1), relevance broadcast join is
     # narrow, DCG fold groupBy (2), ideal rank window (3) + fold
     # groupBy (4), final join (5) — all over queries x corpus narrow

@@ -327,3 +327,86 @@ def kcore_peel(
     for c in counts[1:]:
         out = out.unionByName(c)
     return out
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM 1999) over a DIRECTED
+    edge relation — on a kNN graph the asymmetry is the interesting
+    part: a high-AUTHORITY vector is one many other vectors choose as
+    a near neighbor (the hub-vector pathology that mutual-edge
+    filtering strips), while hubs are the choosers. Fixed
+    ``iterations`` of the standard alternating update with
+    MAX-normalization each half-step:
+
+        a(v) = sum_{u -> v} h(u);  a /= max(a)
+        h(u) = sum_{u -> v} a(v);  h /= max(h)
+
+    max, unlike an L2 norm, is exactly order-insensitive, so the
+    only cross-engine float slack is the neighbor-SUM partial order
+    — absorbed by the output rounding, the same contract as
+    :func:`pagerank`. Each normalizer is a one-scalar driver
+    collect off a persisted gather (a model relation by the
+    centroid-collect policy).
+
+    Scale: per half-step one equi-join + one partial-aggregated sum
+    on uniformly hashed node ids; on a kNN graph out-degree is
+    exactly k, and skewed IN-degree (the hubs being measured) is
+    precisely what AQE's skew-join handles. Nodes that never occur
+    as a destination keep authority 0 (never gathered).
+
+    Output: (node, hub, authority), both rounded to 6; hub/authority
+    are 0 for nodes outside the respective support."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = track(
+        edges.select(
+            F.col(src).alias("_s"), F.col(dst).alias("_d")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = track(
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    h = nodes.select("node", F.lit(1.0).alias("_h"))
+    a = None
+    for _ in range(iterations):
+        araw = track(
+            e.join(h, e["_s"] == h["node"])
+            .groupBy("_d")
+            .agg(F.sum("_h").alias("_ar"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        amax = araw.agg(F.max("_ar")).collect()[0][0]
+        a = araw.select(
+            F.col("_d").alias("node"),
+            (F.col("_ar") / F.lit(float(amax))).alias("_a"),
+        )
+        hraw = track(
+            e.join(a, e["_d"] == a["node"])
+            .groupBy("_s")
+            .agg(F.sum("_a").alias("_hr"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        hmax = hraw.agg(F.max("_hr")).collect()[0][0]
+        h = hraw.select(
+            F.col("_s").alias("node"),
+            (F.col("_hr") / F.lit(float(hmax))).alias("_h"),
+        )
+    return (
+        nodes.join(h, "node", "left")
+        .join(a, "node", "left")
+        .select(
+            "node",
+            F.round(F.coalesce(F.col("_h"), F.lit(0.0)), 6).alias("hub"),
+            F.round(F.coalesce(F.col("_a"), F.lit(0.0)), 6).alias(
+                "authority"
+            ),
+        )
+    )

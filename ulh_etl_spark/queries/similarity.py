@@ -1025,6 +1025,64 @@ def q169_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=_PR_ITER, damping=_PR_DAMPING)
 
 
+_HITS_ITER = 3
+
+
+def q220_knn_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the DIRECTED two-level kNN graph
+    (operators.graph.hits, Kleinberg JACM'99, 3 max-normalized
+    rounds): the hubness measurement the mutual-edge filter only
+    hides — a high-AUTHORITY vector is chosen as a neighbor by many
+    vectors (the kNN-graph pathology that biases NN-Descent and
+    label propagation), hubs are the choosers. PageRank (q169) ranks
+    the symmetric graph; this ranks the asymmetry itself. Directed
+    out-degree is exactly k, so every gather is degree-bounded on
+    the hub side only — exactly what AQE skew-join splits; the fixed
+    round count unrolls into one SQL oracle (max normalization is
+    order-exact; the neighbor-sum slack is absorbed by the output
+    rounding, the q169 contract)."""
+    from ulh_etl_spark.operators.graph import hits
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = S.knn_graph(
+        emb, _adaptive_centroids(emb), k=_KNN_K, two_level=True
+    )
+    return hits(
+        knn.select(
+            F.col("vec_id").alias("src"),
+            F.col("neighbor_id").alias("dst"),
+        ),
+        iterations=_HITS_ITER,
+    )
+
+
+def q221_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the production kNN graph: the k-OCCURRENCE
+    histogram — how many vectors are chosen as a neighbor 0, 1, 2,
+    ... times (Radovanovic et al. JMLR 2010: high-dimensional spaces
+    grow heavy right tails; antihubs at 0 are unreachable by
+    graph-based search, hubs distort NN-Descent and kNN
+    classification). One groupBy on neighbor_id + one left join to
+    keep the 0-occurrence vectors visible + one groupBy on the
+    count. Output: (k_occurrence, n_vectors)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = S.knn_graph(
+        emb, _adaptive_centroids(emb), k=_KNN_K, two_level=True
+    )
+    ind = knn.groupBy("neighbor_id").agg(F.count("*").alias("_k"))
+    return (
+        emb.select("vec_id")
+        .join(ind, emb["vec_id"] == ind["neighbor_id"], "left")
+        .select(F.coalesce(F.col("_k"), F.lit(0)).alias("k_occurrence"))
+        .groupBy("k_occurrence")
+        .agg(F.count("*").cast("bigint").alias("n_vectors"))
+        .select(
+            F.col("k_occurrence").cast("bigint").alias("k_occurrence"),
+            "n_vectors",
+        )
+    )
+
+
 def q170_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over
     the mutual-kNN graph (operators.graph.triangle_stats): separates
@@ -1769,6 +1827,8 @@ QUERIES = {
     "q181_embedding_outliers": q181_embedding_outliers,
     "q175_label_propagation": q175_label_propagation,
     "q169_knn_pagerank": q169_knn_pagerank,
+    "q220_knn_hits": q220_knn_hits,
+    "q221_knn_hubness": q221_knn_hubness,
     "q170_knn_triangles": q170_knn_triangles,
     "q174_embedding_ks_drift": q174_embedding_ks_drift,
     "q39_cosine_topk": q39_cosine_topk,
@@ -2193,6 +2253,51 @@ def _graph_ctes(knn_sql: str) -> str:
 _GRAPH_CTES = _graph_ctes(_Q159_SQL)
 
 
+def _q220_oracle_sql() -> str:
+    """q220's oracle: the HITS recursion unrolled — each half-step's
+    gather SUM + the max-normalizing division written as the same
+    operation sequence as operators.graph.hits; max (unlike an L2
+    norm) is order-exact, so the only slack is the q169 neighbor-sum
+    convention, absorbed by round(., 6)."""
+    parts = [
+        f"""
+        WITH knn AS MATERIALIZED (
+            {_Q199_SQL}
+        ), e AS MATERIALIZED (
+            SELECT vec_id AS s, neighbor_id AS d FROM knn
+        ), n AS MATERIALIZED (
+            SELECT s AS node FROM e
+            UNION
+            SELECT d FROM e
+        ), h0 AS (SELECT node, 1.0 AS h FROM n)"""
+    ]
+    for i in range(1, _HITS_ITER + 1):
+        parts.append(f"""
+        , ar{i} AS MATERIALIZED (
+            SELECT e.d, SUM(h{i - 1}.h) AS ar
+            FROM e JOIN h{i - 1} ON e.s = h{i - 1}.node GROUP BY e.d
+        ), a{i} AS MATERIALIZED (
+            SELECT d AS node, ar / (SELECT MAX(ar) FROM ar{i}) AS a
+            FROM ar{i}
+        ), hr{i} AS MATERIALIZED (
+            SELECT e.s, SUM(a{i}.a) AS hr
+            FROM e JOIN a{i} ON e.d = a{i}.node GROUP BY e.s
+        ), h{i} AS MATERIALIZED (
+            SELECT s AS node, hr / (SELECT MAX(hr) FROM hr{i}) AS h
+            FROM hr{i}
+        )""")
+    k = _HITS_ITER
+    parts.append(f"""
+        SELECT n.node,
+               round(COALESCE(h{k}.h, 0.0), 6) AS hub,
+               round(COALESCE(a{k}.a, 0.0), 6) AS authority
+        FROM n
+        LEFT JOIN h{k} ON n.node = h{k}.node
+        LEFT JOIN a{k} ON n.node = a{k}.node
+    """)
+    return "".join(parts)
+
+
 def _pagerank_oracle_sql(graph_ctes: str = _GRAPH_CTES) -> str:
     """q169's oracle: the engine's recursion unrolled — every float
     step written as the same operation sequence (base and init
@@ -2608,6 +2713,21 @@ ORACLES = {
         FROM a2 a LEFT JOIN seeds s ON a.node = s.node
     """,
     "q169_knn_pagerank": _pagerank_oracle_sql(_GRAPH_CTES_TL),
+    "q220_knn_hits": _q220_oracle_sql(),
+    "q221_knn_hubness": f"""
+        WITH knn AS MATERIALIZED (
+            {_Q199_SQL}
+        ), ind AS (
+            SELECT neighbor_id, COUNT(*) AS k FROM knn GROUP BY 1
+        )
+        SELECT CAST(k_occurrence AS BIGINT) AS k_occurrence,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors
+        FROM (
+            SELECT COALESCE(i.k, 0) AS k_occurrence
+            FROM embeddings v LEFT JOIN ind i
+              ON v.vec_id = i.neighbor_id
+        ) GROUP BY k_occurrence
+    """,
     "q170_knn_triangles": _triangle_sql(_GRAPH_CTES_TL),
     "q198_two_level_cells": _Q198_SQL,
     "q199_knn_graph_two_level": _Q199_SQL,
