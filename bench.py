@@ -186,6 +186,8 @@ HEADLINE = (
     "q219_greedy_coverage_picks",
     "q220_knn_hits",
     "q221_knn_hubness",
+    "q222_cusum_changepoints",
+    "q223_order_cube",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",
@@ -425,6 +427,8 @@ ANCHOR = {
     # by construction (the r12 precedent).
     "q220_knn_hits": 5.291,
     "q221_knn_hubness": 1.397,
+    "q222_cusum_changepoints": 1.209,
+    "q223_order_cube": 0.339,
     # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's
     # cost is the in-order pair fan-out (O(sum basket²), baskets ~4).
     "q128_event_transitions": 0.735,

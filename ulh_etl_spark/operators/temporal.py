@@ -539,3 +539,94 @@ def mad_anomalies(
         F.round(F.col("_mad"), 6).alias("mad"),
         (F.col("_adev") > thresh).alias("is_anomaly"),
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_col: str,
+    slack: float = 0.5,
+    threshold: float = 4.0,
+) -> DataFrame:
+    """One-sided CUSUM change detection (Page, Biometrika 1954) per
+    group, WITHOUT per-row recursion: the textbook statistic
+    C_t = max(0, C_{t-1} + y_t) equals the prefix identity
+
+        C_t = S_t - min(0, min_{j<=t} S_j),   S_t = sum_{i<=t} y_i
+
+    so two ordered window functions (running sum, running min)
+    compute it — the recursion a naive port would loop over in the
+    driver becomes one window pass per group. y_t is the
+    standardized series minus the ``slack`` drift allowance, ROUNDED
+    to 6 before the windows (the q132 convention: both engines then
+    fold identical doubles in identical frame order, so every C_t is
+    bit-exact); mean/std are written as the explicit
+    sum / sum-of-squares expressions so no engine-specific variance
+    algorithm enters.
+
+    Scale: one map-combined groupBy for the per-group moments, one
+    broadcast join back, one window partitioned by group (series are
+    calendar-bounded — the rolling_zscore_anomalies argument).
+
+    Output per group: (group, n_points, max_cusum, changepoint —
+    the earliest order value attaining the max — and alarm =
+    max_cusum >= threshold)."""
+    g, v, o = group_col, value_col, order_col
+    stats = df.groupBy(g).agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum(F.col(v)).alias("_s"),
+        F.sum(F.col(v) * F.col(v)).alias("_sq"),
+    )
+    mu = F.col("_s") / F.col("_n")
+    var = F.col("_sq") / F.col("_n") - mu * mu
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    scored = (
+        df.join(F.broadcast(stats), g)
+        .select(
+            g,
+            o,
+            F.round(
+                F.when(
+                    std > 0,
+                    (F.col(v) - mu) / std - F.lit(slack),
+                ).otherwise(F.lit(-slack)),
+                6,
+            ).alias("_y"),
+        )
+    )
+    w = (
+        Window.partitionBy(g)
+        .orderBy(o)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # two projections: Spark forbids a window expression inside
+    # another window's argument
+    s = scored.select(g, o, F.sum("_y").over(w).alias("_S"))
+    c = s.select(
+        g,
+        o,
+        (
+            F.col("_S")
+            - F.least(F.lit(0.0), F.min("_S").over(w))
+        ).alias("_c"),
+    )
+    wr = Window.partitionBy(g).orderBy(F.col("_c").desc(), F.col(o).asc())
+    wn = Window.partitionBy(g)
+    return (
+        c.select(
+            g,
+            o,
+            "_c",
+            F.row_number().over(wr).alias("_rk"),
+            F.count("*").over(wn).alias("_np"),
+        )
+        .filter(F.col("_rk") == 1)
+        .select(
+            g,
+            F.col("_np").cast("bigint").alias("n_points"),
+            F.round(F.col("_c"), 6).alias("max_cusum"),
+            F.col(o).alias("changepoint"),
+            (F.col("_c") >= F.lit(threshold)).alias("alarm"),
+        )
+    )

@@ -726,8 +726,40 @@ def q216_k_anonymity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q223_order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE / GROUPING SETS rollup: order counts and revenue at every
+    aggregation level of (status, order year) in ONE pass — the
+    OLAP-report shape (detail + two marginals + grand total) that a
+    config-driven reporting layer emits constantly. Spark expands the
+    4 grouping sets map-side WITH partial aggregation, so the shuffle
+    carries ~4x the distinct-group rows, not 4x the fact rows — one
+    Exchange however many levels the cube adds. Null dims coalesce to
+    the '(all)' sentinel (both dims are non-null in the data), so the
+    output needs no engine-specific grouping-id bit order."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube(
+            F.col("o_orderstatus").alias("status"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("status"), F.lit("(all)")).alias("status"),
+            F.coalesce(F.col("yr").cast("string"), F.lit("(all)")).alias(
+                "order_year"
+            ),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
 QUERIES = {
     "q216_k_anonymity_profile": q216_k_anonymity_profile,
+    "q223_order_cube": q223_order_cube,
     "q185_join_size_sketch": q185_join_size_sketch,
     "q182_partition_pruned_totals": q182_partition_pruned_totals,
     "q177_bloom_join_reduction": q177_bloom_join_reduction,
@@ -762,6 +794,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q223_order_cube": """
+        SELECT COALESCE(o_orderstatus, '(all)') AS status,
+               COALESCE(CAST(year(o_orderdate) AS VARCHAR), '(all)')
+                   AS order_year,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               round(SUM(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, year(o_orderdate))
+    """,
     "q216_k_anonymity_profile": f"""
         WITH classes AS (
             SELECT c_nationkey, c_mktsegment,

@@ -288,7 +288,48 @@ def q184_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CUSUM_SLACK = 0.5
+_CUSUM_H = 4.0
+
+
+def q222_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential change-point detection: one-sided CUSUM (Page 1954)
+    over each event type's daily value series
+    (operators.temporal.cusum_changepoints) — the drift detector that
+    catches a persistent small upward shift the per-point z-score
+    monitors (q139/q132) miss, because CUSUM accumulates evidence
+    across days instead of testing each day alone. The recursion is
+    computed as the running-sum-minus-running-min prefix identity —
+    two ordered windows, no driver loop — and the standardized
+    series rounds to 6 before the windows, so every statistic is
+    bit-exact cross-engine. Output: per event type, the max CUSUM
+    statistic, the day attaining it (earliest on ties), and the
+    alarm flag at h=4."""
+    from ulh_etl_spark.operators.temporal import cusum_changepoints
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+            .alias("day"),
+        )
+        .agg(F.round(F.sum("value"), 6).alias("x"))
+    )
+    return cusum_changepoints(
+        daily, "x", "day", "event_type",
+        slack=_CUSUM_SLACK, threshold=_CUSUM_H,
+    ).select(
+        "event_type",
+        "n_points",
+        "max_cusum",
+        F.col("changepoint").alias("changepoint_day"),
+        "alarm",
+    )
+
+
 QUERIES = {
+    "q222_cusum_changepoints": q222_cusum_changepoints,
     "q184_mad_anomalies": q184_mad_anomalies,
     "q178_gap_fill_daily": q178_gap_fill_daily,
     "q132_weekly_anomalies": q132_weekly_anomalies,
@@ -300,6 +341,56 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q222_cusum_changepoints": f"""
+        WITH daily AS (
+            SELECT event_type,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   round(SUM(value), 6) AS x
+            FROM events GROUP BY 1, 2
+        ), st AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   SUM(x) AS s, SUM(x * x) AS sq
+            FROM daily GROUP BY 1
+        ), scored AS (
+            SELECT d.event_type, d.day,
+                   round(CASE WHEN sqrt(greatest(
+                                  st.sq / st.n
+                                  - (st.s / st.n) * (st.s / st.n),
+                                  0.0)) > 0
+                              THEN (d.x - st.s / st.n)
+                                   / sqrt(greatest(
+                                         st.sq / st.n
+                                         - (st.s / st.n) * (st.s / st.n),
+                                         0.0))
+                                   - {_CUSUM_SLACK!r}
+                              ELSE -{_CUSUM_SLACK!r} END, 6) AS y
+            FROM daily d JOIN st ON d.event_type = st.event_type
+        ), sums AS (
+            SELECT event_type, day,
+                   SUM(y) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS UNBOUNDED PRECEDING) AS S
+            FROM scored
+        ), cus AS (
+            SELECT event_type, day,
+                   S - least(0.0,
+                             MIN(S) OVER (PARTITION BY event_type
+                                          ORDER BY day
+                                          ROWS UNBOUNDED PRECEDING))
+                       AS c
+            FROM sums
+        ), ranked AS (
+            SELECT event_type, day, c,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY c DESC, day) AS rk,
+                   COUNT(*) OVER (PARTITION BY event_type) AS np
+            FROM cus
+        )
+        SELECT event_type, CAST(np AS BIGINT) AS n_points,
+               round(c, 6) AS max_cusum, day AS changepoint_day,
+               c >= {_CUSUM_H!r} AS alarm
+        FROM ranked WHERE rk = 1
+    """,
     "q184_mad_anomalies": f"""
         WITH daily AS (
             SELECT event_type,
