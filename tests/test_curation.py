@@ -133,3 +133,56 @@ def test_curate_with_benchmark_keeps_clean_corpus(spark):
     cfg = CurationConfig(min_quality=0.0, near_dedup=False)
     kept = curate(corpus, cfg, benchmark=bench).count()
     assert kept == 40
+
+
+def test_greedy_coverage_matches_brute_force_across_checkpoint(spark):
+    """k=9 crosses the covered-set localCheckpoint (every 4 picks)
+    twice — pins that lineage truncation never changes the greedy
+    selection, against a brute-force set-cover replay."""
+    from ulh_etl_spark.operators.dedup import greedy_max_coverage
+
+    texts = {
+        1: "abcdefgh",
+        2: "efghijkl",
+        3: "ijklmnop",
+        4: "mnopqrst",
+        5: "qrstuvwx",
+        6: "uvwxyzab",
+        7: "abcdijkl",
+        8: "mnopuvwx",
+        9: "cdefklmn",
+        10: "ghijopqr",
+        11: "stuvyzab",
+        12: "wxyzcdef",
+    }
+    n = 3
+    grams = {
+        i: {t[j:j + n] for j in range(len(t) - n + 1)}
+        for i, t in texts.items()
+    }
+    covered: set = set()
+    want = []
+    total = 0
+    for pick in range(1, 10):
+        best = None
+        for i in sorted(grams):
+            if any(i == w[1] for w in want):
+                continue
+            gain = len(grams[i] - covered)
+            if best is None or gain > best[1]:
+                best = (i, gain)
+        if best is None or best[1] == 0:
+            break
+        covered |= grams[best[0]]
+        total += best[1]
+        want.append((pick, best[0], best[1], total))
+
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = [
+        (r.pick, r.doc_id, r.gain, r.covered_total)
+        for r in greedy_max_coverage(df, "text", "doc_id", k=9, n=n)
+        .orderBy("pick").collect()
+    ]
+    assert got == want

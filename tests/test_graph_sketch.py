@@ -867,3 +867,84 @@ def test_priority_sample_sums_matches_python_replica(spark):
     }
     for g in ("a", "b"):
         assert got2[g][0] == got2[g][1] and got2[g][2] == 0.0
+
+
+# ------------------------------------------------------------- HITS
+
+
+def _ref_hits(edges, iters):
+    nodes = sorted({x for e in edges for x in e})
+    h = {v: 1.0 for v in nodes}
+    a = {}
+    for _ in range(iters):
+        a = {}
+        for u, v in edges:
+            a[v] = a.get(v, 0.0) + h.get(u, 0.0)
+        amax = max(a.values())
+        a = {v: x / amax for v, x in a.items()}
+        h = {}
+        for u, v in edges:
+            h[u] = h.get(u, 0.0) + a.get(v, 0.0)
+        hmax = max(h.values())
+        h = {u: x / hmax for u, x in h.items()}
+    return {v: (h.get(v, 0.0), a.get(v, 0.0)) for v in nodes}
+
+
+def test_hits_matches_reference_across_checkpoint_boundary(spark):
+    """9 iterations cross the _CKPT_EVERY=4 localCheckpoint twice —
+    pins that lineage truncation is numerically invisible and the
+    long-iteration path (the header's checkpoint discipline) runs."""
+    from ulh_etl_spark.operators.graph import hits
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (4, 2), (5, 1)]
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "src long, dst long"
+    )
+    got = {r.node: (r.hub, r.authority)
+           for r in hits(df, iterations=9).collect()}
+    want = _ref_hits(edges, 9)
+    assert set(got) == set(want)
+    for v, (wh, wa) in want.items():
+        assert got[v][0] == pytest.approx(wh, abs=2e-6), v
+        assert got[v][1] == pytest.approx(wa, abs=2e-6), v
+
+
+def test_hits_rejects_empty_edges(spark):
+    from ulh_etl_spark.operators.graph import hits
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    with pytest.raises(ValueError, match="empty"):
+        hits(empty)
+
+
+def test_kmv_audit_element_slice_matches_python_replica(spark):
+    """audit_elem_mod > 1: the audit columns become the exact Jaccard
+    of the deterministic h % mod == 0 element slice — replayed here
+    with a pure-Python md5 replica; the ESTIMATE column is untouched
+    by the slicing (it reads the sketch, not the audit legs)."""
+    import hashlib
+
+    from ulh_etl_spark.operators.sketch import kmv_jaccard_pairs
+
+    def h60(e):
+        return int(hashlib.md5(e.encode()).hexdigest()[:15], 16)
+
+    mod = 4
+    ea = {f"s{i}" for i in range(300)}
+    eb = {f"s{i}" for i in range(150, 450)}
+    rows = [("a", e) for e in ea] + [("b", e) for e in eb]
+    df = spark.createDataFrame(rows, "g string, e string")
+
+    sa = {h60(e) for e in ea if h60(e) % mod == 0}
+    sb = {h60(e) for e in eb if h60(e) % mod == 0}
+    want = round(len(sa & sb) / len(sa | sb), 6)
+
+    r_full = kmv_jaccard_pairs(df, "e", "g", k=256).collect()[0]
+    r_slice = kmv_jaccard_pairs(
+        df, "e", "g", k=256, audit_elem_mod=mod
+    ).collect()[0]
+    assert r_slice.exact_jaccard == want
+    assert r_slice.est_jaccard == r_full.est_jaccard  # estimate untouched
+    assert r_slice.abs_err == round(
+        abs(r_slice.est_jaccard - want), 6
+    )

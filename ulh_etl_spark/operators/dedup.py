@@ -1260,7 +1260,12 @@ def connected_components(
         )
         same = viol.isEmpty()
         # the isEmpty above materialized ss's checkpoint, so nothing
-        # reads the previous round's blocks again — release them now
+        # reads the previous round's blocks again. NOTE: on a
+        # localCheckpoint-backed DataFrame unpersist() is a no-op
+        # (the blocks are not registered with the cache manager);
+        # actual reclamation is deferred to the ContextCleaner once
+        # the previous round's DataFrames go out of scope below —
+        # acceptable because each round's edge set only shrinks.
         ls.unpersist()
         edges.unpersist()
         edges = ss
@@ -1767,8 +1772,15 @@ def greedy_max_coverage(
             new_cov if covered is None
             else covered.union(new_cov).distinct()
         )
-        # k is small; the covered set stays driver-broadcastable and
-        # re-derives from the persisted g, so no checkpoint needed
+        # The covered set stays driver-broadcastable, but its plan is
+        # a union CHAIN that deepens by one filter+distinct per pick
+        # and is re-executed by every later round's anti-join — the
+        # same linear-lineage shape the header's checkpoint
+        # discipline exists for. Truncate every few picks (eager
+        # localCheckpoint of a <= |doc grams| x k relation is
+        # microseconds next to the round's corpus pass).
+        if pick % 4 == 0:
+            covered = covered.localCheckpoint(eager=True)
     id_type = df.schema[id_col].dataType.simpleString()
     return spark.createDataFrame(
         rows,

@@ -368,6 +368,10 @@ def hits(
             F.col(src).alias("_s"), F.col(dst).alias("_d")
         ).persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if e.isEmpty():
+        # without this the first normalizer collect returns NULL and
+        # float(None) raises an opaque TypeError mid-iteration
+        raise ValueError("hits: edge relation is empty")
     nodes = track(
         e.select(F.col("_s").alias("node"))
         .union(e.select(F.col("_d").alias("node")))
@@ -376,7 +380,14 @@ def hits(
     )
     h = nodes.select("node", F.lit(1.0).alias("_h"))
     a = None
-    for _ in range(iterations):
+    # Lineage discipline (header note / connected_components lesson):
+    # the per-round persisted gathers keep RUNTIME reads off the old
+    # rounds, but the logical plan still deepens by two joins per
+    # round — past ~10 rounds planning time and eviction-cascade risk
+    # grow the way CC's once did. Truncate with a localCheckpoint of
+    # the (tiny, node-sized) score vectors every few rounds.
+    _CKPT_EVERY = 4
+    for _it in range(iterations):
         araw = track(
             e.join(h, e["_s"] == h["node"])
             .groupBy("_d")
@@ -399,6 +410,9 @@ def hits(
             F.col("_s").alias("node"),
             (F.col("_hr") / F.lit(float(hmax))).alias("_h"),
         )
+        if (_it + 1) % _CKPT_EVERY == 0 and _it + 1 < iterations:
+            a = a.localCheckpoint(eager=True)
+            h = h.localCheckpoint(eager=True)
     return (
         nodes.join(h, "node", "left")
         .join(a, "node", "left")

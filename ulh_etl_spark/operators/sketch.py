@@ -594,6 +594,7 @@ def kmv_jaccard_pairs(
     group_col: str,
     k: int = 256,
     audit_mod: int = 1,
+    audit_elem_mod: int = 1,
 ) -> DataFrame:
     """Pairwise Jaccard ESTIMATION between groups from KMV set
     sketches (Beyer et al., SIGMOD 2007 "On synopses for distinct-
@@ -631,6 +632,23 @@ def kmv_jaccard_pairs(
     endpoint. The r13 sf1->sf10 probe read exp +0.89 for the full
     audit — entirely the intersection legs; an audit needs the error
     distribution, not every pair (the q109 argument verbatim).
+
+    ``audit_elem_mod`` (r15, default 1 = exact sets): the SAME
+    deterministic-sampling idea applied to the audit's ELEMENT axis.
+    When > 1, the audit legs run over the 1/audit_elem_mod slice
+    ``h % audit_elem_mod == 0`` of each audited group's element-hash
+    set, and the audit columns report the EXACT Jaccard OF THE
+    SLICED SETS — itself the classic mod-sampling set synopsis, an
+    unbiased-by-symmetry yardstick with ~|union|/mod sampled
+    elements per pair (tens of thousands here, so its own error is
+    an order below the k=256 KMV error it audits). The slice
+    predicate is on the md5-derived hash already shared with the
+    oracle, so it ports verbatim. With group sampling alone, the
+    audited groups' element relation is still a constant FRACTION of
+    the corpus — the r14 sf10 probe read exp +0.77, all of it the
+    audit legs' shuffles; slicing the element axis shrinks those
+    legs by mod while the error distribution the audit exists to
+    record is unchanged in expectation.
 
     Output: (src_a, src_b, est_jaccard, exact_jaccard, abs_err,
     k_eff) for every unordered group pair, src_a < src_b."""
@@ -716,6 +734,10 @@ def kmv_jaccard_pairs(
         el_aud = el.join(F.broadcast(aud), "_g")
     else:
         el_aud = el
+    if audit_elem_mod > 1:
+        el_aud = el_aud.filter(
+            F.pmod(F.col("_h"), F.lit(audit_elem_mod)) == 0
+        )
     sizes = el_aud.groupBy("_g").agg(F.count("*").alias("_n"))
     ia = el_aud.select(F.col("_g").alias("src_a"), "_h")
     ib = el_aud.select(F.col("_g").alias("src_b"), "_h")

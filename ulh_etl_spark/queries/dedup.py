@@ -468,6 +468,7 @@ def q206_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMVJ_K = 256
 _KMVJ_N = 8
 _KMVJ_AUDIT_MOD = 2
+_KMVJ_ELEM_MOD = 16
 
 
 def q213_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -481,10 +482,15 @@ def q213_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides along for a DETERMINISTIC endpoint sample of sources
     (md5('kmvaud_' || source) % 2 == 0 — the q109 pattern, r14; the
     r13 every-pair audit WAS the query's entire second-decade
-    growth, exp +0.89 over legs you'd drop at 100 TB anyway), so the
-    estimator's error distribution is on the record without the
-    corpus-scale intersection join covering every pair; unaudited
-    pairs carry NULL exact/abs_err."""
+    growth, exp +0.89 over legs you'd drop at 100 TB anyway) AND,
+    r15, a deterministic 1/16 slice of the element-hash axis
+    (h % 16 == 0): the audit columns are the exact Jaccard of the
+    SLICED sets — the classic mod-sampling synopsis, whose own
+    sampling error (~10k+ sampled union elements per pair) sits an
+    order below the k=256 KMV error being audited, while the audit
+    legs' shuffles shrink 16x (they, not the sketch, were ALL of
+    the r14 +0.77 second-decade growth). Unaudited pairs carry NULL
+    exact/abs_err."""
     from ulh_etl_spark.operators.sketch import kmv_jaccard_pairs
     from ulh_etl_spark.operators.text import char_ngrams
 
@@ -494,7 +500,8 @@ def q213_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(char_ngrams(F.col("text"), _KMVJ_N)).alias("gram"),
     )
     return kmv_jaccard_pairs(
-        el, "gram", "source", k=_KMVJ_K, audit_mod=_KMVJ_AUDIT_MOD
+        el, "gram", "source", k=_KMVJ_K,
+        audit_mod=_KMVJ_AUDIT_MOD, audit_elem_mod=_KMVJ_ELEM_MOD,
     )
 
 
@@ -543,6 +550,7 @@ def _q213_oracle_sql() -> str:
                        AS BIGINT) % {_KMVJ_AUDIT_MOD} = 0
         ), ela AS MATERIALIZED (
             SELECT el.g, el.h FROM el JOIN aud ON el.g = aud.g
+            WHERE el.h % {_KMVJ_ELEM_MOD} = 0
         ), sizes AS (
             SELECT g, COUNT(*) AS nsz FROM ela GROUP BY g
         ), inter AS (

@@ -67,9 +67,12 @@ _NDCG_GRADES = ((0.3, 7.0), (0.25, 3.0), (0.16, 1.0))  # (cos6 >=, 2^rel-1)
 def q217_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-quality evaluation: nDCG@10 of the LEXICAL retrieval
     leg (q154's distinct-token-overlap ranking) against graded
-    relevance derived from exact embedding cosine (>= 0.9 -> grade
-    3, >= 0.75 -> 2, >= 0.6 -> 1 on the ROUNDED-to-6 cosine, so the
-    grade boundaries are engine-exact) — the eval harness a
+    relevance derived from exact embedding cosine, with the cut
+    points taken from ``_NDCG_GRADES`` (>= 0.3 -> gain 7, >= 0.25
+    -> 3, >= 0.16 -> 1 on the ROUNDED-to-6 cosine, so the grade
+    boundaries are engine-exact; the thresholds sit at the synthetic
+    corpus's p99.9/p99/p90 cosine levels since its max pairwise
+    cosine is ~0.40) — the eval harness a
     retrieval pipeline runs per release: does the cheap lexical
     stage surface what the dense ground truth says is relevant?
     DCG = sum over positions of (2^rel - 1) / log2(pos + 1); the
