@@ -1568,3 +1568,45 @@ def test_prefix_filter_bloom_preverify_lossless(spark):
                 )
             )
             assert on == off, (t, bits)
+
+
+def test_prefix_filter_inline_bloom_lossless(spark):
+    """The r15 in-join small-bloom screen never drops a qualifying
+    pair: inline on (even at 64 bits — saturated, sound-but-weak
+    regime) == inline off, on the same threshold-straddling corpus
+    the 2048-bit pre-verify test uses, at both thresholds and with
+    the downstream big bloom on AND off (so the inline screen is
+    tested both as first stage of the cascade and standalone)."""
+    from ulh_etl_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    chars = [chr(0x4E00 + i) for i in range(450)]
+    rows = [
+        (1, "".join(chars)),
+        (2, "".join(chars[:243])),
+        (3, "".join(chars[:400])),
+        (4, "".join(chars[50:450])),
+        (5, "".join(chars[200:430])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.54, 0.8):
+        for big in (0, 2048):
+            off = set(
+                map(
+                    tuple,
+                    prefix_filter_jaccard_pairs(
+                        df, "text", "doc_id", n=1, threshold=t,
+                        bloom_bits=big, inline_bloom_bits=0,
+                    ).collect(),
+                )
+            )
+            for bits in (64, 256):
+                on = set(
+                    map(
+                        tuple,
+                        prefix_filter_jaccard_pairs(
+                            df, "text", "doc_id", n=1, threshold=t,
+                            bloom_bits=big, inline_bloom_bits=bits,
+                        ).collect(),
+                    )
+                )
+                assert on == off, (t, big, bits)

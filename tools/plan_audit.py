@@ -142,21 +142,21 @@ SHUFFLE_BUDGET = {
     # build's own exchanges (the q199 chain) — every relation is
     # degree-bounded (deg <= kNN k), each round strictly shrinks it.
     "q209_kcore_peel": 14,
-    # q206 prefix-filter join: one exchange per composition stage,
-    # none re-keyed — the fan_out repartition of the gram build (1),
-    # the gram-frequency groupBy (2), the token->frequency join (3),
-    # the per-doc row_number window on doc_id (4), and the candidate
-    # DISTINCT after the prefix self-join (5). The verify joins read
-    # the persisted gram relation broadcast/id-keyed. Every relation
-    # past the explode is prefix-sized (~(1-t) of the gram stream).
-    # r14 +3: the lossless bloom pre-verification — per-doc bloom
-    # build (groupBy (id, word) + groupBy id, 2 exchanges over
-    # token-explode-sized then doc-sized relations) and the
-    # pair-keyed bloom join (1) that REPLACES the full gram-array
-    # payload on the heavy exchange (the sf10 disk-envelope fix:
-    # 256 B blooms ride where 3.7 KiB arrays did; only bloom
-    # survivors reach the array verify).
-    "q206_prefix_filter_pairs": 9,
+    # q206 prefix-filter join (r15 shape): fan_out repartition of the
+    # gram build (1), gram-frequency groupBy (2), token->frequency
+    # join (3), per-doc row_number window (4), the small-bloom join
+    # onto the prefix relation by doc id (5), the candidate DISTINCT
+    # after the inline-screened prefix self-join (6), the needed-doc
+    # id DISTINCT (7), and the candidate-sized bloom-screen/verify
+    # joins (8-10 — all over screen-output-sized relations; the
+    # needed-doc id list BROADCASTS so the corpus gram relation never
+    # shuffles for them). r15 moved the bloom screen INSIDE the
+    # prefix join's codegen filter (plain-long columns, no HOF), so
+    # the only corpus-sized exchanges left are (1)-(5); everything
+    # after the enumeration filter is output-sized by measurement
+    # (sf10: 25,600 of 3.46 B enumerated rows survive). Static render
+    # re-renders the persisted g/pref/cand subtrees per consumer.
+    "q206_prefix_filter_pairs": 12,
     # q215 bloom difference matrix: distinct (g, element) (1) +
     # distinct (g, h) (2, the hash-after-dedup pair), packed-word
     # groupBy (3), densify left join (4), the word-keyed pair join +

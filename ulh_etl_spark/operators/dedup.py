@@ -784,6 +784,13 @@ def ngram_jaccard_pairs_blocked(
     )
 
 
+# Candidate-count bound under which the verify stage switches to the
+# broadcast-needed-docs shape (the id list broadcast is <= ~2 x this
+# many ids, a few MB — safe on a real cluster; above it, fall back to
+# sort-merge against the full gram relation).
+_CAND_SMALL = 500_000
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -791,6 +798,7 @@ def prefix_filter_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.8,
     bloom_bits: int = 2048,
+    inline_bloom_bits: int = 512,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (the
     AllPairs / PPJoin candidate rule — Chaudhuri et al. ICDE'06,
@@ -860,6 +868,35 @@ def prefix_filter_jaccard_pairs(
     ~0.8·|A\\B|, so pairs at J <~ 0.75 prune w.h.p. at t=0.8 while
     near-misses verify exactly as before.
 
+    ``inline_bloom_bits`` (r15, 0 disables): the SAME unconditional
+    difference bound, but evaluated INSIDE the prefix join's
+    generated filter, before any pair ever reaches an exchange. The
+    r14 cascade still paid the quadratic enumeration tax twice
+    downstream of the join: the candidate DISTINCT shuffled every
+    enumerated pair (at sf10 this was the ~61 GB disk envelope) and
+    the bloom stage shipped two 256 B arrays per surviving pair
+    (sf1: 29 of 55 s). Measured at sf1, the 2048-bit screen passes
+    2,560 of 14.25 M candidates — exactly the output — so virtually
+    everything shuffled was dead on arrival. The inline screen
+    stores a small per-doc bloom as ``inline_bloom_bits/64`` PLAIN
+    LONG COLUMNS on the prefix relation (arrays would put a
+    higher-order function in the hot loop; separate columns keep the
+    whole predicate in whole-stage codegen), so the join stage
+    evaluates size + positional + bloom-difference per enumerated
+    row and only joint survivors flow to the distinct. Soundness is
+    the same popcount(A & ~B) <= |A \\ B| argument — saturation at
+    this width only WEAKENS the bound, never breaks it — so the
+    cascade stays lossless: inline screen (O(1)/pair, in-join) ->
+    2048-bit screen (near-threshold precision) -> exact verify.
+    Width sizing, measured at sf10 (500k docs, ~278 grams/doc):
+    256 bits saturates (fill ~0.66) and leaves ~half the 212 M
+    enumerated candidates standing; 512 bits (fill ~0.42) passes
+    EXACTLY the 25,600 output pairs — the screen alone is
+    output-precise on this corpus — in a 36 s enumerate+distinct;
+    1024 bits passes the same set 2x slower (wider shuffle). Default
+    512 = 8 long columns; size toward ~2x the per-doc distinct gram
+    count.
+
     Output: (id1, id2, jaccard{n}) — jaccard rounded to 6 (one
     fixed-order division, exact cross-engine).
     """
@@ -899,17 +936,45 @@ def prefix_filter_jaccard_pairs(
         .filter(F.col("_rk") <= prefix_len)
         .select(F.col(id_col), "_ng", "_h", "_rk")
     )
+    iw = inline_bloom_bits // 64 if inline_bloom_bits else 0
+    if iw:
+        # per-doc small bloom as iw SEPARATE LONG COLUMNS, folded
+        # from the persisted gram arrays with one aggregate per word
+        # (per DOC, not per pair — 50k rows at sf1); attached to the
+        # prefix relation (20% of the gram explode) rather than tok
+        # so the freq-join and window shuffles stay narrow
+        sb = g.select(
+            F.col(id_col),
+            *[
+                F.expr(
+                    "aggregate(_g, CAST(0 AS BIGINT), (acc, h) -> "
+                    "acc | CASE WHEN shiftright(CAST(pmod(h, "
+                    f"{inline_bloom_bits}) AS INT), 6) = {j} THEN "
+                    "shiftleft(CAST(1 AS BIGINT), CAST(pmod(h, "
+                    f"{inline_bloom_bits}) AS INT) & 63) "
+                    "ELSE CAST(0 AS BIGINT) END)"
+                ).alias(f"_s{j}")
+                for j in range(iw)
+            ],
+        )
+        pref = pref.join(sb, id_col)
+    # the prefix relation feeds BOTH sides of the self-join; persist
+    # it so the corpus-wide freq-join + window chain (the operator's
+    # single biggest stage at sf10) runs once, not once per side
+    pref = track(pref.persist(StorageLevel.MEMORY_AND_DISK))
     a = pref.select(
         F.col(id_col).alias("_ida"),
         F.col("_ng").alias("_nga"),
         F.col("_rk").alias("_rka"),
         "_h",
+        *[F.col(f"_s{j}").alias(f"_sa{j}") for j in range(iw)],
     )
     b = pref.select(
         F.col(id_col).alias("_idb"),
         F.col("_ng").alias("_ngb"),
         F.col("_rk").alias("_rkb"),
         "_h",
+        *[F.col(f"_s{j}").alias(f"_sb{j}") for j in range(iw)],
     )
     # alpha = ceil(t/(1+t) * (|A|+|B|)), computed with a DOWNWARD
     # guard of s*1e-9: the double t/(1+t) can land ABOVE the exact
@@ -927,6 +992,34 @@ def prefix_filter_jaccard_pairs(
         F.lit(threshold / (1.0 + threshold)) * ssum
         - ssum * F.lit(1e-9)
     )
+
+    def _inline_bloom_pass(iw: int, alpha: Column) -> Column:
+        if not iw:
+            return F.lit(True)
+        neg1 = F.lit(-1).cast("long")
+
+        def diff(pa: str, pb: str) -> Column:
+            terms = [
+                F.bit_count(
+                    F.col(f"{pa}{j}").bitwiseAND(
+                        F.col(f"{pb}{j}").bitwiseXOR(neg1)
+                    )
+                )
+                for j in range(iw)
+            ]
+            out = terms[0]
+            for t in terms[1:]:
+                out = out + t
+            return out
+
+        return (
+            F.least(
+                F.col("_nga") - diff("_sa", "_sb"),
+                F.col("_ngb") - diff("_sb", "_sa"),
+            )
+            >= alpha
+        )
+
     cand = (
         a.join(b, "_h")
         .filter(
@@ -961,6 +1054,11 @@ def prefix_filter_jaccard_pairs(
                 + F.lit(1)
                 >= alpha
             )
+            # inline bloom screen: same sound difference bound as the
+            # 2048-bit stage, but per ENUMERATED row inside this
+            # stage's codegen — plain-long bit_count terms, no HOF,
+            # no exchange upstream of it
+            & _inline_bloom_pass(iw, alpha)
         )
         # sizes ride along (functionally dependent on the ids, so
         # distinct cardinality is unchanged) — the bloom stage's
@@ -973,42 +1071,53 @@ def prefix_filter_jaccard_pairs(
         )
         .distinct()
     )
+    # The candidate relation is consumed by every downstream stage —
+    # persist it so the enumeration join runs ONCE, and count it (a
+    # one-scalar model-relation collect, the centroid-collect policy)
+    # to pick the verify stage's PHYSICAL shape: by design candidates
+    # are screen-output sized, and when they are (<= _CAND_SMALL),
+    # the needed-doc id list broadcasts, so the corpus-sized gram
+    # relation is never shuffled to serve them — the r14 verify
+    # sort-merged the full 1.1 GB array relation TWICE at sf10 to
+    # score 25,600 pairs (~80 of 129 s). An adversarial corpus that
+    # defeats the screens falls back to the sort-merge shape.
+    cand = track(cand.persist(StorageLevel.MEMORY_AND_DISK))
+    n_cand = cand.count()
+    if n_cand <= _CAND_SMALL:
+        need = (
+            cand.select(F.col("id1").alias(id_col))
+            .union(cand.select(F.col("id2").alias(id_col)))
+            .distinct()
+        )
+        gsrc = track(
+            g.join(F.broadcast(need), id_col)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    else:
+        gsrc = g
     if bloom_bits:
         nwords = (bloom_bits + 63) // 64
-        blooms = (
-            tok.select(
-                F.col(id_col),
-                F.pmod(F.col("_h"), F.lit(bloom_bits))
-                .cast("int")
-                .alias("_i"),
-            )
-            .select(
-                F.col(id_col),
-                F.shiftright(F.col("_i"), 6).alias("_w"),
-                # shiftleft's bit count must be a column here — the
-                # pyspark wrapper only takes a literal, so SQL text
-                F.expr("shiftleft(CAST(1 AS BIGINT), _i & 63)").alias(
-                    "_m"
-                ),
-            )
-            .groupBy(id_col, "_w")
-            .agg(F.expr("bit_or(_m)").alias("_wv"))
-            .groupBy(id_col)
-            .agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("_w", "_wv"))
-                ).alias("_bm")
-            )
-            .select(
-                F.col(id_col),
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(nwords - 1)),
-                    lambda i: F.coalesce(
-                        F.try_element_at("_bm", i),
-                        F.lit(0).cast("long"),
-                    ),
-                ).alias("_bl"),
-            )
+        # r15: fold the wide blooms straight from the persisted
+        # per-doc gram arrays (one aggregate per word — map-side, no
+        # corpus-wide explode/groupBy exchanges: the r14 build pushed
+        # ALL 500k docs' 137M gram rows through two shuffles at sf10
+        # to serve ~50k needed docs), and only for needed docs when
+        # the candidate set is small
+        blooms = gsrc.select(
+            F.col(id_col),
+            F.array(
+                *[
+                    F.expr(
+                        "aggregate(_g, CAST(0 AS BIGINT), (acc, h) -> "
+                        "acc | CASE WHEN shiftright(CAST(pmod(h, "
+                        f"{bloom_bits}) AS INT), 6) = {j} THEN "
+                        "shiftleft(CAST(1 AS BIGINT), CAST(pmod(h, "
+                        f"{bloom_bits}) AS INT) & 63) "
+                        "ELSE CAST(0 AS BIGINT) END)"
+                    )
+                    for j in range(nwords)
+                ]
+            ).alias("_bl"),
         )
 
         def _diff_lb(a: str, b: str) -> Column:
@@ -1053,8 +1162,8 @@ def prefix_filter_jaccard_pairs(
             )
         )
     cand = cand.select("id1", "id2")
-    g1 = g.select(F.col(id_col).alias("id1"), F.col("_g").alias("_g1"))
-    g2 = g.select(F.col(id_col).alias("id2"), F.col("_g").alias("_g2"))
+    g1 = gsrc.select(F.col(id_col).alias("id1"), F.col("_g").alias("_g1"))
+    g2 = gsrc.select(F.col(id_col).alias("id2"), F.col("_g").alias("_g2"))
     ver = (
         cand.join(g1, "id1")
         .join(g2, "id2")
