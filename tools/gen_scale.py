@@ -14,9 +14,11 @@ heavy-tail probe reads are generated.
 Output lives under the repo (driver testdata is read-only):
 /root/repo/.scaledata/sf1 — gitignored, regenerable.
 
-Usage: python tools/gen_scale.py [factor] [out_name]
+Usage: python tools/gen_scale.py [factor] [out_name] [tables]
 e.g. `python tools/gen_scale.py 100 sf10` builds the 100x set at
-.scaledata/sf10 for the second-decade (sf1 -> sf10) probes.
+.scaledata/sf10 for the second-decade (sf1 -> sf10) probes;
+`python tools/gen_scale.py 10 sf1 orders` (re)builds only the
+orders table of an existing set.
 """
 
 from __future__ import annotations
@@ -115,11 +117,34 @@ def main() -> None:
             "event_id", F.col("event_id") + F.lit(r * OFFSET)
         ).withColumn("user_id", F.col("user_id") + F.lit(r * OFFSET))
 
-    write(replicate(read("events"), factor, ev_rep), "events", 32)
-    write(replicate(read("documents"), factor, docs_rep), "documents", 32)
-    write(replicate(read("embeddings"), factor, emb_rep), "embeddings", 16)
-    write(replicate(read("customer"), factor, cust_rep), "customer", 16)
-    write(replicate(read("lineitem"), factor, li_rep), "lineitem", 32)
+    def ord_rep(df, r):
+        # keys offset in lockstep with customer (o_custkey) and
+        # lineitem (l_orderkey == o_orderkey), so per-replica join
+        # degree structure is preserved: each replica is a closed
+        # order/customer/lineitem world
+        if r == 0:
+            return df
+        return df.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(r * OFFSET)
+        ).withColumn("o_custkey", F.col("o_custkey") + F.lit(r * OFFSET))
+
+    jobs = {
+        "events": (lambda: replicate(read("events"), factor, ev_rep), 32),
+        "documents": (
+            lambda: replicate(read("documents"), factor, docs_rep), 32),
+        "embeddings": (
+            lambda: replicate(read("embeddings"), factor, emb_rep), 16),
+        "customer": (
+            lambda: replicate(read("customer"), factor, cust_rep), 16),
+        "lineitem": (
+            lambda: replicate(read("lineitem"), factor, li_rep), 32),
+        "orders": (lambda: replicate(read("orders"), factor, ord_rep), 16),
+    }
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    for t, (build, parts) in jobs.items():
+        if only and t not in only:
+            continue
+        write(build(), t, parts)
     print(f"wrote {OUT} at {factor}x sf0.1")
 
 
