@@ -188,6 +188,10 @@ HEADLINE = (
     "q221_knn_hubness",
     "q222_cusum_changepoints",
     "q223_order_cube",
+    "q224_l_diversity_profile",
+    "q225_heaps_vocab_growth",
+    "q226_transition_entropy",
+    "q227_knn_label_agreement",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",
@@ -429,6 +433,11 @@ ANCHOR = {
     "q221_knn_hubness": 1.397,
     "q222_cusum_changepoints": 1.209,
     "q223_order_cube": 0.339,
+    # r15 additions, anchored from a dedicated idle-host min-of-3
+    "q224_l_diversity_profile": 0.808,
+    "q225_heaps_vocab_growth": 0.962,
+    "q226_transition_entropy": 0.650,
+    "q227_knn_label_agreement": 1.305,
     # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's
     # cost is the in-order pair fan-out (O(sum basket²), baskets ~4).
     "q128_event_transitions": 0.735,

@@ -172,6 +172,15 @@ SHUFFLE_BUDGET = {
     # the in-degree groupBy (1) + the k-occurrence groupBy (1) — each
     # exchange a strictly smaller relation than the last.
     "q221_knn_hubness": 5,
+    # q227 label agreement: same kNN build as q221 (cogroup + rank
+    # window) + the two label joins on vec_id and the label groupBy.
+    "q227_knn_label_agreement": 7,
+    # q225 Heaps curve: the word-first groupBy (1), the per-checkpoint
+    # type aggregate (2), the per-doc token aggregate (3), the 1-row
+    # max aggregate feeding the broadcast checkpoint table (4), and
+    # the 5-row frac join (5) — one exchange per composition stage,
+    # both corpus passes partial-aggregated map-side.
+    "q225_heaps_vocab_growth": 5,
     # q217 nDCG: lexical rank window (1), relevance broadcast join is
     # narrow, DCG fold groupBy (2), ideal rank window (3) + fold
     # groupBy (4), final join (5) — all over queries x corpus narrow

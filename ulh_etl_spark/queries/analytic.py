@@ -940,7 +940,65 @@ def q203_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_quantile_estimates(regs, _GQ_PROBS, group_col="lang")
 
 
+def q226_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state predictability of the user-journey Markov chain:
+    for each FROM event type, the Shannon entropy (bits) of its
+    next-event distribution plus the modal transition probability —
+    the sequence-mining QA that tells a behavioral-features pipeline
+    which states are deterministic funnels (entropy ~0, top_prob ~1)
+    and which are junctions worth modeling. Counts come from q128's
+    transition matrix (per-user lag over the (ts, event_id) order);
+    H = log2(n) - (sum_t c_t * log2(c_t)) / n with the term sum
+    folded in sorted (to_type, count) order — the q195 discipline,
+    so both engines accumulate identical doubles — and top_prob is
+    one integer division. Scale: one per-user window shuffle, then
+    aggregates over the |types|^2 transition matrix."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    counts = (
+        t.filter(F.col("prev").isNotNull())
+        .groupBy(
+            F.col("prev").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").cast("long").alias("_c"))
+    )
+    per = counts.groupBy("from_type").agg(
+        F.sum("_c").cast("long").alias("_n"),
+        F.count("*").cast("bigint").alias("n_next_types"),
+        F.max("_c").cast("long").alias("_top"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("to_type"), F.col("_c")))
+        ).alias("_arr"),
+    )
+    term_sum = F.aggregate(
+        F.col("_arr"),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + s["_c"].cast("double") * F.log2(s["_c"].cast("double")),
+    )
+    return per.select(
+        "from_type",
+        F.col("_n").alias("n_transitions"),
+        "n_next_types",
+        F.round(
+            F.log2(F.col("_n").cast("double"))
+            - term_sum / F.col("_n").cast("double"),
+            6,
+        ).alias("entropy_bits"),
+        F.round(
+            F.col("_top").cast("double") / F.col("_n").cast("double"), 6
+        ).alias("top_prob"),
+    )
+
+
 QUERIES = {
+    "q226_transition_entropy": q226_transition_entropy,
     "q176_fm_user_registers": q176_fm_user_registers,
     "q208_sliding_distinct_users": q208_sliding_distinct_users,
     "q212_sliding_cube_incremental": q212_sliding_cube_incremental,
@@ -1173,6 +1231,35 @@ ORACLES = {
         JOIN pc c1 ON c1.l_partkey = p.p1
         JOIN pc c2 ON c2.l_partkey = p.p2
         CROSS JOIN n
+    """,
+    "q226_transition_entropy": """
+        WITH t AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events
+        ), counts AS (
+            SELECT prev AS from_type, event_type AS to_type,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM t WHERE prev IS NOT NULL
+            GROUP BY 1, 2
+        ), per AS (
+            SELECT from_type,
+                   CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_next_types,
+                   CAST(MAX(c) AS BIGINT) AS top,
+                   list_sum(list_transform(
+                       list({'to_type': to_type, 'c': c}
+                            ORDER BY to_type, c),
+                       s -> CAST(s.c AS DOUBLE)
+                            * log2(CAST(s.c AS DOUBLE)))) AS ts
+            FROM counts GROUP BY from_type
+        )
+        SELECT from_type, n AS n_transitions, n_next_types,
+               ROUND(log2(CAST(n AS DOUBLE))
+                     - ts / CAST(n AS DOUBLE), 6) AS entropy_bits,
+               ROUND(top * 1.0 / n, 6) AS top_prob
+        FROM per
     """,
     "q128_event_transitions": """
         WITH t AS (

@@ -757,9 +757,59 @@ def q223_order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LDIV_L = 3
+
+
+def q224_l_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al., TKDD 2007
+    "l-diversity: privacy beyond k-anonymity") — the companion gate
+    to q216: a k-anonymous class is still disclosive when everyone
+    in it shares the SENSITIVE value, so each quasi-identifier class
+    (nation, account-balance bucket) is scored by how many DISTINCT
+    sensitive values (market segment) it contains. One row per
+    distinct-count with the class count, row count, and whether that
+    count violates l=3 — the histogram that prices how much coarser
+    the quasi-identifiers must get before release.
+
+    Scale: one groupBy on the quasi tuple with a count-distinct
+    partial agg, then a groupBy on the distinct-count (<= |sensitive
+    domain| rows). Same dimension-table audit shape as q216."""
+    cust = load_table(spark, sf_dir, "customer")
+    classes = (
+        cust.select(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / F.lit(_KANON_BAL_BUCKET))
+            .cast("long")
+            .alias("bal_bucket"),
+            "c_mktsegment",
+        )
+        .groupBy("c_nationkey", "bal_bucket")
+        .agg(
+            F.countDistinct("c_mktsegment").alias("_l"),
+            F.count("*").alias("_n"),
+        )
+    )
+    return (
+        classes.groupBy(F.col("_l").alias("distinct_sensitive"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_classes"),
+            F.sum("_n").cast("bigint").alias("n_rows"),
+        )
+        .select(
+            F.col("distinct_sensitive").cast("bigint").alias(
+                "distinct_sensitive"
+            ),
+            "n_classes",
+            "n_rows",
+            (F.col("distinct_sensitive") < _LDIV_L).alias("violates_l3"),
+        )
+    )
+
+
 QUERIES = {
     "q216_k_anonymity_profile": q216_k_anonymity_profile,
     "q223_order_cube": q223_order_cube,
+    "q224_l_diversity_profile": q224_l_diversity_profile,
     "q185_join_size_sketch": q185_join_size_sketch,
     "q182_partition_pruned_totals": q182_partition_pruned_totals,
     "q177_bloom_join_reduction": q177_bloom_join_reduction,
@@ -794,6 +844,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q224_l_diversity_profile": f"""
+        WITH classes AS (
+            SELECT c_nationkey,
+                   CAST(floor(c_acctbal / {_KANON_BAL_BUCKET}) AS BIGINT)
+                       AS bal_bucket,
+                   COUNT(DISTINCT c_mktsegment) AS l,
+                   COUNT(*) AS n
+            FROM customer
+            GROUP BY 1, 2
+        )
+        SELECT CAST(l AS BIGINT) AS distinct_sensitive,
+               CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(n) AS BIGINT) AS n_rows,
+               l < {_LDIV_L} AS violates_l3
+        FROM classes GROUP BY l
+    """,
     "q223_order_cube": """
         SELECT COALESCE(o_orderstatus, '(all)') AS status,
                COALESCE(CAST(year(o_orderdate) AS VARCHAR), '(all)')

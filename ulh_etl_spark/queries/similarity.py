@@ -1086,6 +1086,53 @@ def q221_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q227_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit via kNN agreement (the Brodley & Friedl
+    JAIR'99 mislabeled-instance filter, in aggregate): per label
+    class, the fraction of production-graph kNN edges whose endpoint
+    labels AGREE — low-agreement classes are where annotation noise
+    or class overlap lives, the triage signal before training a
+    classifier head on the embeddings. Built on the SAME two-level
+    kNN graph the rest of the family ships (q199's build), so the
+    audit prices the graph users actually query. All counts are
+    integers off the graph plus one division; the oracle replays the
+    graph CTE verbatim.
+
+    Scale: graph build (the q199 chain) + two label joins on vec_id
+    (broadcast-sized payload: one int per vector) + one groupBy on
+    the label domain."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = S.knn_graph(
+        emb, _adaptive_centroids(emb), k=_KNN_K, two_level=True
+    )
+    la = emb.select("vec_id", F.col("label").alias("_la"))
+    lb = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("_lb")
+    )
+    e = knn.join(la, "vec_id").join(lb, "neighbor_id")
+    return (
+        e.groupBy(F.col("_la").cast("bigint").alias("label"))
+        .agg(
+            F.countDistinct("vec_id").cast("bigint").alias("n_vectors"),
+            F.count("*").cast("bigint").alias("n_edges"),
+            F.sum(
+                F.when(F.col("_la") == F.col("_lb"), 1).otherwise(0)
+            ).cast("bigint").alias("n_same_label"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            "n_edges",
+            "n_same_label",
+            F.round(
+                F.col("n_same_label").cast("double")
+                / F.col("n_edges").cast("double"),
+                6,
+            ).alias("agreement"),
+        )
+    )
+
+
 def q170_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over
     the mutual-kNN graph (operators.graph.triangle_stats): separates
@@ -1832,6 +1879,7 @@ QUERIES = {
     "q169_knn_pagerank": q169_knn_pagerank,
     "q220_knn_hits": q220_knn_hits,
     "q221_knn_hubness": q221_knn_hubness,
+    "q227_knn_label_agreement": q227_knn_label_agreement,
     "q170_knn_triangles": q170_knn_triangles,
     "q174_embedding_ks_drift": q174_embedding_ks_drift,
     "q39_cosine_topk": q39_cosine_topk,
@@ -2730,6 +2778,24 @@ ORACLES = {
             FROM embeddings v LEFT JOIN ind i
               ON v.vec_id = i.neighbor_id
         ) GROUP BY k_occurrence
+    """,
+    "q227_knn_label_agreement": f"""
+        WITH knn AS MATERIALIZED (
+            {_Q199_SQL}
+        ), e AS (
+            SELECT k.vec_id, a.label AS la, b.label AS lb
+            FROM knn k
+            JOIN embeddings a ON k.vec_id = a.vec_id
+            JOIN embeddings b ON k.neighbor_id = b.vec_id
+        )
+        SELECT CAST(la AS BIGINT) AS label,
+               CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vectors,
+               CAST(COUNT(*) AS BIGINT) AS n_edges,
+               CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_same_label,
+               ROUND(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 6) AS agreement
+        FROM e GROUP BY la
     """,
     "q170_knn_triangles": _triangle_sql(_GRAPH_CTES_TL),
     "q198_two_level_cells": _Q198_SQL,

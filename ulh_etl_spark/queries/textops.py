@@ -1291,7 +1291,83 @@ def q180_sparse_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HEAPS_FRACS = (0.1, 0.25, 0.5, 0.75, 1.0)
+
+
+def q225_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve (Heaps 1978): cumulative
+    distinct word types vs cumulative tokens at fixed corpus-prefix
+    checkpoints (doc_id <= floor(max_id * f) for f in 10/25/50/75/
+    100%) — the saturation curve a dedup/curation pipeline reads to
+    see whether new data still brings new vocabulary or the corpus
+    has gone stale (a flattening curve = diminishing returns, the
+    empirical basis for dedup-before-train). Everything is integer
+    counts plus one division rounded at the end, so the oracle is
+    exact: each type's FIRST-occurrence doc id is a min-aggregate,
+    and a checkpoint's type count is just |types with first <= thr|.
+
+    Scale: one groupBy on the word (partial-agg min), one per-doc
+    token count (map-side), then each relation broadcast-joins the
+    5-row checkpoint table — two corpus passes total, no window, no
+    sort; the checkpoint thresholds derive from a 1-row max
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(T.whitespace_tokens(F.col("text"))).alias("_w")
+    )
+    firsts = words.groupBy("_w").agg(F.min("doc_id").alias("_first"))
+    dstats = docs.select(
+        "doc_id", F.size(T.whitespace_tokens(F.col("text"))).alias("_ntok")
+    )
+    cps = (
+        docs.agg(F.max("doc_id").alias("_mx"))
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(f).alias("frac"),
+                            F.floor(F.col("_mx") * F.lit(f))
+                            .cast("long")
+                            .alias("_thr"),
+                        )
+                        for f in _HEAPS_FRACS
+                    ]
+                )
+            ).alias("c")
+        )
+        .select("c.frac", "c._thr")
+    )
+    types = (
+        firsts.crossJoin(F.broadcast(cps))
+        .filter(F.col("_first") <= F.col("_thr"))
+        .groupBy("frac")
+        .agg(F.count("*").cast("bigint").alias("n_types"))
+    )
+    toks = (
+        dstats.crossJoin(F.broadcast(cps))
+        .filter(F.col("doc_id") <= F.col("_thr"))
+        .groupBy("frac")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("_ntok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    return toks.join(types, "frac").select(
+        "frac",
+        "n_docs",
+        "n_tokens",
+        "n_types",
+        F.round(
+            F.col("n_types").cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("type_token_ratio"),
+    )
+
+
 QUERIES = {
+    "q225_heaps_vocab_growth": q225_heaps_vocab_growth,
     "q180_sparse_lexical_topk": q180_sparse_lexical_topk,
     "q179_pmi_bigrams": q179_pmi_bigrams,
     "q171_cms_heavy_hitters": q171_cms_heavy_hitters,
@@ -2987,3 +3063,35 @@ ORACLES["q196_length_batches"] = f"""
                     // {_LB_BATCH} AS BIGINT) AS batch_id
         FROM b
 """
+
+_HEAPS_FRACS_SQL = ", ".join(f"({f!r})" for f in _HEAPS_FRACS)
+ORACLES["q225_heaps_vocab_growth"] = f"""
+        WITH words AS MATERIALIZED (
+            SELECT doc_id, unnest({O.ws_tokens('text')}) AS w
+            FROM documents
+        ), firsts AS (
+            SELECT w, MIN(doc_id) AS first_id FROM words GROUP BY w
+        ), dstats AS (
+            SELECT doc_id, len({O.ws_tokens('text')}) AS ntok
+            FROM documents
+        ), fr(frac) AS (
+            VALUES {{HEAPS_FRACS}}
+        ), cps AS (
+            SELECT fr.frac,
+                   CAST(floor(mx.mx * fr.frac) AS BIGINT) AS thr
+            FROM fr CROSS JOIN
+                 (SELECT MAX(doc_id) AS mx FROM documents) mx
+        ), types AS (
+            SELECT c.frac, CAST(COUNT(*) AS BIGINT) AS n_types
+            FROM firsts f JOIN cps c ON f.first_id <= c.thr
+            GROUP BY c.frac
+        ), toks AS (
+            SELECT c.frac, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(d.ntok) AS BIGINT) AS n_tokens
+            FROM dstats d JOIN cps c ON d.doc_id <= c.thr
+            GROUP BY c.frac
+        )
+        SELECT t.frac, t.n_docs, t.n_tokens, y.n_types,
+               round(y.n_types * 1.0 / t.n_tokens, 6) AS type_token_ratio
+        FROM toks t JOIN types y ON t.frac = y.frac
+""".replace("{HEAPS_FRACS}", _HEAPS_FRACS_SQL)
