@@ -192,6 +192,10 @@ HEADLINE = (
     "q225_heaps_vocab_growth",
     "q226_transition_entropy",
     "q227_knn_label_agreement",
+    "q228_dup_inflation_by_source",
+    "q229_simpson_lexical_diversity",
+    "q230_lsh_bucket_histogram",
+    "q231_cluster_edge_density",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",
@@ -438,6 +442,11 @@ ANCHOR = {
     "q225_heaps_vocab_growth": 0.962,
     "q226_transition_entropy": 0.650,
     "q227_knn_label_agreement": 1.305,
+    "q228_dup_inflation_by_source": 0.795,
+    "q229_simpson_lexical_diversity": 0.801,
+    "q230_lsh_bucket_histogram": 1.222,
+    # the q160 chain + density join; the CC fixpoint rounds dominate
+    "q231_cluster_edge_density": 4.937,
     # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's
     # cost is the in-order pair fan-out (O(sum basket²), baskets ~4).
     "q128_event_transitions": 0.735,

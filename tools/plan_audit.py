@@ -86,6 +86,11 @@ SHUFFLE_BUDGET = {
     # plan exists; each round is 2 phase exchanges + 1 distinct on a
     # checkpoint-truncated lineage.
     "q160_semantic_clusters": 6,
+    # q231 = q160's chain (kNN build + mutual filter + CC rounds over
+    # localCheckpoint-truncated edges) + the edges->component join and
+    # two bounded groupBys; the CC rounds' per-phase exchanges land in
+    # the static render the same way q160's do.
+    "q231_cluster_edge_density": 10,
     # q187 composes THREE top-k legs over the same corpus — exact
     # brute-force window (1) + single-probe graph (cogroup 2 + window
     # 1) + multi-probe graph (cogroup 2 + window 1) — then one

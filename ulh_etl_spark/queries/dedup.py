@@ -60,6 +60,82 @@ def q36_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q228_dup_inflation_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source exact-duplicate inflation: docs vs distinct
+    normalized fingerprints (q34's md5-of-normalized-text), the
+    inflation factor docs/distinct, and how many rows dedup would
+    drop — the per-supplier accounting view of exact dedup that
+    decides which ingestion feeds are paying for storage twice. All
+    integer counts plus one division.
+
+    Scale: one (source, fingerprint) groupBy with map-side partial
+    agg, then a per-source groupBy — the canonical two-pass profile
+    shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ulh_etl_spark.operators.text import fingerprint
+
+    per_fp = (
+        docs.select("source", fingerprint(F.col("text")).alias("_fp"))
+        .groupBy("source", "_fp")
+        .agg(F.count("*").cast("long").alias("_c"))
+    )
+    return per_fp.groupBy("source").agg(
+        F.sum("_c").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        (F.sum("_c") - F.count("*")).cast("bigint").alias("n_droppable"),
+        F.round(
+            F.sum("_c").cast("double") / F.count("*").cast("double"), 6
+        ).alias("inflation"),
+    )
+
+
+def q230_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-occupancy audit: per band, the histogram of bucket
+    sizes and the candidate-pair cost each size class implies
+    (n_buckets * s(s-1)/2) — the pre-flight a dedup run reads BEFORE
+    the band self-join, because one boilerplate bucket of B docs
+    emits B^2 pairs and decides the whole job (the q206 lesson, and
+    exactly what minhash_candidate_pairs' max_bucket_size/salting
+    knobs exist for — this query prices when to pull them). All
+    integer counts off the same md5 band machinery as q36, so the
+    oracle replays it verbatim.
+
+    Scale: signature build (one explode + partial-agg min), band
+    unpivot, one groupBy per (band, key), one groupBy on the size —
+    never the self-join itself; this audit is strictly cheaper than
+    the join it prices."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(
+        docs, "text", "doc_id", _NUM_HASHES, _SHINGLE_N
+    )
+    bands = D.lsh_bands(sigs, "doc_id", _NUM_HASHES, _ROWS_PER_BAND)
+    sizes = bands.groupBy("band_idx", "band_key").agg(
+        F.count("*").cast("long").alias("_s")
+    )
+    return (
+        sizes.groupBy(
+            F.col("band_idx").cast("bigint").alias("band_idx"),
+            F.col("_s").alias("bucket_size"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_buckets"))
+        .select(
+            "band_idx",
+            "bucket_size",
+            "n_buckets",
+            (
+                F.col("n_buckets")
+                * F.col("bucket_size")
+                * (F.col("bucket_size") - F.lit(1))
+                / F.lit(2)
+            )
+            .cast("bigint")
+            .alias("candidate_pairs"),
+        )
+    )
+
+
 def q37_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprint per document."""
     docs = load_table(spark, sf_dir, "documents")
@@ -662,6 +738,8 @@ QUERIES = {
     "q34_dedup_exact": q34_dedup_exact,
     "q35_minhash_signature": q35_minhash_signature,
     "q36_minhash_pairs": q36_minhash_pairs,
+    "q230_lsh_bucket_histogram": q230_lsh_bucket_histogram,
+    "q228_dup_inflation_by_source": q228_dup_inflation_by_source,
     "q37_simhash": q37_simhash,
     "q38_ngram_jaccard_pairs": q38_ngram_jaccard_pairs,
     "q75_neardup_components": q75_neardup_components,
@@ -928,6 +1006,39 @@ ORACLES = {
         SELECT doc_id,
                {_SIG_COLS}
         FROM hashed
+    """,
+    "q228_dup_inflation_by_source": f"""
+        WITH per AS (
+            SELECT source, md5({O.norm_text('text')}) AS fp,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM documents GROUP BY 1, 2
+        )
+        SELECT source,
+               CAST(SUM(c) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_droppable,
+               ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*), 6) AS inflation
+        FROM per GROUP BY source
+    """,
+    "q230_lsh_bucket_histogram": f"""
+        WITH hashed AS (
+            SELECT doc_id, {_HS} AS hs FROM documents
+        ), sigs AS (
+            SELECT doc_id,
+               {_SIG_COLS}
+            FROM hashed
+        ), bands AS (
+{_BAND_SELECTS}
+        ), sizes AS (
+            SELECT band_idx, band_key, CAST(COUNT(*) AS BIGINT) AS s
+            FROM bands GROUP BY 1, 2
+        )
+        SELECT CAST(band_idx AS BIGINT) AS band_idx,
+               s AS bucket_size,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(COUNT(*) * s * (s - 1) / 2 AS BIGINT)
+                   AS candidate_pairs
+        FROM sizes GROUP BY band_idx, s
     """,
     "q36_minhash_pairs": f"""
         WITH hashed AS (

@@ -1086,6 +1086,58 @@ def q221_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q231_cluster_edge_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-cluster SHAPE audit: per q160 cluster (mutual-kNN
+    connected component), the internal edge count and edge density
+    2e/(c(c-1)) — density ~1 is a genuine paraphrase clique, density
+    ~2/c is a chain of pairwise-similar docs transitively glued (the
+    classic near-dup-clustering failure mode: collapse-to-one is
+    safe for cliques, lossy for chains). The report a dedup run
+    reads before choosing keep-one vs keep-per-subcluster. Counts
+    are integers off the same mutual edge relation q160 clusters, so
+    the oracle replays the graph + recursive closure verbatim.
+
+    Scale: the q160 chain (kNN build + mutual filter + CC) plus one
+    edges->component join and two bounded groupBys; edges are
+    degree-bounded (mutual kNN deg <= k), components are the
+    clusters themselves."""
+    from ulh_etl_spark.operators.dedup import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = S.knn_graph(
+        emb, _adaptive_centroids(emb), k=_KNN_K, nprobe=_KNN_NPROBE,
+        two_level=True,
+    )
+    edges = S.mutual_knn_edges(knn)
+    comp = connected_components(edges)
+    mc = comp.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    ec = (
+        edges.join(
+            comp.select(
+                F.col("node").alias("id1"), F.col("component")
+            ),
+            "id1",
+        )
+        .groupBy("component")
+        .agg(F.count("*").cast("bigint").alias("n_edges"))
+    )
+    return mc.join(ec, "component").select(
+        "component",
+        "n_members",
+        "n_edges",
+        F.round(
+            (F.col("n_edges") * F.lit(2.0))
+            / (
+                F.col("n_members").cast("double")
+                * (F.col("n_members") - F.lit(1)).cast("double")
+            ),
+            6,
+        ).alias("density"),
+    )
+
+
 def q227_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-noise audit via kNN agreement (the Brodley & Friedl
     JAIR'99 mislabeled-instance filter, in aggregate): per label
@@ -1880,6 +1932,7 @@ QUERIES = {
     "q220_knn_hits": q220_knn_hits,
     "q221_knn_hubness": q221_knn_hubness,
     "q227_knn_label_agreement": q227_knn_label_agreement,
+    "q231_cluster_edge_density": q231_cluster_edge_density,
     "q170_knn_triangles": q170_knn_triangles,
     "q174_embedding_ks_drift": q174_embedding_ks_drift,
     "q39_cosine_topk": q39_cosine_topk,
@@ -2778,6 +2831,39 @@ ORACLES = {
             FROM embeddings v LEFT JOIN ind i
               ON v.vec_id = i.neighbor_id
         ) GROUP BY k_occurrence
+    """,
+    "q231_cluster_edge_density": f"""
+        WITH RECURSIVE knn AS MATERIALIZED (
+            {_Q186TL_SQL}
+        ), mut AS MATERIALIZED (
+            SELECT f.vec_id AS id1, f.neighbor_id AS id2
+            FROM knn f JOIN knn r
+              ON f.vec_id = r.neighbor_id AND f.neighbor_id = r.vec_id
+            WHERE f.vec_id < f.neighbor_id
+        ), edges AS MATERIALIZED (
+            SELECT id1 AS a, id2 AS b FROM mut
+            UNION
+            SELECT id2, id1 FROM mut
+        ), reach(src, dst) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        ), comp AS (
+            SELECT src AS node, MIN(dst) AS component
+            FROM reach GROUP BY src
+        ), mc AS (
+            SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM comp GROUP BY component
+        ), ec AS (
+            SELECT c.component, CAST(COUNT(*) AS BIGINT) AS n_edges
+            FROM mut m JOIN comp c ON m.id1 = c.node
+            GROUP BY c.component
+        )
+        SELECT mc.component, mc.n_members, ec.n_edges,
+               ROUND(ec.n_edges * 2.0
+                     / (CAST(mc.n_members AS DOUBLE)
+                        * CAST(mc.n_members - 1 AS DOUBLE)), 6) AS density
+        FROM mc JOIN ec ON mc.component = ec.component
     """,
     "q227_knn_label_agreement": f"""
         WITH knn AS MATERIALIZED (

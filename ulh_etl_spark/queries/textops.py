@@ -1366,8 +1366,55 @@ def q225_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q229_simpson_lexical_diversity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source lexical concentration via the Simpson index
+    (Simpson 1949): the probability two tokens drawn WITHOUT
+    replacement from a source are the same word,
+    D = sum_i n_i(n_i-1) / (N(N-1)), and its complement diversity —
+    the log-free companion to the entropy signals (q195/q123):
+    boilerplate-heavy or template-spam sources concentrate (high D)
+    long before their mean quality score moves. ENTIRELY integer
+    arithmetic until one final division, so the oracle is exact with
+    no float-fold discipline needed at all.
+
+    Scale: one (source, word) groupBy with map-side partial agg,
+    then a groupBy on the source — the same two-pass shape as every
+    per-source profile here; sum n_i^2 <= N^2 stays far inside int64
+    at any realistic per-source token count."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            "source",
+            F.explode(T.whitespace_tokens(F.col("text"))).alias("_w"),
+        )
+        .groupBy("source", "_w")
+        .agg(F.count("*").cast("long").alias("_c"))
+    )
+    per = wc.groupBy("source").agg(
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum(F.col("_c") * (F.col("_c") - F.lit(1)))
+        .cast("long")
+        .alias("_rep"),
+    )
+    ratio = F.col("_rep").cast("double") / (
+        F.col("n_tokens").cast("double")
+        * (F.col("n_tokens") - F.lit(1)).cast("double")
+    )
+    return per.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.round(ratio, 6).alias("simpson_index"),
+        F.round(F.lit(1.0) - ratio, 6).alias("diversity"),
+    )
+
+
 QUERIES = {
     "q225_heaps_vocab_growth": q225_heaps_vocab_growth,
+    "q229_simpson_lexical_diversity": q229_simpson_lexical_diversity,
     "q180_sparse_lexical_topk": q180_sparse_lexical_topk,
     "q179_pmi_bigrams": q179_pmi_bigrams,
     "q171_cms_heavy_hitters": q171_cms_heavy_hitters,
@@ -3095,3 +3142,27 @@ ORACLES["q225_heaps_vocab_growth"] = f"""
                round(y.n_types * 1.0 / t.n_tokens, 6) AS type_token_ratio
         FROM toks t JOIN types y ON t.frac = y.frac
 """.replace("{HEAPS_FRACS}", _HEAPS_FRACS_SQL)
+
+ORACLES["q229_simpson_lexical_diversity"] = f"""
+        WITH wc AS (
+            SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+                SELECT source, unnest({O.ws_tokens('text')}) AS w
+                FROM documents
+            ) GROUP BY source, w
+        ), per AS (
+            SELECT source,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(SUM(c * (c - 1)) AS BIGINT) AS rep
+            FROM wc GROUP BY source
+        )
+        SELECT source, n_tokens, n_types,
+               ROUND(CAST(rep AS DOUBLE)
+                     / (CAST(n_tokens AS DOUBLE)
+                        * CAST(n_tokens - 1 AS DOUBLE)), 6)
+                   AS simpson_index,
+               ROUND(1.0 - CAST(rep AS DOUBLE)
+                     / (CAST(n_tokens AS DOUBLE)
+                        * CAST(n_tokens - 1 AS DOUBLE)), 6) AS diversity
+        FROM per
+"""
