@@ -136,6 +136,91 @@ def q230_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSHRC_TARGET = 160  # ~target sampled docs -> ~12.7k audit pairs
+
+
+def q232_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH S-curve: candidate rate BY exact-Jaccard decile,
+    on a deterministic doc sample whose size is CONSTANT at any
+    corpus scale — the empirical answer to "what similarity does our
+    (bands, rows) setting actually catch", next to q109 (estimator
+    error on candidates) and q230 (bucket cost). Within the sample
+    EVERY pair gets exact 4-gram Jaccard (that is the point: misses
+    must be visible), then the same md5 band machinery as q36 runs
+    on the sampled docs only and pairs are marked candidate or not;
+    one row per Jaccard decile with the candidate rate.
+
+    Scale discipline: an all-pairs audit leg is only sane with a
+    FIXED budget, so the sample modulus derives from the corpus
+    count IN-PLAN (mod = max(1, floor(N / target)), both engines
+    compute the same integer) — ~160 docs, ~12.7k pairs whether the
+    corpus is 5k docs or 5B; the only corpus-scale work is the
+    sample-selection scan. The q109/q213 endpoint-sampling pattern,
+    upgraded from a fixed to a self-sizing modulus."""
+    from ulh_etl_spark.operators.text import char_ngrams, md5_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.agg(F.count("*").alias("_n"))
+    samp = (
+        docs.crossJoin(F.broadcast(cnt))
+        .filter(
+            F.pmod(
+                md5_hash60(
+                    F.concat(F.lit("lshrc_"), F.col("doc_id").cast("string"))
+                ),
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    F.floor(F.col("_n") / F.lit(float(_LSHRC_TARGET)))
+                    .cast("long"),
+                ),
+            )
+            == 0
+        )
+        .select("doc_id", "text")
+    )
+    g = samp.select(
+        "doc_id",
+        F.array_distinct(char_ngrams(F.col("text"), _SHINGLE_N)).alias("_g"),
+    )
+    a = g.select(F.col("doc_id").alias("id1"), F.col("_g").alias("_ga"))
+    b = g.select(F.col("doc_id").alias("id2"), F.col("_g").alias("_gb"))
+    inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
+    union = (
+        F.size("_ga") + F.size("_gb") - F.size(F.array_intersect("_ga", "_gb"))
+    ).cast("double")
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "id1", "id2", F.round(inter / union, 6).alias("_j")
+        )
+    )
+    cand = D.minhash_candidate_pairs(
+        samp, "text", "doc_id", _NUM_HASHES, _ROWS_PER_BAND, _SHINGLE_N
+    ).withColumn("_is_cand", F.lit(1))
+    joined = pairs.join(cand, ["id1", "id2"], "left")
+    bucket = F.least(F.lit(9), F.floor(F.col("_j") * 10).cast("int"))
+    return (
+        joined.groupBy(bucket.cast("bigint").alias("jac_decile"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(F.coalesce(F.col("_is_cand"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_candidates"),
+        )
+        .select(
+            "jac_decile",
+            "n_pairs",
+            "n_candidates",
+            F.round(
+                F.col("n_candidates").cast("double")
+                / F.col("n_pairs").cast("double"),
+                6,
+            ).alias("candidate_rate"),
+        )
+    )
+
+
 def q37_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprint per document."""
     docs = load_table(spark, sf_dir, "documents")
@@ -740,6 +825,7 @@ QUERIES = {
     "q36_minhash_pairs": q36_minhash_pairs,
     "q230_lsh_bucket_histogram": q230_lsh_bucket_histogram,
     "q228_dup_inflation_by_source": q228_dup_inflation_by_source,
+    "q232_lsh_recall_curve": q232_lsh_recall_curve,
     "q37_simhash": q37_simhash,
     "q38_ngram_jaccard_pairs": q38_ngram_jaccard_pairs,
     "q75_neardup_components": q75_neardup_components,
@@ -1006,6 +1092,51 @@ ORACLES = {
         SELECT doc_id,
                {_SIG_COLS}
         FROM hashed
+    """,
+    "q232_lsh_recall_curve": f"""
+        WITH n AS (
+            SELECT COUNT(*) AS n FROM documents
+        ), samp AS MATERIALIZED (
+            SELECT doc_id, text FROM documents, n
+            WHERE CAST('0x' || substr(md5('lshrc_'
+                        || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                  % greatest(1, CAST(floor(n.n / {float(_LSHRC_TARGET)})
+                                     AS BIGINT)) = 0
+        ), g AS MATERIALIZED (
+            SELECT doc_id,
+                   list_distinct({O.grams('text', _SHINGLE_N)}) AS gs
+            FROM samp
+        ), pairs AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   ROUND(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                         / CAST(len(a.gs) + len(b.gs)
+                                - len(list_intersect(a.gs, b.gs))
+                                AS DOUBLE), 6) AS j
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+        ), hashed AS (
+            SELECT doc_id, {_HS} AS hs FROM samp
+        ), sigs AS (
+            SELECT doc_id,
+               {_SIG_COLS}
+            FROM hashed
+        ), bands AS (
+{_BAND_SELECTS}
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        )
+        SELECT CAST(least(9, CAST(floor(p.j * 10) AS INT)) AS BIGINT)
+                   AS jac_decile,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN c.id1 IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_candidates,
+               ROUND(SUM(CASE WHEN c.id1 IS NOT NULL THEN 1 ELSE 0 END)
+                     * 1.0 / COUNT(*), 6) AS candidate_rate
+        FROM pairs p LEFT JOIN cand c
+          ON p.id1 = c.id1 AND p.id2 = c.id2
+        GROUP BY 1
     """,
     "q228_dup_inflation_by_source": f"""
         WITH per AS (
