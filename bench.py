@@ -196,6 +196,7 @@ HEADLINE = (
     "q229_simpson_lexical_diversity",
     "q230_lsh_bucket_histogram",
     "q231_cluster_edge_density",
+    "q232_lsh_recall_curve",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",
@@ -447,6 +448,8 @@ ANCHOR = {
     "q230_lsh_bucket_histogram": 1.222,
     # the q160 chain + density join; the CC fixpoint rounds dominate
     "q231_cluster_edge_density": 4.937,
+    # constant-pair-budget audit: ~160 sampled docs at any sf
+    "q232_lsh_recall_curve": 2.915,
     # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's
     # cost is the in-order pair fan-out (O(sum basket²), baskets ~4).
     "q128_event_transitions": 0.735,

@@ -180,6 +180,14 @@ SHUFFLE_BUDGET = {
     # q227 label agreement: same kNN build as q221 (cogroup + rank
     # window) + the two label joins on vec_id and the label groupBy.
     "q227_knn_label_agreement": 7,
+    # q232 LSH recall curve: the 1-row count aggregate feeding the
+    # self-sizing sample modulus (1), the q36 signature build's
+    # fan_out + shingle groupBy on the SAMPLED docs (2-3), the band
+    # self-join + candidate distinct (4-5), the pairs-vs-candidates
+    # left join (6), and the decile groupBy (7). Every exchange past
+    # the sample-selection scan is sample-sized (~160 docs / ~12.7k
+    # pairs) by construction — the budget is the query's contract.
+    "q232_lsh_recall_curve": 8,
     # q225 Heaps curve: the word-first groupBy (1), the per-checkpoint
     # type aggregate (2), the per-doc token aggregate (3), the 1-row
     # max aggregate feeding the broadcast checkpoint table (4), and
