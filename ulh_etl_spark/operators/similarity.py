@@ -1455,6 +1455,120 @@ def knn_graph(
     )
 
 
+def knn_flat_probe_legs(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    query_pred: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    nprobe: int = 6,
+    assign_impl: str = "auto",
+) -> tuple[DataFrame, DataFrame]:
+    """Both legs of the FLAT-family recall audit (single-probe and
+    ``nprobe``-multiprobe top-k for the vectors matching
+    ``query_pred``) from ONE flat assignment pass — the r15 q187
+    restructure. The naive form (two full :func:`knn_graph` builds,
+    filtered to the audited queries afterwards) paid the flat N·C
+    assignment TWICE and ranked candidates for every corpus vector
+    to keep 64 of them (sf10: ~150 s, exp +1.30). Here the top-
+    ``nprobe`` cell slice is computed once for the whole corpus (the
+    index side must know its cells — that N·C pass is the flat
+    family's intrinsic, q197-canary cost), the probe side filters to
+    the audited queries BEFORE the candidate join, and the single-
+    probe leg is the slice's element 1 (== ivf_assign's argmin cell,
+    same tie-break — the contract knn_graph's own index side relies
+    on). Per-leg results are row-identical to
+    ``knn_graph(..., nprobe=p).filter(query_pred)``: same candidate
+    sets, same raw-double cosine, same (cos desc, neighbor) rank
+    order — so existing oracles replay unchanged.
+
+    Returns ``(single_df, multi_df)``, each (id_col, neighbor_id,
+    cosine, rank) like :func:`knn_graph`."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    cid, cvec = (
+        ("cell", "cell_vec")
+        if "cell" in centroids.columns
+        else ("centroid_id", "centroid_vec")
+    )
+    cell_type = centroids.schema[cid].dataType.simpleString()
+    if _resolve_impl(assign_impl) == "blas":
+        assigned = flat_cells_blas(
+            corpus, centroids, id_col, vec_col, cid, cvec, nprobe=nprobe
+        ).withColumn("_norm", l2_norm(F.col(vec_col)))
+        probe_cell = lambda c: c  # noqa: E731 — bare cells
+    else:
+        cells = _centroid_literal(centroids, cid, cvec)
+        scored = F.transform(
+            cells,
+            lambda c: F.struct(
+                _sq_dist_to(vec_col, c["cvec"]).alias("dist"),
+                c["cell"].alias("cell"),
+            ),
+        )
+        assigned = corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            l2_norm(F.col(vec_col)).alias("_norm"),
+            F.slice(F.array_sort(scored), 1, nprobe).alias("_cells"),
+        )
+        probe_cell = lambda c: c["cell"]  # noqa: E731 — structs
+    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    track(assigned)
+    b = assigned.select(
+        F.col(id_col).alias("_nid"),
+        F.col(vec_col).alias("v2"),
+        F.col("_norm").alias("_n2"),
+        probe_cell(F.element_at(F.col("_cells"), 1))
+        .cast(cell_type)
+        .alias("cell"),
+    )
+    qa = assigned.filter(query_pred)
+
+    def _leg(a: DataFrame) -> DataFrame:
+        pairs = a.join(b, "cell").filter(F.col("_qid") != F.col("_nid"))
+        cos = _dot(F.col("v1"), F.col("v2")) / (F.col("_n1") * F.col("_n2"))
+        w = Window.partitionBy("_qid").orderBy(
+            F.col("_cos").desc(), F.col("_nid")
+        )
+        return (
+            pairs.select("_qid", "_nid", cos.alias("_cos"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                F.col("_qid").alias(id_col),
+                F.col("_nid").alias("neighbor_id"),
+                F.round(F.col("_cos"), 6).alias("cosine"),
+                "rank",
+            )
+        )
+
+    single = _leg(
+        qa.select(
+            F.col(id_col).alias("_qid"),
+            F.col(vec_col).alias("v1"),
+            F.col("_norm").alias("_n1"),
+            probe_cell(F.element_at(F.col("_cells"), 1))
+            .cast(cell_type)
+            .alias("cell"),
+        )
+    )
+    multi = _leg(
+        qa.select(
+            F.col(id_col).alias("_qid"),
+            F.col(vec_col).alias("v1"),
+            F.col("_norm").alias("_n1"),
+            F.explode_outer(F.col("_cells")).alias("_p"),
+        ).select(
+            "_qid", "v1", "_n1",
+            probe_cell(F.col("_p")).cast(cell_type).alias("cell"),
+        )
+    )
+    return single, multi
+
+
 def hash_ring_seed_graph(
     corpus: DataFrame,
     id_col: str = "vec_id",

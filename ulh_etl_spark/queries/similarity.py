@@ -563,17 +563,23 @@ def q187_knn_recall_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bf = S.cosine_topk(emb, queries, k=_KNN_K).select(
         "query_id", "neighbor_id"
     )
+    # r15: ONE flat assignment pass serves both legs, with the probe
+    # side filtered to the audited queries BEFORE the candidate join
+    # (operators.similarity.knn_flat_probe_legs) — row-identical to
+    # the old two-full-graph build (sf10 ~150 s -> the flat N·C pass
+    # once), so the oracle replays unchanged.
+    single_g, multi_g = S.knn_flat_probe_legs(
+        emb, cents, F.col("vec_id") < _KNN_AUDIT_Q,
+        k=_KNN_K, nprobe=_KNN_NPROBE,
+    )
     legs = []
-    for name, nprobe in (
-        ("recall_single", 1),
-        ("recall_multi", _KNN_NPROBE),
+    for name, graph in (
+        ("recall_single", single_g),
+        ("recall_multi", multi_g),
     ):
-        knn = (
-            S.knn_graph(emb, cents, k=_KNN_K, nprobe=nprobe)
-            .filter(F.col("vec_id") < _KNN_AUDIT_Q)
-            .select(F.col("vec_id").alias("query_id"), "neighbor_id")
-            .withColumn("_hit", F.lit(1))
-        )
+        knn = graph.select(
+            F.col("vec_id").alias("query_id"), "neighbor_id"
+        ).withColumn("_hit", F.lit(1))
         legs.append(
             bf.join(F.broadcast(knn), ["query_id", "neighbor_id"], "left")
             .groupBy("query_id")
