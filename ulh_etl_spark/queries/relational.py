@@ -581,7 +581,17 @@ def q177_bloom_join_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     set is too large to broadcast raw but its BITMAP is not (the
     q113 decontamination economics, applied to a relational join).
     Keys pre-hash through the portable md5 (sequential orderkeys
-    would otherwise degenerate the double-hash scheme)."""
+    would otherwise degenerate the double-hash scheme).
+
+    The bitmap SELF-SIZES to >= 10 bits/key (next power of two, one
+    scalar count on the already-eager dim side; r15): a fixed width
+    saturates as the dim grows — at sf10 the 16 KiB bitmap held ~3M
+    keys, every lineitem row "survived", and the reduction became a
+    no-op full join (probe exp +1.03). Survivor-set size changes
+    with the width; the RESULT never does (the exact join kills
+    every false positive), so the oracle is width-independent."""
+    import math
+
     from ulh_etl_spark.operators.bloom import bloom_probe, build_bloom
     from ulh_etl_spark.operators.text import md5_hash60
 
@@ -593,8 +603,13 @@ def q177_bloom_join_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = orders.select(
         md5_hash60(F.col("o_orderkey").cast("string")).alias("_bkey")
     )
+    n_keys = orders.count()
+    n_bits = max(
+        _BLOOM_JOIN_BITS,
+        1 << math.ceil(math.log2(max(1, 10 * n_keys))),
+    )
     bits = build_bloom(
-        members, "_bkey", n_bits=_BLOOM_JOIN_BITS, n_hashes=_BLOOM_JOIN_HASHES
+        members, "_bkey", n_bits=n_bits, n_hashes=_BLOOM_JOIN_HASHES
     )
     li = load_table(spark, sf_dir, "lineitem").withColumn(
         "_bkey", md5_hash60(F.col("l_orderkey").cast("string"))
