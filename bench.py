@@ -197,6 +197,7 @@ HEADLINE = (
     "q230_lsh_bucket_histogram",
     "q231_cluster_edge_density",
     "q232_lsh_recall_curve",
+    "q233_knn_assortativity",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",
@@ -450,6 +451,8 @@ ANCHOR = {
     "q231_cluster_edge_density": 4.937,
     # constant-pair-budget audit: ~160 sampled docs at any sf
     "q232_lsh_recall_curve": 2.915,
+    # the mutual-kNN build + two degree joins
+    "q233_knn_assortativity": 5.551,
     # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's
     # cost is the in-order pair fan-out (O(sum basket²), baskets ~4).
     "q128_event_transitions": 0.735,

@@ -91,6 +91,9 @@ SHUFFLE_BUDGET = {
     # two bounded groupBys; the CC rounds' per-phase exchanges land in
     # the static render the same way q160's do.
     "q231_cluster_edge_density": 10,
+    # q233 assortativity: the q231 build minus CC, plus the degree
+    # groupBy and two degree joins + the final 5-sum aggregate.
+    "q233_knn_assortativity": 10,
     # q187 composes THREE top-k legs over the same corpus — exact
     # brute-force window (1) + single-probe graph (cogroup 2 + window
     # 1) + multi-probe graph (cogroup 2 + window 1) — then one

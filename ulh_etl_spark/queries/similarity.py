@@ -1092,6 +1092,67 @@ def q221_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q233_knn_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the mutual-kNN graph (Newman, PRL
+    2002): the Pearson correlation of endpoint degrees over the
+    undirected edge set — negative r means hubs attach to low-degree
+    spokes (the hub-dominated topology where graph search degrades
+    and q221's antihubs appear); r near 0/positive means the
+    paraphrase clusters are degree-homogeneous. One scalar per
+    corpus, the topology health check next to q221's histogram and
+    q231's densities. Both edge directions enter the sums (the
+    standard undirected convention), so Σx = Σy by construction.
+    All five sums are INTEGER (degrees are counts) — exact in both
+    engines — and r is one closed-form double expression on them,
+    rounded at the end.
+
+    Scale: mutual-kNN edges (degree <= k) -> one degree groupBy ->
+    two degree joins on uniform node ids -> a single 5-sum
+    aggregate. Nothing wider than the edge relation."""
+    from pyspark.sql import Window  # noqa: F401 — parity with siblings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = S.knn_graph(
+        emb, _adaptive_centroids(emb), k=_KNN_K, nprobe=_KNN_NPROBE,
+        two_level=True,
+    )
+    mut = S.mutual_knn_edges(knn)
+    und = mut.select(
+        F.col("id1").alias("a"), F.col("id2").alias("b")
+    ).union(mut.select(F.col("id2").alias("a"), F.col("id1").alias("b")))
+    deg = und.groupBy("a").agg(F.count("*").cast("long").alias("_d"))
+    e = (
+        und.join(deg.select(F.col("a"), F.col("_d").alias("_dx")), "a")
+        .join(
+            deg.select(F.col("a").alias("b"), F.col("_d").alias("_dy")),
+            "b",
+        )
+    )
+    s = e.agg(
+        F.count("*").cast("long").alias("_m"),
+        F.sum("_dx").cast("long").alias("_sx"),
+        F.sum("_dy").cast("long").alias("_sy"),
+        F.sum(F.col("_dx") * F.col("_dy")).cast("long").alias("_sxy"),
+        F.sum(F.col("_dx") * F.col("_dx")).cast("long").alias("_sxx"),
+        F.sum(F.col("_dy") * F.col("_dy")).cast("long").alias("_syy"),
+    )
+    m = F.col("_m").cast("double")
+    num = m * F.col("_sxy").cast("double") - (
+        F.col("_sx").cast("double") * F.col("_sy").cast("double")
+    )
+    den = F.sqrt(
+        m * F.col("_sxx").cast("double")
+        - F.col("_sx").cast("double") * F.col("_sx").cast("double")
+    ) * F.sqrt(
+        m * F.col("_syy").cast("double")
+        - F.col("_sy").cast("double") * F.col("_sy").cast("double")
+    )
+    return s.select(
+        F.col("_m").alias("n_directed_edges"),
+        F.round(num / den, 6).alias("assortativity"),
+    )
+
+
 def q231_cluster_edge_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic-cluster SHAPE audit: per q160 cluster (mutual-kNN
     connected component), the internal edge count and edge density
@@ -1939,6 +2000,7 @@ QUERIES = {
     "q221_knn_hubness": q221_knn_hubness,
     "q227_knn_label_agreement": q227_knn_label_agreement,
     "q231_cluster_edge_density": q231_cluster_edge_density,
+    "q233_knn_assortativity": q233_knn_assortativity,
     "q170_knn_triangles": q170_knn_triangles,
     "q174_embedding_ks_drift": q174_embedding_ks_drift,
     "q39_cosine_topk": q39_cosine_topk,
@@ -2837,6 +2899,43 @@ ORACLES = {
             FROM embeddings v LEFT JOIN ind i
               ON v.vec_id = i.neighbor_id
         ) GROUP BY k_occurrence
+    """,
+    "q233_knn_assortativity": f"""
+        WITH knn AS MATERIALIZED (
+            {_Q186TL_SQL}
+        ), mut AS (
+            SELECT f.vec_id AS id1, f.neighbor_id AS id2
+            FROM knn f JOIN knn r
+              ON f.vec_id = r.neighbor_id AND f.neighbor_id = r.vec_id
+            WHERE f.vec_id < f.neighbor_id
+        ), und AS MATERIALIZED (
+            SELECT id1 AS a, id2 AS b FROM mut
+            UNION ALL
+            SELECT id2, id1 FROM mut
+        ), deg AS (
+            SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY a
+        ), e AS (
+            SELECT dx.d AS dxv, dy.d AS dyv
+            FROM und u JOIN deg dx ON u.a = dx.a
+                       JOIN deg dy ON u.b = dy.a
+        ), s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                   CAST(SUM(dxv) AS BIGINT) AS sx,
+                   CAST(SUM(dyv) AS BIGINT) AS sy,
+                   CAST(SUM(dxv * dyv) AS BIGINT) AS sxy,
+                   CAST(SUM(dxv * dxv) AS BIGINT) AS sxx,
+                   CAST(SUM(dyv * dyv) AS BIGINT) AS syy
+            FROM e
+        )
+        SELECT m AS n_directed_edges,
+               ROUND((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                     6) AS assortativity
+        FROM s
     """,
     "q231_cluster_edge_density": f"""
         WITH RECURSIVE knn AS MATERIALIZED (
