@@ -198,6 +198,8 @@ HEADLINE = (
     "q231_cluster_edge_density",
     "q232_lsh_recall_curve",
     "q233_knn_assortativity",
+    "q234_join_skew_profile",
+    "q235_interarrival_profile",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",
@@ -453,6 +455,8 @@ ANCHOR = {
     "q232_lsh_recall_curve": 2.915,
     # the mutual-kNN build + two degree joins
     "q233_knn_assortativity": 5.551,
+    "q234_join_skew_profile": 0.795,
+    "q235_interarrival_profile": 1.128,
     # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's
     # cost is the in-order pair fan-out (O(sum basket²), baskets ~4).
     "q128_event_transitions": 0.735,

@@ -94,6 +94,14 @@ SHUFFLE_BUDGET = {
     # q233 assortativity: the q231 build minus CC, plus the degree
     # groupBy and two degree joins + the final 5-sum aggregate.
     "q233_knn_assortativity": 10,
+    # q235 inter-arrival profile: the (type, day) chunk window (1),
+    # the per-day boundary aggregate (2) and its day-chain window
+    # (3, over a tiny type x days relation), the per-type rank
+    # window over persisted gaps (4), the per-type stats aggregate
+    # (5), and the percentile join (6) — one exchange per exact-
+    # selection stage; only (1) and (4) are corpus-sized, both on
+    # parallel keys.
+    "q235_interarrival_profile": 7,
     # q187 composes THREE top-k legs over the same corpus — exact
     # brute-force window (1) + single-probe graph (cogroup 2 + window
     # 1) + multi-probe graph (cogroup 2 + window 1) — then one

@@ -821,7 +821,46 @@ def q224_l_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q234_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit: the multiplicity histogram of the fact
+    side's join key (lineitem.l_orderkey) — per multiplicity m, how
+    many keys have it, how many rows they carry, and their share of
+    the table — the pre-join forecast of shuffle-partition imbalance
+    (a key at multiplicity M joins into M x dim-multiplicity rows;
+    the heavy tail here is what AQE skew-split / salting exists
+    for). The relational twin of q230's LSH bucket histogram: price
+    the skew BEFORE the join. All integer counts plus one share
+    division.
+
+    Scale: two partial-aggregated groupBys (key, then multiplicity)
+    and a 1-row total cross-joined in — strictly cheaper than the
+    join it forecasts."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    tot = li.agg(F.count("*").cast("long").alias("_t"))
+    mult = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("long").alias("_m")
+    )
+    return (
+        mult.groupBy(F.col("_m").alias("multiplicity"))
+        .agg(F.count("*").cast("bigint").alias("n_keys"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("multiplicity").cast("bigint").alias("multiplicity"),
+            "n_keys",
+            (F.col("multiplicity") * F.col("n_keys"))
+            .cast("bigint")
+            .alias("n_rows"),
+            F.round(
+                (F.col("multiplicity") * F.col("n_keys")).cast("double")
+                / F.col("_t").cast("double"),
+                6,
+            ).alias("row_share"),
+        )
+    )
+
+
 QUERIES = {
+    "q234_join_skew_profile": q234_join_skew_profile,
     "q216_k_anonymity_profile": q216_k_anonymity_profile,
     "q223_order_cube": q223_order_cube,
     "q224_l_diversity_profile": q224_l_diversity_profile,
@@ -859,6 +898,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q234_join_skew_profile": """
+        WITH mult AS (
+            SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS m
+            FROM lineitem GROUP BY l_orderkey
+        ), tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS t FROM lineitem
+        )
+        SELECT m AS multiplicity,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(m * COUNT(*) AS BIGINT) AS n_rows,
+               ROUND(CAST(m * COUNT(*) AS DOUBLE) / CAST(t AS DOUBLE), 6)
+                   AS row_share
+        FROM mult CROSS JOIN tot
+        GROUP BY m, t
+    """,
     "q224_l_diversity_profile": f"""
         WITH classes AS (
             SELECT c_nationkey,

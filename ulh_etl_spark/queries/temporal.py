@@ -328,7 +328,102 @@ def q222_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IAP_QS = ((0.5, "p50_us"), (0.9, "p90_us"), (0.99, "p99_us"))
+
+
+def q235_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival-time profile: exact p50/p90/p99
+    and max of the microsecond gaps between consecutive events of
+    each type — the arrival-process characterization behind
+    watermark sizing (a late-data allowance should cover the p99
+    gap, not a guess) and burst detection. Percentiles are EXACT
+    RANK SELECTIONS (row_number over the gap order, element at
+    ceil(q*n)), not an approximate sketch, and gaps are integer
+    microseconds — the only doubles are the shared ceil(q*n) rank
+    expressions, computed identically in both engines.
+
+    Scale: a naive per-type lag window collapses to |types| sort
+    tasks (measured: 5 tasks x 2M rows at sf10, and the unpersisted
+    gap subtree evaluated once per consumer — 35 s). The gap
+    multiset is instead built EXACTLY in calendar chunks: within-day
+    gaps lag over (type, day) — type x ~90-day parallelism — and the
+    day-boundary gaps come from a per-(type, day) first/last
+    aggregate (a tiny relation) lagged over days, so every
+    consecutive pair in the global (ts, event_id) order is produced
+    exactly once (same-day pairs by the chunk window, straddling
+    pairs by the boundary chain). The union persists (two consumers)
+    and only the type-keyed RANK window still runs per type — over
+    longs, 1.5 s at sf10."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    from ulh_etl_spark.cache import track
+    from ulh_etl_spark.operators.temporal import _epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    ts_type = ev.schema["ts"].dataType
+    us = _epoch_micros(F.col("ts"), ts_type)
+    evd = ev.select(
+        "event_type", "event_id", us.alias("_us"),
+        F.to_date(F.col("ts")).alias("_day"),
+    )
+    wd = Window.partitionBy("event_type", "_day").orderBy(
+        "_us", "event_id"
+    )
+    within = evd.select(
+        "event_type",
+        (F.col("_us") - F.lag("_us").over(wd)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    perday = evd.groupBy("event_type", "_day").agg(
+        F.min(F.struct(F.col("_us"), F.col("event_id"))).alias("_first"),
+        F.max(F.struct(F.col("_us"), F.col("event_id"))).alias("_last"),
+    )
+    wb = Window.partitionBy("event_type").orderBy("_day")
+    bound = perday.select(
+        "event_type",
+        (F.col("_first._us") - F.lag("_last._us").over(wb)).alias(
+            "gap_us"
+        ),
+    ).filter(F.col("gap_us").isNotNull())
+    g = track(
+        within.unionByName(bound).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    wr = Window.partitionBy("event_type").orderBy("gap_us")
+    ranked = g.withColumn("_r", F.row_number().over(wr))
+    per = g.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("_n"),
+        F.max("gap_us").cast("long").alias("max_us"),
+    )
+    pct = (
+        ranked.join(per.select("event_type", "_n"), "event_type")
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.max(
+                    F.when(
+                        F.col("_r")
+                        == F.ceil(F.lit(q) * F.col("_n")).cast("long"),
+                        F.col("gap_us"),
+                    )
+                )
+                .cast("long")
+                .alias(name)
+                for q, name in _IAP_QS
+            ]
+        )
+    )
+    return per.join(pct, "event_type").select(
+        "event_type",
+        F.col("_n").alias("n_gaps"),
+        "p50_us",
+        "p90_us",
+        "p99_us",
+        "max_us",
+    )
+
+
 QUERIES = {
+    "q235_interarrival_profile": q235_interarrival_profile,
     "q222_cusum_changepoints": q222_cusum_changepoints,
     "q184_mad_anomalies": q184_mad_anomalies,
     "q178_gap_fill_daily": q178_gap_fill_daily,
@@ -341,6 +436,40 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q235_interarrival_profile": """
+        WITH g AS (
+            SELECT event_type,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY event_type
+                       ORDER BY ts, event_id) AS gap_us
+            FROM events
+        ), gg AS MATERIALIZED (
+            SELECT event_type, gap_us,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY gap_us) AS r
+            FROM g WHERE gap_us IS NOT NULL
+        ), per AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(MAX(gap_us) AS BIGINT) AS max_us
+            FROM gg GROUP BY event_type
+        ), pct AS (
+            SELECT gg.event_type,
+                   CAST(MAX(CASE WHEN gg.r = CAST(ceil(0.5 * per.n)
+                                  AS BIGINT)
+                            THEN gg.gap_us END) AS BIGINT) AS p50_us,
+                   CAST(MAX(CASE WHEN gg.r = CAST(ceil(0.9 * per.n)
+                                  AS BIGINT)
+                            THEN gg.gap_us END) AS BIGINT) AS p90_us,
+                   CAST(MAX(CASE WHEN gg.r = CAST(ceil(0.99 * per.n)
+                                  AS BIGINT)
+                            THEN gg.gap_us END) AS BIGINT) AS p99_us
+            FROM gg JOIN per ON gg.event_type = per.event_type
+            GROUP BY gg.event_type
+        )
+        SELECT per.event_type, per.n AS n_gaps,
+               pct.p50_us, pct.p90_us, pct.p99_us, per.max_us
+        FROM per JOIN pct ON per.event_type = pct.event_type
+    """,
     "q222_cusum_changepoints": f"""
         WITH daily AS (
             SELECT event_type,
