@@ -1126,6 +1126,47 @@ def test_two_level_blas_sql_kernel_parity(spark):
     assert {k: list(v) for k, v in probe_sql.items()} == probe_blas
 
 
+def test_ivf_assign_blas_matches_sql(spark):
+    """The r16 flat-assignment kernel swap: ivf_assign(impl='blas')
+    routes through flat_cells_blas(nprobe=1), whose element 1 is the
+    SQL fold's array_min cell by the tolerance-refined contract —
+    identical cells AND an identical (id, vec, cell) schema, on a
+    corpus seeded with exact-duplicate vectors and a corpus vector
+    that IS a centroid (the distance-0 tie cases)."""
+    import numpy as np
+
+    from ulh_etl_spark.operators.similarity import ivf_assign
+
+    rng = np.random.RandomState(11)
+    vecs = rng.rand(60, 6).astype("float64")
+    vecs[13] = vecs[5]  # exact duplicate vector
+    vecs[41] = vecs[5]
+    cvecs = rng.rand(9, 6).astype("float64")
+    cvecs[4] = vecs[5]  # a corpus vector that IS a centroid
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(j, [float(x) for x in cvecs[j]]) for j in range(len(cvecs))],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    sql_df = ivf_assign(emb, cents, impl="sql")
+    blas_df = ivf_assign(emb, cents, impl="blas")
+    assert sql_df.columns == blas_df.columns == [
+        "vec_id", "embedding", "cell"
+    ]
+    assert (
+        sql_df.schema["cell"].dataType == blas_df.schema["cell"].dataType
+    )
+    sql_cells = {r.vec_id: r.cell for r in sql_df.collect()}
+    blas_cells = {r.vec_id: r.cell for r in blas_df.collect()}
+    assert sql_cells == blas_cells
+    # the duplicate trio all landed on the centroid that IS their
+    # vector (distance 0, lowest-cell tie-break)
+    assert sql_cells[5] == sql_cells[13] == sql_cells[41] == 4
+
+
 def test_two_level_structure_rejects_duplicate_coarse(spark):
     """Duplicate centroid VECTORS among the coarse picks empty the
     higher-id group (distance-0 tie sends both members to the lower

@@ -909,12 +909,18 @@ def test_hits_matches_reference_across_checkpoint_boundary(spark):
         assert got[v][1] == pytest.approx(wa, abs=2e-6), v
 
 
-def test_hits_rejects_empty_edges(spark):
+def test_hits_empty_edges_empty_out(spark):
+    """Empty edge relation -> empty (node, hub, authority) frame
+    with the node type carried from the input (r15 ADVICE: the old
+    ValueError was a behavior change for empty-in/empty-out
+    callers, and it left the probe relation persisted)."""
     from ulh_etl_spark.operators.graph import hits
 
     empty = spark.createDataFrame([], "src long, dst long")
-    with pytest.raises(ValueError, match="empty"):
-        hits(empty)
+    out = hits(empty)
+    assert out.columns == ["node", "hub", "authority"]
+    assert out.schema["node"].dataType.simpleString() == "bigint"
+    assert out.count() == 0
 
 
 def test_kmv_audit_element_slice_matches_python_replica(spark):
@@ -948,3 +954,7 @@ def test_kmv_audit_element_slice_matches_python_replica(spark):
     assert r_slice.abs_err == round(
         abs(r_slice.est_jaccard - want), 6
     )
+    # the slice modulus rides along so sliced audits are
+    # self-describing (r15 ADVICE)
+    assert r_slice.audit_elem_mod == mod
+    assert r_full.audit_elem_mod == 1

@@ -141,6 +141,15 @@ def main() -> None:
         "orders": (lambda: replicate(read("orders"), factor, ord_rep), 16),
     }
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    if only:
+        # fail loudly on typo'd names (r15 ADVICE): an unknown entry
+        # used to intersect to nothing, write nothing, and still
+        # print the success line
+        unknown = sorted(only - set(jobs))
+        if unknown:
+            raise SystemExit(
+                f"unknown table(s) {unknown}; valid: {sorted(jobs)}"
+            )
     for t, (build, parts) in jobs.items():
         if only and t not in only:
             continue

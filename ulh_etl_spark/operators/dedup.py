@@ -897,6 +897,17 @@ def prefix_filter_jaccard_pairs(
     512 = 8 long columns; size toward ~2x the per-doc distinct gram
     count.
 
+    EAGER (r15 ADVICE — the exception to the r10 lazy-construction
+    contract, like the centroid-collect policy): constructing this
+    DataFrame runs the heaviest stage — the gram build, the prefix
+    chain, and the full candidate enumeration join execute inside a
+    ``cand.count()`` here, because the one scalar it returns picks
+    the verify stage's PHYSICAL shape (broadcast needed-docs vs
+    corpus sort-merge). Callers that only want to build/explain the
+    plan (plan audits) pay that execution. If the count fails, the
+    three persisted relations are unpersisted before the error
+    propagates.
+
     Output: (id1, id2, jaccard{n}) — jaccard rounded to 6 (one
     fixed-order division, exact cross-engine).
     """
@@ -1082,7 +1093,15 @@ def prefix_filter_jaccard_pairs(
     # score 25,600 pairs (~80 of 129 s). An adversarial corpus that
     # defeats the screens falls back to the sort-merge shape.
     cand = track(cand.persist(StorageLevel.MEMORY_AND_DISK))
-    n_cand = cand.count()
+    try:
+        n_cand = cand.count()
+    except Exception:
+        # this count is the eager stage documented in the docstring;
+        # if it dies, don't leave the three persisted relations
+        # cached for the session to evict later
+        for rel in (cand, pref, g):
+            rel.unpersist()
+        raise
     if n_cand <= _CAND_SMALL:
         need = (
             cand.select(F.col("id1").alias(id_col))

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
 from ulh_etl_spark.cache import track
@@ -369,9 +370,24 @@ def hits(
         ).persist(StorageLevel.MEMORY_AND_DISK)
     )
     if e.isEmpty():
-        # without this the first normalizer collect returns NULL and
-        # float(None) raises an opaque TypeError mid-iteration
-        raise ValueError("hits: edge relation is empty")
+        # empty-in / empty-out (r15 ADVICE): without the guard the
+        # first normalizer collect returns NULL and float(None)
+        # raises mid-iteration; an empty graph simply has no nodes
+        # to score, so hand back an empty frame with the output
+        # schema instead of raising — and drop the persisted probe
+        # relation so nothing stays cached on this early exit.
+        e.unpersist()
+        node_t = edges.schema[src].dataType
+        return edges.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("node", node_t),
+                    T.StructField("hub", T.DoubleType()),
+                    T.StructField("authority", T.DoubleType()),
+                ]
+            ),
+        )
     nodes = track(
         e.select(F.col("_s").alias("node"))
         .union(e.select(F.col("_d").alias("node")))

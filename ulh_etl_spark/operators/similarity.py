@@ -470,22 +470,47 @@ def ivf_assign(
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
     centroid_vec: str = "centroid_vec",
+    impl: str = "auto",
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (squared-L2,
     deterministic centroid-id tie-break) — the IVF build step.
 
-    Scale: the centroid set is driver-small (C cells) so it is
-    collected once and folded into an array literal; the argmin is
-    then a pure narrow map — ``array_min`` over
-    ``transform(cells, c -> struct(dist, cell))``, where the struct's
-    lexicographic ordering (dist first, then cell) reproduces the
-    deterministic lowest-cell tie-break. ZERO shuffles and no
-    |corpus| x C row amplification (the previous crossJoin +
-    row_number formulation pushed every (vector, centroid) pair
-    through an Exchange — 256x shuffle amplification at C=256). The
-    output is what you'd ``write.partitionBy("cell")`` so probes
-    prune partitions.
+    ``impl`` (r16): ``auto`` routes through the fold-exact BLAS
+    kernel when numpy imports (it is baked into every target
+    environment) — :func:`flat_cells_blas` at nprobe=1, whose
+    element 1 IS this function's cell by the tolerance-refined
+    contract (GEMM distances, decisive boundaries re-scored with the
+    exact fold), so the output is row-identical to the SQL path and
+    every oracle stays valid unchanged. The r15 probes measured why
+    the SQL fold can't stay the default: the interpreted N·C
+    distance scan was 98 of q197's 107 s at sf10 (exp +1.72, worst
+    in the probe table) while the BLAS twin computes the same cells
+    ~100x cheaper per distance. ``sql`` forces the pure-expression
+    fold (the parity yardstick and the no-numpy fallback).
+
+    Scale (both paths): the centroid set is driver-small (C cells)
+    so it is collected once and folded into the kernel (array
+    literal for SQL, dgemm operand for BLAS); assignment is then a
+    pure narrow map — ZERO shuffles and no |corpus| x C row
+    amplification (the original crossJoin + row_number formulation
+    pushed every (vector, centroid) pair through an Exchange — 256x
+    shuffle amplification at C=256). The output is what you'd
+    ``write.partitionBy("cell")`` so probes prune partitions.
+
+    SQL path detail: the argmin is ``array_min`` over
+    ``transform(cells, c -> struct(dist, cell))``, where the
+    struct's lexicographic ordering (dist first, then cell)
+    reproduces the deterministic lowest-cell tie-break.
     """
+    if _resolve_impl(impl) == "blas":
+        return flat_cells_blas(
+            corpus, centroids, id_col, vec_col,
+            centroid_id, centroid_vec, nprobe=1,
+        ).select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.element_at(F.col("_cells"), 1).alias("cell"),
+        )
     cell_type = centroids.schema[centroid_id].dataType.simpleString()
     cells = _centroid_literal(centroids, centroid_id, centroid_vec)
     scored = F.transform(
@@ -1328,7 +1353,9 @@ def knn_graph(
                 coarse_nprobe=coarse_nprobe, impl=assign_impl,
             )
         else:
-            assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+            assigned = ivf_assign(
+                corpus, centroids, id_col, vec_col, impl=assign_impl
+            )
         assigned = (
             assigned
             .withColumn("_norm", l2_norm(F.col(vec_col)))

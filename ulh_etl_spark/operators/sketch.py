@@ -651,7 +651,10 @@ def kmv_jaccard_pairs(
     record is unchanged in expectation.
 
     Output: (src_a, src_b, est_jaccard, exact_jaccard, abs_err,
-    k_eff) for every unordered group pair, src_a < src_b."""
+    k_eff, audit_elem_mod) for every unordered group pair,
+    src_a < src_b; ``audit_elem_mod`` echoes the element-slice
+    modulus so the audit columns are self-describing (mod > 1 means
+    exact_jaccard is the SLICED sets' Jaccard, not full-set)."""
     from pyspark.sql.window import Window
 
     from ulh_etl_spark.operators.text import md5_hash60
@@ -781,6 +784,13 @@ def kmv_jaccard_pairs(
             F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6
         ).alias("abs_err"),
         "k_eff",
+        # self-describing audit semantics (r15 ADVICE): with
+        # audit_elem_mod > 1 exact_jaccard/abs_err are the Jaccard of
+        # the h % mod == 0 element SLICE (abs_err then conflates KMV
+        # estimator error with the yardstick's own sampling noise) —
+        # carry the modulus so consumers can't misread sliced audits
+        # as full-set error. 1 == exact full-set audit.
+        F.lit(audit_elem_mod).cast("int").alias("audit_elem_mod"),
     )
 
 

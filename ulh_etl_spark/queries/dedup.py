@@ -735,7 +735,8 @@ def _q213_oracle_sql() -> str:
         )
         SELECT es.src_a, es.src_b, es.est_jaccard, ex.exact_jaccard,
                round(abs(es.est_jaccard - ex.exact_jaccard), 6) AS abs_err,
-               es.k_eff
+               es.k_eff,
+               CAST({_KMVJ_ELEM_MOD} AS INT) AS audit_elem_mod
         FROM es LEFT JOIN ex
           ON es.src_a = ex.src_a AND es.src_b = ex.src_b
     """
