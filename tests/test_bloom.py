@@ -130,6 +130,31 @@ def test_bloom_decontamination_matches_exact(spark, decon_corpus):
     assert exact  # non-trivial: at least one contaminated doc
 
 
+def test_bloom_decontamination_self_sized_default(spark, decon_corpus):
+    """n_bits=None (the r16 default) self-sizes the bitmap from a
+    measured benchmark gram count (>= 10 bits/gram, pow2, floored at
+    2^20 — the q177 policy) and still reproduces the exact output."""
+    from ulh_etl_spark.operators.text import (
+        bloom_contamination_counts,
+        contamination_counts,
+    )
+
+    bench, corpus = decon_corpus
+    exact = sorted(
+        (r.doc_id, r.n_shared)
+        for r in contamination_counts(
+            corpus, bench, "text", "doc_id", n=8, min_shared=3
+        ).collect()
+    )
+    sized = sorted(
+        (r.doc_id, r.n_shared)
+        for r in bloom_contamination_counts(
+            corpus, bench, "text", "doc_id", n=8, min_shared=3
+        ).collect()
+    )
+    assert sized == exact
+
+
 def test_bloom_decontamination_exact_even_when_saturated(spark, decon_corpus):
     """Adversarial: an 8-bit bitmap saturates, so EVERY gram is a
     Bloom positive — the exact verify join must still kill all false

@@ -2042,7 +2042,7 @@ def bloom_contamination_counts(
     id_col: str,
     n: int = 8,
     min_shared: int = 3,
-    n_bits: int = 1 << 20,
+    n_bits: int | None = None,
     n_hashes: int = 5,
 ):
     """Benchmark decontamination with a Bloom prefilter — identical
@@ -2050,7 +2050,7 @@ def bloom_contamination_counts(
     Bloom false positives), different engine path for the regime
     where the benchmark gram set is too big to broadcast raw:
 
-    1. benchmark grams -> fixed ``n_bits/8``-byte bitmap, broadcast
+    1. benchmark grams -> ``n_bits/8``-byte bitmap, broadcast
        once (operators.bloom — 1e9 grams at 1% FP is ~1.2 GB where
        the raw long set + join hash table is tens of GB);
     2. corpus grams probe the bitmap (Arrow-batched numpy — the only
@@ -2066,10 +2066,28 @@ def bloom_contamination_counts(
     every true match; its equality predicate kills every false
     positive. pytest pins output parity with contamination_counts
     and the FP-rate bound; the shared oracle SQL is the exact
-    formulation."""
+    formulation.
+
+    ``n_bits=None`` (the default, r16) SELF-SIZES the bitmap to
+    >= 10 bits per distinct benchmark gram (next power of two,
+    floored at the former fixed 2^20) from one scalar count on the
+    benchmark gram relation — the q177 policy: a fixed width
+    silently saturates as the benchmark grows (fill -> 1 makes
+    every corpus gram "survive" and step 3 degrades to the full
+    join this operator exists to avoid). The count adds one
+    benchmark-sized job next to the bitmap build's existing eager
+    job; the OUTPUT is width-independent (step 3 kills FPs), so no
+    oracle changes with the width."""
+    import math
+
     from ulh_etl_spark.operators.bloom import bloom_probe, build_bloom
 
     bench_grams = _gram_set(benchmark, text_col, id_col, n).select("_g").distinct()
+    if n_bits is None:
+        n_grams = bench_grams.count()
+        n_bits = max(
+            1 << 20, 1 << math.ceil(math.log2(max(1, 10 * n_grams)))
+        )
     bits = build_bloom(bench_grams, "_g", n_bits=n_bits, n_hashes=n_hashes)
     cand = (
         bloom_probe(_gram_set(corpus, text_col, id_col, n), "_g", bits, n_hashes)

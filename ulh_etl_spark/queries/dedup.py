@@ -626,6 +626,86 @@ def q206_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q237_prefix_candidate_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PREFIX-JOIN occupancy canary — the fourth member of the
+    canary discipline (SCALE.md r16: q197 flat cells, q198 two-level
+    cells, q230 LSH buckets, q237 prefix-gram buckets). Builds
+    q206's prefix relation (rarest-first global gram order, per-doc
+    prefix length |g| - ceil(t·|g|) + 1 with the epsilon guard) and
+    reports what the prefix SELF-JOIN would enumerate BEFORE any
+    pair is paid for: prefix rows, distinct prefix grams, the
+    largest gram bucket, and sum c·(c-1)/2 — the exact enumeration
+    count of the candidate join (before its size/positional/bloom
+    screens). At scale this is far cheaper than q206 itself — the
+    prefix chain without the enumeration join that grows with the
+    candidate count (at tiny SF the portable-md5 order costs a
+    constant the xxhash operator skips, so the inversion point is
+    around sf0.1) — and it is the number that decides whether the
+    lossless path is affordable or the corpus needs LSH recall
+    instead.
+
+    Order-key portability: q206 internally orders by (freq,
+    xxhash64); this canary uses the portable (freq, md5-60) order so
+    the oracle replays it EXACTLY. The two orders differ only in
+    tie-breaks among equal-frequency grams — the prefix-LENGTH per
+    doc is order-invariant, so row/bucket totals shift only by
+    which tied gram lands in a prefix; the forecast the canary
+    exists for (magnitude of the enumeration) is order-robust,
+    while every reported number is exact for the order stated.
+
+    Scale: the same freq-join + per-doc rank window as the operator
+    (its single biggest stage at sf10), then one gram-keyed groupBy
+    + a 1-row aggregate. The per-doc size rides the SAME window
+    partition as the rank (count over doc_id — no separate
+    aggregate/join scan), and the token relation persists so the
+    gram explode runs once, not once per consumer (the operator's
+    own g-persist discipline). No pair relation is ever formed."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    from ulh_etl_spark.cache import track
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode_outer(
+            F.array_distinct(OT.char_ngrams(F.col("text"), _PFX_N))
+        ).alias("_gram"),
+    ).filter(F.col("_gram").isNotNull()).select(
+        "doc_id", OT.md5_hash60(F.col("_gram")).alias("_h")
+    )
+    tok = track(tok.persist(StorageLevel.MEMORY_AND_DISK))
+    freq = tok.groupBy("_h").agg(F.count("*").alias("_cnt"))
+    wd = Window.partitionBy("doc_id")
+    w = wd.orderBy(F.col("_cnt").asc(), F.col("_h").asc())
+    # identical downward-guarded ceil as the operator (dedup.py:
+    # prefix_len) — the epsilon only ever LENGTHENS a prefix
+    plen = (
+        F.col("_ng")
+        - F.ceil(
+            F.lit(_PFX_T) * F.col("_ng") - F.col("_ng") * F.lit(1e-9)
+        ).cast("long")
+        + F.lit(1)
+    )
+    pref = (
+        tok.join(freq, "_h")
+        .withColumn("_ng", F.count("*").over(wd))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= plen)
+    )
+    occ = pref.groupBy("_h").agg(F.count("*").cast("long").alias("_c"))
+    return occ.agg(
+        F.count("*").cast("long").alias("n_prefix_grams"),
+        F.sum("_c").cast("long").alias("n_prefix_rows"),
+        F.max("_c").cast("long").alias("max_bucket"),
+        F.expr("CAST(SUM(_c * (_c - 1)) AS BIGINT) DIV 2").alias(
+            "enumerated_pairs"
+        ),
+    )
+
+
 _KMVJ_K = 256
 _KMVJ_N = 8
 _KMVJ_AUDIT_MOD = 2
@@ -845,6 +925,7 @@ QUERIES = {
     "q157_leakage_free_split": q157_leakage_free_split,
     "q158_decontamination_report": q158_decontamination_report,
     "q206_prefix_filter_pairs": q206_prefix_filter_pairs,
+    "q237_prefix_candidate_forecast": q237_prefix_candidate_forecast,
     "q213_kmv_source_overlap": q213_kmv_source_overlap,
 }
 
@@ -900,6 +981,47 @@ ORACLES = {
                round(inter * 1.0 / (n1 + n2 - inter), 6) AS jaccard{_PFX_N}
         FROM p
         WHERE round(inter * 1.0 / (n1 + n2 - inter), 6) >= {_PFX_T}
+    """,
+    # q237: the prefix rule replayed EXACTLY — portable (freq,
+    # md5-60) order, the same guarded ceil (CAST(0.8 AS DOUBLE)
+    # dodges DuckDB's decimal-literal arithmetic), integer pair math
+    "q237_prefix_candidate_forecast": f"""
+        WITH tok AS MATERIALIZED (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS h
+            FROM (
+                SELECT DISTINCT doc_id, gram FROM (
+                    SELECT doc_id,
+                           unnest({O.grams('text', _PFX_N)}) AS gram
+                    FROM documents
+                )
+            )
+        ), freq AS (
+            SELECT h, COUNT(*) AS cnt FROM tok GROUP BY h
+        ), ranked AS (
+            SELECT t.doc_id, t.h,
+                   CAST(COUNT(*) OVER (PARTITION BY t.doc_id)
+                        AS BIGINT) AS ngr,
+                   row_number() OVER (
+                       PARTITION BY t.doc_id
+                       ORDER BY f.cnt ASC, t.h ASC) AS rk
+            FROM tok t
+            JOIN freq f ON t.h = f.h
+        ), pref AS MATERIALIZED (
+            SELECT doc_id, h FROM ranked
+            WHERE rk <= ngr - CAST(ceil(
+                      CAST({_PFX_T} AS DOUBLE) * ngr
+                      - ngr * CAST(1e-9 AS DOUBLE)) AS BIGINT) + 1
+        ), occ AS (
+            SELECT h, CAST(COUNT(*) AS BIGINT) AS c
+            FROM pref GROUP BY h
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_prefix_grams,
+               CAST(SUM(c) AS BIGINT) AS n_prefix_rows,
+               CAST(MAX(c) AS BIGINT) AS max_bucket,
+               CAST(SUM(c * (c - 1)) AS BIGINT) // 2
+                   AS enumerated_pairs
+        FROM occ
     """,
     # q158: the q79 exact-gram leg and the q85 band leg verbatim
     # (raw grams / identical band CTEs — lockstep with both parents),

@@ -706,26 +706,80 @@ def q116_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.apply_bpe(docs, "text", "doc_id", merges)
 
 
-BLOOM_BITS = 1 << 20
 BLOOM_HASHES = 5
 
 
 def q113_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q79's decontamination with the memory-bounded engine path: the
-    benchmark grams compress to a fixed 128 KiB Bloom bitmap
-    (broadcast once), corpus grams probe it vectorized, and the FP
-    survivors shuffle-join the benchmark for the exact verify —
-    identical output to q79 (Bloom has no false negatives; the
-    equality join kills false positives), so it shares q79's oracle
-    body. What q113 adds is the physical path that still works when
-    the benchmark gram set outgrows a raw broadcast."""
+    benchmark grams compress to a Bloom bitmap SELF-SIZED to >= 10
+    bits per measured distinct benchmark gram (floored at 128 KiB —
+    the q177 policy, r16: the former fixed 2^20 bitmap would
+    saturate once the benchmark stand-in outgrew ~10^5 grams and the
+    prefilter would silently pass everything), broadcast once; corpus
+    grams probe it vectorized, and the FP survivors shuffle-join the
+    benchmark for the exact verify — identical output to q79 at ANY
+    width (Bloom has no false negatives; the equality join kills
+    false positives), so it shares q79's oracle body. What q113 adds
+    is the physical path that still works when the benchmark gram
+    set outgrows a raw broadcast."""
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % DECON_MOD == 0)
     corpus = docs.filter(F.col("doc_id") % DECON_MOD != 0)
     return T.bloom_contamination_counts(
         corpus, bench, "text", "doc_id",
         n=DECON_N, min_shared=DECON_MIN_SHARED,
-        n_bits=BLOOM_BITS, n_hashes=BLOOM_HASHES,
+        n_hashes=BLOOM_HASHES,
+    )
+
+
+def q236_decon_bitmap_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q113 bitmap-sizing pre-flight, as a query: the measured
+    distinct benchmark gram count, the bitmap width the self-sizing
+    rule picks (>= 10 bits/gram, next power of two, floored at 2^20
+    — the q177 policy, r16), and the resulting bits-per-gram. This
+    is the knob-inventory discipline (SCALE.md r16) made auditable:
+    the width every decontamination run will actually use is itself
+    an oracle-checked number, so a saturating bitmap can never hide
+    — fill factor ~n_grams/n_bits stays <= 0.1 by construction.
+
+    Exact cross-engine pow2 without float log2: smallest power of
+    two >= y is ``1 << length(bin(y - 1))`` for y >= 2 — pure
+    integer/string ops both engines share (the driver-literal log2
+    rule doesn't apply because nothing here is a float). Counts are
+    distinct RAW grams (two-hash policy: the operator's xxhash64
+    compression is internal; the count is hash-invariant).
+
+    Scale: one benchmark-sized distinct + a 1-row aggregate — the
+    pre-flight is O(|benchmark|), never corpus-scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % DECON_MOD == 0)
+    agg = (
+        bench.select(
+            F.explode(
+                F.array_distinct(T.char_ngrams(F.col("text"), DECON_N))
+            ).alias("_g")
+        )
+        .distinct()
+        .agg(F.count("*").cast("long").alias("n_bench_grams"))
+    )
+    sized = agg.select(
+        "n_bench_grams",
+        F.greatest(
+            F.lit(1 << 20).cast("long"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), length(bin("
+                "greatest(n_bench_grams * 10, CAST(2 AS BIGINT)) - 1)))"
+            ),
+        ).alias("n_bits"),
+    )
+    return sized.select(
+        "n_bench_grams",
+        "n_bits",
+        F.round(
+            F.col("n_bits").cast("double")
+            / F.greatest(F.col("n_bench_grams"), F.lit(1)).cast("double"),
+            6,
+        ).alias("bits_per_gram"),
     )
 
 
@@ -1440,6 +1494,7 @@ QUERIES = {
     "q78_unigram_logprob": q78_unigram_logprob,
     "q79_decontamination": q79_decontamination,
     "q113_bloom_decontamination": q113_bloom_decontamination,
+    "q236_decon_bitmap_sizing": q236_decon_bitmap_sizing,
     "q114_source_quality_calibration": q114_source_quality_calibration,
     "q115_bpe_merges": q115_bpe_merges,
     "q116_bpe_tokenize": q116_bpe_tokenize,
@@ -2440,6 +2495,32 @@ ORACLES = {
         FROM c JOIN b USING (h)
         GROUP BY c.doc_id
         HAVING COUNT(*) >= {DECON_MIN_SHARED}
+    """,
+    # q236: the self-sizing arithmetic replayed exactly — the pow2
+    # rule is pure integer/string ops (1 << length(bin(y-1))), so no
+    # float-literal portability caveat applies
+    "q236_decon_bitmap_sizing": f"""
+        WITH g AS (
+            SELECT DISTINCT gram FROM (
+                SELECT unnest({O.grams('text', DECON_N)}) AS gram
+                FROM documents WHERE doc_id % {DECON_MOD} = 0
+            )
+        ), n AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_bench_grams FROM g
+        ), s AS (
+            SELECT n_bench_grams,
+                   greatest(CAST({1 << 20} AS BIGINT),
+                            CAST(1 AS BIGINT) << length(bin(
+                                greatest(n_bench_grams * 10,
+                                         CAST(2 AS BIGINT)) - 1)))
+                       AS n_bits
+            FROM n
+        )
+        SELECT n_bench_grams, n_bits,
+               round(CAST(n_bits AS DOUBLE)
+                     / CAST(greatest(n_bench_grams, 1) AS DOUBLE), 6)
+                   AS bits_per_gram
+        FROM s
     """,
     "q80_repetition_signals": f"""
         SELECT doc_id,
