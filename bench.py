@@ -204,6 +204,8 @@ HEADLINE = (
     # occupancy canary.
     "q236_decon_bitmap_sizing",
     "q237_prefix_candidate_forecast",
+    "q238_watermark_lateness_curve",
+    "q239_quality_retention_curve",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",
@@ -396,13 +398,19 @@ ANCHOR = {
     "q194_group_sample": 0.342,
     "q195_char_entropy": 0.702,
     "q196_length_batches": 0.542,
-    "q197_cell_skew_canary": 0.709,
+    # q197 re-anchored r16 after the ivf_assign BLAS routing
+    # (VERDICT r15 #5): suite floor-1.00 session read 0.588 —
+    # anchor to it so a future fall back to the interpreted fold
+    # flags instead of hiding under the old 0.709.
+    "q197_cell_skew_canary": 0.588,
     # r12 anchors, recorded on a measurably slower host than the
     # r8-r11 anchor era (raw sf0.1 lineitem scan 0.56 s vs the ~0.27 s
     # implied by old anchors) — conservative by construction.
     # q198-q200 re-anchored after the coarse_nprobe=2 iteration
     # (sf0.1 min-of-3 warm from the probe runs).
-    "q198_two_level_cells": 1.31,
+    # q198 re-anchored r16 in the same floor-1.00 session as q197
+    # (the canary pair re-anchors together — VERDICT r15 #5): 0.632.
+    "q198_two_level_cells": 0.632,
     "q199_knn_graph_two_level": 3.16,
     "q200_knn_pagerank_two_level": 4.08,
     "q201_nn_descent_plateau": 19.82,
@@ -467,6 +475,8 @@ ANCHOR = {
     # token relation took it 7.07 -> 3.47 s)
     "q236_decon_bitmap_sizing": 0.690,
     "q237_prefix_candidate_forecast": 3.471,
+    "q238_watermark_lateness_curve": 1.018,
+    "q239_quality_retention_curve": 0.914,
     # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's
     # cost is the in-order pair fan-out (O(sum basket²), baskets ~4).
     "q128_event_transitions": 0.735,

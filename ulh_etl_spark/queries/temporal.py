@@ -422,8 +422,118 @@ def q235_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WML_DELAYS = (1, 5, 15)
+# deterministic per-event delivery delay: md5('lat_'||id) % 30 min —
+# events arrive out of event-time order the way a real ingest does,
+# but exactly reproducibly (no RNG), so the curve is oracle-checkable
+_WML_MAX_DELAY_US = 1_800_000_000
+_WML_CHUNK_US = 3_600_000_000  # 1-hour arrival chunks
+
+
+def q238_watermark_lateness_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermark-allowance sizing curve: for candidate lateness
+    allowances D in {1, 5, 15} minutes, the exact count and fraction
+    of events a streaming job would DROP — an event is late iff its
+    event time is below the watermark at its arrival (max event time
+    among strictly-earlier arrivals, minus D). Arrival order is the
+    deterministic md5 delay model above (the raw table is perfectly
+    time-sorted, so real out-of-orderness must be injected to audit
+    anything); q235 sizes the allowance from inter-arrival p99, this
+    curve prices each candidate allowance directly.
+
+    Scale: the running max over the global arrival order is built in
+    CALENDAR CHUNKS (the q235 pattern): within-(arrival-hour) strict
+    -preceding max — hour-count parallelism — plus a prefix max over
+    the tiny per-hour relation (bounded: one row per hour, the one
+    deliberately-global window; at a scale where even that outgrows
+    a task the same chunking applies recursively). The chunked
+    basis equals the global-window basis exactly (equal arrival keys
+    can't straddle an hour boundary — chunk = arr DIV H), so the
+    ORACLE uses the straight global window as an independent
+    formulation. Delay thresholds ride an explode; one groupBy on
+    3 keys."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    from ulh_etl_spark.cache import track
+    from ulh_etl_spark.operators.temporal import _epoch_micros
+    from ulh_etl_spark.operators.text import md5_hash32
+
+    ev = load_table(spark, sf_dir, "events")
+    us = _epoch_micros(F.col("ts"), ev.schema["ts"].dataType)
+    e = ev.select("event_id", us.alias("_us")).withColumn(
+        "_arr",
+        F.col("_us")
+        + F.pmod(
+            md5_hash32(
+                F.concat(F.lit("lat_"), F.col("event_id").cast("string"))
+            ),
+            F.lit(_WML_MAX_DELAY_US),
+        ),
+    ).withColumn("_chunk", F.expr(f"_arr DIV {_WML_CHUNK_US}"))
+    e = track(e.persist(StorageLevel.MEMORY_AND_DISK))
+    win = (
+        Window.partitionBy("_chunk")
+        .orderBy("_arr", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    e2 = e.withColumn("_inmax", F.max("_us").over(win))
+    cm = e.groupBy("_chunk").agg(F.max("_us").alias("_cm"))
+    wc = Window.orderBy("_chunk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pm = cm.withColumn("_pm", F.max("_cm").over(wc)).select(
+        "_chunk", "_pm"
+    )
+    basis = (
+        F.when(F.col("_inmax").isNull(), F.col("_pm"))
+        .when(F.col("_pm").isNull(), F.col("_inmax"))
+        .when(F.col("_inmax") >= F.col("_pm"), F.col("_inmax"))
+        .otherwise(F.col("_pm"))
+    )
+    ex = (
+        e2.join(F.broadcast(pm), "_chunk")
+        .withColumn("_basis", basis)
+        .select(
+            "_us",
+            "_basis",
+            F.explode(
+                F.array(*[F.lit(d) for d in _WML_DELAYS])
+            ).alias("delay_minutes"),
+        )
+    )
+    late = F.when(
+        F.col("_basis").isNotNull()
+        & (
+            F.col("_us")
+            < F.col("_basis")
+            - F.col("delay_minutes").cast("long") * F.lit(60_000_000)
+        ),
+        1,
+    ).otherwise(0)
+    return (
+        ex.groupBy("delay_minutes")
+        .agg(
+            F.sum(late).cast("long").alias("n_late"),
+            F.count("*").cast("long").alias("_n"),
+        )
+        .select(
+            F.col("delay_minutes").cast("int").alias("delay_minutes"),
+            "n_late",
+            F.round(
+                F.col("n_late").cast("double")
+                / F.col("_n").cast("double"),
+                6,
+            ).alias("frac_late"),
+        )
+    )
+
+
 QUERIES = {
     "q235_interarrival_profile": q235_interarrival_profile,
+    "q238_watermark_lateness_curve": q238_watermark_lateness_curve,
     "q222_cusum_changepoints": q222_cusum_changepoints,
     "q184_mad_anomalies": q184_mad_anomalies,
     "q178_gap_fill_daily": q178_gap_fill_daily,
@@ -436,6 +546,44 @@ QUERIES = {
 }
 
 ORACLES = {
+    # q238: the oracle deliberately uses the STRAIGHT global window
+    # (one sort) where the engine chunks by arrival hour — an
+    # independent formulation of the same basis, so a hash match
+    # also proves the chunk/stitch algebra
+    "q238_watermark_lateness_curve": f"""
+        WITH e AS (
+            SELECT event_id, epoch_us(ts) AS us,
+                   epoch_us(ts)
+                   + CAST('0x' || substr(md5('lat_'
+                         || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+                     % {_WML_MAX_DELAY_US} AS arr
+            FROM events
+        ), w AS MATERIALIZED (
+            SELECT us,
+                   max(us) OVER (
+                       ORDER BY arr, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS basis
+            FROM e
+        ), d AS (
+            SELECT unnest([{', '.join(str(d) for d in _WML_DELAYS)}])
+                AS delay_minutes
+        )
+        SELECT d.delay_minutes,
+               CAST(SUM(CASE WHEN w.basis IS NOT NULL
+                             AND w.us < w.basis
+                                 - CAST(d.delay_minutes AS BIGINT)
+                                   * 60000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+               round(CAST(SUM(CASE WHEN w.basis IS NOT NULL
+                                   AND w.us < w.basis
+                                       - CAST(d.delay_minutes AS BIGINT)
+                                         * 60000000
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS frac_late
+        FROM w CROSS JOIN d
+        GROUP BY d.delay_minutes
+    """,
     "q235_interarrival_profile": """
         WITH g AS (
             SELECT event_type,

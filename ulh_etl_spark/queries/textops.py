@@ -986,6 +986,71 @@ def q84_model_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RET_THRESHOLDS = (0.3, 0.4, 0.5, 0.6, 0.7)
+
+
+def q239_quality_retention_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The data-mixing decision curve behind every quality cut: for
+    candidate model-score thresholds t in {0.3..0.7}, the exact doc
+    and TOKEN retention (count + fraction) if the corpus were
+    filtered at q84's hashed-linear quality score >= t — the Pareto
+    view that picks the threshold for a token budget ("what does
+    raising the bar to 0.6 cost in tokens?"). Comparisons run on the
+    ROUND-6 score both engines compute bit-identically (q84's
+    gate-green contract), so the curve is exact, not
+    tolerance-matched.
+
+    Scale: ONE corpus scan computes (score, token count); the
+    threshold axis rides an explode (|thresholds| x corpus rows into
+    a 5-key map-side-combined groupBy — no second scan, no join, no
+    window). Totals come from the same aggregate (every group sees
+    the full corpus), so fractions need no extra pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        T.hashed_linear_score(F.col("text"), _QMODEL_W).alias("_s"),
+        F.size(T.whitespace_tokens(F.lower(F.col("text"))))
+        .cast("long")
+        .alias("_tok"),
+    )
+    ex = scored.select(
+        "_s",
+        "_tok",
+        F.explode(
+            F.array(*[F.lit(t) for t in _RET_THRESHOLDS])
+        ).alias("threshold"),
+    )
+    kept = F.when(F.col("_s") >= F.col("threshold"), 1).otherwise(0)
+    return (
+        ex.groupBy("threshold")
+        .agg(
+            F.sum(kept).cast("long").alias("n_docs_kept"),
+            F.sum(
+                F.when(F.col("_s") >= F.col("threshold"), F.col("_tok"))
+                .otherwise(0)
+            ).cast("long").alias("n_tokens_kept"),
+            F.count("*").cast("long").alias("_n"),
+            F.sum("_tok").cast("long").alias("_t"),
+        )
+        .select(
+            "threshold",
+            "n_docs_kept",
+            "n_tokens_kept",
+            F.round(
+                F.col("n_docs_kept").cast("double")
+                / F.col("_n").cast("double"),
+                6,
+            ).alias("frac_docs"),
+            F.round(
+                F.col("n_tokens_kept").cast("double")
+                / F.col("_t").cast("double"),
+                6,
+            ).alias("frac_tokens"),
+        )
+    )
+
+
 _DSIR_B = 1024
 
 
@@ -1495,6 +1560,7 @@ QUERIES = {
     "q79_decontamination": q79_decontamination,
     "q113_bloom_decontamination": q113_bloom_decontamination,
     "q236_decon_bitmap_sizing": q236_decon_bitmap_sizing,
+    "q239_quality_retention_curve": q239_quality_retention_curve,
     "q114_source_quality_calibration": q114_source_quality_calibration,
     "q115_bpe_merges": q115_bpe_merges,
     "q116_bpe_tokenize": q116_bpe_tokenize,
@@ -1880,6 +1946,41 @@ ORACLES = {
         FROM t
     """,
     # q97: the two-phase salted cap is exactly the single-window rank
+    # q239: q84's exact round-6 score + token counts; the threshold
+    # axis via unnest, fractions from the same aggregate. Thresholds
+    # CAST AS DOUBLE (a bare 0.3 would be DECIMAL in DuckDB and the
+    # >= comparison would run decimal-vs-double)
+    "q239_quality_retention_curve": f"""
+        WITH s AS (
+            SELECT ROUND(1.0 / (1.0 + exp(-(CASE WHEN len(toks) > 0 THEN
+                       list_sum(list_transform(toks,
+                           tk -> ({_W_SQL})[CAST({O.md5h('tk')}
+                               % {_QMODEL_K} AS INT) + 1]))
+                       / CAST(len(toks) AS DOUBLE)
+                       ELSE 0.0 END))), 6) AS sc,
+                   CAST(len(toks) AS BIGINT) AS tok
+            FROM (SELECT {_LOW_TOKS} AS toks FROM documents)
+        ), d AS (
+            SELECT unnest([{', '.join(
+                f'CAST({t} AS DOUBLE)' for t in _RET_THRESHOLDS
+            )}]) AS threshold
+        )
+        SELECT d.threshold,
+               CAST(SUM(CASE WHEN s.sc >= d.threshold
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_docs_kept,
+               CAST(SUM(CASE WHEN s.sc >= d.threshold
+                             THEN s.tok ELSE 0 END) AS BIGINT)
+                   AS n_tokens_kept,
+               round(CAST(SUM(CASE WHEN s.sc >= d.threshold
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS frac_docs,
+               round(CAST(SUM(CASE WHEN s.sc >= d.threshold
+                                   THEN s.tok ELSE 0 END) AS DOUBLE)
+                     / CAST(SUM(s.tok) AS DOUBLE), 6) AS frac_tokens
+        FROM s CROSS JOIN d
+        GROUP BY d.threshold
+    """,
     "q97_source_cap": f"""
         WITH ranked AS (
             SELECT doc_id, source,
