@@ -1167,6 +1167,86 @@ def test_ivf_assign_blas_matches_sql(spark):
     assert sql_cells[5] == sql_cells[13] == sql_cells[41] == 4
 
 
+def test_neardup_pairs_blas_matches_sql(spark):
+    """The r16 pair-scoring kernel swap: embedding_neardup_pairs
+    (impl='blas') must reproduce the SQL self-join formulation
+    bit-for-bit — same pairs, same round-6 cosines — on a corpus
+    seeded with exact-duplicate vectors (cosine exactly 1.0, the
+    threshold-boundary tie case)."""
+    import numpy as np
+
+    from ulh_etl_spark.operators.similarity import embedding_neardup_pairs
+
+    rng = np.random.RandomState(23)
+    vecs = rng.rand(80, 8).astype("float64")
+    vecs[31] = vecs[7]   # exact duplicate pair (cosine 1.0)
+    vecs[55] = vecs[7] * 2.0  # scaled duplicate (cosine 1.0 too)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(j, [float(x) for x in vecs[j * 9]]) for j in range(6)],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    got_sql = sorted(
+        (r.id1, r.id2, r.cosine)
+        for r in embedding_neardup_pairs(
+            emb, cents, threshold=0.8, impl="sql"
+        ).collect()
+    )
+    got_blas = sorted(
+        (r.id1, r.id2, r.cosine)
+        for r in embedding_neardup_pairs(
+            emb, cents, threshold=0.8, impl="blas"
+        ).collect()
+    )
+    assert got_sql == got_blas
+    assert got_sql  # non-trivial: the duplicate pairs must appear
+    dup_pairs = {(a, b) for a, b, c in got_sql if c == 1.0}
+    assert (7, 31) in dup_pairs or (7, 55) in dup_pairs or (
+        31, 55
+    ) in dup_pairs
+
+
+def test_semantic_dedup_blas_matches_sql(spark):
+    """semantic_dedup(impl='blas') derives the dropped set from the
+    r16 pair kernel — kept flags must match the SQL join formulation
+    exactly, including the min-id-survives chain rule on duplicate
+    vectors."""
+    import numpy as np
+
+    from ulh_etl_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(29)
+    vecs = rng.rand(70, 8).astype("float64")
+    vecs[12] = vecs[3]
+    vecs[44] = vecs[3]  # chain: 3 survives, 12/44 drop (same cell)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(j, [float(x) for x in vecs[j * 11]]) for j in range(5)],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    got_sql = {
+        r.vec_id: (r.cell, r.kept)
+        for r in semantic_dedup(
+            emb, cents, threshold=0.95, impl="sql"
+        ).collect()
+    }
+    got_blas = {
+        r.vec_id: (r.cell, r.kept)
+        for r in semantic_dedup(
+            emb, cents, threshold=0.95, impl="blas"
+        ).collect()
+    }
+    assert got_sql == got_blas
+    assert got_sql[3][1] is True
+    assert got_sql[12][1] is False and got_sql[44][1] is False
+
+
 def test_two_level_structure_rejects_duplicate_coarse(spark):
     """Duplicate centroid VECTORS among the coarse picks empty the
     higher-id group (distance-0 tie sends both members to the lower

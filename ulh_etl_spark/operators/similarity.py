@@ -1211,6 +1211,107 @@ def knn_score_topk_blas(
     )
 
 
+def neardup_pairs_blas(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_rows: int = 2048,
+) -> DataFrame:
+    """FOLD-EXACT per-cell all-pairs scoring for the embedding
+    near-dup join (r16): one grouped ``applyInPandas`` over the
+    assigned relation computes every same-cell (id1 < id2) cosine in
+    numpy and emits only pairs passing a CONSERVATIVE pre-filter
+    ``cos >= threshold - 1e-6`` (or NaN — Spark orders NaN above
+    every double, so a NaN cosine passes the SQL ``>=`` and must
+    reach the JVM filter here too). The caller applies the exact
+    ``round(cos, 6) >= threshold`` JVM filter on the survivors, so
+    the OUTPUT is bit-identical to the SQL join formulation: any
+    pair with round-6 cosine >= t has raw cosine >= t - 5e-7, inside
+    the 1e-6 margin — the margin only ever ADMITS extra candidates
+    for the exact filter to kill.
+
+    Exactness: the same per-dimension accumulation as
+    :func:`knn_score_topk_blas` (``acc += X[:, d:d+1] * V[None, :,
+    d]`` — :func:`_dot`'s left-to-right IEEE fold, vectorized across
+    pairs) and :func:`_fold_norm` norms, so every emitted cosine is
+    bit-identical to the SQL expression.
+
+    Why: the cell-blocked self-join scored ~N·cell_size/2 pairs
+    through the interpreted HOF fold — 41 of q46's 41 s at sf10 was
+    the pair stage once assignment went BLAS. This kernel pays ONE
+    exchange (groupBy cell) instead of the join's two, keeps each
+    ~cell² score matrix cache-resident, and ships only
+    output-plus-margin rows back through Arrow.
+
+    Output: (id1, id2, _cos raw double), id1 < id2, same-cell pairs
+    only — the caller owns rounding and the final threshold."""
+    import numpy as np  # noqa: F401 — hard requirement of this path
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    idt = assigned.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id1", idt),
+            T.StructField("id2", idt),
+            T.StructField("_cos", T.DoubleType()),
+        ]
+    )
+    margin = threshold - 1e-6
+
+    def score(pdf):
+        import numpy as np
+
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {
+                    "id1": pdf[id_col].iloc[:0],
+                    "id2": pdf[id_col].iloc[:0],
+                    "_cos": np.array([], dtype=np.float64),
+                }
+            )
+        ids = pdf[id_col].to_numpy()
+        # sort by id so the global-row < column test IS id1 < id2
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)[order]
+        nv = _fold_norm(V)
+        cols = np.arange(m)
+        outs = []
+        for s in range(0, m, batch_rows):
+            X = V[s : s + batch_rows]
+            b = X.shape[0]
+            acc = np.zeros((b, m))
+            for d in range(V.shape[1]):
+                acc += X[:, d : d + 1] * V[None, :, d]
+            cos = acc / (nv[s : s + batch_rows][:, None] * nv[None, :])
+            rows_idx = np.arange(s, s + b)
+            keep = (rows_idx[:, None] < cols[None, :]) & (
+                (cos >= margin) | np.isnan(cos)
+            )
+            ri, ci = np.nonzero(keep)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "id1": ids[ri + s],
+                        "id2": ids[ci],
+                        "_cos": cos[ri, ci],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        assigned.select(id_col, vec_col, "cell")
+        .filter(F.col("cell").isNotNull())
+        .groupBy("cell")
+        .applyInPandas(score, out_schema)
+    )
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: DataFrame,
@@ -1259,25 +1360,44 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    impl: str = "auto",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, IVF-cell blocked: the
     corpus is assigned to centroid cells, candidate pairs are
-    same-cell only (an equality self-join on ``cell``), and the exact
-    cosine filter runs on candidates alone — never the O(n²) cross
-    product. Same recall trade as any single-probe IVF: near-dups
-    split across a cell boundary are missed; raise the centroid count
-    or probe adjacent cells to tighten.
+    same-cell only, and the exact cosine filter runs on candidates
+    alone — never the O(n²) cross product. Same recall trade as any
+    single-probe IVF: near-dups split across a cell boundary are
+    missed; raise the centroid count or probe adjacent cells to
+    tighten.
 
-    Scale: one shuffle on ``cell`` for the self-join; cells are the
+    ``impl`` (r16): ``auto`` scores the same-cell pairs in the
+    fold-exact :func:`neardup_pairs_blas` kernel (one grouped
+    applyInPandas — ONE exchange, conservative in-kernel prefilter,
+    exact JVM round+threshold on survivors; output bit-identical to
+    the join formulation) — the pair stage was 41 of q46's 41 s at
+    sf10 on the interpreted HOF fold. ``sql`` keeps the equality
+    self-join + expression cosine (the parity yardstick).
+
+    Scale (both paths): one shuffle keyed on ``cell``; cells are the
     skew knob (more centroids = smaller buckets). Emits each pair
     once (id1 < id2)."""
+    if _resolve_impl(impl) == "blas":
+        assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+        pairs = neardup_pairs_blas(
+            assigned, threshold, id_col=id_col, vec_col=vec_col
+        )
+        return pairs.select(
+            "id1",
+            "id2",
+            F.round(F.col("_cos"), 6).alias("cosine"),
+        ).filter(F.col("cosine") >= threshold)
     from pyspark.storagelevel import StorageLevel
 
     # persist: the self-join would otherwise re-scan the corpus and
     # recompute the C-distance assignment map once per side. Norm
     # precomputed per vector, not per pair (see semantic_dedup).
     assigned = (
-        ivf_assign(corpus, centroids, id_col, vec_col)
+        ivf_assign(corpus, centroids, id_col, vec_col, impl="sql")
         .withColumn("_norm", l2_norm(F.col(vec_col)))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -1846,6 +1966,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    impl: str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster embeddings,
@@ -1865,16 +1986,48 @@ def semantic_dedup(
     skew knob), then a distinct on the dropped-id column and a
     same-key anti-join-style flag join. Never all-pairs.
 
+    ``impl`` (r16): ``auto`` scores the same-cell pairs in the
+    fold-exact :func:`neardup_pairs_blas` kernel and derives the
+    dropped set from its survivors (exact JVM round+threshold after
+    the kernel's conservative margin — output bit-identical to the
+    join formulation, same contract as ``embedding_neardup_pairs``);
+    ``sql`` keeps the expression-cosine self-join as the parity
+    yardstick.
+
     Returns (id_col, cell, kept) for every input vector.
     """
     from pyspark.storagelevel import StorageLevel
+
+    if _resolve_impl(impl) == "blas":
+        assigned = ivf_assign(corpus, centroids, id_col, vec_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        track(assigned)
+        dropped = (
+            neardup_pairs_blas(
+                assigned, threshold, id_col=id_col, vec_col=vec_col
+            )
+            .filter(F.round(F.col("_cos"), 6) >= threshold)
+            .select(F.col("id2").alias(id_col))
+            .distinct()
+            .withColumn("_dropped", F.lit(True))
+        )
+        return (
+            assigned.select(id_col, "cell")
+            .join(dropped, id_col, "left")
+            .select(
+                id_col,
+                "cell",
+                F.col("_dropped").isNull().alias("kept"),
+            )
+        )
 
     # Per-vector norm computed ONCE before the self-join (the naive
     # per-pair l2_norm doubles the interpreted HOF work on every one
     # of the O(sum cell^2) candidate pairs; dividing by the product of
     # the precomputed doubles is bit-identical arithmetic).
     assigned = (
-        ivf_assign(corpus, centroids, id_col, vec_col)
+        ivf_assign(corpus, centroids, id_col, vec_col, impl="sql")
         .withColumn("_norm", l2_norm(F.col(vec_col)))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
