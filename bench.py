@@ -446,7 +446,13 @@ ANCHOR = {
     "q216_k_anonymity_profile": 0.228,
     "q217_ndcg_eval": 0.924,
     "q218_rank_biased_overlap": 0.855,
-    "q219_greedy_coverage_picks": 2.032,
+    # q219 re-anchored r16 on the delta-gains rewrite (dedicated
+    # floor-1.00 min-of-3): the submodular bookkeeping form pays an
+    # initial corpus groupBy + per-round checkpoint jobs that the
+    # old 5x-full-recompute shape didn't, so tiny-SF cost RISES
+    # (2.03 -> 3.51) while sf10 falls 84.8 -> 12.0 s (7.1x) — the
+    # per-round aggregation is overlap-sized, not corpus-sized.
+    "q219_greedy_coverage_picks": 3.510,
     # q220/q221 first anchors from a floor-1.43 session — conservative
     # by construction (the r12 precedent).
     "q220_knn_hits": 5.291,

@@ -1849,43 +1849,57 @@ def greedy_max_coverage(
     an exact oracle. Selection stops early if no remaining document
     adds a single new gram (pure duplicates of the covered union).
 
-    Scale: k rounds, each ONE left-anti join of the exploded
-    (id, gram) relation against the covered-gram set (<= k x
-    |doc grams| rows — broadcastable) and one partial-aggregated
-    count per doc; the (id, gram) relation is computed once and
-    persisted. The argmax collect is 1 row/round. Never any
-    pairwise relation.
+    Scale (r16 delta form): ONE corpus-scale groupBy builds the
+    initial gains relation (|docs| rows); every later round exploits
+    submodularity's bookkeeping identity — a doc's gain drops by
+    exactly its overlap with the NEWLY covered grams — so round r
+    costs one broadcast-probe scan of the persisted (id, hash)
+    relation against the <= |doc grams| newly-covered hashes plus a
+    |docs|-row gains merge, instead of re-running the full anti-join
+    + groupBy per round (the r15 shape: 5 corpus groupBys, 84.8 s at
+    sf10). The gains relation localCheckpoints each round (eager,
+    |docs| rows) so lineage stays flat. The argmax collect is 1
+    row/round. Never any pairwise relation.
+
+    Internal hash policy: grams compress to gram_hash64 longs
+    (hash-invariant counts — the two-hash policy; the oracle counts
+    raw grams, identical up to the ~n²/2⁶⁴ collision rate).
 
     Output: (pick, doc_id, gain, covered_total) — pick is 1-based
     selection order, covered_total the running union size."""
+    from pyspark.storagelevel import StorageLevel
+
     from ulh_etl_spark.cache import track
-    from ulh_etl_spark.operators.text import char_ngrams
+    from ulh_etl_spark.operators.text import char_ngrams, gram_hash64
 
     spark = df.sparkSession
     g = (
         df.select(
             F.col(id_col).alias("_id"),
             F.explode(
-                F.array_distinct(char_ngrams(F.col(text_col), n))
+                F.transform(
+                    F.array_distinct(char_ngrams(F.col(text_col), n)),
+                    lambda s: gram_hash64(s),
+                )
             ).alias("_h"),
         )
-        .persist()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     track(g)
-    covered = None
+    gains = (
+        g.groupBy("_id").agg(F.count("*").alias("_gain"))
+        .localCheckpoint(eager=True)
+    )
+    covered = None  # running union, <= k x |doc grams| rows
     chosen: list = []
     rows = []
     total = 0
     for pick in range(1, k + 1):
-        rem = g
+        rem = gains
         if chosen:
             rem = rem.filter(~F.col("_id").isin(chosen))
-        if covered is not None:
-            rem = rem.join(F.broadcast(covered), "_h", "left_anti")
         top = (
-            rem.groupBy("_id")
-            .agg(F.count("*").alias("_gain"))
-            .orderBy(F.col("_gain").desc(), F.col("_id").asc())
+            rem.orderBy(F.col("_gain").desc(), F.col("_id").asc())
             .limit(1)
             .collect()
         )
@@ -1895,20 +1909,60 @@ def greedy_max_coverage(
         total += gain
         rows.append((pick, doc, gain, total))
         chosen.append(doc)
-        new_cov = g.filter(F.col("_id") == doc).select("_h").distinct()
-        covered = (
-            new_cov if covered is None
-            else covered.union(new_cov).distinct()
+        if pick == k:
+            break  # no later round reads the update
+        # grams this pick NEWLY covers = its grams minus the covered
+        # union so far (equals its current gain rows). Read the ONE
+        # picked doc from the source relation, not the exploded g —
+        # the id equality pushes into the parquet scan (row-group
+        # pruning), where a filter on the persisted 1-gram-per-row
+        # relation scans every cached batch.
+        new_cov = (
+            df.filter(F.col(id_col) == doc)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.array_distinct(
+                            char_ngrams(F.col(text_col), n)
+                        ),
+                        lambda s: gram_hash64(s),
+                    )
+                ).alias("_h")
+            )
+            .distinct()
         )
-        # The covered set stays driver-broadcastable, but its plan is
-        # a union CHAIN that deepens by one filter+distinct per pick
-        # and is re-executed by every later round's anti-join — the
-        # same linear-lineage shape the header's checkpoint
-        # discipline exists for. Truncate every few picks (eager
-        # localCheckpoint of a <= |doc grams| x k relation is
-        # microseconds next to the round's corpus pass).
-        if pick % 4 == 0:
-            covered = covered.localCheckpoint(eager=True)
+        if covered is not None:
+            new_cov = new_cov.join(
+                F.broadcast(covered), "_h", "left_anti"
+            )
+        # eager checkpoint: new_cov feeds BOTH this round's delta
+        # broadcast and every future round's anti-join — one tiny
+        # materialization job beats re-executing the nested
+        # doc-read + anti-join plan inside each broadcast build
+        # (measured 3.5 vs 4.1 s at sf0.1). covered is then a flat
+        # union of materialized blocks — no further checkpoint.
+        new_cov = new_cov.localCheckpoint(eager=True)
+        covered = (
+            new_cov if covered is None else covered.union(new_cov)
+        )
+        # submodular delta: every doc's gain drops by its overlap
+        # with the newly covered grams — one broadcast-probe scan of
+        # g, a tiny groupBy, and a |docs|-row merge
+        delta = (
+            g.join(F.broadcast(new_cov), "_h")
+            .groupBy("_id")
+            .agg(F.count("*").alias("_d"))
+        )
+        gains = (
+            gains.join(delta, "_id", "left")
+            .select(
+                "_id",
+                (
+                    F.col("_gain") - F.coalesce(F.col("_d"), F.lit(0))
+                ).alias("_gain"),
+            )
+            .localCheckpoint(eager=True)
+        )
     id_type = df.schema[id_col].dataType.simpleString()
     return spark.createDataFrame(
         rows,
