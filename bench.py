@@ -206,6 +206,7 @@ HEADLINE = (
     "q237_prefix_candidate_forecast",
     "q238_watermark_lateness_curve",
     "q239_quality_retention_curve",
+    "q240_candidate_hamming_histogram",
     # Round-7 fifth batch: events analytics + market baskets +
     # time-series anomaly detection.
     "q128_event_transitions",
@@ -483,6 +484,10 @@ ANCHOR = {
     "q237_prefix_candidate_forecast": 3.471,
     "q238_watermark_lateness_curve": 1.018,
     "q239_quality_retention_curve": 0.914,
+    # q240 anchored min-of-5 dedicated (one stalled min-of-3 session
+    # read 3.06; the clean session and both probe sessions agree at
+    # ~2.1)
+    "q240_candidate_hamming_histogram": 2.124,
     # r7 fifth-batch anchors (min-of-3 warm, dedicated run): q131's
     # cost is the in-order pair fan-out (O(sum basket²), baskets ~4).
     "q128_event_transitions": 0.735,

@@ -626,6 +626,89 @@ def q206_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHH_TARGET_DOCS = 2000
+
+
+def q240_candidate_hamming_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-calibration of the two fuzzy-dedup signals: for the
+    MinHash-LSH candidate pairs (q36's 2-band x 4-row machinery) of
+    a CONSTANT-BUDGET document slice, the 16-bit SimHash hamming
+    distance — as a histogram (distance, n_pairs). Reads as "of the
+    pairs LSH banding surfaces, how many does a SimHash cutoff at d
+    bits keep" — the number that calibrates a cheap simhash
+    pre-screen against the banding pipeline. All integer popcounts
+    over the shared md5 machinery, so the oracle replays both
+    signals verbatim.
+
+    Scale — the q232 self-sizing discipline, learned the hard way:
+    the first cut ran over ALL candidates and timed out at sf10 (the
+    .scaledata replicas pile into shared buckets — q36's candidate
+    relation is 47.7M pairs at sf1 already, output-bound like q46).
+    A calibration needs the DISTRIBUTION, not every pair (the q109
+    argument), so the slice modulus derives from a measured doc
+    count in-plan: k = max(1, N DIV 2000), docs survive iff
+    md5('hamaud_'||id) % k == 0 — ~2000 docs and a bounded
+    pair budget at ANY corpus size, with k = 1 (exact full set)
+    whenever the corpus is small. Banding runs ON the slice, so the
+    enumeration itself shrinks ~k², not just the output.
+
+    The candidate relation is then the banded self-join of a
+    constant-size set; the simhash table computes for the slice
+    only; the histogram is a <= bits+1-row groupBy."""
+    from ulh_etl_spark.operators.text import md5_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"CAST(COUNT(*) AS BIGINT) DIV {_CHH_TARGET_DOCS}"),
+        ).alias("_k")
+    )
+    sliced = (
+        docs.crossJoin(F.broadcast(stats))
+        .filter(
+            F.pmod(
+                md5_hash60(
+                    F.concat(
+                        F.lit("hamaud_"), F.col("doc_id").cast("string")
+                    )
+                ),
+                F.col("_k"),
+            )
+            == 0
+        )
+        .drop("_k")
+    )
+    pairs = D.minhash_candidate_pairs(
+        sliced, "text", "doc_id", _NUM_HASHES, _ROWS_PER_BAND, _SHINGLE_N
+    )
+    sh = D.simhash_table(sliced, "text", "doc_id", _SIMHASH_BITS)
+    j = pairs.join(
+        sh.select(
+            F.col("doc_id").alias("id1"),
+            F.col(f"simhash{_SIMHASH_BITS}").alias("_s1"),
+        ),
+        "id1",
+    ).join(
+        sh.select(
+            F.col("doc_id").alias("id2"),
+            F.col(f"simhash{_SIMHASH_BITS}").alias("_s2"),
+        ),
+        "id2",
+    )
+    return (
+        j.select(
+            F.bit_count(
+                F.col("_s1").bitwiseXOR(F.col("_s2"))
+            ).cast("int").alias("hamming")
+        )
+        .groupBy("hamming")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+
+
 def q237_prefix_candidate_forecast(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -926,6 +1009,7 @@ QUERIES = {
     "q158_decontamination_report": q158_decontamination_report,
     "q206_prefix_filter_pairs": q206_prefix_filter_pairs,
     "q237_prefix_candidate_forecast": q237_prefix_candidate_forecast,
+    "q240_candidate_hamming_histogram": q240_candidate_hamming_histogram,
     "q213_kmv_source_overlap": q213_kmv_source_overlap,
 }
 
@@ -1308,6 +1392,47 @@ ORACLES = {
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
+    """,
+    # q240: q36's band CTEs + q37's simhash CTE composed over the
+    # self-sized endpoint slice (k from a measured count — the q232
+    # pattern); hamming = bit_count(xor) — pure integer arithmetic
+    "q240_candidate_hamming_histogram": f"""
+        WITH st AS (
+            SELECT greatest(CAST(1 AS BIGINT),
+                            CAST(COUNT(*) AS BIGINT)
+                            // {_CHH_TARGET_DOCS}) AS k
+            FROM documents
+        ), documents_sl AS MATERIALIZED (
+            SELECT d.doc_id, d.text FROM documents d CROSS JOIN st
+            WHERE CAST('0x' || substr(md5('hamaud_'
+                      || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                  % st.k = 0
+        ), hashed AS (
+            SELECT doc_id, {_HS} AS hs FROM documents_sl
+        ), sigs AS (
+            SELECT doc_id,
+               {_SIG_COLS}
+            FROM hashed
+        ), bands AS (
+{_BAND_SELECTS}
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ), th AS (
+            SELECT doc_id, {_TOK_HS} AS hs FROM documents_sl
+        ), sh AS (
+            SELECT doc_id,
+                   {O.simhash_expr('hs', _SIMHASH_BITS)} AS sh
+            FROM th
+        )
+        SELECT CAST(bit_count(xor(s1.sh, s2.sh)) AS INT) AS hamming,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pairs p
+        JOIN sh s1 ON s1.doc_id = p.id1
+        JOIN sh s2 ON s2.doc_id = p.id2
+        GROUP BY 1
     """,
     "q37_simhash": f"""
         WITH hashed AS (
