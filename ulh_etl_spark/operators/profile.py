@@ -20,18 +20,61 @@ from pyspark.sql import functions as F
 
 def profile_columns(df: DataFrame, cols: list, exact: bool = True) -> DataFrame:
     """One row per profiled column:
-    (column, n_nonnull, n_distinct, min_value, max_value)."""
+    (column, n_nonnull, n_distinct, min_value, max_value).
+
+    r16 plan restructure for the exact path (values unchanged): the
+    old single agg with one ``countDistinct`` per column planned as
+    Spark's Expand — |cols| + 1 shuffled copies of EVERY input row.
+    Now each column is its own two-phase leg: ``groupBy(col)`` first
+    (map-side partial aggregation collapses each scan partition to
+    its distinct values — for a clustered/low-cardinality column the
+    shuffle shrinks by orders of magnitude), then a 1-row aggregate
+    over the groups reads every metric: n_distinct = count of
+    non-null groups, n_nonnull = sum of non-null groups' row counts,
+    min/max over the group keys (then cast to string, exactly as
+    before). Each leg's parquet scan reads ONLY its column
+    (column pruning the wide Expand scan could not apply per-copy).
+    The legs union in ``cols`` order — the same output rows the
+    Expand plan produced."""
     if not cols:
         raise ValueError("cols must be non-empty")
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"unknown columns: {missing}")
-    distinct_fn = F.countDistinct if exact else F.approx_count_distinct
+    if exact:
+        legs = []
+        for c in cols:
+            g = df.select(c).groupBy(c).agg(F.count("*").alias("_cnt"))
+            legs.append(
+                g.agg(
+                    F.coalesce(
+                        F.sum(
+                            F.when(F.col(c).isNotNull(), F.col("_cnt"))
+                        ),
+                        F.lit(0),
+                    )
+                    .cast("long")
+                    .alias("n_nonnull"),
+                    F.count(F.col(c)).cast("long").alias("n_distinct"),
+                    F.min(F.col(c)).cast("string").alias("min_value"),
+                    F.max(F.col(c)).cast("string").alias("max_value"),
+                ).select(
+                    F.lit(c).alias("column"),
+                    "n_nonnull",
+                    "n_distinct",
+                    "min_value",
+                    "max_value",
+                )
+            )
+        out = legs[0]
+        for leg in legs[1:]:
+            out = out.unionByName(leg)
+        return out
     aggs = []
     for c in cols:
         aggs += [
             F.count(F.col(c)).alias(f"{c}__nn"),
-            distinct_fn(F.col(c)).alias(f"{c}__nd"),
+            F.approx_count_distinct(F.col(c)).alias(f"{c}__nd"),
             F.min(F.col(c)).cast("string").alias(f"{c}__min"),
             F.max(F.col(c)).cast("string").alias(f"{c}__max"),
         ]
