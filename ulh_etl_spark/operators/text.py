@@ -2349,8 +2349,19 @@ def _unigram_seed(spans, vocab_size: int):
     multi-char substrings by weighted occurrence count (cnt DESC,
     piece ASC tie-break; TakeOrdered, no global shuffle). The FIXED
     piece budget is what keeps the trainer scale-safe: vocabulary
-    size never grows with the corpus."""
-    c0 = spans.groupBy("piece").agg(F.sum("cnt").cast("long").alias("c"))
+    size never grows with the corpus.
+
+    The piece histogram is persisted (r16): it feeds both the char
+    leg and the top-k leg, and the Laplace normalizer doubles each
+    reference again — unpersisted, one seed evaluation aggregated
+    the span relation 4x (lazy persist; |distinct pieces| rows)."""
+    from pyspark.storagelevel import StorageLevel
+
+    c0 = track(
+        spans.groupBy("piece")
+        .agg(F.sum("cnt").cast("long").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     chars = c0.filter(F.length("piece") == 1)
     multi = (
         c0.filter(F.length("piece") >= 2)
@@ -2529,10 +2540,30 @@ def unigram_lm_train(df, text_col: str, vocab_size: int = 512, rounds: int = 2):
     words = _unigram_words(df, text_col)
     spans = track(_unigram_spans(words).persist(StorageLevel.MEMORY_AND_DISK))
     chars = spans.filter(F.length("piece") == 1).select("piece").distinct()
-    vocab = _unigram_seed(spans, vocab_size)
+    # r16: persist every vocab-bounded round artifact. Each vocab is
+    # referenced >= 2x downstream (the Laplace total's crossJoin and
+    # the next round's broadcast — and the LAST one also feeds the
+    # output join), and without a persist each reference re-expands
+    # the ENTIRE upstream chain (seed -> segment -> counts ...):
+    # measured at sf0.1 the final plan evaluated the giant Viterbi
+    # fold subtree 4x. The persisted frames are <= vocab_size +
+    # |alphabet| rows — storage cost is nil, and the training stays
+    # one lazy plan (persist is lazy; no driver collect).
+    vocab = track(
+        _unigram_seed(spans, vocab_size).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
     for _ in range(rounds - 1):
         seg = _viterbi_segmented(spans, vocab)
-        vocab = _refresh_vocab(_viterbi_counts(seg), chars)
+        counts = track(
+            _viterbi_counts(seg).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        vocab = track(
+            _refresh_vocab(counts, chars).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        )
     final_counts = _viterbi_counts(_viterbi_segmented(spans, vocab)).select(
         "piece", F.col("c").alias("_fc")
     )
@@ -2557,10 +2588,24 @@ def unigram_fertility(
     words = _unigram_words(df, text_col)
     spans = track(_unigram_spans(words).persist(StorageLevel.MEMORY_AND_DISK))
     chars = spans.filter(F.length("piece") == 1).select("piece").distinct()
-    vocab = _unigram_seed(spans, vocab_size)
+    # r16: same per-round persists as unigram_lm_train (see the note
+    # there) — each vocab-bounded artifact is multiply referenced and
+    # would otherwise re-expand the whole training chain per use.
+    vocab = track(
+        _unigram_seed(spans, vocab_size).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
     for _ in range(rounds - 1):
         seg = _viterbi_segmented(spans, vocab)
-        vocab = _refresh_vocab(_viterbi_counts(seg), chars)
+        counts = track(
+            _viterbi_counts(seg).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        vocab = track(
+            _refresh_vocab(counts, chars).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        )
     per_word = _viterbi_segmented(spans, vocab).select(
         "w", F.size("pieces").cast("long").alias("_np")
     )
