@@ -1731,3 +1731,128 @@ def test_prefix_filter_inline_bloom_lossless(spark):
                     )
                 )
                 assert on == off, (t, big, bits)
+
+
+def test_cosine_topk_blas_bit_exact_vs_sql(spark):
+    """The r16 brute-force kernel: cosine_topk's BLAS path must
+    return the EXACT row set of the SQL broadcast-join path — same
+    neighbors, same ranks, same rounded cosines — on the real
+    testdata corpus at two query widths. The kernel's per-dimension
+    numpy accumulation replays _dot's left-to-right IEEE sequence,
+    so this is equality, not tolerance."""
+    from pyspark.sql import functions as F
+
+    from ulh_etl_spark.operators.similarity import cosine_topk
+    from ulh_etl_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    for nq, k in ((5, 10), (64, 4)):
+        queries = emb.filter(F.col("vec_id") < nq)
+        blas = cosine_topk(emb, queries, k=k, impl="blas")
+        sql = cosine_topk(emb, queries, k=k, impl="sql")
+        assert blas.exceptAll(sql).count() == 0, (nq, k)
+        assert sql.exceptAll(blas).count() == 0, (nq, k)
+
+
+def test_cosine_topk_blas_edge_cases(spark):
+    """Ties (duplicated vectors -> neighbor-id tie-break), negative
+    cosines, corpus smaller than k, and self-exclusion — the edges
+    where a pruned partial top-k could diverge from the full window.
+    BLAS rows must equal SQL rows exactly. (Zero-norm vectors are
+    checked BLAS-only below: under ANSI mode the SQL expression
+    raises DIVIDE_BY_ZERO on them, so parity is only definable on
+    nonzero-norm data — and the production corpus has none.)"""
+    from pyspark.sql import functions as F
+
+    from ulh_etl_spark.operators.similarity import cosine_topk
+
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.9, 0.1]),
+        (4, [-1.0, 0.0]), (5, [0.1, 0.9]), (6, [1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for nq, k in ((3, 4), (6, 10)):
+        queries = emb.filter(F.col("vec_id") <= nq)
+        blas = cosine_topk(emb, queries, k=k, impl="blas").collect()
+        sql = cosine_topk(emb, queries, k=k, impl="sql").collect()
+        def norm(rs):
+            return sorted(
+                (r.query_id, r.neighbor_id, r.cosine, r.rank) for r in rs
+            )
+        assert norm(blas) == norm(sql), (nq, k)
+        assert all(r.query_id != r.neighbor_id for r in blas)
+
+    # BLAS-only: a zero-norm CANDIDATE's NaN cosine crosses the
+    # Arrow boundary as NULL, which the rank window orders LAST
+    # under desc() — pinned so the kernel's in-batch sort key (NaN
+    # below every real cosine) stays aligned with the global window.
+    rows_z = rows[:3] + [(4, [0.0, 0.0])]
+    emb_z = spark.createDataFrame(
+        rows_z, "vec_id long, embedding array<float>"
+    )
+    out = cosine_topk(
+        emb_z, emb_z.filter(F.col("vec_id") == 1), k=3, impl="blas"
+    ).collect()
+    by_rank = {r.rank: r for r in out}
+    assert [by_rank[i].neighbor_id for i in (1, 2)] == [2, 3]
+    assert by_rank[3].neighbor_id == 4
+    assert by_rank[3].cosine is None  # NaN -> NULL at Arrow boundary
+
+
+def test_two_level_cells_prefix_slice_parity(spark):
+    """The r16 q204 sharing contract: ONE wide assignment pass
+    prefix-sliced must equal a dedicated narrower pass row-for-row
+    (same cells, same order), and knn_graph fed the sliced relation
+    via cells_df must equal knn_graph running its own assignment."""
+    from pyspark.sql import functions as F
+
+    from ulh_etl_spark.operators.similarity import (
+        knn_graph,
+        two_level_cells_blas,
+    )
+    from ulh_etl_spark.queries.similarity import _adaptive_centroids
+    from ulh_etl_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = _adaptive_centroids(emb)
+    wide = two_level_cells_blas(emb, cents, nprobe=8, coarse_nprobe=2)
+    for np_ in (2, 4, 8):
+        sliced = wide.withColumn("_cells", F.slice("_cells", 1, np_))
+        dedicated = two_level_cells_blas(
+            emb, cents, nprobe=np_, coarse_nprobe=2
+        )
+        a = {r[0]: list(r["_cells"]) for r in sliced.collect()}
+        d = {r[0]: list(r["_cells"]) for r in dedicated.collect()}
+        assert a == d, np_
+        g_shared = knn_graph(
+            emb, cents, k=4, nprobe=np_, two_level=True,
+            coarse_nprobe=2, cells_df=sliced,
+        )
+        g_own = knn_graph(
+            emb, cents, k=4, nprobe=np_, two_level=True, coarse_nprobe=2,
+        )
+        assert g_shared.exceptAll(g_own).count() == 0, np_
+        assert g_own.exceptAll(g_shared).count() == 0, np_
+
+
+def test_knn_graph_cells_df_guard(spark):
+    """cells_df is only meaningful on the two-level multi-probe BLAS
+    path — anywhere else it must refuse loudly, not silently ignore
+    a caller-supplied probe relation."""
+    import pytest as _pytest
+
+    from ulh_etl_spark.operators.similarity import knn_graph
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "centroid_id int, centroid_vec array<float>"
+    )
+    with _pytest.raises(ValueError, match="cells_df"):
+        knn_graph(emb, cents, k=1, nprobe=1, cells_df=emb)
+    with _pytest.raises(ValueError, match="cells_df"):
+        knn_graph(
+            emb, cents, k=1, nprobe=2, two_level=False, cells_df=emb
+        )

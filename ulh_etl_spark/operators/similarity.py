@@ -90,20 +90,153 @@ def random_projection(
     return df.select(*cols)
 
 
+def _cosine_topk_blas(
+    corpus: DataFrame,
+    q_rows,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """FOLD-EXACT brute-force scoring kernel for :func:`cosine_topk`
+    (r16): the collected query vectors ride the task closure; one
+    ``mapInPandas`` pass over the corpus computes every (query,
+    candidate) cosine in numpy and keeps each query's top-k WITHIN
+    the Arrow batch. Per-batch top-k is a lossless reduction for the
+    global top-k (every corpus row is seen in exactly one batch, and
+    a row outside its batch's per-query top-k is beaten by k
+    same-batch rows under the global (cos desc, id asc) order), so
+    the downstream global rank window sees ~(n_batches · |Q| · k)
+    rows instead of |corpus| · |Q| candidate pairs — and the corpus
+    itself never shuffles at all (same as the broadcast-join SQL
+    path, minus its interpreted per-pair HOF fold and the skewed
+    |Q|-partition window input).
+
+    Exactness — the :func:`knn_score_topk_blas` contract verbatim:
+    per-dimension accumulation (``acc += Q[:, d:d+1] * V[None, :,
+    d]``) is :func:`_dot`'s left-to-right IEEE fold (element products
+    commute exactly), norms are :func:`_fold_norm`, self-pairs are
+    excluded, and exact-cosine ties break by neighbor id via a
+    stable argsort over id-pre-sorted columns. Every emitted _cos is
+    bit-identical to the SQL expression, so the final window — the
+    same window as the SQL path — produces identical ranks.
+
+    NaN cosines (zero-norm vectors — absent from any real corpus;
+    the ANSI SQL path would raise DIVIDE_BY_ZERO on them) cross the
+    Arrow boundary as NULL, which the rank window orders LAST under
+    ``desc()``; the in-batch sort key therefore maps NaN below every
+    real cosine (but above the excluded self-pairs) so the per-batch
+    top-k keeps exactly the rows the global window would rank."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    qid_arr = np.array([r[0] for r in q_rows])
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    nq = _fold_norm(Q)
+    b = Q.shape[0]
+    idt = corpus.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", idt),
+            T.StructField("neighbor_id", idt),
+            T.StructField("_cos", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            nids = pdf[id_col].to_numpy()
+            # pre-sort candidates by id so a STABLE score argsort
+            # breaks exact-cosine ties by neighbor_id ascending
+            order = np.argsort(nids, kind="stable")
+            nids = nids[order]
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)[order]
+            nv = _fold_norm(V)
+            acc = np.zeros((b, m))
+            for d in range(Q.shape[1]):
+                acc += Q[:, d : d + 1] * V[None, :, d]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = acc / (nq[:, None] * nv[None, :])
+            # NaN (-> NULL at the Arrow boundary, window-ranked last)
+            # sorts below every real cosine; self-pairs lower still.
+            skey = np.where(np.isnan(cos), np.finfo(np.float64).min, cos)
+            selfm = qid_arr[:, None] == nids[None, :]
+            skey = np.where(selfm, -np.inf, skey)
+            tk = min(k + 1, m)  # +1: self may occupy one slot
+            ordc = np.argsort(-skey, axis=1, kind="stable")[:, :tk]
+            rows_i = np.repeat(np.arange(b), tk)
+            cols = ordc.ravel()
+            qv = np.repeat(qid_arr, tk)
+            nvid = nids[cols]
+            cv = cos[rows_i, cols]
+            is_self = qv == nvid
+            sm = is_self.reshape(b, tk)
+            offset = np.cumsum(sm, axis=1) - sm
+            new_rank = np.tile(np.arange(tk), b) - offset.ravel()
+            keep = (~is_self) & (new_rank < k)
+            yield pd.DataFrame(
+                {"query_id": qv[keep], "neighbor_id": nvid[keep],
+                 "_cos": cv[keep]}
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("_cos", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    impl: str = "auto",
+    max_collect_queries: int = 4096,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (self-matches excluded).
 
-    Scale: queries broadcast (they're the small side by construction);
-    the corpus never shuffles for the join — the only shuffle is the
-    per-query top-k window, keyed by query_id. For huge query sets use
-    ivf_topk instead.
+    ``impl`` (r16): ``auto`` collects the query set (bounded by
+    ``max_collect_queries`` — every audit caller passes a fixed
+    <= 64-row sample) and scores the corpus in the fold-exact
+    :func:`_cosine_topk_blas` mapInPandas kernel — output
+    bit-identical to the SQL path, per-pair cost vectorized, and the
+    rank window reads per-batch top-k survivors instead of
+    |corpus| x |queries| rows. ``sql`` keeps the broadcast-join +
+    expression-cosine formulation (the parity yardstick). NOTE the
+    blas path is EAGER at DataFrame-construction time (one bounded
+    limit+collect job for the query vectors — the centroid-collect
+    policy); a query set over the cap falls back to the lazy SQL
+    path.
+
+    Scale (both paths): queries broadcast (they're the small side by
+    construction); the corpus never shuffles — the only shuffle is
+    the per-query top-k window, keyed by query_id. For huge query
+    sets use ivf_topk instead.
     """
+    if _resolve_impl(impl) == "blas":
+        q_rows = (
+            queries.select(id_col, vec_col)
+            .limit(max_collect_queries + 1)
+            .collect()
+        )
+        if 0 < len(q_rows) <= max_collect_queries:
+            return _cosine_topk_blas(corpus, q_rows, id_col, vec_col, k)
     # Norms precomputed per row on each side — never per pair: the
     # per-pair l2_norm would triple the interpreted HOF work across
     # |corpus| x |queries| rows. Same arithmetic, same bits.
@@ -880,11 +1013,17 @@ def _np_two_level_topk(X, pl, nprobe: int) -> list:
         m = e - s
         take = min(nprobe, m)
         ti = tol[i]
-        # decisive gaps: position 1 (the assignment cell — element 1
-        # of the slice is the index-side cell) and the set boundary
-        # at `take`; order anywhere else never changes semantics.
-        ambiguous = (m > 1 and dist_s[s + 1] - dist_s[s] < ti) or (
-            m > take and dist_s[s + take] - dist_s[s + take - 1] < ti
+        # decisive gaps: EVERY adjacent boundary within the first
+        # take+1 candidates (r16 — was: position 1 and the `take`
+        # boundary only). The widening makes every PREFIX of the
+        # emitted slice independently exact — q204 runs one wide pass
+        # per coarse_nprobe and slices it for narrower configs, so
+        # each interior position is now a potential set boundary. On
+        # decisive rows (all real data seen so far) the emitted order
+        # is unchanged; refinement still fires only on genuine ties.
+        hi = min(take + 1, m)
+        ambiguous = bool(
+            (dist_s[s + 1 : s + hi] - dist_s[s : s + hi - 1] < ti).any()
         )
         if ambiguous:
             xs = X[i].tolist()
@@ -1428,6 +1567,7 @@ def knn_graph(
     two_level: bool = False,
     assign_impl: str = "auto",
     coarse_nprobe: int = 2,
+    cells_df: DataFrame | None = None,
 ) -> DataFrame:
     """Cell-blocked k-nearest-neighbor graph: every vector's top-k
     neighbors by exact cosine among candidates drawn from its
@@ -1454,6 +1594,17 @@ def knn_graph(
     (both uniformly hashed keys) — identical plan shape at any
     nprobe.
 
+    ``cells_df`` (r16): a PRECOMPUTED (and typically caller-persisted)
+    :func:`two_level_cells_blas` relation to use instead of running
+    the assignment pass again — for sweep callers (q204) that already
+    materialized the probe slice for their own bookkeeping. Only
+    valid on the two-level multi-probe BLAS path; the `_cells` array
+    must be in the kernel's (dist, cell) slice order (a prefix slice
+    of a wider-nprobe pass is exactly that, because for a fixed
+    coarse union top-n is a prefix of top-m, n <= m, under the
+    kernel's deterministic total order). When given, knn_graph skips
+    its own persist — the caller owns caching.
+
     Output: (vec_id, neighbor_id, cosine, rank) with rank 1..k,
     ranked on the raw double (round only at output, so ranking parity
     with an oracle holds wherever the raw scores are distinct)."""
@@ -1461,6 +1612,12 @@ def knn_graph(
 
     from pyspark.storagelevel import StorageLevel
 
+    if cells_df is not None and not (
+        two_level and nprobe > 1 and _resolve_impl(assign_impl) == "blas"
+    ):
+        raise ValueError(
+            "cells_df requires the two-level multi-probe BLAS path"
+        )
     if nprobe == 1:
         # two_level routes the cell assignment through the
         # ivf_assign_two_level quantizer (N·2·sqrt(C) distances
@@ -1512,9 +1669,13 @@ def knn_graph(
             # cell), ~100x cheaper per distance. _norm stays a JVM
             # l2_norm so the cosine arithmetic downstream is
             # bit-identical to every other kNN path.
-            assigned = two_level_cells_blas(
-                corpus, centroids, id_col, vec_col, cid, cvec,
-                nprobe=nprobe, coarse_nprobe=coarse_nprobe,
+            assigned = (
+                cells_df
+                if cells_df is not None
+                else two_level_cells_blas(
+                    corpus, centroids, id_col, vec_col, cid, cvec,
+                    nprobe=nprobe, coarse_nprobe=coarse_nprobe,
+                )
             ).withColumn("_norm", l2_norm(F.col(vec_col)))
             probe_cell = lambda c: c  # noqa: E731 — bare cells
         elif _resolve_impl(assign_impl) == "blas":
@@ -1554,8 +1715,9 @@ def knn_graph(
                 probed.alias("_cells"),
             )
             probe_cell = lambda c: c["cell"]  # noqa: E731 — structs
-        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
-        track(assigned)
+        if cells_df is None:
+            assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+            track(assigned)
         b = assigned.select(
             F.col(id_col).alias("_nid"), F.col(vec_col).alias("v2"),
             F.col("_norm").alias("_n2"),
@@ -1881,22 +2043,28 @@ def nn_descent_round(
         F.col(vec_col).alias("_v"),
         l2_norm(F.col(vec_col)).alias("_n"),
     )
+    # r16: neighbor-side vectors attach FIRST, query-side LAST — the
+    # second join's hash partitioning on _qid is exactly the rank
+    # window's required distribution, so when the joins are shuffle
+    # joins (at scale) the window adds NO exchange; the old order
+    # (_qid first, _nid second) left the relation partitioned by _nid
+    # and re-shuffled it for the window.
     scored = (
         cand.join(
-            vec.select(
-                F.col("_vid").alias("_qid"),
-                F.col("_v").alias("v1"),
-                F.col("_n").alias("_n1"),
-            ),
-            "_qid",
-        )
-        .join(
             vec.select(
                 F.col("_vid").alias("_nid"),
                 F.col("_v").alias("v2"),
                 F.col("_n").alias("_n2"),
             ),
             "_nid",
+        )
+        .join(
+            vec.select(
+                F.col("_vid").alias("_qid"),
+                F.col("_v").alias("v1"),
+                F.col("_n").alias("_n1"),
+            ),
+            "_qid",
         )
         .select(
             "_qid",

@@ -572,26 +572,30 @@ def q187_knn_recall_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, cents, F.col("vec_id") < _KNN_AUDIT_Q,
         k=_KNN_K, nprobe=_KNN_NPROBE,
     )
-    legs = []
-    for name, graph in (
-        ("recall_single", single_g),
-        ("recall_multi", multi_g),
-    ):
+    # r16: ONE pass over the brute relation with BOTH hit flags
+    # attached (two broadcast left joins against duplicate-free
+    # per-leg edge sets), one groupBy computing both recall columns —
+    # replacing two bf-streaming legs + a final join. Rows identical.
+    flagged = bf
+    for name, graph in (("_hit_s", single_g), ("_hit_m", multi_g)):
         knn = graph.select(
             F.col("vec_id").alias("query_id"), "neighbor_id"
-        ).withColumn("_hit", F.lit(1))
-        legs.append(
-            bf.join(F.broadcast(knn), ["query_id", "neighbor_id"], "left")
-            .groupBy("query_id")
-            .agg(
-                F.round(
-                    F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
-                    / F.lit(float(_KNN_K)),
-                    6,
-                ).alias(name)
-            )
+        ).withColumn(name, F.lit(1))
+        flagged = flagged.join(
+            F.broadcast(knn), ["query_id", "neighbor_id"], "left"
         )
-    return legs[0].join(legs[1], "query_id")
+    return flagged.groupBy("query_id").agg(
+        F.round(
+            F.sum(F.coalesce(F.col("_hit_s"), F.lit(0)))
+            / F.lit(float(_KNN_K)),
+            6,
+        ).alias("recall_single"),
+        F.round(
+            F.sum(F.coalesce(F.col("_hit_m"), F.lit(0)))
+            / F.lit(float(_KNN_K)),
+            6,
+        ).alias("recall_multi"),
+    )
 
 
 def q188_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -647,25 +651,33 @@ def q189_nn_descent_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist(StorageLevel.MEMORY_AND_DISK)
     track(seed)
     refined = S.nn_descent_round(seed, emb, k=_KNN_K)
-    legs = []
-    for name, g in (("recall_seed", seed), ("recall_refined", refined)):
+    # r16: ONE pass over the brute relation with BOTH hit flags
+    # attached (two broadcast left joins), one groupBy computing both
+    # recall columns — replacing two bf-streaming legs + a final
+    # join. Values identical: same per-leg indicator sums, same
+    # rounding, same (query_id, recall_seed, recall_refined) rows.
+    flagged = bf
+    for name, g in (("_hit_s", seed), ("_hit_r", refined)):
         hits = (
             g.filter(F.col("vec_id") < _KNN_AUDIT_Q)
             .select(F.col("vec_id").alias("query_id"), "neighbor_id")
-            .withColumn("_hit", F.lit(1))
+            .withColumn(name, F.lit(1))
         )
-        legs.append(
-            bf.join(F.broadcast(hits), ["query_id", "neighbor_id"], "left")
-            .groupBy("query_id")
-            .agg(
-                F.round(
-                    F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
-                    / F.lit(float(_KNN_K)),
-                    6,
-                ).alias(name)
-            )
+        flagged = flagged.join(
+            F.broadcast(hits), ["query_id", "neighbor_id"], "left"
         )
-    return legs[0].join(legs[1], "query_id")
+    return flagged.groupBy("query_id").agg(
+        F.round(
+            F.sum(F.coalesce(F.col("_hit_s"), F.lit(0)))
+            / F.lit(float(_KNN_K)),
+            6,
+        ).alias("recall_seed"),
+        F.round(
+            F.sum(F.coalesce(F.col("_hit_r"), F.lit(0)))
+            / F.lit(float(_KNN_K)),
+            6,
+        ).alias("recall_refined"),
+    )
 
 
 _DRIFT_DIMS = 8
@@ -1666,14 +1678,26 @@ def q201_nn_descent_plateau(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer hit sum over the brute relation then a single fixed-order
     double division — bit-stable cross-engine.
 
+    r16 plan restructure (values unchanged, oracle replays verbatim):
+    the brute relation is PERSISTED (it fed all four legs; as an
+    unpersisted plan each leg re-ran the brute scoring), and the four
+    per-round recall legs collapse into ONE pass — union the
+    round-tagged audited edges of the four persisted graphs, inner-
+    join the broadcast brute relation, group by round (an inner-join
+    count equals the old per-leg indicator sum because both relations
+    are duplicate-free on (query_id, neighbor_id)), then left-join
+    onto the round spine so a zero-hit round still emits its row.
+
     Output: (round, mean_recall), rounds 0..3."""
     from pyspark.storagelevel import StorageLevel
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _adaptive_centroids(emb)
     queries = emb.filter(F.col("vec_id") < _KNN_AUDIT_Q)
-    bf = S.cosine_topk(emb, queries, k=_KNN_K).select(
-        "query_id", "neighbor_id"
+    bf = track(
+        S.cosine_topk(emb, queries, k=_KNN_K)
+        .select("query_id", "neighbor_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cur = track(
         S.knn_graph(
@@ -1682,7 +1706,6 @@ def q201_nn_descent_plateau(spark: SparkSession, sf_dir: str) -> DataFrame:
             StorageLevel.MEMORY_AND_DISK
         )
     )
-    legs = []
     graphs = [(0, cur)]
     for r in range(1, _NND_ROUNDS + 1):
         cur = track(
@@ -1691,33 +1714,49 @@ def q201_nn_descent_plateau(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         graphs.append((r, cur))
-    for r, g in graphs:
-        hits = (
-            g.filter(F.col("vec_id") < _KNN_AUDIT_Q)
-            .select(F.col("vec_id").alias("query_id"), "neighbor_id")
-            .withColumn("_hit", F.lit(1))
+    return _nnd_recall_curve(spark, bf, graphs)
+
+
+def _nnd_recall_curve(spark, bf, graphs) -> DataFrame:
+    """Shared single-pass recall-curve tail for q201/q205 (r16): one
+    union of round-tagged audited edges, one broadcast of the
+    persisted brute relation, one groupBy — replacing one full
+    brute-leg evaluation + broadcast build + agg PER round."""
+    hit_legs = [
+        g.filter(F.col("vec_id") < _KNN_AUDIT_Q)
+        .select(
+            F.lit(r).cast("int").alias("round"),
+            F.col("vec_id").alias("query_id"),
+            "neighbor_id",
         )
-        legs.append(
-            bf.join(F.broadcast(hits), ["query_id", "neighbor_id"], "left")
-            .agg(
-                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+        for r, g in graphs
+    ]
+    hits = hit_legs[0]
+    for leg in hit_legs[1:]:
+        hits = hits.unionByName(leg)
+    tot = bf.agg(F.count("*").cast("long").alias("_total"))
+    per = (
+        hits.join(F.broadcast(bf), ["query_id", "neighbor_id"])
+        .groupBy("round")
+        .agg(F.count("*").cast("long").alias("_hits"))
+    )
+    spine = spark.range(len(graphs)).select(
+        F.col("id").cast("int").alias("round")
+    )
+    return (
+        spine.join(per, "round", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "round",
+            F.round(
+                F.coalesce(F.col("_hits"), F.lit(0))
                 .cast("long")
-                .alias("_hits"),
-                F.count("*").cast("long").alias("_total"),
-            )
-            .select(
-                F.lit(r).cast("int").alias("round"),
-                F.round(
-                    F.col("_hits").cast("double")
-                    / F.col("_total").cast("double"),
-                    6,
-                ).alias("mean_recall"),
-            )
+                .cast("double")
+                / F.col("_total").cast("double"),
+                6,
+            ).alias("mean_recall"),
         )
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
-    return out
+    )
 
 
 # The 6-point curve spans seed-to-exact (sf0.01, recall@4 /
@@ -1749,10 +1788,17 @@ def q204_recall_cost_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the third lever; its sweep would re-seed the index itself).
 
     Scale: the brute leg is |corpus| x 64 rows (shared across
-    configs, persisted); each config is one BLAS assignment pass
-    (persisted — the pair-count agg and the probe explode read it)
-    plus the standard cell join + rank window. All joins keyed on
-    uniform cells; nothing all-pairs."""
+    configs, persisted); r16: ONE BLAS assignment pass per DISTINCT
+    coarse_nprobe, run at that group's MAX nprobe and prefix-SLICED
+    for the narrower configs (for a fixed coarse union the kernel's
+    top-n cells are a prefix of its top-m, n <= m, under its
+    deterministic total order — so the sliced relation is
+    row-identical to a dedicated narrower pass), then the standard
+    cell join + rank window per config via knn_graph's ``cells_df``
+    passthrough. The six per-config recall legs collapse into ONE
+    config-tagged hits union joined against the broadcast brute
+    relation (the q201 treatment; values unchanged). All joins keyed
+    on uniform cells; nothing all-pairs."""
     from pyspark.storagelevel import StorageLevel
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1764,66 +1810,88 @@ def q204_recall_cost_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ncnt = emb.agg(F.count("*").cast("long").alias("_N"))
-    legs = []
+    max_np: dict[int, int] = {}
     for cnp, np_ in _RVC_CONFIGS:
-        probes = track(
+        max_np[cnp] = max(max_np.get(cnp, 0), np_)
+    shared = {
+        cnp: track(
             S.two_level_cells_blas(
-                emb, cents, nprobe=np_, coarse_nprobe=cnp
+                emb, cents, nprobe=mx, coarse_nprobe=cnp
             ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        for cnp, mx in max_np.items()
+    }
+    pair_legs = []
+    hit_legs = []
+    for i, (cnp, np_) in enumerate(_RVC_CONFIGS):
+        probes = (
+            shared[cnp].withColumn(
+                "_cells", F.slice("_cells", 1, np_)
+            )
+            if np_ < max_np[cnp]
+            else shared[cnp]
         )
         sizes = (
             probes.select(F.element_at("_cells", 1).alias("cell"))
             .groupBy("cell")
             .agg(F.count("*").alias("_n"))
         )
-        pairs = (
+        pair_legs.append(
             probes.select(F.explode("_cells").alias("cell"))
             .join(sizes, "cell")
             .agg(F.sum("_n").alias("_s"))
             .crossJoin(F.broadcast(ncnt))
             .select(
+                F.lit(i).cast("int").alias("_cfg"),
                 (F.col("_s") - F.col("_N"))
                 .cast("long")
-                .alias("candidate_pairs")
+                .alias("candidate_pairs"),
             )
         )
         g = S.knn_graph(
             emb, cents, k=_KNN_K, nprobe=np_, two_level=True,
-            coarse_nprobe=cnp,
+            coarse_nprobe=cnp, cells_df=probes,
         )
-        hits = (
-            g.filter(F.col("vec_id") < _KNN_AUDIT_Q)
-            .select(F.col("vec_id").alias("query_id"), "neighbor_id")
-            .withColumn("_hit", F.lit(1))
+        hit_legs.append(
+            g.filter(F.col("vec_id") < _KNN_AUDIT_Q).select(
+                F.lit(i).cast("int").alias("_cfg"),
+                F.col("vec_id").alias("query_id"),
+                "neighbor_id",
+            )
         )
-        rec = (
-            bf.join(F.broadcast(hits), ["query_id", "neighbor_id"], "left")
-            .agg(
-                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+    hits = hit_legs[0]
+    for leg in hit_legs[1:]:
+        hits = hits.unionByName(leg)
+    pairs_all = pair_legs[0]
+    for leg in pair_legs[1:]:
+        pairs_all = pairs_all.unionByName(leg)
+    per = (
+        hits.join(F.broadcast(bf), ["query_id", "neighbor_id"])
+        .groupBy("_cfg")
+        .agg(F.count("*").cast("long").alias("_hits"))
+    )
+    tot = bf.agg(F.count("*").cast("long").alias("_total"))
+    spine = spark.createDataFrame(
+        [(i, cnp, np_) for i, (cnp, np_) in enumerate(_RVC_CONFIGS)],
+        "_cfg int, coarse_nprobe int, nprobe int",
+    )
+    return (
+        spine.join(per, "_cfg", "left")
+        .join(pairs_all, "_cfg")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "coarse_nprobe",
+            "nprobe",
+            F.round(
+                F.coalesce(F.col("_hits"), F.lit(0))
                 .cast("long")
-                .alias("_hits"),
-                F.count("*").cast("long").alias("_total"),
-            )
-            .select(
-                F.round(
-                    F.col("_hits").cast("double")
-                    / F.col("_total").cast("double"),
-                    6,
-                ).alias("mean_recall")
-            )
+                .cast("double")
+                / F.col("_total").cast("double"),
+                6,
+            ).alias("mean_recall"),
+            "candidate_pairs",
         )
-        legs.append(
-            rec.crossJoin(pairs).select(
-                F.lit(cnp).cast("int").alias("coarse_nprobe"),
-                F.lit(np_).cast("int").alias("nprobe"),
-                "mean_recall",
-                "candidate_pairs",
-            )
-        )
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
-    return out
+    )
 
 
 def q205_nn_descent_random_init(
@@ -1839,15 +1907,19 @@ def q205_nn_descent_random_init(
     still converge (measured ladder in SCALE.md r13), they just start
     from nothing; cell-blocked seeding buys the head start. Same
     output shape and recall arithmetic as q201, so the two ladders
-    compare row-for-row.
+    compare row-for-row (and the r16 single-pass recall restructure —
+    see q201 — applies identically: persisted brute relation, one
+    round-tagged hits union, one broadcast join + groupBy).
 
     Output: (round, mean_recall), rounds 0..3."""
     from pyspark.storagelevel import StorageLevel
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _KNN_AUDIT_Q)
-    bf = S.cosine_topk(emb, queries, k=_KNN_K).select(
-        "query_id", "neighbor_id"
+    bf = track(
+        S.cosine_topk(emb, queries, k=_KNN_K)
+        .select("query_id", "neighbor_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cur = track(
         S.hash_ring_seed_graph(emb, k=_KNN_K).persist(
@@ -1862,34 +1934,7 @@ def q205_nn_descent_random_init(
             )
         )
         graphs.append((r, cur))
-    legs = []
-    for r, g in graphs:
-        hits = (
-            g.filter(F.col("vec_id") < _KNN_AUDIT_Q)
-            .select(F.col("vec_id").alias("query_id"), "neighbor_id")
-            .withColumn("_hit", F.lit(1))
-        )
-        legs.append(
-            bf.join(F.broadcast(hits), ["query_id", "neighbor_id"], "left")
-            .agg(
-                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
-                .cast("long")
-                .alias("_hits"),
-                F.count("*").cast("long").alias("_total"),
-            )
-            .select(
-                F.lit(r).cast("int").alias("round"),
-                F.round(
-                    F.col("_hits").cast("double")
-                    / F.col("_total").cast("double"),
-                    6,
-                ).alias("mean_recall"),
-            )
-        )
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
-    return out
+    return _nnd_recall_curve(spark, bf, graphs)
 
 
 _PCA_DIM = 64
