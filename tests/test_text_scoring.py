@@ -1713,3 +1713,30 @@ def test_length_bucket_batches_shape(spark):
     for b in {r.bucket for r in out}:
         ids = sorted(bid for (bb, bid) in sizes if bb == b)
         assert ids == list(range(len(ids)))  # dense from 0
+
+
+def test_novelty_scores_hand_counts(spark):
+    """r16 restructure pin: n_novel(d) must equal the number of
+    grams whose FIRST (min-id) occurrence is d, n_grams the doc's
+    distinct-gram count; a doc that repeats only earlier docs' grams
+    scores 0, a short text grams as its whole prefix (the
+    char_ngrams contract), and a NULL text emits NO row."""
+    from ulh_etl_spark.operators.text import novelty_scores
+
+    rows = [
+        (1, "abcd"),   # grams ab,bc,cd — all first here
+        (2, "bcde"),   # bc(seen),cd(seen),de(new) -> 1/3
+        (3, "abcd"),   # all seen -> 0/3
+        (4, "x"),      # short text -> whole-prefix gram "x", novel
+        (5, None),     # no grams -> no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_grams, r.n_novel, r.novelty)
+        for r in novelty_scores(df, "text", "doc_id", n=2).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1] == (3, 3, 1.0)
+    assert out[2] == (3, 1, round(1 / 3, 6))
+    assert out[3] == (3, 0, 0.0)
+    assert out[4] == (1, 1, 1.0)

@@ -811,38 +811,55 @@ def novelty_scores(
     more of the same source with it. Complements dup-gram stats
     (which measure sharedness, not attribution order).
 
-    Scale: grams are per-doc distinct before hashing (explode once);
-    first-occurrence is ONE partial-agged groupBy on the uniform
-    gram hash; attribution is a join back on the same key (hot
-    boilerplate gram = hot join key, AQE-splittable) + one per-doc
-    count agg. Output: (id, n_grams, n_novel, novelty), novelty
-    rounded to 6."""
+    Scale (r16 restructure — same rows): the old shape joined the
+    exploded (doc, gram) relation back onto first-occurrences at GRAM
+    granularity — the explode evaluated twice and shuffled twice by
+    gram hash. But per-gram attribution credits exactly ONE doc (the
+    min), so n_novel(d) = |{g : first(g) = d}| falls out of the
+    first-occurrence relation alone (groupBy the min-doc — a
+    |distinct grams|-row shuffle, not a (doc, gram)-pair one), and
+    n_grams(d) is just the distinct gram-array SIZE — a narrow map,
+    no explode, no shuffle. One explode pass total, one partial-agged
+    groupBy on the uniform gram hash (hot boilerplate grams collapse
+    map-side), one doc-keyed join of two doc-bounded relations.
+    Output: (id, n_grams, n_novel, novelty), novelty rounded to 6;
+    docs with no grams emit no row (as before — they had no exploded
+    rows to group)."""
+    hashed = F.array_distinct(
+        F.transform(
+            char_ngrams(F.col(text_col), n),
+            lambda g: gram_hash64(g),
+        )
+    )
     grams = df.select(
         F.col(id_col),
-        F.explode_outer(
-            F.array_distinct(
-                F.transform(
-                    char_ngrams(F.col(text_col), n),
-                    lambda g: gram_hash64(g),
-                )
-            )
-        ).alias("_g"),
+        F.explode(hashed).alias("_g"),
     ).filter(F.col("_g").isNotNull())
     firsts = grams.groupBy("_g").agg(F.min(id_col).alias("_fd"))
+    novel = firsts.groupBy("_fd").agg(
+        F.count("*").cast("long").alias("n_novel")
+    )
+    per_doc = df.select(
+        F.col(id_col),
+        F.size(
+            F.filter(hashed, lambda h: h.isNotNull())
+        ).cast("long").alias("n_grams"),
+    ).filter(F.col("n_grams") > 0)
     return (
-        grams.join(firsts, "_g")
-        .groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(
-                (F.col(id_col) == F.col("_fd")).cast("long")
-            ).alias("n_novel"),
+        per_doc.join(
+            novel, per_doc[id_col] == novel["_fd"], "left"
         )
         .select(
-            id_col,
+            per_doc[id_col],
             "n_grams",
-            "n_novel",
-            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
+            F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).alias(
+                "n_novel"
+            ),
+            F.round(
+                F.coalesce(F.col("n_novel"), F.lit(0).cast("long"))
+                / F.col("n_grams"),
+                6,
+            ).alias("novelty"),
         )
     )
 
