@@ -615,10 +615,18 @@ def q188_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-bounded
     (<= N(2k)^2 + Nk), never all-pairs; output is the knn_graph
     schema so every downstream graph consumer plugs in unchanged."""
+    from pyspark.storagelevel import StorageLevel
+
     emb = load_table(spark, sf_dir, "embeddings")
-    seed = S.knn_graph(
-        emb, _adaptive_centroids(emb), k=_KNN_K, nprobe=_KNN_NPROBE,
-        two_level=True,
+    # persist the seed: nn_descent_round references its input graph
+    # FIVE times (undirected union x2, two-hop self-join x2, current-
+    # edge union) — unpersisted, each reference re-ran the whole
+    # two-level kNN build (cell assignment + rank window).
+    seed = track(
+        S.knn_graph(
+            emb, _adaptive_centroids(emb), k=_KNN_K, nprobe=_KNN_NPROBE,
+            two_level=True,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
     return S.nn_descent_round(seed, emb, k=_KNN_K)
 
@@ -1699,19 +1707,23 @@ def q201_nn_descent_plateau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cur = track(
-        S.knn_graph(
-            emb, cents, k=_KNN_K, nprobe=_KNN_NPROBE, two_level=True
-        ).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-    )
+    # Each round's graph localCheckpoints (eager — the CC/HITS
+    # lineage rule, graph.py): nn_descent_round references its input
+    # FIVE times (undirected union x2, two-hop self-join x2, current-
+    # edge union), so a persist-only chain grows the LOGICAL plan 5x
+    # per round — by round 3 the analyzed tree held ~955 cached-scan
+    # references and 2.8 MB of plan text, and Catalyst planning plus
+    # thousands of leaf stages dominated the runtime (measured 1.5 /
+    # 2.5 / 10.6 s for rounds 1-3 despite every input cached). The
+    # checkpoint makes every round a LEAF: plan size is constant in
+    # rounds, rows unchanged (the round is deterministic).
+    cur = S.knn_graph(
+        emb, cents, k=_KNN_K, nprobe=_KNN_NPROBE, two_level=True
+    ).localCheckpoint(eager=True)
     graphs = [(0, cur)]
     for r in range(1, _NND_ROUNDS + 1):
-        cur = track(
-            S.nn_descent_round(cur, emb, k=_KNN_K).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
+        cur = S.nn_descent_round(cur, emb, k=_KNN_K).localCheckpoint(
+            eager=True
         )
         graphs.append((r, cur))
     return _nnd_recall_curve(spark, bf, graphs)
@@ -1921,17 +1933,16 @@ def q205_nn_descent_random_init(
         .select("query_id", "neighbor_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cur = track(
-        S.hash_ring_seed_graph(emb, k=_KNN_K).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+    # localCheckpoint per round — the q201 lineage rule (see there):
+    # the round references its input 5x, so persist-only chains grow
+    # the plan 5x per round; the checkpoint keeps every round a leaf.
+    cur = S.hash_ring_seed_graph(emb, k=_KNN_K).localCheckpoint(
+        eager=True
     )
     graphs = [(0, cur)]
     for r in range(1, _NND_ROUNDS + 1):
-        cur = track(
-            S.nn_descent_round(cur, emb, k=_KNN_K).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
+        cur = S.nn_descent_round(cur, emb, k=_KNN_K).localCheckpoint(
+            eager=True
         )
         graphs.append((r, cur))
     return _nnd_recall_curve(spark, bf, graphs)
