@@ -82,12 +82,47 @@ def random_projection(
     coordinate (flat columns, not an array: each is independently
     hash-compared)."""
     signs = rp_signs(out_dim, dim, salt)
+    # r16: the sign matrix enters as ONE nested-array SQL literal and
+    # all out_dim coordinates fold in ONE transform over the row axis
+    # (the hyperplane_signature restructure): the per-row formulation
+    # paid ~1 s of Catalyst analysis + py4j literal conversion per
+    # invocation for out_dim x dim scalar nodes and 2x out_dim lambda
+    # HOFs. Each coordinate replays _dot's left-to-right fold on the
+    # same products, so values are bit-identical. The flat r{k}
+    # columns read element_at over the materialized dots column —
+    # CollapseProject keeps the transform evaluated once (it never
+    # inlines a non-cheap producer referenced out_dim times).
+    signs2d = F.expr(
+        "array({})".format(
+            ",".join(
+                "array({})".format(
+                    ",".join(f"CAST('{float(s)!r}' AS DOUBLE)" for s in row)
+                )
+                for row in signs
+            )
+        )
+    )
     vec = F.col(vec_col)
-    cols = [F.col(id_col)]
-    for k, row in enumerate(signs):
-        lit = F.array(*[F.lit(s) for s in row])
-        cols.append(F.round(_dot(vec, lit), 6).alias(f"r{k:02d}"))
-    return df.select(*cols)
+    dots = F.transform(
+        signs2d,
+        lambda w: F.aggregate(
+            F.zip_with(
+                vec, w, lambda x, y: x.cast("double") * y.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    staged = df.select(F.col(id_col), dots.alias("_dots"))
+    return staged.select(
+        F.col(id_col),
+        *[
+            F.round(F.element_at(F.col("_dots"), k + 1), 6).alias(
+                f"r{k:02d}"
+            )
+            for k in range(out_dim)
+        ],
+    )
 
 
 def _cosine_topk_blas(
