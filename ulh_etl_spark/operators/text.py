@@ -1127,14 +1127,17 @@ def duplicate_span_removal(
     (that is repetition_signals' signal, a quality concern, not
     cross-doc dedup).
 
-    Scale: window hashing is a narrow map over the once-materialized
-    token array (n - k + 1 windows/doc); the global first-occurrence
-    pass is ONE partial-agged groupBy on the window hash (uniform
-    md5 keys) + a join back (a corpus-wide boilerplate window makes
-    a hot JOIN key — AQE-splittable); span merging is a bounded
-    per-doc window (rows = windows of ONE doc); rebuild is one join
-    back to the corpus on the doc id. No suffix array, no global
-    sort, no driver state.
+    Scale: window hashing is a narrow map over the token array
+    (n - k + 1 windows/doc); the global first-occurrence pass is ONE
+    min-over-hash window on the uniform md5 key (r16 — the old
+    groupBy + join-back shape evaluated the whole window-hash explode
+    TWICE, once per join side, and scanned the corpus three times; a
+    partition-only analytic window attributes every (doc, pos) row in
+    the same single pass, one exchange; a corpus-wide boilerplate
+    window makes a hot PARTITION key — AQE-splittable on the
+    exchange); span merging is a bounded per-doc window (rows =
+    windows of ONE doc); rebuild is one join back to the corpus on
+    the doc id. No suffix array, no global sort, no driver state.
 
     Output: (id_col, n_tokens, n_removed, clean_text) — one row per
     input doc; ``clean_text`` is whitespace-normalized (tokens
@@ -1164,9 +1167,9 @@ def duplicate_span_removal(
             )
         ).alias("_w"),
     ).select(id_col, F.col("_w.pos").alias("pos"), F.col("_w.h").alias("h"))
-    firsts = wins.groupBy("h").agg(F.min(id_col).alias("_fd"))
+    wh = Window.partitionBy("h")
     removable = (
-        wins.join(firsts, "h")
+        wins.withColumn("_fd", F.min(id_col).over(wh))
         .filter(F.col(id_col) > F.col("_fd"))
         .select(id_col, "pos")
     )
