@@ -419,6 +419,43 @@ def test_cms_join_size_exact_when_wide(spark):
     assert row.cms_estimate == 60  # no collisions at this width
 
 
+def test_cms_join_size_weighted_counters_match_occurrence_sketch(spark):
+    """r16 pin: the join-size sketch now builds each side's counters
+    from the distinct-token count relation (one scan, one hash per
+    token) — the bucket sums must be bit-identical to the raw
+    per-occurrence ``cms_counters`` sketch, so the min-dot estimate
+    is unchanged on duplicate-heavy input."""
+    from ulh_etl_spark.operators.sketch import cms_join_size
+
+    lrows = [(i % 7,) for i in range(91)]  # skewed duplicate counts
+    rrows = [(i % 11,) for i in range(55)]
+    left = spark.createDataFrame(lrows, "k long")
+    right = spark.createDataFrame(rrows, "k long")
+    depth, width = 4, 16  # narrow: force collisions into the dot
+
+    lc = cms_counters(
+        left.select(left.k.cast("string").alias("token")), depth=depth, width=width
+    ).collect()
+    rc = cms_counters(
+        right.select(right.k.cast("string").alias("token")), depth=depth, width=width
+    ).collect()
+    lmap = {(r.row, r.bucket): r.cnt for r in lc}
+    rmap = {(r.row, r.bucket): r.cnt for r in rc}
+    expected = min(
+        sum(
+            lmap.get((d, b), 0) * rmap.get((d, b), 0) for b in range(width)
+        )
+        for d in range(depth)
+    )
+
+    row = cms_join_size(
+        left, right, "k", "k", depth=depth, width=width
+    ).collect()[0]
+    assert row.cms_estimate == expected
+    # 7 shared keys, 13 left occurrences x 5 right occurrences each
+    assert row.exact_pairs == 7 * 13 * 5
+
+
 def test_cms_estimates_absent_token_reports_zero(spark):
     """r10 ADVICE pin: a candidate token with an untouched bucket in
     any row estimates 0 via left-join + coalesce — never dropped from

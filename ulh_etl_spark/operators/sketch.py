@@ -187,22 +187,50 @@ def cms_join_size(
     the point query — never an undercount, expected overcount
     <= N_left * N_right / width per row.
 
-    Each side's sketch is the constant-volume ``cms_counters``
-    aggregate; the estimate touches depth x width counter rows total.
-    The exact cardinality (the audit column — sum over keys of
-    count_left * count_right) costs a per-key count join; at real
-    scale you ship only the sketch term.
+    Each side's sketch and its exact audit term both derive from ONE
+    persisted per-token count relation (r16 — the old shape scanned
+    each side's keys twice, once for ``cms_counters`` and once for
+    the exact groupBy, and hashed every OCCURRENCE; weighted counters
+    over the distinct-token counts are bit-identical — the bucket sum
+    of per-token counts IS the occurrence count — while hashing each
+    token once and reading each input once). The estimate touches
+    depth x width counter rows total. The exact cardinality (the
+    audit column — sum over keys of count_left * count_right) costs a
+    per-key count join; at real scale you ship only the sketch term.
 
     Output: one row (exact_pairs, cms_estimate, overcount) — all
     integers, so the oracle replays the sketch bit-for-bit."""
+    from ulh_etl_spark.cache import track
+
     lk = left.select(F.col(left_key).cast("string").alias("token"))
     rk = right.select(F.col(right_key).cast("string").alias("token"))
-    cl = cms_counters(lk, "token", depth, width).withColumnRenamed(
-        "cnt", "_cl"
+    la = track(
+        lk.groupBy("token").agg(F.count("*").cast("bigint").alias("_a")).persist()
     )
-    cr = cms_counters(rk, "token", depth, width).withColumnRenamed(
-        "cnt", "_cr"
+    rb = track(
+        rk.groupBy("token").agg(F.count("*").cast("bigint").alias("_b")).persist()
     )
+
+    def _weighted_counters(counts: DataFrame, wcol: str, out: str) -> DataFrame:
+        cells = F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    cms_bucket(F.col("token"), r, width).alias("bucket"),
+                )
+                for r in range(depth)
+            ]
+        )
+        return (
+            counts.select(F.col(wcol).alias("_w"), F.explode(cells).alias("_c"))
+            .groupBy(
+                F.col("_c.row").alias("row"), F.col("_c.bucket").alias("bucket")
+            )
+            .agg(F.sum("_w").cast("bigint").alias(out))
+        )
+
+    cl = _weighted_counters(la, "_a", "_cl")
+    cr = _weighted_counters(rb, "_b", "_cr")
     # rows scaffold + coalesce-0: a hash row whose sketches share NO
     # bucket has dot = 0 (disjoint key sets) — dropping it from the
     # MIN would report a huge estimate for an empty join, the exact
@@ -220,8 +248,6 @@ def cms_join_size(
         .select(F.coalesce(F.col("_dot"), F.lit(0)).alias("_dot"))
         .agg(F.min("_dot").cast("bigint").alias("cms_estimate"))
     )
-    la = lk.groupBy("token").agg(F.count("*").alias("_a"))
-    rb = rk.groupBy("token").agg(F.count("*").alias("_b"))
     exact = la.join(rb, "token").agg(
         F.coalesce(F.sum(F.col("_a") * F.col("_b")), F.lit(0))
         .cast("bigint")
