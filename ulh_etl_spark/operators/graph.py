@@ -364,19 +364,23 @@ def hits(
     are 0 for nodes outside the respective support."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    e = track(
-        edges.select(
-            F.col(src).alias("_s"), F.col(dst).alias("_d")
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # Eager localCheckpoint instead of persist (r16): every half-step
+    # job, the nodes distinct, and the final join re-ANALYZE the edge
+    # relation's full upstream plan — for a kNN producer that subplan
+    # embeds the folded centroid literals, and the per-job analysis
+    # cost dwarfed the 8k-row joins themselves (measured on q220:
+    # final join 2.6 -> 1.1 s, nodes 3.7 -> 1.8 s). Checkpointing
+    # collapses the input to a leaf once; blocks are node-count-sized
+    # and die with the session (the CC/NN-Descent lineage rule).
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).localCheckpoint(eager=True)
     if e.isEmpty():
         # empty-in / empty-out (r15 ADVICE): without the guard the
         # first normalizer collect returns NULL and float(None)
         # raises mid-iteration; an empty graph simply has no nodes
         # to score, so hand back an empty frame with the output
-        # schema instead of raising — and drop the persisted probe
-        # relation so nothing stays cached on this early exit.
-        e.unpersist()
+        # schema instead of raising.
         node_t = edges.schema[src].dataType
         return edges.sparkSession.createDataFrame(
             [],
