@@ -66,9 +66,13 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    adj = track(_undirect(edges, id1, id2).persist(StorageLevel.MEMORY_AND_DISK))
+    # Eager localCheckpoint, not persist (r16, the hits() lesson):
+    # the loop re-analyzes adj's upstream plan once per round — for
+    # kNN producers that subplan embeds the folded centroid literals
+    # and analysis dominates the node-count-sized joins.
+    adj = _undirect(edges, id1, id2).localCheckpoint(eager=True)
     deg = adj.groupBy("src").agg(F.count("*").alias("deg"))
-    n = deg.count()  # also materializes adj for the loop
+    n = deg.count()
     base = F.lit((1.0 - damping) / n)
     # rank/deg is what every round emits; carry it instead of rank.
     ranks = deg.select(
@@ -118,7 +122,13 @@ def triangle_stats(
     endpoint; clustering = 2T / (deg * (deg - 1)), 0.0 when deg < 2,
     rounded to 6 (one fixed-order division — exact cross-engine).
     """
-    adj = _undirect(edges, id1, id2)
+    # Eager localCheckpoint of the edge projection (r16, the hits()
+    # lesson): deg and oriented each re-analyzed the producer's full
+    # subplan; one leaf feeds both.
+    e = edges.select(
+        F.col(id1).alias("_a"), F.col(id2).alias("_b")
+    ).localCheckpoint(eager=True)
+    adj = _undirect(e, "_a", "_b")
     deg = adj.groupBy("src").agg(F.count("*").alias("deg")).select(
         F.col("src").alias("node"), "deg"
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -130,8 +140,7 @@ def triangle_stats(
         (F.col("_da") == F.col("_db")) & (F.col("_a") < F.col("_b"))
     )
     oriented = (
-        edges.select(F.col(id1).alias("_a"), F.col(id2).alias("_b"))
-        .join(d1, "_a")
+        e.join(d1, "_a")
         .join(d2, "_b")
         .select(
             F.when(lower_first, F.col("_a")).otherwise(F.col("_b")).alias("lo"),
@@ -206,7 +215,10 @@ def label_propagation(
 
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
-    adj = track(_undirect(edges, id1, id2).persist(StorageLevel.MEMORY_AND_DISK))
+    # Eager localCheckpoint, not persist (r16, the hits() lesson —
+    # adj and the adj-derived nodes relation are re-analyzed every
+    # round).
+    adj = _undirect(edges, id1, id2).localCheckpoint(eager=True)
     nodes = adj.select("src").distinct().withColumnRenamed("src", "node")
     seed = F.broadcast(
         seeds.select(F.col("node"), F.col("label").alias("_seed_label"))
