@@ -1195,7 +1195,12 @@ def q231_cluster_edge_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, _adaptive_centroids(emb), k=_KNN_K, nprobe=_KNN_NPROBE,
         two_level=True,
     )
-    edges = S.mutual_knn_edges(knn)
+    # Eager localCheckpoint (r16): edges feeds BOTH the CC chain and
+    # the per-component edge count below — without it the whole
+    # kNN-build + mutual-filter subplan executed twice and was
+    # re-analyzed by every downstream job (the hits() lesson; edges
+    # are degree-bounded, so the blocks are corpus-linear).
+    edges = S.mutual_knn_edges(knn).localCheckpoint(eager=True)
     comp = connected_components(edges)
     mc = comp.groupBy("component").agg(
         F.count("*").cast("bigint").alias("n_members")
