@@ -1136,7 +1136,11 @@ def q233_knn_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, _adaptive_centroids(emb), k=_KNN_K, nprobe=_KNN_NPROBE,
         two_level=True,
     )
-    mut = S.mutual_knn_edges(knn)
+    # Eager localCheckpoint (r16, the q231 lesson): mut feeds both
+    # union legs and und is read by three joins — unchecked, the
+    # kNN-build + mutual-filter subplan executed and re-analyzed per
+    # reference.
+    mut = S.mutual_knn_edges(knn).localCheckpoint(eager=True)
     und = mut.select(
         F.col("id1").alias("a"), F.col("id2").alias("b")
     ).union(mut.select(F.col("id2").alias("a"), F.col("id1").alias("b")))
