@@ -34,13 +34,19 @@ def test_release_is_safe_on_unmaterialized_frames(spark):
 
 def test_graph_and_dedup_builders_register_their_persists(spark):
     from ulh_etl_spark.operators.dedup import minhash_candidate_pairs
-    from ulh_etl_spark.operators.graph import pagerank
+    from ulh_etl_spark.operators.graph import pagerank, triangle_stats
 
     release_persisted()
     edges = spark.createDataFrame(
         [(1, 2), (2, 3)], "id1 int, id2 int"
     )
+    # pagerank's adjacency is an eager localCheckpoint since r16 (a
+    # leaf, not a cache-registry entry) — it must NOT leak registry
+    # entries; triangle_stats still persists escaping deg/oriented
+    # frames and must register them.
     pagerank(edges, iterations=1).collect()
+    assert not _TRACKED
+    triangle_stats(edges).collect()
     assert len(_TRACKED) >= 1
     n_after_graph = len(_TRACKED)
 
