@@ -312,7 +312,18 @@ ANCHOR = {
     "q122_split_leakage": 0.824,
     "q123_zipf_slope": 0.261,
     "q124_span_pairs": 0.253,
-    "q125_column_profile": 4.222,
+    # _R16_REANCHOR: the r16 optimization round restructured 15 of
+    # these queries' plans (per-column partial-agg profile, unigram
+    # artifact persists, NN-Descent / graph-loop lineage truncation,
+    # hyperplane/JL literal folds, window-based span attribution,
+    # one-pass join-size sketch — see OPTIMIZATION_r16.md). Their old
+    # anchors were 1.5-4x above the new steady state, so a future
+    # regression back to the OLD plan would read net ~0.7-1.0 and
+    # hide. Each is re-anchored to the CONSERVATIVE r16 number: the
+    # higher of the two floor-1.00 suite sessions (BENCH_local_r16b)
+    # and the dedicated min-of-3 ("dedicated" tag) — suite-warm
+    # best-cases are deliberately NOT used (the q203 lesson).
+    "q125_column_profile": 0.69,  # re-anchored r16 (see _R16_REANCHOR)
     "q126_record_linkage": 11.472,
     # r8 anchor: the distinct-gram proxy is a NEW query (the old
     # 0.280 anchor belonged to the retired zlib catalog slot)
@@ -321,11 +332,11 @@ ANCHOR = {
     # count()-timed anchor under-measures queries whose cost is in
     # the final projection (q142's clean_text rebuild prunes away
     # under count: 0.49 s pruned vs 2.2 s materialized).
-    "q142_dup_span_removal": 2.183,
+    "q142_dup_span_removal": 2.134,  # re-anchored r16 (dedicated)
     "q143_temperature_mix": 0.711,
     "q144_novelty_scores": 2.124,
     "q145_incremental_neardup": 0.953,
-    "q146_random_projection": 1.017,
+    "q146_random_projection": 0.581,  # re-anchored r16
     "q147_audio_neardup": 2.030,
     "q148_html_extract": 0.393,
     "q149_sft_render": 0.473,
@@ -361,13 +372,13 @@ ANCHOR = {
     # graph batch: q169/q170 rebuild the q159 kNN graph (its 3.3 s
     # anchor covers the cell join); pagerank adds 3 bounded
     # join+agg rounds, triangles one wedge self-join
-    "q169_knn_pagerank": 4.47,
-    "q170_knn_triangles": 7.05,  # r11: mutual-edge persist
+    "q169_knn_pagerank": 2.809,  # re-anchored r16 (dedicated)
+    "q170_knn_triangles": 2.741,  # re-anchored r16 (dedicated)
     "q171_cms_heavy_hitters": 1.594,
     "q172_salted_priority_totals": 1.738,
     "q173_merged_event_stats": 0.411,
     "q174_embedding_ks_drift": 0.408,
-    "q175_label_propagation": 5.21,  # r11: mutual-edge persist
+    "q175_label_propagation": 2.848,  # re-anchored r16 (dedicated)
     "q176_fm_user_registers": 0.611,
     "q177_bloom_join_reduction": 3.036,
     "q178_gap_fill_daily": 0.522,
@@ -378,7 +389,7 @@ ANCHOR = {
     "q182_partition_pruned_totals": 2.955,
     "q183_peak_concurrency": 1.23,
     "q184_mad_anomalies": 0.863,
-    "q185_join_size_sketch": 2.697,
+    "q185_join_size_sketch": 2.167,  # re-anchored r16 (dedicated)
     # r11 batch (min-of-3 warm, quiet box, post single-pass nprobe fix)
     "q186_knn_graph_multiprobe": 6.539,
     # q187/q189/q205 re-anchored r14 (floor-1.00 min-of-3 session):
@@ -389,10 +400,10 @@ ANCHOR = {
     # anchors even with 3x probes (q160 5.23 vs 6.11, q186 1.78 vs
     # 6.54, q188 2.93 vs 7.06, q201 9.92 vs 19.82 — the r14 fold-
     # exact scoring kernel), so those anchors are kept.
-    "q187_knn_recall_uplift": 3.665,
-    "q188_nn_descent": 7.06,
+    "q187_knn_recall_uplift": 1.555,  # re-anchored r16
+    "q188_nn_descent": 2.364,  # re-anchored r16
     "q189_nn_descent_recall": 3.143,
-    "q190_unigram_vocab": 7.259,
+    "q190_unigram_vocab": 3.59,  # re-anchored r16
     "q191_unigram_fertility": 5.018,
     "q192_quantile_registers": 0.216,
     "q193_quantile_estimates": 0.559,
@@ -414,7 +425,7 @@ ANCHOR = {
     "q198_two_level_cells": 0.632,
     "q199_knn_graph_two_level": 3.16,
     "q200_knn_pagerank_two_level": 4.08,
-    "q201_nn_descent_plateau": 19.82,
+    "q201_nn_descent_plateau": 6.472,  # re-anchored r16 (max of 2 suite sessions)
     "q202_quantile_incremental": 0.485,
     # q203 re-anchored r13: the 0.205 r12 anchor was a suite-warm
     # best-case; standalone min-of-5 on the r13 quiet host (floor
@@ -425,7 +436,7 @@ ANCHOR = {
     "q203_group_quantiles": 0.356,
     # r13 first anchors (suite min-of-3, floor_ratio 1.00 session):
     "q204_recall_cost_curve": 3.179,
-    "q205_nn_descent_random_init": 17.405,  # re-anchored r14, see q187
+    "q205_nn_descent_random_init": 4.543,  # re-anchored r16 (max of 2 suite sessions)
     "q206_prefix_filter_pairs": 3.926,
     "q207_pca_top_component": 1.227,
     "q208_sliding_distinct_users": 0.577,
@@ -456,7 +467,7 @@ ANCHOR = {
     "q219_greedy_coverage_picks": 3.510,
     # q220/q221 first anchors from a floor-1.43 session — conservative
     # by construction (the r12 precedent).
-    "q220_knn_hits": 5.291,
+    "q220_knn_hits": 3.144,  # re-anchored r16 (dedicated)
     "q221_knn_hubness": 1.397,
     "q222_cusum_changepoints": 1.209,
     "q223_order_cube": 0.339,
@@ -473,7 +484,7 @@ ANCHOR = {
     # constant-pair-budget audit: ~160 sampled docs at any sf
     "q232_lsh_recall_curve": 2.915,
     # the mutual-kNN build + two degree joins
-    "q233_knn_assortativity": 5.551,
+    "q233_knn_assortativity": 2.816,  # re-anchored r16 (dedicated)
     "q234_join_skew_profile": 0.795,
     "q235_interarrival_profile": 1.128,
     # r16 additions, anchored from a dedicated idle-host min-of-3
@@ -500,7 +511,7 @@ ANCHOR = {
     "q135_length_buckets": 0.578,
     # cost is the brute-force ground-truth leg plus the probe-expanded
     # candidate join — the recall AUDIT is inherently two searches.
-    "q136_multiprobe_recall": 2.793,
+    "q136_multiprobe_recall": 1.686,  # re-anchored r16
     "q137_needle_insertion": 0.226,
     # the k-1 argmax jobs of the greedy loop (scalar per round)
     "q138_kcenter_coreset": 0.944,
