@@ -280,6 +280,36 @@ def test_partitioned_scan_prunes(spark):
         spark.sql("DROP TABLE IF EXISTS part_t")
 
 
+def test_partitioned_write_cluster_one_file_per_dir(spark):
+    """cluster=True hash-clusters rows by the partition columns before
+    the write, so each partition directory holds exactly ONE file even
+    when the input arrives spread over many tasks (without it, T tasks
+    x P values emit up to T*P files — the many-small-files write).
+    Rows are identical either way."""
+    from ulh_etl_spark.sinks.tables import write_partitioned
+
+    df = (
+        spark.range(0, 1000)
+        .repartition(8)
+        .withColumn("zone", (F.col("id") % 5).cast("string"))
+    )
+    try:
+        write_partitioned(df, "part_tc", ["zone"], cluster=True)
+        files = spark.table("part_tc").inputFiles()
+        assert len(files) == 5, files
+        assert spark.table("part_tc").count() == 1000
+        got = {
+            (r["zone"], r["n"])
+            for r in spark.table("part_tc")
+            .groupBy("zone")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got == {(str(z), 200) for z in range(5)}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS part_tc")
+
+
 def test_corpus_ops_single_evaluation_plans(spark, sf_dir):
     """Regression guards for the two round-4 optimizer findings
     (SCALE.md): (a) HOF lambdas must not capture the tokenizer/hash

@@ -653,7 +653,11 @@ def q182_partition_pruned_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
     )
-    write_partitioned(ev, name, ["event_type", "day"])
+    # cluster=True: one write task per partition value — without it
+    # the write emits (scan tasks)·150 files and the single-task
+    # local write serializes 150 parquet writers (guide §6.2; r16:
+    # warm write 10.9 -> 2.6 s, file count unchanged at 150).
+    write_partitioned(ev, name, ["event_type", "day"], cluster=True)
     t = spark.table(name).filter(
         (F.col("event_type") == "purchase")
         & (F.col("day") >= "2024-01-10")

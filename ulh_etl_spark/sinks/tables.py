@@ -111,6 +111,7 @@ def write_partitioned(
     name: str,
     partition_cols: list[str],
     mode: str = "overwrite",
+    cluster: bool = False,
 ) -> None:
     """Partitioned write: one directory per partition value, so
     filters on partition columns prune entire directories at plan
@@ -118,9 +119,21 @@ def write_partitioned(
     keyed by practice/ingest-date. Overwrites drop through
     ``_drop_with_orphaned_location`` first — a prior session's
     managed-table directory otherwise blocks re-creation under a
-    fresh in-memory catalog (the q182 cross-session bench failure)."""
+    fresh in-memory catalog (the q182 cross-session bench failure).
+
+    ``cluster=True`` hash-repartitions on the partition columns
+    before the write, so each partition value lands in ONE write
+    task and each directory gets one file instead of one per
+    (task, value) pair. Without it, T scan tasks over P partition
+    values emit up to T·P files — the many-small-files write. The
+    shuffle it costs moves each row once and AQE sizes the task
+    count from the data. Off by default: callers that pre-shaped
+    their input (a repartition(n) for parallel readers) keep their
+    layout."""
     if mode == "overwrite":
         _drop_with_orphaned_location(df.sparkSession, name)
+    if cluster:
+        df = df.repartition(*[F.col(c) for c in partition_cols])
     df.write.mode(mode).partitionBy(*partition_cols).saveAsTable(name)
 
 
