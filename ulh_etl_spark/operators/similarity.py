@@ -2047,9 +2047,33 @@ def nn_descent_round(
 
     Scale: the undirected relation is <= 2Nk rows, the two-hop
     candidate relation <= N(2k)^2 — degree-bounded, never all-pairs.
-    One shuffle for the candidate distinct, two id-keyed joins to
-    fetch vectors (uniform keys), one rank window. Rounds compose:
-    feed the output back in; each round's cost is identical.
+    Two-hop candidates come from the paper's LOCAL JOIN: group the
+    undirected edges by pivot (ONE partial-aggregated collect_set
+    shuffle — map-side merge, <= |und| elements cross the wire) and
+    emit every ordered pair of each pivot's neighbor set with a
+    double explode. This replaces the r15 self-join formulation
+    (und.distinct + x.dst==y.src join = 3 exchanges shuffling und
+    twice) with 1 exchange shuffling it once; the pair SET is
+    identical — (a, b) is a two-hop candidate iff some pivot u has
+    a, b in N(u), which is exactly the grouped set's pair expansion
+    (collect_set absorbs the duplicate undirected rows the old
+    distinct removed; the candidate distinct below absorbs
+    multi-pivot repeats, same as before). Trade-off: a pivot's
+    |N(u)|^2 expansion now happens in one task instead of an
+    AQE-splittable join partition — acceptable because degree is
+    k-bounded out and hubness-bounded in for kNN graphs, and the
+    expansion is an explode (streamed), not a buffered product.
+    After the pairs the candidate dedup is ALSO a grouped collect_set
+    — keyed on the query id rather than a (query, neighbor) distinct —
+    because the rank window below partitions by the same key: the
+    window (and its WindowGroupLimit top-k pushdown) reuses the
+    groupBy's hash partitioning, so dedup + window cost ONE exchange,
+    not two, whenever the vector joins broadcast (at shuffle-join
+    scale the _nid join re-partitions in between and the two forms
+    tie). Per-query candidate sets are degree-bounded (<= (2k)^2+k
+    elements). Then two id-keyed joins fetch vectors (uniform keys)
+    and the rank window keeps the top-k. Rounds compose: feed the
+    output back in; each round's cost is identical.
 
     Output: (vec_id, neighbor_id, cosine, rank), the knn_graph
     schema, so every graph consumer (mutual edges, components,
@@ -2061,18 +2085,21 @@ def nn_descent_round(
     )
     und = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    )
+    nbrs = und.groupBy("src").agg(F.collect_set("dst").alias("_ns"))
     two_hop = (
-        und.alias("x")
-        .join(und.alias("y"), F.col("x.dst") == F.col("y.src"))
-        .select(
-            F.col("x.src").alias("_qid"), F.col("y.dst").alias("_nid")
-        )
+        nbrs.select(F.explode("_ns").alias("_qid"), "_ns")
+        .select("_qid", F.explode("_ns").alias("_nid"))
         .filter(F.col("_qid") != F.col("_nid"))
     )
-    cand = two_hop.union(
-        fwd.select(F.col("src").alias("_qid"), F.col("dst").alias("_nid"))
-    ).distinct()
+    cand = (
+        two_hop.union(
+            fwd.select(F.col("src").alias("_qid"), F.col("dst").alias("_nid"))
+        )
+        .groupBy("_qid")
+        .agg(F.collect_set("_nid").alias("_cs"))
+        .select("_qid", F.explode("_cs").alias("_nid"))
+    )
     vec = corpus.select(
         F.col(id_col).alias("_vid"),
         F.col(vec_col).alias("_v"),

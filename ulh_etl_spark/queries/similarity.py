@@ -619,9 +619,9 @@ def q188_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     # persist the seed: nn_descent_round references its input graph
-    # FIVE times (undirected union x2, two-hop self-join x2, current-
-    # edge union) — unpersisted, each reference re-ran the whole
-    # two-level kNN build (cell assignment + rank window).
+    # THREE times (undirected union x2, current-edge union) —
+    # unpersisted, each reference re-ran the whole two-level kNN
+    # build (cell assignment + rank window).
     seed = track(
         S.knn_graph(
             emb, _adaptive_centroids(emb), k=_KNN_K, nprobe=_KNN_NPROBE,
@@ -1718,14 +1718,15 @@ def q201_nn_descent_plateau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Each round's graph localCheckpoints (eager — the CC/HITS
     # lineage rule, graph.py): nn_descent_round references its input
-    # FIVE times (undirected union x2, two-hop self-join x2, current-
-    # edge union), so a persist-only chain grows the LOGICAL plan 5x
-    # per round — by round 3 the analyzed tree held ~955 cached-scan
-    # references and 2.8 MB of plan text, and Catalyst planning plus
-    # thousands of leaf stages dominated the runtime (measured 1.5 /
-    # 2.5 / 10.6 s for rounds 1-3 despite every input cached). The
-    # checkpoint makes every round a LEAF: plan size is constant in
-    # rounds, rows unchanged (the round is deterministic).
+    # graph multiple times (THREE since the r16 pivot-groupBy local
+    # join; FIVE in the r15 self-join form), so a persist-only chain
+    # grows the LOGICAL plan several-fold per round — by round 3 the
+    # r15 analyzed tree held ~955 cached-scan references and 2.8 MB
+    # of plan text, and Catalyst planning plus thousands of leaf
+    # stages dominated the runtime (measured 1.5 / 2.5 / 10.6 s for
+    # rounds 1-3 despite every input cached). The checkpoint makes
+    # every round a LEAF: plan size is constant in rounds, rows
+    # unchanged (the round is deterministic).
     cur = S.knn_graph(
         emb, cents, k=_KNN_K, nprobe=_KNN_NPROBE, two_level=True
     ).localCheckpoint(eager=True)
