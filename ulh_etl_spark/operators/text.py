@@ -2310,6 +2310,19 @@ def _unigram_words(df, text_col: str):
     )
 
 
+# The 42-entry span-struct array as ONE parsed SQL expression (the
+# q60/q146 literal-folding lesson applied to the span grid): built as
+# per-element F.when/F.struct/F.substring Columns it cost ~0.5-1.0 s
+# of py4j + analysis per trainer invocation; the parsed string is a
+# few ms and yields the IDENTICAL expression tree (verified
+# exceptAll-empty both ways at sf0.1).
+_UNI_SPANS_SQL = "explode_outer(array(" + ", ".join(
+    f"CASE WHEN {e} <= n THEN struct({s} AS s, {e} AS e, "
+    f"substring(wt, {s + 1}, {e - s}) AS piece) END"
+    for s, e in _UNI_SPAN_COMBOS
+) + "))"
+
+
 def _unigram_spans(words):
     """All candidate piece spans of every distinct word: (w, cnt, wt,
     n, s, e, piece) with 1 <= e - s <= _UNI_L, e <= n. The span grid
@@ -2318,21 +2331,10 @@ def _unigram_spans(words):
     plain explode into a size() > 0 pre-filter re-evaluating the span
     array per row (the ivf_assign_queries pattern); the array is
     never empty (e=1 always valid)."""
-    structs = [
-        F.when(
-            F.lit(e) <= F.col("n"),
-            F.struct(
-                F.lit(s).alias("s"),
-                F.lit(e).alias("e"),
-                F.substring(F.col("wt"), s + 1, e - s).alias("piece"),
-            ),
-        )
-        for s, e in _UNI_SPAN_COMBOS
-    ]
     return (
         words.select(
             "w", "cnt", "wt", "n",
-            F.explode_outer(F.array(*structs)).alias("_sp"),
+            F.expr(_UNI_SPANS_SQL).alias("_sp"),
         )
         .filter(F.col("_sp").isNotNull())
         .select(
@@ -2391,19 +2393,63 @@ def _unigram_seed(spans, vocab_size: int):
     return _laplace_logp(chars.unionByName(multi))
 
 
-def _uni_lp_index(s, e):
+def _uni_lp_index_sql(s: str, e: str) -> str:
     """1-based index of span (s, e) in the _UNI_SPAN_COMBOS order
-    (sorted by e then s), as a Column formula over runtime s/e:
+    (sorted by e then s), as a SQL fragment over runtime s/e:
     base(e) = e(e-1)/2 for e <= L+1, else L(L+1)/2 + L(e-L-1);
-    offset = s - max(e - L, 0). Shared by the fold below; the oracle
-    never needs it (its spans stay relational)."""
+    offset = s - max(e - L, 0). Spliced into the DP fold below; the
+    oracle never needs it (its spans stay relational)."""
     L = _UNI_L
-    base = F.when(
-        e <= L + 1, ((e - 1) * e / F.lit(2)).cast("int")
-    ).otherwise(
-        F.lit(L * (L + 1) // 2) + F.lit(L) * (e - F.lit(L + 1))
+    return (
+        f"CAST(CASE WHEN {e} <= {L + 1} "
+        f"THEN CAST(({e} - 1) * {e} / 2 AS INT) "
+        f"ELSE {L * (L + 1) // 2} + {L} * ({e} - {L + 1}) END "
+        f"+ ({s} - greatest({e} - {L}, 0)) + 1 AS INT)"
     )
-    return (base + (s - F.greatest(e - F.lit(L), F.lit(0))) + 1).cast("int")
+
+
+# The whole E-step below the piece join as ONE SQL statement (span-
+# score aggregation into the _UNI_SPAN_COMBOS-ordered array, the DP
+# fold, the backtrace fold) — the same driver-cost motivation as
+# connected_components' per-phase SQL: as chained Column builders the
+# two folds plus 42 max(CASE) aggregates cost ~0.9-1.4 s of py4j +
+# analysis PER segmentation call (two calls per trainer), vs ~0.2 s
+# parsed. The parsed tree is expression-identical (exceptAll-empty
+# both directions); array_max(cands) appears twice per DP step —
+# once for .c, once for .g — exactly as the Column form duplicated
+# the subtree.
+_UNI_CANDS_SQL = (
+    f"filter(transform(sequence(greatest(e - {_UNI_L}, 0), e - 1), "
+    "s -> struct((element_at(acc.b, CAST(s + 1 AS INT)) "
+    f"+ element_at(_lpa, {_uni_lp_index_sql('s', 'e')})) AS c, "
+    "CAST(-s AS INT) AS g)), st -> st.c IS NOT NULL)"
+)
+_UNI_DP_SQL = (
+    f"aggregate(CAST(sequence(1, {_UNI_W}) AS ARRAY<INT>), "
+    "struct(array(CAST(0.0 AS DOUBLE)) AS b, "
+    "CAST(array() AS ARRAY<INT>) AS k), "
+    "(acc, e) -> struct("
+    f"concat(acc.b, array(array_max({_UNI_CANDS_SQL}).c)) AS b, "
+    f"concat(acc.k, array(CAST(-array_max({_UNI_CANDS_SQL}).g AS INT))) AS k))"
+)
+_UNI_BT_SQL = (
+    f"aggregate(CAST(sequence(1, {_UNI_W}) AS ARRAY<INT>), "
+    "struct(CAST(n AS INT) AS p, CAST(array() AS ARRAY<STRING>) AS ps), "
+    "(acc, i) -> CASE WHEN acc.p > 0 THEN struct("
+    "CAST(element_at(_dp.k, acc.p) AS INT) AS p, "
+    "concat(acc.ps, array(substring(wt, element_at(_dp.k, acc.p) + 1, "
+    "acc.p - element_at(_dp.k, acc.p)))) AS ps) ELSE acc END)"
+)
+_UNI_SEG_SQL = (
+    "WITH g AS (SELECT w, cnt, wt, n, array("
+    + ", ".join(
+        f"max(CASE WHEN ((s = {s}) AND (e = {e})) THEN logp END)"
+        for s, e in _UNI_SPAN_COMBOS
+    )
+    + ") AS _lpa FROM {sp} GROUP BY w, cnt, wt, n), "
+    "d AS (SELECT w, cnt, wt, n, " + _UNI_DP_SQL + " AS _dp FROM g) "
+    "SELECT w, cnt, (" + _UNI_BT_SQL + ").ps AS pieces FROM d"
+)
 
 
 def _viterbi_segmented(spans, vocab):
@@ -2431,80 +2477,7 @@ def _viterbi_segmented(spans, vocab):
 
     Output: (w, cnt, pieces array<string>)."""
     sp = spans.join(F.broadcast(vocab.select("piece", "logp")), "piece")
-    aggs = [
-        F.max(
-            F.when((F.col("s") == s) & (F.col("e") == e), F.col("logp"))
-        ).alias(f"_lp{i}")
-        for i, (s, e) in enumerate(_UNI_SPAN_COMBOS)
-    ]
-    seg = sp.groupBy("w", "cnt", "wt", "n").agg(*aggs)
-    lp_arr = F.array(
-        *[F.col(f"_lp{i}") for i in range(len(_UNI_SPAN_COMBOS))]
-    )
-
-    def dp_step(acc, e):
-        cands = F.filter(
-            F.transform(
-                F.sequence(F.greatest(e - F.lit(_UNI_L), F.lit(0)), e - 1),
-                lambda s: F.struct(
-                    (
-                        F.element_at(acc["b"], (s + 1).cast("int"))
-                        + F.element_at(lp_arr, _uni_lp_index(s, e))
-                    ).alias("c"),
-                    (-s).cast("int").alias("g"),
-                ),
-            ),
-            lambda st: st["c"].isNotNull(),
-        )
-        top = F.array_max(cands)
-        return F.struct(
-            F.concat(acc["b"], F.array(top["c"])).alias("b"),
-            F.concat(
-                acc["k"], F.array((-top["g"]).cast("int"))
-            ).alias("k"),
-        )
-
-    dp_init = F.struct(
-        F.array(F.lit(0.0)).alias("b"),
-        F.expr("array()").cast("array<int>").alias("k"),
-    )
-    seg = seg.withColumn(
-        "_dp",
-        F.aggregate(
-            F.sequence(F.lit(1), F.lit(_UNI_W)).cast("array<int>"),
-            dp_init,
-            dp_step,
-        ),
-    )
-
-    def bt_step(acc, _):
-        s = F.element_at(F.col("_dp")["k"], acc["p"])
-        return F.when(
-            acc["p"] > 0,
-            F.struct(
-                s.cast("int").alias("p"),
-                F.concat(
-                    acc["ps"],
-                    F.array(
-                        F.col("wt").substr(s + F.lit(1), acc["p"] - s)
-                    ),
-                ).alias("ps"),
-            ),
-        ).otherwise(acc)
-
-    bt_init = F.struct(
-        F.col("n").cast("int").alias("p"),
-        F.expr("array()").cast("array<string>").alias("ps"),
-    )
-    seg = seg.withColumn(
-        "_bt",
-        F.aggregate(
-            F.sequence(F.lit(1), F.lit(_UNI_W)).cast("array<int>"),
-            bt_init,
-            bt_step,
-        ),
-    )
-    return seg.select("w", "cnt", F.col("_bt")["ps"].alias("pieces"))
+    return sp.sparkSession.sql(_UNI_SEG_SQL, sp=sp)
 
 
 def _viterbi_counts(segmented):
