@@ -2010,6 +2010,47 @@ def hash_ring_seed_graph(
     )
 
 
+# nn_descent_round as one SQL statement ({idc}/{vecc}/{k} spliced per
+# call, {g}/{c} bound as DataFrames). The fwd/und/nbrs/two_hop/cand
+# CTEs mirror the docstring's local-join construction; vec computes
+# the l2 norm with the exact l2_norm fold (same lambda order), and
+# scored's cosine is the exact _dot fold over zip_with.
+_NND_ROUND_SQL = """
+WITH fwd AS (SELECT {idc} AS src, neighbor_id AS dst FROM {g}),
+und AS (SELECT src, dst FROM fwd UNION ALL SELECT dst AS src, src AS dst FROM fwd),
+nbrs AS (SELECT src, collect_set(dst) AS _ns FROM und GROUP BY src),
+two_hop AS (
+  SELECT _qid, _nid FROM (
+    SELECT _qid, explode(_ns) AS _nid FROM (
+      SELECT explode(_ns) AS _qid, _ns FROM nbrs))
+  WHERE _qid != _nid),
+cand AS (
+  SELECT _qid, explode(_cs) AS _nid FROM (
+    SELECT _qid, collect_set(_nid) AS _cs FROM (
+      SELECT _qid, _nid FROM two_hop
+      UNION ALL
+      SELECT src AS _qid, dst AS _nid FROM fwd)
+    GROUP BY _qid)),
+vec AS (SELECT {idc} AS _vid, {vecc} AS _v,
+        sqrt(aggregate({vecc}, CAST(0.0 AS DOUBLE),
+             (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS _n
+        FROM {c}),
+scored AS (
+  SELECT _qid, _nid,
+         aggregate(zip_with(v1, v2, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                   CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (_n1 * _n2) AS _cos
+  FROM cand
+  JOIN (SELECT _vid AS _nid, _v AS v2, _n AS _n2 FROM vec) USING (_nid)
+  JOIN (SELECT _vid AS _qid, _v AS v1, _n AS _n1 FROM vec) USING (_qid))
+SELECT _qid AS {idc}, _nid AS neighbor_id, round(_cos, 6) AS cosine,
+       CAST(rank AS INT) AS rank
+FROM (SELECT _qid, _nid, _cos,
+             row_number() OVER (PARTITION BY _qid ORDER BY _cos DESC, _nid) AS rank
+      FROM scored)
+WHERE rank <= {k}
+"""
+
+
 def nn_descent_round(
     graph: DataFrame,
     corpus: DataFrame,
@@ -2075,79 +2116,27 @@ def nn_descent_round(
     and the rank window keeps the top-k. Rounds compose: feed the
     output back in; each round's cost is identical.
 
+    The whole round is ONE spark.sql statement (the
+    connected_components per-phase lesson): built as chained
+    DataFrame ops it cost ~0.35-0.5 s of py4j + eager analysis per
+    round — comparable to the round's actual execution on a kNN-k
+    edge relation — vs ~0.1 s parsed. The parsed tree is
+    expression-identical (exceptAll-empty both directions; same
+    zip_with/aggregate fold order for the cosine, so the doubles are
+    bit-identical). Neighbor-side vectors attach FIRST, query-side
+    LAST — the second join's hash partitioning on _qid is exactly
+    the rank window's required distribution, so when the joins are
+    shuffle joins (at scale) the window adds NO exchange.
+
     Output: (vec_id, neighbor_id, cosine, rank), the knn_graph
     schema, so every graph consumer (mutual edges, components,
     PageRank) plugs in unchanged."""
-    from pyspark.sql import Window
-
-    fwd = graph.select(
-        F.col(id_col).alias("src"), F.col("neighbor_id").alias("dst")
+    q = (
+        _NND_ROUND_SQL.replace("{idc}", id_col)
+        .replace("{vecc}", vec_col)
+        .replace("{k}", str(int(k)))
     )
-    und = fwd.union(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    nbrs = und.groupBy("src").agg(F.collect_set("dst").alias("_ns"))
-    two_hop = (
-        nbrs.select(F.explode("_ns").alias("_qid"), "_ns")
-        .select("_qid", F.explode("_ns").alias("_nid"))
-        .filter(F.col("_qid") != F.col("_nid"))
-    )
-    cand = (
-        two_hop.union(
-            fwd.select(F.col("src").alias("_qid"), F.col("dst").alias("_nid"))
-        )
-        .groupBy("_qid")
-        .agg(F.collect_set("_nid").alias("_cs"))
-        .select("_qid", F.explode("_cs").alias("_nid"))
-    )
-    vec = corpus.select(
-        F.col(id_col).alias("_vid"),
-        F.col(vec_col).alias("_v"),
-        l2_norm(F.col(vec_col)).alias("_n"),
-    )
-    # r16: neighbor-side vectors attach FIRST, query-side LAST — the
-    # second join's hash partitioning on _qid is exactly the rank
-    # window's required distribution, so when the joins are shuffle
-    # joins (at scale) the window adds NO exchange; the old order
-    # (_qid first, _nid second) left the relation partitioned by _nid
-    # and re-shuffled it for the window.
-    scored = (
-        cand.join(
-            vec.select(
-                F.col("_vid").alias("_nid"),
-                F.col("_v").alias("v2"),
-                F.col("_n").alias("_n2"),
-            ),
-            "_nid",
-        )
-        .join(
-            vec.select(
-                F.col("_vid").alias("_qid"),
-                F.col("_v").alias("v1"),
-                F.col("_n").alias("_n1"),
-            ),
-            "_qid",
-        )
-        .select(
-            "_qid",
-            "_nid",
-            (_dot(F.col("v1"), F.col("v2")) / (F.col("_n1") * F.col("_n2")))
-            .alias("_cos"),
-        )
-    )
-    w = Window.partitionBy("_qid").orderBy(
-        F.col("_cos").desc(), F.col("_nid")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("_qid").alias(id_col),
-            F.col("_nid").alias("neighbor_id"),
-            F.round(F.col("_cos"), 6).alias("cosine"),
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    return graph.sparkSession.sql(q, g=graph, c=corpus)
 
 
 def mutual_knn_edges(
