@@ -804,9 +804,20 @@ def main() -> None:
     # final stdout line under that window: compact separators first;
     # if still too long, shorten query keys to their qNN prefix. The
     # full payload (long names, errors) goes to a sidecar file.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_full.json"), "w") as fh:
-        json.dump(payload, fh, indent=1)
+    # Per-cpus sidecar naming (r17, VERDICT r16 item 2): the driver's
+    # scaling pass re-runs bench.py at a lower core count, and with a
+    # single sidecar name that second run OVERWROTE the 32-core
+    # per-query map — r16's per-query detail from the driver's own
+    # session was unrecoverable. Write bench_full_c{cpus}.json so each
+    # core count keeps its own map, plus bench_full.json as the
+    # compatibility copy (most-recent-run, as before).
+    here = os.path.dirname(os.path.abspath(__file__))
+    cpus_label = re.sub(
+        r"[^A-Za-z0-9]", "", os.environ.get("SPARK_GRAFT_CPUS") or ""
+    ) or "default"
+    for fname in (f"bench_full_c{cpus_label}.json", "bench_full.json"):
+        with open(os.path.join(here, fname), "w") as fh:
+            json.dump(payload, fh, indent=1)
     payload.pop("net_ratios", None)
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1900:

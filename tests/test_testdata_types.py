@@ -213,3 +213,45 @@ def test_q50_q51_match_oracle_on_driver_testdata(spark):
         odf = con.execute(oracles[name]).fetchdf()
         assert len(sdf) == len(odf) > 0, name
         assert norm(sdf) == norm(odf), name
+
+
+def test_load_table_inplace_part_rewrite_invalidates_cache(spark, tmp_path):
+    """The load_table plan cache keys on the NEWEST mtime inside the
+    table dir (ADVICE r16): rewriting a part file in place leaves the
+    DIRECTORY mtime unchanged, so the key must come from the entries'
+    mtimes — and the superseded entry must be evicted, not leaked."""
+    import glob
+    import shutil
+    import time
+
+    from ulh_etl_spark import session as S
+
+    base = str(tmp_path)
+    pdir = os.path.join(base, "widgets.parquet")
+    spark.range(3).coalesce(1).write.parquet(pdir)
+    alt = os.path.join(base, "alt.parquet")
+    spark.range(7).coalesce(1).write.parquet(alt)
+
+    assert S.load_table(spark, base, "widgets").count() == 3
+    n_before = len(S._TABLE_PLAN_CACHE)
+
+    part = glob.glob(os.path.join(pdir, "part-*.parquet"))[0]
+    newpart = glob.glob(os.path.join(alt, "part-*.parquet"))[0]
+    dir_times = (os.path.getatime(pdir), os.path.getmtime(pdir))
+    shutil.copyfile(newpart, part)  # in-place content rewrite
+    # Hadoop's local ChecksumFileSystem keeps a hidden .crc sidecar
+    # per part file; the rewritten bytes no longer match it. Drop it
+    # (no .crc -> no verification) — the scenario under test is the
+    # mtime key, not checksum recovery.
+    crc = os.path.join(pdir, "." + os.path.basename(part) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    later = time.time() + 5
+    os.utime(part, (later, later))
+    # pin the directory mtime: the coarse-granularity scenario the
+    # scandir key component exists for
+    os.utime(pdir, dir_times)
+
+    assert S.load_table(spark, base, "widgets").count() == 7
+    # the superseded (session, path) entry was evicted, not leaked
+    assert len(S._TABLE_PLAN_CACHE) == n_before

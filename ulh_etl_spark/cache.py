@@ -21,6 +21,7 @@ safe; the only cost is recomputation if the frame is used again.
 
 from __future__ import annotations
 
+import os
 import threading
 
 # Process-global registry, guarded by _LOCK so concurrent callers
@@ -63,3 +64,26 @@ def release_persisted(blocking: bool = False) -> int:
         except Exception:  # session already stopped — nothing to free
             pass
     return n
+
+
+def truncate_lineage(df, checkpoint_dir: str | None = None, eager: bool = True):
+    """Cut a DataFrame's lineage at this point: reliable
+    ``.checkpoint()`` when a checkpoint directory is configured (the
+    ``checkpoint_dir`` argument, else ``$SPARK_GRAFT_CHECKPOINT_DIR``),
+    ``localCheckpoint`` otherwise.
+
+    The iterative loops (CC, NN-Descent, PageRank/HITS, coverage)
+    truncate per-round lineage so plans stay bounded — correct and
+    free locally, but localCheckpoint blocks live on executors, so on
+    a real cluster one lost executor aborts a long fixpoint job
+    mid-loop. ``connected_components`` threads a ``checkpoint_dir``
+    option into reliable ``.checkpoint()`` for exactly that case
+    (operators/dedup.py); this helper is the same convention for
+    every other lineage-truncation site (VERDICT r16 item 3). The
+    default stays local: no extra I/O, identical rows either way.
+    """
+    cdir = checkpoint_dir or os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if cdir:
+        df.sparkSession.sparkContext.setCheckpointDir(cdir)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

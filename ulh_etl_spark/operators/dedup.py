@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ulh_etl_spark.cache import track
+from ulh_etl_spark.cache import track, truncate_lineage
 
 from ulh_etl_spark.operators.text import (
     MERSENNE31,
@@ -1317,16 +1317,13 @@ def connected_components(
     lineage (each phase reads its predecessor twice: the undirected
     union)."""
     spark = pairs.sparkSession
-    if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
-        def _ckpt(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=False)
-
-    else:
-
-        def _ckpt(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=False)
+    def _ckpt(df: DataFrame) -> DataFrame:
+        # lazy (eager=False): each round's checkpoint materializes
+        # inside that round's convergence-test job, not as an extra
+        # job here. truncate_lineage also honors the
+        # SPARK_GRAFT_CHECKPOINT_DIR env default (r17 item 3).
+        return truncate_lineage(df, checkpoint_dir, eager=False)
 
     # The pair relation is consumed TWICE — the initial edge set here
     # and the node universe for the final label join — and callers
@@ -1836,6 +1833,7 @@ def greedy_max_coverage(
     id_col: str,
     k: int = 5,
     n: int = 8,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Greedy maximum-coverage data selection (the classic (1-1/e)
     submodular greedy — Nemhauser, Wolsey & Fisher 1978): pick k
@@ -1885,9 +1883,9 @@ def greedy_max_coverage(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     track(g)
-    gains = (
-        g.groupBy("_id").agg(F.count("*").alias("_gain"))
-        .localCheckpoint(eager=True)
+    gains = truncate_lineage(
+        g.groupBy("_id").agg(F.count("*").alias("_gain")),
+        checkpoint_dir,
     )
     covered = None  # running union, <= k x |doc grams| rows
     chosen: list = []
@@ -1940,7 +1938,7 @@ def greedy_max_coverage(
         # doc-read + anti-join plan inside each broadcast build
         # (measured 3.5 vs 4.1 s at sf0.1). covered is then a flat
         # union of materialized blocks — no further checkpoint.
-        new_cov = new_cov.localCheckpoint(eager=True)
+        new_cov = truncate_lineage(new_cov, checkpoint_dir)
         covered = (
             new_cov if covered is None else covered.union(new_cov)
         )
@@ -1952,15 +1950,15 @@ def greedy_max_coverage(
             .groupBy("_id")
             .agg(F.count("*").alias("_d"))
         )
-        gains = (
+        gains = truncate_lineage(
             gains.join(delta, "_id", "left")
             .select(
                 "_id",
                 (
                     F.col("_gain") - F.coalesce(F.col("_d"), F.lit(0))
                 ).alias("_gain"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            checkpoint_dir,
         )
     id_type = df.schema[id_col].dataType.simpleString()
     return spark.createDataFrame(

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
-from ulh_etl_spark.cache import track
+from ulh_etl_spark.cache import track, truncate_lineage
 
 
 def _undirect(edges: DataFrame, id1: str, id2: str) -> DataFrame:
@@ -51,6 +51,7 @@ def pagerank(
     id2: str = "id2",
     iterations: int = 3,
     damping: float = 0.85,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """PageRank restricted to the nodes of an undirected edge
     relation. Every endpoint has degree >= 1 by construction, so
@@ -66,11 +67,13 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    # Eager localCheckpoint, not persist (r16, the hits() lesson):
-    # the loop re-analyzes adj's upstream plan once per round — for
-    # kNN producers that subplan embeds the folded centroid literals
-    # and analysis dominates the node-count-sized joins.
-    adj = _undirect(edges, id1, id2).localCheckpoint(eager=True)
+    # Eager checkpoint, not persist (r16, the hits() lesson): the
+    # loop re-analyzes adj's upstream plan once per round — for kNN
+    # producers that subplan embeds the folded centroid literals and
+    # analysis dominates the node-count-sized joins. Local by
+    # default; ``checkpoint_dir`` switches to reliable checkpoint
+    # (the connected_components convention — VERDICT r16 item 3).
+    adj = truncate_lineage(_undirect(edges, id1, id2), checkpoint_dir)
     deg = adj.groupBy("src").agg(F.count("*").alias("deg"))
     n = deg.count()
     base = F.lit((1.0 - damping) / n)
@@ -107,7 +110,10 @@ def pagerank(
 
 
 def triangle_stats(
-    edges: DataFrame, id1: str = "id1", id2: str = "id2"
+    edges: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Per-node triangle count and local clustering coefficient over
     an undirected (id1 < id2) edge relation.
@@ -122,12 +128,13 @@ def triangle_stats(
     endpoint; clustering = 2T / (deg * (deg - 1)), 0.0 when deg < 2,
     rounded to 6 (one fixed-order division — exact cross-engine).
     """
-    # Eager localCheckpoint of the edge projection (r16, the hits()
+    # Eager checkpoint of the edge projection (r16, the hits()
     # lesson): deg and oriented each re-analyzed the producer's full
-    # subplan; one leaf feeds both.
-    e = edges.select(
-        F.col(id1).alias("_a"), F.col(id2).alias("_b")
-    ).localCheckpoint(eager=True)
+    # subplan; one leaf feeds both. Local unless checkpoint_dir.
+    e = truncate_lineage(
+        edges.select(F.col(id1).alias("_a"), F.col(id2).alias("_b")),
+        checkpoint_dir,
+    )
     adj = _undirect(e, "_a", "_b")
     deg = adj.groupBy("src").agg(F.count("*").alias("deg")).select(
         F.col("src").alias("node"), "deg"
@@ -192,6 +199,7 @@ def label_propagation(
     id1: str = "id1",
     id2: str = "id2",
     rounds: int = 2,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Semi-supervised label propagation (Zhu & Ghahramani 2002 shape,
     synchronous updates): seed nodes carry a fixed label; each round,
@@ -215,10 +223,10 @@ def label_propagation(
 
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
-    # Eager localCheckpoint, not persist (r16, the hits() lesson —
-    # adj and the adj-derived nodes relation are re-analyzed every
-    # round).
-    adj = _undirect(edges, id1, id2).localCheckpoint(eager=True)
+    # Eager checkpoint, not persist (r16, the hits() lesson — adj and
+    # the adj-derived nodes relation are re-analyzed every round).
+    # Local unless checkpoint_dir (the CC convention).
+    adj = truncate_lineage(_undirect(edges, id1, id2), checkpoint_dir)
     nodes = adj.select("src").distinct().withColumnRenamed("src", "node")
     seed = F.broadcast(
         seeds.select(F.col("node"), F.col("label").alias("_seed_label"))
@@ -270,6 +278,7 @@ def kcore_peel(
     rounds: int = 3,
     id1: str = "id1",
     id2: str = "id2",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """``rounds`` synchronous peel rounds toward the k-core
     (Matula & Beck 1983 / Seidman 1983): each round drops every node
@@ -301,9 +310,9 @@ def kcore_peel(
     # inside that action: measured 121 s at sf10 vs ~40 s for the
     # build itself (exp +1.39). Eager materialization runs the build
     # exactly once, at construction time.
-    e = (
-        edges.select(F.col(id1).alias("id1"), F.col(id2).alias("id2"))
-        .localCheckpoint(eager=True)
+    e = truncate_lineage(
+        edges.select(F.col(id1).alias("id1"), F.col(id2).alias("id2")),
+        checkpoint_dir,
     )
     counts = []
 
@@ -329,11 +338,11 @@ def kcore_peel(
             .agg(F.count("*").alias("_deg"))
         )
         alive = deg.filter(F.col("_deg") >= k).select("node")
-        e = (
+        e = truncate_lineage(
             e.join(alive.withColumnRenamed("node", "id1"), "id1", "left_semi")
             .join(alive.withColumnRenamed("node", "id2"), "id2", "left_semi")
-            .select("id1", "id2")
-            .localCheckpoint(eager=True)
+            .select("id1", "id2"),
+            checkpoint_dir,
         )
         counts.append(_snapshot(r, e, alive))
     out = counts[0]
@@ -347,6 +356,7 @@ def hits(
     src: str = "src",
     dst: str = "dst",
     iterations: int = 3,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg, JACM 1999) over a DIRECTED
     edge relation — on a kNN graph the asymmetry is the interesting
@@ -384,9 +394,10 @@ def hits(
     # final join 2.6 -> 1.1 s, nodes 3.7 -> 1.8 s). Checkpointing
     # collapses the input to a leaf once; blocks are node-count-sized
     # and die with the session (the CC/NN-Descent lineage rule).
-    e = edges.select(
-        F.col(src).alias("_s"), F.col(dst).alias("_d")
-    ).localCheckpoint(eager=True)
+    e = truncate_lineage(
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")),
+        checkpoint_dir,
+    )
     if e.isEmpty():
         # empty-in / empty-out (r15 ADVICE): without the guard the
         # first normalizer collect returns NULL and float(None)
@@ -443,8 +454,8 @@ def hits(
             (F.col("_hr") / F.lit(float(hmax))).alias("_h"),
         )
         if (_it + 1) % _CKPT_EVERY == 0 and _it + 1 < iterations:
-            a = a.localCheckpoint(eager=True)
-            h = h.localCheckpoint(eager=True)
+            a = truncate_lineage(a, checkpoint_dir)
+            h = truncate_lineage(h, checkpoint_dir)
     return (
         nodes.join(h, "node", "left")
         .join(a, "node", "left")

@@ -2131,9 +2131,17 @@ def nn_descent_round(
     Output: (vec_id, neighbor_id, cosine, rank), the knn_graph
     schema, so every graph consumer (mutual edges, components,
     PageRank) plugs in unchanged."""
+    def _ident(name: str) -> str:
+        # Backtick-quote (and escape) the spliced identifiers so
+        # reserved words / dotted / spaced column names parse, and
+        # double any literal braces so the {g}/{c} DataFrame-kwarg
+        # formatting below cannot be corrupted (ADVICE r16).
+        quoted = "`" + name.replace("`", "``") + "`"
+        return quoted.replace("{", "{{").replace("}", "}}")
+
     q = (
-        _NND_ROUND_SQL.replace("{idc}", id_col)
-        .replace("{vecc}", vec_col)
+        _NND_ROUND_SQL.replace("{idc}", _ident(id_col))
+        .replace("{vecc}", _ident(vec_col))
         .replace("{k}", str(int(k)))
     )
     return graph.sparkSession.sql(q, g=graph, c=corpus)

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ulh_etl_spark.cache import track
+from ulh_etl_spark.cache import track, truncate_lineage
 
 from ulh_etl_spark.operators import similarity as S
 from ulh_etl_spark.queries import _oracle_fragments as O
@@ -1140,7 +1140,7 @@ def q233_knn_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # union legs and und is read by three joins — unchecked, the
     # kNN-build + mutual-filter subplan executed and re-analyzed per
     # reference.
-    mut = S.mutual_knn_edges(knn).localCheckpoint(eager=True)
+    mut = truncate_lineage(S.mutual_knn_edges(knn))
     und = mut.select(
         F.col("id1").alias("a"), F.col("id2").alias("b")
     ).union(mut.select(F.col("id2").alias("a"), F.col("id1").alias("b")))
@@ -1204,7 +1204,7 @@ def q231_cluster_edge_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kNN-build + mutual-filter subplan executed twice and was
     # re-analyzed by every downstream job (the hits() lesson; edges
     # are degree-bounded, so the blocks are corpus-linear).
-    edges = S.mutual_knn_edges(knn).localCheckpoint(eager=True)
+    edges = truncate_lineage(S.mutual_knn_edges(knn))
     comp = connected_components(edges)
     mc = comp.groupBy("component").agg(
         F.count("*").cast("bigint").alias("n_members")
@@ -1727,14 +1727,12 @@ def q201_nn_descent_plateau(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rounds 1-3 despite every input cached). The checkpoint makes
     # every round a LEAF: plan size is constant in rounds, rows
     # unchanged (the round is deterministic).
-    cur = S.knn_graph(
+    cur = truncate_lineage(S.knn_graph(
         emb, cents, k=_KNN_K, nprobe=_KNN_NPROBE, two_level=True
-    ).localCheckpoint(eager=True)
+    ))
     graphs = [(0, cur)]
     for r in range(1, _NND_ROUNDS + 1):
-        cur = S.nn_descent_round(cur, emb, k=_KNN_K).localCheckpoint(
-            eager=True
-        )
+        cur = truncate_lineage(S.nn_descent_round(cur, emb, k=_KNN_K))
         graphs.append((r, cur))
     return _nnd_recall_curve(spark, bf, graphs)
 
@@ -1946,14 +1944,10 @@ def q205_nn_descent_random_init(
     # localCheckpoint per round — the q201 lineage rule (see there):
     # the round references its input 5x, so persist-only chains grow
     # the plan 5x per round; the checkpoint keeps every round a leaf.
-    cur = S.hash_ring_seed_graph(emb, k=_KNN_K).localCheckpoint(
-        eager=True
-    )
+    cur = truncate_lineage(S.hash_ring_seed_graph(emb, k=_KNN_K))
     graphs = [(0, cur)]
     for r in range(1, _NND_ROUNDS + 1):
-        cur = S.nn_descent_round(cur, emb, k=_KNN_K).localCheckpoint(
-            eager=True
-        )
+        cur = truncate_lineage(S.nn_descent_round(cur, emb, k=_KNN_K))
         graphs.append((r, cur))
     return _nnd_recall_curve(spark, bf, graphs)
 

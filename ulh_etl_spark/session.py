@@ -87,21 +87,51 @@ def table_path(sf_dir: str, name: str) -> str:
 # execution still scans the parquet inputs (nothing is persisted or
 # precomputed — a noop-sink run recomputes every row), so bench and
 # oracle semantics are unchanged. Keyed on the session, the resolved
-# path, and the table directory's mtime, so a rewritten fixture (the
+# path, and the table's newest mtime, so a rewritten fixture (the
 # tests overwrite tmp tables in place) invalidates naturally.
 _TABLE_PLAN_CACHE: dict[tuple[int, str, float], DataFrame] = {}
 
 
+def _table_mtime(path: str) -> float:
+    """Newest mtime across the table directory AND its entries.
+
+    The directory mtime alone is create/delete/rename-granular: a
+    part file rewritten IN PLACE leaves it unchanged, and the cached
+    plan would serve a stale file listing/schema (ADVICE r16). One
+    os.scandir is sub-ms next to the ~100 ms JVM listing+footer pass
+    the cache exists to avoid."""
+    try:
+        mt = os.path.getmtime(path)
+    except OSError:
+        return -1.0
+    try:
+        with os.scandir(path) as entries:
+            for entry in entries:
+                try:
+                    emt = entry.stat().st_mtime
+                except OSError:
+                    continue
+                if emt > mt:
+                    mt = emt
+    except (NotADirectoryError, OSError):
+        pass
+    return mt
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = table_path(sf_dir, name)
-    try:
-        mtime = os.path.getmtime(path)
-    except OSError:
-        mtime = -1.0
-    key = (id(spark), path, mtime)
+    key = (id(spark), path, _table_mtime(path))
     cached = _TABLE_PLAN_CACHE.get(key)
     if cached is not None:
         return cached
+    # Evict superseded entries for the same (session, path): without
+    # this every fixture rewrite leaks its predecessor's plan handle
+    # for the process lifetime (ADVICE r16).
+    for stale in [
+        k for k in _TABLE_PLAN_CACHE
+        if k[0] == key[0] and k[1] == key[1]
+    ]:
+        del _TABLE_PLAN_CACHE[stale]
     # The conf is runtime-settable, and the correctness driver owns its
     # own SparkSession built without our builder defaults — set it here
     # so ANY session can read the TIMESTAMP(NANOS) events.parquet.
