@@ -949,24 +949,39 @@ def prefix_filter_jaccard_pairs(
     )
     iw = inline_bloom_bits // 64 if inline_bloom_bits else 0
     if iw:
-        # per-doc small bloom as iw SEPARATE LONG COLUMNS, folded
-        # from the persisted gram arrays with one aggregate per word
-        # (per DOC, not per pair — 50k rows at sf1); attached to the
-        # prefix relation (20% of the gram explode) rather than tok
-        # so the freq-join and window shuffles stay narrow
-        sb = g.select(
-            F.col(id_col),
-            *[
+        # per-doc small bloom as iw SEPARATE LONG COLUMNS. r17: built
+        # as ONE codegen'd conditional bit_or aggregate over the
+        # token explode (map-side partial agg — iw longs per doc
+        # cross the wire) instead of r15's iw aggregate-HOF folds
+        # over the persisted gram arrays: the folds evaluated
+        # element-at-a-time OUTSIDE whole-stage codegen (iw full
+        # passes per doc = |grams|·iw interpreted CASE evals, ~11M
+        # at sf0.1) and their spliced CASE strings were the bulk of
+        # a 600 KB analyzed plan. Words are bit-identical: bit_or of
+        # the same per-gram masks, with the never-hit-word NULL
+        # coalesced to the fold's 0 (NULL would poison the join
+        # filter and silently DROP pairs — the screen must stay
+        # lossless).
+        bit_i = F.pmod(F.col("_h"), F.lit(inline_bloom_bits)).cast("int")
+        sb = (
+            tok.select(
+                F.col(id_col),
+                F.shiftright(bit_i, 6).alias("_w"),
                 F.expr(
-                    "aggregate(_g, CAST(0 AS BIGINT), (acc, h) -> "
-                    "acc | CASE WHEN shiftright(CAST(pmod(h, "
-                    f"{inline_bloom_bits}) AS INT), 6) = {j} THEN "
-                    "shiftleft(CAST(1 AS BIGINT), CAST(pmod(h, "
-                    f"{inline_bloom_bits}) AS INT) & 63) "
-                    "ELSE CAST(0 AS BIGINT) END)"
-                ).alias(f"_s{j}")
-                for j in range(iw)
-            ],
+                    "shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST(pmod(_h, {inline_bloom_bits}) AS INT) & 63)"
+                ).alias("_m"),
+            )
+            .groupBy(id_col)
+            .agg(
+                *[
+                    F.coalesce(
+                        F.expr(f"bit_or(CASE WHEN _w = {j} THEN _m END)"),
+                        F.lit(0).cast("long"),
+                    ).alias(f"_s{j}")
+                    for j in range(iw)
+                ]
+            )
         )
         pref = pref.join(sb, id_col)
     # the prefix relation feeds BOTH sides of the self-join; persist
@@ -1116,27 +1131,42 @@ def prefix_filter_jaccard_pairs(
         gsrc = g
     if bloom_bits:
         nwords = (bloom_bits + 63) // 64
-        # r15: fold the wide blooms straight from the persisted
-        # per-doc gram arrays (one aggregate per word — map-side, no
-        # corpus-wide explode/groupBy exchanges: the r14 build pushed
-        # ALL 500k docs' 137M gram rows through two shuffles at sf10
-        # to serve ~50k needed docs), and only for needed docs when
-        # the candidate set is small
-        blooms = gsrc.select(
-            F.col(id_col),
-            F.array(
+        # Wide blooms for needed docs only (gsrc is the broadcast-
+        # pruned relation when candidates are small — r15; the r14
+        # shape exploded ALL docs corpus-wide to serve ~10% of them).
+        # r17: same conditional-bit_or aggregate as the inline screen
+        # above — one codegen'd pass over the needed docs' gram
+        # explode instead of nwords interpreted aggregate-HOF folds
+        # (whose spliced CASE strings dominated the analyzed plan).
+        # The groupBy exchange ships nwords longs per NEEDED doc
+        # after map-side partial aggregation.
+        wbit = F.pmod(F.col("_h"), F.lit(bloom_bits)).cast("int")
+        blooms = (
+            gsrc.select(F.col(id_col), F.explode("_g").alias("_h"))
+            .select(
+                F.col(id_col),
+                F.shiftright(wbit, 6).alias("_w"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST(pmod(_h, {bloom_bits}) AS INT) & 63)"
+                ).alias("_m"),
+            )
+            .groupBy(id_col)
+            .agg(
                 *[
-                    F.expr(
-                        "aggregate(_g, CAST(0 AS BIGINT), (acc, h) -> "
-                        "acc | CASE WHEN shiftright(CAST(pmod(h, "
-                        f"{bloom_bits}) AS INT), 6) = {j} THEN "
-                        "shiftleft(CAST(1 AS BIGINT), CAST(pmod(h, "
-                        f"{bloom_bits}) AS INT) & 63) "
-                        "ELSE CAST(0 AS BIGINT) END)"
-                    )
+                    F.coalesce(
+                        F.expr(f"bit_or(CASE WHEN _w = {j} THEN _m END)"),
+                        F.lit(0).cast("long"),
+                    ).alias(f"_b{j}")
                     for j in range(nwords)
                 ]
-            ).alias("_bl"),
+            )
+            .select(
+                F.col(id_col),
+                F.array(
+                    *[F.col(f"_b{j}") for j in range(nwords)]
+                ).alias("_bl"),
+            )
         )
 
         def _diff_lb(a: str, b: str) -> Column:
