@@ -367,12 +367,20 @@ def test_pack_sequences_default_parallelism_in_plan(spark):
 
 
 def test_q108_gopher_rules_is_narrow_map(spark, sf_dir):
-    """The Gopher rule filter must stay a pure narrow map — zero
-    exchanges, one documents scan reading only (doc_id, text)."""
+    """The Gopher rule filter must stay a narrow map over one
+    documents scan reading only (doc_id, text). r17: a 1-split input
+    is conditionally fanned out (operators.fanout — no-op once the
+    scan has >= cores splits), so the ONLY exchange allowed is that
+    keyless round-robin repartition; any hash/range exchange means a
+    shuffle crept into the rule evaluation itself."""
     from ulh_etl_spark.queries.textops import q108_gopher_rules
 
     df = q108_gopher_rules(spark, sf_dir)
-    assert exchange_count(df) == 0
+    assert exchange_count(df) <= 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan, (
+        plan[:500]
+    )
     cols = scan_columns(df)
     assert cols and all(set(c) <= {"doc_id", "text"} for c in cols), cols
 
@@ -427,7 +435,14 @@ def test_q111_pq_encode_is_narrow_map(spark, sf_dir):
     from ulh_etl_spark.queries.similarity import q111_pq_encode
 
     df = q111_pq_encode(spark, sf_dir)
-    assert exchange_count(df) == 0
+    # r17: a 1-split input is conditionally fanned out (keyless
+    # round-robin only — no-op at real scale); no hash/range exchange
+    # may appear, which is what would signal a |corpus| x ksub join.
+    assert exchange_count(df) <= 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan, (
+        plan[:500]
+    )
     assert broadcast_join_count(df) == 0
 
 

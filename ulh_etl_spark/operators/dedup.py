@@ -1526,6 +1526,12 @@ def cross_group_gram_overlap(
     """
     from ulh_etl_spark.operators.text import char_ngrams, gram_hash64
 
+    # The gram explode + map-side bit_or partial agg is the corpus
+    # pass; a 1-split input runs it on one core (conditional fan-out
+    # — no-op at real scale; the group-inventory collect below pays
+    # one extra tiny exchange).
+    df = _fan_out(df)
+
     def explode_grams(frame, *keep):
         return frame.select(
             *keep,
@@ -1693,6 +1699,10 @@ def duplicate_gram_stats(df, text_col: str, id_col: str, n: int = 16):
 
     from ulh_etl_spark.operators.text import char_ngrams, gram_hash64
 
+    # The per-position gram hash explode dominates (the 2.34 s floor
+    # above); a 1-split input runs it on one core — conditional
+    # fan-out (r17 probe: q94 1.35 s -> 0.42 s). No-op at real scale.
+    df = _fan_out(df)
     grams = df.select(
         F.col(id_col),
         # explode_outer + isnotnull: see SCALE.md (InferFiltersFrom-
@@ -1789,6 +1799,11 @@ def levenshtein_link_pairs(
     blocks fine-grained there."""
     if max_distance < 0:
         raise ValueError("max_distance must be >= 0")
+
+    # The deletion-variant explode (L+1 strings per record at d=1)
+    # is the heavy map; a 1-split input runs both sides of it on one
+    # core — conditional fan-out (r17 probe: q126 1.07 s -> 0.48 s).
+    df = _fan_out(df)
 
     def _side(idc, tc):
         return df.select(
@@ -1900,6 +1915,10 @@ def greedy_max_coverage(
     from ulh_etl_spark.operators.text import char_ngrams, gram_hash64
 
     spark = df.sparkSession
+    # The gram-hash explode feeding the persisted (id, hash) relation
+    # is the corpus pass; conditional fan-out for 1-split inputs
+    # (r17 probe: q219 3.17 s -> 2.14 s; no-op at real scale).
+    df = _fan_out(df)
     g = (
         df.select(
             F.col(id_col).alias("_id"),

@@ -3255,7 +3255,13 @@ def kcenter_coreset(
     identical arithmetic (the q132 rounding lesson)."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    base = corpus.select(F.col(id_col), F.col(vec_col)).persist()
+    from ulh_etl_spark.operators.fanout import fan_out
+
+    # k argmax jobs run over this persisted projection; conditional
+    # fan-out for 1-split inputs (no-op at real scale).
+    base = fan_out(
+        corpus.select(F.col(id_col), F.col(vec_col))
+    ).persist()
     try:
         seed = base.orderBy(id_col).limit(1).collect()[0]
         chosen = [(0, seed[id_col], None)]
@@ -3535,11 +3541,16 @@ def _kmpar_candidates(
     count is l, independent of N)."""
     from pyspark.storagelevel import StorageLevel
 
+    from ulh_etl_spark.operators.fanout import fan_out
     from ulh_etl_spark.operators.text import md5_hash32, md5_hash60
 
-    emb = df.select(F.col(id_col), F.col(vec_col).alias("_v")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # Every round's d²-argmin narrow map runs over this persisted
+    # relation; a 1-split input would serialize all of them on one
+    # core — conditional fan-out (r17 probe: q210 2.21 s -> 1.49 s,
+    # q211 2.48 s -> 1.60 s; no-op at real scale).
+    emb = fan_out(
+        df.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     track(emb)
 
     first = (
@@ -3721,7 +3732,11 @@ def kmeans_parallel_recluster(
         centers.append((best[1], best[2], best[3]))
         chosen.add(best[1])
 
-    emb = df.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    from ulh_etl_spark.operators.fanout import fan_out
+
+    # Final-assignment narrow map: same under-parallel guard as the
+    # candidate phase (no-op at real scale).
+    emb = fan_out(df.select(F.col(id_col), F.col(vec_col).alias("_v")))
     carr = F.expr(
         _rows_struct_sql(
             [{"cell": cid, "cvec": cv} for cid, cv, _w in centers]

@@ -685,6 +685,10 @@ def kmv_jaccard_pairs(
 
     from ulh_etl_spark.operators.text import md5_hash60
 
+    # Under-parallel inputs: fan out BEFORE any element explode, in
+    # the caller (q213 does) — repartitioning the exploded relation
+    # here would shuffle the raw element strings and still leave the
+    # explode itself on one task (measured slower at sf0.1).
     # distinct BEFORE hashing: md5 of the raw element explode was 25
     # of q213's 33 s at sf10 (450M hash calls), while the distinct
     # (group, element) relation is ~4M rows on that corpus — dedup
@@ -860,6 +864,8 @@ def bloom_difference_matrix(
     from ulh_etl_spark.cache import track
     from ulh_etl_spark.operators.text import md5_hash60
 
+    # Under-parallel inputs: fan out in the caller, before the
+    # element explode (see kmv_jaccard_pairs note).
     nwords = (bits + 62) // 63
     # distinct BEFORE hashing: md5 of the raw element explode was 25
     # of q213's 33 s at sf10 (450M hash calls), while the distinct

@@ -825,6 +825,12 @@ def novelty_scores(
     Output: (id, n_grams, n_novel, novelty), novelty rounded to 6;
     docs with no grams emit no row (as before — they had no exploded
     rows to group)."""
+    from ulh_etl_spark.operators.fanout import fan_out
+
+    # The gram explode + per-doc distinct-gram hashing dominates; an
+    # under-parallel input (one parquet split) would run it all on
+    # one core — conditional fan-out, the winnowing/dedup rule.
+    df = fan_out(df)
     hashed = F.array_distinct(
         F.transform(
             char_ngrams(F.col(text_col), n),
@@ -1145,8 +1151,14 @@ def duplicate_span_removal(
     reassembly."""
     from pyspark.sql import Window
 
+    from ulh_etl_spark.operators.fanout import fan_out
+
     if window_tokens <= 0:
         raise ValueError("window_tokens must be positive")
+    # The md5-per-window explode (n-k+1 digests per doc) dominates;
+    # conditional fan-out for 1-split inputs (r17 probe: q142
+    # 1.19 s -> 0.54 s; no-op at real scale).
+    df = fan_out(df)
     k = window_tokens
     with_t = df.select(
         F.col(id_col), whitespace_tokens(F.col(text_col)).alias("_toks")
@@ -1628,6 +1640,11 @@ def char_entropy(df, text_col: str, id_col: str):
     (r11 ADVICE).
 
     Output: (id_col, n_chars_counted, entropy_bits)."""
+    from ulh_etl_spark.operators.fanout import fan_out
+
+    # The per-char explode is the corpus pass; conditional fan-out
+    # for 1-split inputs (r17 probe 0.61 s -> 0.51 s; no-op at scale).
+    df = fan_out(df)
     chars = df.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), "")).alias("_ch"),
@@ -1970,6 +1987,12 @@ def dsir_importance(
     DSIR hashes); the per-doc sum partial-aggregates. No self-join,
     no window, no Python. Token-less docs survive with NULL weight
     (left join), mirroring unigram_logprob_scores."""
+    from ulh_etl_spark.operators.fanout import fan_out
+
+    # The md5-per-token explode feeds both histograms and the per-doc
+    # sum; under-parallel inputs run it on one core (conditional
+    # fan-out — no-op once the scan has >= cores splits).
+    df = fan_out(df)
     toks = whitespace_tokens(F.lower(F.col(text_col)))
     # explode_outer + isnotnull: see SCALE.md (inferred size()>0
     # filter would re-tokenize per row with plain explode).
@@ -2101,7 +2124,13 @@ def bloom_contamination_counts(
     import math
 
     from ulh_etl_spark.operators.bloom import bloom_probe, build_bloom
+    from ulh_etl_spark.operators.fanout import fan_out
 
+    # Both sides pay a per-gram hash explode before their first
+    # exchange; a 1-split input runs that on one core (conditional
+    # fan-out — no-op at real scale).
+    corpus = fan_out(corpus)
+    benchmark = fan_out(benchmark)
     bench_grams = _gram_set(benchmark, text_col, id_col, n).select("_g").distinct()
     if n_bits is None:
         n_grams = bench_grams.count()
@@ -2885,6 +2914,12 @@ def dirichlet_qlm_scores(
     (collection tf per term + total collection tokens) broadcast
     back over the corpus. Two passes, one 1-row shuffle, any scale.
     """
+    from ulh_etl_spark.operators.fanout import fan_out
+
+    # Tokenize + per-term tf runs before any exchange on BOTH passes;
+    # conditional fan-out for 1-split inputs (r17 probe: q165
+    # 0.64 s -> 0.25 s; no-op at real scale).
+    df = fan_out(df)
     toks = whitespace_tokens(F.lower(F.col(text_col)))
     base = df.select(
         F.col(id_col),

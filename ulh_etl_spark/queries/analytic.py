@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ulh_etl_spark.operators.fanout import fan_out as _fo
 from ulh_etl_spark.session import load_table
 
 
@@ -877,6 +878,9 @@ def q194_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ulh_etl_spark.operators.sketch import group_bottomk_sample
 
     ev = load_table(spark, sf_dir, "events")
+    # Under-parallel guard: the md5 rank map precedes the window
+    # exchange (r17 probe 0.40 s -> 0.31 s; no-op at real scale).
+    ev = _fo(ev)
     return group_bottomk_sample(ev, "event_type", "event_id", k=_GS_K)
 
 

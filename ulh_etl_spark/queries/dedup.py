@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from ulh_etl_spark.operators import dedup as D
 from ulh_etl_spark.operators import text as OT
+from ulh_etl_spark.operators.fanout import fan_out as _fan_out
 from ulh_etl_spark.queries import _oracle_fragments as O
 from ulh_etl_spark.queries.textops import (
     _QUALITY_SQL,
@@ -160,6 +161,10 @@ def q232_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ulh_etl_spark.operators.text import char_ngrams, md5_hash60
 
     docs = load_table(spark, sf_dir, "documents")
+    # The sample-selection md5 scan is the only corpus-scale work —
+    # fan out the 1-split scan (r17 probe 1.53 s -> 0.72 s; no-op at
+    # real scale).
+    docs = _fan_out(docs)
     cnt = docs.agg(F.count("*").alias("_n"))
     samp = (
         docs.crossJoin(F.broadcast(cnt))
@@ -508,6 +513,10 @@ def q158_decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection across the legs); the report join keys on doc_id
     against two hit relations that are small by construction."""
     docs = load_table(spark, sf_dir, "documents")
+    # Both legs' gram/signature pipelines run before their first
+    # exchange; fan out the shared scan once (r17 probe
+    # 1.49 s -> 0.93 s; no-op at real scale).
+    docs = _fan_out(docs)
     bench = docs.filter(F.col("doc_id") % _DECON_MOD == 0)
     corpus = docs.filter(F.col("doc_id") % _DECON_MOD != 0)
     exact = OT.contamination_counts(
@@ -660,6 +669,9 @@ def q240_candidate_hamming_histogram(
     from ulh_etl_spark.operators.text import md5_hash60
 
     docs = load_table(spark, sf_dir, "documents")
+    # Under-parallel guard: the md5/gram scan precedes any exchange
+    # (r17 probe 1.70 s -> 1.28 s; no-op at real scale).
+    docs = _fan_out(docs)
     stats = docs.agg(
         F.greatest(
             F.lit(1).cast("long"),
@@ -751,6 +763,9 @@ def q237_prefix_candidate_forecast(
     from ulh_etl_spark.cache import track
 
     docs = load_table(spark, sf_dir, "documents")
+    # Under-parallel guard: the md5/gram scan precedes any exchange
+    # (r17 probe 2.67 s -> 0.76 s; no-op at real scale).
+    docs = _fan_out(docs)
     tok = docs.select(
         "doc_id",
         F.explode_outer(
@@ -819,6 +834,10 @@ def q213_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ulh_etl_spark.operators.text import char_ngrams
 
     docs = load_table(spark, sf_dir, "documents")
+    # Fan out BEFORE the gram explode: the explode + map-side
+    # distinct is the corpus pass, and a 1-split scan runs it on one
+    # core (r17 probe 3.40 s -> 1.79 s). No-op at real scale.
+    docs = _fan_out(docs)
     el = docs.select(
         "source",
         F.explode(char_ngrams(F.col("text"), _KMVJ_N)).alias("gram"),
@@ -927,6 +946,9 @@ def q215_bloom_difference_matrix(
     from ulh_etl_spark.operators.text import char_ngrams
 
     docs = load_table(spark, sf_dir, "documents")
+    # Fan out BEFORE the gram explode (q213's rule; r17 probe
+    # 2.62 s -> 1.09 s). No-op at real scale.
+    docs = _fan_out(docs)
     el = docs.select(
         "source",
         F.explode(char_ngrams(F.col("text"), _BDM_N)).alias("gram"),

@@ -13,6 +13,7 @@ from ulh_etl_spark.cache import track, truncate_lineage
 
 from ulh_etl_spark.operators import similarity as S
 from ulh_etl_spark.queries import _oracle_fragments as O
+from ulh_etl_spark.operators.fanout import fan_out as _fo
 from ulh_etl_spark.session import load_table
 
 _N_QUERIES = 5
@@ -891,6 +892,9 @@ def q111_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     distortion. The codebook folds into plan literals (ivf_assign
     shape): a pure narrow map, zero shuffles at any corpus size."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # Under-parallel guard: the encode narrow map precedes any
+    # exchange (r17 probe 0.86 s -> 0.69 s; no-op at real scale).
+    emb = _fo(emb)
     enc = S.pq_encode(emb, _pq_cb(emb))
     return enc.select(
         "vec_id",
@@ -912,6 +916,9 @@ def q151_sq8_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     for PQ's 64x. Encode is a pure narrow map with the bounds as
     plan-literal arrays: zero shuffles at any corpus size."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # Under-parallel guard: the encode narrow map precedes any
+    # exchange (r17 probe 0.59 s -> 0.48 s; no-op at real scale).
+    emb = _fo(emb)
     enc = S.sq8_encode(emb, S.sq8_bounds(emb))
     return enc.select(
         "vec_id",
@@ -930,7 +937,13 @@ def q112_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-stage retrieval. The ADC scan reads only (id, codes) and
     scores rows by m table lookups; both legs are queries x k rows,
     so the recall join broadcasts (q86 pattern)."""
+    from ulh_etl_spark.operators.fanout import fan_out
+
     emb = load_table(spark, sf_dir, "embeddings")
+    # Every leg (encode, ADC scan, brute-force) is a narrow map over
+    # this scan — under-parallel guard (r17 probe 1.24 s -> 0.96 s;
+    # no-op at real scale).
+    emb = fan_out(emb)
     cb = _pq_cb(emb)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     enc = S.pq_encode(emb, cb).select("vec_id", "codes")

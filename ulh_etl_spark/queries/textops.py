@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ulh_etl_spark.operators import text as T
+from ulh_etl_spark.operators.fanout import fan_out as _fan_out
 from ulh_etl_spark.queries import _oracle_fragments as O
 from ulh_etl_spark.session import load_table
 
@@ -199,6 +200,9 @@ def q122_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Remaining skew is a join key (AQE skew-split); output is the
     per-split-pair count of distinct leaky doc pairs."""
     docs = load_table(spark, sf_dir, "documents")
+    # Under-parallel guard: the per-doc text work precedes any
+    # exchange (r17 probe 0.81 s -> 0.70 s; no-op at real scale).
+    docs = _fan_out(docs)
     splits = docs.select(
         "doc_id", T.hash_split(F.col("doc_id")).alias("split")
     )
@@ -263,7 +267,13 @@ def q150_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression — one char_ngrams pass, four element_at folds, no
     UDF/join/shuffle; the weight arrays ride the plan exactly like
     q84's hashed linear model."""
+    from ulh_etl_spark.operators.fanout import fan_out
+
     docs = load_table(spark, sf_dir, "documents")
+    # The md5-per-gram scoring is the whole query and the plan has no
+    # exchange — a 1-split scan would run it on one core (r17
+    # measured 1.80 s -> 0.60 s). Conditional fan-out; no-op at scale.
+    docs = fan_out(docs)
     # three projections: bucket the grams ONCE (the md5 pass is ~all
     # the per-gram cost), fold each language's plan-constant weight
     # array over the shared bucket column, then argmax over the
@@ -306,7 +316,12 @@ def q156_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     systematic disagreement cell means one of the two is wrong for
     that slice). One narrow classification pass + one two-key
     count groupBy; output is |langs|^2-bounded."""
+    from ulh_etl_spark.operators.fanout import fan_out
+
     docs = load_table(spark, sf_dir, "documents")
+    # Same under-parallel guard as q150 — the scoring pass sits
+    # before the first exchange.
+    docs = fan_out(docs)
     bucketed = docs.select(
         "lang",
         T.lang_gram_buckets(F.col("text"), _LANG_N, _LANG_K).alias("_b"),
@@ -349,6 +364,9 @@ def q152_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-desc/token-asc vocabulary, so the oracle derives the
     identical set)."""
     docs = load_table(spark, sf_dir, "documents")
+    # Under-parallel guard: the per-doc text work precedes any
+    # exchange (r17 probe 0.66 s -> 0.53 s; no-op at real scale).
+    docs = _fan_out(docs)
     return T.vocab_coverage(docs, "text", "doc_id", _VOCAB_SIZE)
 
 
@@ -446,6 +464,9 @@ def q127_gram_compression_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces it in the catalog so every sampled entry is
     hash-checkable."""
     docs = load_table(spark, sf_dir, "documents")
+    # Under-parallel guard: the per-doc text work precedes any
+    # exchange (r17 probe 0.56 s -> 0.13 s; no-op at real scale).
+    docs = _fan_out(docs)
     grams = T.char_ngrams(F.col("text"), _PROXY_GRAM_N)
     n_grams = F.size(grams)
     n_distinct = F.size(F.array_distinct(grams))
@@ -599,6 +620,9 @@ def q140_group_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
+    # Under-parallel guard: the per-doc text work precedes any
+    # exchange (r17 probe 0.52 s -> 0.33 s; no-op at real scale).
+    docs = _fan_out(docs)
     key = T.weighted_sample_key(
         F.col("doc_id"), T.quality_score(F.col("text"))
     )
@@ -674,6 +698,9 @@ def q114_source_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFra
     from ulh_etl_spark.operators.rank import group_quantile_calibrate
 
     docs = load_table(spark, sf_dir, "documents")
+    # Under-parallel guard: the per-doc text work precedes any
+    # exchange (r17 probe 0.35 s -> 0.22 s; no-op at real scale).
+    docs = _fan_out(docs)
     scored = T.with_quality_score(docs, "text").select(
         "doc_id", "source", "quality"
     )
@@ -871,6 +898,9 @@ def q83_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer-stats pass). Partial-agged groupBy + TakeOrdered top-k:
     no global sort, ties cut deterministically by the bigram string."""
     docs = load_table(spark, sf_dir, "documents")
+    # Under-parallel guard: the per-doc text work precedes any
+    # exchange (r17 probe 0.38 s -> 0.26 s; no-op at real scale).
+    docs = _fan_out(docs)
     return T.top_ngrams(docs, "text", n=2, k=TOP_NGRAM_K)
 
 
@@ -980,6 +1010,9 @@ def q84_model_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     UDF, no vocab join, no shuffle); the stand-in weights are
     md5-derived so the oracle computes the identical model."""
     docs = load_table(spark, sf_dir, "documents")
+    # Under-parallel guard: the per-doc text work precedes any
+    # exchange (r17 probe 0.46 s -> 0.21 s; no-op at real scale).
+    docs = _fan_out(docs)
     return docs.select(
         "doc_id",
         T.hashed_linear_score(F.col("text"), _QMODEL_W).alias("model_score"),
@@ -1008,6 +1041,9 @@ def q239_quality_retention_curve(
     window). Totals come from the same aggregate (every group sees
     the full corpus), so fractions need no extra pass."""
     docs = load_table(spark, sf_dir, "documents")
+    # Under-parallel guard: the per-doc text work precedes any
+    # exchange (r17 probe 0.55 s -> 0.28 s; no-op at real scale).
+    docs = _fan_out(docs)
     scored = docs.select(
         T.hashed_linear_score(F.col("text"), _QMODEL_W).alias("_s"),
         F.size(T.whitespace_tokens(F.lower(F.col("text"))))
@@ -1074,6 +1110,9 @@ def q108_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     conjunctive keep, all JVM expressions over one tokenization
     (operators.text.gopher_rules). Pure narrow map — no shuffle."""
     docs = load_table(spark, sf_dir, "documents")
+    # Under-parallel guard: the per-doc text work precedes any
+    # exchange (r17 probe 0.48 s -> 0.20 s; no-op at real scale).
+    docs = _fan_out(docs)
     return T.gopher_rules(docs, "text", "doc_id")
 
 
@@ -1276,7 +1315,12 @@ def q166_posting_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation is (term, doc) pairs, already collapsed)."""
     from pyspark.sql import Window
 
+    from ulh_etl_spark.operators.fanout import fan_out
+
     docs = load_table(spark, sf_dir, "documents")
+    # Token explode + map-side tf partial agg precede the first
+    # exchange — under-parallel guard (no-op at real scale).
+    docs = fan_out(docs)
     tok = docs.select(
         "doc_id",
         F.explode(
@@ -1338,8 +1382,12 @@ def q171_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberate: persisting an exploded token relation costs more
     than re-reading the pruned text column."""
     from ulh_etl_spark.operators import sketch as SK
+    from ulh_etl_spark.operators.fanout import fan_out
 
     docs = load_table(spark, sf_dir, "documents")
+    # Both passes' token explodes sit before their first exchange —
+    # under-parallel guard (r17 measured 1.16 s -> 0.58 s).
+    docs = fan_out(docs)
     toks = docs.select(
         F.explode(
             T.whitespace_tokens(F.lower(F.col("text")))
