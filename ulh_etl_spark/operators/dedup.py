@@ -924,9 +924,17 @@ def prefix_filter_jaccard_pairs(
     track(g)
 
     tok = g.select(F.col(id_col), "_ng", F.explode("_g").alias("_h"))
-    freq = tok.groupBy("_h").agg(F.count("*").alias("_cnt"))
     from pyspark.sql import Window
 
+    # Gram frequency as COUNT OVER (PARTITION BY _h) instead of the
+    # r15 freq-groupBy + join-back (r17, the duplicate_gram_stats r16
+    # lesson): the join's probe side and the groupBy shuffled the
+    # token relation on the same key the window partitions by, so the
+    # analytic form drops the whole join — one exchange on _h, one on
+    # the doc id, identical (doc, gram, cnt) rows (measured 1.45 ->
+    # 0.95 s warm at sf0.1, counts row-identical). Boilerplate-gram
+    # skew sits on the same _h key either way.
+    wcnt = Window.partitionBy("_h")
     w = Window.partitionBy(id_col).orderBy(F.col("_cnt").asc(), F.col("_h").asc())
     # Same downward ceil guard as alpha (below): ceil(t*_ng) computed
     # on doubles can land one ABOVE the exact rational when t*_ng is
@@ -942,7 +950,7 @@ def prefix_filter_jaccard_pairs(
         + F.lit(1)
     )
     pref = (
-        tok.join(freq, "_h")
+        tok.withColumn("_cnt", F.count("*").over(wcnt))
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= prefix_len)
         .select(F.col(id_col), "_ng", "_h", "_rk")

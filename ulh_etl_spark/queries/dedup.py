@@ -775,7 +775,10 @@ def q237_prefix_candidate_forecast(
         "doc_id", OT.md5_hash60(F.col("_gram")).alias("_h")
     )
     tok = track(tok.persist(StorageLevel.MEMORY_AND_DISK))
-    freq = tok.groupBy("_h").agg(F.count("*").alias("_cnt"))
+    # freq as COUNT OVER (PARTITION BY _h) — the same analytic form
+    # the operator switched to in r17 (drops the freq-groupBy +
+    # join-back; identical rows, one exchange per window key)
+    wh = Window.partitionBy("_h")
     wd = Window.partitionBy("doc_id")
     w = wd.orderBy(F.col("_cnt").asc(), F.col("_h").asc())
     # identical downward-guarded ceil as the operator (dedup.py:
@@ -788,7 +791,7 @@ def q237_prefix_candidate_forecast(
         + F.lit(1)
     )
     pref = (
-        tok.join(freq, "_h")
+        tok.withColumn("_cnt", F.count("*").over(wh))
         .withColumn("_ng", F.count("*").over(wd))
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= plen)
